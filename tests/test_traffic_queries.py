@@ -1,0 +1,83 @@
+"""Golden tests: the three reference entry points vs the pure-Python oracle
+(tests/traffic_sim.py) over the deterministic reference-layout CSV fixtures.
+
+Covers FIXTURES.md §A.5: multi-month union + dedup, single-month no-dedup,
+month/closed-range boundaries, empty bbox, the 2016-06 clamp, the today-filter
+quirk, malformed rows and sentinel dates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests import traffic_sim
+from trafficbigdatasearch_spark.engine import TrafficEngine
+
+BBOX = (116.0, 118.0, 36.0, 39.0)  # lon_lo, lon_hi, lat_lo, lat_hi
+EMPTY_BBOX = (10.0, 11.0, 1.0, 2.0)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, traffic_dir):
+    return TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="parity")
+
+
+def _args(bbox):
+    lon_lo, lon_hi, lat_lo, lat_hi = bbox
+    # facade order: lon_upper, lon_lower, lat_upper, lat_lower
+    return (lon_hi, lon_lo, lat_hi, lat_lo)
+
+
+def test_accident_count_multi_month(engine, traffic_dir):
+    got = {tuple(r) for r in engine.accident_count_df(*_args(BBOX), "2016-07-01", "2016-09-15").collect()}
+    want = traffic_sim.oracle_accident_count(traffic_dir, BBOX, "2016-07-01", "2016-09-15")
+    assert got == want
+    assert len(got) > 0
+
+
+def test_accident_count_empty_bbox(engine, traffic_dir):
+    got = {tuple(r) for r in engine.accident_count_df(*_args(EMPTY_BBOX), "2016-07-01", "2016-09-15").collect()}
+    assert got == set()
+
+
+def test_overspeed_multi_month(engine, traffic_dir):
+    got = {tuple(r) for r in engine.overspeed_count_df(*_args(BBOX), "2016-06-15", "2016-08-02").collect()}
+    want = traffic_sim.oracle_overspeed(traffic_dir, BBOX, "2016-06-15", "2016-08-02")
+    assert got == want
+    assert len(got) > 0
+
+
+def test_overspeed_single_month_keeps_duplicates(engine, traffic_dir):
+    got = {tuple(r) for r in engine.overspeed_count_df(*_args(BBOX), "2016-07-01", "2016-07-31").collect()}
+    want = traffic_sim.oracle_overspeed(traffic_dir, BBOX, "2016-07-01", "2016-07-31")
+    assert got == want
+
+
+def test_overspeed_month_end_boundary(engine, traffic_dir):
+    # end on a month's last day: end+1d == next month's midnight (quirk §2.10.3)
+    got = {tuple(r) for r in engine.overspeed_count_df(*_args(BBOX), "2016-06-15", "2016-07-31").collect()}
+    want = traffic_sim.oracle_overspeed(traffic_dir, BBOX, "2016-06-15", "2016-07-31")
+    assert got == want
+
+
+def _canon_avg(rows):
+    return {(tp, ct, h, round(a, 9)) for tp, ct, h, a in rows}
+
+
+def test_avgspeed_trailing_window(engine, traffic_dir):
+    got = _canon_avg(tuple(r) for r in engine.average_speed_df(*_args(BBOX), "2016-12-15").collect())
+    want = _canon_avg(traffic_sim.oracle_avgspeed(traffic_dir, BBOX, "2016-12-15"))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_avgspeed_clamp(engine, traffic_dir):
+    # date within 30d of the 2016-06 availability floor -> history clamped
+    got = _canon_avg(tuple(r) for r in engine.average_speed_df(*_args(BBOX), "2016-06-20").collect())
+    want = _canon_avg(traffic_sim.oracle_avgspeed(traffic_dir, BBOX, "2016-06-20"))
+    assert got == want
+
+
+def test_json_facade(engine):
+    rows = engine.get_accident_count(*_args(BBOX), "2016-07-01", "2016-09-15")
+    assert all(r.startswith("{") for r in rows)

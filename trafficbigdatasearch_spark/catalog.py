@@ -1,0 +1,42 @@
+"""Testdata catalog: load the driver's parquet tables as DataFrames.
+
+Replaces the reference's per-query ``registerTempTable`` churn
+(src/OverSpeedCount.scala:33-35,109-114) with one logical DataFrame per table;
+temp views are created only by the SQL facade when a caller wants ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (vectorized reader, pushdown on)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Expose the tables to ``spark.sql`` under their canonical names."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
