@@ -1,0 +1,55 @@
+"""Local replica of the driver's correctness gate: every registry query runs
+on Spark AND as DuckDB oracle SQL over the same parquet; results must match
+exactly (row count, column names, order-insensitive values).
+
+Runs at sf0.001 by default (fast); the driver runs sf0.01."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from trafficbigdatasearch_spark.queries import standard
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+ALL = sorted(standard.queries())
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — we claim bit-identical doubles
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _rows_to_set(cols, rows):
+    return sorted(",".join(_canon(v) for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, duck, name):
+    fn = standard.queries()[name]
+    sql = standard.oracle_sql().get(name)
+    sdf = fn(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(srows) >= 0
+        return
+    res = duck.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert [c.lower() for c in scols] == [c.lower() for c in dcols], (
+        f"{name}: column mismatch {scols} vs {dcols}"
+    )
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    s_set = _rows_to_set(scols, srows)
+    d_set = _rows_to_set(dcols, drows)
+    mism = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
+    assert s_set == d_set, f"{name}: value mismatch, first diffs: {mism}"

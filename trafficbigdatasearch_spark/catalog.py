@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -28,8 +30,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one testdata table (vectorized reader, pushdown on)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan of one testdata table (vectorized reader, pushdown on).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as int64 and is
+    converted here to a microsecond timestamp (truncating, exactly like
+    DuckDB's native read of the same file)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,137 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Beyond-reference surface (the reference has no text ops, SURVEY.md §2.6):
+token counting, quality metrics, language ID, fingerprinting — all as pure
+column expressions over ``documents.text`` so they run JVM-side at full scan
+speed (at 100 TB, a per-row Python UDF here would dominate the job).
+
+Counts are integers and therefore bit-deterministic across engines — the
+DuckDB oracles reproduce each formula exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit language-ID
+#: heuristic. Deliberately small and fixed: the heuristic must be cheap,
+#: deterministic, and reproducible in ANSI SQL for the oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "von", "auf"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty text -> empty array)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap pre-BPE budget estimate)."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word-piece-like units with a regex —
+    runs of letters, runs of digits, or single non-space symbols.  A stand-in
+    for a real tokenizer with the same O(scan) cost profile."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")).cast(
+        "bigint"
+    )
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (case-insensitive)."""
+    toks = tokens(F.lower(text))
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.array_contains(words, t).cast("bigint"),
+    )
+
+
+def punct_count(text: Column) -> Column:
+    """Punctuation characters (ASCII ``.,;:!?``)."""
+    return F.regexp_count(text, F.lit(r"[.,;:!?]")).cast("bigint")
+
+
+def digit_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[0-9]")).cast("bigint")
+
+
+def quality_metrics(text: Column) -> list[Column]:
+    """The per-document quality counters used for filtering decisions:
+    (n_chars, n_tokens, n_stopwords_en, n_punct, n_digits) — all integers,
+    so downstream ratio thresholds are computed exactly where needed."""
+    return [
+        F.length(text).cast("bigint").alias("n_chars_m"),
+        token_count(text).alias("n_tokens"),
+        stopword_count(text, "en").alias("n_stopwords_en"),
+        punct_count(text).alias("n_punct"),
+        digit_count(text).alias("n_digits"),
+    ]
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Stopword-hit count for one language over lowercased tokens."""
+    return stopword_count(text, lang)
+
+
+def lang_id(text: Column, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits, ties and
+    zero-hit texts -> 'und'.  Tie-break: first language in ``langs`` order
+    with the max score (deterministic)."""
+    langs = langs or list(STOPWORDS)
+    scores = [lang_score(text, lg) for lg in langs]
+    best = F.greatest(*scores)
+    expr = F.lit("und")
+    # fold right-to-left so earlier languages win ties
+    for lg, sc in reversed(list(zip(langs, scores))):
+        expr = F.when((sc == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def normalized(text: Column) -> Column:
+    """Normalization for fingerprinting: lowercase, strip all non-alphanumeric
+    (unicode-aware enough for the fixture corpus)."""
+    return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text — the exact-dedup key.
+    (md5 is content-defined and engine-portable; xxhash64 would be faster but
+    is Spark-specific, breaking the cross-engine oracle.)"""
+    return F.md5(normalized(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (distinct not applied).
+
+    Built with ``transform(sequence(...))`` over the token array — pure
+    Catalyst expressions, no UDF.  Texts shorter than ``n`` tokens yield a
+    single shingle of the whole text, so no document is dropped silently.
+    """
+    toks = tokens(F.lower(text))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    joined = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return joined
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """28-bit integer hash of a shingle via md5 prefix — portable across
+    engines (DuckDB: ``('0x' || substr(md5(s),1,7))::BIGINT``), small enough
+    that ``a*h + b`` stays in int64 for minhash's universal hashing."""
+    return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("bigint")

@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference has no dedup surface; these are first-class beyond-parity
+operators (BASELINE.json north star).  All are DataFrame-native and
+partition-parallel:
+
+- exact dedup: md5-fingerprint groupBy — one shuffle on the hash key.
+- n-gram Jaccard near-dup: shingle-inverted-index blocking (explode ->
+  self-join on shingle hash -> per-pair intersection counts) — never a
+  cross join; cost scales with shared-shingle pairs, not n².
+- MinHash: k universal hash functions over 28-bit shingle hashes, computed
+  with ``transform``/``aggregate`` expressions (no UDF); LSH banding derives
+  candidate pairs with a band-bucket self-join.
+- SimHash: 64-bit text fingerprint from token-hash sign sums; near-dups =
+  small Hamming distance.
+
+At 100 TB: every operator here is (explode -> hash-partitioned shuffle ->
+aggregate); skew on hot shingles is bounded by dropping top-frequency
+shingles (``max_shingle_freq``), the standard trick for web-scale dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.functions import text as T
+
+#: Mersenne prime 2^31-1; with 28-bit shingle hashes and a,b < 2^31 the
+#: universal-hash product stays well inside int64.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal hash functions,
+    derived from a fixed linear-congruential sequence so any engine (or SQL
+    oracle) can regenerate them."""
+    params, x = [], 1
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (2**31)
+        a = (x % (MINHASH_PRIME - 1)) + 1
+        x = (1103515245 * x + 12345) % (2**31)
+        b = x % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content fingerprint.
+
+    Returns (fingerprint, keep_id, dup_count): one row per distinct content,
+    ``keep_id`` = min id (the canonical survivor), ``dup_count`` = group size.
+    Plan: project fingerprint -> hash aggregate; one shuffle on the md5 key
+    (uniform by construction — no skew mitigation needed).
+    """
+    return (
+        docs.select(T.fingerprint(F.col(text_col)).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The deduplicated corpus: keeps the min-id representative per
+    fingerprint.  Window-free formulation (join back on (fingerprint, id))
+    so the plan is two hash shuffles, no global sort."""
+    keep = exact_duplicates(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def _shingle_exploded(
+    docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    sh = T.word_shingles(F.col(text_col), n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index join: explode distinct shingles, self-join on the shingle,
+    count shared shingles per (a, b) pair, then
+    ``jaccard = shared / (|A| + |B| - shared)``.  Returns
+    (id_a, id_b, shared, size_a, size_b) with id_a < id_b and
+    jaccard >= threshold; the jaccard itself is re-derivable exactly from the
+    integer columns (kept as ints for cross-engine determinism).
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    (stopword-like n-grams) — the skew guard that keeps the self-join from
+    exploding on hot keys at corpus scale.
+    """
+    ex = _shingle_exploded(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
+
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            >= threshold
+        )
+    )
+    return out.select("id_a", "id_b", "shared", "size_a", "size_b")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, h_idx, minhash) rows.
+
+    For each of the k universal hash functions ``(a*h + b) % P`` over the
+    document's 28-bit shingle hashes, emit the minimum.  Pure expression
+    pipeline: shingles -> hashes (array) -> per-function ``array_min`` —
+    no shuffle at all until a consumer aggregates.
+    Empty shingle sets yield minhash = P (sentinel), never NULL.
+    """
+    hashes = F.transform(
+        F.array_distinct(T.word_shingles(F.col(text_col), n)), T.shingle_hash
+    )
+    rows = []
+    for i, (va, vb) in enumerate(minhash_params(k)):
+        mh = F.array_min(
+            F.transform(hashes, lambda h: (F.lit(va) * h + F.lit(vb)) % MINHASH_PRIME)
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).alias("h_idx"),
+                F.coalesce(mh, F.lit(MINHASH_PRIME)).alias("minhash"),
+            )
+        )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("s")
+    ).select("id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    ``k/bands`` rows; documents sharing any band bucket become a candidate
+    pair.  Returns distinct (id_a, id_b), id_a < id_b.
+
+    Plan: signature rows -> band key = md5(concat of the band's minhashes)
+    -> self-join per (band, bucket).  The band-bucket join is an equi join on
+    a high-entropy key — uniform shuffle, broadcast-free, scales linearly
+    with collisions (which is the point of LSH).
+    """
+    r = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n)
+    banded = (
+        sig.withColumn("band", (F.col("h_idx") / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "minhash"))).alias("sig"))
+        .select(
+            "id",
+            "band",
+            F.md5(F.to_json(F.col("sig"))).alias("bucket"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(text_col, n_bits: int = 64):
+    """64-bit SimHash of the token multiset: for each bit, sum +1/-1 weighted
+    by token md5 bit; the sign forms the fingerprint bit.  Expression-only.
+
+    Implementation detail: token hash bits come from 4 hex nibbles of md5 per
+    16-bit group to bound expression size; near-dup detection joins on
+    Hamming distance via ``bit_count(x ^ y)``.
+    """
+    toks = T.tokens(F.lower(text_col))
+    out = F.lit(0).cast("bigint")
+    for bit in range(n_bits):
+        nib, mask = bit // 4, 1 << (bit % 4)
+        contrib = F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.when(
+                (
+                    F.conv(F.substring(F.md5(t), nib + 1, 1), 16, 10)
+                    .cast("int")
+                    .bitwiseAND(mask)
+                )
+                > 0,
+                1,
+            ).otherwise(-1),
+        )
+        out = out + F.when(contrib >= 0, F.lit(1 << bit).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return out
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16
+) -> DataFrame:
+    """(id, simhash) per document.  ``n_bits`` kept modest by default — the
+    expression tree grows per bit; 16 bits is plenty for blocking tests,
+    production would raise it (still codegen-friendly)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), n_bits).alias("simhash"),
+    )

