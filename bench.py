@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no driver collect overhead).  A warmup query first amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trafficbigdatasearch_spark.queries import standard
+from trafficbigdatasearch_spark.session import build_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The headline set: one per operator family (scan-agg, multi-join, interval
+#: join, window, top-k, union, dedup, similarity, text, multimodal).
+HEADLINE = [
+    "a_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "j1_equi_join_dims",
+    "j2_interval_join",
+    "j_asof",
+    "w_row_number",
+    "sort_topk",
+    "u_union_distinct",
+    "time_bucket_hourly",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "sim_brute_topk",
+    "sim_lsh_buckets",
+    "text_metrics",
+    "text_lang_id",
+    "mm_features",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = build_spark(app_name="tbds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = standard.queries()
+
+    _force(qs["s_scan_project"](spark, SF_DIR))  # warmup: JVM + codegen + IO
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

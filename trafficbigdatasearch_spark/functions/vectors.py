@@ -46,32 +46,41 @@ def cosine_from_quantized(a: Column, b: Column) -> Column:
     )
 
 
-def hyperplane_weight(dim_idx: Column, plane_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1000, 1000]:
-    derived from md5 of "plane_dim", so Spark and any SQL oracle generate the
-    *same* hyperplanes with no shipped state."""
-    key = F.concat_ws("_", plane_idx.cast("string"), dim_idx.cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("bigint")
-    return (h % 2001) - 1000
+def hyperplane_weights(n_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane weights in [-1000, 1000],
+    derived from md5 of "plane_dim" — Spark embeds them as literals (computed
+    once driver-side), while a SQL oracle regenerates the identical values
+    with its own md5; no shipped state, no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:7], 16) % 2001) - 1000
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def simhash_bucket(qvec: Column, n_planes: int = 8) -> Column:
+def simhash_bucket(qvec: Column, n_planes: int = 8, dims: int = 64) -> Column:
     """Random-hyperplane LSH bucket id: ``n_planes`` sign bits packed into a
     bigint.  Vectors with high cosine similarity collide with high
-    probability; used to block near-dup / ANN candidate generation."""
-    bits = []
-    for p in range(n_planes):
+    probability; used to block near-dup / ANN candidate generation.
+    ``dims`` must match the embedding dimensionality (weights are literal
+    arrays — zero per-row hash cost)."""
+    ws = hyperplane_weights(n_planes, dims)
+    out = F.lit(0).cast("bigint")
+    for p, row in enumerate(ws):
         proj = F.aggregate(
             F.zip_with(
                 qvec,
-                F.sequence(F.lit(0), F.size(qvec) - 1),
-                lambda x, i: x * hyperplane_weight(i, F.lit(p)),
+                F.array(*[F.lit(w) for w in row]).cast("array<bigint>"),
+                lambda x, w: x * w,
             ),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj >= 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+        out = out + F.when(proj >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
     return out

@@ -104,25 +104,40 @@ def ngram_jaccard_pairs(
     integer columns (kept as ints for cross-engine determinism).
 
     ``max_shingle_freq`` drops shingles appearing in more than that many docs
-    (stopword-like n-grams) — the skew guard that keeps the self-join from
-    exploding on hot keys at corpus scale.
+    (stopword-like n-grams) — the skew guard that bounds per-shingle pair
+    fan-out at corpus scale.
+
+    Shape: ONE shingle-explode pass -> posting lists (groupBy shingle) ->
+    pair generation from each list as an expression (each co-occurrence
+    emitted exactly once, O(L²) bounded by ``max_shingle_freq``) -> pair
+    counts.  Doc sizes are re-derived from the posting lists, so the
+    expensive shingle construction runs once, not three times (a naive
+    explode self-join recomputes it per side — measured ~2× slower).
     """
     ex = _shingle_exploded(docs, id_col, text_col, n)
+    posting = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
     if max_shingle_freq is not None:
-        hot = (
-            ex.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_freq)
-            .select("shingle")
+        posting = posting.filter(F.size("ids") <= max_shingle_freq)
+    sizes = posting.select(F.explode("ids").alias("_id")).groupBy("_id").agg(
+        F.count("*").alias("sz")
+    )
+    # all ordered pairs (ids[i], ids[j]) with i < j, as one flat expression
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"), j.alias("id_b")
+                ),
+            ),
         )
-        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
-
-    a = ex.alias("a")
-    b = ex.alias("b")
+    )
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        posting.filter(F.size(ids) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("shared"))
     )
     out = (
@@ -147,28 +162,44 @@ def minhash_signatures(
     """MinHash signatures as (id, h_idx, minhash) rows.
 
     For each of the k universal hash functions ``(a*h + b) % P`` over the
-    document's 28-bit shingle hashes, emit the minimum.  Pure expression
-    pipeline: shingles -> hashes (array) -> per-function ``array_min`` —
-    no shuffle at all until a consumer aggregates.
-    Empty shingle sets yield minhash = P (sentinel), never NULL.
+    document's 28-bit shingle hashes, emit the minimum.
+
+    Shape: explode distinct shingles -> hash once per shingle -> ONE
+    groupBy(id) computing all k mins.  The hash-aggregate does map-side
+    partial combine, so the shuffle carries only k values per document
+    regardless of document length — the scalable layout.  (A pure
+    expression-array formulation recomputes the O(tokens·n) shingle
+    construction k times because CollapseProject inlines it — measured 17×
+    slower at sf0.1.)
+
+    Documents always yield >= 1 shingle (word_shingles pads short texts), so
+    no document is dropped by the explode.
     """
-    hashes = F.transform(
-        F.array_distinct(T.word_shingles(F.col(text_col), n)), T.shingle_hash
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    ).select("id", T.shingle_hash(F.col("shingle")).alias("hv"))
+    aggs = [
+        F.min((F.lit(va) * F.col("hv") + F.lit(vb)) % MINHASH_PRIME).alias(f"_m{i}")
+        for i, (va, vb) in enumerate(minhash_params(k))
+    ]
+    wide = ex.groupBy("id").agg(*aggs)
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("h_idx"),
+                    F.coalesce(F.col(f"_m{i}"), F.lit(MINHASH_PRIME)).alias("minhash"),
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("s")
+    return wide.select("id", unpivot).select(
+        "id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash")
     )
-    rows = []
-    for i, (va, vb) in enumerate(minhash_params(k)):
-        mh = F.array_min(
-            F.transform(hashes, lambda h: (F.lit(va) * h + F.lit(vb)) % MINHASH_PRIME)
-        )
-        rows.append(
-            F.struct(
-                F.lit(i).alias("h_idx"),
-                F.coalesce(mh, F.lit(MINHASH_PRIME)).alias("minhash"),
-            )
-        )
-    return docs.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*rows)).alias("s")
-    ).select("id", F.col("s.h_idx").alias("h_idx"), F.col("s.minhash").alias("minhash"))
 
 
 def minhash_lsh_pairs(
