@@ -1,0 +1,68 @@
+"""Plan-quality pins: the physical properties that matter at 100 TB must
+survive refactors — pushdown reaching the parquet scan, pruned read schemas,
+broadcast joins for dims, no nested-loop joins on keyed paths, bounded
+exchange counts (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.plans import explain as X
+from trafficbigdatasearch_spark.queries import standard
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = standard.queries()["s_scan_project"](spark, SF)
+    assert any("l_linenumber" in f for f in X.pushed_filters(df)), X.pushed_filters(df)
+    schemas = X.read_schemas(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_bbox_filter_pushdown(spark):
+    df = standard.queries()["p_bbox_filter"](spark, SF)
+    pushed = X.pushed_filters(df)
+    assert any("value" in f for f in pushed) and any("user_id" in f for f in pushed)
+
+
+def test_j1_broadcasts_dims(spark):
+    df = standard.queries()["j1_equi_join_dims"](spark, SF)
+    assert X.has_broadcast_join(df)
+    # fact side never shuffles for the joins: single exchange for the agg
+    assert X.exchange_count(df) <= 1, X.formatted_plan(df)
+
+
+def test_j2_interval_join_is_hash_not_nested_loop(spark):
+    df = standard.queries()["j2_interval_join"](spark, SF)
+    assert not X.has_nested_loop_join(df), X.formatted_plan(df)
+
+
+def test_q3_broadcasts_customer(spark):
+    df = standard.queries()["q3_shipping_priority"](spark, SF)
+    assert X.has_broadcast_join(df)
+
+
+def test_asof_single_shuffle(spark):
+    df = standard.queries()["j_asof"](spark, SF)
+    # union + window: one hashpartitioning exchange for the window,
+    # plus one for the signup pre-aggregation
+    assert X.exchange_count(df) <= 2, X.formatted_plan(df)
+
+
+def test_pricing_summary_single_exchange(spark):
+    df = standard.queries()["a_pricing_summary"](spark, SF)
+    assert X.exchange_count(df) == 1, X.formatted_plan(df)
+    # shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in f for f in X.pushed_filters(df))
+
+
+def test_traffic_overspeed_plan(spark, traffic_dir):
+    from trafficbigdatasearch_spark.engine import TrafficEngine
+
+    eng = TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="parity")
+    df = eng.overspeed_count_df(118.0, 116.0, 39.0, 36.0, "2016-06-15", "2016-08-02")
+    # station join must broadcast; interval join must not be a nested loop
+    assert X.has_broadcast_join(df)
+    assert not X.has_nested_loop_join(df), X.formatted_plan(df)

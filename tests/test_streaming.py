@@ -1,0 +1,82 @@
+"""Structured Streaming tests: the streaming queries must equal their batch
+twins over the same (closed) input — run with availableNow -> memory sink."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.queries import standard
+from trafficbigdatasearch_spark.streaming import events as SE
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """events.parquet rewritten as a multi-file stream source (normalized ts,
+    since the raw file's TIMESTAMP(NANOS) needs the catalog conversion)."""
+    d = tmp_path_factory.mktemp("stream") / "events"
+    load_table(spark, SF, "events").repartition(4).write.parquet(str(d))
+    yield str(d)
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def _run(spark, stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_equals_batch(spark, event_stream_dir):
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(spark, SE.tumbling_counts(stream), "t_tumbling", "complete")
+    want = standard.queries()["time_bucket_hourly"](spark, SF)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sliding_window(spark, event_stream_dir):
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(spark, SE.sliding_avg(stream), "t_sliding", "complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    # every hourly event lands in exactly 2 sliding buckets (1h window, 30m slide)
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(r["n"] for r in rows) == 2 * n_events
+
+
+def test_session_windows(spark, event_stream_dir):
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(spark, SE.session_windows(stream), "t_sessions", "complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    ev = load_table(spark, SF, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # sessions are per-user disjoint intervals
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["session_start"], r["session_end"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_stream_dedup(spark, event_stream_dir):
+    # duplicate the whole stream dir -> every event twice; dedup restores counts
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    doubled = stream.unionByName(stream)
+    got = _run(spark, SE.dedup_stream(doubled).select("event_id"), "t_dedup", "append")
+    n = load_table(spark, SF, "events").count()
+    assert got.count() == n
+    assert got.distinct().count() == n

@@ -1,0 +1,115 @@
+"""Structured Streaming surface (SURVEY.md §2.8: absent in the reference —
+the `events` table is the hook).
+
+Batch/stream symmetry is the design rule: every streaming aggregation here
+has an identical batch formulation in queries/standard.py
+(``time_bucket_hourly`` == ``tumbling_counts``), so results are testable
+against the batch oracle and the same code serves both modes.
+
+At scale: watermarks bound state (late data beyond the horizon is dropped);
+window aggregations shuffle once on (window, keys); ``availableNow`` triggers
+give batch-like backfill runs over the same queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark import schemas
+
+
+def read_event_stream(
+    spark, path: str, fmt: str = "parquet", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream with the canonical events schema."""
+    reader = spark.readStream.schema(schemas.EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + min/max — the streaming analog of the
+    reference's GROUP BY hour (and of batch ``time_bucket_hourly``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-type average value."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.avg("value").alias("avg_v"), F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("bucket"),
+            "event_type",
+            "avg_v",
+            "n",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based) — counts and duration."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup by event_id within the watermark horizon —
+    the streaming twin of operators/dedup.exact: state is bounded by the
+    watermark instead of growing forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark=None):
+    """Drive a streaming DataFrame to completion over the currently-available
+    input (availableNow trigger) into an in-memory sink; returns the query.
+    Test/backfill helper — production sinks are kafka/parquet/delta."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
