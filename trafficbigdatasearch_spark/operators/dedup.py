@@ -77,12 +77,21 @@ def dedup_exact(
     return docs.join(keep, id_col, "left_semi")
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id before CPU-heavy per-document work.  The input is a
+    narrow (id, text) projection, so the exchange is cheap; without it a
+    low-split source (one parquet row group locally; a coalesced scan on a
+    cluster) serializes the expensive shingle/hash stage onto few cores."""
+    return docs.repartition(F.col(id_col))
+
+
 def _shingle_exploded(
     docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
     sh = T.word_shingles(F.col(text_col), n)
     if distinct:
         sh = F.array_distinct(sh)
+    docs = _spread(docs.select(id_col, text_col), id_col)
     return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("shingle"))
 
 
@@ -175,11 +184,11 @@ def minhash_signatures(
     Documents always yield >= 1 shingle (word_shingles pads short texts), so
     no document is dropped by the explode.
     """
-    ex = docs.select(
+    # No array_distinct: min() over the shingle multiset equals min() over
+    # the set, and the O(s²) per-document dedup dominated the scan profile.
+    ex = _spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n))).alias(
-            "shingle"
-        ),
+        F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
     ).select("id", T.shingle_hash(F.col("shingle")).alias("hv"))
     aggs = [
         F.min((F.lit(va) * F.col("hv") + F.lit(vb)) % MINHASH_PRIME).alias(f"_m{i}")

@@ -53,7 +53,11 @@ def build_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 16 MB splits: the local testdata is one parquet file per table, and
+        # row-group-range splitting is the only scan parallelism available —
+        # 128 MB would serialize whole-table scans onto one core.  Cluster
+        # deployments (many files, 1000 executors) override via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as int64 and convert in the catalog (ns -> us trunc,
