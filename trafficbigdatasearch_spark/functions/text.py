@@ -116,18 +116,27 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (distinct not applied).
 
-    Built with ``transform(sequence(...))`` over the token array — pure
+    Built as ``zip_with`` over n shifted slices of the token array — pure
     Catalyst expressions, no UDF.  Texts shorter than ``n`` tokens yield a
     single shingle of the whole text, so no document is dropped silently.
+
+    Formulation note: the obvious ``transform(sequence(0, k-n), i ->
+    concat_ws(' ', slice(toks, i+1, n)))`` evaluates an interpreted
+    per-element ``slice`` (an O(s) array copy each) — O(s²) per document and
+    ~6× slower measured at sf0.1.  zip_with's lambda is a scalar concat, so
+    the build stays O(s·n).
     """
     toks = tokens(F.lower(text))
     k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return joined
+    m = F.greatest(k - n + 1, F.lit(1))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        # shorter shifted slices zip as NULL; concat_ws skips NULLs, which
+        # reproduces the whole-text shingle for texts with < n tokens
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(k == 0, F.array(F.lit(""))).otherwise(out)
 
 
 def shingle_hash(shingle: Column) -> Column:

@@ -130,23 +130,17 @@ def ngram_jaccard_pairs(
     sizes = posting.select(F.explode("ids").alias("_id")).groupBy("_id").agg(
         F.count("*").alias("sz")
     )
-    # all ordered pairs (ids[i], ids[j]) with i < j, as one flat expression
+    # all ordered pairs (ids[i], ids[j]) with i < j: two generator explodes +
+    # a pre-shuffle filter.  Codegen-friendly (no interpreted lambda); the
+    # id_a < id_b filter runs before the exchange so the shuffle carries each
+    # co-occurrence exactly once.
     ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda i: F.transform(
-                F.slice(ids, i + 1, F.size(ids) - i),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"), j.alias("id_b")
-                ),
-            ),
-        )
-    )
     shared = (
         posting.filter(F.size(ids) > 1)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select(F.explode(ids).alias("id_a"), "ids")
+        .select("id_a", F.explode(ids).alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
     out = (
