@@ -39,9 +39,12 @@ HEADLINE = [
     "time_bucket_hourly",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "sim_brute_topk",
     "sim_lsh_buckets",
+    "sim_ivf_topk",
     "text_metrics",
     "text_lang_id",
     "mm_features",

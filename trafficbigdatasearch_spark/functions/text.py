@@ -139,6 +139,41 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(k == 0, F.array(F.lit(""))).otherwise(out)
 
 
+#: Rabin-Karp rolling-hash constants: base, modulus (Mersenne 2^31-1), and
+#: the token-position cap (longer documents hash their first ROLL_MAX tokens;
+#: at corpus scale the prefix is as content-defining as the whole body).
+ROLL_B = 1000003
+ROLL_M = 2147483647
+ROLL_MAX = 512
+
+
+def _roll_powers() -> list[int]:
+    pows, x = [], 1
+    for _ in range(ROLL_MAX):
+        pows.append(x)
+        x = (x * ROLL_B) % ROLL_M
+    return pows
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Rabin-Karp polynomial fingerprint of the token stream:
+    ``sum_i hash(tok_i) * B^i  mod M`` over the first ROLL_MAX tokens, with
+    ``hash`` the 28-bit md5 prefix of :func:`shingle_hash`.
+
+    The rolling structure is evaluated in closed form against a precomputed
+    powers table (literal array) so both Spark and a SQL oracle compute the
+    identical value without an ordered fold: each term < M < 2^31, <= 512
+    terms, so the sum stays far inside int64.  Empty text -> 0.
+    """
+    toks = F.slice(tokens(F.lower(text)), 1, ROLL_MAX)
+    hs = F.transform(toks, shingle_hash)
+    pows = F.array(*[F.lit(p) for p in _roll_powers()]).cast("array<bigint>")
+    terms = F.zip_with(hs, F.slice(pows, 1, F.size(hs)), lambda h, p: (h * p) % ROLL_M)
+    return (
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % ROLL_M
+    )
+
+
 def shingle_hash(shingle: Column) -> Column:
     """28-bit integer hash of a shingle via md5 prefix — portable across
     engines (DuckDB: ``('0x' || substr(md5(s),1,7))::BIGINT``), small enough

@@ -231,7 +231,11 @@ def minhash_lsh_pairs(
         .select(
             "id",
             "band",
-            F.md5(F.to_json(F.col("sig"))).alias("bucket"),
+            # band key = '_'-joined minhashes in h_idx order: portable across
+            # engines (SQL: string_agg ORDER BY h_idx), unlike md5(to_json)
+            F.concat_ws(
+                "_", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
+            ).alias("bucket"),
         )
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -247,45 +251,107 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col, n_bits: int = 64):
-    """64-bit SimHash of the token multiset: for each bit, sum +1/-1 weighted
-    by token md5 bit; the sign forms the fingerprint bit.  Expression-only.
-
-    Implementation detail: token hash bits come from 4 hex nibbles of md5 per
-    16-bit group to bound expression size; near-dup detection joins on
-    Hamming distance via ``bit_count(x ^ y)``.
-    """
-    toks = T.tokens(F.lower(text_col))
-    out = F.lit(0).cast("bigint")
-    for bit in range(n_bits):
-        nib, mask = bit // 4, 1 << (bit % 4)
-        contrib = F.aggregate(
-            toks,
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc
-            + F.when(
-                (
-                    F.conv(F.substring(F.md5(t), nib + 1, 1), 16, 10)
-                    .cast("int")
-                    .bitwiseAND(mask)
-                )
-                > 0,
-                1,
-            ).otherwise(-1),
-        )
-        out = out + F.when(contrib >= 0, F.lit(1 << bit).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
-
-
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16
 ) -> DataFrame:
-    """(id, simhash) per document.  ``n_bits`` kept modest by default — the
-    expression tree grows per bit; 16 bits is plenty for blocking tests,
-    production would raise it (still codegen-friendly)."""
-    return docs.select(
+    """(id, simhash) per document: for each bit, sum +1/-1 over the token
+    multiset weighted by the token-md5 bit; the sign forms the fingerprint
+    bit.  Near-dup detection joins on small Hamming distance
+    (``bit_count(x ^ y)``, see :func:`simhash_pairs`).
+
+    Shape: explode tokens -> md5 ONCE per token (hex nibbles shared by 4
+    bits) -> one hash aggregate with n_bits signed sums -> pack bits.  The
+    shuffle carries n_bits ints per document (map-side combine), and the md5
+    work is O(tokens), not O(tokens * n_bits) as a per-bit expression
+    formulation would be.  Tokenless documents (empty text) have every
+    contribution sum 0 -> all bits set, preserved via the left join.
+    """
+    ex = _spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), n_bits).alias("simhash"),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    m = F.md5(F.col("tok"))
+    n_nibs = (n_bits + 3) // 4
+    ex = ex.select(
+        "id",
+        *[
+            F.conv(F.substring(m, nib + 1, 1), 16, 10).cast("int").alias(f"_n{nib}")
+            for nib in range(n_nibs)
+        ],
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.col(f"_n{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(n_bits)
+    ]
+    sums = ex.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        fp = fp + F.when(
+            F.coalesce(F.col(f"_s{b}"), F.lit(0)) >= 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(sums, "id", "left")
+        .select("id", fp.alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming) with id_a < id_b and
+    Hamming distance <= ``max_hamming``.
+
+    Blocking: the fingerprint is split into ``n_bits/band_bits`` bands;
+    documents sharing any band value become candidates (two fingerprints
+    within Hamming d of each other must agree on >= 1 band when
+    d < n_bands — the pigeonhole guarantee).  The band equi-join replaces the
+    quadratic all-pairs comparison; the exact ``bit_count(xor)`` filter runs
+    on candidates only.
+    """
+    fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    ).alias("b")
+    banded = fps.select("id", "simhash", bands).select(
+        "id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -125,6 +125,89 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid; each query probes only its ``nprobe`` nearest
+    cells and reranks exactly inside them.  Output shape matches
+    ``brute_force_topk`` (query_id, neighbor_id, rank, score); recall < 1 by
+    design — the scale path where the cross join is the brute baseline.
+
+    Centroids are a deterministic corpus sample (``id % centroid_stride ==
+    0``) rather than trained k-means: the *plumbing* — broadcast centroid
+    table, map-side argmin assignment (``min_by``, no shuffle-per-vector
+    window), cell-key equi join — is identical to a trained IVF, and
+    determinism keeps the operator oracle-checkable.  Swapping in trained
+    centroids is a one-line change at the ``cent`` definition.
+
+    At scale: assignment is one broadcast pass over the corpus (the inverted
+    index would be written bucketed by ``cell_id``); the probe join shuffles
+    only candidate cells, ~``nprobe/n_cells`` of the corpus per query batch.
+    """
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cq = _with_quantized(cent, vec_col, "mv").select(
+        F.col(id_col).alias("cell_id"), "mv"
+    )
+    c = _with_quantized(corpus, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    # nearest centroid per corpus vector: broadcast + map-side min_by argmin
+    # (ties broken toward the smaller cell_id via the struct's lexicographic
+    # order), then re-attach the vector — no per-vector window shuffle.
+    sim = c.crossJoin(F.broadcast(cq)).select(
+        "neighbor_id",
+        "cell_id",
+        V.cosine_from_quantized(F.col("cv"), F.col("mv")).alias("csim"),
+    )
+    assign = sim.groupBy("neighbor_id").agg(
+        F.min_by(
+            F.col("cell_id"), F.struct((-F.col("csim")).alias("d"), F.col("cell_id"))
+        ).alias("cell_id")
+    )
+    q = _with_quantized(queries, vec_col, "qv").select(
+        F.col(query_id_col).alias("query_id"), "qv"
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cq))
+        .select(
+            "query_id",
+            "cell_id",
+            "qv",
+            V.cosine_from_quantized(F.col("qv"), F.col("mv")).alias("psim"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cell_id", "qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(assign, "neighbor_id")
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -701,6 +701,107 @@ def dedup_ngram_jaccard_q(spark, sf):
     )
 
 
+_GUARDED_TOKS = (
+    r"CASE WHEN length(trim(text)) = 0 THEN [] "
+    r"ELSE regexp_split_to_array(lower(trim(text)), '\s+') END"
+)
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (('0x' || substr(m, {b // 4 + 1}, 1))::INT & {1 << (b % 4)}) > 0"
+    f" THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN COALESCE(s{b}, 0) >= 0 THEN {1 << b} ELSE 0 END"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""tok AS (SELECT doc_id, unnest({_GUARDED_TOKS}) AS tk FROM documents),
+       n AS (SELECT doc_id, md5(tk) AS m FROM tok),
+       s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM n GROUP BY doc_id),
+       fp AS (SELECT d.doc_id AS id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)"""
+
+
+@register("dedup_simhash", f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM fp")
+def dedup_simhash_q(spark, sf):
+    """32-bit SimHash fingerprints: per-bit signed sums over token-md5 bits,
+    one explode + one hash aggregate (operators/dedup.py)."""
+    return dedup.simhash_fingerprints(
+        load_table(spark, sf, "documents"), n_bits=_SIMHASH_BITS
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH {_SIMHASH_CTE},
+       band AS (SELECT id, simhash, bd.band, (simhash >> (bd.band * 8)) & 255 AS val
+                FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bd)
+       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       FROM band a JOIN band b
+         ON a.band = b.band AND a.val = b.val AND a.id < b.id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def dedup_simhash_pairs_q(spark, sf):
+    """SimHash near-dup pairs: pigeonhole band blocking + exact
+    bit_count(xor) Hamming filter — no quadratic comparison."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf, "documents"),
+        n_bits=_SIMHASH_BITS,
+        band_bits=8,
+        max_hamming=3,
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh),
+       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
+       sig AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
+               FROM h CROSS JOIN params GROUP BY doc_id, h_idx),
+       band AS (SELECT doc_id, h_idx // 2 AS band,
+                       string_agg(minhash::VARCHAR, '_' ORDER BY h_idx) AS bucket
+                FROM sig GROUP BY doc_id, h_idx // 2)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM band a JOIN band b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+)
+def dedup_minhash_lsh_q(spark, sf):
+    """MinHash-LSH candidate pairs: k=8 signatures banded 4×2; documents
+    sharing any band bucket collide.  The band-bucket equi join is the
+    web-scale near-dedup fabric (uniform high-entropy key, no cross join)."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
+    )
+
+
+_ROLL_POWS = ", ".join(
+    f"({i + 1}, {p})" for i, p in enumerate(T._roll_powers())
+)
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"""WITH toks AS (SELECT doc_id, ({_GUARDED_TOKS})[1:{T.ROLL_MAX}] AS t FROM documents),
+       tok AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM toks),
+       pw(i, p) AS (VALUES {_ROLL_POWS}),
+       term AS (SELECT doc_id, (('0x' || substr(md5(tk), 1, 7))::BIGINT * p) % {T.ROLL_M} AS term
+                FROM tok JOIN pw ON pw.i = tok.i),
+       s AS (SELECT doc_id, sum(term) % {T.ROLL_M} AS fp FROM term GROUP BY doc_id)
+       SELECT d.doc_id, CAST(COALESCE(s.fp, 0) AS BIGINT) AS fingerprint
+       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""",
+)
+def text_rolling_fingerprint_q(spark, sf):
+    """Rabin-Karp rolling-hash document fingerprint in closed form over a
+    precomputed powers table (functions/text.py)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
 @register(
     "text_metrics",
     r"""SELECT doc_id,
@@ -830,6 +931,48 @@ def sim_embedding_near_dup_q(spark, sf):
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf, "embeddings"), threshold=0.7, block_col="label"
     )
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "sim_ivf_topk",
+    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
+       asim AS (SELECT c.vec_id AS nid, cell_id,
+                       {_COS.format(a='v', b='mv')} AS s
+                FROM c CROSS JOIN cent),
+       assign AS (SELECT nid, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY nid ORDER BY s DESC, cell_id ASC) AS r
+           FROM asim) t WHERE r = 1),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       psim AS (SELECT query_id, cell_id, qv,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell_id ASC) AS r
+                FROM (SELECT query_id, cell_id, qv, {_COS.format(a='qv', b='mv')} AS s
+                      FROM q CROSS JOIN cent) t),
+       probes AS (SELECT query_id, cell_id, qv FROM psim WHERE r <= 2),
+       scored AS (SELECT query_id, assign.nid AS neighbor_id,
+                         {_COS.format(a='qv', b='v')} AS score
+                  FROM probes JOIN assign USING (cell_id)
+                  JOIN c ON c.vec_id = assign.nid
+                  WHERE assign.nid <> query_id)
+       SELECT query_id, neighbor_id, rnk, score FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
+         FROM scored) r
+       WHERE rnk <= 5""",
+)
+def sim_ivf_topk_q(spark, sf):
+    """IVF-style ANN: deterministic centroid sample, broadcast argmin cell
+    assignment, nprobe=2 probe join, exact rerank (operators/similarity.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2, centroid_stride=97
+    ).withColumnRenamed("rank", "rnk")
 
 
 @register(
