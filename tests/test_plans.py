@@ -58,6 +58,22 @@ def test_pricing_summary_single_exchange(spark):
     assert any("l_shipdate" in f for f in X.pushed_filters(df))
 
 
+def test_no_cartesian_product_anywhere(spark):
+    """Sweeping gate: no registered query may plan an unbroadcast cartesian
+    product — the one join shape that cannot survive any scale-up.  (Broadcast
+    nested-loop against a small literal side, e.g. IVF centroids, is fine.)"""
+    for name, fn in standard.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    df = standard.queries()["sim_ivf_topk"](spark, SF)
+    assert X.has_broadcast_join(df)
+    # assignment argmin is an aggregate, not a per-vector window shuffle
+    assert X.exchange_count(df) <= 3, X.formatted_plan(df)
+
+
 def test_traffic_overspeed_plan(spark, traffic_dir):
     from trafficbigdatasearch_spark.engine import TrafficEngine
 

@@ -72,6 +72,36 @@ def test_session_windows(spark, event_stream_dir):
             assert e1 <= s2
 
 
+def test_stateful_running_totals(spark, event_stream_dir):
+    """applyInPandasWithState custom operator: after draining the stream, the
+    latest per-user row must equal the batch groupBy totals."""
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(spark, SE.user_running_totals(stream), "t_stateful", "update")
+    # update mode appends one row per touched key per micro-batch; the final
+    # state is each user's last emitted row (totals are monotone in n_events)
+    latest = {}
+    for r in got.collect():
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_events"] > prev["n_events"]:
+            latest[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for uid, row in want.items():
+        assert latest[uid]["n_events"] == row["n_events"]
+        assert latest[uid]["total_value"] == pytest.approx(row["total_value"])
+        assert latest[uid]["max_value"] == pytest.approx(row["max_value"])
+
+
 def test_stream_dedup(spark, event_stream_dir):
     # duplicate the whole stream dir -> every event twice; dedup restores counts
     stream = SE.read_event_stream(spark, event_stream_dir)

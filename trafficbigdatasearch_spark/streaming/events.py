@@ -97,6 +97,53 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum, value max) maintained across
+    micro-batches — the pattern for accumulators Spark's built-in windowed
+    aggregations can't express (running totals over the whole stream,
+    conditional state machines, per-key model state).
+
+    State is one fixed-width row per user (bounded by key cardinality, not
+    stream length); each micro-batch emits the keys it touched with their
+    updated totals (output mode ``update``).  The Arrow batch boundary is the
+    only Python crossing — grouped rows arrive as pandas chunks, state reads/
+    writes are O(1) per key per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, max_value double"
+    )
+    state_schema = "n bigint, s double, m double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [s],
+                "max_value": [m],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark=None):
     """Drive a streaming DataFrame to completion over the currently-available
     input (availableNow trigger) into an in-memory sink; returns the query.
