@@ -151,6 +151,39 @@ def asof_join(
     )
 
 
+def salted_equi_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join for a hot-keyed large side against a
+    non-broadcastable small side (the traffic case: hot plates in the toll
+    join, SURVEY.md §7 "what's hard" (d)).
+
+    The large side gets a deterministic salt in ``[0, n_salts)`` (xxhash64 of
+    its row, so re-runs shuffle identically); the small side is replicated
+    ``n_salts`` times, one copy per salt.  Joining on ``on + [_salt]`` splits
+    each hot key's rows across ``n_salts`` reducers instead of one straggler.
+    Result is row-identical to ``large.join(small, on, how)``.
+
+    AQE's skew-join handles most cases at runtime; explicit salting remains
+    the tool when a single key exceeds what one task can hold even after AQE
+    splitting, or when the join feeds a same-keyed aggregation that must not
+    re-coalesce the hot key.  Supported ``how``: inner / left (shapes where
+    per-row multiplicity survives salting unchanged).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
+    big = large.withColumn("_salt", salt.cast("int"))
+    rep = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big.join(rep, on + ["_salt"], how).drop("_salt")
+
+
 def union_of_joins_on_either_key(
     left: DataFrame,
     right: DataFrame,
