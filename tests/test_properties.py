@@ -1,0 +1,75 @@
+"""Property-based checks (SURVEY.md §5.4) over the sf0.001 testdata:
+
+- partition invariance: aggregating a union of disjoint slices equals
+  aggregating the whole (the fixed-mode month-union contract);
+- order invariance: the engine's exact money aggregation is identical under
+  arbitrary repartitioning (decimal-cent sums, not float accumulation);
+- monotonicity: a bbox filter's row count is monotone in box inclusion.
+
+Each property samples its parameters with hypothesis; example counts are kept
+small because every example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.queries.standard import _dsum
+
+SF = "/root/testdata/sf0.001"
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(split_day=st.integers(min_value=2, max_value=28))
+@PROP
+def test_count_union_of_disjoint_slices(spark, split_day):
+    ev = load_table(spark, SF, "events")
+    cut = F.lit(f"2024-01-{split_day:02d} 00:00:00").cast("timestamp")
+    lo = ev.filter(F.col("ts") < cut)
+    hi = ev.filter(F.col("ts") >= cut)
+    whole = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    parts = (
+        lo.unionByName(hi).groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, parts.collect()))
+
+
+@given(nparts=st.integers(min_value=1, max_value=17))
+@PROP
+def test_money_sum_order_invariance(spark, nparts):
+    o = load_table(spark, SF, "orders")
+    base = o.groupBy("o_orderstatus").agg(_dsum(F.col("o_totalprice")).alias("t"))
+    shuffled = (
+        o.repartition(nparts, F.col("o_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(_dsum(F.col("o_totalprice")).alias("t"))
+    )
+    # exact equality — integer-cent sums are order-independent by construction
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
+
+
+@given(
+    lo=st.floats(min_value=0.0, max_value=100.0),
+    width=st.floats(min_value=0.0, max_value=100.0),
+    shrink=st.floats(min_value=0.0, max_value=1.0),
+)
+@PROP
+def test_bbox_filter_monotone(spark, lo, width, shrink):
+    ev = load_table(spark, SF, "events")
+
+    def count_box(v_lo, v_hi):
+        return ev.filter(F.col("value").between(v_lo, v_hi)).count()
+
+    outer = count_box(lo, lo + width)
+    inner_lo = lo + shrink * width / 2
+    inner_hi = lo + width - shrink * width / 2
+    assert count_box(inner_lo, max(inner_lo, inner_hi)) <= outer
