@@ -217,10 +217,13 @@ def minhash_lsh_pairs(
     ``k/bands`` rows; documents sharing any band bucket become a candidate
     pair.  Returns distinct (id_a, id_b), id_a < id_b.
 
-    Plan: signature rows -> band key = md5(concat of the band's minhashes)
-    -> self-join per (band, bucket).  The band-bucket join is an equi join on
-    a high-entropy key — uniform shuffle, broadcast-free, scales linearly
-    with collisions (which is the point of LSH).
+    Plan: signature rows -> band key = '_'-joined minhashes in h_idx order
+    (portable: SQL reproduces it with string_agg ORDER BY h_idx) -> group by
+    (band, bucket) -> ordered pairs from each bucket's posting list.  The
+    posting-list shape computes the signature pipeline ONCE — a self-join
+    would evaluate it twice, once per side, since the broadcast and stream
+    sides cannot share an exchange — and shuffles on a high-entropy key
+    (uniform, scales linearly with collisions, which is the point of LSH).
     """
     r = k // bands
     sig = minhash_signatures(docs, id_col, text_col, k, n)
@@ -231,22 +234,20 @@ def minhash_lsh_pairs(
         .select(
             "id",
             "band",
-            # band key = '_'-joined minhashes in h_idx order: portable across
-            # engines (SQL: string_agg ORDER BY h_idx), unlike md5(to_json)
             F.concat_ws(
                 "_", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
             ).alias("bucket"),
         )
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    posting = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    ids = F.col("ids")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posting.filter(F.size(ids) > 1)
+        .select(F.explode(ids).alias("id_a"), "ids")
+        .select("id_a", F.explode(ids).alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -314,9 +315,10 @@ def simhash_pairs(
     Blocking: the fingerprint is split into ``n_bits/band_bits`` bands;
     documents sharing any band value become candidates (two fingerprints
     within Hamming d of each other must agree on >= 1 band when
-    d < n_bands — the pigeonhole guarantee).  The band equi-join replaces the
-    quadratic all-pairs comparison; the exact ``bit_count(xor)`` filter runs
-    on candidates only.
+    d < n_bands — the pigeonhole guarantee).  Candidates come from posting
+    lists per (band, value) — computing the fingerprints once, where a
+    self-join would run the whole fingerprint pipeline once per side — and
+    the exact ``bit_count(xor)`` filter runs on candidates only.
     """
     fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
     n_bands = n_bits // band_bits
@@ -337,14 +339,15 @@ def simhash_pairs(
     banded = fps.select("id", "simhash", bands).select(
         "id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    posting = banded.groupBy("band", "val").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms")
+    )
+    ms = F.col("ms")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        posting.filter(F.size(ms) > 1)
+        .select(F.explode(ms).alias("a"), "ms")
+        .select("a", F.explode(ms).alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
