@@ -74,6 +74,36 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     assert X.exchange_count(df) <= 3, X.formatted_plan(df)
 
 
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero shuffle
+    exchanges — the co-located-join layout for repeatedly-joined facts."""
+    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            li, "t_li_b", ["l_orderkey"], 4,
+            path=str(tmp_path / "li"), sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            o, "t_o_b", ["o_orderkey"], 4,
+            path=str(tmp_path / "o"), sort_cols=["o_orderkey"],
+        )
+        j = spark.table("t_li_b").join(
+            spark.table("t_o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert X.exchange_count(j) == 0, X.formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
 def test_traffic_overspeed_plan(spark, traffic_dir):
     from trafficbigdatasearch_spark.engine import TrafficEngine
 

@@ -37,3 +37,35 @@ def write_month_partitioned(
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned dataset; month predicates prune at planning time."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally per-bucket sorted) Parquet
+    table — the co-located-join layout.
+
+    Two tables bucketed by the same keys into the same ``n_buckets`` join
+    with NO shuffle exchange on either side (Spark plans a sort-merge join
+    over aligned buckets); with ``sort_cols`` matching the join keys the sort
+    is skipped too.  At 100 TB this is the difference between re-shuffling a
+    fact table per join and reading it pre-partitioned — the standard layout
+    for repeatedly-joined facts (e.g. speed obs ⋈ toll trips on plate).
+
+    ``path`` makes the table external (data at ``path``, metadata in the
+    catalog); bucketing metadata lives in the catalog, so reads must go
+    through ``spark.table(table)``, not ``spark.read.parquet(path)``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
