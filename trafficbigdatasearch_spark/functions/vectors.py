@@ -46,6 +46,18 @@ def cosine_from_quantized(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed integer dot product and squared norms.
+
+    Identical value to :func:`cosine_from_quantized` (the integer inputs are
+    exact either way), but lets operators compute each vector's norm ONCE per
+    vector instead of once per compared pair — the norm fold is an
+    interpreted higher-order expression, so hoisting it out of the pair loop
+    is a ~3x win on the scoring stage.
+    """
+    return d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
 def hyperplane_weights(n_planes: int, dims: int) -> list[list[int]]:
     """Deterministic pseudo-random hyperplane weights in [-1000, 1000],
     derived from md5 of "plane_dim" — Spark embeds them as literals (computed

@@ -23,8 +23,15 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.functions import vectors as V
 
 
-def _with_quantized(df: DataFrame, vec_col: str, out: str) -> DataFrame:
-    return df.withColumn(out, V.quantize(F.col(vec_col)))
+def _with_quantized(
+    df: DataFrame, vec_col: str, out: str, norm_out: str | None = None
+) -> DataFrame:
+    df = df.withColumn(out, V.quantize(F.col(vec_col)))
+    if norm_out is not None:
+        # norm computed once per VECTOR here, not once per compared pair in
+        # the scoring expression — see vectors.cosine_from_parts
+        df = df.withColumn(norm_out, V.sq_norm(F.col(out)))
+    return df
 
 
 def brute_force_topk(
@@ -42,11 +49,11 @@ def brute_force_topk(
     The query side is broadcast; the per-query top-k is a window over a
     shuffle partitioned by query_id (k « corpus, so the window never spills).
     """
-    q = _with_quantized(queries, vec_col, "qv").select(
-        F.col(query_id_col).alias("query_id"), "qv"
+    q = _with_quantized(queries, vec_col, "qv", "qn").select(
+        F.col(query_id_col).alias("query_id"), "qv", "qn"
     )
-    c = _with_quantized(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -54,7 +61,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -100,11 +109,11 @@ def lsh_bucketed_topk(
     cb = bucket_assignments(corpus, n_planes, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
     )
-    q = _with_quantized(queries, vec_col, "qv").select(
-        F.col(query_id_col).alias("query_id"), "qv"
+    q = _with_quantized(queries, vec_col, "qv", "qn").select(
+        F.col(query_id_col).alias("query_id"), "qv", "qn"
     ).join(F.broadcast(qb), "query_id")
-    c = _with_quantized(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
     ).join(cb, "neighbor_id")
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -112,7 +121,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -153,11 +164,11 @@ def ivf_topk(
     only candidate cells, ~``nprobe/n_cells`` of the corpus per query batch.
     """
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
-    cq = _with_quantized(cent, vec_col, "mv").select(
-        F.col(id_col).alias("cell_id"), "mv"
+    cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+        F.col(id_col).alias("cell_id"), "mv", "mn"
     )
-    c = _with_quantized(corpus, vec_col, "cv").select(
-        F.col(id_col).alias("neighbor_id"), "cv"
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
     # nearest centroid per corpus vector: broadcast + map-side min_by argmin
     # (ties broken toward the smaller cell_id via the struct's lexicographic
@@ -165,15 +176,17 @@ def ivf_topk(
     sim = c.crossJoin(F.broadcast(cq)).select(
         "neighbor_id",
         "cell_id",
-        V.cosine_from_quantized(F.col("cv"), F.col("mv")).alias("csim"),
+        V.cosine_from_parts(
+            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+        ).alias("csim"),
     )
     assign = sim.groupBy("neighbor_id").agg(
         F.min_by(
             F.col("cell_id"), F.struct((-F.col("csim")).alias("d"), F.col("cell_id"))
         ).alias("cell_id")
     )
-    q = _with_quantized(queries, vec_col, "qv").select(
-        F.col(query_id_col).alias("query_id"), "qv"
+    q = _with_quantized(queries, vec_col, "qv", "qn").select(
+        F.col(query_id_col).alias("query_id"), "qv", "qn"
     )
     pw = Window.partitionBy("query_id").orderBy(
         F.col("psim").desc(), F.col("cell_id").asc()
@@ -184,11 +197,14 @@ def ivf_topk(
             "query_id",
             "cell_id",
             "qv",
-            V.cosine_from_quantized(F.col("qv"), F.col("mv")).alias("psim"),
+            "qn",
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("mv")), F.col("qn"), F.col("mn")
+            ).alias("psim"),
         )
         .withColumn("_r", F.row_number().over(pw))
         .filter(F.col("_r") <= nprobe)
-        .select("query_id", "cell_id", "qv")
+        .select("query_id", "cell_id", "qv", "qn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -200,7 +216,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            V.cosine_from_quantized(F.col("qv"), F.col("cv")).alias("score"),
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -220,7 +238,7 @@ def embedding_near_dup_pairs(
     ``block_col`` restricts comparisons to equal-key blocks (a label, an LSH
     bucket, a cluster id) — at corpus scale an unblocked pairwise pass is
     never acceptable; with None it falls back to LSH-bucket blocking."""
-    c = _with_quantized(corpus, vec_col, "qv")
+    c = _with_quantized(corpus, vec_col, "qv", "qn")
     if block_col is None:
         c = c.join(
             bucket_assignments(corpus, 8, id_col, vec_col).withColumnRenamed(
@@ -230,15 +248,26 @@ def embedding_near_dup_pairs(
         )
         block_col = "bucket"
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col("qv").alias("va"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_a"),
+        F.col("qv").alias("va"),
+        F.col("qn").alias("na"),
+        F.col(block_col).alias("blk"),
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col("qv").alias("vb"), F.col(block_col).alias("blk")
+        F.col(id_col).alias("id_b"),
+        F.col("qv").alias("vb"),
+        F.col("qn").alias("nb"),
+        F.col(block_col).alias("blk"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", V.cosine_from_quantized(F.col("va"), F.col("vb")))
+        .withColumn(
+            "score",
+            V.cosine_from_parts(
+                V.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
