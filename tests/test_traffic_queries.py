@@ -81,3 +81,43 @@ def test_avgspeed_clamp(engine, traffic_dir):
 def test_json_facade(engine):
     rows = engine.get_accident_count(*_args(BBOX), "2016-07-01", "2016-09-15")
     assert all(r.startswith("{") for r in rows)
+
+
+# --- parquet layout: ingest once, results must equal the CSV layout ---------
+
+
+@pytest.fixture(scope="module")
+def parquet_engines(spark, traffic_dir, tmp_path_factory):
+    """(csv_engine, parquet_engine) pair in the same cleaning mode."""
+    from trafficbigdatasearch_spark.sources.parquet import ingest_reference_layout
+
+    out = tmp_path_factory.mktemp("traffic_parquet")
+    months = ingest_reference_layout(
+        spark, str(traffic_dir), str(out), mode="parity"
+    )
+    assert months, "fixture months not discovered"
+    return (
+        TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="parity"),
+        TrafficEngine(spark, str(out), layout="parquet", mode="parity"),
+    )
+
+
+def test_parquet_layout_equals_csv_layout(parquet_engines):
+    csv_eng, pq_eng = parquet_engines
+    for method, args in (
+        ("get_accident_count", _args(BBOX) + ("2016-07-01", "2016-09-15")),
+        ("get_overspeed_count", _args(BBOX) + ("2016-06-15", "2016-08-02")),
+        ("get_average_speed", _args(BBOX) + ("2016-12-15",)),
+    ):
+        got = sorted(getattr(pq_eng, method)(*args))
+        want = sorted(getattr(csv_eng, method)(*args))
+        assert got == want, method
+
+
+def test_parquet_layout_prunes_months(parquet_engines):
+    """The month filter must reach the scan as a partition filter — the
+    Catalyst replacement for the reference's driver-side path loop."""
+    _, pq_eng = parquet_engines
+    df = pq_eng.overspeed_count_df(*_args(BBOX), "2016-06-15", "2016-07-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan, plan

@@ -21,6 +21,7 @@ import os
 from zoneinfo import ZoneInfo
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.queries import (
     accident_count,
@@ -88,16 +89,25 @@ class TrafficEngine:
     def _month_paths(self, months: list[str], suffix: str) -> list[str]:
         return [os.path.join(self.base, mm, f"{mm}{suffix}.csv") for mm in months]
 
+    def _pruned(self, name: str, months: list[str] | None) -> DataFrame:
+        """Partitioned read with month selection as a partition-column filter
+        — Catalyst prunes the scan to the requested months at planning time,
+        replacing the reference's driver-side path loop (D4)."""
+        df = self.spark.read.parquet(os.path.join(self.base, name))
+        if months:
+            df = df.filter(F.col("month").isin([int(m) for m in months]))
+        return df.drop("month")
+
     def speed_data(self, months: list[str] | None = None) -> DataFrame:
         if self.layout == "parquet":
-            return self.spark.read.parquet(os.path.join(self.base, "speed_data"))
+            return self._pruned("speed_data", months)
         paths = self._month_paths(months or [], "CSYDATA")
         paths = [p for p in paths if _path_exists(self.spark, p)]
         return read_speed_csv(self.spark, paths)
 
     def fee_data(self, months: list[str] | None = None) -> DataFrame:
         if self.layout == "parquet":
-            return self.spark.read.parquet(os.path.join(self.base, "fee_data"))
+            return self._pruned("fee_data", months)
         paths = self._month_paths(months or [], "SFZDATA")
         paths = [p for p in paths if _path_exists(self.spark, p)]
         return read_fee_csv(self.spark, paths)

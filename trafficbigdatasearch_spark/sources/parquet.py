@@ -39,6 +39,80 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ingest_reference_layout(
+    spark: SparkSession,
+    csv_base: str,
+    out_base: str,
+    *,
+    mode: str = "parity",
+) -> list[str]:
+    """One-time conversion of the reference's CSV directory contract
+    (``speed_base.csv`` + ``TF_ZFZD_CASESPECIFICATION.csv`` + per-month
+    ``YYYYMM/YYYYMM{CSYDATA,SFZDATA}.csv``, src/OverSpeedCount.scala:47-48)
+    into the engine-native layout read by ``TrafficEngine(layout="parquet")``:
+    parsed ``accident/`` and ``speed_base/`` tables plus ``speed_data/`` and
+    ``fee_data/`` partitioned by ``month``.
+
+    The partition value is the SOURCE DIRECTORY's month, not one derived from
+    a timestamp column: the reference's files are the unit of month selection
+    (a toll trip in file 201607 may end in 201608), and preserving file
+    semantics keeps parquet-layout query results row-identical to the CSV
+    layout.  After this, month selection at query time is Catalyst partition
+    pruning — the driver's only enumeration is here, at ingest.
+
+    ``mode`` is the cleaning mode the tables are parsed with (parity/fixed);
+    query with an engine constructed in the same mode.  Returns the ingested
+    month list.  (Month discovery uses a local directory listing — for
+    object-store deployments swap in a FileSystem.globStatus call.)
+    """
+    import os
+    import re
+
+    from trafficbigdatasearch_spark.sources.csv_traffic import (
+        read_accident_csv,
+        read_fee_csv,
+        read_speed_base_csv,
+        read_speed_csv,
+    )
+
+    months = sorted(
+        d for d in os.listdir(csv_base)
+        if re.fullmatch(r"\d{6}", d) and os.path.isdir(os.path.join(csv_base, d))
+    )
+    acc = os.path.join(csv_base, "TF_ZFZD_CASESPECIFICATION.csv")
+    if os.path.exists(acc):
+        read_accident_csv(spark, acc, mode=mode).write.mode("overwrite").parquet(
+            os.path.join(out_base, "accident")
+        )
+    read_speed_base_csv(
+        spark, os.path.join(csv_base, "speed_base.csv")
+    ).write.mode("overwrite").parquet(os.path.join(out_base, "speed_base"))
+
+    def _tagged(suffix: str, reader) -> DataFrame | None:
+        parts = []
+        for mm in months:
+            p = os.path.join(csv_base, mm, f"{mm}{suffix}.csv")
+            if os.path.exists(p):
+                parts.append(reader(spark, [p]).withColumn("month", F.lit(int(mm))))
+        if not parts:
+            return None
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
+    for suffix, reader, name in (
+        ("CSYDATA", read_speed_csv, "speed_data"),
+        ("SFZDATA", read_fee_csv, "fee_data"),
+    ):
+        df = _tagged(suffix, reader)
+        if df is not None:
+            df.write.mode("overwrite").partitionBy("month").parquet(
+                os.path.join(out_base, name)
+            )
+    return months
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
