@@ -1059,6 +1059,36 @@ def q3_shipping_priority(spark, sf):
 
 
 @register(
+    "q14_promo_revenue",
+    """SELECT 100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END) /
+              SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
+)
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: fact ⋈ broadcast dim + conditional aggregate ratio —
+    one pass, two exact integer-cent sums, one final double division."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = load_table(spark, sf, "part")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy()
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_pct"
+            )
+        )
+    )
+
+
+@register(
     "q5_local_supplier",
     """SELECT n_name,
               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
