@@ -102,6 +102,27 @@ def test_stateful_running_totals(spark, event_stream_dir):
         assert latest[uid]["max_value"] == pytest.approx(row["max_value"])
 
 
+def test_stream_static_enrichment(spark, event_stream_dir):
+    """Stream-static broadcast join must tag every event with its dim row."""
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    got = _run(
+        spark,
+        SE.enrich_with_dim(stream, dim, "user_id").select("event_id", "user_id", "tier"),
+        "t_enrich",
+        "append",
+    )
+    n = load_table(spark, SF, "events").count()
+    assert got.count() == n
+    assert got.filter(F.col("tier").isNull()).count() == 0
+    assert got.filter(F.col("tier") != F.col("user_id") % 3).count() == 0
+
+
 def test_stream_dedup(spark, event_stream_dir):
     # duplicate the whole stream dir -> every event twice; dedup restores counts
     stream = SE.read_event_stream(spark, event_stream_dir)

@@ -97,6 +97,14 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with a broadcast dimension row —
+    the streaming twin of the batch station join (J1).  The static side is
+    re-planned per micro-batch (picking up dim updates) and broadcast, so the
+    stream side never shuffles for the join."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value sum, value max) maintained across
