@@ -53,3 +53,31 @@ def test_query_matches_oracle(spark, duck, name):
     d_set = _rows_to_set(dcols, drows)
     mism = [(a, b) for a, b in zip(s_set, d_set) if a != b][:5]
     assert s_set == d_set, f"{name}: value mismatch, first diffs: {mism}"
+
+
+def test_approx_sketches_accuracy(spark, duck):
+    """No cross-engine oracle for sketches; pin accuracy against the exact
+    answers instead: HLL distinct within 10% (2x the default 5% rsd), median
+    within the 40-60 pct band of the exact distribution."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["l_returnflag"]: r
+        for r in standard.queries()["a_approx_sketches"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    for flag, row in got.items():
+        true_n = li.filter(F.col("l_returnflag") == flag).select(
+            "l_orderkey"
+        ).distinct().count()
+        assert abs(row["approx_orders"] - true_n) <= 0.10 * true_n, flag
+        q50, q95 = row["qty_quantiles"]
+        lo, hi = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.percentile(F.col("l_quantity"), 0.4).alias("lo"),
+                F.percentile(F.col("l_quantity"), 0.6).alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert lo <= q50 <= hi, (flag, q50, lo, hi)

@@ -406,6 +406,33 @@ def a_rollup(spark, sf):
 
 
 @register(
+    "a_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def a_cube(spark, sf):
+    """Full grouping-set lattice (beyond reference)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register("a_approx_sketches", None)  # sketches are engine-specific: rows-only
+def a_approx_sketches(spark, sf):
+    """Approximate aggregates — the 100 TB substitutes for exact distinct
+    counts and exact percentiles (HLL++ and GK-quantile sketches, one pass,
+    fixed memory, mergeable across partitions).  No SQL oracle: sketch
+    estimates are engine-specific by construction; accuracy vs the exact
+    answers is pinned in tests/test_entry_correctness.py instead."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx(F.col("l_quantity"), [0.5, 0.95], 10000).alias(
+            "qty_quantiles"
+        ),
+    )
+
+
+@register(
     "u_union_distinct",
     """SELECT l_returnflag, COUNT(*) AS n FROM (
          SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
