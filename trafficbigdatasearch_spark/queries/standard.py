@@ -633,6 +633,49 @@ def w_lag_gap(spark, sf):
 
 
 @register(
+    "w_sessionize",
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              COUNT(*) AS n_events,
+              CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+       FROM s GROUP BY user_id, session_id""",
+)
+def w_sessionize(spark, sf):
+    """Batch sessionization (the batch twin of streaming session_window):
+    lag-gap flags session starts, a running sum assigns session ids, one
+    aggregate summarizes — two window passes over the SAME (user, ts)
+    ordering, so Catalyst plans a single sort+exchange reused by both."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_s = F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1).otherwise(0)
+    g = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+    sess = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        g.select("user_id", "ts", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+                "duration_ms"
+            ),
+        )
+    )
+
+
+@register(
     "time_bucket_hourly",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
               COUNT(*) AS n,
