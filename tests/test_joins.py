@@ -54,3 +54,23 @@ def test_salted_join_shuffles_on_salt(spark):
         assert "_salt" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_interval_join_equals_plain(spark):
+    """Time-bucketed interval join must produce exactly the rows of the
+    keyless containment join, while planning a hash join (scalable) instead
+    of a nested loop."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.unix_millis("ts").alias("t")
+    ).limit(500)
+    # derive intervals from orders: [o_ms, o_ms + 6h]
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("lo"),
+    ).withColumn("hi", F.col("lo") + 6 * 3600 * 1000).limit(200)
+    plain = J.interval_join(ev, o, None, "t", "lo", "hi")
+    bucketed = J.bucketed_interval_join(ev, o, "t", "lo", "hi", 3600 * 1000)
+    cols = ["event_id", "o_orderkey"]
+    assert _rows(bucketed.select(*cols)) == _rows(plain.select(*cols))
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
