@@ -1,0 +1,70 @@
+"""Edge-case regression tests for the dedup/join fixes found in review:
+frequency-filter size semantics, NULL-key OR joins, as-of determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import dedup
+from trafficbigdatasearch_spark.operators import joins as J
+
+
+def test_jaccard_sizes_survive_frequency_filter(spark):
+    """Docs sharing one rare shingle while their common shingles are dropped
+    by max_shingle_freq must NOT become near-dups: sizes are the true
+    distinct-shingle counts, so the denominator stays honest."""
+    # 4 filler docs make the shared shingle 'common common common' exceed
+    # max_shingle_freq=4; docs a and b share one rare shingle besides it.
+    rows = [
+        (1, "common common common rare1 x y z"),
+        (2, "common common common rare1 p q r"),
+        (3, "common common common aaa bbb ccc"),
+        (4, "common common common ddd eee fff"),
+        (5, "common common common ggg hhh iii"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=4
+    ).collect()
+    assert pairs == []  # true jaccard of (1,2) is 2/8 = 0.25 < 0.5
+    # sizes must reflect ALL shingles (5 per doc), not post-filter residue
+    low = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_freq=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["size_a"], r["size_b"]) for r in low}
+    assert got[(1, 2)] == (5, 5)
+
+
+def test_or_key_join_matches_through_null_first_key(spark):
+    left = spark.createDataFrame([(10, "L")], ["k", "lv"])
+    right = spark.createDataFrame(
+        [(None, 10, "null-first-key"), (10, 99, "first-key")],
+        "a int, b int, rv string",
+    )
+    out = J.union_of_joins_on_either_key(left, right, "k", ("a", "b"))
+    assert sorted(r["rv"] for r in out.collect()) == ["first-key", "null-first-key"]
+
+
+def test_asof_join_rejects_column_collision(spark):
+    left = spark.createDataFrame([(1, 5, "x")], ["id", "ts", "note"])
+    right = spark.createDataFrame([(1, 3, "y")], ["id", "ts", "note"])
+    with pytest.raises(ValueError, match="collide"):
+        J.asof_join(left, right, ["id"], "ts", "ts")
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame([(1, 10)], ["id", "ts"])
+    right = spark.createDataFrame(
+        [(1, 5, "small"), (1, 5, "zbig")], ["id", "rts", "val"]
+    )
+    for _ in range(3):
+        out = J.asof_join(left, right, ["id"], "ts", "rts").collect()
+        assert len(out) == 1 and out[0]["val"] == "zbig"  # max struct wins
+
+
+def test_minhash_lsh_rejects_indivisible_bands(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, k=16, bands=5)

@@ -69,6 +69,12 @@ class TrafficEngine:
         self.layout = layout
         self.mode = mode
         self.tz = ZoneInfo(timezone) if timezone != "UTC" else dt.timezone.utc
+        # The reference's epoch-millis values are JVM-default-timezone
+        # dependent (SURVEY §2.10.7).  Query boundaries are computed with
+        # self.tz driver-side, while row timestamps parse in the SESSION
+        # timezone — pin the session to the same zone so the two agree
+        # (traffic data is wall-clock; e.g. timezone="Asia/Shanghai").
+        spark.conf.set("spark.sql.session.timeZone", timezone)
 
     # --- table loading -------------------------------------------------------
 
@@ -146,12 +152,14 @@ class TrafficEngine:
         start = max(end - dt.timedelta(days=30), dt.date(2016, 6, 1))
         months = months_between(start, end)
         today_month = [f"{end.year:04d}{end.month:02d}"]
-        kwargs = {}
-        if self.layout == "reference_csv":
-            kwargs = {
-                "speed_data_today": self.speed_data(today_month),
-                "fee_data_today": self.fee_data(today_month),
-            }
+        # Both layouts select the "today" slice by FILE month (CSV: the
+        # month's files; parquet: the month partition, which ingest tags from
+        # the source directory) — a timestamp-derived month filter would
+        # diverge for toll trips whose interval crosses the month boundary.
+        kwargs = {
+            "speed_data_today": self.speed_data(today_month),
+            "fee_data_today": self.fee_data(today_month),
+        }
         return average_speed(
             self.speed_base(),
             self.speed_data(months),

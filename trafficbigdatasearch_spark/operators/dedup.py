@@ -125,11 +125,17 @@ def ngram_jaccard_pairs(
     """
     ex = _shingle_exploded(docs, id_col, text_col, n)
     posting = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-    if max_shingle_freq is not None:
-        posting = posting.filter(F.size("ids") <= max_shingle_freq)
+    # Sizes come from the UNFILTERED postings: |A| is the document's true
+    # distinct-shingle count.  Deriving sizes after the frequency filter
+    # shrinks the Jaccard denominator for stopword-heavy documents and
+    # reports dissimilar pairs as near-dups (their one shared rare shingle
+    # over tiny residual sizes).  The filter only prunes candidate
+    # *generation* — the standard skew guard semantics.
     sizes = posting.select(F.explode("ids").alias("_id")).groupBy("_id").agg(
         F.count("*").alias("sz")
     )
+    if max_shingle_freq is not None:
+        posting = posting.filter(F.size("ids") <= max_shingle_freq)
     # all ordered pairs (ids[i], ids[j]) with i < j: two generator explodes +
     # a pre-shuffle filter.  Codegen-friendly (no interpreted lambda); the
     # id_a < id_b filter runs before the exchange so the shuffle carries each
@@ -212,6 +218,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """LSH candidate pairs: signatures split into ``bands`` bands of
     ``k/bands`` rows; documents sharing any band bucket become a candidate
@@ -224,7 +231,14 @@ def minhash_lsh_pairs(
     would evaluate it twice, once per side, since the broadcast and stream
     sides cannot share an exchange — and shuffles on a high-entropy key
     (uniform, scales linearly with collisions, which is the point of LSH).
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. a whole corpus of
+    empty documents sharing one signature) whose O(L²) pair fan-out would
+    land on a single task — the skew guard; a bucket that large is noise,
+    not near-duplication signal.
     """
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
     sig = minhash_signatures(docs, id_col, text_col, k, n)
     banded = (
@@ -243,9 +257,11 @@ def minhash_lsh_pairs(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
     ids = F.col("ids")
+    posting = posting.filter(F.size(ids) > 1)
+    if max_bucket_size is not None:
+        posting = posting.filter(F.size(ids) <= max_bucket_size)
     return (
-        posting.filter(F.size(ids) > 1)
-        .select(F.explode(ids).alias("id_a"), "ids")
+        posting.select(F.explode(ids).alias("id_a"), "ids")
         .select("id_a", F.explode(ids).alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
@@ -308,6 +324,7 @@ def simhash_pairs(
     n_bits: int = 16,
     band_bits: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming) with id_a < id_b and
     Hamming distance <= ``max_hamming``.
@@ -343,9 +360,13 @@ def simhash_pairs(
         F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms")
     )
     ms = F.col("ms")
+    posting = posting.filter(F.size(ms) > 1)
+    if max_bucket_size is not None:
+        # skew guard: a degenerate band value shared by a huge slice of the
+        # corpus is noise, not signal; cap its O(L²) single-task fan-out
+        posting = posting.filter(F.size(ms) <= max_bucket_size)
     return (
-        posting.filter(F.size(ms) > 1)
-        .select(F.explode(ms).alias("a"), "ms")
+        posting.select(F.explode(ms).alias("a"), "ms")
         .select("a", F.explode(ms).alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(

@@ -102,39 +102,56 @@ def asof_join(
     all-pairs-per-key blowup.
 
     Ordering within equal timestamps: right rows sort before left rows, so a
-    right row at exactly ``left_ts`` IS matched (inclusive as-of).
-    Deterministic when (on, right_ts) is unique per right row; otherwise ties
-    resolve by the later-sorted right row, tie-broken deterministically via a
-    final ``max`` struct ordering.
+    right row at exactly ``left_ts`` IS matched (inclusive as-of).  Duplicate
+    right rows at the same (on, right_ts) resolve deterministically to the
+    one with the greatest (struct of right_cols) — enforced by a third
+    window-ordering key, no extra shuffle.  Right value columns must not
+    collide with left column names (raises; alias before joining).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     rcols = right_cols or [c for c in right.columns if c not in on + [right_ts]]
+    clash = sorted(set(rcols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right columns {clash} collide with left columns — alias them "
+            f"before the as-of join or pass right_cols explicitly"
+        )
 
+    from pyspark.sql.types import StructField, StructType
+
+    tie_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in rcols]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in left.columns],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
     both = l_tag.unionByName(r_tag)
 
+    # _tie orders duplicate right rows at the same (_t) so ``last`` picks the
+    # max struct deterministically; left rows carry a NULL tie (irrelevant —
+    # each left row only reads the frame, never feeds _r_* values).
     if direction == "backward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tie").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = both.select(
@@ -202,6 +219,8 @@ def union_of_joins_on_either_key(
     if residual is not None:
         c1, c2 = c1 & residual, c2 & residual
     j1 = left.join(right, c1, "inner")
-    # ``& ~c1`` keeps OR semantics exact: rows matching both keys appear once.
-    j2 = left.join(right, c2 & ~c1, "inner")
+    # ``& ~coalesce(c1, false)`` keeps OR semantics exact: rows matching both
+    # keys appear once, and a NULL first key (c1 = NULL, where ~NULL = NULL
+    # would silently drop the row) still lets a second-key match through.
+    j2 = left.join(right, c2 & ~F.coalesce(c1, F.lit(False)), "inner")
     return j1.unionByName(j2)

@@ -103,18 +103,22 @@ def lsh_bucketed_topk(
     bucket, then exact rerank.  Same output shape as ``brute_force_topk``;
     recall < 1 by design.  At scale the bucket equi-join replaces the
     cross-join: cost ~ |corpus| / 2^n_planes per query."""
-    qb = bucket_assignments(queries, n_planes, query_id_col, vec_col).withColumnRenamed(
-        "id", "query_id"
-    )
-    cb = bucket_assignments(corpus, n_planes, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
-    )
+    # bucket computed inline from the already-quantized column: one scan per
+    # side, no join-back shuffle (a bucket_assignments join would re-run the
+    # quantize pipeline and shuffle the corpus on id just to re-attach a
+    # value derivable in the same projection)
     q = _with_quantized(queries, vec_col, "qv", "qn").select(
-        F.col(query_id_col).alias("query_id"), "qv", "qn"
-    ).join(F.broadcast(qb), "query_id")
+        F.col(query_id_col).alias("query_id"),
+        "qv",
+        "qn",
+        V.simhash_bucket(F.col("qv"), n_planes).alias("bucket"),
+    )
     c = _with_quantized(corpus, vec_col, "cv", "cn").select(
-        F.col(id_col).alias("neighbor_id"), "cv", "cn"
-    ).join(cb, "neighbor_id")
+        F.col(id_col).alias("neighbor_id"),
+        "cv",
+        "cn",
+        V.simhash_bucket(F.col("cv"), n_planes).alias("bucket"),
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -240,12 +244,9 @@ def embedding_near_dup_pairs(
     never acceptable; with None it falls back to LSH-bucket blocking."""
     c = _with_quantized(corpus, vec_col, "qv", "qn")
     if block_col is None:
-        c = c.join(
-            bucket_assignments(corpus, 8, id_col, vec_col).withColumnRenamed(
-                "id", id_col
-            ),
-            id_col,
-        )
+        # inline bucket from the quantized column — same single-scan shape
+        # as lsh_bucketed_topk, no join-back
+        c = c.withColumn("bucket", V.simhash_bucket(F.col("qv"), 8))
         block_col = "bucket"
     a = c.select(
         F.col(id_col).alias("id_a"),

@@ -71,8 +71,12 @@ def average_speed(
 ) -> DataFrame:
     """``speed_data_today``/``fee_data_today`` optionally supply the query
     month's tables exactly as the reference's per-file reads do
-    (src/AverageSpeed.scala:33-34); when omitted they are derived from the
-    full tables by month predicates (partition-pruned on the parquet layout).
+    (src/AverageSpeed.scala:33-34); ``TrafficEngine`` always passes them
+    (file-month / partition-month selection).  When omitted they are
+    approximated from the full tables by TIMESTAMP-month predicates — which
+    diverges from the reference for toll trips whose interval crosses a
+    month boundary (the trip lives in one month's file but its ENTIME can
+    fall in another); prefer passing the slices.
     """
     end = parse_date(date)
     start = end - dt.timedelta(days=30)
@@ -93,9 +97,9 @@ def average_speed(
         & (F.col("WZSMonthOfYear") == today_src.month)
         & (F.col("WZSJYear") == today_src.year)
     )
-    # The reference's today interval-join uses only the query month's toll file
-    # (src/AverageSpeed.scala:108); with a month-partitioned fee table the
-    # month predicate prunes partitions the same way.
+    # The reference's today interval-join uses only the query month's toll
+    # file (src/AverageSpeed.scala:108).  The fallback below approximates
+    # that by ENTIME month — see the docstring caveat.
     if fee_data_today is not None:
         fee_today = fee_data_today
     else:

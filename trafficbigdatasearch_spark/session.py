@@ -23,8 +23,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TIMEZONE = "UTC"
 # The reference's traffic timestamps are wall-clock Asia/Shanghai
-# (SURVEY.md §2.10.7); the traffic facade pins this per-query where parity
-# with the reference's epoch-millis output is required.
+# (SURVEY.md §2.10.7).  ``TrafficEngine(timezone=...)`` pins the SESSION
+# timezone to its zone at construction so driver-side boundary millis and
+# executor-side row parsing agree; pass this constant for reference parity
+# against real deployment data.
 TRAFFIC_TIMEZONE = "Asia/Shanghai"
 
 

@@ -48,18 +48,20 @@ def lenient_double(col: Column) -> Column:
     return F.coalesce(F.trim(col).try_cast("double"), F.lit(0.0))
 
 
-def ts_millis(col: Column) -> Column:
-    """Timestamp-string -> epoch millis with sentinel fallback (F2).
-
-    Parity with ``DateTime.parse(s).getMillis`` + catch -> parse(sentinel)
-    (src/OverSpeedCount.scala:72-78): failures yield the sentinel's millis in
-    the session timezone, not NULL.
-    """
-    parsed = F.coalesce(
+def parsed_ts(col: Column) -> Column:
+    """Timestamp parse with sentinel fallback (F2) — THE single home of the
+    parity rule: parse failures yield the sentinel instant, not NULL
+    (``DateTime.parse(s).getMillis`` + catch -> parse(sentinel),
+    src/OverSpeedCount.scala:72-78)."""
+    return F.coalesce(
         F.try_to_timestamp(col, F.lit(TS_FMT)),
         F.to_timestamp(F.lit(SENTINEL_TS), TS_FMT),
     )
-    return F.unix_millis(parsed)
+
+
+def ts_millis(col: Column) -> Column:
+    """Timestamp-string -> epoch millis (session timezone) via parsed_ts."""
+    return F.unix_millis(parsed_ts(col))
 
 
 def _non_empty(*cols: str) -> Column:
@@ -130,10 +132,7 @@ def read_accident_csv(
             typed_cols.append(lenient_double(F.col(name)).alias(name))
         else:
             typed_cols.append(F.col(name))
-    parsed = F.coalesce(
-        F.try_to_timestamp(F.col("CASEDATE"), F.lit(TS_FMT)),
-        F.to_timestamp(F.lit(SENTINEL_TS), TS_FMT),
-    )
+    parsed = parsed_ts(F.col("CASEDATE"))
     return raw.select(
         *typed_cols,
         F.hour(parsed).cast("int").alias("hour"),
@@ -175,10 +174,7 @@ def read_speed_csv(spark: SparkSession, path: str | list[str]) -> DataFrame:
     raw = _read_raw(spark, path, schemas.SPEED_DATA_RAW)
     # :70 requires ALL five fields non-empty.
     raw = raw.filter(_non_empty("SITE_GUID", "HPHM", "WZSJ", "CLSD", "ISOVERSPEED"))
-    ts = F.coalesce(
-        F.try_to_timestamp(F.col("WZSJ"), F.lit(TS_FMT)),
-        F.to_timestamp(F.lit(SENTINEL_TS), TS_FMT),
-    )
+    ts = parsed_ts(F.col("WZSJ"))
     return (
         raw.select(
             "SITE_GUID",

@@ -152,14 +152,22 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, spark=None):
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = None):
     """Drive a streaming DataFrame to completion over the currently-available
     input (availableNow trigger) into an in-memory sink; returns the query.
-    Test/backfill helper — production sinks are kafka/parquet/delta."""
+    Test/backfill helper — production sinks are kafka/parquet/delta.
+
+    ``output_mode`` defaults to "complete" for windowed aggregations and
+    "append" otherwise; operators built with a fixed mode (e.g.
+    ``user_running_totals`` -> "update") must pass it explicitly — the
+    heuristic cannot see inside a stateful flatMapGroups operator.
+    """
+    if output_mode is None:
+        output_mode = "complete" if _has_agg(stream_df) else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming and _has_agg(stream_df) else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
