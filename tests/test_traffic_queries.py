@@ -121,3 +121,24 @@ def test_parquet_layout_prunes_months(parquet_engines):
     df = pq_eng.overspeed_count_df(*_args(BBOX), "2016-06-15", "2016-07-02")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "month" in plan, plan
+
+
+def test_timezone_invariance(spark, traffic_dir):
+    """Query results must not depend on the engine timezone: boundaries and
+    row parsing are pinned to the SAME zone (a session left in UTC while
+    boundaries moved to Shanghai would shift every window by 8h)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        utc = TrafficEngine(
+            spark, str(traffic_dir), layout="reference_csv", mode="parity"
+        ).get_accident_count(*_args(BBOX), "2016-07-01", "2016-09-15")
+        sh = TrafficEngine(
+            spark,
+            str(traffic_dir),
+            layout="reference_csv",
+            mode="parity",
+            timezone="Asia/Shanghai",
+        ).get_accident_count(*_args(BBOX), "2016-07-01", "2016-09-15")
+        assert sorted(utc) == sorted(sh)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
