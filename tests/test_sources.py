@@ -1,0 +1,44 @@
+"""Storage-layer tests: the month-partitioned writer's layout and round-trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.sources.parquet import (
+    read_partitioned,
+    write_month_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_month_partitioned_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    out = str(tmp_path / "ev_by_month")
+    write_month_partitioned(ev.withColumn("ms", F.unix_millis("ts")), out, "ts")
+    # Hive-style month=yyyyMM directories on disk
+    parts = sorted(d for d in os.listdir(out) if d.startswith("month="))
+    assert parts, os.listdir(out)
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()
+    # a month predicate must reach the scan as a partition filter
+    some_month = parts[0].split("=", 1)[1]
+    q = back.filter(F.col("month") == some_month)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan, plan
+    assert q.count() > 0
+
+
+def test_month_partitioned_from_epoch_millis(spark, tmp_path):
+    """bigint epoch-millis timestamp columns derive the same month key."""
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    out = str(tmp_path / "ev_ms")
+    write_month_partitioned(ev, out, "ts_ms")
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()
+    assert "month" in back.columns

@@ -824,21 +824,28 @@ def dedup_simhash_pairs_q(spark, sf):
     )
 
 
+def _lsh_pairs_cte(src: str) -> str:
+    """MinHash-LSH candidate-pair CTE chain over relation ``src`` (k=8,
+    bands=4x2), ending in ``lsh_pairs(id_a, id_b)`` — shared by the
+    standalone query and the composed cleaning pipeline."""
+    return f"""toksL AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
+       idxL AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toksL),
+       shL AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idxL),
+       hL AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM shL),
+       paramsL(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
+       sigL AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
+               FROM hL CROSS JOIN paramsL GROUP BY doc_id, h_idx),
+       bandL AS (SELECT doc_id, h_idx // 2 AS band,
+                       string_agg(minhash::VARCHAR, '_' ORDER BY h_idx) AS bucket
+                FROM sigL GROUP BY doc_id, h_idx // 2),
+       lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bandL a JOIN bandL b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
 @register(
     "dedup_minhash_lsh",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh),
-       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
-       sig AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
-               FROM h CROSS JOIN params GROUP BY doc_id, h_idx),
-       band AS (SELECT doc_id, h_idx // 2 AS band,
-                       string_agg(minhash::VARCHAR, '_' ORDER BY h_idx) AS bucket
-                FROM sig GROUP BY doc_id, h_idx // 2)
-       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       FROM band a JOIN band b
-         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    f"WITH {_lsh_pairs_cte('documents')} SELECT id_a, id_b FROM lsh_pairs",
 )
 def dedup_minhash_lsh_q(spark, sf):
     """MinHash-LSH candidate pairs: k=8 signatures banded 4×2; documents
@@ -847,6 +854,37 @@ def dedup_minhash_lsh_q(spark, sf):
     return dedup.minhash_lsh_pairs(
         load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
     )
+
+
+_TOKCOUNT_SQL = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END"
+)
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""WITH qf AS (SELECT doc_id, text FROM documents WHERE {_TOKCOUNT_SQL} >= 5),
+       fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f FROM qf),
+       keepx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY f),
+       d1 AS (SELECT qf.doc_id, qf.text FROM qf JOIN keepx USING (doc_id)),
+       {_lsh_pairs_cte('d1')},
+       dropx AS (SELECT DISTINCT id_b AS doc_id FROM lsh_pairs)
+       SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)""",
+)
+def pipeline_clean_corpus_q(spark, sf):
+    """The operators COMPOSED as a real training-data cleaning pass:
+    quality gate (token count) -> exact dedup (min-id survivor per
+    fingerprint) -> MinHash-LSH near-dedup (drop the id_b side of every
+    candidate pair).  One declarative plan end-to-end; each stage is the
+    already-oracle-verified operator, and the composition itself is verified
+    here against the same chain in SQL."""
+    docs = load_table(spark, sf, "documents")
+    qf = docs.filter(T.token_count(F.col("text")) >= 5).select("doc_id", "text")
+    d1 = dedup.dedup_exact(qf)
+    pairs = dedup.minhash_lsh_pairs(d1, k=_MINHASH_K, bands=4, n=3)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d1.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
 _ROLL_POWS = ", ".join(
