@@ -42,3 +42,29 @@ def test_month_partitioned_from_epoch_millis(spark, tmp_path):
     back = read_partitioned(spark, out)
     assert back.count() == ev.count()
     assert "month" in back.columns
+
+
+def test_sql_facade_views(spark):
+    """register_views exposes every testdata table for spark.sql — the
+    engine-native replacement for the reference's registerTempTable (S8)."""
+    from trafficbigdatasearch_spark.catalog import TABLE_NAMES, register_views
+
+    register_views(spark, SF)
+    for t in TABLE_NAMES:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {t}").collect()[0]["n"] >= 0
+    joined = spark.sql(
+        """SELECT r_name, COUNT(*) AS n FROM nation
+           JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""
+    )
+    assert joined.count() > 0
+
+
+def test_malformed_query_date_raises(spark, tmp_path):
+    import pytest
+
+    from trafficbigdatasearch_spark.queries._core import parse_date
+
+    with pytest.raises(ValueError):
+        parse_date("2016-13-45")
+    with pytest.raises(ValueError):
+        parse_date("not-a-date")
