@@ -37,11 +37,14 @@ HEADLINE = [
     "sort_topk",
     "u_union_distinct",
     "time_bucket_hourly",
+    "q14_promo_revenue",
+    "w_sessionize",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "pipeline_clean_corpus",
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_ivf_topk",
