@@ -68,3 +68,32 @@ def test_minhash_lsh_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divisible"):
         dedup.minhash_lsh_pairs(docs, k=16, bands=5)
+
+
+def test_null_text_semantics(spark):
+    """NULL text must not crash any text/dedup operator; pinned behavior:
+    fingerprint NULL (groups apart), no shingles (dropped from jaccard),
+    simhash all-bits-set (same as tokenless), rolling fingerprint 0."""
+    from trafficbigdatasearch_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text here")], "doc_id bigint, text string"
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).collect()}
+    assert fp[1] is None and fp[2] is not None
+
+    ex = dedup.exact_duplicates(docs).collect()
+    assert len(ex) == 3  # null, empty, real all distinct groups
+
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=None).collect()
+    assert all({r["id_a"], r["id_b"]} <= {2, 3} for r in jac)  # null doc absent
+
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs, n_bits=8).collect()}
+    assert sh[1] == sh[2] == 255  # tokenless -> every bit set
+    assert sh[3] != 255
+
+    rf = {r["doc_id"]: r["fp"] for r in
+          docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rf[2] == 0 and rf[3] != 0
+    assert rf[1] in (0, None)  # NULL text: fold over NULL tokens
