@@ -81,3 +81,19 @@ def test_approx_sketches_accuracy(spark, duck):
             .collect()[0]
         )
         assert lo <= q50 <= hi, (flag, q50, lo, hi)
+
+
+def test_kmeans_refine_objective_monotone(spark):
+    """Spherical k-means: mean assigned cosine must be non-decreasing per
+    Lloyd iteration (the standard fixed-point guarantee)."""
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def avg_sim(n_iter):
+        rows = similarity.kmeans_refine(emb, n_iter=n_iter).collect()
+        return sum(r["n_members"] * r["avg_sim"] for r in rows) / sum(
+            r["n_members"] for r in rows
+        )
+
+    assert avg_sim(2) >= avg_sim(1) - 1e-9

@@ -230,6 +230,90 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    n_iter: int = 1,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means refinement of the IVF centroid sample — the
+    iterative-algorithm shape (assignment / re-estimation loop) expressed as
+    pure DataFrame ops, no MLlib and no driver-side vectors beyond the
+    broadcast centroid table.
+
+    Each Lloyd iteration: (1) assign every vector to its max-cosine centroid
+    (broadcast + map-side ``min_by`` argmin — same shape as ``ivf_topk``),
+    (2) re-estimate each centroid as its members' component-wise mean
+    (``posexplode`` -> groupBy(cell, dim) avg -> re-assemble), which for the
+    scale-invariant cosine objective is the spherical k-means update, so the
+    mean assigned similarity is non-decreasing per iteration (pinned in
+    tests).  Returns (cell_id, n_members, avg_sim, centroid array<double>).
+
+    At scale each iteration is: one broadcast pass over the corpus + one
+    (cell, dim)-keyed aggregation of dims x |corpus| narrow rows — no
+    per-vector window, no all-pairs stage.  The loop count is a small
+    constant (driver-side for), exactly how iterative refinement runs on a
+    cluster.
+    """
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("vid"), "cv", "cn"
+    )
+    cents = (
+        c.filter((F.col("vid") % centroid_stride) == 0)
+        .select(
+            F.col("vid").alias("cell_id"),
+            F.transform("cv", lambda x: x.cast("double")).alias("mv"),
+        )
+    )
+    assigned = None
+    for _ in range(max(n_iter, 1)):
+        mv_n = F.aggregate(
+            F.col("mv"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        cq = cents.select("cell_id", "mv", F.sqrt(mv_n).alias("mnorm"))
+        sim = c.crossJoin(F.broadcast(cq)).select(
+            "vid",
+            "cv",
+            "cell_id",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("cv"), F.col("mv"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.sqrt(F.col("cn").cast("double")) * F.col("mnorm"))
+            ).alias("s"),
+        )
+        assigned = sim.groupBy("vid").agg(
+            F.min_by(
+                F.struct("cell_id", "cv", "s"),
+                F.struct((-F.col("s")).alias("d"), F.col("cell_id")),
+            ).alias("m")
+        ).select("vid", F.col("m.cell_id").alias("cell_id"), F.col("m.cv").alias("cv"), F.col("m.s").alias("s"))
+        comp = assigned.select(
+            "cell_id", F.posexplode("cv").alias("dim", "x")
+        )
+        cents = (
+            comp.groupBy("cell_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cell_id",
+                F.transform("dm", lambda e: e["m"]).alias("mv"),
+            )
+        )
+    stats = assigned.groupBy("cell_id").agg(
+        F.count("*").alias("n_members"), F.avg("s").alias("avg_sim")
+    )
+    return stats.join(cents, "cell_id", "left").select(
+        "cell_id", "n_members", "avg_sim", F.col("mv").alias("centroid")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

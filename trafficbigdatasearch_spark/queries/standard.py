@@ -1083,6 +1083,17 @@ def sim_ivf_topk_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
+@register("sim_kmeans_refine", None)  # iterative algorithm: rows-only check
+def sim_kmeans_refine_q(spark, sf):
+    """Spherical k-means refinement of the IVF centroids (one Lloyd
+    iteration) — the iterative assignment/re-estimation loop as DataFrame
+    ops.  No SQL oracle (genuinely iterative); the per-iteration objective
+    monotonicity is pinned in tests/test_entry_correctness.py."""
+    return similarity.kmeans_refine(
+        load_table(spark, sf, "embeddings"), n_iter=1
+    ).select("cell_id", "n_members", "avg_sim")
+
+
 @register(
     "mm_features",
     """SELECT doc_id AS asset_id,
