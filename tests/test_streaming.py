@@ -131,3 +131,39 @@ def test_stream_dedup(spark, event_stream_dir):
     n = load_table(spark, SF, "events").count()
     assert got.count() == n
     assert got.distinct().count() == n
+
+
+def test_traffic_overspeed_stream_equals_batch(spark, traffic_dir, tmp_path_factory):
+    """The streaming overspeed pipeline over the whole fixture stream must
+    agree with the fixed-mode batch query: summing windowed counts by
+    hour-of-day reproduces the batch per-hour counts."""
+    from collections import defaultdict
+
+    from trafficbigdatasearch_spark.engine import TrafficEngine, months_between
+    from trafficbigdatasearch_spark.queries._core import BBox
+    from trafficbigdatasearch_spark.streaming import traffic as ST
+
+    import datetime as dt
+
+    eng = TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="fixed")
+    months = months_between(dt.date(2016, 6, 1), dt.date(2016, 12, 31))
+    # materialize the parsed observation stream as a file source
+    d = tmp_path_factory.mktemp("obs_stream") / "obs"
+    eng.speed_data(months).repartition(4).write.parquet(str(d))
+    obs_schema = spark.read.parquet(str(d)).schema
+    obs_stream = spark.readStream.schema(obs_schema).parquet(str(d))
+
+    bbox = BBox(116.0, 118.0, 36.0, 39.0)
+    out = ST.overspeed_stream(
+        obs_stream, eng.speed_base(), eng.fee_data(months), bbox
+    )
+    got_rows = _run(spark, out, "t_overspeed_stream", "complete").collect()
+    got = defaultdict(int)
+    for r in got_rows:
+        got[(r["car_type"], r["window_start"].hour)] += r["speed_limit_num"]
+
+    want_rows = eng.overspeed_count_df(
+        118.0, 116.0, 39.0, 36.0, "2016-06-01", "2016-12-31"
+    ).collect()
+    want = {(r["car_type"], r["time_period"]): r["speed_limit_num"] for r in want_rows}
+    assert dict(got) == want
