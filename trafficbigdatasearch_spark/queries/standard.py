@@ -1024,6 +1024,45 @@ def sim_lsh_buckets_q(spark, sf):
     return similarity.bucket_assignments(load_table(spark, sf, "embeddings"), 8)
 
 
+_LSH_BUCKET_CTE = f"""cv AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       e AS (SELECT vec_id, unnest(v) AS comp, generate_subscripts(v, 1) AS d FROM cv),
+       proj AS (
+         SELECT vec_id, p,
+                sum(comp * ((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 7))::BIGINT % 2001) - 1000)) AS pr
+         FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) planes
+         GROUP BY vec_id, p),
+       bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id)"""
+
+
+@register(
+    "sim_lsh_topk",
+    f"""WITH {_LSH_BUCKET_CTE},
+       q AS (SELECT c.vec_id AS query_id, v AS qv, bucket
+             FROM cv c JOIN bk USING (vec_id) WHERE c.vec_id < 10),
+       cand AS (SELECT c.vec_id AS neighbor_id, v AS nv, bucket
+                FROM cv c JOIN bk USING (vec_id)),
+       s AS (SELECT query_id, neighbor_id,
+                    list_dot_product(qv, nv) /
+                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS score
+             FROM q JOIN cand USING (bucket)
+             WHERE neighbor_id <> query_id)
+       SELECT query_id, neighbor_id, rnk, score FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
+         FROM s) r
+       WHERE rnk <= 5""",
+)
+def sim_lsh_topk_q(spark, sf):
+    """LSH-bucketed approximate top-5: candidates restricted to the query's
+    hyperplane bucket, exact cosine rerank inside — completes the similarity
+    family's query surface (brute / LSH / IVF), all oracle-matched."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8
+    ).withColumnRenamed("rank", "rnk")
+
+
 @register(
     "sim_embedding_near_dup",
     f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings)
