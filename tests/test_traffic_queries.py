@@ -142,3 +142,28 @@ def test_timezone_invariance(spark, traffic_dir):
         assert sorted(utc) == sorted(sh)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_fixed_mode_keeps_at_least_parity_rows(spark, traffic_dir):
+    """§2.10.1/2: fixed mode (UNION ALL, half-open ranges) must never report
+    FEWER events than parity (whose multi-month UNION DISTINCT collapses
+    duplicate observation tuples); per-cell counts dominate pointwise."""
+    args = _args(BBOX) + ("2016-06-15", "2016-08-02")  # multi-month window
+    import json
+
+    par = {}
+    for row in TrafficEngine(
+        spark, str(traffic_dir), layout="reference_csv", mode="parity"
+    ).get_overspeed_count(*args):
+        r = json.loads(row)
+        par[(r["car_type"], r["time_period"])] = r["speed_limit_num"]
+    fix = {}
+    for row in TrafficEngine(
+        spark, str(traffic_dir), layout="reference_csv", mode="fixed"
+    ).get_overspeed_count(*args):
+        r = json.loads(row)
+        fix[(r["car_type"], r["time_period"])] = r["speed_limit_num"]
+    assert set(par) <= set(fix)
+    assert all(fix[k] >= v for k, v in par.items())
+    # the fixture plants duplicate tuples, so the modes must actually differ
+    assert fix != par
