@@ -771,6 +771,29 @@ def dedup_ngram_jaccard_q(spark, sf):
     )
 
 
+@register(
+    "text_top_ngrams",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS ngram FROM idx)
+       SELECT ngram, COUNT(*) AS n FROM sh GROUP BY ngram
+       ORDER BY n DESC, ngram ASC LIMIT 20""",
+)
+def text_top_ngrams_q(spark, sf):
+    """Corpus-level vocabulary statistics: top-20 word bigrams by occurrence
+    (non-distinct — term frequency, not document frequency).  One explode ->
+    map-side-combined count -> top-k; ties broken by the ngram itself for
+    determinism."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(T.word_shingles(F.col("text"), 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )
+
+
 _GUARDED_TOKS = (
     r"CASE WHEN length(trim(text)) = 0 THEN [] "
     r"ELSE regexp_split_to_array(lower(trim(text)), '\s+') END"
