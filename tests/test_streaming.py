@@ -167,3 +167,49 @@ def test_traffic_overspeed_stream_equals_batch(spark, traffic_dir, tmp_path_fact
     ).collect()
     want = {(r["car_type"], r["time_period"]): r["speed_limit_num"] for r in want_rows}
     assert dict(got) == want
+
+
+def test_watermark_finalizes_closed_windows_only(spark, tmp_path_factory):
+    """Append-mode windowed counts emit EXACTLY the windows the final
+    watermark has closed (end <= max_event_time - horizon); windows still
+    open at stream end are withheld.  (Dropping data later than the
+    watermark is best-effort in Spark — a straggler that creates fresh state
+    may still be finalized — so the closed-window contract is what we pin.)"""
+    import datetime as dt
+    import time as _time
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    d = tmp_path_factory.mktemp("late") / "ev"
+    d.mkdir(parents=True)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / name)
+        )
+        _time.sleep(1.1)  # distinct mtimes -> stable file-source batch order
+
+    # batch 1 advances the watermark to 10:00 (2h horizon behind 12:00)
+    write_batch("b1", [
+        (1, ts(10, 30), 1, "a", 1.0),
+        (2, ts(12, 0), 1, "a", 1.0),
+    ])
+    # batch 2: an 08:10 straggler (below watermark) + an 11:30 in-horizon row
+    write_batch("b2", [
+        (3, ts(8, 10), 1, "a", 1.0),
+        (4, ts(11, 30), 1, "a", 1.0),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    got = _run(spark, SE.tumbling_counts(stream), "t_late", "append").collect()
+    emitted = {r["bucket"] for r in got}
+    # final watermark = 10:00 -> only windows ending <= 10:00 may appear;
+    # the 10:00/11:00 windows (ends 11:00/12:00) must be withheld as open
+    assert emitted <= {"2024-01-01 08:00", "2024-01-01 09:00"}, emitted
+    assert "2024-01-01 10:00" not in emitted
+    assert "2024-01-01 11:00" not in emitted
