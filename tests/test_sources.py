@@ -68,3 +68,43 @@ def test_malformed_query_date_raises(spark, tmp_path):
         parse_date("2016-13-45")
     with pytest.raises(ValueError):
         parse_date("not-a-date")
+
+
+def test_rollup_reaggregation_equals_direct(spark):
+    """Daily answers from the hourly rollup must equal direct daily
+    aggregation over raw events — the re-aggregability invariant that lets
+    coarse queries skip the raw table entirely."""
+    from trafficbigdatasearch_spark.operators import rollup as R
+
+    ev = load_table(spark, SF, "events")
+    via_rollup = R.daily_from_hourly(R.hourly_rollup(ev))
+    direct = R.daily_direct(ev)
+    k = ["day_start", "event_type"]
+
+    def canon(df):
+        return sorted(
+            (r["day_start"], r["event_type"], r["n"], round(r["sum_v"], 6),
+             r["min_v"], r["max_v"], round(r["avg_v"], 9))
+            for r in df.collect()
+        )
+
+    assert canon(via_rollup) == canon(direct)
+
+
+def test_interval_join_closed_modes(spark):
+    """Boundary semantics of the four closed-ness variants (quirk §2.10.2/3
+    territory: closed-both double counts exact boundary instants)."""
+    from trafficbigdatasearch_spark.operators import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 15)], ["eid", "t"]
+    )
+    right = spark.createDataFrame([(100, 10, 20)], ["rid", "lo", "hi"])
+    def hits(closed):
+        out = J.interval_join(left, right, None, "t", "lo", "hi", closed=closed)
+        return sorted(r["eid"] for r in out.collect())
+
+    assert hits("both") == [1, 2, 3]
+    assert hits("left") == [1, 3]
+    assert hits("right") == [2, 3]
+    assert hits("neither") == [3]

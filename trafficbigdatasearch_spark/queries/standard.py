@@ -433,6 +433,46 @@ def a_approx_sketches(spark, sf):
 
 
 @register(
+    "a_rollup_reagg",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_start, event_type,
+              COUNT(*) AS n,
+              SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
+       FROM events GROUP BY 1, 2""",
+)
+def a_rollup_reagg(spark, sf):
+    """Continuous-aggregate pattern: the DAILY answer computed FROM the
+    hourly rollup (operators/rollup.py) — the oracle computes it directly
+    from raw events, so the match proves the rollup is exactly
+    re-aggregatable (integer-cent sums associate; min/max combine)."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(
+                F.date_trunc("day", F.col("hour_start")), "yyyy-MM-dd"
+            ).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .select("day_start", "event_type", "n", "sum_cents", "min_v", "max_v")
+    )
+
+
+@register(
     "u_union_distinct",
     """SELECT l_returnflag, COUNT(*) AS n FROM (
          SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
