@@ -97,3 +97,55 @@ def test_kmeans_refine_objective_monotone(spark):
         )
 
     assert avg_sim(2) >= avg_sim(1) - 1e-9
+
+
+def test_kmeans_refine_monotone_on_mixed_magnitudes(spark):
+    """The spherical update (normalized-member mean) keeps the objective
+    monotone even when embeddings have wildly different magnitudes — the
+    raw-vector mean does not."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: x * (F.col("vec_id") % 5 + 1).cast("float"),
+        ),
+    )
+
+    def avg_sim(n_iter):
+        rows = similarity.kmeans_refine(emb, n_iter=n_iter).collect()
+        return sum(r["n_members"] * r["avg_sim"] for r in rows) / sum(
+            r["n_members"] for r in rows
+        )
+
+    assert avg_sim(2) >= avg_sim(1) - 1e-9
+
+
+def test_near_dup_includes_null_block_rows(spark):
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0], None),
+        (2, [1.0, 0.001], None),
+        (3, [0.0, 1.0], "x"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.9, block_col="label"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_ivf_raises_without_centroids(spark):
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id % 97 != 0")
+    with pytest.raises(ValueError, match="centroid"):
+        similarity.ivf_topk(emb, emb.limit(2), centroid_stride=97)

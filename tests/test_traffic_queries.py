@@ -167,3 +167,20 @@ def test_fixed_mode_keeps_at_least_parity_rows(spark, traffic_dir):
     assert all(fix[k] >= v for k, v in par.items())
     # the fixture plants duplicate tuples, so the modes must actually differ
     assert fix != par
+
+
+def test_months_none_symmetric_across_layouts(parquet_engines):
+    """months=None must mean 'every month on disk' in BOTH layouts (the CSV
+    path used to return an empty frame while parquet returned everything)."""
+    csv_eng, pq_eng = parquet_engines
+    assert csv_eng.speed_data(None).count() == pq_eng.speed_data(None).count() > 0
+    assert csv_eng.fee_data(None).count() == pq_eng.fee_data(None).count() > 0
+
+
+def test_parquet_mode_marker_mismatch_raises(spark, traffic_dir, tmp_path_factory):
+    from trafficbigdatasearch_spark.sources.parquet import ingest_reference_layout
+
+    out = tmp_path_factory.mktemp("mode_marker")
+    ingest_reference_layout(spark, str(traffic_dir), str(out), mode="parity")
+    with pytest.raises(ValueError, match="mode"):
+        TrafficEngine(spark, str(out), layout="parquet", mode="fixed")

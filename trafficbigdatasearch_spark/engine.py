@@ -68,13 +68,41 @@ class TrafficEngine:
         self.base = data_path_base
         self.layout = layout
         self.mode = mode
+        self.timezone = timezone
         self.tz = ZoneInfo(timezone) if timezone != "UTC" else dt.timezone.utc
-        # The reference's epoch-millis values are JVM-default-timezone
-        # dependent (SURVEY §2.10.7).  Query boundaries are computed with
-        # self.tz driver-side, while row timestamps parse in the SESSION
-        # timezone — pin the session to the same zone so the two agree
-        # (traffic data is wall-clock; e.g. timezone="Asia/Shanghai").
-        spark.conf.set("spark.sql.session.timeZone", timezone)
+        self._pin_timezone()
+        if layout == "parquet":
+            self._check_ingest_mode()
+
+    def _pin_timezone(self) -> None:
+        """The reference's epoch-millis values are JVM-default-timezone
+        dependent (SURVEY §2.10.7).  Query boundaries are computed with
+        ``self.tz`` driver-side while row timestamps parse in the SESSION
+        timezone, so the session is pinned to the engine zone at construction
+        AND before each query plan is built (engines with different zones on
+        one session must not interleave lazy DataFrames with queries —
+        collect before switching).  Traffic data is wall-clock; pass
+        ``timezone="Asia/Shanghai"`` for reference parity."""
+        self.spark.conf.set("spark.sql.session.timeZone", self.timezone)
+
+    def _check_ingest_mode(self) -> None:
+        """The parquet layout is parsed with a cleaning mode at ingest
+        (sources/parquet.ingest_reference_layout writes a ``_mode`` marker);
+        querying it with a different mode silently mixes semantics, so raise
+        on a detectable mismatch.  (Marker check is local-filesystem only —
+        object stores skip it.)"""
+        marker = os.path.join(self.base, "_mode")
+        try:
+            with open(marker) as f:
+                ingest_mode = f.read().strip()
+        except OSError:
+            return
+        if ingest_mode != self.mode:
+            raise ValueError(
+                f"parquet layout at {self.base} was ingested with "
+                f"mode={ingest_mode!r} but the engine was constructed with "
+                f"mode={self.mode!r} — re-ingest or match the modes"
+            )
 
     # --- table loading -------------------------------------------------------
 
@@ -104,25 +132,32 @@ class TrafficEngine:
             df = df.filter(F.col("month").isin([int(m) for m in months]))
         return df.drop("month")
 
+    def _csv_paths(self, months: list[str] | None, suffix: str) -> list[str]:
+        """Existing per-month file paths; ``months=None`` means EVERY month
+        on disk (matching the parquet layout's unfiltered read) — discovered
+        via a Hadoop glob so both layouts share the 'None = full table'
+        contract."""
+        if months is None:
+            return _glob(self.spark, os.path.join(self.base, "*", f"*{suffix}.csv"))
+        paths = self._month_paths(months, suffix)
+        return [p for p in paths if _path_exists(self.spark, p)]
+
     def speed_data(self, months: list[str] | None = None) -> DataFrame:
         if self.layout == "parquet":
             return self._pruned("speed_data", months)
-        paths = self._month_paths(months or [], "CSYDATA")
-        paths = [p for p in paths if _path_exists(self.spark, p)]
-        return read_speed_csv(self.spark, paths)
+        return read_speed_csv(self.spark, self._csv_paths(months, "CSYDATA"))
 
     def fee_data(self, months: list[str] | None = None) -> DataFrame:
         if self.layout == "parquet":
             return self._pruned("fee_data", months)
-        paths = self._month_paths(months or [], "SFZDATA")
-        paths = [p for p in paths if _path_exists(self.spark, p)]
-        return read_fee_csv(self.spark, paths)
+        return read_fee_csv(self.spark, self._csv_paths(months, "SFZDATA"))
 
     # --- DataFrame-returning query surface ----------------------------------
 
     def accident_count_df(
         self, lon_upper, lon_lower, lat_upper, lat_lower, start_date, end_date
     ) -> DataFrame:
+        self._pin_timezone()
         bbox = BBox(lon_lower, lon_upper, lat_lower, lat_upper)
         return accident_count(
             self.accident(), bbox, start_date, end_date, tz=self.tz
@@ -131,6 +166,7 @@ class TrafficEngine:
     def overspeed_count_df(
         self, lon_upper, lon_lower, lat_upper, lat_lower, start_date, end_date
     ) -> DataFrame:
+        self._pin_timezone()
         bbox = BBox(lon_lower, lon_upper, lat_lower, lat_upper)
         months = months_between(parse_date(start_date), parse_date(end_date))
         return overspeed_count(
@@ -147,6 +183,7 @@ class TrafficEngine:
     def average_speed_df(
         self, lon_upper, lon_lower, lat_upper, lat_lower, date: str
     ) -> DataFrame:
+        self._pin_timezone()
         bbox = BBox(lon_lower, lon_upper, lat_lower, lat_upper)
         end = parse_date(date)
         start = max(end - dt.timedelta(days=30), dt.date(2016, 6, 1))
@@ -193,3 +230,13 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(conf).exists(p)
+
+
+def _glob(spark: SparkSession, pattern: str) -> list[str]:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(pattern)
+    statuses = p.getFileSystem(conf).globStatus(p)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]

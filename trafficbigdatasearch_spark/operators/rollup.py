@@ -42,8 +42,13 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
 
 def daily_from_hourly(rollup: DataFrame) -> DataFrame:
     """Re-aggregate the hourly rollup to days — never touches raw events.
-    Identical results to aggregating the raw table (pinned in tests):
-    counts/sums add, min/max combine, avg derives from sum/count exactly.
+
+    Exactness: counts and min/max re-combine EXACTLY; the double ``sum_v``
+    (and the avg derived from it) re-associates floating-point addition, so
+    it can differ from the direct daily sum in the last ulps.  For
+    hash-exact re-aggregation keep integer measures in the rollup — see the
+    ``a_rollup_reagg`` registry query, which stores integer cents and is
+    bit-identical to its direct-aggregation oracle.
     """
     return (
         rollup.groupBy(

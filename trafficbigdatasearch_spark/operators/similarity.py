@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.functions import vectors as V
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: score desc, neighbor_id asc tie-break.
+    ONE home for the tie-break contract — brute/LSH/IVF results must stay
+    comparable (recall is measured against the brute baseline)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def _with_quantized(
     df: DataFrame, vec_col: str, out: str, norm_out: str | None = None
 ) -> DataFrame:
@@ -66,14 +80,7 @@ def brute_force_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_per_query(scored, k)
 
 
 def bucket_assignments(
@@ -130,14 +137,7 @@ def lsh_bucketed_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_topk(
@@ -168,6 +168,11 @@ def ivf_topk(
     only candidate cells, ~``nprobe/n_cells`` of the corpus per query batch.
     """
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    if cent.isEmpty():
+        raise ValueError(
+            f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
+            f"lower centroid_stride (results would be silently empty)"
+        )
     cq = _with_quantized(cent, vec_col, "mv", "mn").select(
         F.col(id_col).alias("cell_id"), "mv", "mn"
     )
@@ -244,11 +249,13 @@ def kmeans_refine(
 
     Each Lloyd iteration: (1) assign every vector to its max-cosine centroid
     (broadcast + map-side ``min_by`` argmin — same shape as ``ivf_topk``),
-    (2) re-estimate each centroid as its members' component-wise mean
-    (``posexplode`` -> groupBy(cell, dim) avg -> re-assemble), which for the
-    scale-invariant cosine objective is the spherical k-means update, so the
-    mean assigned similarity is non-decreasing per iteration (pinned in
-    tests).  Returns (cell_id, n_members, avg_sim, centroid array<double>).
+    (2) re-estimate each centroid as the component-wise mean of its members'
+    UNIT-NORMALIZED vectors (``posexplode`` -> groupBy(cell, dim) avg ->
+    re-assemble) — the spherical k-means update, whose direction maximizes
+    the summed cosine to the centroid for a fixed assignment on ANY-magnitude
+    corpus (the raw-vector mean only does for unit-norm inputs), so the mean
+    assigned similarity is non-decreasing per iteration (pinned in tests).
+    Returns (cell_id, n_members, avg_sim, centroid array<double>).
 
     At scale each iteration is: one broadcast pass over the corpus + one
     (cell, dim)-keyed aggregation of dims x |corpus| narrow rows — no
@@ -266,6 +273,11 @@ def kmeans_refine(
             F.transform("cv", lambda x: x.cast("double")).alias("mv"),
         )
     )
+    if cents.isEmpty():
+        raise ValueError(
+            f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
+            f"lower centroid_stride (results would be silently empty)"
+        )
     assigned = None
     for _ in range(max(n_iter, 1)):
         mv_n = F.aggregate(
@@ -277,6 +289,7 @@ def kmeans_refine(
         sim = c.crossJoin(F.broadcast(cq)).select(
             "vid",
             "cv",
+            "cn",
             "cell_id",
             (
                 F.aggregate(
@@ -289,12 +302,24 @@ def kmeans_refine(
         )
         assigned = sim.groupBy("vid").agg(
             F.min_by(
-                F.struct("cell_id", "cv", "s"),
+                F.struct("cell_id", "cv", "cn", "s"),
                 F.struct((-F.col("s")).alias("d"), F.col("cell_id")),
             ).alias("m")
-        ).select("vid", F.col("m.cell_id").alias("cell_id"), F.col("m.cv").alias("cv"), F.col("m.s").alias("s"))
+        ).select(
+            "vid",
+            F.col("m.cell_id").alias("cell_id"),
+            F.col("m.cv").alias("cv"),
+            F.col("m.cn").alias("cn"),
+            F.col("m.s").alias("s"),
+        )
+        # spherical update: average the UNIT vectors x/|x|, not raw x —
+        # cosine is scale-invariant, and only the normalized mean direction
+        # maximizes the fixed-assignment objective on mixed-magnitude input
         comp = assigned.select(
-            "cell_id", F.posexplode("cv").alias("dim", "x")
+            "cell_id", F.posexplode("cv").alias("dim", "x"), F.col("cn")
+        ).select(
+            "cell_id", "dim",
+            (F.col("x") / F.sqrt(F.col("cn").cast("double"))).alias("x"),
         )
         cents = (
             comp.groupBy("cell_id", "dim")
@@ -325,24 +350,29 @@ def embedding_near_dup_pairs(
 
     ``block_col`` restricts comparisons to equal-key blocks (a label, an LSH
     bucket, a cluster id) — at corpus scale an unblocked pairwise pass is
-    never acceptable; with None it falls back to LSH-bucket blocking."""
+    never acceptable; with None it falls back to LSH-bucket blocking.
+    Rows with a NULL block key form their own block (NULL never equi-joins,
+    which would silently exclude them from all comparison); a corpus where
+    NULL dominates should pass block_col=None instead — one giant NULL block
+    is the all-pairs blowup blocking exists to avoid."""
     c = _with_quantized(corpus, vec_col, "qv", "qn")
     if block_col is None:
         # inline bucket from the quantized column — same single-scan shape
         # as lsh_bucketed_topk, no join-back
         c = c.withColumn("bucket", V.simhash_bucket(F.col("qv"), 8))
         block_col = "bucket"
+    blk = F.coalesce(F.col(block_col).cast("string"), F.lit("__null_block__"))
     a = c.select(
         F.col(id_col).alias("id_a"),
         F.col("qv").alias("va"),
         F.col("qn").alias("na"),
-        F.col(block_col).alias("blk"),
+        blk.alias("blk"),
     )
     b = c.select(
         F.col(id_col).alias("id_b"),
         F.col("qv").alias("vb"),
         F.col("qn").alias("nb"),
-        F.col(block_col).alias("blk"),
+        blk.alias("blk"),
     )
     return (
         a.join(b, "blk")

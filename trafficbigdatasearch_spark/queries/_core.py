@@ -90,7 +90,10 @@ def month_of_millis(col: Column) -> Column:
 
 
 def join_toll_class(
-    speed: DataFrame, fee: DataFrame, month_key: bool = True
+    speed: DataFrame,
+    fee: DataFrame,
+    month_key: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Interval join (J2, src/OverSpeedCount.scala:123): enrich each camera
     observation with the vehicle class/truck-flag of the toll trip containing
@@ -110,7 +113,8 @@ def join_toll_class(
     Quirk §2.10.5 preserved: only the *entry* plate is matched (the reference
     abandoned the OR-key variant at :122 because an OR key forces BNLJ).
     Output = the reference's ``speed_class_time`` shape:
-    (speed, hour, class, type).
+    (speed, hour, class, type) plus any ``carry`` columns from the speed side
+    (e.g. the event-time column the streaming pipeline windows on).
     """
     cond = (speed["plate"] == fee["ENVEHPLATE"]) & speed["time"].between(
         fee["ENTIMEMillis"], fee["EXTIMEMillis"]
@@ -124,7 +128,15 @@ def join_toll_class(
         speed["hour"],
         fee["EXVEHCLASS"].alias("class"),
         fee["EXTRUCKFLAG"].alias("type"),
+        *[speed[c] for c in carry or []],
     )
+
+
+def overspeed_threshold() -> Column:
+    """Per-segment speed limit (src/OverSpeedCount.scala:133-136): heavy
+    trucks (car_type 04) 100, everything else 120.  ONE home for the
+    thresholds — batch and streaming pipelines must agree."""
+    return F.when(F.col("car_type") == "04", 100).otherwise(120)
 
 
 def car_type_col() -> Column:

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.queries._core import (
+    overspeed_threshold,
     BBox,
     car_type_col,
     date_millis,
@@ -82,7 +83,7 @@ def overspeed_count(
         # (see module docstring).
         classed = classed.distinct()
 
-    threshold = F.when(F.col("car_type") == "04", 100).otherwise(120)
+    threshold = overspeed_threshold()
     return (
         classed.withColumn("car_type", car_type_col())
         .filter(F.col("car_type").isNotNull() & (F.col("speed") > threshold))

@@ -110,6 +110,11 @@ def ingest_reference_layout(
             df.write.mode("overwrite").partitionBy("month").parquet(
                 os.path.join(out_base, name)
             )
+    # marker consumed by TrafficEngine._check_ingest_mode: querying a layout
+    # with a different cleaning mode than it was parsed with mixes semantics
+    os.makedirs(out_base, exist_ok=True)
+    with open(os.path.join(out_base, "_mode"), "w") as f:
+        f.write(mode)
     return months
 
 

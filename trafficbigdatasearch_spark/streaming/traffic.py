@@ -6,8 +6,9 @@ Streaming primitives:
 
 - station bbox filter          -> unchanged static prep (broadcast dim)
 - obs ⋈ stations (J1)          -> stream-static broadcast join
-- obs ⋈ toll trips (J2)        -> stream-static interval join (equi plate
-                                  key + containment residual, same plan)
+- obs ⋈ toll trips (J2)        -> stream-static interval join (the SAME
+                                  ``join_toll_class`` helper as batch, with
+                                  the event-time column carried through)
 - 4-segment CASE WHEN + count  -> watermarked tumbling-window aggregate
 
 State is bounded by the watermark; the toll side is static per micro-batch
@@ -27,6 +28,8 @@ from trafficbigdatasearch_spark.queries._core import (
     BBox,
     car_type_col,
     join_stations,
+    join_toll_class,
+    overspeed_threshold,
     station_guids,
 )
 
@@ -44,7 +47,9 @@ def overspeed_stream(
 
     ``obs_stream`` must have the parsed speed-observation schema
     (SITE_GUID, HPHM, WZSJMillis, WZSJHourOfDay, CLSD, ...); the event time
-    is derived from WZSJMillis.
+    is derived from WZSJMillis.  Semantics are fixed-mode (no file-month
+    key — a stream has no file-month notion), shared with batch via the
+    ``_core`` helpers so the quirk-critical logic lives once.
     """
     guids = station_guids(speed_base, bbox)
     # watermark attached to the event-time column that actually feeds the
@@ -55,11 +60,12 @@ def overspeed_stream(
         .withColumn("event_ts", F.timestamp_millis(F.col("time")))
         .withWatermark("event_ts", watermark)
     )
-    threshold = F.when(F.col("car_type") == "04", 100).otherwise(120)
+    classed = join_toll_class(speed, fee_data, month_key=False, carry=["event_ts"])
     return (
-        classed_with_ts(speed, fee_data)
-        .withColumn("car_type", car_type_col())
-        .filter(F.col("car_type").isNotNull() & (F.col("speed") > threshold))
+        classed.withColumn("car_type", car_type_col())
+        .filter(
+            F.col("car_type").isNotNull() & (F.col("speed") > overspeed_threshold())
+        )
         .groupBy(F.window("event_ts", window).alias("w"), "car_type")
         .agg(F.count("*").alias("speed_limit_num"))
         .select(
@@ -67,20 +73,4 @@ def overspeed_stream(
             "car_type",
             "speed_limit_num",
         )
-    )
-
-
-def classed_with_ts(speed: DataFrame, fee: DataFrame) -> DataFrame:
-    """join_toll_class (J2) carrying the event-time column through for the
-    windowed aggregate: equi plate key + containment residual, fixed-mode
-    semantics (no month key — the stream has no file-month notion)."""
-    cond = (speed["plate"] == fee["ENVEHPLATE"]) & speed["time"].between(
-        fee["ENTIMEMillis"], fee["EXTIMEMillis"]
-    )
-    return speed.join(fee, cond, "inner").select(
-        speed["event_ts"],
-        speed["speed"],
-        speed["hour"],
-        fee["EXVEHCLASS"].alias("class"),
-        fee["EXTRUCKFLAG"].alias("type"),
     )
