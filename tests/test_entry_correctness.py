@@ -149,3 +149,54 @@ def test_ivf_raises_without_centroids(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id % 97 != 0")
     with pytest.raises(ValueError, match="centroid"):
         similarity.ivf_topk(emb, emb.limit(2), centroid_stride=97)
+
+
+def test_ann_recall_on_clustered_corpus(spark):
+    """LSH-bucketed and IVF top-k must achieve high recall vs brute force on
+    a clustered corpus (tight clusters -> near neighbors collide in buckets /
+    cells by construction).  Random-corpus recall is meaningless for ANN;
+    clustered data is the workload these paths exist for."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    dims = 16
+    for cluster in range(20):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for member in range(10):
+            vec = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((cluster * 10 + member, vec, str(cluster)))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0)  # one probe per cluster
+
+    def neighbor_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = neighbor_sets(similarity.brute_force_topk(emb, queries, k=5))
+
+    def recall(approx):
+        hits = sum(
+            len(approx.get(q, set()) & n) for q, n in brute.items()
+        )
+        return hits / sum(len(n) for n in brute.values())
+
+    lsh = neighbor_sets(
+        similarity.lsh_bucketed_topk(emb, queries, k=5, n_planes=8)
+    )
+    ivf = neighbor_sets(
+        similarity.ivf_topk(emb, queries, k=5, nprobe=2, centroid_stride=7)
+    )
+    assert recall(lsh) >= 0.9, recall(lsh)
+    assert recall(ivf) >= 0.9, recall(ivf)
