@@ -139,6 +139,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(k == 0, F.array(F.lit(""))).otherwise(out)
 
 
+#: PII patterns for training-data scrubbing — deliberately simple,
+#: deterministic regexes (an email-shaped token; a 7+-digit run with optional
+#: separators) so the redaction is reproducible in ANSI SQL for the oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d[\d\-\. ]{5,}\d"
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact email- and phone-shaped spans with fixed placeholders.  Pure
+    ``regexp_replace`` — full scan speed, no UDF; emails first so their
+    digit-bearing local parts don't half-match the phone pattern."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_count(text: Column) -> Column:
+    """Number of redactable spans (pre-redaction) — the audit metric."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL))
+        + F.regexp_count(F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), F.lit(PII_PHONE))
+    ).cast("bigint")
+
+
 #: Rabin-Karp rolling-hash constants: base, modulus (Mersenne 2^31-1), and
 #: the token-position cap (longer documents hash their first ROLL_MAX tokens;
 #: at corpus scale the prefix is as content-defining as the whole body).

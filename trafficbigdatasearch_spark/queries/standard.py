@@ -834,6 +834,33 @@ def text_top_ngrams_q(spark, sf):
     )
 
 
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\d[\\d\\-\\. ]{5,}\\d"
+
+
+@register(
+    "text_pii_scrub",
+    f"""SELECT doc_id,
+              md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                                 '{_PII_PHONE_SQL}', '<PHONE>', 'g')) AS scrubbed_md5,
+              CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) +
+                   len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                                          '{_PII_PHONE_SQL}')) AS BIGINT) AS n_redactions
+       FROM documents""",
+)
+def text_pii_scrub_q(spark, sf):
+    """PII scrubbing for training corpora: email/phone-shaped spans replaced
+    by placeholders, with an audit count per document.  Regex-only (full
+    scan speed); the md5 of the scrubbed text proves byte-identical
+    redaction across engines."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(T.pii_redact(F.col("text"))).alias("scrubbed_md5"),
+        T.pii_count(F.col("text")).alias("n_redactions"),
+    )
+
+
 _GUARDED_TOKS = (
     r"CASE WHEN length(trim(text)) = 0 THEN [] "
     r"ELSE regexp_split_to_array(lower(trim(text)), '\s+') END"
