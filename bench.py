@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_lsh_buckets",
     "sim_ivf_topk",
     "text_metrics",
+    "text_pii_scrub",
     "text_lang_id",
     "mm_features",
 ]
