@@ -96,4 +96,33 @@ def test_null_text_semantics(spark):
     rf = {r["doc_id"]: r["fp"] for r in
           docs.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert rf[2] == 0 and rf[3] != 0
-    assert rf[1] in (0, None)  # NULL text: fold over NULL tokens
+    assert rf[1] == 0  # NULL text pinned to 0 (matches the SQL oracle)
+
+
+def test_jaccard_verify_restores_true_shared(spark):
+    """Generate-then-verify: candidates generated from frequency-filtered
+    postings are rescored against the FULL shingle sets, so hot-shingle
+    overlap still counts toward `shared`."""
+    rows = [
+        (1, "common common common rare1 x y z"),
+        (2, "common common common rare1 p q r"),
+        (3, "common common common aaa bbb ccc"),
+        (4, "common common common ddd eee fff"),
+        (5, "common common common ggg hhh iii"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    low = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_freq=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["shared"] for r in low}
+    # docs 1,2 share 'common common rare1' (generated: rare) AND
+    # 'common common common' (hot, excluded from generation) -> true shared=2
+    assert got[(1, 2)] == 2
+
+
+def test_simhash_pairs_rejects_bad_banding(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_pairs(docs, n_bits=16, band_bits=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, n_bits=16, band_bits=8, max_hamming=3)

@@ -27,13 +27,7 @@ def event_stream_dir(spark, tmp_path_factory):
 
 
 def _run(spark, stream_df, name, mode):
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = SE.run_to_memory(stream_df, name, output_mode=mode)
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {name}")
 

@@ -73,7 +73,7 @@ def quality_metrics(text: Column) -> list[Column]:
     (n_chars, n_tokens, n_stopwords_en, n_punct, n_digits) — all integers,
     so downstream ratio thresholds are computed exactly where needed."""
     return [
-        F.length(text).cast("bigint").alias("n_chars_m"),
+        F.length(text).cast("bigint").alias("n_chars"),
         token_count(text).alias("n_tokens"),
         stopword_count(text, "en").alias("n_stopwords_en"),
         punct_count(text).alias("n_punct"),
@@ -92,7 +92,7 @@ def lang_id(text: Column, langs: list[str] | None = None) -> Column:
     with the max score (deterministic)."""
     langs = langs or list(STOPWORDS)
     scores = [lang_score(text, lg) for lg in langs]
-    best = F.greatest(*scores)
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     expr = F.lit("und")
     # fold right-to-left so earlier languages win ties
     for lg, sc in reversed(list(zip(langs, scores))):
@@ -192,8 +192,11 @@ def rolling_fingerprint(text: Column) -> Column:
     hs = F.transform(toks, shingle_hash)
     pows = F.array(*[F.lit(p) for p in _roll_powers()]).cast("array<bigint>")
     terms = F.zip_with(hs, F.slice(pows, 1, F.size(hs)), lambda h, p: (h * p) % ROLL_M)
-    return (
-        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % ROLL_M
+    # NULL text propagates NULL through tokens/zip_with; the oracle contract
+    # (and empty text) is 0 — coalesce to match
+    return F.coalesce(
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % ROLL_M,
+        F.lit(0).cast("bigint"),
     )
 
 

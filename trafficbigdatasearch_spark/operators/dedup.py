@@ -11,8 +11,9 @@ partition-parallel:
 - MinHash: k universal hash functions over 28-bit shingle hashes, computed
   with ``transform``/``aggregate`` expressions (no UDF); LSH banding derives
   candidate pairs with a band-bucket self-join.
-- SimHash: 64-bit text fingerprint from token-hash sign sums; near-dups =
-  small Hamming distance.
+- SimHash: configurable-width fingerprint (default 16-bit; the registered
+  queries use 32) from token-hash sign sums; near-dups = small Hamming
+  distance.
 
 At 100 TB: every operator here is (explode -> hash-partitioned shuffle ->
 aggregate); skew on hot shingles is bounded by dropping top-frequency
@@ -112,43 +113,60 @@ def ngram_jaccard_pairs(
     jaccard >= threshold; the jaccard itself is re-derivable exactly from the
     integer columns (kept as ints for cross-engine determinism).
 
-    ``max_shingle_freq`` drops shingles appearing in more than that many docs
-    (stopword-like n-grams) — the skew guard that bounds per-shingle pair
-    fan-out at corpus scale.
+    ``max_shingle_freq`` excludes shingles appearing in more than that many
+    docs (stopword-like n-grams) from candidate GENERATION only — the skew
+    guard that bounds per-shingle pair fan-out at corpus scale.  Generated
+    candidates are then VERIFIED against the full shingle sets, so the
+    reported ``shared``/``size_a``/``size_b`` are always the true unfiltered
+    values (generate-then-verify; the verify join touches only candidate
+    pairs, a vanishing fraction of the corpus).  The only approximation is
+    recall: a pair whose overlap consists exclusively of hot shingles is
+    never generated — by design, stopword-shingle overlap is not
+    near-duplication evidence.
 
     Shape: ONE shingle-explode pass -> posting lists (groupBy shingle) ->
-    pair generation from each list as an expression (each co-occurrence
-    emitted exactly once, O(L²) bounded by ``max_shingle_freq``) -> pair
-    counts.  Doc sizes are re-derived from the posting lists, so the
-    expensive shingle construction runs once, not three times (a naive
-    explode self-join recomputes it per side — measured ~2× slower).
+    pair generation from each (frequency-capped) list via two generator
+    explodes (each co-occurrence emitted exactly once, O(L²) bounded by
+    ``max_shingle_freq``) -> exact rescore of candidates.  Doc sizes are
+    re-derived from the posting lists, so the expensive shingle construction
+    runs once.
     """
     ex = _shingle_exploded(docs, id_col, text_col, n)
     posting = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-    # Sizes come from the UNFILTERED postings: |A| is the document's true
-    # distinct-shingle count.  Deriving sizes after the frequency filter
-    # shrinks the Jaccard denominator for stopword-heavy documents and
-    # reports dissimilar pairs as near-dups (their one shared rare shingle
-    # over tiny residual sizes).  The filter only prunes candidate
-    # *generation* — the standard skew guard semantics.
+    # true distinct-shingle count per doc — from the UNFILTERED postings
     sizes = posting.select(F.explode("ids").alias("_id")).groupBy("_id").agg(
         F.count("*").alias("sz")
     )
+    gen = posting
     if max_shingle_freq is not None:
-        posting = posting.filter(F.size("ids") <= max_shingle_freq)
+        gen = gen.filter(F.size("ids") <= max_shingle_freq)
     # all ordered pairs (ids[i], ids[j]) with i < j: two generator explodes +
     # a pre-shuffle filter.  Codegen-friendly (no interpreted lambda); the
     # id_a < id_b filter runs before the exchange so the shuffle carries each
     # co-occurrence exactly once.
     ids = F.col("ids")
     shared = (
-        posting.filter(F.size(ids) > 1)
+        gen.filter(F.size(ids) > 1)
         .select(F.explode(ids).alias("id_a"), "ids")
         .select("id_a", F.explode(ids).alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
+    if max_shingle_freq is not None:
+        # verify step: exact shared count over the FULL shingle sets for the
+        # generated candidates (the filtered count undercounts pairs whose
+        # overlap includes hot shingles).  Pair-restricted join — cost scales
+        # with candidates, not the corpus.
+        cand = shared.select("id_a", "id_b")
+        a = ex.select(F.col("_id").alias("id_a"), "shingle")
+        b = ex.select(F.col("_id").alias("id_b"), "shingle")
+        shared = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared"))
+        )
     out = (
         shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
@@ -337,8 +355,16 @@ def simhash_pairs(
     self-join would run the whole fingerprint pipeline once per side — and
     the exact ``bit_count(xor)`` filter runs on candidates only.
     """
-    fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
+    if n_bits % band_bits != 0:
+        raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
     n_bands = n_bits // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the pigeonhole "
+            f"guarantee (every pair within max_hamming agrees on some band) "
+            f"requires max_hamming < n_bands — use more/narrower bands"
+        )
+    fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
     mask = (1 << band_bits) - 1
     bands = F.explode(
         F.array(

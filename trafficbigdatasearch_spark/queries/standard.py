@@ -265,16 +265,18 @@ def j2_interval_join(spark, sf):
 def j3_or_key_union(spark, sf):
     """J3 "fixed" form: the reference abandoned its OR-key join because Spark
     plans it as a nested loop (src/OverSpeedCount.scala:122); the scalable
-    rewrite is two hash joins unioned with overlap removal."""
-    c = load_table(spark, sf, "customer")
-    n = load_table(spark, sf, "nation")
-    j1 = c.join(n, c["c_nationkey"] == n["n_nationkey"])
-    j2 = c.join(
-        n,
-        (c["c_custkey"] % 25 == n["n_nationkey"])
-        & (c["c_nationkey"] != n["n_nationkey"]),
+    rewrite is two hash joins unioned with NULL-safe overlap removal —
+    via the shared ``union_of_joins_on_either_key`` helper so the
+    coalesce-guard (a NULL first key must not drop second-key matches)
+    lives once."""
+    c = load_table(spark, sf, "customer").withColumn(
+        "c_altkey", F.col("c_custkey") % 25
     )
-    return j1.unionByName(j2).groupBy("n_name").agg(F.count("*").alias("n"))
+    n = load_table(spark, sf, "nation")
+    out = joins.union_of_joins_on_either_key(
+        n, c, "n_nationkey", ("c_nationkey", "c_altkey")
+    )
+    return out.groupBy("n_name").agg(F.count("*").alias("n"))
 
 
 @register(

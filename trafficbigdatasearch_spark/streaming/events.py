@@ -83,6 +83,9 @@ def session_windows(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
+            (F.unix_millis(F.col("w.end")) - F.unix_millis(F.col("w.start"))).alias(
+                "duration_ms"
+            ),
             "n_events",
         )
     )
