@@ -1005,6 +1005,7 @@ def text_rolling_fingerprint_q(spark, sf):
 @register(
     "text_metrics",
     r"""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
               CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens,
               CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1022,10 +1023,7 @@ def text_metrics_q(spark, sf):
     t = F.col("text")
     return d.select(
         "doc_id",
-        T.token_count(t).alias("n_tokens"),
-        T.stopword_count(t, "en").alias("n_stopwords_en"),
-        T.punct_count(t).alias("n_punct"),
-        T.digit_count(t).alias("n_digits"),
+        *T.quality_metrics(t),
         T.bpe_ish_token_count(t).alias("n_bpeish"),
     )
 
