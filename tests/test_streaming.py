@@ -207,3 +207,31 @@ def test_watermark_finalizes_closed_windows_only(spark, tmp_path_factory):
     assert emitted <= {"2024-01-01 08:00", "2024-01-01 09:00"}, emitted
     assert "2024-01-01 10:00" not in emitted
     assert "2024-01-01 11:00" not in emitted
+
+
+def test_streaming_rollup_to_parquet_sink(spark, event_stream_dir, tmp_path_factory):
+    """The continuous-materialization path: watermarked hourly counts written
+    to a parquet file sink (append mode), then batch-read as a rollup table.
+    Emitted (finalized) windows must carry exactly the batch-side counts."""
+    out = tmp_path_factory.mktemp("rollup_sink")
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    q = (
+        SE.tumbling_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rollup = spark.read.parquet(str(out / "data"))
+    want = {
+        r["bucket"]: r["n"]
+        for r in standard.queries()["time_bucket_hourly"](spark, SF).collect()
+    }
+    got = {r["bucket"]: r["n"] for r in rollup.collect()}
+    # append emits only watermark-finalized windows — a subset of batch,
+    # value-identical where present
+    assert got, "no finalized windows written"
+    assert all(want.get(b) == n for b, n in got.items()), "rollup values diverge"
