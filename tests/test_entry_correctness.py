@@ -193,7 +193,7 @@ def test_ann_recall_on_clustered_corpus(spark):
         return hits / sum(len(n) for n in brute.values())
 
     lsh = neighbor_sets(
-        similarity.lsh_bucketed_topk(emb, queries, k=5, n_planes=8)
+        similarity.lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dims=dims)
     )
     ivf = neighbor_sets(
         similarity.ivf_topk(emb, queries, k=5, nprobe=2, centroid_stride=7)

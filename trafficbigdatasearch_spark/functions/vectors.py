@@ -40,9 +40,12 @@ def sq_norm(a: Column) -> Column:
 
 
 def cosine_from_quantized(a: Column, b: Column) -> Column:
-    """Cosine similarity from quantized vectors — deterministic IEEE result."""
-    return dot(a, b).cast("double") / (
-        F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double"))
+    """Cosine similarity from quantized vectors — deterministic IEEE result.
+    Zero-norm vectors score NULL (try_divide) instead of raising under the
+    ANSI-on default of Spark 4."""
+    return F.try_divide(
+        dot(a, b).cast("double"),
+        F.sqrt(sq_norm(a).cast("double")) * F.sqrt(sq_norm(b).cast("double")),
     )
 
 
@@ -53,9 +56,12 @@ def cosine_from_parts(d: Column, na: Column, nb: Column) -> Column:
     exact either way), but lets operators compute each vector's norm ONCE per
     vector instead of once per compared pair — the norm fold is an
     interpreted higher-order expression, so hoisting it out of the pair loop
-    is a ~3x win on the scoring stage.
+    is a ~3x win on the scoring stage.  Zero-norm vectors score NULL
+    (try_divide) instead of raising under Spark 4's ANSI-on default.
     """
-    return d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    return F.try_divide(
+        d.cast("double"), F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
 
 
 def hyperplane_weights(n_planes: int, dims: int) -> list[list[int]]:
@@ -82,6 +88,19 @@ def simhash_bucket(qvec: Column, n_planes: int = 8, dims: int = 64) -> Column:
     arrays — zero per-row hash cost)."""
     ws = hyperplane_weights(n_planes, dims)
     out = F.lit(0).cast("bigint")
+    # dims mismatch would NULL every projection (zip_with pads) and silently
+    # collapse all rows into bucket 0 — fail fast instead
+    guard = F.when(
+        F.size(qvec) == F.lit(dims), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"simhash_bucket: expected {dims}-dim vector, got "),
+                F.size(qvec).cast("string"),
+            )
+        ).cast("bigint")
+    )
+    out = out + guard
     for p, row in enumerate(ws):
         proj = F.aggregate(
             F.zip_with(

@@ -88,12 +88,14 @@ def bucket_assignments(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int = 64,
 ) -> DataFrame:
     """(id, bucket) per vector — the LSH partitioning fabric.  Deterministic
-    (md5-derived hyperplanes over quantized components)."""
+    (md5-derived hyperplanes over quantized components).  ``dims`` must match
+    the embedding length (enforced at evaluation)."""
     return _with_quantized(corpus, vec_col, "qv").select(
         F.col(id_col).alias("id"),
-        V.simhash_bucket(F.col("qv"), n_planes).alias("bucket"),
+        V.simhash_bucket(F.col("qv"), n_planes, dims).alias("bucket"),
     )
 
 
@@ -105,6 +107,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket, then exact rerank.  Same output shape as ``brute_force_topk``;
@@ -118,13 +121,13 @@ def lsh_bucketed_topk(
         F.col(query_id_col).alias("query_id"),
         "qv",
         "qn",
-        V.simhash_bucket(F.col("qv"), n_planes).alias("bucket"),
+        V.simhash_bucket(F.col("qv"), n_planes, dims).alias("bucket"),
     )
     c = _with_quantized(corpus, vec_col, "cv", "cn").select(
         F.col(id_col).alias("neighbor_id"),
         "cv",
         "cn",
-        V.simhash_bucket(F.col("cv"), n_planes).alias("bucket"),
+        V.simhash_bucket(F.col("cv"), n_planes, dims).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -291,13 +294,13 @@ def kmeans_refine(
             "cv",
             "cn",
             "cell_id",
-            (
+            F.try_divide(
                 F.aggregate(
                     F.zip_with(F.col("cv"), F.col("mv"), lambda a, b: a * b),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                )
-                / (F.sqrt(F.col("cn").cast("double")) * F.col("mnorm"))
+                ),
+                F.sqrt(F.col("cn").cast("double")) * F.col("mnorm"),
             ).alias("s"),
         )
         assigned = sim.groupBy("vid").agg(
@@ -319,7 +322,7 @@ def kmeans_refine(
             "cell_id", F.posexplode("cv").alias("dim", "x"), F.col("cn")
         ).select(
             "cell_id", "dim",
-            (F.col("x") / F.sqrt(F.col("cn").cast("double"))).alias("x"),
+            F.try_divide(F.col("x"), F.sqrt(F.col("cn").cast("double"))).alias("x"),
         )
         cents = (
             comp.groupBy("cell_id", "dim")
@@ -345,6 +348,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -359,7 +363,7 @@ def embedding_near_dup_pairs(
     if block_col is None:
         # inline bucket from the quantized column — same single-scan shape
         # as lsh_bucketed_topk, no join-back
-        c = c.withColumn("bucket", V.simhash_bucket(F.col("qv"), 8))
+        c = c.withColumn("bucket", V.simhash_bucket(F.col("qv"), 8, dims))
         block_col = "bucket"
     blk = F.coalesce(F.col(block_col).cast("string"), F.lit("__null_block__"))
     a = c.select(

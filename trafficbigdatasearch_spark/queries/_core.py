@@ -84,6 +84,19 @@ def join_stations(speed: DataFrame, guids: DataFrame) -> DataFrame:
     )
 
 
+def next_month(d: dt.date) -> dt.date:
+    """First day of the month after ``d`` — ONE home for the parity-critical
+    next-calendar-month idiom used by range cutoffs and today-slice bounds."""
+    return (d.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
+
+
+def months_in_range(start: dt.date, end: dt.date) -> int:
+    """Calendar months touched by [start, end] inclusive — the quirk-2.10.1
+    trigger: the reference's UNION (and thus parity dedup) only exists from
+    the second month on."""
+    return (end.year - start.year) * 12 + (end.month - start.month) + 1
+
+
 def month_of_millis(col: Column) -> Column:
     """Epoch millis -> ``yyyyMM`` string in the session timezone."""
     return F.date_format(F.timestamp_millis(col), "yyyyMM")
@@ -143,11 +156,13 @@ def car_type_col() -> Column:
     """The 4-segment classification the reference runs as 4 separate scans
     (src/OverSpeedCount.scala:133-136, src/AverageSpeed.scala:112-115):
     class=1/type=0 -> 01, class>1/type=0 -> 02, class=1/type=1 -> 03,
-    class>1/type=1 -> 04.  Numeric comparison of the string columns matches
-    the reference SQL's implicit casts; rows that fit no segment -> NULL.
+    class>1/type=1 -> 04.  DOUBLE comparison of the string columns matches
+    the reference SQL's implicit numeric promotion (an int cast would reject
+    decimal-formatted values like "2.0" that the reference accepts); rows
+    that fit no segment -> NULL.
     """
-    cls = F.col("class").try_cast("int")
-    typ = F.col("type").try_cast("int")
+    cls = F.col("class").try_cast("double")
+    typ = F.col("type").try_cast("double")
     return (
         F.when((cls == 1) & (typ == 0), "01")
         .when((cls > 1) & (typ == 0), "02")

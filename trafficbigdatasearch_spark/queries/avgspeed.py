@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.queries._core import (
     BBox,
+    months_in_range,
+    next_month,
     car_type_col,
     date_millis,
     join_stations,
@@ -104,8 +106,7 @@ def average_speed(
         fee_today = fee_data_today
     else:
         fee_month_ms_lo = date_millis(end.replace(day=1), tz)
-        nxt = (end.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
-        fee_month_ms_hi = date_millis(nxt, tz)
+        fee_month_ms_hi = date_millis(next_month(end), tz)
         fee_today = fee_data.filter(
             (F.col("ENTIMEMillis") >= fee_month_ms_lo)
             & (F.col("ENTIMEMillis") < fee_month_ms_hi)
@@ -127,7 +128,7 @@ def average_speed(
     classed = join_toll_class(
         join_stations(hist_obs, guids), fee_data, month_key=(mode == "parity")
     )
-    n_months = (end.year - hist_start.year) * 12 + (end.month - hist_start.month) + 1
+    n_months = months_in_range(hist_start, end)
     if mode == "parity" and n_months > 1:
         # UNION DISTINCT across months (§2.10.1); a single-month window builds
         # no ``union`` in the reference (src/AverageSpeed.scala:139) -> no dedup.

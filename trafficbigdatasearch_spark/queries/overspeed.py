@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.queries._core import (
+    months_in_range,
+    next_month,
     overspeed_threshold,
     BBox,
     car_type_col,
@@ -59,16 +61,15 @@ def overspeed_count(
     start_d, end_d = parse_date(start_date), parse_date(end_date)
     start_ms = date_millis(start_d, tz)
     end_ms = date_millis(end_d + dt.timedelta(days=1), tz)
-    n_months = (end_d.year - start_d.year) * 12 + (end_d.month - start_d.month) + 1
+    n_months = months_in_range(start_d, end_d)
 
     if mode == "parity":
         # Closed BETWEEN (quirk §2.10.3) — but the loop never reads past the
         # end month's file, so the instant ``end+1d 00:00`` only counts when
         # it still falls inside the end month; records in the next month's
         # file are out of scope even at the exact boundary.
-        next_month = (end_d.replace(day=1) + dt.timedelta(days=32)).replace(day=1)
         time_pred = F.col("WZSJMillis").between(start_ms, end_ms) & (
-            F.col("WZSJMillis") < date_millis(next_month, tz)
+            F.col("WZSJMillis") < date_millis(next_month(end_d), tz)
         )
     else:
         time_pred = (F.col("WZSJMillis") >= start_ms) & (F.col("WZSJMillis") < end_ms)

@@ -153,8 +153,11 @@ def read_speed_base_csv(spark: SparkSession, path: str) -> DataFrame:
         "CSFX",
         "CSYMC",
         "JDZBS",
-        F.col("LON").cast("double").alias("LON"),
-        F.col("LAT").cast("double").alias("LAT"),
+        # try_cast: a malformed coordinate becomes NULL (fails the bbox
+        # predicate) instead of aborting the query under Spark 4's ANSI-on
+        # default — the same lenient posture as the other parses here
+        F.col("LON").try_cast("double").alias("LON"),
+        F.col("LAT").try_cast("double").alias("LAT"),
     )
 
 
