@@ -79,6 +79,10 @@ def average_speed(
     diverges from the reference for toll trips whose interval crosses a
     month boundary (the trip lives in one month's file but its ENTIME can
     fall in another); prefer passing the slices.
+
+    ``tz`` MUST match the Spark session timezone (boundaries use ``tz``,
+    month keys and row parsing use the session zone — ``TrafficEngine``
+    aligns both; direct callers must too, SURVEY §2.10.7).
     """
     end = parse_date(date)
     start = end - dt.timedelta(days=30)

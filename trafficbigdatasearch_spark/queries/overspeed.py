@@ -58,6 +58,11 @@ def overspeed_count(
     tz: dt.tzinfo = dt.timezone.utc,
     mode: str = "parity",
 ) -> DataFrame:
+    """``tz`` MUST match the Spark session timezone: range boundaries use
+    ``tz`` driver-side while the parity month key (``month_of_millis``) and
+    row-timestamp parsing use the SESSION zone — ``TrafficEngine`` pins both
+    to the same zone; direct callers are responsible for the same alignment
+    (SURVEY §2.10.7)."""
     start_d, end_d = parse_date(start_date), parse_date(end_date)
     start_ms = date_millis(start_d, tz)
     end_ms = date_millis(end_d + dt.timedelta(days=1), tz)
