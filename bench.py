@@ -66,19 +66,23 @@ def main() -> None:
 
     _force(qs["s_scan_project"](spark, SF_DIR))  # warmup: JVM + codegen + IO
 
-    # Two runs per query: run 1 pays whole-stage-codegen compilation and JIT
-    # (a per-plan constant, irrelevant at 100 TB where plans run for minutes);
-    # run 2 is steady-state throughput — the reported number.  The cold total
-    # is kept alongside for transparency.
+    # Three runs per query: run 1 pays whole-stage-codegen compilation and
+    # JIT (a per-plan constant, irrelevant at 100 TB where plans run for
+    # minutes); the reported number is the MIN of two steady-state runs —
+    # the low-noise estimator of per-plan cost.  The cold total is kept
+    # alongside for transparency.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        times[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            warm.append(time.perf_counter() - t0)
+        times[name] = round(min(warm), 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
