@@ -1054,9 +1054,13 @@ def _lang_score_sql(lang: str) -> str:
        FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM s) t""",
 )
 def text_lang_id_q(spark, sf):
-    """Language-ID heuristic: argmax of per-language stopword hits."""
+    """Language-ID heuristic: argmax of per-language stopword hits —
+    explode + conditional-sum shape (T.lang_id_table), ~3x the per-row
+    interpreted-fold formulation."""
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+    return T.lang_id_table(d).join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "pred_lang")
 
 
 @register(
