@@ -73,3 +73,52 @@ def test_bbox_filter_monotone(spark, lo, width, shrink):
     inner_lo = lo + shrink * width / 2
     inner_hi = lo + width - shrink * width / 2
     assert count_box(inner_lo, max(inner_lo, inner_hi)) <= outer
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=3, max_value=7),  # arity
+            st.sampled_from(["G1", "", "x y", "1"]),  # SITE_GUID-ish
+            st.sampled_from(["P1", "", "2016-07-01 10:00:00", "junk"]),
+            st.sampled_from(["2016-07-01 10:00:00", "junk", ""]),  # WZSJ
+            st.sampled_from(["88", "fast", ""]),  # CLSD
+            st.sampled_from(["1", "0", "", "?"]),  # ISOVERSPEED
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@PROP
+def test_lenient_speed_csv_parser_properties(spark, tmp_path_factory, rows):
+    """Fuzz the lenient reader against the reference's cleaning contract
+    (S5-S7): exact arity 5, all fields non-empty, sentinel timestamps for
+    parse failures, positive-millis filter, 0-default numeric casts — and it
+    must never raise."""
+    import datetime as dt
+
+    from trafficbigdatasearch_spark.sources.csv_traffic import read_speed_csv
+
+    d = tmp_path_factory.mktemp("fuzz")
+    lines = []
+    expected = 0
+    for arity, a, b, c, e, f in rows:
+        fields = [a, b, c, e, f][:arity] + ["pad"] * max(0, arity - 5)
+        # commas inside fields are impossible under the split-on-comma contract
+        lines.append(",".join(fields))
+        if arity == 5 and all(x.strip() != "" for x in (a, b, c, e, f)):
+            # sentinel fallback -> epoch -> dropped by millis > 0 unless parseable
+            try:
+                ts = dt.datetime.strptime(c, "%Y-%m-%d %H:%M:%S")
+                if ts.timestamp() > 0:
+                    expected += 1
+            except ValueError:
+                pass
+    p = d / "fuzz.csv"
+    p.write_text("\n".join(lines) + "\n" if lines else "")
+    got = read_speed_csv(spark, str(p))
+    assert got.count() == expected
+    # surviving rows honor the lenient numeric defaults
+    for r in got.collect():
+        assert r["WZSJMillis"] > 0
+        assert r["CLSD"] is not None and r["ISOVERSPEED"] is not None
