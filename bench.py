@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_ivf_topk",
+    "sim_embedding_near_dup",
     "text_metrics",
     "text_pii_scrub",
     "text_lang_id",
