@@ -44,6 +44,31 @@ def test_month_partitioned_from_epoch_millis(spark, tmp_path):
     assert "month" in back.columns
 
 
+def test_load_table_events_on_vanilla_session(spark):
+    """load_table must self-heal a session missing the nanos/tz confs.
+
+    The driver harness passes a vanilla SparkSession that never went through
+    session.build_spark; without the runtime conf set inside load_table,
+    events.parquet (TIMESTAMP NANOS) throws PARQUET_TYPE_ILLEGAL — the round-1
+    root cause that erred 12 registry queries."""
+    saved_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    saved_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, SF, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert ev.count() > 0
+        # load_table must have re-pinned both confs for oracle parity
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        if saved_nanos is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved_nanos)
+        if saved_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+
 def test_sql_facade_views(spark):
     """register_views exposes every testdata table for spark.sql — the
     engine-native replacement for the reference's registerTempTable (S8)."""

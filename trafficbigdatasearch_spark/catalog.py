@@ -35,7 +35,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in the file; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as int64 and is
     converted here to a microsecond timestamp (truncating, exactly like
-    DuckDB's native read of the same file)."""
+    DuckDB's native read of the same file).
+
+    Both confs below are runtime-settable, so this works on any caller's
+    session — including a vanilla ``SparkSession`` that never went through
+    :func:`session.build_spark` (whose session-level pinning lives at
+    session.py).  Without ``nanosAsLong`` a vanilla session throws
+    ``PARQUET_TYPE_ILLEGAL`` on the events table before any query logic runs;
+    without a UTC session zone, ``hour(ts)`` / ``CAST(ts AS DATE)`` would be
+    skewed vs DuckDB's naive timestamps on machines in other zones."""
+    if name == "events":
+        for conf, value in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            try:
+                spark.conf.set(conf, value)
+            except Exception:
+                pass  # older/newer Spark without the conf: fall through to read
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
