@@ -63,7 +63,7 @@ def test_approx_sketches_accuracy(spark, duck):
 
     got = {
         r["l_returnflag"]: r
-        for r in standard.queries()["a_approx_sketches"](spark, SF).collect()
+        for r in standard.approx_sketches_raw(spark, SF).collect()
     }
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     for flag, row in got.items():

@@ -334,8 +334,17 @@ def kmeans_refine(
                 F.transform("dm", lambda e: e["m"]).alias("mv"),
             )
         )
+    # avg via exact integer sum of 1e-9-quantized similarities: float SUM is
+    # accumulation-order-dependent (differs per partitioning / per engine),
+    # the bigint sum is not — the standard determinism layer used by every
+    # oracle-matched average in queries/standard.py.  1e-9 « any similarity
+    # resolution anyone cares about.
     stats = assigned.groupBy("cell_id").agg(
-        F.count("*").alias("n_members"), F.avg("s").alias("avg_sim")
+        F.count("*").alias("n_members"),
+        (
+            F.sum(F.round(F.col("s") * 1e9).cast("bigint")).cast("double")
+            / (F.lit(1e9) * F.count("*"))
+        ).alias("avg_sim"),
     )
     return stats.join(cents, "cell_id", "left").select(
         "cell_id", "n_members", "avg_sim", F.col("mv").alias("centroid")

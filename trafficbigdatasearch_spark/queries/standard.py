@@ -418,19 +418,81 @@ def a_cube(spark, sf):
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
-@register("a_approx_sketches", None)  # sketches are engine-specific: rows-only
-def a_approx_sketches(spark, sf):
+def approx_sketches_raw(spark, sf):
     """Approximate aggregates — the 100 TB substitutes for exact distinct
     counts and exact percentiles (HLL++ and GK-quantile sketches, one pass,
-    fixed memory, mergeable across partitions).  No SQL oracle: sketch
-    estimates are engine-specific by construction; accuracy vs the exact
-    answers is pinned in tests/test_entry_correctness.py instead."""
+    fixed memory, mergeable across partitions).  Not in the registry: sketch
+    estimates are engine-specific by construction, so there is no cross-engine
+    oracle; accuracy vs the exact answers is pinned in
+    tests/test_entry_correctness.py instead."""
     li = load_table(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx(F.col("l_quantity"), [0.5, 0.95], 10000).alias(
             "qty_quantiles"
         ),
+    )
+
+
+@register(
+    "a_approx_sketches",
+    """WITH ranked AS (
+         SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM lineitem
+       ), q AS (
+         SELECT l_returnflag,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN qty END) AS q50,
+                MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN qty END) AS q95
+         FROM ranked GROUP BY l_returnflag
+       ), d AS (
+         SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+         FROM lineitem GROUP BY l_returnflag
+       )
+       SELECT d.l_returnflag, d.exact_orders, q.q50, q.q95
+       FROM d JOIN q USING (l_returnflag)""",
+)
+def a_approx_sketches(spark, sf):
+    """The deterministic twin of :func:`approx_sketches_raw`: exact distinct
+    count + exact DISCRETE quantiles (value at rank ``ceil(p*n)`` of the
+    sorted group — an actual data element, so cross-engine hash-stable; both
+    engines evaluate the same IEEE ``ceil(p*n)``).  Scalar ``q50``/``q95``
+    columns, not an array — the driver canonicalizer sorts pandas columns and
+    arrays are unhashable.  At 100 TB you'd run the sketch twin; this
+    registered form proves the pipeline shape (group, rank, select-at-rank)
+    against the oracle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    quants = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * 0.5))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.95))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("qty"))
+            ).alias("q50"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("qty"))
+            ).alias("q95"),
+        )
+    )
+    distinct = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    return distinct.join(F.broadcast(quants), "l_returnflag").select(
+        "l_returnflag", "exact_orders", "q50", "q95"
     )
 
 
@@ -1216,12 +1278,29 @@ def sim_ivf_topk_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
-@register("sim_kmeans_refine", None)  # iterative algorithm: rows-only check
+@register(
+    "sim_kmeans_refine",
+    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
+       asim AS (SELECT c.vec_id AS vid, cell_id,
+                       {_COS.format(a='v', b='mv')} AS s
+                FROM c CROSS JOIN cent),
+       assign AS (SELECT vid, cell_id, s FROM (
+           SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell_id ASC) AS r
+           FROM asim) t WHERE r = 1)
+       SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(CAST(round(s * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS avg_sim
+       FROM assign GROUP BY cell_id""",
+)
 def sim_kmeans_refine_q(spark, sf):
     """Spherical k-means refinement of the IVF centroids (one Lloyd
     iteration) — the iterative assignment/re-estimation loop as DataFrame
-    ops.  No SQL oracle (genuinely iterative); the per-iteration objective
-    monotonicity is pinned in tests/test_entry_correctness.py."""
+    ops.  With n_iter=1 the returned stats ARE the first assignment pass
+    (the re-estimated centroids feed iteration 2+ / the centroid column),
+    so one Lloyd step is exactly SQL-expressible: broadcast-argmin
+    assignment + grouped count/avg, with avg_sim quantized to 1e-9 for
+    cross-engine determinism (operators/similarity.py).  Multi-iteration
+    objective monotonicity is pinned in tests/test_entry_correctness.py."""
     return similarity.kmeans_refine(
         load_table(spark, sf, "embeddings"), n_iter=1
     ).select("cell_id", "n_members", "avg_sim")
