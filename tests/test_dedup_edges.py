@@ -120,6 +120,33 @@ def test_jaccard_verify_restores_true_shared(spark):
     assert got[(1, 2)] == 2
 
 
+def test_skew_guard_runs_before_collect(spark):
+    """A degenerate hot key (whole corpus in one shingle/bucket) must be
+    dropped by the count pre-pass + semi join BEFORE any posting list is
+    collected — guard-after-collect would materialize the full member list
+    in one aggregation row first (executor OOM at scale; round-1 finding)."""
+    docs = spark.createDataFrame(
+        [(i, "same text for everyone here") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    builders = [
+        dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_freq=5),
+        dedup.minhash_lsh_pairs(docs, k=8, bands=2, max_bucket_size=5),
+        dedup.simhash_pairs(docs, max_bucket_size=5),
+    ]
+    for df in builders:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the guard's semi join must sit in the plan (below the collect agg)
+        assert "LeftSemi" in plan, plan
+        # every key is degenerate here, so the guarded output is empty
+        assert df.collect() == []
+    # sanity: with the guard off the same corpus is all-pairs duplicates
+    n_pairs = 30 * 29 // 2
+    assert dedup.minhash_lsh_pairs(
+        docs, k=8, bands=2, max_bucket_size=None
+    ).count() == n_pairs
+
+
 def test_simhash_pairs_rejects_bad_banding(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divisible"):

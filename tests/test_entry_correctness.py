@@ -142,13 +142,22 @@ def test_near_dup_includes_null_block_rows(spark):
 
 
 def test_ivf_raises_without_centroids(spark):
+    """validate=True opts into the fail-fast job; the default build must be
+    lazy (zero jobs) and yield an empty result for an empty centroid set."""
     import pytest
 
     from trafficbigdatasearch_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id % 97 != 0")
     with pytest.raises(ValueError, match="centroid"):
-        similarity.ivf_topk(emb, emb.limit(2), centroid_stride=97)
+        similarity.ivf_topk(emb, emb.limit(2), centroid_stride=97, validate=True)
+    # lazy default: builds without launching a job, empty result on action
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = similarity.ivf_topk(emb, emb.limit(2), centroid_stride=97)
+    df2 = similarity.kmeans_refine(emb, n_iter=1, centroid_stride=97)
+    assert tracker.getJobIdsForGroup(None) == before  # zero jobs at build
+    assert df.count() == 0 and df2.count() == 0
 
 
 def test_ann_recall_on_clustered_corpus(spark):

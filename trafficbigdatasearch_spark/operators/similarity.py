@@ -152,12 +152,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    validate: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into inverted
     lists by nearest centroid; each query probes only its ``nprobe`` nearest
     cells and reranks exactly inside them.  Output shape matches
     ``brute_force_topk`` (query_id, neighbor_id, rank, score); recall < 1 by
     design — the scale path where the cross join is the brute baseline.
+
+    A ``centroid_stride`` with no multiples among the ids yields an EMPTY
+    result (every probe list is empty).  Pass ``validate=True`` to fail fast
+    with a ValueError instead — opt-in because the check is a Spark job, and
+    builders must stay lazy (plan construction launches zero jobs).
 
     Centroids are a deterministic corpus sample (``id % centroid_stride ==
     0``) rather than trained k-means: the *plumbing* — broadcast centroid
@@ -171,7 +177,7 @@ def ivf_topk(
     only candidate cells, ~``nprobe/n_cells`` of the corpus per query batch.
     """
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
-    if cent.isEmpty():
+    if validate and cent.isEmpty():
         raise ValueError(
             f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
             f"lower centroid_stride (results would be silently empty)"
@@ -244,6 +250,7 @@ def kmeans_refine(
     centroid_stride: int = 97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = False,
 ) -> DataFrame:
     """Spherical k-means refinement of the IVF centroid sample — the
     iterative-algorithm shape (assignment / re-estimation loop) expressed as
@@ -265,6 +272,10 @@ def kmeans_refine(
     per-vector window, no all-pairs stage.  The loop count is a small
     constant (driver-side for), exactly how iterative refinement runs on a
     cluster.
+
+    As with :func:`ivf_topk`, an empty centroid sample yields an EMPTY
+    result; ``validate=True`` opts into a fail-fast Spark job (builders stay
+    lazy by default — plan construction launches zero jobs).
     """
     c = _with_quantized(corpus, vec_col, "cv", "cn").select(
         F.col(id_col).alias("vid"), "cv", "cn"
@@ -276,7 +287,7 @@ def kmeans_refine(
             F.transform("cv", lambda x: x.cast("double")).alias("mv"),
         )
     )
-    if cents.isEmpty():
+    if validate and cents.isEmpty():
         raise ValueError(
             f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
             f"lower centroid_stride (results would be silently empty)"

@@ -282,12 +282,20 @@ def j3_or_key_union(spark, sf):
 @register(
     "j_semi_anti",
     """SELECT c_custkey FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= DATE '1995-01-01'
+                         AND o_orderdate < DATE '1996-01-01')""",
 )
 def j_semi_anti(spark, sf):
-    """Anti join (beyond reference): customers with no orders."""
+    """Anti join (beyond reference): customers with no 1995 orders.  The
+    date restriction guarantees genuine misses at every test SF (every
+    customer in the generated data has SOME order, which made the unfiltered
+    form a vacuous 0=0 oracle match — round-1 finding)."""
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
 
 
@@ -1227,12 +1235,15 @@ def sim_lsh_topk_q(spark, sf):
               (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS score
        FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
        WHERE list_dot_product(a.qv, b.qv) /
-             (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.7""",
+             (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4""",
 )
 def sim_embedding_near_dup_q(spark, sf):
-    """Embedding-cosine near-dup pairs with label blocking (>= 0.7)."""
+    """Embedding-cosine near-dup pairs with label blocking.  Threshold 0.4:
+    the synthetic embeddings top out near cosine 0.5, so 0.7 matched on
+    empty sets at every SF (vacuous 0=0 oracle — round-1 finding); 0.4
+    yields 5/5/86 pairs at sf0.001/0.01/0.1."""
     return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.7, block_col="label"
+        load_table(spark, sf, "embeddings"), threshold=0.4, block_col="label"
     )
 
 
