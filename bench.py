@@ -60,6 +60,52 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: Multiplier over the base traffic fixture (300 trips + 800 observations
+#: per month x 7 months, 600 accidents) for the three reference entry
+#: points.  20 => ~42k trips / ~112k observations / 12k accidents.
+TRAFFIC_SCALE = int(os.environ.get("SPARK_GRAFT_TRAFFIC_SCALE", "20"))
+
+
+def _bench_traffic(spark, times: dict, cold: dict) -> None:
+    """The reference's own three entry points (accident / overspeed /
+    avgspeed) over a generated reference-layout CSV corpus at
+    TRAFFIC_SCALE x the test fixture — full facade calls including the JSON
+    materialization, exactly the reference's contract."""
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import traffic_sim
+
+    from trafficbigdatasearch_spark.engine import TrafficEngine
+
+    base = Path(tempfile.mkdtemp(prefix="tbds_bench_traffic_")) / "traffic"
+    traffic_sim.generate(base, scale=TRAFFIC_SCALE)
+    eng = TrafficEngine(spark, str(base), layout="reference_csv", mode="parity")
+    calls = {
+        "traffic_accident_count": lambda: eng.get_accident_count(
+            118.0, 116.0, 39.0, 36.0, "2016-07-01", "2016-09-15"
+        ),
+        "traffic_overspeed_count": lambda: eng.get_overspeed_count(
+            118.0, 116.0, 39.0, 36.0, "2016-06-15", "2016-08-02"
+        ),
+        "traffic_avgspeed": lambda: eng.get_average_speed(
+            118.0, 116.0, 39.0, 36.0, "2016-12-15"
+        ),
+    }
+    for name, call in calls.items():
+        t0 = time.perf_counter()
+        out = call()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        assert out, f"{name}: empty result on the canonical bbox"
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            call()
+            warm.append(time.perf_counter() - t0)
+        times[name] = round(min(warm), 3)
+
+
 def main() -> None:
     spark = build_spark(app_name="tbds-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,6 +131,8 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         times[name] = round(min(warm), 3)
 
+    _bench_traffic(spark, times, cold)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     print(
@@ -97,6 +145,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "n_queries": len(times),
+                "traffic_fixture_scale": TRAFFIC_SCALE,
             }
         )
     )

@@ -48,7 +48,13 @@ def _next_month(mm: str) -> str:
 # --- generation ---------------------------------------------------------------
 
 
-def generate(base: Path, seed: int = 42) -> None:
+def generate(base: Path, seed: int = 42, scale: int = 1) -> None:
+    """Write the reference-layout CSV corpus under ``base``.
+
+    ``scale`` multiplies the per-month trip/observation/accident row counts
+    (edge-case rows stay single) — scale=1 for the correctness tests, larger
+    for bench fixtures.  The Python oracles below read whatever is on disk,
+    so they stay correct at any scale."""
     rng = random.Random(seed)
     base.mkdir(parents=True, exist_ok=True)
 
@@ -84,7 +90,7 @@ def generate(base: Path, seed: int = 42) -> None:
         # --- toll trips
         fee_lines = []
         trips = []  # (plate, en_dt, ex_dt, cls, flag) for speed-row correlation
-        for t in range(300):
+        for t in range(300 * scale):
             plate = rng.choice(plates)
             en = m_start + dt.timedelta(seconds=rng.randrange(m_secs - 6 * 3600))
             ex = en + dt.timedelta(seconds=rng.randrange(1800, 6 * 3600))
@@ -111,7 +117,7 @@ def generate(base: Path, seed: int = 42) -> None:
 
         # --- camera observations
         speed_lines = []
-        for _ in range(800):
+        for _ in range(800 * scale):
             plate, en, ex, _, _ = trips[rng.randrange(len(trips))]
             span = int((ex - en).total_seconds())
             ts = en + dt.timedelta(seconds=rng.randrange(max(span, 1)))
@@ -144,7 +150,7 @@ def generate(base: Path, seed: int = 42) -> None:
 
     # --- accidents (all fields quoted; 20 fields)
     acc_lines = []
-    for i in range(600):
+    for i in range(600 * scale):
         d = dt.datetime(2016, rng.randint(6, 12), rng.randint(1, 28), rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59))
         lon = round(rng.uniform(115.0, 120.0), 6)
         lat = round(rng.uniform(35.0, 41.0), 6)
