@@ -209,3 +209,37 @@ def test_ann_recall_on_clustered_corpus(spark):
     )
     assert recall(lsh) >= 0.9, recall(lsh)
     assert recall(ivf) >= 0.9, recall(ivf)
+    # trained-centroid seam: kmeans_refine output plugs straight in, and on
+    # this clustered corpus the refined centroids must hold the recall bar
+    cents = similarity.kmeans_refine(
+        emb, n_iter=2, centroid_stride=7, vec_col="embedding"
+    ).select("cell_id", "centroid")
+    trained = neighbor_sets(
+        similarity.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents)
+    )
+    assert recall(trained) >= 0.9, recall(trained)
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: identical results to the inline
+    operator, and the probe join must prune the partitioned index (dynamic
+    partition pruning on cell_id — the read path that makes repeated ANN
+    querying touch ~nprobe/n_cells of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, queries, k=5, nprobe=2, centroid_stride=97
+        ).collect()
+    )
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, centroid_stride=97)
+    idf = similarity.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    assert sorted(tuple(r) for r in idf.collect()) == inline
+    plan = idf._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

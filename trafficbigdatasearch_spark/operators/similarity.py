@@ -153,6 +153,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     validate: bool = False,
+    centroids: DataFrame | None = None,
+    centroid_id_col: str = "cell_id",
+    centroid_vec_col: str = "centroid",
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into inverted
     lists by nearest centroid; each query probes only its ``nprobe`` nearest
@@ -165,26 +168,34 @@ def ivf_topk(
     with a ValueError instead — opt-in because the check is a Spark job, and
     builders must stay lazy (plan construction launches zero jobs).
 
-    Centroids are a deterministic corpus sample (``id % centroid_stride ==
-    0``) rather than trained k-means: the *plumbing* — broadcast centroid
-    table, map-side argmin assignment (``min_by``, no shuffle-per-vector
-    window), cell-key equi join — is identical to a trained IVF, and
-    determinism keeps the operator oracle-checkable.  Swapping in trained
-    centroids is a one-line change at the ``cent`` definition.
+    By default centroids are a deterministic corpus sample
+    (``id % centroid_stride == 0``) — determinism keeps the operator
+    oracle-checkable.  Pass ``centroids=`` a (cell_id, centroid) DataFrame —
+    e.g. ``kmeans_refine(corpus).select("cell_id", "centroid")`` — to use
+    TRAINED centroids; any cosine-positive scaling of the vectors is
+    equivalent, so the refined unit-mean centroids quantize fine.
 
-    At scale: assignment is one broadcast pass over the corpus (the inverted
-    index would be written bucketed by ``cell_id``); the probe join shuffles
-    only candidate cells, ~``nprobe/n_cells`` of the corpus per query batch.
+    At scale: assignment is one broadcast pass over the corpus (persist it
+    with :func:`build_ivf_index` for repeated querying); the probe join
+    shuffles only candidate cells, ~``nprobe/n_cells`` of the corpus per
+    query batch.
     """
-    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
-    if validate and cent.isEmpty():
-        raise ValueError(
-            f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
-            f"lower centroid_stride (results would be silently empty)"
+    if centroids is None:
+        cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        if validate and cent.isEmpty():
+            raise ValueError(
+                f"no centroids: no {id_col} is a multiple of {centroid_stride} — "
+                f"lower centroid_stride (results would be silently empty)"
+            )
+        cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+            F.col(id_col).alias("cell_id"), "mv", "mn"
         )
-    cq = _with_quantized(cent, vec_col, "mv", "mn").select(
-        F.col(id_col).alias("cell_id"), "mv", "mn"
-    )
+    else:
+        if validate and centroids.isEmpty():
+            raise ValueError("no centroids: the supplied centroid table is empty")
+        cq = _with_quantized(centroids, centroid_vec_col, "mv", "mn").select(
+            F.col(centroid_id_col).alias("cell_id"), "mv", "mn"
+        )
     c = _with_quantized(corpus, vec_col, "cv", "cn").select(
         F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
@@ -203,6 +214,26 @@ def ivf_topk(
             F.col("cell_id"), F.struct((-F.col("csim")).alias("d"), F.col("cell_id"))
         ).alias("cell_id")
     )
+    return _ivf_probe_rerank(
+        c.join(assign, "neighbor_id"), cq, queries, k, nprobe, vec_col, query_id_col
+    )
+
+
+def _ivf_probe_rerank(
+    indexed: DataFrame,
+    cq: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared IVF query tail: pick each query's ``nprobe`` nearest cells
+    against the broadcast centroid table, equi-join the inverted index on
+    ``cell_id``, rerank exactly.  ``indexed`` is (neighbor_id, cv, cn,
+    cell_id) — built inline by :func:`ivf_topk` or read back from
+    :func:`build_ivf_index`'s partitioned layout (where the broadcast probe
+    join triggers dynamic partition pruning on ``cell_id``)."""
     q = _with_quantized(queries, vec_col, "qv", "qn").select(
         F.col(query_id_col).alias("query_id"), "qv", "qn"
     )
@@ -228,8 +259,7 @@ def ivf_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        c.join(assign, "neighbor_id")
-        .join(F.broadcast(probes), "cell_id")
+        indexed.join(F.broadcast(probes), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -242,6 +272,86 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    centroid_id_col: str = "cell_id",
+    centroid_vec_col: str = "centroid",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF inverted index: assignment computed ONCE, vectors
+    stored pre-quantized, the index PARTITIONED by ``cell_id``.
+
+    Layout: ``{path}/inverted/cell_id=N/`` holding (neighbor_id, cv, cn) and
+    ``{path}/centroids/`` holding (cell_id, mv, mn).  Querying through
+    :func:`ivf_topk_indexed` then reads ONLY the probed cells — the broadcast
+    probe join drives dynamic partition pruning, so a query batch touches
+    ~``nprobe/n_cells`` of the corpus bytes instead of re-scanning and
+    re-assigning everything per call.  This is the repeated-query ANN shape
+    at 100 TB: build once (one broadcast pass + one partitioned write),
+    query forever.
+
+    Same centroid options as :func:`ivf_topk` (deterministic sample, or
+    trained centroids e.g. from :func:`kmeans_refine`).
+    """
+    if centroids is None:
+        cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+            F.col(id_col).alias("cell_id"), "mv", "mn"
+        )
+    else:
+        cq = _with_quantized(centroids, centroid_vec_col, "mv", "mn").select(
+            F.col(centroid_id_col).alias("cell_id"), "mv", "mn"
+        )
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
+    )
+    sim = c.crossJoin(F.broadcast(cq)).select(
+        "neighbor_id",
+        "cell_id",
+        V.cosine_from_parts(
+            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+        ).alias("csim"),
+    )
+    assign = sim.groupBy("neighbor_id").agg(
+        F.min_by(
+            F.col("cell_id"), F.struct((-F.col("csim")).alias("d"), F.col("cell_id"))
+        ).alias("cell_id")
+    )
+    c.join(assign, "neighbor_id").write.mode(mode).partitionBy("cell_id").parquet(
+        f"{path}/inverted"
+    )
+    cq.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted :func:`build_ivf_index` — identical results to
+    :func:`ivf_topk` with the same centroids, but the corpus scan is pruned
+    to the probed cells (check the plan for ``dynamicpruning`` in
+    PartitionFilters).  ``cell_id`` comes back from partition-column
+    inference with a narrower integer type; the centroid table is cast to
+    match so the probe join keys align exactly — a cast on the partitioned
+    side would defeat the pruning."""
+    indexed = spark.read.parquet(f"{path}/inverted")
+    cell_t = indexed.schema["cell_id"].dataType
+    cq = spark.read.parquet(f"{path}/centroids").withColumn(
+        "cell_id", F.col("cell_id").cast(cell_t)
+    )
+    return _ivf_probe_rerank(indexed, cq, queries, k, nprobe, vec_col, query_id_col)
 
 
 def kmeans_refine(
