@@ -122,9 +122,12 @@ def test_jaccard_verify_restores_true_shared(spark):
 
 def test_skew_guard_runs_before_collect(spark):
     """A degenerate hot key (whole corpus in one shingle/bucket) must be
-    dropped by the count pre-pass + semi join BEFORE any posting list is
-    collected — guard-after-collect would materialize the full member list
-    in one aggregation row first (executor OOM at scale; round-1 finding)."""
+    dropped by the window-count guard BEFORE any posting list is collected —
+    guard-after-collect would materialize the full member list in one
+    aggregation row first (executor OOM at scale; round-1 finding).  The
+    window formulation keeps ONE exchange (no recompute of the expensive
+    explode/signature pipeline) while hot keys stream through WindowExec's
+    spillable buffer instead of an aggregation row."""
     docs = spark.createDataFrame(
         [(i, "same text for everyone here") for i in range(30)],
         ["doc_id", "text"],
@@ -136,8 +139,8 @@ def test_skew_guard_runs_before_collect(spark):
     ]
     for df in builders:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        # the guard's semi join must sit in the plan (below the collect agg)
-        assert "LeftSemi" in plan, plan
+        # the guard window (count over the bucket key) must sit in the plan
+        assert "windowspecdefinition" in plan.lower(), plan
         # every key is degenerate here, so the guarded output is empty
         assert df.collect() == []
     # sanity: with the guard off the same corpus is all-pairs duplicates

@@ -71,9 +71,11 @@ def main() -> int:
 
     qs, osql = entry.queries(), entry.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        checked += 1
         try:
             sdf = fn(spark, SF_DIR).toPandas()
             sql = osql.get(name)
@@ -102,7 +104,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — driver records the traceback
             failures.append(name)
             print(f"{name:32s} ERROR {type(e).__name__}: {str(e)[:160]}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    print(f"\n{checked - len(failures)}/{checked} green")
     if failures:
         print("failures:", ", ".join(failures))
     spark.stop()
