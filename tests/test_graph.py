@@ -1,0 +1,84 @@
+"""Connected-components (operators/graph.py) vs a reference union-find.
+
+Shapes chosen to stress the large-star/small-star rounds: a long chain
+(diameter >> log n — naive propagation's worst case), a hub star, dense
+cliques, multiple components, isolated nodes, and randomized graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from trafficbigdatasearch_spark.operators import graph
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label every node with its component MIN (roots are min by construction)
+    return {x: find(x) for x in list(parent)}
+
+
+def _cc(spark, pairs: list[tuple[int, int]], **kw) -> dict[int, int]:
+    df = spark.createDataFrame(pairs, "id_a: bigint, id_b: bigint")
+    return {
+        r["id"]: r["component"]
+        for r in graph.connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_star_and_components(spark):
+    # chain 0-1-2-...-63 (worst case for diameter-bound propagation),
+    # a star around 100, a separate triangle, reversed/duplicated edges
+    pairs = [(i, i + 1) for i in range(63)]
+    pairs += [(100 + i, 100) for i in range(1, 8)]
+    pairs += [(201, 200), (200, 202), (202, 201), (201, 202)]
+    expect = _union_find(pairs)
+    assert _cc(spark, pairs) == expect
+    assert set(expect.values()) >= {0, 100, 200}
+
+
+def test_isolated_nodes_label_themselves(spark):
+    pairs = [(1, 2)]
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id: bigint")
+    got = _cc(spark, pairs, nodes=nodes)
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _cc(spark, [(5, 5), (5, 6), (6, 5), (5, 6)])
+    assert got == {5: 5, 6: 5}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 400
+    pairs = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _cc(spark, pairs) == _union_find(pairs)
+
+
+def test_dedup_clusters_keeper_flag(spark):
+    df = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a: bigint, id_b: bigint"
+    )
+    rows = {r["id"]: r for r in graph.dedup_clusters(df).collect()}
+    assert rows[10]["is_keeper"] and rows[40]["is_keeper"]
+    assert not rows[20]["is_keeper"] and rows[20]["component"] == 10
+    assert rows[30]["component"] == 10 and rows[50]["component"] == 40

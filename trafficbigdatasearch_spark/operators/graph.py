@@ -1,0 +1,160 @@
+"""Distributed connected components over candidate-duplicate pair sets.
+
+The reference has no graph surface; this is the beyond-parity operator that
+turns near-dup PAIRS (minhash LSH / simhash / jaccard — operators/dedup.py)
+into duplicate CLUSTERS, the step every web-scale dedup pipeline needs
+between "these two look alike" and "keep one representative per group".
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the shuffle-native
+formulation.  Each half-round is one symmetrize + one per-node min aggregate
++ one join, all hash-partitioned on the node id; no step ever materializes a
+whole component on one executor (posting lists, adjacency collects and
+driver-side union-find are all avoided).  Converges in O(log² n) rounds
+independent of graph diameter — naive min-label propagation needs
+O(diameter) rounds, which on the pathological chain graph is O(n).
+
+At 100 TB: each round is a bounded number of hash shuffles over the edge
+set; edges only ever REWIRE toward smaller ids (the per-round edge count is
+monotonically non-increasing after the first large-star), so the working set
+shrinks as stars form.  The driver-side loop with a per-round
+``localCheckpoint`` (lineage truncation — iterative plans otherwise grow
+exponentially) and a convergence count is inherent to any fixpoint
+computation; every per-round job is fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(N(u) + {u}).
+
+    Output edges are canonical (larger, smaller); strictly-larger neighbors
+    move toward the local minimum, which is what collapses long paths in
+    O(log) rounds."""
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its smaller neighbors to their collective minimum.
+
+    Input/output edges are canonical (larger, smaller): per node u the
+    smaller neighborhood is exactly its outgoing edge list, so no
+    symmetrization is needed — one aggregate + one join."""
+    d = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("_m"))
+    rewired = d.join(mins, "u").select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    self_edges = mins.select("u", F.col("_m").alias("v"))
+    return (
+        rewired.union(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve an undirected pair set into components.
+
+    Returns (id, component) with ``component`` = the minimum id in the
+    node's component — deterministic regardless of round count, so any
+    engine (or a SQL oracle's recursive reachability closure) produces the
+    identical labeling.  Only nodes appearing in ``pairs`` are labeled
+    unless ``nodes`` is given, in which case isolated nodes label
+    themselves (component = own id).
+
+    The result is MATERIALIZED (the fixpoint loop must run jobs to detect
+    convergence); the returned DataFrame reads the final checkpointed edge
+    set, so downstream consumers pay no recomputation.
+
+    Raises ``RuntimeError`` if the edge set has not stabilized after
+    ``max_iterations`` full rounds — a loud failure beats silently wrong
+    clusters; the bound is generous (2^25 nodes would converge well inside
+    25 large/small rounds).
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("u"),
+            F.col(id_b).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # canonical distinct sets on both sides: equal counts + no rows
+        # unique to one side <=> identical edge sets.  Two cheap counts over
+        # checkpointed data per round — the unavoidable driver sync point of
+        # a fixpoint loop.
+        if (
+            nxt.count() == e.count()
+            and nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+        ):
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # fixpoint edge set is a star forest: (member, root) edges only
+    members = e.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias(id_col))
+        .distinct()
+        .select(id_col, F.col(id_col).alias("component"))
+    )
+    labels = members.union(roots).groupBy(id_col).agg(
+        F.min("component").alias("component")
+    )
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).cast("bigint").alias(id_col)).distinct()
+        labels = base.join(labels, id_col, "left").select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, component, is_keeper).
+
+    ``component`` is the min doc id of the cluster (the canonical survivor
+    — same keep-the-min convention as dedup.exact_duplicates);
+    ``is_keeper`` marks it.  Feed any of the dedup pair generators in."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        "id",
+        "component",
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.catalog import load_table
 from trafficbigdatasearch_spark.functions import text as T
 from trafficbigdatasearch_spark.functions import vectors as V
-from trafficbigdatasearch_spark.operators import dedup, joins, multimodal, similarity
+from trafficbigdatasearch_spark.operators import dedup, graph, joins, multimodal, similarity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1018,6 +1018,33 @@ def dedup_minhash_lsh_q(spark, sf):
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       )
+       SELECT id, CAST(min(lab) AS BIGINT) AS component,
+              (id = min(lab)) AS is_keeper
+       FROM walk GROUP BY id""",
+)
+def dedup_clusters_q(spark, sf):
+    """Near-dup CLUSTERS: LSH candidate pairs resolved into connected
+    components via alternating large-star/small-star (operators/graph.py) —
+    component = min doc id, the canonical survivor.  The oracle computes the
+    same labels via a recursive reachability closure; min-label components
+    are engine-independent, so the two agree exactly."""
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
+    )
+    return graph.dedup_clusters(pairs)
+
+
 _TOKCOUNT_SQL = (
     r"CASE WHEN length(trim(text)) = 0 THEN 0 "
     r"ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END"
@@ -1046,6 +1073,43 @@ def pipeline_clean_corpus_q(spark, sf):
     d1 = dedup.dedup_exact(qf)
     pairs = dedup.minhash_lsh_pairs(d1, k=_MINHASH_K, bands=4, n=3)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d1.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "pipeline_dedup_corpus",
+    f"""WITH RECURSIVE qf AS (SELECT doc_id, text FROM documents WHERE {_TOKCOUNT_SQL} >= 5),
+       fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f FROM qf),
+       keepx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY f),
+       d1 AS (SELECT qf.doc_id, qf.text FROM qf JOIN keepx USING (doc_id)),
+       {_lsh_pairs_cte('d1')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       dropx AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> min(lab))
+       SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)""",
+)
+def pipeline_dedup_corpus_q(spark, sf):
+    """The cleaning pipeline with CLUSTER-correct near-dedup: quality gate ->
+    exact dedup -> LSH candidate pairs -> connected components -> keep only
+    each component's min-id representative.  Unlike pipeline_clean_corpus
+    (which drops the id_b side of every pair — pairwise, order-biased), the
+    transitive closure keeps exactly ONE document per near-dup cluster even
+    when the pair graph is a chain a-b-c with no (a, c) edge."""
+    docs = load_table(spark, sf, "documents")
+    qf = docs.filter(T.token_count(F.col("text")) >= 5).select("doc_id", "text")
+    d1 = dedup.dedup_exact(qf)
+    pairs = dedup.minhash_lsh_pairs(d1, k=_MINHASH_K, bands=4, n=3)
+    drop = (
+        graph.dedup_clusters(pairs)
+        .filter(~F.col("is_keeper"))
+        .select(F.col("id").alias("doc_id"))
+    )
     return d1.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
