@@ -1,0 +1,67 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+
+
+def test_hash_split_partitions_everything_and_is_stable(ids):
+    out = sampling.hash_split(ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 5000
+    # binomial(5000, p) stays well inside these bands
+    assert 3800 <= counts["train"] <= 4200
+    assert 350 <= counts["val"] <= 650
+    assert 350 <= counts["test"] <= 650
+    # pure function of the key: recomputation yields the identical assignment
+    again = sampling.hash_split(ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).isEmpty()
+
+
+def test_hash_split_salt_changes_assignment(ids):
+    a = sampling.hash_split(ids, "id", {"x": 0.5, "y": 0.5}, salt="a")
+    b = sampling.hash_split(ids, "id", {"x": 0.5, "y": 0.5}, salt="b")
+    moved = a.join(b.withColumnRenamed("split", "split_b"), "id").filter(
+        F.col("split") != F.col("split_b")
+    )
+    assert moved.count() > 1000  # ~half move under an independent hash
+
+
+def test_hash_split_rejects_bad_fractions(ids):
+    with pytest.raises(ValueError):
+        sampling.hash_split(ids, "id", {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_sample_rates(ids):
+    out = sampling.stratified_sample(
+        ids, "grp", {"0": 1.0, "1": 0.0, "2": 0.5}, key_col="id", default_rate=0.1
+    )
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    per = 5000 // 7
+    assert counts["0"] == per + 1  # rate 1.0 keeps every row of the stratum
+    assert "1" not in counts  # rate 0.0 keeps none
+    assert 0.35 * per <= counts["2"] <= 0.65 * per
+    for g in ("3", "4", "5", "6"):
+        assert counts[g] <= 0.25 * per
+
+
+def test_group_sample_caps_each_group(ids):
+    out = sampling.group_sample(ids, "grp", 11, key_col="id")
+    counts = [r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()]
+    assert counts == [11] * 7
+    # k above group size keeps the whole group
+    small = ids.filter(F.col("id") < 3)
+    assert sampling.group_sample(small, "grp", 100, key_col="id").count() == 3
+    # deterministic: same rows both times
+    again = sampling.group_sample(ids, "grp", 11, key_col="id")
+    assert out.exceptAll(again).isEmpty()

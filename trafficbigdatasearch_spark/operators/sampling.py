@@ -1,0 +1,122 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The reference has no sampling surface; these are beyond-parity operators a
+corpus pipeline needs constantly: reproducible train/validation/test splits,
+per-stratum downsampling, and fixed-size per-group samples.
+
+Every operator here derives its randomness from ``md5(salt || key)`` — a
+pure expression, NO ``rand()``:
+
+- **Reproducible across engines**: any SQL engine recomputes the identical
+  split (the DuckDB oracles do exactly that), so a sample taken today can be
+  re-derived from the raw corpus forever — lineage for free.
+- **Reproducible across retries**: ``rand()`` draws a different value when a
+  failed task is re-executed, silently changing the sample under fault
+  recovery; a content hash cannot.
+- **Stable under repartitioning**: membership depends only on the row's key,
+  never on partition layout or row order.
+
+At 100 TB: hash_split and stratified_sample are stateless row-local
+expressions — scan speed, zero shuffles, fully pushdown-friendly.
+group_sample shuffles once on the group key with a per-group top-k window;
+its skew bound is the group cardinality (use it for per-source / per-lang
+caps, not for a single giant group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Buckets for rate quantization: rates are exact multiples of 1/10000, so
+#: oracle SQL reproduces membership with integer comparisons only.
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from the md5 of ``salt || key``.
+
+    First 7 md5 hex chars -> 28-bit int (same portable recipe as
+    functions/text.py shingle_hash) -> mod BUCKETS.  md5 is uniform, so
+    bucket occupancy is binomial with negligible deviation at any corpus
+    size."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 7), 16, 10
+    ).cast("bigint")
+    return h % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash range.
+
+    ``fractions`` maps split name -> fraction (must sum to 1.0); ranges are
+    allocated in insertion order, e.g. ``{"train": 0.9, "test": 0.1}`` gives
+    train = buckets [0, 9000), test = [9000, 10000).  Adds a ``split``
+    column; no rows are dropped, no shuffle happens."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = hash_bucket(F.col(key_col), salt)
+    expr = None
+    lo = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi = lo + round(fractions[name] * BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    ``rates`` maps stratum value -> keep fraction (quantized to 1/BUCKETS);
+    strata not listed keep ``default_rate``.  Row-local filter — the
+    downsampling a corpus pipeline uses to rebalance sources/languages
+    without a shuffle."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    thresh = None
+    for value, rate in rates.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(round(rate * BUCKETS))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default = F.lit(round(default_rate * BUCKETS))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(bucket < thresh)
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "group",
+) -> DataFrame:
+    """Deterministic fixed-size sample: up to ``k`` rows per group, chosen
+    by ascending ``(md5 bucket, key)`` — an order-free, engine-portable
+    stand-in for reservoir sampling (same guarantee: every group capped at
+    k, membership a pure function of the data).  One shuffle on the group
+    key; rank ties are broken by the key itself so the selection is total.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

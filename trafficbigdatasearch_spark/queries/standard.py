@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.catalog import load_table
 from trafficbigdatasearch_spark.functions import text as T
 from trafficbigdatasearch_spark.functions import vectors as V
-from trafficbigdatasearch_spark.operators import dedup, graph, joins, multimodal, similarity
+from trafficbigdatasearch_spark.operators import dedup, graph, joins, multimodal, sampling, similarity
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1532,4 +1532,66 @@ def q5_local_supplier(spark, sf):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
+# =============================================================================
+# beyond-parity: deterministic sampling (operators/sampling.py)
+# =============================================================================
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+    f" % {sampling.BUCKETS}"
+)
+
+
+@register(
+    "sample_split_hash",
+    f"""SELECT doc_id,
+              CASE WHEN {_BUCKET_SQL.format(salt='split')} < 9000 THEN 'train'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def sample_split_hash_q(spark, sf):
+    """Reproducible 90/10 train/test split: membership = md5 hash range of
+    the doc id — identical under retries, repartitioning, and in any other
+    engine (the oracle recomputes it), unlike ``rand()``.  Row-local
+    expression; zero shuffles."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.hash_split(
+        docs, "doc_id", {"train": 0.9, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@register(
+    "sample_stratified",
+    f"""SELECT doc_id, lang FROM documents
+       WHERE {_BUCKET_SQL.format(salt='strata')} <
+             CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END""",
+)
+def sample_stratified_q(spark, sf):
+    """Per-language downsampling (en 50%, zh 25%, rest 10%) — the
+    source/language rebalancing pass of a corpus pipeline, as a pure
+    row-local hash filter (scan speed, no shuffle, no rand())."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.25}, key_col="doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_group_topk",
+    f"""WITH rk AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY {_BUCKET_SQL.format(salt='group')}, doc_id) AS rk
+              FROM documents)
+       SELECT doc_id, lang FROM rk WHERE rk <= 5""",
+)
+def sample_group_topk_q(spark, sf):
+    """Deterministic fixed-size per-group sample (5 docs per language) via
+    hash-ordered row_number — the engine-portable reservoir-sampling
+    equivalent.  One shuffle on the group key."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.group_sample(docs, "lang", 5, key_col="doc_id").select(
+        "doc_id", "lang"
     )
