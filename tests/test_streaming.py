@@ -163,6 +163,73 @@ def test_traffic_overspeed_stream_equals_batch(spark, traffic_dir, tmp_path_fact
     assert dict(got) == want
 
 
+def test_traffic_overspeed_finalized_windows_match_batch(
+    spark, traffic_dir, tmp_path_factory
+):
+    """The traffic twin of the events parquet-sink test: watermark-FINALIZED
+    streaming overspeed windows (append mode -> parquet sink) must carry
+    exactly the batch values for those (window_start, car_type) cells.  The
+    batch twin is the SAME overspeed_stream pipeline run on the static
+    observation table (EliminateEventTimeWatermark turns the watermark into
+    a no-op in batch), so the equality pins the streaming execution — state
+    bookkeeping, watermark finalization, file-source batching — not a
+    reimplementation of the query."""
+    import datetime as dt
+
+    from trafficbigdatasearch_spark.engine import TrafficEngine, months_between
+    from trafficbigdatasearch_spark.queries._core import BBox
+    from trafficbigdatasearch_spark.streaming import traffic as ST
+
+    import time as _time
+
+    eng = TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="fixed")
+    months = months_between(dt.date(2016, 6, 1), dt.date(2016, 12, 31))
+    d = tmp_path_factory.mktemp("obs_stream_fin") / "obs"
+    # one file per micro-batch, files in EVENT-TIME order (distinct mtimes
+    # pin the file-source order) — log-style arrival.  Unordered files would
+    # race the watermark ahead and legitimately drop whole months as late;
+    # one single batch would finalize nothing before availableNow stops.
+    obs_all = eng.speed_data(months)
+    chunks = [months[:3], months[3:5], months[5:]]
+    for i, chunk in enumerate(chunks):
+        obs_all.filter(
+            F.date_format(F.timestamp_millis(F.col("WZSJMillis")), "yyyyMM").isin(chunk)
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+        _time.sleep(1.1)
+    obs_batch = spark.read.parquet(str(d) + "/*")
+    obs_stream = (
+        spark.readStream.schema(obs_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+
+    bbox = BBox(116.0, 118.0, 36.0, 39.0)
+    out = tmp_path_factory.mktemp("overspeed_sink")
+    q = (
+        ST.overspeed_stream(obs_stream, eng.speed_base(), eng.fee_data(months), bbox)
+        .writeStream.format("parquet")
+        .option("path", str(out / "data"))
+        .option("checkpointLocation", str(out / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = {
+        (r["window_start"], r["car_type"]): r["speed_limit_num"]
+        for r in ST.overspeed_stream(
+            obs_batch, eng.speed_base(), eng.fee_data(months), bbox
+        ).collect()
+    }
+    got = {
+        (r["window_start"], r["car_type"]): r["speed_limit_num"]
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    assert got, "no finalized windows written"
+    assert all(want.get(k) == n for k, n in got.items()), "finalized values diverge"
+
+
 def test_watermark_finalizes_closed_windows_only(spark, tmp_path_factory):
     """Append-mode windowed counts emit EXACTLY the windows the final
     watermark has closed (end <= max_event_time - horizon); windows still

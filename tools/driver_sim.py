@@ -36,18 +36,35 @@ def _canon(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _cell_repr(x) -> str:
+    """Canonical string form of one cell, dtype-STRICT like the driver's
+    value-hash: int64 334247 -> '334247' but float64 334247.0 -> '334247.0',
+    so a DuckDB HUGEINT->float64 render vs a Spark int64 is a MISMATCH even
+    though the values compare numerically equal (the r2 a_rollup_reagg bug
+    class this rehearsal previously could not catch)."""
+    import numpy as np
+
+    if x is None:
+        return "NULL"
+    if isinstance(x, (np.floating, float)):
+        f = float(x)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(x, np.bool_):
+        return str(bool(x))
+    if isinstance(x, np.integer):
+        return str(int(x))
+    try:
+        import pandas as pd
+
+        if x is pd.NaT:
+            return "NULL"
+    except Exception:  # noqa: BLE001
+        pass
+    return str(x)
+
+
 def _cell_eq(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return a == b
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return fa == fb
-    return a == b
+    return _cell_repr(a) == _cell_repr(b)
 
 
 def main() -> int:
@@ -89,17 +106,30 @@ def main() -> int:
             )
             rows_ok = len(sdf) == len(ddf)
             s, d = _canon(sdf), _canon(ddf)
-            vals_ok = rows_ok and schema_ok and all(
-                _cell_eq(s.iat[i, j], d.iat[i, j])
-                for i in range(len(s))
-                for j in range(len(s.columns))
-            )
+            first_diff = None
+            vals_ok = rows_ok and schema_ok
+            if vals_ok:
+                for i in range(len(s)):
+                    for j in range(len(s.columns)):
+                        if not _cell_eq(s.iat[i, j], d.iat[i, j]):
+                            first_diff = (
+                                f"col={s.columns[j]} row={i} "
+                                f"spark={_cell_repr(s.iat[i, j])!r}"
+                                f"[{s.dtypes.iloc[j]}] vs "
+                                f"oracle={_cell_repr(d.iat[i, j])!r}"
+                                f"[{d.dtypes.iloc[j]}]"
+                            )
+                            vals_ok = False
+                            break
+                    if not vals_ok:
+                        break
             status = "OK" if (schema_ok and rows_ok and vals_ok) else "MISMATCH"
             if status != "OK":
                 failures.append(name)
             print(
                 f"{name:32s} {status}  rows={len(sdf)}/{len(ddf)} "
                 f"schema={schema_ok} values={vals_ok}"
+                + (f"  first_diff: {first_diff}" if first_diff else "")
             )
         except Exception as e:  # noqa: BLE001 — driver records the traceback
             failures.append(name)

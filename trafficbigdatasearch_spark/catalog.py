@@ -43,16 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py).  Without ``nanosAsLong`` a vanilla session throws
     ``PARQUET_TYPE_ILLEGAL`` on the events table before any query logic runs;
     without a UTC session zone, ``hour(ts)`` / ``CAST(ts AS DATE)`` would be
-    skewed vs DuckDB's naive timestamps on machines in other zones."""
+    skewed vs DuckDB's naive timestamps on machines in other zones.
+
+    NOTE: loading ``events`` mutates the CALLER'S SESSION (both confs stay
+    set for every later query on it — deliberate, so driver/oracle timestamp
+    semantics agree; see also TrafficEngine's docstring for the facade-level
+    contract)."""
     if name == "events":
+        from pyspark.errors import AnalysisException
+
         for conf, value in (
             ("spark.sql.legacy.parquet.nanosAsLong", "true"),
             ("spark.sql.session.timeZone", "UTC"),
         ):
             try:
                 spark.conf.set(conf, value)
-            except Exception:
-                pass  # older/newer Spark without the conf: fall through to read
+            except AnalysisException:
+                # CANNOT_MODIFY_CONFIG / unknown legacy conf on an
+                # older/newer Spark: fall through to the read, which throws
+                # its own PARQUET_TYPE_ILLEGAL if the conf truly mattered
+                pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

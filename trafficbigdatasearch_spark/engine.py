@@ -54,7 +54,16 @@ def months_between(start: dt.date, end: dt.date) -> list[str]:
 
 
 class TrafficEngine:
-    """Session + data-path holder exposing the reference's query surface."""
+    """Session + data-path holder exposing the reference's query surface.
+
+    SESSION-WIDE side effect: construction (and every query) pins
+    ``spark.sql.session.timeZone`` to this engine's ``timezone`` on the
+    SHARED session (see ``_pin_timezone`` for why the reference's
+    epoch-millis semantics force this), and loading the testdata ``events``
+    table via ``catalog.load_table`` likewise pins UTC + parquet
+    ``nanosAsLong``.  Unrelated queries on the same session inherit those
+    timestamp semantics; collect results before interleaving engines or
+    zones."""
 
     def __init__(
         self,
