@@ -48,13 +48,20 @@ def _next_month(mm: str) -> str:
 # --- generation ---------------------------------------------------------------
 
 
-def generate(base: Path, seed: int = 42, scale: int = 1) -> None:
+def generate(base: Path, seed: int = 42, scale: int = 1, hot_plate: int = 0) -> None:
     """Write the reference-layout CSV corpus under ``base``.
 
     ``scale`` multiplies the per-month trip/observation/accident row counts
     (edge-case rows stay single) — scale=1 for the correctness tests, larger
     for bench fixtures.  The Python oracles below read whatever is on disk,
-    so they stay correct at any scale."""
+    so they stay correct at any scale.
+
+    ``hot_plate`` > 0 adds a single skewed plate ``PHOT0`` carrying
+    ``50*hot_plate`` extra trips and ``400*hot_plate`` extra observations
+    per month — a deliberately hot join key for skew tests (the toll join
+    keys on plate, so one plate concentrating traffic is THE skew shape the
+    reference's data would hit at scale).  ``hot_plate=0`` (default) draws
+    nothing extra from the RNG: fixtures are byte-identical to before."""
     rng = random.Random(seed)
     base.mkdir(parents=True, exist_ok=True)
 
@@ -102,6 +109,17 @@ def generate(base: Path, seed: int = 42, scale: int = 1) -> None:
                 f"{cls},{plate},{ex_plate},{flag}"
             )
             trips.append((plate, en, ex, cls, flag))
+        # hot-plate trips (skew tests): one plate, many concurrent trips
+        for t in range(50 * hot_plate):
+            en = m_start + dt.timedelta(seconds=rng.randrange(m_secs - 6 * 3600))
+            ex = en + dt.timedelta(seconds=rng.randrange(1800, 6 * 3600))
+            cls = str(rng.randint(1, 4))
+            flag = str(rng.randint(0, 1))
+            fee_lines.append(
+                f"EXH{t % 20},{ex.strftime(TS_FMT)},ENH{t % 20},{en.strftime(TS_FMT)},"
+                f"{cls},PHOT0,PHOT0,{flag}"
+            )
+            trips.append(("PHOT0", en, ex, cls, flag))
         # a trip spanning into the next month (boundary semantics)
         en = m_next - dt.timedelta(hours=2)
         ex = m_next + dt.timedelta(hours=3)
@@ -128,6 +146,21 @@ def generate(base: Path, seed: int = 42, scale: int = 1) -> None:
             speed_lines.append(
                 f"{guid},{plate},{ts.strftime(TS_FMT)},{clsd},{int(clsd > 120)}"
             )
+        # hot-plate observations: concentrated on the hot trips, so the
+        # obs ⋈ toll interval join sees both sides hot on one key
+        if hot_plate:
+            hot_trips = [t for t in trips if t[0] == "PHOT0"]
+            for _ in range(400 * hot_plate):
+                plate, en, ex, _, _ = hot_trips[rng.randrange(len(hot_trips))]
+                span = int((ex - en).total_seconds())
+                ts = en + dt.timedelta(seconds=rng.randrange(max(span, 1)))
+                if ts >= m_next or ts < m_start:
+                    ts = en
+                guid = f"S{rng.randrange(70):03d}"
+                clsd = rng.choice([40, 60, 80, 99, 100, 101, 119, 120, 121, 140, 160])
+                speed_lines.append(
+                    f"{guid},{plate},{ts.strftime(TS_FMT)},{clsd},{int(clsd > 120)}"
+                )
         # exact containment boundaries: observations at ENTIME and EXTIME
         for t in (0, 1, 2):
             plate, en, ex, _, _ = trips[t]

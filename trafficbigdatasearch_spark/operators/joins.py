@@ -174,6 +174,7 @@ def salted_equi_join(
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    residual: Column | None = None,
 ) -> DataFrame:
     """Skew-mitigated equi join for a hot-keyed large side against a
     non-broadcastable small side (the traffic case: hot plates in the toll
@@ -185,6 +186,14 @@ def salted_equi_join(
     each hot key's rows across ``n_salts`` reducers instead of one straggler.
     Result is row-identical to ``large.join(small, on, how)``.
 
+    ``residual`` (inner only) is an extra non-equi condition evaluated after
+    the salted equi match — e.g. the J2 interval band
+    ``(F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi"))`` — built
+    from post-join column NAMES, which must therefore be unambiguous (each
+    referenced column exists on exactly one side).  This is the salted form
+    of the reference's hot-plate toll join: equi on plate spreads the hot
+    key, the band stays a cheap residual filter.
+
     AQE's skew-join handles most cases at runtime; explicit salting remains
     the tool when a single key exceeds what one task can hold even after AQE
     splitting, or when the join feeds a same-keyed aggregation that must not
@@ -193,12 +202,18 @@ def salted_equi_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if residual is not None and how != "inner":
+        raise ValueError("residual requires how='inner' (a post-join filter "
+                         "would drop unmatched left rows under 'left')")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts))
     big = large.withColumn("_salt", salt.cast("int"))
     rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return big.join(rep, on + ["_salt"], how).drop("_salt")
+    out = big.join(rep, on + ["_salt"], how)
+    if residual is not None:
+        out = out.filter(residual)
+    return out.drop("_salt")
 
 
 def union_of_joins_on_either_key(
