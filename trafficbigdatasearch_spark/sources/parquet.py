@@ -148,3 +148,23 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two :func:`write_bucketed` tables on their common bucket key.
+
+    When both sides were bucketed on ``on`` with the SAME bucket count the
+    plan contains no Exchange (pinned in tests/test_plans.py) — the write
+    was the one and only shuffle.  Bucket-count choice at scale:
+    ``table_bytes / n_buckets`` should fit an executor comfortably
+    (~128-512 MB compressed); mismatched counts silently fall back to a
+    normal shuffle join, so fact tables that join each other must agree on
+    (key, n_buckets) at ingest time.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)
