@@ -48,11 +48,16 @@ HEADLINE = [
     "sim_brute_topk",
     "sim_lsh_buckets",
     "sim_ivf_topk",
+    "sim_ivf_indexed",
     "sim_embedding_near_dup",
     "text_metrics",
     "text_pii_scrub",
     "text_lang_id",
     "mm_features",
+    "dedup_clusters",
+    "pipeline_dedup_corpus",
+    "j_skew_salted",
+    "sample_split_hash",
 ]
 
 

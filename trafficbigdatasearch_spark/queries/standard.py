@@ -1635,6 +1635,37 @@ def sample_group_topk_q(spark, sf):
     )
 
 
+@register(
+    "j_skew_salted",
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+       GROUP BY l_returnflag""",
+)
+def j_skew_salted_q(spark, sf):
+    """Salted equi join with a band residual (operators/joins.py
+    salted_equi_join) proven oracle-identical to the PLAIN join it
+    physically rewrites — the skew-mitigation shape for hot keys that
+    exceed one task even after AQE splitting (SURVEY §7 "what's hard" (d);
+    the hot-plate behavior itself is pinned in tests/test_skew.py)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    band = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    j = joins.salted_equi_join(li, o, ["l_orderkey"], n_salts=8, residual=band)
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
@@ -1646,6 +1677,7 @@ def sample_group_topk_q(spark, sf):
 # =============================================================================
 
 _PARKED = [
+    "sort_topk",              # green r1+r2; TakeOrderedAndProject pinned in test_plans
     "p_time_range_halfopen",  # green r1+r2; p_time_range_closed stays checked
     "p_calendar_eq",          # green r1+r2
     "a_rollup",               # green r1+r2; a_rollup_reagg stays checked
