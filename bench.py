@@ -116,6 +116,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = standard.queries()
 
+    # Optional roster filter for A/B runs and per-query iteration:
+    # SPARK_GRAFT_BENCH_ONLY="q1,q2" benches just those names (traffic
+    # entries included only if named).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    roster = [q for q in HEADLINE if not only or q in only.split(",")]
+    run_traffic = not only or any(n.startswith("traffic_") for n in only.split(","))
+
     _force(qs["s_scan_project"](spark, SF_DIR))  # warmup: JVM + codegen + IO
 
     # Three runs per query: run 1 pays whole-stage-codegen compilation and
@@ -125,7 +132,7 @@ def main() -> None:
     # alongside for transparency.
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in roster:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
@@ -136,7 +143,8 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         times[name] = round(min(warm), 3)
 
-    _bench_traffic(spark, times, cold)
+    if run_traffic:
+        _bench_traffic(spark, times, cold)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

@@ -106,19 +106,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # canonical distinct sets on both sides: equal counts + no rows
-        # unique to one side <=> identical edge sets.  Two cheap counts over
-        # checkpointed data per round — the unavoidable driver sync point of
-        # a fixpoint loop.
-        if (
-            nxt.count() == e.count()
-            and nxt.join(e, ["u", "v"], "left_anti").isEmpty()
-        ):
+        # unique to one side <=> identical edge sets.  The previous round's
+        # count is carried over, so each round costs one count job over the
+        # fresh checkpoint, and the anti-join probe only runs when counts
+        # match (typically once, at the fixpoint) — the minimal driver sync
+        # of a fixpoint loop.
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.join(e, ["u", "v"], "left_anti").isEmpty():
             e = nxt
             break
-        e = nxt
+        e, n_edges = nxt, n_nxt
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
