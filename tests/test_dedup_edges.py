@@ -156,3 +156,65 @@ def test_simhash_pairs_rejects_bad_banding(spark):
         dedup.simhash_pairs(docs, n_bits=16, band_bits=5)
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(docs, n_bits=16, band_bits=8, max_hamming=3)
+
+
+def test_incremental_dedup_verdicts(spark):
+    """exact beats near; near = shared band bucket; untouched docs keep."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus content about databases"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # byte-identical to corpus doc 1 (after fingerprint normalization)
+            (10, "The quick brown fox jumps over the lazy dog today"),
+            # same text => identical signatures => near hit via every band,
+            # but exact must win the CASE
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            # no token overlap with the corpus
+            (12, "zzz yyy xxx www vvv uuu ttt sss rrr qqq"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup.incremental_dedup(new, corpus, k=8, bands=4).collect()
+    }
+    assert got == {10: "exact", 11: "exact", 12: "keep"}
+
+
+def test_incremental_dedup_near_without_exact(spark):
+    """A one-token edit keeps some shared band buckets (near) without an
+    exact fingerprint match."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, base + " extraword")], ["doc_id", "text"]
+    )
+    got = dedup.incremental_dedup(new, corpus, k=8, bands=4).collect()
+    assert [(r["doc_id"], r["verdict"]) for r in got] == [(10, "near")]
+
+
+def test_incremental_dedup_prebuilt_index_equivalent(spark):
+    """Passing a persisted minhash_band_buckets table must give the same
+    verdicts as inline corpus bucketing — the build-once path."""
+    docs = [
+        (i, f"document number {i} shares a lot of common boilerplate text")
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, docs[3][1]), (101, "entirely unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    inline = dedup.incremental_dedup(new, corpus, k=8, bands=4).collect()
+    idx = dedup.minhash_band_buckets(corpus, k=8, bands=4)
+    via_index = dedup.incremental_dedup(
+        new, corpus, k=8, bands=4, corpus_index=idx
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, via_index))
+    got = {r["doc_id"]: r["verdict"] for r in inline}
+    assert got[100] == "exact" and got[101] == "keep"

@@ -112,3 +112,13 @@ def test_traffic_overspeed_plan(spark, traffic_dir):
     # station join must broadcast; interval join must not be a nested loop
     assert X.has_broadcast_join(df)
     assert not X.has_nested_loop_join(df), X.formatted_plan(df)
+
+
+def test_incremental_dedup_streams_corpus_broadcasts_increment(spark):
+    """Both incremental-dedup probes must broadcast the (small) new-batch
+    side and stream the corpus — at 100 TB the corpus never shuffles for a
+    daily increment."""
+    df = standard.queries()["dedup_incremental"](spark, SF)
+    plan = X.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

@@ -243,6 +243,101 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The LSH index rows: (id, band, bucket), one row per document per
+    band; ``bucket`` is the '_'-joined minhash run of that band in h_idx
+    order (portable: SQL reproduces it with string_agg ORDER BY h_idx).
+
+    This IS the persistable corpus index for incremental dedup: write it
+    out partitioned/bucketed on (band, bucket) once, and each new-batch
+    pass (:func:`incremental_dedup`) only computes signatures for the
+    increment and hash-joins the stored index — never re-shingling the
+    corpus."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, k, n)
+    return (
+        sig.withColumn("band", (F.col("h_idx") / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "minhash"))).alias("sig"))
+        .select(
+            "id",
+            "band",
+            F.concat_ws(
+                "_", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
+            ).alias("bucket"),
+        )
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the daily-increment
+    shape of a production training-data pipeline, where re-running full
+    corpus × corpus dedup per delivery would be quadratic in deliveries.
+
+    Returns one row per new document: (id, verdict) with verdict ``'exact'``
+    (byte-identical content already in the corpus), ``'near'`` (shares a
+    MinHash-LSH band bucket with a corpus document), or ``'keep'``.  Exact
+    takes precedence over near, so the labeling is deterministic.
+
+    Join directions are chosen for the 100 TB asymmetry (corpus huge,
+    increment small): both probes stream the CORPUS side and broadcast the
+    increment's fingerprints/buckets, so no corpus shuffle ever happens —
+    and with ``corpus_index`` pointing at a persisted
+    :func:`minhash_band_buckets` table (bucketed on band+bucket) the near
+    probe is a scan of the index, not a re-shingling of the corpus.
+    """
+    new_fp = new_docs.select(
+        F.col(id_col).alias("_nid"), T.fingerprint(F.col(text_col)).alias("_f")
+    )
+    corpus_fp = corpus.select(T.fingerprint(F.col(text_col)).alias("_f"))
+    exact_hits = (
+        corpus_fp.join(F.broadcast(new_fp), "_f").select("_nid").distinct()
+    )
+    if corpus_index is None:
+        corpus_index = minhash_band_buckets(corpus, id_col, text_col, k, bands, n)
+    new_buckets = minhash_band_buckets(
+        new_docs, id_col, text_col, k, bands, n
+    ).select(F.col("id").alias("_nid"), "band", "bucket")
+    near_hits = (
+        corpus_index.select("band", "bucket")
+        .join(F.broadcast(new_buckets), ["band", "bucket"])
+        .select("_nid")
+        .distinct()
+    )
+    # the hit sets are subsets of the increment — broadcast them so the
+    # verdict assembly never sorts/shuffles either side
+    return (
+        new_docs.select(F.col(id_col).alias("_nid"))
+        .join(F.broadcast(exact_hits.withColumn("_exact", F.lit(True))), "_nid", "left")
+        .join(F.broadcast(near_hits.withColumn("_near", F.lit(True))), "_nid", "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            F.when(F.col("_exact"), "exact")
+            .when(F.col("_near"), "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -269,22 +364,7 @@ def minhash_lsh_pairs(
     land on a single task — the skew guard; a bucket that large is noise,
     not near-duplication signal.
     """
-    if k % bands != 0:
-        raise ValueError(f"k={k} must be divisible by bands={bands}")
-    r = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n)
-    banded = (
-        sig.withColumn("band", (F.col("h_idx") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "minhash"))).alias("sig"))
-        .select(
-            "id",
-            "band",
-            F.concat_ws(
-                "_", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
-            ).alias("bucket"),
-        )
-    )
+    banded = minhash_band_buckets(docs, id_col, text_col, k, bands, n)
     # guard BEFORE collect_list, without recomputing the signature pipeline:
     # one exchange on the bucket key, a window count as the size guard
     # (degenerate buckets stream through WindowExec's spillable buffer and

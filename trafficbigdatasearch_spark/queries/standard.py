@@ -986,20 +986,28 @@ def dedup_simhash_pairs_q(spark, sf):
     )
 
 
-def _lsh_pairs_cte(src: str) -> str:
-    """MinHash-LSH candidate-pair CTE chain over relation ``src`` (k=8,
-    bands=4x2), ending in ``lsh_pairs(id_a, id_b)`` — shared by the
-    standalone query and the composed cleaning pipeline."""
-    return f"""toksL AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
-       idxL AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toksL),
-       shL AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idxL),
-       hL AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM shL),
-       paramsL(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
-       sigL AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
-               FROM hL CROSS JOIN paramsL GROUP BY doc_id, h_idx),
-       bandL AS (SELECT doc_id, h_idx // 2 AS band,
+def _band_cte(src: str, sfx: str) -> str:
+    """MinHash band-bucket CTE chain (k=8, bands=4x2) over relation ``src``,
+    ending in ``band{sfx}(doc_id, band, bucket)`` — the SQL twin of
+    operators/dedup.py::minhash_band_buckets.  The suffix keeps CTE names
+    unique so one query can bucket two relations (incremental dedup)."""
+    return f"""toks{sfx} AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
+       idx{sfx} AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks{sfx}),
+       sh{sfx} AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx{sfx}),
+       h{sfx} AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh{sfx}),
+       params{sfx}(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
+       sig{sfx} AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
+               FROM h{sfx} CROSS JOIN params{sfx} GROUP BY doc_id, h_idx),
+       band{sfx} AS (SELECT doc_id, h_idx // 2 AS band,
                        string_agg(minhash::VARCHAR, '_' ORDER BY h_idx) AS bucket
-                FROM sigL GROUP BY doc_id, h_idx // 2),
+                FROM sig{sfx} GROUP BY doc_id, h_idx // 2)"""
+
+
+def _lsh_pairs_cte(src: str) -> str:
+    """Candidate-pair CTE chain over ``src``, ending in
+    ``lsh_pairs(id_a, id_b)`` — shared by the standalone query and the
+    composed cleaning pipelines."""
+    return f"""{_band_cte(src, 'L')},
        lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM bandL a JOIN bandL b
                        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
@@ -1732,6 +1740,46 @@ def stream_events_hourly_q(spark, sf):
         q.stop()
         raise RuntimeError("stream_events_hourly: stream did not drain in 300s")
     return spark.table(name)
+
+
+_FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH corpusI AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 < 3),
+       newI AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
+       {_band_cte('corpusI', 'C')},
+       {_band_cte('newI', 'N')},
+       fpc AS (SELECT DISTINCT {_FP_SQL} AS f FROM corpusI),
+       fpn AS (SELECT doc_id, {_FP_SQL} AS f FROM newI),
+       nearhit AS (SELECT DISTINCT n.doc_id FROM bandN n
+                   JOIN bandC c ON n.band = c.band AND n.bucket = c.bucket),
+       exacthit AS (SELECT DISTINCT n.doc_id FROM fpn n JOIN fpc ON n.f = fpc.f)
+       SELECT n.doc_id,
+              CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                   WHEN h.doc_id IS NOT NULL THEN 'near'
+                   ELSE 'keep' END AS verdict
+       FROM newI n
+       LEFT JOIN exacthit e ON e.doc_id = n.doc_id
+       LEFT JOIN nearhit h ON h.doc_id = n.doc_id""",
+)
+def dedup_incremental_q(spark, sf):
+    """Incremental dedup: a NEW batch (doc_id % 4 = 3) deduped against the
+    EXISTING corpus (doc_id % 4 < 3) — exact fingerprint hits, then
+    MinHash-LSH band-bucket near hits, verdict per new document
+    (operators/dedup.py::incremental_dedup).  The daily-delivery shape at
+    100 TB: the corpus side streams (its band index is persistable via
+    minhash_band_buckets), the small increment broadcasts, no corpus
+    shuffle."""
+    d = load_table(spark, sf, "documents")
+    return dedup.incremental_dedup(
+        d.filter(F.col("doc_id") % 4 == 3),
+        d.filter(F.col("doc_id") % 4 < 3),
+        k=_MINHASH_K,
+        bands=4,
+        n=3,
+    )
 
 
 # =============================================================================
