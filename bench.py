@@ -56,6 +56,7 @@ HEADLINE = [
     "mm_features",
     "dedup_clusters",
     "pipeline_dedup_corpus",
+    "dedup_incremental",
     "j_skew_salted",
     "sample_split_hash",
 ]

@@ -122,3 +122,32 @@ def test_incremental_dedup_streams_corpus_broadcasts_increment(spark):
     plan = X.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Runtime bloom-filter injection (the semi-join reduction for selective
+    shuffle joins): a selective filter on orders must inject a bloom filter
+    that prunes lineitem rows BEFORE the join shuffle.  The size thresholds
+    exist for real clusters; they are lowered here only to demonstrate the
+    mechanism at test scale — at 100 TB the defaults fire on their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

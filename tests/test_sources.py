@@ -133,3 +133,58 @@ def test_interval_join_closed_modes(spark):
     assert hits("left") == [1, 3]
     assert hits("right") == [2, 3]
     assert hits("neither") == [3]
+
+
+class TestWriteSized:
+    def test_rows_per_file_cap_and_count(self, spark, tmp_path):
+        """500 docs at 100 rows/file -> exactly 5 files, none over the cap,
+        roundtrip-identical."""
+        import glob
+
+        from trafficbigdatasearch_spark.sources.parquet import write_sized
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n = docs.count()
+        out = str(tmp_path / "sized")
+        write_sized(docs, out, rows_per_file=100)
+        files = glob.glob(out + "/*.parquet")
+        assert len(files) == -(-n // 100)
+        for f in files:
+            assert spark.read.parquet(f).count() <= 100
+        back = spark.read.parquet(out)
+        assert back.count() == n
+        assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+            r["doc_id"] for r in docs.select("doc_id").collect()
+        )
+
+    def test_partitioned_write_one_file_per_small_partition(self, spark, tmp_path):
+        import glob
+
+        from trafficbigdatasearch_spark.sources.parquet import write_sized
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "by_lang")
+        write_sized(docs, out, rows_per_file=10_000, partition_by=["lang"])
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        for lang in langs:
+            files = glob.glob(f"{out}/lang={lang}/*.parquet")
+            # every partition fits rows_per_file -> exactly one file each
+            assert len(files) == 1, (lang, files)
+        assert spark.read.parquet(out).count() == docs.count()
+
+    def test_range_by_gives_nonoverlapping_files(self, spark, tmp_path):
+        import glob
+
+        from trafficbigdatasearch_spark.sources.parquet import write_sized
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = str(tmp_path / "ranged")
+        write_sized(docs, out, rows_per_file=100, range_by=["doc_id"])
+        spans = []
+        for f in glob.glob(out + "/*.parquet"):
+            ids = [r["doc_id"] for r in spark.read.parquet(f).select("doc_id").collect()]
+            if ids:
+                spans.append((min(ids), max(ids)))
+        spans.sort()
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi < lo, spans  # files carry disjoint doc_id ranges

@@ -193,6 +193,31 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
+def _minhash_wide(
+    docs: DataFrame, id_col: str, text_col: str, k: int, n: int
+) -> DataFrame:
+    """(id, _m0.._m{k-1}): all k minhashes in ONE hash aggregate with
+    map-side partial combine — the shuffle carries k values per document
+    regardless of document length.
+
+    No array_distinct on the shingles: min() over the shingle multiset
+    equals min() over the set, and the O(s²) per-document dedup dominated
+    the scan profile."""
+    ex = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("id", T.shingle_hash(F.col("shingle")).alias("hv"))
+    )
+    aggs = [
+        F.min((F.lit(va) * F.col("hv") + F.lit(vb)) % MINHASH_PRIME).alias(f"_m{i}")
+        for i, (va, vb) in enumerate(minhash_params(k))
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -216,17 +241,7 @@ def minhash_signatures(
     Documents always yield >= 1 shingle (word_shingles pads short texts), so
     no document is dropped by the explode.
     """
-    # No array_distinct: min() over the shingle multiset equals min() over
-    # the set, and the O(s²) per-document dedup dominated the scan profile.
-    ex = _spread(docs.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("id", T.shingle_hash(F.col("shingle")).alias("hv"))
-    aggs = [
-        F.min((F.lit(va) * F.col("hv") + F.lit(vb)) % MINHASH_PRIME).alias(f"_m{i}")
-        for i, (va, vb) in enumerate(minhash_params(k))
-    ]
-    wide = ex.groupBy("id").agg(*aggs)
+    wide = _minhash_wide(docs, id_col, text_col, k, n)
     unpivot = F.explode(
         F.array(
             *[
@@ -259,22 +274,34 @@ def minhash_band_buckets(
     out partitioned/bucketed on (band, bucket) once, and each new-batch
     pass (:func:`incremental_dedup`) only computes signatures for the
     increment and hash-joins the stored index — never re-shingling the
-    corpus."""
+    corpus.
+
+    The bucket string is a pure PROJECTION off the wide one-aggregate
+    signature form — no second aggregation, no per-group sort; one shuffle
+    total (the signature groupBy)."""
     if k % bands != 0:
         raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, k, n)
-    return (
-        sig.withColumn("band", (F.col("h_idx") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("h_idx", "minhash"))).alias("sig"))
-        .select(
-            "id",
-            "band",
-            F.concat_ws(
-                "_", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
-            ).alias("bucket"),
-        )
+    wide = _minhash_wide(docs, id_col, text_col, k, n)
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.coalesce(
+                            F.col(f"_m{b * r + j}"), F.lit(MINHASH_PRIME)
+                        ).cast("string")
+                        for j in range(r)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select("id", F.explode(per_band).alias("s")).select(
+        "id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket")
     )
 
 

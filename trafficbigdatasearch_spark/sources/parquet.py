@@ -150,6 +150,50 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    *,
+    rows_per_file: int,
+    partition_by: list[str] | None = None,
+    range_by: list[str] | None = None,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Compaction sink: Parquet output with a bounded number of rows per
+    file — the file-sizing step every large corpus write needs (a 100 TB
+    write that lets each of 10k reduce tasks emit per-partition shards
+    produces millions of KB-files; readers then pay per-file open/footer
+    cost forever).
+
+    - ``partition_by``: one shuffle on the partition keys, so each output
+      partition directory is written by as few tasks as hold its rows —
+      file count per partition ≈ ceil(partition_rows / rows_per_file),
+      enforced by Spark's ``maxRecordsPerFile`` split.
+    - ``range_by`` (no ``partition_by``): range-repartition into
+      ``n_files`` (or ceil(count/rows_per_file) — one count job) ordered
+      splits, giving files with non-overlapping min/max on the range keys
+      — the data-skipping layout for time/id-ordered corpora.
+    - neither: plain round-robin into the computed file count.
+
+    ``maxRecordsPerFile`` is set per-WRITER (``option(...)``), not on the
+    session, so concurrent writers are unaffected.
+    """
+    if partition_by:
+        out = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        if n_files is None:
+            n_files = max(1, -(-df.count() // rows_per_file))
+        if range_by:
+            out = df.repartitionByRange(n_files, *[F.col(c) for c in range_by])
+        else:
+            out = df.repartition(n_files)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", rows_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,
