@@ -218,3 +218,14 @@ def test_incremental_dedup_prebuilt_index_equivalent(spark):
     assert sorted(map(tuple, inline)) == sorted(map(tuple, via_index))
     got = {r["doc_id"]: r["verdict"] for r in inline}
     assert got[100] == "exact" and got[101] == "keep"
+
+
+def test_rowwise_band_buckets_equal_batch(spark):
+    """The streaming-safe rowwise band buckets must be value-identical to
+    the explode+aggregate batch form."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, dedup.minhash_band_buckets(docs, k=8, bands=4).collect()))
+    b = sorted(
+        map(tuple, dedup.minhash_band_buckets_rowwise(docs, k=8, bands=4).collect())
+    )
+    assert a == b

@@ -302,3 +302,60 @@ def test_streaming_rollup_to_parquet_sink(spark, event_stream_dir, tmp_path_fact
     # value-identical where present
     assert got, "no finalized windows written"
     assert all(want.get(b) == n for b, n in got.items()), "rollup values diverge"
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path_factory):
+    """Online incremental dedup: new documents arriving on a STREAM, deduped
+    against a static corpus band index by the same exact/near/keep logic as
+    the batch operator (stream-static joins re-plan the static side per
+    micro-batch, so a refreshed index is picked up automatically).  The
+    streamed verdicts must equal batch incremental_dedup on the same split."""
+    from trafficbigdatasearch_spark.functions import text as T
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 < 3)
+    new_batch = docs.filter(F.col("doc_id") % 4 == 3)
+
+    want = {
+        r["doc_id"]: r["verdict"]
+        for r in dedup.incremental_dedup(new_batch, corpus, k=8, bands=4).collect()
+    }
+
+    # static sides: persisted corpus fingerprints + band index
+    corpus_fp = corpus.select(T.fingerprint(F.col("text")).alias("_f")).distinct()
+    idx = dedup.minhash_band_buckets(corpus, k=8, bands=4).select("band", "bucket").distinct()
+
+    d = tmp_path_factory.mktemp("inc_stream") / "new"
+    new_batch.repartition(3).write.parquet(str(d))
+    src = spark.readStream.schema(new_batch.schema).parquet(str(d))
+
+    new_fp = src.select(F.col("doc_id"), T.fingerprint(F.col("text")).alias("_f"))
+    exact = new_fp.join(corpus_fp, "_f").select("doc_id").withColumn("_v", F.lit("exact"))
+    # rowwise band buckets: no shuffle, no streaming state — legal in
+    # append mode; multi-band duplicate hits collapse in the result set
+    near = (
+        dedup.minhash_band_buckets_rowwise(src, k=8, bands=4)
+        .join(idx, ["band", "bucket"])
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("_v", F.lit("near"))
+    )
+
+    name_e, name_n = "inc_exact_hits", "inc_near_hits"
+    for out, nm in ((exact, name_e), (near, name_n)):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(nm)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    exact_ids = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name_e}").collect()}
+    near_ids = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name_n}").collect()}
+    got = {
+        i: ("exact" if i in exact_ids else "near" if i in near_ids else "keep")
+        for i in want
+    }
+    assert got == want

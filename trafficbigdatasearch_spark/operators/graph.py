@@ -42,12 +42,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     sym = _symmetrize(e)
     mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
     m = F.least(F.col("_mn"), F.col("u"))
+    # no distinct here: duplicate edges don't change _small_star's per-node
+    # mins, and its terminal distinct restores set semantics — one fewer
+    # exchange per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), m.alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
