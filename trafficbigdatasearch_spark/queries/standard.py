@@ -1742,6 +1742,107 @@ def stream_events_hourly_q(spark, sf):
     return spark.table(name)
 
 
+@register(
+    "a_pivot_event_types",
+    """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+              CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+              CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+              CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+              CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+              CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+       FROM events GROUP BY 1""",
+)
+def a_pivot_event_types_q(spark, sf):
+    """Pivot (long -> wide): per-cohort event-type counts via
+    ``groupBy().pivot(values).count()``.  The explicit value list matters
+    twice over: Catalyst plans a single-pass pivot aggregate (no extra job
+    to discover the domain — on 100 TB, domain discovery is a full scan),
+    and the output schema is stable for the driver's hash compare."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .select(
+            "cohort",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("click", "error", "purchase", "signup", "view")
+            ],
+        )
+    )
+
+
+@register(
+    "a_unpivot_doc_metrics",
+    """SELECT doc_id, 'n_chars' AS metric, CAST(length(text) AS BIGINT) AS v
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'n_punct', CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+       FROM documents
+       UNION ALL
+       SELECT doc_id, 'n_digits', CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+       FROM documents""",
+)
+def a_unpivot_doc_metrics_q(spark, sf):
+    """Unpivot (wide -> long, melt): per-document metric columns rotated
+    into (doc_id, metric, v) rows with ``DataFrame.unpivot`` — one
+    Generate(Expand) over the scan, no shuffle, vs the oracle's 3-scan
+    UNION ALL formulation (Spark reads the parquet once)."""
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    wide = d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars"),
+        T.punct_count(t).cast("bigint").alias("n_punct"),
+        T.digit_count(t).cast("bigint").alias("n_digits"),
+    )
+    return wide.unpivot(
+        ["doc_id"], ["n_chars", "n_punct", "n_digits"], "metric", "v"
+    )
+
+
+@register(
+    "w_trailing_range",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ms(ts)
+                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS trail_cents,
+              CAST(COUNT(*) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ms(ts)
+                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+              ) AS BIGINT) AS trail_n
+       FROM events""",
+)
+def w_trailing_range_q(spark, sf):
+    """Trailing time-RANGE window frame (the per-event sliding aggregate):
+    each event's 1-hour-trailing sum/count per user.  RANGE frames bound by
+    a time interval are the event-level twin of the streaming sliding
+    window; one sort-exchange on (user_id, ts) serves both window
+    functions.  Both engines order by epoch MILLISECONDS (the events table
+    carries sub-second timestamps, so an interval-typed frame over
+    second-truncated ordering would drift at frame boundaries).  Ties are
+    safe: a RANGE frame includes ALL peer rows of the current ordering
+    value, so the result is order-independent — this is why the frame is
+    RANGE, not ROWS, which would be nondeterministic under equal
+    timestamps."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3600000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("trail_cents"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+
+
 _FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
 
 
