@@ -26,7 +26,15 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.catalog import load_table
 from trafficbigdatasearch_spark.functions import text as T
 from trafficbigdatasearch_spark.functions import vectors as V
-from trafficbigdatasearch_spark.operators import dedup, graph, joins, multimodal, sampling, similarity
+from trafficbigdatasearch_spark.operators import (
+    dedup,
+    graph,
+    joins,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1840,6 +1848,30 @@ def w_trailing_range_q(spark, sf):
         "user_id",
         F.sum(_cents(F.col("value"))).over(w).alias("trail_cents"),
         F.count("*").over(w).alias("trail_n"),
+    )
+
+
+@register(
+    "pack_sequences",
+    f"""WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
+                  FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+             FROM t)
+       SELECT doc_id, n_tokens,
+              CAST(excl // 2048 AS BIGINT) AS pack_id,
+              CAST(excl % 2048 AS BIGINT) AS pack_offset
+       FROM c""",
+)
+def pack_sequences_q(spark, sf):
+    """Sequence packing onto 2048-token packs via a deterministic two-level
+    distributed prefix sum (operators/packing.py) — per-bucket sums, a
+    cumsum over the tiny bucket summary, within-bucket windows.  The oracle
+    is the naive global-window formulation; the Spark plan never sorts the
+    corpus into one partition."""
+    return packing.pack_sequences(
+        load_table(spark, sf, "documents"), budget=2048, bucket_size=256
     )
 
 
