@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_clusters",
     "pipeline_dedup_corpus",
     "dedup_incremental",
+    "pack_sequences",
+    "w_trailing_range",
     "j_skew_salted",
     "sample_split_hash",
 ]

@@ -1926,6 +1926,13 @@ def dedup_incremental_q(spark, sf):
 # =============================================================================
 
 _PARKED = [
+    # Each parked entry names the still-checked SIBLING whose green row
+    # exercises the same code path, in addition to pytest + driver_sim.
+    "s_scan_project",         # green r1+r2; every registry query scans+projects
+    "w_row_number",           # green r1+r2; sibling w_lag_gap / w_trailing_range
+    "text_fingerprint",       # green r1+r2; sibling dedup_exact (same md5 path)
+    "dedup_simhash",          # green r1+r2; sibling dedup_simhash_pairs (superset)
+    "sim_lsh_topk",           # green r1+r2; sibling sim_lsh_buckets
     "a_group_avg",            # green r1+r2; AVG also golden-tested on traffic
     "sort_topk",              # green r1+r2; TakeOrderedAndProject pinned in test_plans
     "p_time_range_halfopen",  # green r1+r2; p_time_range_closed stays checked
