@@ -1875,6 +1875,73 @@ def pack_sequences_q(spark, sf):
     )
 
 
+@register(
+    "stream_sessions",
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) >= 1800000 THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM g)
+       SELECT user_id,
+              CAST(min(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def stream_sessions_q(spark, sf):
+    """Native ``session_window`` sessionization ON A STREAM (30-minute gap,
+    complete mode over the bounded events stream), hash-matched against the
+    lag+cumsum gap-sessionization SQL — one oracle pins BOTH that Spark's
+    merging session windows implement gap semantics and that the streaming
+    state store merges them correctly.  Boundary case encoded in the
+    oracle: Spark session windows are half-open [start, start+gap), so an
+    event exactly ``gap`` after its predecessor starts a NEW session —
+    hence ``>= 1800000``, where the batch w_sessionize convention is
+    ``>``."""
+    import os
+    import tempfile
+    import uuid
+
+    load_table(spark, sf, "events")
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="tbds_stream_sessions_")
+    os.symlink(
+        os.path.realpath(os.path.join(sf, "events.parquet")),
+        os.path.join(d, "events.parquet"),
+    )
+    src = spark.readStream.schema(raw.schema).parquet(d)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_sessions: stream did not drain in 300s")
+    return spark.table(name)
+
+
 _FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
 
 
@@ -1932,6 +1999,7 @@ _PARKED = [
     "w_row_number",           # green r1+r2; sibling w_lag_gap / w_trailing_range
     "text_fingerprint",       # green r1+r2; sibling dedup_exact (same md5 path)
     "dedup_simhash",          # green r1+r2; sibling dedup_simhash_pairs (superset)
+    "dedup_minhash_signatures",  # green r1+r2; sibling dedup_minhash_lsh (superset)
     "sim_lsh_topk",           # green r1+r2; sibling sim_lsh_buckets
     "a_group_avg",            # green r1+r2; AVG also golden-tested on traffic
     "sort_topk",              # green r1+r2; TakeOrderedAndProject pinned in test_plans
