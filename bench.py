@@ -61,6 +61,9 @@ HEADLINE = [
     "w_trailing_range",
     "j_skew_salted",
     "sample_split_hash",
+    "sample_mixture",
+    "text_chunk_docs",
+    "decontaminate",
 ]
 
 

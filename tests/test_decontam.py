@@ -1,0 +1,61 @@
+"""Test-set decontamination (operators/decontam.py): planted-overlap
+semantics and the broadcast-probe plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import decontam
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                                   # the benchmark doc
+        (1, "prefix words then " + bench_text + " tail"),  # full containment
+        (2, "alpha beta gamma delta epsilon nothing else here at all"),
+        (3, "totally unrelated text with many distinct words in it"),
+        (4, "beta gamma delta epsilon zeta closing words here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_contamination_scores_planted(corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontam.contamination_scores(corpus, bench, n=5).collect()
+    }
+    # benchmark doc: 8 tokens -> 4 distinct 5-grams, all self-hits
+    assert got[0] == 4
+    # doc 1 contains the full benchmark text -> all 4 of its 5-grams
+    assert got[1] == 4
+    # doc 2 shares exactly one 5-gram window
+    assert got[2] == 1
+    # doc 4 shares one interior 5-gram
+    assert got[4] == 1
+    # doc 3 never appears
+    assert 3 not in got
+
+
+def test_decontaminate_drops_flagged(corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    kept = decontam.decontaminate(corpus, bench, n=5, min_hits=1)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    # higher threshold keeps the single-hit docs
+    kept2 = decontam.decontaminate(corpus, bench, n=5, min_hits=2)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3, 4]
+
+
+def test_decontam_probe_is_broadcast(corpus):
+    bench = corpus.filter(F.col("doc_id") == 0)
+    plan = (
+        decontam.contamination_scores(corpus, bench, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

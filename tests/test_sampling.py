@@ -65,3 +65,38 @@ def test_group_sample_caps_each_group(ids):
     # deterministic: same rows both times
     again = sampling.group_sample(ids, "grp", 11, key_col="id")
     assert out.exceptAll(again).isEmpty()
+
+
+def test_mixture_sample_hits_target_proportions(ids):
+    # availability: grp 0 has ~715 rows of 5000; ask for a mixture where
+    # grp "1" is the limiting stratum (weight far above its share)
+    weights = {"0": 0.2, "1": 0.5, "2": 0.3}
+    out = sampling.mixture_sample(ids, "grp", weights, key_col="id")
+    counts = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # unlisted strata are dropped
+    assert set(counts) <= set(weights)
+    per = {g: 5000 // 7 + (1 if int(g) < 5000 % 7 else 0) for g in weights}
+    # the limiting stratum (max count/weight shortfall -> "1") is kept whole
+    assert counts["1"] == per["1"]
+    total = sum(counts.values())
+    for g, w in weights.items():
+        # achieved proportion within sampling noise + 1/BUCKETS quantization
+        assert abs(counts[g] / total - w) < 0.05, (g, counts[g], total)
+    # deterministic: recomputation keeps the identical rows
+    again = sampling.mixture_sample(ids, "grp", weights, key_col="id")
+    assert out.exceptAll(again).isEmpty()
+    # stable under repartitioning (membership is row-local)
+    reparted = sampling.mixture_sample(
+        ids.repartition(13), "grp", weights, key_col="id"
+    )
+    assert out.exceptAll(reparted).isEmpty()
+
+
+def test_mixture_sample_rejects_bad_weights(ids):
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(ids, "grp", {"0": 0.5, "1": 0.4}, key_col="id")
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(ids, "grp", {}, key_col="id")

@@ -99,6 +99,60 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically downsample to the LARGEST corpus that achieves the
+    target mixture ``weights`` (stratum value -> target proportion).
+
+    The limiting stratum (the one whose availability/weight ratio is
+    smallest) is kept whole; every other stratum is hash-downsampled to
+    match, so the output proportions equal ``weights`` (up to 1/BUCKETS
+    quantization) and no stratum is oversampled.  Strata not listed are
+    dropped.
+
+    Plan shape: one small count aggregate on the stratum key, a scalar min
+    over it, and a broadcast join of the per-stratum thresholds back onto
+    the corpus — the corpus itself never shuffles, and membership stays a
+    pure function of ``(salt, key)`` (retry/repartition/engine stable).
+
+    Determinism across engines: thresholds are ``floor(scale * w / cnt *
+    BUCKETS)`` over IEEE doubles — the same correctly-rounded op sequence
+    in any engine — then integer-compared against the md5 bucket.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    w_expr = None
+    for value, wt in weights.items():
+        cond = F.col(strata_col) == value
+        w_expr = F.when(cond, wt) if w_expr is None else w_expr.when(cond, wt)
+    counts = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_wt", w_expr)
+    )
+    scale = counts.agg(F.min(F.col("_cnt") / F.col("_wt")).alias("_scale"))
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        F.col(strata_col),
+        F.floor(
+            F.col("_scale") * F.col("_wt") / F.col("_cnt") * BUCKETS
+        ).alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(F.col(key_col), salt) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
 def group_sample(
     df: DataFrame,
     group_col: str,

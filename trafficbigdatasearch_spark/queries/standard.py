@@ -1652,6 +1652,94 @@ def sample_group_topk_q(spark, sf):
 
 
 @register(
+    "sample_mixture",
+    f"""WITH cw AS (
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+                CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+                          WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+                          WHEN 'de' THEN CAST(0.1 AS DOUBLE)
+                          WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS wt
+         FROM documents WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')
+         GROUP BY lang),
+       k AS (SELECT min(cnt / wt) AS scale FROM cw),
+       r AS (SELECT lang, CAST(floor(scale * wt / cnt * {sampling.BUCKETS})
+                                AS BIGINT) AS thresh
+             FROM cw, k)
+       SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+       WHERE {_BUCKET_SQL.format(salt='mixture')} < thresh""",
+)
+def sample_mixture_q(spark, sf):
+    """Target-mixture downsampling: keep the LARGEST sub-corpus whose
+    language proportions are exactly (en 40, zh 20, es 20, de 10, fr 10)% —
+    the data-mixing step of a pretraining pipeline.  The limiting language
+    is kept whole; the rest are deterministically hash-downsampled to
+    match; the corpus itself never shuffles (count agg + broadcast
+    thresholds)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.mixture_sample(
+        docs,
+        "lang",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+@register(
+    "text_chunk_docs",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+         FROM documents),
+       nz AS (SELECT * FROM toks WHERE len(t) > 0),
+       st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM nz)
+       SELECT doc_id,
+              CAST(s / 48 AS BIGINT) AS chunk_id,
+              array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+              CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+       FROM st""",
+)
+def text_chunk_docs_q(spark, sf):
+    """Fixed-token-budget document chunking (64-token chunks, 16-token
+    overlap -> stride 48): the context-window preprocessing step upstream
+    of pack_sequences.  Pure projection + posexplode — scan speed, zero
+    shuffles, tokenless docs dropped."""
+    from trafficbigdatasearch_spark.operators import chunking
+
+    docs = load_table(spark, sf, "documents")
+    return chunking.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "decontaminate",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS i
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 5], ' ') AS s
+              FROM idx),
+       bench AS (SELECT DISTINCT s FROM sh
+                 WHERE doc_id % 37 = 0 AND s <> '')
+       SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       FROM sh JOIN bench USING (s)
+       GROUP BY sh.doc_id""",
+)
+def decontaminate_q(spark, sf):
+    """Test-set decontamination scores: distinct 5-gram overlap between
+    every corpus document and a benchmark set (here: every 37th doc,
+    standing in for an eval suite).  The benchmark shingle set is
+    broadcast, so the corpus never shuffles its text — the only exchanges
+    are benchmark-side distinct + the small per-doc hit aggregate."""
+    from trafficbigdatasearch_spark.operators import decontam
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontam.contamination_scores(docs, bench, n=5)
+
+
+@register(
     "j_skew_salted",
     """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -2001,6 +2089,9 @@ _PARKED = [
     "dedup_simhash",          # green r1+r2; sibling dedup_simhash_pairs (superset)
     "dedup_minhash_signatures",  # green r1+r2; sibling dedup_minhash_lsh (superset)
     "sim_lsh_topk",           # green r1+r2; sibling sim_lsh_buckets
+    "j1_equi_join_dims",      # green r1+r2; superset siblings q3/q5 (broadcast dims)
+    "text_top_ngrams",        # green r1+r2; sibling dedup_ngram_jaccard (same shingle path)
+    "text_pii_scrub",         # green r1+r2; sibling text_metrics (same regex family)
     "a_group_avg",            # green r1+r2; AVG also golden-tested on traffic
     "sort_topk",              # green r1+r2; TakeOrderedAndProject pinned in test_plans
     "p_time_range_halfopen",  # green r1+r2; p_time_range_closed stays checked
