@@ -64,6 +64,8 @@ HEADLINE = [
     "sample_mixture",
     "text_chunk_docs",
     "decontaminate",
+    "a_cohort_retention",
+    "text_tfidf_topk",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Document search operators: keyword search and TF-IDF-style ranking.
+
+The reference is a "big data search" system over traffic records (bbox +
+time predicates); these extend the same idea to the text corpus — the
+retrieval surface of a data-curation pipeline (find near-matches to a
+prompt, audit corpus coverage of a topic, rank docs for inspection).
+
+Shapes (the 100 TB posture):
+
+- :func:`keyword_search` is a pure row-local token-containment filter —
+  scan speed, zero shuffles, predicate-pushdown friendly.  For repeated
+  interactive queries, pair with a persisted token inverted index the same
+  way operators/similarity.py persists the IVF index.
+- :func:`tfidf_topk` pre-filters each row's token array to the query terms
+  BEFORE exploding (``F.filter``, keeping duplicates for term frequency),
+  so the exploded posting set is O(matching tokens), not O(corpus tokens).
+  One small shuffle on (term, doc) for tf, a broadcast of the per-term
+  document frequencies, and a per-term top-k window over the scored
+  postings.
+
+Determinism: scores are ``tf * N / df`` — integer term frequency times an
+IEEE-double corpus/document-frequency ratio, the same two correctly-rounded
+ops in any engine (deliberately NOT log-scaled: ``ln`` is not guaranteed
+correctly rounded across math libraries, a raw ratio is; the ranking is
+order-isomorphic to the log form for fixed N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.functions import text as T
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "all",
+) -> DataFrame:
+    """Documents whose lowercased whitespace tokens contain the query terms
+    (``mode='all'``: every term; ``mode='any'``: at least one).
+
+    Row-local containment over the token array — no shuffle, no explode;
+    returns (id_col, n_terms_hit) for the matching docs."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if mode not in ("all", "any"):
+        raise ValueError(f"mode must be 'all' or 'any', got {mode}")
+    toks = T.tokens(F.lower(F.col(text_col)))
+    hits = [F.array_contains(toks, t).cast("bigint") for t in terms]
+    n_hit = hits[0]
+    for h in hits[1:]:
+        n_hit = n_hit + h
+    need = len(terms) if mode == "all" else 1
+    return (
+        docs.select(F.col(id_col), n_hit.alias("n_terms_hit"))
+        .filter(F.col("n_terms_hit") >= need)
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term top-``k`` documents ranked by ``tf * (N / df)``.
+
+    tf = occurrences of the term in the doc, df = docs containing the term,
+    N = corpus size.  Ties broken by ascending doc id, so the result is a
+    total function of the corpus.  Returns (term, id_col, tf, df, score,
+    rank)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = T.tokens(F.lower(F.col(text_col)))
+    matching = F.filter(toks, lambda t: F.array_contains(term_arr, t))
+    postings = docs.select(
+        F.col(id_col), F.explode(matching).alias("term")
+    )
+    tf = postings.groupBy("term", id_col).agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            id_col,
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1740,6 +1740,135 @@ def decontaminate_q(spark, sf):
 
 
 @register(
+    "a_funnel_steps",
+    """WITH pu AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purch
+         FROM events GROUP BY user_id)
+       SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+              CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+              CAST(SUM(CASE WHEN t_click > t_view AND t_purch > t_click
+                            THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+       FROM pu""",
+)
+def a_funnel_steps_q(spark, sf):
+    """Ordered funnel analysis (view -> click -> purchase): per-user
+    conditional-min timestamps, then one global conjunction count — the
+    event-sequence query a product-analytics engine answers constantly.
+    One shuffle on user_id (map-side combined), then a scalar aggregate;
+    NULL comparisons drop users missing a step, exactly as the oracle's
+    CASE does."""
+    ev = load_table(spark, sf, "events")
+    ms = F.unix_millis("ts")
+
+    def step(t):
+        return F.min(F.when(F.col("event_type") == t, ms)).alias(f"t_{t}")
+
+    pu = ev.groupBy("user_id").agg(step("view"), step("click"), step("purchase"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return pu.agg(
+        flag(F.col("t_view").isNotNull()).alias("step_view"),
+        flag(F.col("t_click") > F.col("t_view")).alias("step_click"),
+        flag(
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("step_purchase"),
+    )
+
+
+@register(
+    "a_cohort_retention",
+    """WITH fu AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+       j AS (SELECT e.user_id,
+                    strftime(date_trunc('week', fu.first_ts), '%Y-%m-%d') AS cohort_week,
+                    (epoch_ms(e.ts) - epoch_ms(fu.first_ts)) // 604800000 AS week_offset
+             FROM events e JOIN fu USING (user_id))
+       SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM j GROUP BY cohort_week, week_offset""",
+)
+def a_cohort_retention_q(spark, sf):
+    """Cohort retention: users grouped by first-seen ISO week, counted per
+    whole-week offset of each later event — the activity matrix behind
+    every retention curve.  Week offsets are exact integer ms division
+    (no float), cohort labels Monday-truncated dates; two shuffles (per-
+    user min, then the cohort/offset distinct-count), both map-side
+    combined."""
+    ev = load_table(spark, sf, "events")
+    fu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(fu, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        (
+            (F.unix_millis("ts") - F.unix_millis("first_ts"))
+        ).alias("_ms_diff"),
+    )
+    return (
+        j.select(
+            "user_id",
+            "cohort_week",
+            F.expr("_ms_diff div 604800000").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "text_search_terms",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+       SELECT doc_id,
+              CAST(CAST(list_contains(t, 'dup') AS INT)
+                   + CAST(list_contains(t, 'bloom') AS INT)
+                   + CAST(list_contains(t, 'query') AS INT) AS BIGINT) AS n_terms_hit
+       FROM toks
+       WHERE list_contains(t, 'dup') OR list_contains(t, 'bloom')
+          OR list_contains(t, 'query')""",
+)
+def text_search_terms_q(spark, sf):
+    """Keyword search (ANY-semantics) over the corpus: row-local token
+    containment, zero shuffles, returning each hit with its matched-term
+    count.  The interactive retrieval primitive of a 'big data search'
+    engine, generalized from the reference's bbox/time predicates to
+    text."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, sf, "documents")
+    return search.keyword_search(docs, ["dup", "bloom", "query"], mode="any")
+
+
+@register(
+    "text_tfidf_topk",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       p AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM p WHERE term IN ('join', 'merge', 'query') GROUP BY 1, 2),
+       dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       s AS (SELECT term, doc_id, tf, df, tf * n / df AS score
+             FROM tf JOIN dfq USING (term), n)
+       SELECT term, doc_id, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY term
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def text_tfidf_topk_q(spark, sf):
+    """Per-term top-10 documents by tf * (N/df): the relevance-ranking
+    primitive.  The token array is pre-filtered to the query terms BEFORE
+    exploding, so the posting set is O(matches); df and N broadcast; one
+    small (term, doc) shuffle + a per-term top-k window.  Raw-ratio idf
+    (not log) keeps the score an exact IEEE op sequence in any engine."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, sf, "documents")
+    return search.tfidf_topk(docs, ["join", "merge", "query"], k=10)
+
+
+@register(
     "j_skew_salted",
     """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -2090,6 +2219,10 @@ _PARKED = [
     "dedup_minhash_signatures",  # green r1+r2; sibling dedup_minhash_lsh (superset)
     "sim_lsh_topk",           # green r1+r2; sibling sim_lsh_buckets
     "j1_equi_join_dims",      # green r1+r2; superset siblings q3/q5 (broadcast dims)
+    "j3_or_key_union",        # green r1+r2; sibling j2_interval_join + OR-key parity pytest
+    "p_segments_case",        # green r1+r2; sibling p_bbox_filter + traffic goldens
+    "a_pricing_summary",      # green r1+r2; sibling q14/j_skew_salted (same cents-sum path)
+    "sim_brute_topk",         # green r1+r2; recall baseline pinned in pytest vs LSH/IVF
     "text_top_ngrams",        # green r1+r2; sibling dedup_ngram_jaccard (same shingle path)
     "text_pii_scrub",         # green r1+r2; sibling text_metrics (same regex family)
     "a_group_avg",            # green r1+r2; AVG also golden-tested on traffic
