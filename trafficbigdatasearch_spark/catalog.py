@@ -64,8 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # its own PARQUET_TYPE_ILLEGAL if the conf truly mattered
                 pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file surfaced as int64 via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] file without isAdjustedToUTC reads as NTZ; with
+            # the session zone pinned UTC above, the cast is wall-clock
+            # identity and matches DuckDB's naive read of the same file.
+            # Strict-typed functions (unix_millis, window) need TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1938,8 +1938,13 @@ def stream_events_hourly_q(spark, sf):
         os.path.join(d, "events.parquet"),
     )
     src = spark.readStream.schema(raw.schema).parquet(d)
-    if dict(src.dtypes).get("ts") == "bigint":
+    _ts_type = dict(src.dtypes).get("ts")
+    if _ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif _ts_type == "timestamp_ntz":
+        # timestamp[us] file reads as NTZ; wall-clock identity cast under
+        # the UTC session zone (same normalization as catalog.load_table)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -2132,8 +2137,13 @@ def stream_sessions_q(spark, sf):
         os.path.join(d, "events.parquet"),
     )
     src = spark.readStream.schema(raw.schema).parquet(d)
-    if dict(src.dtypes).get("ts") == "bigint":
+    _ts_type = dict(src.dtypes).get("ts")
+    if _ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif _ts_type == "timestamp_ntz":
+        # timestamp[us] file reads as NTZ; wall-clock identity cast under
+        # the UTC session zone (same normalization as catalog.load_table)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         src.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
