@@ -66,6 +66,8 @@ HEADLINE = [
     "decontaminate",
     "a_cohort_retention",
     "text_tfidf_topk",
+    "text_repetition",
+    "a_anomaly_zscore",
 ]
 
 

@@ -236,3 +236,45 @@ def shingle_hash(shingle: Column) -> Column:
     engines (DuckDB: ``('0x' || substr(md5(s),1,7))::BIGINT``), small enough
     that ``a*h + b`` stays in int64 for minhash's universal hashing."""
     return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("bigint")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (fewer than ``n`` tokens ->
+    empty array).  Pure higher-order expressions: the index sequence is
+    guarded because Spark's ``sequence(1, 0)`` counts DOWN, not empty."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram(grams: Column) -> Column:
+    """Struct(gram, n) of the most frequent element of a gram array, ties
+    broken to the lexicographically smallest gram.
+
+    Row-local mode: sort the array, then one fold tracks the longest run of
+    equal adjacent elements — O(k log k) per document and zero shuffle, where
+    the explode->groupBy formulation (the oracle's) would shuffle the whole
+    corpus's gram stream.  Ascending sort + strict ``>`` makes the FIRST
+    maximal run win, i.e. the smallest gram among ties, deterministically in
+    any engine.  Empty array -> ('', 0)."""
+    zero = F.lit(0).cast("bigint")
+
+    def fold(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(zero + 1)
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["gram"]).alias("gram"),
+        )
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best"),
+        F.lit("").alias("gram"),
+    )
+    out = F.aggregate(F.array_sort(grams), acc0, fold)
+    return F.struct(out["gram"].alias("gram"), out["best"].alias("n"))

@@ -2209,6 +2209,102 @@ def dedup_incremental_q(spark, sf):
     )
 
 
+@register(
+    "text_repetition",
+    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+       e AS (SELECT doc_id, w, len(w) AS nw FROM t WHERE len(w) >= 3),
+       bg AS (SELECT doc_id,
+                     unnest(list_transform(range(1, nw),
+                                           x -> w[x] || ' ' || w[x + 1])) AS g
+              FROM e),
+       c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bg GROUP BY 1, 2),
+       top AS (SELECT doc_id, g, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, g) AS rn
+               FROM c),
+       tri AS (SELECT doc_id,
+                      CAST(nw - 2 AS BIGINT) AS n_trigrams,
+                      CAST(len(list_distinct(
+                          list_transform(range(1, nw - 1),
+                              x -> w[x] || ' ' || w[x+1] || ' ' || w[x+2])))
+                        AS BIGINT) AS d_tri
+               FROM e)
+       SELECT e.doc_id, top.g AS top_bigram, top.cnt AS top_bigram_n,
+              CAST(e.nw - 1 AS BIGINT) AS n_bigrams,
+              tri.n_trigrams - tri.d_tri AS dup_trigram_n,
+              tri.n_trigrams
+       FROM e JOIN top USING (doc_id) JOIN tri USING (doc_id)
+       WHERE top.rn = 1""",
+)
+def text_repetition_q(spark, sf):
+    """Intra-document repetition metrics (the Gopher/MassiveText quality
+    rules): most-frequent word bigram with its count, plus duplicate-trigram
+    counts, per document.  The Spark side is ENTIRELY row-local — n-grams by
+    index arithmetic, the bigram mode as a sorted-array run-length fold
+    (functions/text.py::top_ngram), trigram dups via array_distinct — zero
+    shuffles at any corpus size, where the oracle's unnest->GROUP BY
+    formulation shuffles the full gram stream.  All outputs are integers or
+    strings; ties break to the lexicographically smallest gram in both
+    engines."""
+    docs = load_table(spark, sf, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("w")).filter(F.size("w") >= 3)
+    bi = T.word_ngrams(F.col("w"), 2)
+    tri = T.word_ngrams(F.col("w"), 3)
+    top = T.top_ngram(bi)
+    return base.select(
+        "doc_id",
+        top["gram"].alias("top_bigram"),
+        top["n"].alias("top_bigram_n"),
+        F.size(bi).cast("bigint").alias("n_bigrams"),
+        (F.size(tri) - F.size(F.array_distinct(tri)))
+        .cast("bigint")
+        .alias("dup_trigram_n"),
+        F.size(tri).cast("bigint").alias("n_trigrams"),
+    )
+
+
+@register(
+    "a_anomaly_zscore",
+    """WITH c AS (SELECT event_id, user_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+       s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(cents) AS BIGINT) AS s,
+                    CAST(SUM(cents * cents) AS BIGINT) AS ssq
+             FROM c GROUP BY user_id)
+       SELECT c.event_id, c.user_id, c.cents
+       FROM c JOIN s USING (user_id)
+       WHERE s.n >= 2
+         AND (s.n * c.cents - s.s) * (s.n * c.cents - s.s) * (s.n - 1)
+             > 9 * s.n * (s.n * s.ssq - s.s * s.s)""",
+)
+def a_anomaly_zscore_q(spark, sf):
+    """Per-user outlier detection: events whose value is more than 3 sample
+    standard deviations from the user's mean.  |x - mean| > 3*sigma is
+    cross-multiplied into PURE INTEGER arithmetic on cents —
+    (n*x - s)^2 * (n-1) > 9 * n * (n*ssq - s^2) — so both engines decide
+    every boundary case identically (no float variance ordering issues).
+    One map-side-combined shuffle for the per-user moments, then a hash join
+    back to the events; int64 is safe to ~1e5 events/user at these
+    magnitudes — the 100 TB variant lifts the moments to DECIMAL(38,0)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", _cents(F.col("value")).alias("cents")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    j = ev.join(s, "user_id")
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_n = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return j.filter(
+        (F.col("n") >= 2) & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_n)
+    ).select("event_id", "user_id", "cents")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
