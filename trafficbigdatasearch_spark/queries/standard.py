@@ -2305,6 +2305,64 @@ def a_anomaly_zscore_q(spark, sf):
     ).select("event_id", "user_id", "cents")
 
 
+@register(
+    "sketch_distinct_rollup",
+    """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+       FROM events""",
+)
+def sketch_distinct_rollup_q(spark, sf):
+    """Mergeable HLL distinct cube: one ~16 KiB sketch per DAY of events,
+    merged to the global distinct-user count without touching raw ids again
+    (operators/sketches.py).  This is the pre-aggregation shape that answers
+    any coarser distinct rollup at 100 TB from kilobytes; the oracle compares
+    against the exact answer, valid because the cardinality sits in HLL's
+    exact sparse phase (the >>2^lg_k degradation bound is pinned in
+    tests/test_sketches.py)."""
+    from trafficbigdatasearch_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events").withColumn("d", F.to_date("ts"))
+    parts = sketches.distinct_sketch_rollup(ev, ["d"], "user_id")
+    return parts.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        sketches.merged_distinct(parts).alias("distinct_users"),
+    )
+
+
+@register(
+    "sketch_segment_overlap",
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'error' AND value > 200)
+       SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+              CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+              CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+                AS n_intersect,
+              CAST((SELECT COUNT(*) FROM a
+                    WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT)
+                AS n_a_only""",
+)
+def sketch_segment_overlap_q(spark, sf):
+    """Distinct-set algebra across segments in ONE scan via Theta sketches:
+    |A|, |B|, |A∩B|, |A\\B| of high-value users vs high-value-error users
+    (operators/sketches.py::segment_overlap).  The exact plan is 2 distinct
+    aggregates + intersect + except = 4 shuffles of raw ids; the sketch plan
+    is one conditional-aggregate scan and set algebra on two kilobyte
+    summaries.  Exact below Theta's k=4096 retention (oracle enforces it);
+    graceful estimate beyond."""
+    from trafficbigdatasearch_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    return sketches.segment_overlap(
+        ev,
+        F.col("value") > 300,
+        (F.col("event_type") == "error") & (F.col("value") > 200),
+        "user_id",
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
