@@ -359,3 +359,46 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path_factory):
         for i in want
     }
     assert got == want
+
+
+def test_stream_stream_attribution_equals_batch(spark, event_stream_dir):
+    """Stream-stream watermarked interval join == the identical batch join
+    on the same closed input (append mode; inner stream-stream joins emit
+    exactly the matched rows once both watermarks pass)."""
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    views_s = stream.filter(F.col("event_type") == "view")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    got = _run(
+        spark,
+        SE.attribution_join(views_s, purch_s, horizon="1 hour"),
+        "t_attrib",
+        "append",
+    )
+
+    ev = load_table(spark, SF, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 hour")),
+            "inner",
+        )
+        .select(
+            "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+            "purchase_value",
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert len(got_rows) > 0, "fixture produced no attributed purchases"
+    assert got_rows == want_rows

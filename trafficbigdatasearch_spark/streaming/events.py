@@ -155,6 +155,49 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to the same user's
+    view events within ``horizon`` before it — the canonical ad-attribution
+    shape, and the one streaming join the rest of this module doesn't cover
+    (dedup/enrich are stateless or stream-static).
+
+    Both sides carry a watermark and the join condition bounds event time in
+    BOTH directions (purchase in [view_ts, view_ts + horizon]), which is what
+    lets the state store evict: a buffered view older than
+    ``watermark + horizon`` can never match a future purchase and is dropped.
+    Without the time bound the state grows with the whole stream — the
+    unbounded-state trap this function exists to demonstrate avoiding.
+
+    Batch-equivalence on a closed input is pinned in tests/test_streaming.py:
+    the same condition as a static interval join (J2's shape, stream twin).
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = None):
     """Drive a streaming DataFrame to completion over the currently-available
     input (availableNow trigger) into an in-memory sink; returns the query.
