@@ -151,3 +151,11 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keyless_range_join_not_nested_loop(spark):
+    """The banded formulation must plan a hash/SMJ equi join on the bucket,
+    never a BroadcastNestedLoopJoin over the raw band predicate."""
+    df = standard.queries()["j_range_keyless"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -2363,6 +2363,49 @@ def sketch_segment_overlap_q(spark, sf):
     )
 
 
+@register(
+    "j_range_keyless",
+    """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS s FROM events),
+       w2 AS (SELECT strftime(s, '%Y-%m-%d') AS w_id,
+                     epoch_ms(s) AS lo,
+                     epoch_ms(s + INTERVAL 36 HOUR) AS hi
+              FROM w),
+       e AS (SELECT epoch_ms(ts) AS t, user_id FROM events)
+       SELECT w_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM e JOIN w2 ON e.t >= w2.lo AND e.t <= w2.hi
+       GROUP BY w_id""",
+)
+def j_range_keyless_q(spark, sf):
+    """KEYLESS range join at scale: events against overlapping 36-hour
+    windows with NO equi key — the join class Spark would otherwise plan as
+    a nested loop (fine only while one side broadcasts).
+    operators/joins.py::bucketed_interval_join explodes each window into the
+    6-hour buckets it overlaps and equi-joins on the bucket with the exact
+    band as residual, turning O(n*m) into a hash join partitioned on time —
+    the standard range-join bin trick.  Overlapping windows are the point:
+    each event matches 1-2 windows and must appear once per window, which
+    the bucket equi-join preserves exactly (events carry ONE bucket each).
+    Plan gates: no CartesianProduct (global sweep) and no
+    BroadcastNestedLoopJoin (tests/test_plans.py)."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select(F.unix_millis("ts").alias("t"), "user_id")
+    w = (
+        ev.select(F.date_trunc("day", "ts").alias("s"))
+        .distinct()
+        .select(
+            F.date_format("s", "yyyy-MM-dd").alias("w_id"),
+            F.unix_millis(F.col("s")).alias("lo"),
+            F.unix_millis(F.col("s") + F.expr("INTERVAL 36 HOURS")).alias("hi"),
+        )
+    )
+    j = joins.bucketed_interval_join(e, w, "t", "lo", "hi", 6 * 3600 * 1000)
+    return j.groupBy("w_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
