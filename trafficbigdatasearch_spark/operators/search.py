@@ -103,3 +103,43 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-token phrase match via a POSITIONAL posting join —
+    the inverted-index-with-positions primitive under every phrase query.
+
+    Each document's tokens are position-exploded, postings are filtered to
+    the phrase's terms BEFORE any join (the posting set is O(term matches),
+    not O(corpus tokens)), then adjacent terms chain with equi joins on
+    (doc, position + offset).  At scale this is exactly how a persisted
+    positional index answers phrases: k-1 hash joins over per-term posting
+    lists, each join keyed on (doc, pos) — no document text is re-read.
+
+    Returns (id_col, n_hits) for documents with >= 1 occurrence; n_hits
+    counts occurrences (overlapping ones included, matching the naive
+    sliding-window count an oracle computes).
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase must have at least 2 tokens")
+    toks = T.tokens(F.lower(F.col(text_col)))
+    postings = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+        .filter(F.col("term").isin(phrase))
+    )
+    first = phrase[0]
+    acc = (
+        postings.filter(F.col("term") == first)
+        .select(id_col, F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        acc = acc.join(nxt, [id_col, "p0"])
+    return acc.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_hits"))

@@ -2406,6 +2406,69 @@ def j_range_keyless_q(spark, sf):
     )
 
 
+@register(
+    "text_phrase_search",
+    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+       h AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(range(1, len(w)),
+                        x -> CASE WHEN w[x] = 'query' AND w[x + 1] = 'key'
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits
+             FROM t WHERE len(w) >= 2)
+       SELECT doc_id, n_hits FROM h WHERE n_hits > 0""",
+)
+def text_phrase_search_q(spark, sf):
+    """Exact phrase search ("query key" as consecutive tokens) via the
+    positional-posting join (operators/search.py::phrase_search): postings
+    filtered to the phrase terms BEFORE joining, then chained on
+    (doc, pos + offset) — the inverted-index-with-positions shape, k-1 hash
+    joins over O(matches) posting lists at any corpus size.  The oracle is
+    the naive per-document sliding window."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, sf, "documents")
+    return search.phrase_search(docs, ["query", "key"])
+
+
+@register(
+    "w_quality_deciles",
+    """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents)
+       SELECT doc_id, lang, n_chars,
+              CAST(ntile(10) OVER ord AS BIGINT) AS decile,
+              percent_rank() OVER ord AS pct_rank,
+              cume_dist() OVER ord AS cdist
+       FROM s WINDOW ord AS (PARTITION BY lang ORDER BY n_chars, doc_id)""",
+)
+def w_quality_deciles_q(spark, sf):
+    """Distribution-rank windows (ntile / percent_rank / cume_dist): each
+    document's quality-score decile and exact percentile WITHIN ITS
+    LANGUAGE — the normalize-then-threshold step of per-language corpus
+    filtering.  Partitioned ranking is the scalable form (one shuffle on
+    lang, skew bounded by the largest language; a GLOBAL ntile would funnel
+    the corpus through one task — at scale that variant uses broadcast
+    approx-quantile cutpoints instead).  The (n_chars, doc_id) order is a
+    total order, so ranks have no peer groups and percent_rank/cume_dist
+    are exact integer ratios — bit-identical IEEE doubles in both
+    engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
