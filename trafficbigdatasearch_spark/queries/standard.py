@@ -2469,6 +2469,36 @@ def w_quality_deciles_q(spark, sf):
     )
 
 
+@register(
+    "w_scd2_intervals",
+    """SELECT user_id, event_id,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              epoch_ms(ts) AS valid_from_ms,
+              epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS valid_to_ms
+       FROM events WHERE event_type = 'signup'""",
+)
+def w_scd2_intervals_q(spark, sf):
+    """Slowly-changing-dimension (type 2) interval construction: each
+    per-user state change becomes a [valid_from, valid_to) row, valid_to =
+    the next change's timestamp (NULL = current) via ``lead`` — how a
+    feature store turns an event log into a point-in-time-joinable temporal
+    table (the as-of join j_asof is its query-side twin).  One shuffle on
+    user_id; (ts, event_id) ordering makes the intervals deterministic
+    under timestamp ties; money as exact cents."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _cents(F.col("value")).alias("cents"),
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
