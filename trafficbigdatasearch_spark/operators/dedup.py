@@ -538,6 +538,30 @@ def simhash_pairs(
     self-join would run the whole fingerprint pipeline once per side — and
     the exact ``bit_count(xor)`` filter runs on candidates only.
     """
+    fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
+    return hamming_pairs(
+        fps,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 100_000,
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Banded near-dup pairs over ANY precomputed bit-fingerprint column
+    (id, ``hash_col``) — the blocking+verify engine shared by text SimHash
+    and media perceptual hashes (operators/multimodal.py::phash_pairs).
+    Complete for ``max_hamming < n_bands`` by the pigeonhole bound, so the
+    result EQUALS the all-pairs bit_count(xor) filter — which is what the
+    oracles compare against."""
     if n_bits % band_bits != 0:
         raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
     n_bands = n_bits // band_bits
@@ -547,7 +571,8 @@ def simhash_pairs(
             f"guarantee (every pair within max_hamming agrees on some band) "
             f"requires max_hamming < n_bands — use more/narrower bands"
         )
-    fps = simhash_fingerprints(docs, id_col, text_col, n_bits)
+    if hash_col != "simhash":
+        fps = fps.withColumnRenamed(hash_col, "simhash")
     mask = (1 << band_bits) - 1
     bands = F.explode(
         F.array(

@@ -152,3 +152,45 @@ def frame_sample_stub(assets: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "n_bytes": sizes})
 
     return assets.mapInPandas(run, out_schema)
+
+
+def phash_stub(assets: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Perceptual-hash STUB for media payloads: (asset_id, phash).
+
+    A real deployment computes a DCT pHash / chromaprint / video keyframe
+    hash inside the decode kernel; the container has no codecs, so the stub
+    derives ``n_bits`` deterministically from the payload's md5 — preserving
+    the property that matters to the PIPELINE: identical payloads collide,
+    near-identical ones are close (trivially, only exact here), and the
+    value is reproducible by a SQL oracle.  Pure column expressions — the
+    hash costs one md5 per asset at scan speed, no Python."""
+    n_nibs = (n_bits + 3) // 4
+    return assets.select(
+        F.col("asset_id"),
+        F.conv(F.substring(F.md5(F.col("payload")), 1, n_nibs), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+    )
+
+
+def phash_pairs(
+    assets: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Media near-duplicate pairs by perceptual hash: the banded Hamming
+    blocking engine shared with text SimHash
+    (operators/dedup.py::hamming_pairs) applied to :func:`phash_stub`
+    fingerprints — multimodal dedup rides the exact same 100 TB machinery
+    (posting-list banding, pigeonhole completeness, skew guard) as text.
+    Returns (id_a, id_b, hamming), complete for ``max_hamming < n_bands``.
+    """
+    from trafficbigdatasearch_spark.operators import dedup
+
+    fps = phash_stub(assets, n_bits).select(
+        F.col("asset_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    return dedup.hamming_pairs(
+        fps, n_bits=n_bits, band_bits=band_bits, max_hamming=max_hamming
+    )

@@ -2499,6 +2499,31 @@ def w_scd2_intervals_q(spark, sf):
     )
 
 
+@register(
+    "mm_phash_pairs",
+    """WITH fp AS (SELECT doc_id AS id,
+                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) AS h
+            FROM documents)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       FROM fp a JOIN fp b ON a.id < b.id
+       WHERE bit_count(xor(a.h, b.h)) <= 3""",
+)
+def mm_phash_pairs_q(spark, sf):
+    """Multimodal near-dup: perceptual-hash pairs over media assets through
+    the SAME banded-Hamming engine as text SimHash
+    (operators/multimodal.py::phash_pairs -> dedup.hamming_pairs).  The
+    pigeonhole bound makes the banded result EQUAL to the oracle's
+    all-pairs bit_count(xor) filter, so the blocking path gets hash-level
+    verification; the pHash itself is the documented md5 stub (payload =
+    utf-8 text bytes, so DuckDB's md5(text) reproduces it)."""
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.phash_pairs(assets)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
