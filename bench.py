@@ -68,6 +68,14 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_repetition",
     "a_anomaly_zscore",
+    "sketch_distinct_rollup",
+    "sketch_segment_overlap",
+    "j_range_keyless",
+    "text_phrase_search",
+    "w_quality_deciles",
+    "w_scd2_intervals",
+    "mm_phash_pairs",
+    "a_grouping_sets",
 ]
 
 

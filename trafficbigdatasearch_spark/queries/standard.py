@@ -2524,6 +2524,43 @@ def mm_phash_pairs_q(spark, sf):
     return multimodal.phash_pairs(assets)
 
 
+@register(
+    "a_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+              CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def a_grouping_sets_q(spark, sf):
+    """Arbitrary GROUPING SETS — the general form of which a_rollup/a_cube
+    are the prefix/powerset specializations: per-returnflag totals,
+    per-linestatus totals, and the grand total in ONE pass (Expand + one
+    grouped aggregate = one shuffle, vs three scans unioned).
+    ``grouping()`` flags disambiguate a real NULL key from a superaggregate
+    row — the contract every BI layer depends on."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_cents"
+        )
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
