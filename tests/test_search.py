@@ -72,3 +72,62 @@ def test_tfidf_prefilters_before_explode(docs):
         .toString()
     )
     assert "filter(" in plan  # the array-level prefilter survived optimization
+
+
+class TestTopNgramFold:
+    """functions/text.py::top_ngram — the sorted-run-length fold must agree
+    with a brute-force mode (max count, lexicographically smallest tie) on
+    arbitrary token streams."""
+
+    def test_fold_equals_bruteforce(self, spark):
+        import random
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.functions import text as T
+
+        rng = random.Random(7)
+        vocab = ["a", "b", "c", "aa", "b c"]
+        rows = []
+        for i in range(200):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        df = spark.createDataFrame(rows, ["i", "txt"])
+        toks = T.tokens(F.col("txt"))
+        got = {
+            r["i"]: (r["g"]["gram"], r["g"]["n"])
+            for r in df.select(
+                "i", T.top_ngram(T.word_ngrams(toks, 2)).alias("g")
+            ).collect()
+        }
+        for i, txt in rows:
+            w = txt.split()
+            grams = [" ".join(w[j : j + 2]) for j in range(len(w) - 1)]
+            if not grams:
+                assert got[i] == ("", 0)
+                continue
+            c = Counter(grams)
+            best_n = max(c.values())
+            best_g = min(g for g, k in c.items() if k == best_n)
+            assert got[i] == (best_g, best_n), f"row {i}: {txt!r}"
+
+    def test_short_docs_empty(self, spark):
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.functions import text as T
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "one"), (2, "two words")], ["i", "txt"]
+        )
+        out = {
+            r["i"]: (r["g"]["gram"], r["g"]["n"], r["nb"])
+            for r in df.select(
+                "i",
+                T.top_ngram(T.word_ngrams(T.tokens(F.col("txt")), 2)).alias("g"),
+                F.size(T.word_ngrams(T.tokens(F.col("txt")), 2)).alias("nb"),
+            ).collect()
+        }
+        assert out[0] == ("", 0, 0)
+        assert out[1] == ("", 0, 0)
+        assert out[2] == ("two words", 1, 1)
