@@ -76,6 +76,7 @@ HEADLINE = [
     "w_scd2_intervals",
     "mm_phash_pairs",
     "a_grouping_sets",
+    "text_phrase_indexed",
 ]
 
 

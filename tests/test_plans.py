@@ -159,3 +159,11 @@ def test_keyless_range_join_not_nested_loop(spark):
     df = standard.queries()["j_range_keyless"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_phrase_index_partition_prunes(spark):
+    """The indexed phrase scan must carry a PartitionFilters entry on the
+    term-bucket column — only the query terms' buckets are read."""
+    df = standard.queries()["text_phrase_indexed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]

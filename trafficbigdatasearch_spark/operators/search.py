@@ -132,6 +132,11 @@ def phrase_search(
         docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
         .filter(F.col("term").isin(phrase))
     )
+    return _chain_phrase(postings, phrase, id_col)
+
+
+def _chain_phrase(postings: DataFrame, phrase: list[str], id_col: str) -> DataFrame:
+    """Chain per-term posting lists on (doc, pos + offset) -> (id, n_hits)."""
     first = phrase[0]
     acc = (
         postings.filter(F.col("term") == first)
@@ -143,3 +148,65 @@ def phrase_search(
         )
         acc = acc.join(nxt, [id_col, "p0"])
     return acc.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_hits"))
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of ``T.shingle_hash(term) % n_buckets`` (md5-prefix
+    hash — engine-reproducible by construction)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:7], 16) % n_buckets
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a POSITIONAL inverted index: (term, doc, pos) postings
+    written partitioned by a stable hash bucket of the term.
+
+    The build-once-query-forever seam for text, mirroring
+    similarity.build_ivf_index: one posexplode pass over the corpus, one
+    shuffle into term-bucket partitions.  Buckets (not raw terms) as the
+    partition key keep the directory count fixed at ``n_buckets`` no matter
+    the vocabulary size; md5-prefix bucketing means a QUERY can compute its
+    terms' buckets driver-side and read only those partitions."""
+    toks = T.tokens(F.lower(F.col(text_col)))
+    postings = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    ).withColumn(
+        "bucket", (T.shingle_hash(F.col("term")) % n_buckets).cast("int")
+    )
+    (
+        postings.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def phrase_search_indexed(
+    spark,
+    path: str,
+    phrase: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase search over a :func:`build_text_index` index: identical
+    results to :func:`phrase_search`, but the scan touches ONLY the phrase
+    terms' bucket partitions (static partition pruning on the literal
+    bucket list — visible as PartitionFilters in the plan) — at 100 TB the
+    difference between re-tokenizing a corpus and reading a few hundred MB
+    of posting lists."""
+    if len(phrase) < 2:
+        raise ValueError("phrase must have at least 2 tokens")
+    buckets = sorted({_bucket_of(t, n_buckets) for t in phrase})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(phrase))
+    )
+    return _chain_phrase(postings, phrase, id_col)

@@ -2561,6 +2561,39 @@ def a_grouping_sets_q(spark, sf):
     )
 
 
+_TEXT_INDEX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "text_phrase_indexed",
+    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+       h AS (SELECT doc_id,
+                    CAST(list_sum(list_transform(range(1, len(w)),
+                        x -> CASE WHEN w[x] = 'query' AND w[x + 1] = 'key'
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits
+             FROM t WHERE len(w) >= 2)
+       SELECT doc_id, n_hits FROM h WHERE n_hits > 0""",
+)
+def text_phrase_indexed_q(spark, sf):
+    """Phrase search over a PERSISTED positional inverted index
+    (operators/search.py::build_text_index / phrase_search_indexed): same
+    answer as text_phrase_search, but the scan reads only the phrase terms'
+    md5-bucket partitions (static partition pruning, pinned in
+    tests/test_plans.py) — the repeated-query retrieval path, mirroring the
+    persisted IVF index for vectors.  Index builds once per process into a
+    tempdir; every later call is pruned posting-list reads."""
+    import tempfile
+
+    from trafficbigdatasearch_spark.operators import search
+
+    path = _TEXT_INDEX_CACHE.get(sf)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="tbds_text_index_") + "/postings"
+        search.build_text_index(load_table(spark, sf, "documents"), path)
+        _TEXT_INDEX_CACHE[sf] = path
+    return search.phrase_search_indexed(spark, path, ["query", "key"])
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
