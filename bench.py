@@ -77,6 +77,8 @@ HEADLINE = [
     "mm_phash_pairs",
     "a_grouping_sets",
     "text_phrase_indexed",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
 ]
 
 

@@ -243,3 +243,36 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert sorted(tuple(r) for r in idf.collect()) == inline
     plan = idf._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pq_adc_lands_in_own_cluster(spark):
+    """PQ/ADC over the clustered corpus: the top-1 ADC neighbor of every
+    probe must come from the probe's own cluster — the shortlist-quality
+    contract of compressed search (full recall comes from trained codebooks
+    + exact rerank, which is the production IVF+PQ arrangement)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    dims = 16
+    for cluster in range(20):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for member in range(10):
+            vec = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((cluster * 10 + member, vec, str(cluster)))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    top1 = similarity.pq_adc_topk(emb, queries, k=1, m=2, centroid_stride=7)
+    got = top1.collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["neighbor_id"] // 10 == r["query_id"] // 10, dict(r.asDict())

@@ -539,3 +539,143 @@ def embedding_near_dup_pairs(
     return blocked.groupBy("blk").applyInPandas(
         score_block, "id_a bigint, id_b bigint, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m-subspace codes + ADC scoring
+# ---------------------------------------------------------------------------
+
+#: cell ids are packed with subspace distances into one bigint for a
+#: portable argmin (min(d * PACK + cell) % PACK) — exact while
+#: d * PACK + cell < 2^53 and cell_id < PACK.
+_PQ_PACK = 1 << 20
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 8,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization codes: each vector's ``m`` subvectors mapped to
+    their nearest codebook entry -> (id, code_0..code_{m-1}).
+
+    The memory side of the 100 TB ANN stack (IVF prunes WHERE to look,
+    PQ shrinks WHAT is kept: 64 floats -> m small ints per vector).
+    Codebooks default to the same deterministic corpus sample as
+    ``ivf_topk`` (``id % centroid_stride == 0``) so the whole pipeline is
+    oracle-checkable; pass trained ``centroids`` (id_col, vec_col) for
+    k-means codebooks via the same seam as IVF.
+
+    Arithmetic is EXACT: vectors quantize to the integer lattice
+    (functions/vectors.py), per-subspace L2^2 distances are integer sums,
+    and the argmin is ``min(d * 2^20 + cell_id) % 2^20`` — smallest
+    distance, smallest cell on ties, bit-identical in any engine.  One
+    broadcast of the codebook, one scan of the corpus, no other shuffle.
+    """
+    cent = centroids if centroids is not None else corpus.filter(
+        (F.col(id_col) % centroid_stride) == 0
+    )
+    cq = _with_quantized(cent, vec_col, "cv").select(
+        F.col(id_col).alias("cell_id"), "cv"
+    )
+    c = _with_quantized(corpus, vec_col, "v").select(F.col(id_col), "v")
+    dim_expr = F.size(F.col("v"))
+    j_cols = []
+    paired = c.join(F.broadcast(cq), how="cross")
+    for j in range(m):
+        sub = F.slice(F.col("v"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                      (dim_expr / m).cast("int"))
+        csub = F.slice(F.col("cv"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                       (dim_expr / m).cast("int"))
+        d = F.aggregate(
+            F.zip_with(sub, csub, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        j_cols.append((d * _PQ_PACK + F.col("cell_id")).alias(f"_p{j}"))
+    packed = paired.select(id_col, *j_cols)
+    return packed.groupBy(id_col).agg(
+        *[
+            (F.min(f"_p{j}") % _PQ_PACK).cast("bigint").alias(f"code_{j}")
+            for j in range(m)
+        ]
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    exact subvectors, each corpus vector is represented ONLY by its codes,
+    and distance = sum over subspaces of the query->codebook-entry L2^2 —
+    one lookup-table value per (query, subspace, cell), never a corpus
+    vector.
+
+    Shapes: the LUT is |queries| x m x n_cells rows built from a broadcast
+    codebook; codes join the LUT on (subspace, cell) — corpus embeddings are
+    read once to encode and never again, which is the point of PQ.  All
+    distances are exact integers -> deterministic ranking (ascending
+    distance, neighbor id tie-break), so recall against the brute baseline
+    is a pure property of m and the codebook, pinned in tests.
+    Returns (query_id, neighbor_id, rank, adc_dist).
+    """
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cq = _with_quantized(cent, vec_col, "cv").select(
+        F.col(id_col).alias("cell_id"), "cv"
+    )
+    codes = pq_codes(corpus, m=m, centroid_stride=centroid_stride,
+                     id_col=id_col, vec_col=vec_col)
+    long_codes = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"code_{j}").alias("cell_id"))
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select("neighbor_id", F.col("s.j").alias("j"), F.col("s.cell_id").alias("cell_id"))
+
+    q = _with_quantized(queries, vec_col, "qv").select(
+        F.col(query_id_col).alias("query_id"), "qv"
+    )
+    dim_expr = F.size(F.col("qv"))
+    lut_rows = []
+    for j in range(m):
+        qsub = F.slice(F.col("qv"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                       (dim_expr / m).cast("int"))
+        csub = F.slice(F.col("cv"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                       (dim_expr / m).cast("int"))
+        d = F.aggregate(
+            F.zip_with(qsub, csub, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        lut_rows.append(F.struct(F.lit(j).alias("j"), d.alias("ld")))
+    lut = (
+        q.join(F.broadcast(cq), how="cross")
+        .select("query_id", "cell_id", F.explode(F.array(*lut_rows)).alias("s"))
+        .select("query_id", "cell_id", F.col("s.j").alias("j"), F.col("s.ld").alias("ld"))
+    )
+    scored = (
+        long_codes.join(lut, ["j", "cell_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -2594,6 +2594,95 @@ def text_phrase_indexed_q(spark, sf):
     return search.phrase_search_indexed(spark, path, ["query", "key"])
 
 
+_PQ_M = 8
+_PQ_SUB = 8  # 64 dims / 8 subspaces
+_PQ_PACK = 1 << 20
+
+
+def _pq_d(j: int, a: str = "c.v", b: str = "cent.cv") -> str:
+    lo = j * _PQ_SUB + 1
+    return (
+        f"list_sum(list_transform(range({lo}, {lo + _PQ_SUB}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_codes_cte() -> str:
+    ds = ",\n              ".join(f"{_pq_d(j)} AS d{j}" for j in range(_PQ_M))
+    cs = ",\n              ".join(
+        f"CAST(CAST(min(d{j} * {_PQ_PACK} + cell_id) AS BIGINT) % {_PQ_PACK} "
+        f"AS BIGINT) AS code_{j}"
+        for j in range(_PQ_M)
+    )
+    return f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell_id, v AS cv FROM c WHERE vec_id % 97 = 0),
+       p AS (SELECT c.vec_id, cent.cell_id,
+              {ds}
+             FROM c CROSS JOIN cent),
+       codes AS (SELECT vec_id,
+              {cs}
+             FROM p GROUP BY vec_id)"""
+
+
+@register(
+    "sim_pq_codes",
+    f"""WITH {_pq_codes_cte()}
+       SELECT * FROM codes""",
+)
+def sim_pq_codes_q(spark, sf):
+    """Product-quantization encoding: every embedding compressed to 8
+    subspace codes (operators/similarity.py::pq_codes) — the memory half of
+    the IVF+PQ ANN stack (IVF prunes where to look, PQ shrinks each kept
+    vector from 64 floats to 8 small ints).  Exact integer subspace
+    distances on the quantized lattice with a packed argmin
+    (min(d*2^20 + cell) % 2^20), so the oracle hash-matches the full
+    codebook assignment; one broadcast codebook, one corpus scan."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97)
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""WITH {_pq_codes_cte()},
+       codes_l AS ({" UNION ALL ".join(
+           f"SELECT vec_id AS neighbor_id, {j} AS j, code_{j} AS cell_id FROM codes"
+           for j in range(_PQ_M))}),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       lut_w AS (SELECT query_id, cell_id,
+              {", ".join(_pq_d(j, "q.qv", "cent.cv") + f" AS l{j}" for j in range(_PQ_M))}
+             FROM q CROSS JOIN cent),
+       lut AS ({" UNION ALL ".join(
+           f"SELECT query_id, cell_id, {j} AS j, l{j} AS ld FROM lut_w"
+           for j in range(_PQ_M))}),
+       adc AS (SELECT query_id, neighbor_id,
+                      CAST(SUM(ld) AS BIGINT) AS adc_dist
+               FROM codes_l JOIN lut USING (j, cell_id)
+               GROUP BY query_id, neighbor_id),
+       r AS (SELECT query_id, neighbor_id, adc_dist,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+             FROM adc)
+       SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, adc_dist
+       FROM r WHERE rn <= 5""",
+)
+def sim_pq_adc_topk_q(spark, sf):
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries keep exact
+    subvectors, corpus vectors are represented ONLY by their 8 codes, and
+    distance = 8 lookup-table reads summed — the corpus embeddings are
+    read once (to encode) and never touched at query time
+    (operators/similarity.py::pq_adc_topk).  Integer-exact distances make
+    the ranking deterministic and the oracle hash-exact.  Retrieval
+    quality: with sampled codebooks ADC is a SHORTLIST generator (top-1
+    lands in the query's own cluster on clustered data — pinned in
+    tests/test_entry_correctness.py); production recall comes from
+    trained codebooks (the ``centroids`` seam) + exact rerank of the ADC
+    shortlist, the standard IVF+PQ arrangement."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=_PQ_M, centroid_stride=97
+    ).withColumnRenamed("rank", "rnk")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
