@@ -402,3 +402,27 @@ def test_stream_stream_attribution_equals_batch(spark, event_stream_dir):
     want_rows = sorted(map(tuple, want.collect()))
     assert len(got_rows) > 0, "fixture produced no attributed purchases"
     assert got_rows == want_rows
+
+
+def test_streaming_hll_distinct_equals_batch(spark, event_stream_dir):
+    """Mergeable sketches ON A STREAM: per-window HLL distinct-user
+    estimates over the drained bounded stream must equal the batch exact
+    COUNT(DISTINCT) (cardinalities sit in the exact sparse phase) — the
+    streaming face of the sketch cube."""
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(
+        spark, SE.windowed_distinct_users(stream), "t_hll_windows", "complete"
+    )
+    ev = load_table(spark, SF, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert len(got_rows) > 0
+    assert got_rows == want_rows

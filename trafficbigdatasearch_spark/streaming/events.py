@@ -222,3 +222,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = Non
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def windowed_distinct_users(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Streaming distinct-user counts per tumbling window via HLL sketches —
+    COUNT(DISTINCT) is not incrementally maintainable on a stream (Spark
+    rejects it in streaming aggregations); a mergeable sketch is, which is
+    exactly why sketch cubes (operators/sketches.py) are the scale shape.
+    State per window is one ~16 KiB sketch regardless of cardinality.
+    Complete/update modes work unbounded with a watermark downstream;
+    tests pin the drained bounded stream equal to the batch exact counts
+    (exact-phase cardinalities)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.hll_sketch_estimate(F.col("sk")).cast("bigint").alias("n_users"),
+            "n_events",
+        )
+    )
