@@ -188,3 +188,91 @@ class TestWriteSized:
         spans.sort()
         for (_, hi), (lo, _) in zip(spans, spans[1:]):
             assert hi < lo, spans  # files carry disjoint doc_id ranges
+
+
+class TestZOrder:
+    """write_zordered: files cover compact tiles, so a 2-D bbox query skips
+    far more files on parquet min/max stats than a 1-D range layout — the
+    layout win for the reference's bbox workload.  (Boundary files of the
+    Morton curve may span one full dimension; the pins are on medians and
+    on actual file-skipping, the operational property.)"""
+
+    def _file_boxes(self, path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    n = col.path_in_schema
+                    if col.statistics is None or n == "id":
+                        continue
+                    mins[n] = min(mins.get(n, float("inf")), col.statistics.min)
+                    maxs[n] = max(maxs.get(n, float("-inf")), col.statistics.max)
+            out.append((mins, maxs))
+        return out
+
+    @staticmethod
+    def _touched(boxes, lon_lo, lon_hi, lat_lo, lat_hi):
+        return sum(
+            1
+            for mins, maxs in boxes
+            if mins["lon"] <= lon_hi and maxs["lon"] >= lon_lo
+            and mins["lat"] <= lat_hi and maxs["lat"] >= lat_lo
+        )
+
+    def test_bbox_file_skipping_beats_1d_layout(self, spark, tmp_path):
+        import random
+        import statistics
+
+        from trafficbigdatasearch_spark.sources.parquet import (
+            write_sized,
+            write_zordered,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, 116.0 + 2.0 * rng.random(), 36.0 + 3.0 * rng.random())
+            for i in range(20_000)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, lon double, lat double")
+
+        zpath = str(tmp_path / "zorder")
+        write_zordered(df, zpath, ["lon", "lat"], rows_per_file=80)
+        spath = str(tmp_path / "slabs")
+        write_sized(df, spath, rows_per_file=80, range_by=["lon"])
+
+        zb = self._file_boxes(zpath)
+        sb = self._file_boxes(spath)
+        assert len(zb) >= 100
+
+        # typical z-file is a tile: median extents bounded in BOTH dims;
+        # 1-D slabs span (almost) the full lat range in every file
+        med_lon = statistics.median(maxs["lon"] - mins["lon"] for mins, maxs in zb)
+        med_lat = statistics.median(maxs["lat"] - mins["lat"] for mins, maxs in zb)
+        assert med_lon <= 0.3 * 2.0, med_lon
+        assert med_lat <= 0.3 * 3.0, med_lat
+        assert all(maxs["lat"] - mins["lat"] > 0.9 * 3.0 for mins, maxs in sb)
+
+        # file-skipping on square-ish query boxes: z touches far fewer files
+        z_total = s_total = 0
+        for k in range(10):
+            lon0 = 116.0 + 1.7 * (k / 10.0)
+            lat0 = 36.0 + 2.6 * (k / 10.0)
+            z_total += self._touched(zb, lon0, lon0 + 0.2, lat0, lat0 + 0.3)
+            s_total += self._touched(sb, lon0, lon0 + 0.2, lat0, lat0 + 0.3)
+        assert z_total * 2 <= s_total, (z_total, s_total)
+
+        # correctness: layout changes nothing about the data
+        back = spark.read.parquet(zpath)
+        assert back.count() == 20_000
+        box = (F.col("lon").between(116.1, 116.3)) & (
+            F.col("lat").between(36.15, 36.45)
+        )
+        assert back.filter(box).count() == df.filter(box).count()
