@@ -79,6 +79,7 @@ HEADLINE = [
     "text_phrase_indexed",
     "sim_pq_codes",
     "sim_pq_adc_topk",
+    "quality_report",
 ]
 
 

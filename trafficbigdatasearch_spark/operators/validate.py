@@ -1,0 +1,70 @@
+"""Declarative data-quality validation in ONE scan.
+
+The reference's only quality control is row-level drop rules at parse time
+(arity filters, lenient casts — src/OverSpeedCount.scala:29-31); a corpus
+pipeline also needs TABLE-level expectations: null fractions, value ranges,
+key uniqueness, set membership.  The scale rule here is that every check is
+an AGGREGATE over the same single pass — one job, one shuffle-free scan
+(plus one tiny exchange for the final one-row reduce) no matter how many
+checks — never one job per check (the naive expectations-runner shape that
+re-reads a 100 TB table N times).
+
+Checks are (name, aggregate-expression) pairs; ``report`` pivots them into
+one row per check with observed value and pass/fail, so the result is both
+machine-gateable and human-readable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> Column:
+    """Observed value: number of NULL rows (expect 0)."""
+    return F.count_if(F.col(col).isNull()).cast("bigint")
+
+
+def in_range(col: str, lo, hi) -> Column:
+    """Observed value: number of rows outside [lo, hi] (expect 0)."""
+    return F.count_if(
+        F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+    ).cast("bigint")
+
+
+def unique_key(col: str) -> Column:
+    """Observed value: row count minus distinct count (expect 0).
+
+    The one check that is not algebraic per-row; count_distinct still
+    map-side partials, so it shares the single pass."""
+    return (F.count(col) - F.count_distinct(F.col(col))).cast("bigint")
+
+
+def member_of(col: str, allowed: list) -> Column:
+    """Observed value: rows with a non-NULL value outside ``allowed``."""
+    return F.count_if(
+        F.col(col).isNotNull() & ~F.col(col).isin(allowed)
+    ).cast("bigint")
+
+
+def report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Run every check in one aggregate pass -> (check, violations, ok).
+
+    All observed values count VIOLATIONS, so ``ok`` is uniformly
+    ``violations == 0``; the stack of per-check rows comes from an inline
+    table over the one aggregated row (no second scan)."""
+    agg = df.agg(*[c.alias(n) for n, c in checks.items()])
+    rows = F.array(
+        *[
+            F.struct(F.lit(n).alias("check"), F.col(n).alias("violations"))
+            for n in checks
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.check").alias("check"),
+            F.col("r.violations").alias("violations"),
+            (F.col("r.violations") == 0).alias("ok"),
+        )
+    )

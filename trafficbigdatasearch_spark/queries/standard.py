@@ -2683,6 +2683,57 @@ def sim_pq_adc_topk_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
+@register(
+    "quality_report",
+    """WITH a AS (
+         SELECT CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+                  AS c_orderkey_not_null,
+                CAST(COUNT(CASE WHEN l_quantity IS NOT NULL
+                                 AND l_quantity NOT BETWEEN 1 AND 50
+                                THEN 1 END) AS BIGINT) AS c_quantity_range,
+                CAST(COUNT(CASE WHEN l_discount IS NOT NULL
+                                 AND l_discount NOT BETWEEN 0.0 AND 0.1
+                                THEN 1 END) AS BIGINT) AS c_discount_range,
+                CAST(COUNT(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 END) AS BIGINT) AS c_returnflag_domain,
+                CAST(COUNT(l_partkey) - COUNT(DISTINCT l_partkey) AS BIGINT)
+                  AS c_partkey_unique
+         FROM lineitem)
+       SELECT 'orderkey_not_null' AS check, c_orderkey_not_null AS violations,
+              c_orderkey_not_null = 0 AS ok FROM a
+       UNION ALL SELECT 'quantity_range', c_quantity_range,
+              c_quantity_range = 0 FROM a
+       UNION ALL SELECT 'discount_range', c_discount_range,
+              c_discount_range = 0 FROM a
+       UNION ALL SELECT 'returnflag_domain', c_returnflag_domain,
+              c_returnflag_domain = 0 FROM a
+       UNION ALL SELECT 'partkey_unique', c_partkey_unique,
+              c_partkey_unique = 0 FROM a""",
+)
+def quality_report_q(spark, sf):
+    """Declarative data-quality expectations over lineitem — nulls, value
+    ranges, domain membership, key uniqueness — ALL evaluated in one
+    aggregate pass (operators/validate.py): one scan and one tiny reduce no
+    matter how many checks, where the naive expectations-runner re-reads a
+    100 TB table once per check.  partkey_unique is expected to FAIL
+    (parts repeat across line items) — the report carries violation COUNTS,
+    not just booleans, so a gate can threshold."""
+    from trafficbigdatasearch_spark.operators import validate as VA
+
+    li = load_table(spark, sf, "lineitem")
+    return VA.report(
+        li,
+        {
+            "orderkey_not_null": VA.not_null("l_orderkey"),
+            "quantity_range": VA.in_range("l_quantity", 1, 50),
+            "discount_range": VA.in_range("l_discount", 0.0, 0.1),
+            "returnflag_domain": VA.member_of("l_returnflag", ["A", "N", "R"]),
+            "partkey_unique": VA.unique_key("l_partkey"),
+        },
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-2: CORRECTNESS_r{N}.json is exactly
