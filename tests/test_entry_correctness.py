@@ -276,3 +276,46 @@ def test_pq_adc_lands_in_own_cluster(spark):
     assert len(got) == 20
     for r in got:
         assert r["neighbor_id"] // 10 == r["query_id"] // 10, dict(r.asDict())
+
+
+def test_pq_trained_codebook_seam(spark):
+    """kmeans_refine centroids plug into PQ (encoding + LUT) through the
+    same seam as IVF: codes reference only trained cells, and top-1 ADC
+    still lands every probe in its own cluster."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    dims = 16
+    for cluster in range(20):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for member in range(10):
+            vec = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((cluster * 10 + member, vec, str(cluster)))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    trained = similarity.kmeans_refine(
+        emb, n_iter=2, centroid_stride=7, vec_col="embedding"
+    ).select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    cells = {r["vec_id"] for r in trained.collect()}
+
+    codes = similarity.pq_codes(emb, m=2, centroids=trained)
+    for r in codes.collect():
+        assert r["code_0"] in cells and r["code_1"] in cells
+
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    top1 = similarity.pq_adc_topk(emb, queries, k=1, m=2, centroids=trained)
+    got = top1.collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["neighbor_id"] // 10 == r["query_id"] // 10, dict(r.asDict())

@@ -614,6 +614,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
     exact subvectors, each corpus vector is represented ONLY by its codes,
@@ -627,14 +628,18 @@ def pq_adc_topk(
     distances are exact integers -> deterministic ranking (ascending
     distance, neighbor id tie-break), so recall against the brute baseline
     is a pure property of m and the codebook, pinned in tests.
-    Returns (query_id, neighbor_id, rank, adc_dist).
+    Returns (query_id, neighbor_id, rank, adc_dist).  ``centroids``
+    (id_col, vec_col) switches both encoding and LUT to a TRAINED codebook
+    — the kmeans_refine seam, same as :func:`pq_codes`.
     """
-    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cent = centroids if centroids is not None else corpus.filter(
+        (F.col(id_col) % centroid_stride) == 0
+    )
     cq = _with_quantized(cent, vec_col, "cv").select(
         F.col(id_col).alias("cell_id"), "cv"
     )
     codes = pq_codes(corpus, m=m, centroid_stride=centroid_stride,
-                     id_col=id_col, vec_col=vec_col)
+                     id_col=id_col, vec_col=vec_col, centroids=centroids)
     long_codes = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(
