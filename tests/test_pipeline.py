@@ -1,0 +1,62 @@
+"""CorpusPipeline facade: composition must equal the independently
+oracle-verified pipeline query, and stay deterministic."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+from trafficbigdatasearch_spark.queries import standard
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_chain_equals_pipeline_query(spark, docs):
+    """quality_gate -> dedup_exact -> dedup_near(k=8) composes to exactly
+    the id set of the driver-green pipeline_dedup_corpus query."""
+    got = (
+        CorpusPipeline(docs)
+        .quality_gate(min_tokens=5)
+        .dedup_exact()
+        .dedup_near(k=8, bands=4, n=3)
+        .ids()
+    )
+    want = standard.queries()["pipeline_dedup_corpus"](spark, SF)
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in want.collect()
+    )
+
+
+def test_chain_preserves_columns(spark, docs):
+    """Steps thread the FULL row through (semi/anti joins on id), so
+    downstream steps keep metadata columns."""
+    out = CorpusPipeline(docs).quality_gate().dedup_exact().docs()
+    assert set(out.columns) == set(docs.columns)
+
+
+def test_sample_deterministic(spark, docs):
+    a = CorpusPipeline(docs).sample(0.5).ids().collect()
+    b = CorpusPipeline(docs).sample(0.5).ids().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = docs.count()
+    assert 0.3 * n < len(a) < 0.7 * n
+
+
+def test_steps_are_lazy(spark, docs):
+    """Building a chain launches no jobs (plan-only): the facade composes
+    one logical plan."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    chain = CorpusPipeline(docs).quality_gate().dedup_exact().sample(0.9)
+    # dedup_near excluded: connected components is inherently materializing.
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
+    assert chain.docs().columns  # schema resolution is not a job

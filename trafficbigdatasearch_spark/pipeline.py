@@ -1,0 +1,80 @@
+"""CorpusPipeline: the chainable facade over the curation operators.
+
+The traffic side has ``TrafficEngine`` (engine.py) as its product surface;
+this is the equivalent for the training-data side — one object that strings
+quality gating, dedup, decontamination, sampling, chunking, and packing into
+a lazily-composed SINGLE logical plan (each step returns a new pipeline over
+a transformed DataFrame; nothing executes until the caller acts).
+
+Every step delegates to the independently oracle-verified operator modules —
+the facade adds composition and defaults, never new semantics — and because
+each step is deterministic (md5 membership, min-id survivors), the whole
+pipeline is reproducible end to end: same input, same corpus out, on any
+cluster size, under retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.functions import text as T
+from trafficbigdatasearch_spark.operators import dedup, graph, sampling
+
+
+class CorpusPipeline:
+    """Immutable chainable wrapper: each step returns a NEW pipeline."""
+
+    def __init__(self, docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.df = docs
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _next(self, df: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(df, self.id_col, self.text_col)
+
+    # -- steps ------------------------------------------------------------
+    def quality_gate(self, min_tokens: int = 5) -> "CorpusPipeline":
+        """Drop documents below a token-count floor (row-local)."""
+        return self._next(
+            self.df.filter(T.token_count(F.col(self.text_col)) >= min_tokens)
+        )
+
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Keep the min-id document per exact content fingerprint."""
+        keep = dedup.dedup_exact(
+            self.df.select(self.id_col, self.text_col),
+            id_col=self.id_col, text_col=self.text_col,
+        ).select(self.id_col)
+        return self._next(self.df.join(keep, self.id_col, "left_semi"))
+
+    def dedup_near(self, k: int = 16, bands: int = 4, n: int = 3) -> "CorpusPipeline":
+        """MinHash-LSH pairs -> connected components -> one survivor per
+        near-dup CLUSTER (transitive closure, not pairwise order-bias)."""
+        pairs = dedup.minhash_lsh_pairs(
+            self.df.select(self.id_col, self.text_col),
+            k=k, bands=bands, n=n,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+        drop = (
+            graph.dedup_clusters(pairs)
+            .filter(~F.col("is_keeper"))
+            .select(F.col("id").alias(self.id_col))
+        )
+        return self._next(self.df.join(drop, self.id_col, "left_anti"))
+
+    def sample(self, fraction: float) -> "CorpusPipeline":
+        """Deterministic md5-hash sample — retry/repartition-stable,
+        row-local (no shuffle)."""
+        tagged = sampling.hash_split(
+            self.df, self.id_col, {"keep": fraction, "rest": 1.0 - fraction}
+        )
+        return self._next(tagged.filter(F.col("split") == "keep").drop("split"))
+
+    # -- terminals --------------------------------------------------------
+    def docs(self) -> DataFrame:
+        return self.df
+
+    def ids(self) -> DataFrame:
+        return self.df.select(self.id_col)
