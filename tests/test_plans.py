@@ -167,3 +167,11 @@ def test_phrase_index_partition_prunes(spark):
     df = standard.queries()["text_phrase_indexed"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+
+
+def test_quality_report_single_scan(spark):
+    """All validation checks share ONE pass: exactly one parquet scan in
+    the plan no matter how many expectations are declared."""
+    df = standard.queries()["quality_report"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:1500]
