@@ -60,3 +60,20 @@ def test_steps_are_lazy(spark, docs):
     after = tracker.getJobIdsForGroup(None)
     assert before == after
     assert chain.docs().columns  # schema resolution is not a job
+
+
+def test_empty_corpus_flows_through(spark, docs):
+    """Every step (including the CC fixpoint inside dedup_near) must accept
+    an empty corpus and produce an empty corpus — the Monday-morning empty
+    partition case."""
+    empty = docs.filter("doc_id < 0")
+    out = (
+        CorpusPipeline(empty)
+        .quality_gate()
+        .dedup_exact()
+        .dedup_near(k=8)
+        .sample(0.5)
+        .docs()
+    )
+    assert out.count() == 0
+    assert set(out.columns) == set(docs.columns)

@@ -131,3 +131,14 @@ class TestTopNgramFold:
         assert out[0] == ("", 0, 0)
         assert out[1] == ("", 0, 0)
         assert out[2] == ("two words", 1, 1)
+
+
+def test_phrase_absent_terms_empty(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = search.phrase_search(docs, ["zzzneverzz", "inanycorpus"])
+    assert out.count() == 0
