@@ -1,0 +1,56 @@
+"""Validation contracts beyond the oracle-gated quality_report query."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.operators import validate as VA
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF, "lineitem")
+
+
+def test_observed_metrics_free_with_write(spark, lineitem, tmp_path):
+    """observe(): quality metrics ride the write action itself — the values
+    must equal a direct computation, and the only jobs run are the write's."""
+    checks = {
+        "orderkey_not_null": VA.not_null("l_orderkey"),
+        "quantity_range": VA.in_range("l_quantity", 1, 50),
+        "returnflag_domain": VA.member_of("l_returnflag", ["A", "N", "R"]),
+    }
+    odf, obs = VA.observed(lineitem, checks)
+    odf.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    direct = {
+        r["check"]: r["violations"]
+        for r in VA.report(lineitem, checks).collect()
+    }
+    assert got == direct
+    # and the written data is intact
+    assert spark.read.parquet(str(tmp_path / "out")).count() == lineitem.count()
+
+
+def test_report_flags_violations(spark, lineitem):
+    """A deliberately-wrong expectation must surface violations > 0 with
+    ok = False, without affecting sibling checks."""
+    rows = {
+        r["check"]: (r["violations"], r["ok"])
+        for r in VA.report(
+            lineitem,
+            {
+                "quantity_at_most_10": VA.in_range("l_quantity", 1, 10),
+                "orderkey_not_null": VA.not_null("l_orderkey"),
+            },
+        ).collect()
+    }
+    bad_n, bad_ok = rows["quantity_at_most_10"]
+    assert bad_n > 0 and bad_ok is False
+    good_n, good_ok = rows["orderkey_not_null"]
+    assert good_n == 0 and good_ok is True

@@ -68,3 +68,22 @@ def report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             (F.col("r.violations") == 0).alias("ok"),
         )
     )
+
+
+def observed(df: DataFrame, checks: dict[str, Column], name: str = "quality"):
+    """Attach the checks as an OBSERVATION on ``df``: metrics are computed
+    by whatever action the caller runs anyway (a write, a count) — ZERO
+    extra passes, where even :func:`report` costs one dedicated scan.
+
+    This is the production arrangement: the corpus write IS the validation
+    job, and the gate reads the observation afterwards.  Returns
+    (observed_df, observation); call ``observation.get`` AFTER an action on
+    the returned frame.
+
+    Constraint inherited from Spark: observed metrics must be aggregate
+    expressions without count_distinct — so ``unique_key`` checks stay in
+    :func:`report`; everything row-conditional works here."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in checks.items()]), obs
