@@ -276,3 +276,57 @@ class TestZOrder:
             F.col("lat").between(36.15, 36.45)
         )
         assert back.filter(box).count() == df.filter(box).count()
+
+
+class TestUpsertPartitions:
+    def test_only_touched_partitions_replaced(self, spark, tmp_path):
+        from trafficbigdatasearch_spark.sources.parquet import upsert_partitions
+
+        path = str(tmp_path / "fact")
+        base = spark.createDataFrame(
+            [(1, "202401", 10.0), (2, "202401", 11.0), (3, "202402", 12.0)],
+            "id bigint, month string, v double",
+        )
+        upsert_partitions(base, path, ["month"])
+
+        # reload month 202402 with corrected data; 202401 must survive
+        fix = spark.createDataFrame(
+            [(3, "202402", 99.0), (4, "202402", 98.0)],
+            "id bigint, month string, v double",
+        )
+        upsert_partitions(fix, path, ["month"])
+
+        back = spark.read.parquet(path)
+        # partition-value inference types month as int on read; normalize
+        got = sorted(
+            map(
+                tuple,
+                back.select("id", back["month"].cast("string"), "v").collect(),
+            )
+        )
+        assert got == [
+            (1, "202401", 10.0),
+            (2, "202401", 11.0),
+            (3, "202402", 99.0),
+            (4, "202402", 98.0),
+        ]
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unions_columns(self, spark, tmp_path):
+        from trafficbigdatasearch_spark.sources.parquet import read_evolving
+
+        path = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, text string"
+        )
+        v1.write.parquet(path)
+        v2 = spark.createDataFrame(
+            [(3, "c", "en")], "id bigint, text string, lang string"
+        )
+        v2.write.mode("append").parquet(path)
+
+        got = read_evolving(spark, path)
+        assert set(got.columns) == {"id", "text", "lang"}
+        rows = {r["id"]: (r["text"], r["lang"]) for r in got.collect()}
+        assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en")}

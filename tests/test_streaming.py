@@ -426,3 +426,49 @@ def test_streaming_hll_distinct_equals_batch(spark, event_stream_dir):
     want_rows = sorted(map(tuple, want.collect()))
     assert len(got_rows) > 0
     assert got_rows == want_rows
+
+
+def test_checkpoint_restart_exactly_once(spark, event_stream_dir, tmp_path_factory):
+    """Kill-and-resume: a checkpointed file-sink stream drained, stopped,
+    then RESTARTED from the same checkpoint after new files arrive must
+    deliver every input row exactly once — already-committed files are not
+    reprocessed (the recovery contract of operable streaming ingestion)."""
+    import glob
+    import os
+    import shutil
+
+    base = tmp_path_factory.mktemp("restart")
+    src_dir = str(base / "src")
+    sink = str(base / "sink")
+    ckpt = str(base / "ckpt")
+    os.makedirs(src_dir)
+
+    files = sorted(glob.glob(os.path.join(event_stream_dir, "part-*")))
+    assert len(files) >= 2
+    schema = load_table(spark, SF, "events").schema
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # leg 1: only the first input file exists
+    shutil.copy(files[0], src_dir)
+    drain()
+    n_leg1 = spark.read.parquet(sink).count()
+    total = load_table(spark, SF, "events").count()
+    assert 0 < n_leg1 < total
+
+    # leg 2: the rest of the files arrive; resume from the same checkpoint
+    for f in files[1:]:
+        shutil.copy(f, src_dir)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total

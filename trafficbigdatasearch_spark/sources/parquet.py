@@ -283,3 +283,41 @@ def write_zordered(
         .option("maxRecordsPerFile", rows_per_file)
         .parquet(path)
     )
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    spark: SparkSession | None = None,
+) -> None:
+    """Partition-level upsert: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched — the daily-reload
+    primitive for month/date-partitioned facts (the reference's YYYYMM
+    layout) without a table format.
+
+    Uses dynamic partition overwrite scoped to THIS writer via the
+    DataFrameWriter option (not the session conf), so concurrent static
+    writers are unaffected.  At 100 TB: the job writes |changed partitions|
+    of data; an unscoped overwrite would delete the table."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_evolving(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Read a parquet corpus whose files were written under EVOLVING schemas
+    (columns added over time): ``mergeSchema`` unions all file footers into
+    one schema; rows from older files surface NULL for later columns.
+
+    Scale note: mergeSchema reads every file footer at planning time (a
+    driver-side listing cost, not a data scan) — acceptable for the
+    occasional evolving corpus, but a STABLE explicit schema read
+    (``spark.read.schema(s).parquet``) is the hot-path default everywhere
+    else in this package; use this only at evolution boundaries."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        *(path if isinstance(path, list) else [path])
+    )
