@@ -54,3 +54,20 @@ def test_report_flags_violations(spark, lineitem):
     assert bad_n > 0 and bad_ok is False
     good_n, good_ok = rows["orderkey_not_null"]
     assert good_n == 0 and good_ok is True
+
+
+def test_referential_report(spark, lineitem):
+    from trafficbigdatasearch_spark.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    ok_row = VA.referential_report(
+        lineitem, orders, "l_orderkey", "o_orderkey"
+    ).first()
+    assert ok_row["ok"] is True and ok_row["violations"] == 0
+
+    # drop half the parents -> orphans must surface
+    some = orders.filter("o_orderkey % 2 = 0")
+    bad_row = VA.referential_report(
+        lineitem, some, "l_orderkey", "o_orderkey"
+    ).first()
+    assert bad_row["ok"] is False and bad_row["violations"] > 0

@@ -87,3 +87,26 @@ def observed(df: DataFrame, checks: dict[str, Column], name: str = "quality"):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(n) for n, c in checks.items()]), obs
+
+
+def referential_report(
+    child: DataFrame, parent: DataFrame, key: str, parent_key: str,
+    check_name: str = "referential",
+) -> DataFrame:
+    """(check, violations, ok) for child keys missing from parent — one
+    anti join + count, the FK check at table scale (child shuffles on the
+    key once; a small parent side broadcasts under AQE)."""
+    n = (
+        child.join(
+            parent.select(F.col(parent_key).alias(key)).distinct(),
+            key,
+            "left_anti",
+        )
+        .count()
+    )
+    import pyspark.sql as _sql
+
+    spark = _sql.SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        [(check_name, n, n == 0)], "check string, violations bigint, ok boolean"
+    )
