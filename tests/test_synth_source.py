@@ -49,3 +49,48 @@ def test_feeds_existing_operators(registered):
     rows = out.collect()
     assert sum(r["n"] for r in rows) == 3000
     assert all(r["u"] >= 1 for r in rows)
+
+
+def test_stream_equals_batch(registered, spark):
+    """The streaming face of the source must deliver exactly the batch rows
+    across micro-batches — same (seed, i) pure function, offsets are
+    replayable row ranges.  (availableNow only snapshots one prefetched
+    batch from a simple stream reader, so drain with a running trigger and
+    stop once the bounded range is exhausted.)"""
+    import time
+    import uuid
+
+    name = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 1200)
+        .option("seed", 4)
+        .option("rows_per_batch", 500)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 1200:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_events")
+            .option("rows", 1200)
+            .option("seed", 4)
+            .load()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 1200

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -101,3 +102,39 @@ class SyntheticEvents(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _StreamReader(self.options)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Bounded synthetic event STREAM: each micro-batch advances the row
+    offset by ``rows_per_batch`` until ``rows`` is exhausted — the same
+    (seed, i) pure function as the batch reader, so a drained stream equals
+    the batch load exactly (pinned in tests).  Offsets are plain row
+    indices: replay of any [start, end) range regenerates identical rows,
+    which is precisely the reliable-source contract Structured Streaming
+    recovery depends on."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.seed = int(options.get("seed", 7))
+        self.n_users = int(options.get("users", 100))
+        self.per_batch = int(options.get("rows_per_batch", 250))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.per_batch, self.rows)
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # returned iterator, which generators don't support
+        rows = [row_at(self.seed, i, self.n_users) for i in range(lo, hi)]
+        return rows, {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return [
+            row_at(self.seed, i, self.n_users)
+            for i in range(start["i"], end["i"])
+        ]
