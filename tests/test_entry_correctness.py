@@ -307,11 +307,13 @@ def test_pq_trained_codebook_seam(spark):
     ).select(
         F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
     )
-    cells = {r["vec_id"] for r in trained.collect()}
+    n_cells = trained.count()
 
+    # codes are dense codebook RANKS (0..n_cells-1), not raw cell ids —
+    # the packed-argmin safety contract of _pq_codebook
     codes = similarity.pq_codes(emb, m=2, centroids=trained)
     for r in codes.collect():
-        assert r["code_0"] in cells and r["code_1"] in cells
+        assert 0 <= r["code_0"] < n_cells and 0 <= r["code_1"] < n_cells
 
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     top1 = similarity.pq_adc_topk(emb, queries, k=1, m=2, centroids=trained)

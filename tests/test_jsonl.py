@@ -62,6 +62,33 @@ def test_corrupt_lines_quarantined(spark, tmp_path):
     assert bad == sorted(["{this is not json", '["wrong", "shape"]'])
 
 
+def test_type_mismatch_quarantined(spark, tmp_path):
+    """Reader consistency: a syntactically valid line whose field fails type
+    coercion parses all-null (so clean_rows drops it) AND must land in the
+    quarantine — the PERMISSIVE reader records such lines in
+    _corrupt_record, and the quarantine reproduces exactly that set."""
+    p = tmp_path / "typed.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}),
+        '{"doc_id": "not a number"}',
+        "{broken",
+        '["wrong", "shape"]',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = jsonl.read_jsonl(spark, str(p), DOC_SCHEMA)
+    assert jsonl.clean_rows(df).count() == 1
+    reader_bad = {
+        r[0]
+        for r in df.select(jsonl.CORRUPT_COL, "doc_id").collect()
+        if r[0] is not None
+    }
+    quarantined = {
+        r[0] for r in jsonl.quarantine_lines(spark, str(p), DOC_SCHEMA).collect()
+    }
+    assert '{"doc_id": "not a number"}' in quarantined
+    assert quarantined == reader_bad
+
+
 def test_failfast_mode_raises(spark, tmp_path):
     p = tmp_path / "bad.jsonl"
     p.write_text('{"doc_id": 1}\nnot json\n')

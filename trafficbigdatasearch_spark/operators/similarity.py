@@ -547,8 +547,27 @@ def embedding_near_dup_pairs(
 
 #: cell ids are packed with subspace distances into one bigint for a
 #: portable argmin (min(d * PACK + cell) % PACK) — exact while
-#: d * PACK + cell < 2^53 and cell_id < PACK.
+#: d * PACK + cell < 2^53 and cell_id < PACK.  Codebook cell ids are DENSE
+#: RANKS (see _pq_codebook), so cell_id < PACK means n_cells < 2^20 — a
+#: structural property of a broadcast codebook, not of the corpus id space.
 _PQ_PACK = 1 << 20
+
+
+def _pq_codebook(cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Quantized PQ codebook (cell_id, cv) with DENSE cell ids: ``row_number
+    over (order by source id) - 1``, i.e. ranks 0..n_cells-1, NOT the raw
+    source ids.  Raw ids >= 2^20 would bleed into the distance bits of the
+    packed argmin and silently corrupt every code; ranks make the packing
+    safe for any corpus id space.  The rank window is unpartitioned but runs
+    over the CODEBOOK only, which is small by construction (it is broadcast
+    at every use site)."""
+    cq = _with_quantized(cent, vec_col, "cv").select(
+        F.col(id_col).alias("src_id"), "cv"
+    )
+    w = Window.orderBy("src_id")
+    return cq.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("cell_id"), "cv"
+    )
 
 
 def pq_codes(
@@ -572,15 +591,15 @@ def pq_codes(
     Arithmetic is EXACT: vectors quantize to the integer lattice
     (functions/vectors.py), per-subspace L2^2 distances are integer sums,
     and the argmin is ``min(d * 2^20 + cell_id) % 2^20`` — smallest
-    distance, smallest cell on ties, bit-identical in any engine.  One
-    broadcast of the codebook, one scan of the corpus, no other shuffle.
+    distance, smallest cell on ties, bit-identical in any engine.  Codes
+    are DENSE codebook ranks 0..n_cells-1 (``_pq_codebook``), safe for any
+    corpus id space.  One broadcast of the codebook, one scan of the
+    corpus, no other shuffle.
     """
     cent = centroids if centroids is not None else corpus.filter(
         (F.col(id_col) % centroid_stride) == 0
     )
-    cq = _with_quantized(cent, vec_col, "cv").select(
-        F.col(id_col).alias("cell_id"), "cv"
-    )
+    cq = _pq_codebook(cent, id_col, vec_col)
     c = _with_quantized(corpus, vec_col, "v").select(F.col(id_col), "v")
     dim_expr = F.size(F.col("v"))
     j_cols = []
@@ -630,14 +649,14 @@ def pq_adc_topk(
     is a pure property of m and the codebook, pinned in tests.
     Returns (query_id, neighbor_id, rank, adc_dist).  ``centroids``
     (id_col, vec_col) switches both encoding and LUT to a TRAINED codebook
-    — the kmeans_refine seam, same as :func:`pq_codes`.
+    — the kmeans_refine seam, same as :func:`pq_codes`.  Cell ids here are
+    the same dense codebook ranks :func:`pq_codes` emits, so the
+    (subspace, cell) join keys line up by construction.
     """
     cent = centroids if centroids is not None else corpus.filter(
         (F.col(id_col) % centroid_stride) == 0
     )
-    cq = _with_quantized(cent, vec_col, "cv").select(
-        F.col(id_col).alias("cell_id"), "cv"
-    )
+    cq = _pq_codebook(cent, id_col, vec_col)
     codes = pq_codes(corpus, m=m, centroid_stride=centroid_stride,
                      id_col=id_col, vec_col=vec_col, centroids=centroids)
     long_codes = codes.select(

@@ -2277,8 +2277,9 @@ def text_repetition_q(spark, sf):
        SELECT c.event_id, c.user_id, c.cents
        FROM c JOIN s USING (user_id)
        WHERE s.n >= 2
-         AND (s.n * c.cents - s.s) * (s.n * c.cents - s.s) * (s.n - 1)
-             > 9 * s.n * (s.n * s.ssq - s.s * s.s)""",
+         AND (s.n * CAST(c.cents AS HUGEINT) - s.s)
+             * (s.n * CAST(c.cents AS HUGEINT) - s.s) * (s.n - 1)
+             > 9 * s.n * (s.n * CAST(s.ssq AS HUGEINT) - CAST(s.s AS HUGEINT) * s.s)""",
 )
 def a_anomaly_zscore_q(spark, sf):
     """Per-user outlier detection: events whose value is more than 3 sample
@@ -2287,8 +2288,11 @@ def a_anomaly_zscore_q(spark, sf):
     (n*x - s)^2 * (n-1) > 9 * n * (n*ssq - s^2) — so both engines decide
     every boundary case identically (no float variance ordering issues).
     One map-side-combined shuffle for the per-user moments, then a hash join
-    back to the events; int64 is safe to ~1e5 events/user at these
-    magnitudes — the 100 TB variant lifts the moments to DECIMAL(38,0)."""
+    back to the events.  The cross-multiplied products grow as n^3 * cents^2,
+    which blows int64 near ~1.5k events/user (ANSI mode would throw), so the
+    COMPARISON runs in 128-bit arithmetic on both engines — DECIMAL(38,0)
+    here, HUGEINT in the oracle — safe to ~3e9 events/user at these
+    magnitudes; the per-user moments themselves stay comfortably in int64."""
     ev = load_table(spark, sf, "events").select(
         "event_id", "user_id", _cents(F.col("value")).alias("cents")
     )
@@ -2298,10 +2302,12 @@ def a_anomaly_zscore_q(spark, sf):
         F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
     )
     j = ev.join(s, "user_id")
-    dev = F.col("n") * F.col("cents") - F.col("s")
-    var_n = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = dec("n") * dec("cents") - dec("s")
+    var_n = dec("n") * dec("ssq") - dec("s") * dec("s")
     return j.filter(
-        (F.col("n") >= 2) & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_n)
+        (F.col("n") >= 2)
+        & (dev * dev * (dec("n") - 1) > 9 * dec("n") * var_n)
     ).select("event_id", "user_id", "cents")
 
 
@@ -2615,7 +2621,10 @@ def _pq_codes_cte() -> str:
         for j in range(_PQ_M)
     )
     return f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT vec_id AS cell_id, v AS cv FROM c WHERE vec_id % 97 = 0),
+       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                         AS cell_id,
+                       v AS cv
+                FROM c WHERE vec_id % 97 = 0),
        p AS (SELECT c.vec_id, cent.cell_id,
               {ds}
              FROM c CROSS JOIN cent),
@@ -2636,7 +2645,10 @@ def sim_pq_codes_q(spark, sf):
     vector from 64 floats to 8 small ints).  Exact integer subspace
     distances on the quantized lattice with a packed argmin
     (min(d*2^20 + cell) % 2^20), so the oracle hash-matches the full
-    codebook assignment; one broadcast codebook, one corpus scan."""
+    codebook assignment; codes are DENSE codebook ranks (row_number over
+    the sample, identically ordered in both engines — raw corpus ids could
+    exceed 2^20 and corrupt the packing); one broadcast codebook, one
+    corpus scan."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97)
 

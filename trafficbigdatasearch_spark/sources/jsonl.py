@@ -75,36 +75,72 @@ def clean_rows(df: DataFrame) -> DataFrame:
 def quarantine_lines(
     spark: SparkSession, path: str | list[str], schema: StructType
 ) -> DataFrame:
-    """The corrupt-line stream, as one ``line`` column.
+    """The corrupt-line stream, as one ``line`` column — READER-CONSISTENT:
+    a line lands here iff the PERMISSIVE reader would record it in
+    ``_corrupt_record``, so ``clean_rows`` + this partition the input (modulo
+    contentless-but-valid lines like ``{}``, dropped by clean and corrupt to
+    neither engine).
 
     Spark refuses queries over raw JSON that reference ONLY the corrupt
     column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
     documented workaround is caching the parsed frame — wrong at 100 TB.
-    This instead re-reads the files as TEXT and keeps lines that are not
-    valid JSON objects (``try_parse_json`` null, or a non-object top level —
-    ``from_json`` can't return "failed" distinctly, it yields all-null
-    structs): a second streaming pass, no cache, and the text scan of the
-    same files is cheaper than the parse pass.  Type-level mismatches inside
-    a valid object (a string where the schema wants a long) are NOT corrupt
-    here, matching the reader, which nulls the field."""
-    del schema  # corrupt-ness is a property of the line, not the schema
+    This instead re-reads the files as TEXT and runs ``from_json`` with the
+    SAME parser options the reader uses (the file-source corrupt-only
+    restriction does not apply to the expression form): one extra streaming
+    pass, no cache.  That catches both syntactically malformed lines AND
+    valid-JSON lines whose fields fail type coercion (a string where the
+    schema wants a long) — the latter parse all-null yet ARE recorded by
+    PERMISSIVE, so a syntax-only check would leak them out of both streams.
+    Non-object top levels (arrays, scalars) are quarantined explicitly —
+    ``from_json`` yields a null/empty struct for those rather than marking
+    the corrupt column."""
+    full = StructType(
+        [f for f in schema.fields if f.name != CORRUPT_COL]
+        + [StructField(CORRUPT_COL, StringType(), True)]
+    )
     txt = spark.read.text(path)
+    parsed = F.from_json(
+        F.col("value"),
+        full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    )
     v = F.trim(F.col("value"))
-    bad = F.try_parse_json(F.col("value")).isNull() | ~v.startswith("{")
+    bad = parsed.isNull() | parsed[CORRUPT_COL].isNotNull() | ~v.startswith("{")
     return txt.filter(bad & (v != "")).select(F.col("value").alias("line"))
+
+
+#: rough on-disk shrink of typical JSONL text per codec — used to size files
+#: by their POST-compression bytes (the thing target_mb is about)
+_COMPRESSION_RATIO = {
+    "none": 1.0,
+    "gzip": 6.0,
+    "deflate": 6.0,
+    "zstd": 6.0,
+    "bzip2": 8.0,
+    "lz4": 3.0,
+    "snappy": 2.5,
+}
 
 
 def write_jsonl(
     df: DataFrame,
     path: str,
     target_mb: int = 128,
-    compression: str | None = "gzip",
+    compression: str | None = None,
     mode: str = "overwrite",
+    compression_ratio: float | None = None,
 ) -> None:
     """Write sized JSONL files: estimate the serialized bytes from a sampled
     average line width, repartition to ceil(bytes/target), then write.  Same
     shape as parquet.write_sized — one extra cheap job (count + sampled
-    width) buys a sane file layout for every downstream consumer."""
+    width) buys a sane file layout for every downstream consumer.
+
+    Default is UNCOMPRESSED: that keeps every output line-splittable, which
+    is this module's stated goal (a gzip JSONL file is one undivisible
+    stream — a 100 TB read gets at most one task per file).  When a codec is
+    requested, the byte estimate is divided by its expected shrink
+    (``compression_ratio`` overrides the built-in table) so files land near
+    ``target_mb`` ON DISK rather than 5-10x under it."""
     n = df.count()
     if n == 0:
         df.write.mode(mode).option("compression", compression or "none").json(path)
@@ -117,7 +153,10 @@ def write_jsonl(
         ).first()["w"]
         or 1.0
     )
-    total_bytes = n * (avg_len + 1)
+    ratio = compression_ratio or _COMPRESSION_RATIO.get(
+        (compression or "none").lower(), 3.0
+    )
+    total_bytes = n * (avg_len + 1) / ratio
     n_files = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
     (
         df.repartition(n_files)

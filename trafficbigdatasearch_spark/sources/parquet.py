@@ -214,16 +214,21 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def zorder_value(cols: list, bits: int = 10, mins: list | None = None,
-                 maxs: list | None = None):
+def zorder_value(cols: list, bits: int = 10, *, mins: list, maxs: list):
     """Z-order (Morton) key of 2+ numeric columns: each value is linearly
     bucketed into ``2^bits`` cells of its [min, max] range, then the bucket
     bits are interleaved.  Pure integer expressions — whole-stage codegen'd.
 
-    ``mins``/``maxs`` are the per-column range bounds (literals; compute
-    them once with one cheap agg job, or pass domain constants like a city
-    bbox — constants also keep the key STABLE across appends)."""
+    ``mins``/``maxs`` are REQUIRED per-column range bounds (literals;
+    compute them once with one cheap agg job, or pass domain constants like
+    a city bbox — constants also keep the key STABLE across appends)."""
     n = len(cols)
+    if mins is None or maxs is None or len(mins) != n or len(maxs) != n:
+        raise ValueError(
+            "zorder_value needs one min and one max per column (pass domain "
+            "constants, or compute them with a single agg job as "
+            "write_zordered does)"
+        )
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = float(hi) - float(lo) or 1.0
@@ -289,7 +294,6 @@ def upsert_partitions(
     df: DataFrame,
     path: str,
     partition_by: list[str],
-    spark: SparkSession | None = None,
 ) -> None:
     """Partition-level upsert: overwrite ONLY the partitions present in
     ``df``, leaving every other partition untouched — the daily-reload
