@@ -472,3 +472,19 @@ def test_checkpoint_restart_exactly_once(spark, event_stream_dir, tmp_path_facto
     out = spark.read.parquet(sink)
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total
+
+
+def test_scratch_dirs_reused_per_artifact():
+    """Process-lifetime scratch hygiene: repeated calls for the same
+    (artifact, sf) reuse ONE directory — repeated driver/bench runs must
+    create O(1) tempdirs, all under a single atexit-cleaned root."""
+    import os
+
+    from trafficbigdatasearch_spark.queries import standard as S
+
+    a = S._scratch("pin", SF)
+    b = S._scratch("pin", SF)
+    assert a == b and os.path.isdir(a)
+    other = S._scratch("pin", "/root/testdata/sf0.01")
+    assert other != a
+    assert os.path.dirname(a) == os.path.dirname(other) == S._SCRATCH_ROOT

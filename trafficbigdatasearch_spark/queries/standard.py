@@ -1379,6 +1379,84 @@ def sim_ivf_topk_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
+# ---------------------------------------------------------------------------
+# Process-lifetime scratch: ONE tempdir root for every on-disk artifact a
+# registered query materializes (IVF index, text index, streaming source
+# symlink dirs), keyed by (artifact, sf).  Repeated driver / bench
+# invocations reuse the same subdirectory — O(1) tempdirs per process — and
+# the whole root is removed at interpreter exit.
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(artifact: str, sf: str) -> str:
+    """Stable scratch directory for one (artifact, sf-dir) pair."""
+    global _SCRATCH_ROOT
+    import hashlib
+    import os
+
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="tbds_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    key = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:8]
+    d = os.path.join(_SCRATCH_ROOT, f"{artifact}-{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _stream_events_source(spark, sf):
+    """Bounded file-source STREAM over the events table, ts normalized the
+    same way catalog.load_table does it.  The file stream source wants a
+    DIRECTORY base; testdata tables are single files, so stream from a
+    symlink inside the per-(artifact, sf) scratch dir — no copy, created
+    once per process and cleaned at exit."""
+    import os
+
+    # load_table pins the nanos/UTC confs on the caller's session (result
+    # unused — the streaming read below needs those confs in place)
+    load_table(spark, sf, "events")
+    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    d = _scratch("stream_events", sf)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.realpath(os.path.join(sf, "events.parquet")), link)
+    src = spark.readStream.schema(raw.schema).parquet(d)
+    _ts_type = dict(src.dtypes).get("ts")
+    if _ts_type == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif _ts_type == "timestamp_ntz":
+        # timestamp[us] file reads as NTZ; wall-clock identity cast under
+        # the UTC session zone (same normalization as catalog.load_table)
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
+def _drain_to_memory(agg, name_prefix: str, output_mode: str = "complete"):
+    """Run a bounded stream to completion (availableNow) into a memory sink
+    and return the sink table.  Memory-sink verification shape ONLY — result
+    sets here are small aggregates; the production path is watermark +
+    append to a real sink (pinned in tests/test_streaming.py)."""
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name_prefix}: stream did not drain in 300s")
+    return agg.sparkSession.table(name)
+
+
 #: Per-(sf dir) cache of a built on-disk IVF index, so repeated driver /
 #: bench calls exercise the READ path (build once, query forever).
 _IVF_INDEX_CACHE: dict[str, str] = {}
@@ -1392,14 +1470,14 @@ def sim_ivf_indexed_q(spark, sf):
     bytes (operators/similarity.py:277,333).  Same deterministic centroids
     as sim_ivf_topk, hence the same oracle — the green row proves the full
     build -> partitioned write -> pruned read -> rerank seam.  The index
-    build on first call is an eager write (to a process-local tempdir); every
-    later call is pure pruned reads."""
-    import tempfile
+    build on first call is an eager write (to the process-lifetime scratch
+    dir, cleaned at exit); every later call is pure pruned reads."""
+    import os
 
     emb = load_table(spark, sf, "embeddings")
     path = _IVF_INDEX_CACHE.get(sf)
     if path is None:
-        path = tempfile.mkdtemp(prefix="tbds_ivf_index_") + "/ivf"
+        path = os.path.join(_scratch("ivf_index", sf), "ivf")
         similarity.build_ivf_index(emb, path, centroid_stride=97)
         _IVF_INDEX_CACHE[sf] = path
     return similarity.ivf_topk_indexed(
@@ -1921,30 +1999,7 @@ def stream_events_hourly_q(spark, sf):
     a driver row.  At scale the same plan runs unbounded with a watermark +
     append sink (tests/test_streaming.py pins that finalization contract).
     """
-    import os
-    import uuid
-
-    # load_table pins the nanos/UTC confs on the caller's session (result
-    # unused — the streaming read below needs those confs in place)
-    load_table(spark, sf, "events")
-    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    # the file stream source wants a DIRECTORY base; testdata tables are
-    # single files, so stream from a symlink inside a scratch dir (no copy)
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="tbds_stream_events_")
-    os.symlink(
-        os.path.realpath(os.path.join(sf, "events.parquet")),
-        os.path.join(d, "events.parquet"),
-    )
-    src = spark.readStream.schema(raw.schema).parquet(d)
-    _ts_type = dict(src.dtypes).get("ts")
-    if _ts_type == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif _ts_type == "timestamp_ntz":
-        # timestamp[us] file reads as NTZ; wall-clock identity cast under
-        # the UTC session zone (same normalization as catalog.load_table)
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _stream_events_source(spark, sf)
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1958,18 +2013,7 @@ def stream_events_hourly_q(spark, sf):
             "sum_cents",
         )
     )
-    name = f"stream_events_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_events_hourly: stream did not drain in 300s")
-    return spark.table(name)
+    return _drain_to_memory(agg, "stream_events_hourly")
 
 
 @register(
@@ -2125,25 +2169,7 @@ def stream_sessions_q(spark, sf):
     event exactly ``gap`` after its predecessor starts a NEW session —
     hence ``>= 1800000``, where the batch w_sessionize convention is
     ``>``."""
-    import os
-    import tempfile
-    import uuid
-
-    load_table(spark, sf, "events")
-    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    d = tempfile.mkdtemp(prefix="tbds_stream_sessions_")
-    os.symlink(
-        os.path.realpath(os.path.join(sf, "events.parquet")),
-        os.path.join(d, "events.parquet"),
-    )
-    src = spark.readStream.schema(raw.schema).parquet(d)
-    _ts_type = dict(src.dtypes).get("ts")
-    if _ts_type == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif _ts_type == "timestamp_ntz":
-        # timestamp[us] file reads as NTZ; wall-clock identity cast under
-        # the UTC session zone (same normalization as catalog.load_table)
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _stream_events_source(spark, sf)
     agg = (
         src.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -2155,18 +2181,7 @@ def stream_sessions_q(spark, sf):
             "n_events",
         )
     )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_sessions: stream did not drain in 300s")
-    return spark.table(name)
+    return _drain_to_memory(agg, "stream_sessions")
 
 
 _FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
@@ -2586,15 +2601,16 @@ def text_phrase_indexed_q(spark, sf):
     answer as text_phrase_search, but the scan reads only the phrase terms'
     md5-bucket partitions (static partition pruning, pinned in
     tests/test_plans.py) — the repeated-query retrieval path, mirroring the
-    persisted IVF index for vectors.  Index builds once per process into a
-    tempdir; every later call is pruned posting-list reads."""
-    import tempfile
+    persisted IVF index for vectors.  Index builds once per process into the
+    scratch dir (cleaned at exit); every later call is pruned posting-list
+    reads."""
+    import os
 
     from trafficbigdatasearch_spark.operators import search
 
     path = _TEXT_INDEX_CACHE.get(sf)
     if path is None:
-        path = tempfile.mkdtemp(prefix="tbds_text_index_") + "/postings"
+        path = os.path.join(_scratch("text_index", sf), "postings")
         search.build_text_index(load_table(spark, sf, "documents"), path)
         _TEXT_INDEX_CACHE[sf] = path
     return search.phrase_search_indexed(spark, path, ["query", "key"])
