@@ -321,3 +321,47 @@ def test_pq_trained_codebook_seam(spark):
     assert len(got) == 20
     for r in got:
         assert r["neighbor_id"] // 10 == r["query_id"] // 10, dict(r.asDict())
+
+
+def test_pq_rerank_and_trained_codebook_recall(spark):
+    """The PQ quality ladder on real embeddings: exact rerank of the ADC
+    shortlist recovers most of what compressed scoring loses, and the
+    lattice-exact trained codebook improves BOTH the raw ADC shortlist and
+    the reranked result over the stride-sampled seed — the recall@5
+    improvement VERDICT r3 asked to pin (measured 0.06 -> 0.56 -> 0.72 at
+    sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    brute = pairs(similarity.brute_force_topk(emb, q, k=5))
+    adc = pairs(similarity.pq_adc_topk(emb, q, k=5, m=8, centroid_stride=97))
+    rerank = pairs(
+        similarity.pq_adc_rerank_topk(
+            emb, q, k=5, shortlist=100, m=8, centroid_stride=97
+        )
+    )
+    trained = similarity.pq_train_codebook(emb, n_iter=2, centroid_stride=97)
+    cents = trained.select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    tr_adc = pairs(similarity.pq_adc_topk(emb, q, k=5, m=8, centroids=cents))
+    tr_rerank = pairs(
+        similarity.pq_adc_rerank_topk(
+            emb, q, k=5, shortlist=100, m=8, centroids=cents
+        )
+    )
+
+    def recall(s):
+        return len(s & brute) / len(brute)
+
+    assert recall(rerank) >= 0.4
+    assert recall(rerank) > recall(adc)
+    assert recall(tr_adc) >= recall(adc)
+    assert recall(tr_rerank) >= recall(rerank)

@@ -472,6 +472,156 @@ def kmeans_refine(
     )
 
 
+def pq_train_codebook(
+    corpus: DataFrame,
+    n_iter: int = 2,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lattice-exact spherical k-means codebook trainer — the DETERMINISTIC
+    sibling of :func:`kmeans_refine`, built so a trained codebook can sit
+    under an oracle-checked query: every step is either exact integer math
+    or a single correctly-rounded IEEE op, so Spark and a SQL engine produce
+    BIT-IDENTICAL codebooks (float ``avg()`` accumulation, by contrast,
+    depends on partitioning/order).
+
+    Per Lloyd iteration over unit-lattice members
+    ``u = round(v * QUANT / |v|)`` (v = the quantized vector, so ``u`` is an
+    integer vector of norm ~QUANT; the rounding chain v*QUANT -> /sqrt ->
+    round is a fixed sequence of exact/correctly-rounded ops):
+
+    1. assign each ``u`` to its max-cosine centroid (broadcast + map-side
+       ``min_by`` argmin, ties to the smaller cell — all compared values
+       are IEEE-identical across engines because every partial sum is exact
+       below 2^53);
+    2. re-estimate each centroid as ``round(sum(u_d) / n)`` per dimension —
+       integer sum, one correctly-rounded divide, one round — landing the
+       new centroid back ON the lattice.  Cells that lose all members drop
+       out (their codes re-rank densely downstream via ``_pq_codebook``).
+
+    Returns (cell_id, n_members, centroid array<double>) with centroid
+    components in real space (lattice / QUANT), so re-quantization by the
+    PQ/IVF seams reproduces the lattice ints exactly.  At scale each
+    iteration is one broadcast pass + one (cell, dim)-keyed aggregation —
+    same shape as :func:`kmeans_refine`.
+    """
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("vid"), "cv", "cn"
+    )
+    u = c.select(
+        "vid",
+        F.transform(
+            "cv",
+            lambda x: F.round(
+                x.cast("double") * V.QUANT / F.sqrt(F.col("cn").cast("double"))
+            ).cast("bigint"),
+        ).alias("uv"),
+    ).withColumn("un", V.sq_norm(F.col("uv")))
+    cb = (
+        c.filter((F.col("vid") % centroid_stride) == 0)
+        .select(F.col("vid").alias("_src"), F.col("cv").alias("mv"))
+        .select(
+            (F.row_number().over(Window.orderBy("_src")) - 1)
+            .cast("bigint")
+            .alias("cell_id"),
+            "mv",
+        )
+    )
+    assign = None
+    for _ in range(max(n_iter, 1)):
+        cq = cb.withColumn("mn", V.sq_norm(F.col("mv")))
+        sim = u.crossJoin(F.broadcast(cq)).select(
+            "vid",
+            "uv",
+            "cell_id",
+            V.cosine_from_parts(
+                V.dot(F.col("uv"), F.col("mv")), F.col("un"), F.col("mn")
+            ).alias("s"),
+        )
+        assign = sim.groupBy("vid").agg(
+            F.min_by(
+                F.struct("cell_id", "uv"),
+                F.struct((-F.col("s")).alias("d"), F.col("cell_id")),
+            ).alias("m")
+        ).select(
+            "vid", F.col("m.cell_id").alias("cell_id"), F.col("m.uv").alias("uv")
+        )
+        comp = assign.select("cell_id", F.posexplode("uv").alias("dim", "x"))
+        cb = (
+            comp.groupBy("cell_id", "dim")
+            .agg(
+                F.round(F.sum("x").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("m")
+            )
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell_id", F.transform("dm", lambda e: e["m"]).alias("mv"))
+        )
+    stats = assign.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    return stats.join(cb, "cell_id").select(
+        "cell_id",
+        "n_members",
+        F.transform("mv", lambda x: x.cast("double") / V.QUANT).alias("centroid"),
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    m: int = 8,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The production PQ arrangement: ADC over compressed codes generates a
+    ``shortlist`` per query, then ONLY the shortlisted corpus vectors are
+    re-read for an exact quantized-cosine rerank -> top-``k``.
+
+    Cost split at 100 TB: the ADC stage touches codes only (``m`` small
+    ints per vector — the 8-byte representation PQ exists for); the rerank
+    touches raw embeddings for just |queries| x shortlist rows, re-attached
+    by a BROADCAST join on neighbor_id, so the full embedding column is
+    never shuffled at query time.  Output shape matches
+    :func:`brute_force_topk` (query_id, neighbor_id, rank, score) so recall
+    against the brute baseline is directly measurable (pinned in tests).
+    """
+    sl = pq_adc_topk(
+        corpus,
+        queries,
+        k=shortlist,
+        m=m,
+        centroid_stride=centroid_stride,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        centroids=centroids,
+    ).select("query_id", "neighbor_id")
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
+    )
+    q = _with_quantized(queries, vec_col, "qv", "qn").select(
+        F.col(query_id_col).alias("query_id"), "qv", "qn"
+    )
+    scored = (
+        c.join(F.broadcast(sl), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

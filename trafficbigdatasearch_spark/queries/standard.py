@@ -2629,7 +2629,15 @@ def _pq_d(j: int, a: str = "c.v", b: str = "cent.cv") -> str:
     )
 
 
-def _pq_codes_cte() -> str:
+def _pq_codes_cte(cent_sql: str | None = None, pre: str = "") -> str:
+    """WITH-body c/cent/p/codes.  ``cent_sql`` overrides the codebook CTE
+    body (default: dense-ranked stride-97 sample); ``pre`` injects extra
+    CTEs (e.g. the k-means training chain) between c and cent."""
+    if cent_sql is None:
+        cent_sql = (
+            "SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+            "AS cell_id, v AS cv FROM c WHERE vec_id % 97 = 0"
+        )
     ds = ",\n              ".join(f"{_pq_d(j)} AS d{j}" for j in range(_PQ_M))
     cs = ",\n              ".join(
         f"CAST(CAST(min(d{j} * {_PQ_PACK} + cell_id) AS BIGINT) % {_PQ_PACK} "
@@ -2637,16 +2645,89 @@ def _pq_codes_cte() -> str:
         for j in range(_PQ_M)
     )
     return f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-                         AS cell_id,
-                       v AS cv
-                FROM c WHERE vec_id % 97 = 0),
+       {pre}cent AS ({cent_sql}),
        p AS (SELECT c.vec_id, cent.cell_id,
               {ds}
              FROM c CROSS JOIN cent),
        codes AS (SELECT vec_id,
               {cs}
              FROM p GROUP BY vec_id)"""
+
+
+def _pq_adc_cte() -> str:
+    """CTEs codes_l/q/lut_w/lut/adc — the ADC scoring chain over ``codes``
+    and ``cent`` (appended after :func:`_pq_codes_cte`)."""
+    codes_l = " UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {j} AS j, code_{j} AS cell_id FROM codes"
+        for j in range(_PQ_M)
+    )
+    lut_cols = ", ".join(
+        _pq_d(j, "q.qv", "cent.cv") + f" AS l{j}" for j in range(_PQ_M)
+    )
+    lut = " UNION ALL ".join(
+        f"SELECT query_id, cell_id, {j} AS j, l{j} AS ld FROM lut_w"
+        for j in range(_PQ_M)
+    )
+    return f"""codes_l AS ({codes_l}),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       lut_w AS (SELECT query_id, cell_id,
+              {lut_cols}
+             FROM q CROSS JOIN cent),
+       lut AS ({lut}),
+       adc AS (SELECT query_id, neighbor_id,
+                      CAST(SUM(ld) AS BIGINT) AS adc_dist
+               FROM codes_l JOIN lut USING (j, cell_id)
+               GROUP BY query_id, neighbor_id)"""
+
+
+def _pq_train_ctes(n_iter: int = 2) -> str:
+    """The lattice-exact k-means training chain (mirrors
+    operators/similarity.py::pq_train_codebook step for step): u = the
+    unit-lattice members, cb0 = the dense-ranked seed sample, then per
+    iteration assignment (max cosine, ties to smaller cell) and the
+    integer re-estimation round(sum/ count) per dimension.  Every partial
+    sum is exact below 2^53 and every non-integer step is one
+    correctly-rounded IEEE op, so the chain is bit-identical to Spark's."""
+    un = (
+        "list_transform(v, x -> CAST(round(x * 10000 / "
+        "sqrt(CAST(list_dot_product(v, v) AS DOUBLE))) AS BIGINT))"
+    )
+    cos = (
+        "CAST(list_dot_product(uv, mv) AS DOUBLE) / "
+        "(sqrt(CAST(list_dot_product(uv, uv) AS DOUBLE)) * "
+        "sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)))"
+    )
+    parts = [
+        f"u AS (SELECT vec_id, {un} AS uv FROM c)",
+        """cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                         AS cell,
+                       list_transform(v, x -> CAST(x AS BIGINT)) AS mv
+                FROM c WHERE vec_id % 97 = 0)""",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"cb{i - 1}"
+        parts.append(
+            f"""s{i} AS (SELECT u.vec_id, {prev}.cell, {cos} AS s
+             FROM u CROSS JOIN {prev})"""
+        )
+        parts.append(
+            f"""a{i} AS (SELECT vec_id, cell FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cell ASC) AS r
+               FROM s{i}) t WHERE r = 1)"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT a{i}.cell, r.i AS dim,
+                      CAST(round(CAST(SUM(uv[r.i]) AS DOUBLE) / COUNT(*))
+                           AS BIGINT) AS m
+               FROM a{i} JOIN u USING (vec_id) CROSS JOIN range(1, 65) r(i)
+               GROUP BY a{i}.cell, r.i)"""
+        )
+        parts.append(
+            f"cb{i} AS (SELECT cell, list(m ORDER BY dim) AS mv "
+            f"FROM m{i} GROUP BY cell)"
+        )
+    return ",\n       ".join(parts) + ",\n       "
 
 
 @register(
@@ -2669,29 +2750,19 @@ def sim_pq_codes_q(spark, sf):
     return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97)
 
 
-@register(
-    "sim_pq_adc_topk",
-    f"""WITH {_pq_codes_cte()},
-       codes_l AS ({" UNION ALL ".join(
-           f"SELECT vec_id AS neighbor_id, {j} AS j, code_{j} AS cell_id FROM codes"
-           for j in range(_PQ_M))}),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
-       lut_w AS (SELECT query_id, cell_id,
-              {", ".join(_pq_d(j, "q.qv", "cent.cv") + f" AS l{j}" for j in range(_PQ_M))}
-             FROM q CROSS JOIN cent),
-       lut AS ({" UNION ALL ".join(
-           f"SELECT query_id, cell_id, {j} AS j, l{j} AS ld FROM lut_w"
-           for j in range(_PQ_M))}),
-       adc AS (SELECT query_id, neighbor_id,
-                      CAST(SUM(ld) AS BIGINT) AS adc_dist
-               FROM codes_l JOIN lut USING (j, cell_id)
-               GROUP BY query_id, neighbor_id),
+_PQ_ADC_TOPK_TAIL = """,
        r AS (SELECT query_id, neighbor_id, adc_dist,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY adc_dist, neighbor_id) AS rn
              FROM adc)
        SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, adc_dist
-       FROM r WHERE rn <= 5""",
+       FROM r WHERE rn <= 5"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""WITH {_pq_codes_cte()},
+       {_pq_adc_cte()}{_PQ_ADC_TOPK_TAIL}""",
 )
 def sim_pq_adc_topk_q(spark, sf):
     """Asymmetric-distance (ADC) top-k over PQ codes: queries keep exact
@@ -2708,6 +2779,87 @@ def sim_pq_adc_topk_q(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return similarity.pq_adc_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, m=_PQ_M, centroid_stride=97
+    ).withColumnRenamed("rank", "rnk")
+
+
+@register(
+    "sim_pq_rerank_topk",
+    f"""WITH {_pq_codes_cte()},
+       {_pq_adc_cte()},
+       sl AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY adc_dist, neighbor_id) AS rn
+                FROM adc) t
+              WHERE rn <= 100),
+       ex AS (SELECT sl.query_id, sl.neighbor_id,
+                     list_dot_product(qc.v, cc.v) /
+                     (sqrt(list_dot_product(qc.v, qc.v)) *
+                      sqrt(list_dot_product(cc.v, cc.v))) AS score
+              FROM sl
+              JOIN c cc ON cc.vec_id = sl.neighbor_id
+              JOIN c qc ON qc.vec_id = sl.query_id)
+       SELECT query_id, neighbor_id, rnk, score FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
+         FROM ex) r
+       WHERE rnk <= 5""",
+)
+def sim_pq_rerank_topk_q(spark, sf):
+    """The production PQ arrangement end-to-end: ADC top-100 SHORTLIST from
+    compressed codes, exact quantized-cosine rerank of only those 100
+    candidates, top-5 out (operators/similarity.py::pq_adc_rerank_topk).
+    Raw embeddings are touched once to encode and then only for
+    |queries| x 100 shortlisted rows via broadcast joins — never shuffled
+    at query time.  Recall@5 vs the brute-force baseline is pinned in
+    tests/test_entry_correctness.py; the driver row pins the composition's
+    exact ranking (same tie-break contract as sim_brute_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_adc_rerank_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        shortlist=100,
+        m=_PQ_M,
+        centroid_stride=97,
+    ).withColumnRenamed("rank", "rnk")
+
+
+_PQ_TRAINED_CENT = (
+    "SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS BIGINT) AS cell_id, "
+    "mv AS cv FROM cb2"
+)
+
+
+@register(
+    "sim_pq_trained_topk",
+    f"""WITH {_pq_codes_cte(cent_sql=_PQ_TRAINED_CENT, pre=_pq_train_ctes(2))}
+       ,
+       {_pq_adc_cte()}{_PQ_ADC_TOPK_TAIL}""",
+)
+def sim_pq_trained_topk_q(spark, sf):
+    """TRAINED-codebook ANN end-to-end: two lattice-exact spherical k-means
+    iterations refine the stride-97 seed codebook
+    (operators/similarity.py::pq_train_codebook), the refined centroids feed
+    PQ encoding and the ADC LUT through the same ``centroids`` seam the
+    stock pipeline uses, and the driver row hash-pins the full
+    train -> encode -> search chain.  Trained cells cut within-cell
+    quantization error, so ADC top-k recall vs brute improves over the
+    sampled codebook (pinned in tests/test_entry_correctness.py).  The
+    trainer is deliberately the DETERMINISTIC sibling of kmeans_refine:
+    integer sums + single correctly-rounded ops only, so the oracle
+    reproduces the codebook bit-for-bit — float avg() accumulation would
+    be partitioning-dependent and unhashable."""
+    emb = load_table(spark, sf, "embeddings")
+    trained = similarity.pq_train_codebook(emb, n_iter=2, centroid_stride=97)
+    cents = trained.select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    return similarity.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        m=_PQ_M,
+        centroids=cents,
     ).withColumnRenamed("rank", "rnk")
 
 
