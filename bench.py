@@ -79,6 +79,8 @@ HEADLINE = [
     "text_phrase_indexed",
     "sim_pq_codes",
     "sim_pq_adc_topk",
+    "sim_pq_rerank_topk",
+    "sim_pq_trained_topk",
     "quality_report",
 ]
 

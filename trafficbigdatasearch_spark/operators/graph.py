@@ -44,10 +44,11 @@ def _large_star(e: DataFrame) -> DataFrame:
     m = F.least(F.col("_mn"), F.col("u"))
     # no distinct here: duplicate edges don't change _small_star's per-node
     # mins, and its terminal distinct restores set semantics — one fewer
-    # exchange per round
+    # exchange per round.  The v > u filter sits BEFORE the join (it only
+    # references probe-side columns), halving the join input.
     return (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
         .select(F.col("v").alias("u"), m.alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
@@ -99,24 +100,29 @@ def connected_components(
     clusters; the bound is generous (2^25 nodes would converge well inside
     25 large/small rounds).
     """
-    e = (
-        pairs.select(
-            F.col(id_a).cast("bigint").alias("u"),
-            F.col(id_b).cast("bigint").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    raw = pairs.select(
+        F.col(id_a).cast("bigint").alias("u"),
+        F.col(id_b).cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    # SMALL-STAR PRE-PASS instead of a plain distinct: near-dup pair sets
+    # are dominated by tiny clusters (banded LSH buckets), which one
+    # small-star contracts to their final star immediately — the loop then
+    # typically CONFIRMS in a single round instead of contracting in round
+    # one and confirming in round two.  Canonicalization and dedup come free
+    # from small-star's greatest/least + terminal distinct, so this costs
+    # one aggregate+join more than the distinct it replaces and saves a full
+    # large+small round.  Checkpoints are LAZY: the count() that follows is
+    # the action that materializes them — one job per round, not two.
+    e = _small_star(raw).localCheckpoint(eager=False)
     n_edges = e.count()
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # canonical distinct sets on both sides: equal counts + no rows
         # unique to one side <=> identical edge sets.  The previous round's
-        # count is carried over, so each round costs one count job over the
-        # fresh checkpoint, and the anti-join probe only runs when counts
-        # match (typically once, at the fixpoint) — the minimal driver sync
-        # of a fixpoint loop.
+        # count is carried over, so each round costs one count job (which
+        # doubles as the checkpoint materialization), and the anti-join
+        # probe only runs when counts match (typically once, at the
+        # fixpoint) — the minimal driver sync of a fixpoint loop.
         n_nxt = nxt.count()
         if n_nxt == n_edges and nxt.join(e, ["u", "v"], "left_anti").isEmpty():
             e = nxt
