@@ -114,6 +114,77 @@ def test_parquet_layout_equals_csv_layout(parquet_engines):
         assert got == want, method
 
 
+def test_zordered_ingest_identical_results_and_bbox_skipping(
+    spark, traffic_dir, tmp_path_factory
+):
+    """Opt-in Z-ordered accident layout (VERDICT r3 #8): results stay
+    row-identical to the plain layout, and the accident files become compact
+    lon/lat tiles — a small bbox touches a small fraction of the z-ordered
+    files where the plain layout's files span the full extent (parquet
+    min/max footer stats, the thing Spark's row-group pushdown and any
+    file-index layer prune on)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from trafficbigdatasearch_spark.sources.parquet import (
+        ingest_reference_layout,
+    )
+
+    out = tmp_path_factory.mktemp("traffic_parquet_z")
+    ingest_reference_layout(
+        spark,
+        str(traffic_dir),
+        str(out),
+        mode="parity",
+        zorder=True,
+        zorder_rows_per_file=40,
+    )
+    z_eng = TrafficEngine(spark, str(out), layout="parquet", mode="parity")
+    csv_eng = TrafficEngine(
+        spark, str(traffic_dir), layout="reference_csv", mode="parity"
+    )
+    args = _args(BBOX) + ("2016-07-01", "2016-09-15")
+    assert sorted(z_eng.get_accident_count(*args)) == sorted(
+        csv_eng.get_accident_count(*args)
+    )
+
+    def boxes(path):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = {}
+            hi = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    n = col.path_in_schema
+                    if n not in ("CASELONGITUDE", "CASELATITUDE"):
+                        continue
+                    if col.statistics is None or col.statistics.min is None:
+                        continue
+                    lo[n] = min(lo.get(n, float("inf")), col.statistics.min)
+                    hi[n] = max(hi.get(n, float("-inf")), col.statistics.max)
+            if lo:
+                out.append((lo, hi))
+        return out
+
+    zb = boxes(str(out / "accident"))
+    assert len(zb) >= 8, "fixture too small to produce multiple z files"
+    # a small box in the middle of the fixture's lon/lat extent
+    lon0, lat0 = 116.8, 37.2
+    touched = sum(
+        1
+        for lo, hi in zb
+        if lo["CASELONGITUDE"] <= lon0 + 0.2
+        and hi["CASELONGITUDE"] >= lon0
+        and lo["CASELATITUDE"] <= lat0 + 0.2
+        and hi["CASELATITUDE"] >= lat0
+    )
+    assert touched <= len(zb) // 2, (touched, len(zb))
+
+
 def test_parquet_layout_prunes_months(parquet_engines):
     """The month filter must reach the scan as a partition filter — the
     Catalyst replacement for the reference's driver-side path loop."""

@@ -45,6 +45,8 @@ def ingest_reference_layout(
     out_base: str,
     *,
     mode: str = "parity",
+    zorder: bool = False,
+    zorder_rows_per_file: int = 100_000,
 ) -> list[str]:
     """One-time conversion of the reference's CSV directory contract
     (``speed_base.csv`` + ``TF_ZFZD_CASESPECIFICATION.csv`` + per-month
@@ -64,6 +66,16 @@ def ingest_reference_layout(
     query with an engine constructed in the same mode.  Returns the ingested
     month list.  (Month discovery uses a local directory listing — for
     object-store deployments swap in a FileSystem.globStatus call.)
+
+    ``zorder=True`` writes the ACCIDENT table through :func:`write_zordered`
+    on (CASELONGITUDE, CASELATITUDE) — the 2-D clustering layout for the
+    reference's bbox workload (src/AccidentStatistics.scala:102): every file
+    covers a compact lon/lat TILE, so parquet min/max stats skip most files
+    for any small box, where the default layout's files span the full extent
+    of at least one dimension.  Pure reordering — query results are
+    row-identical; rows with NULL coordinates land in the origin tile (Z
+    bucket 0) and are never dropped.  Opt-in because the Z write costs one
+    range shuffle + a bounds job at ingest.
     """
     import os
     import re
@@ -81,9 +93,17 @@ def ingest_reference_layout(
     )
     acc = os.path.join(csv_base, "TF_ZFZD_CASESPECIFICATION.csv")
     if os.path.exists(acc):
-        read_accident_csv(spark, acc, mode=mode).write.mode("overwrite").parquet(
-            os.path.join(out_base, "accident")
-        )
+        acc_df = read_accident_csv(spark, acc, mode=mode)
+        acc_out = os.path.join(out_base, "accident")
+        if zorder:
+            write_zordered(
+                acc_df,
+                acc_out,
+                ["CASELONGITUDE", "CASELATITUDE"],
+                rows_per_file=zorder_rows_per_file,
+            )
+        else:
+            acc_df.write.mode("overwrite").parquet(acc_out)
     read_speed_base_csv(
         spark, os.path.join(csv_base, "speed_base.csv")
     ).write.mode("overwrite").parquet(os.path.join(out_base, "speed_base"))
@@ -277,7 +297,14 @@ def write_zordered(
     ).first()
     mins = [stats[f"_lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
-    n_files = max(1, -(-stats["_n"] // rows_per_file))
+    n_files = max(1, -(-(stats["_n"] or 1) // rows_per_file))
+    if any(v is None for v in mins + maxs):
+        # a clustering column with no non-null values has no range to tile;
+        # degrade to a plain sized write rather than fail the ingest
+        df.repartition(n_files).write.mode(mode).option(
+            "maxRecordsPerFile", rows_per_file
+        ).parquet(path)
+        return
     z = zorder_value([F.col(c) for c in cols], bits=bits, mins=mins, maxs=maxs)
     (
         df.withColumn("_z", z)
