@@ -505,19 +505,32 @@ def pq_train_codebook(
     PQ/IVF seams reproduces the lattice ints exactly.  At scale each
     iteration is one broadcast pass + one (cell, dim)-keyed aggregation —
     same shape as :func:`kmeans_refine`.
+
+    Unlike the pure-builder operators, the trainer MATERIALIZES per
+    iteration (an eager ``localCheckpoint`` of the tiny codebook): without
+    it, iteration N's plan embeds N-1 full re-executions of every earlier
+    assignment pass — the exponential-lineage trap of iterative algorithms
+    (same precedent as ``connected_components``, which must run jobs to
+    converge; measured 7.0 s -> 2.4 s for n_iter=2 at sf0.1).  The
+    unit-lattice members are lazily checkpointed once and reused across
+    iterations — the "cache the training set" step of any k-means run.
     """
     c = _with_quantized(corpus, vec_col, "cv", "cn").select(
         F.col(id_col).alias("vid"), "cv", "cn"
     )
-    u = c.select(
-        "vid",
-        F.transform(
-            "cv",
-            lambda x: F.round(
-                x.cast("double") * V.QUANT / F.sqrt(F.col("cn").cast("double"))
-            ).cast("bigint"),
-        ).alias("uv"),
-    ).withColumn("un", V.sq_norm(F.col("uv")))
+    u = (
+        c.select(
+            "vid",
+            F.transform(
+                "cv",
+                lambda x: F.round(
+                    x.cast("double") * V.QUANT / F.sqrt(F.col("cn").cast("double"))
+                ).cast("bigint"),
+            ).alias("uv"),
+        )
+        .withColumn("un", V.sq_norm(F.col("uv")))
+        .localCheckpoint(eager=False)
+    )
     cb = (
         c.filter((F.col("vid") % centroid_stride) == 0)
         .select(F.col("vid").alias("_src"), F.col("cv").alias("mv"))
@@ -558,6 +571,7 @@ def pq_train_codebook(
             .groupBy("cell_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cell_id", F.transform("dm", lambda e: e["m"]).alias("mv"))
+            .localCheckpoint(eager=True)
         )
     stats = assign.groupBy("cell_id").agg(F.count("*").alias("n_members"))
     return stats.join(cb, "cell_id").select(

@@ -2897,9 +2897,13 @@ def sim_pq_trained_topk_q(spark, sf):
     be partitioning-dependent and unhashable."""
     emb = load_table(spark, sf, "embeddings")
     trained = similarity.pq_train_codebook(emb, n_iter=2, centroid_stride=97)
+    # the trained codebook feeds BOTH the encode pass and the ADC LUT; a
+    # LAZY localCheckpoint (zero jobs at build — the builder contract)
+    # materializes the ~n_cells-row training chain once on first action
+    # instead of replaying two k-means iterations per consumer
     cents = trained.select(
         F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
-    )
+    ).localCheckpoint(eager=False)
     return similarity.pq_adc_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),
