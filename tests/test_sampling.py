@@ -100,3 +100,26 @@ def test_mixture_sample_rejects_bad_weights(ids):
         sampling.mixture_sample(ids, "grp", {"0": 0.5, "1": 0.4}, key_col="id")
     with pytest.raises(ValueError):
         sampling.mixture_sample(ids, "grp", {}, key_col="id")
+
+
+def test_leakage_free_split_keeps_pairs_together(spark):
+    """The leakage invariant: for EVERY candidate near-dup pair, both
+    members land in the same split (a plain doc-id hash split cannot
+    guarantee this); no rows dropped; splits roughly honor the fractions."""
+    import os
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import dedup
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    out = sampling.leakage_free_split(docs, pairs, {"train": 0.9, "test": 0.1})
+    assert out.count() == docs.count()
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    prs = pairs.collect()
+    assert prs, "fixture produced no candidate pairs"
+    for r in prs:
+        assert side[r["id_a"]] == side[r["id_b"]], (r["id_a"], r["id_b"])
+    frac = sum(1 for s in side.values() if s == "train") / len(side)
+    assert 0.8 <= frac <= 0.97, frac

@@ -174,3 +174,39 @@ def group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split where near-duplicates NEVER straddle the boundary.
+
+    A plain :func:`hash_split` on the document id leaks: a near-duplicate
+    pair can land one side each, contaminating evaluation with effectively
+    seen data.  Here the split key is the document's near-dup CLUSTER
+    (connected components over any candidate-pair generator from
+    operators/dedup.py), so every member of a cluster shares a hash bucket
+    and therefore a split; documents in no pair form singleton clusters
+    keyed by their own id.  Adds ``component`` and ``split`` columns; no
+    rows are dropped.
+
+    Cost = the CC fixpoint (operators/graph.py — materializes, a few
+    driver-synced jobs) + one left join of the labels onto the corpus +
+    the row-local hash expression.  At 100 TB the labels side is |paired
+    docs| only — usually a small fraction of the corpus — and broadcasts.
+    """
+    from trafficbigdatasearch_spark.operators import graph
+
+    cc = graph.connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    lab = df.join(cc, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return hash_split(lab, "component", fractions, salt=salt)

@@ -1696,6 +1696,45 @@ def sample_split_hash_q(spark, sf):
 
 
 @register(
+    "sample_split_leakage_free",
+    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
+                FROM walk GROUP BY id),
+       labl AS (SELECT d.doc_id,
+                       COALESCE(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       SELECT doc_id, component,
+              CASE WHEN ('0x' || substr(md5('split' ||
+                         CAST(component AS VARCHAR)), 1, 7))::BIGINT
+                        % {sampling.BUCKETS} < 9000
+                   THEN 'train' ELSE 'test' END AS split
+       FROM labl""",
+)
+def sample_split_leakage_free_q(spark, sf):
+    """LEAKAGE-FREE train/test split: the hash-split key is the document's
+    near-dup CLUSTER (LSH pairs -> connected components), not the document
+    id, so near-duplicates can never straddle the split boundary and
+    contaminate evaluation (operators/sampling.py::leakage_free_split).
+    The composition every serious corpus pipeline runs before eval-set
+    carving; singleton documents key by their own id.  Oracle = the
+    recursive reachability closure (same as dedup_clusters) + the identical
+    md5 bucket arithmetic on the component id."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
+    return sampling.leakage_free_split(
+        docs, pairs, {"train": 0.9, "test": 0.1}
+    ).select("doc_id", "component", "split")
+
+
+@register(
     "sample_stratified",
     f"""SELECT doc_id, lang FROM documents
        WHERE {_BUCKET_SQL.format(salt='strata')} <
