@@ -175,3 +175,14 @@ def test_quality_report_single_scan(spark):
     df = standard.queries()["quality_report"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_pq_rerank_broadcasts_shortlist_never_shuffles_corpus_vectors(spark):
+    """The ADC+rerank composition's rerank stage must re-attach corpus
+    vectors via BROADCAST joins of the (tiny) shortlist and query sides —
+    never a shuffle of the full embedding column at query time — and must
+    not fall back to a nested-loop join anywhere."""
+    df = standard.queries()["sim_pq_rerank_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -854,8 +854,13 @@ def pq_adc_topk(
         .select("query_id", "cell_id", F.explode(F.array(*lut_rows)).alias("s"))
         .select("query_id", "cell_id", F.col("s.j").alias("j"), F.col("s.ld").alias("ld"))
     )
+    # LUT is |queries| x m x n_cells — bounded by the query batch and the
+    # broadcast-sized codebook, NEVER by the corpus — so broadcast it: the
+    # corpus codes stream map-side through the join instead of shuffling
+    # |corpus| x m rows (the initial planner otherwise picks SMJ because
+    # the LUT's size is unknown pre-execution)
     scored = (
-        long_codes.join(lut, ["j", "cell_id"])
+        long_codes.join(F.broadcast(lut), ["j", "cell_id"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("ld").cast("bigint").alias("adc_dist"))
     )
