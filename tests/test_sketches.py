@@ -100,3 +100,48 @@ def test_sketch_partials_persist_roundtrip(spark, events, tmp_path):
     parts.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     assert _merged(back) == _merged(parts)
+
+
+def test_top_items_merge_partition_independent_and_exact_phase(spark, events):
+    """Frequent-items states: merging per-day partials equals a single
+    whole-data sketch in the exact phase (counts add, no eviction), and the
+    result matches the exact GROUP BY counts."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    parts = sketches.top_items_rollup(events, ["d"], "event_type")
+    got = {
+        r["item"]: r["n"]
+        for r in sketches.merged_top_items(parts, k=len(exact)).collect()
+    }
+    assert got == exact
+    whole = sketches.top_items_rollup(events.withColumn("_c", F.lit(1)), ["_c"], "event_type")
+    got_whole = {
+        r["item"]: r["n"]
+        for r in sketches.merged_top_items(whole, k=len(exact)).collect()
+    }
+    assert got_whole == exact
+
+
+def test_top_items_degrades_beyond_tracking(spark):
+    """Past maxItemsTracked the sketch still surfaces true heavy hitters:
+    a skewed stream (one dominant item among many uniques) keeps the
+    dominant item's count within the frequent-items overestimate bound."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit("heavy"))
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("v"),
+        F.lit(1).alias("_c"),
+    )
+    parts = sketches.top_items_rollup(df, ["_c"], "v", max_items_tracked=64)
+    top = {r["item"]: r["n"] for r in sketches.merged_top_items(parts, k=1).collect()}
+    assert "heavy" in top
+    true_n = 5000
+    # frequent-items guarantees count in [true, true + n/maxMapSize-ish];
+    # allow the documented epsilon: overestimate only, bounded by ~n * 3.5/M
+    assert true_n <= top["heavy"] <= true_n + int(20_000 * 3.5 / 64)

@@ -116,3 +116,38 @@ def merged_quantiles(
         ],
         F.kll_sketch_get_n_double(F.col("m")).alias("n"),
     )
+
+
+def top_items_rollup(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Per-partition frequent-items sketch states (``approx_top_k_accumulate``
+    — the DataSketches frequent-items aggregate): one mergeable summary per
+    ``part_cols`` cell, the cube layer for "top domains / event types /
+    tokens per slice" questions.  EXACT while a cell's distinct-item count
+    stays within ``max_items_tracked`` (no eviction happens); beyond that it
+    degrades to the published frequent-items error bounds."""
+    return df.groupBy(*part_cols).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value_col}, {max_items_tracked})"
+        ).alias("tk"),
+    )
+
+
+def merged_top_items(partials: DataFrame, k: int = 5, tk_col: str = "tk") -> DataFrame:
+    """Merge partial frequent-items states and read the global top-``k`` as
+    (item, n) rows.  Merging partials loses nothing in the exact phase —
+    counts add — so per-day states answer the all-time top-k without
+    rescanning.  Rank-tie order at the k-cutoff is engine-dependent; callers
+    wanting a deterministic result set keep ``k`` >= the distinct-item count
+    (exact phase) or break ties downstream."""
+    merged = partials.agg(F.expr(f"approx_top_k_combine({tk_col})").alias("m"))
+    return merged.select(
+        F.explode(F.expr(f"approx_top_k_estimate(m, {k})")).alias("s")
+    ).select(
+        F.col("s.item").alias("item"),
+        F.col("s.count").cast("bigint").alias("n"),
+    )

@@ -2470,6 +2470,28 @@ def sketch_segment_overlap_q(spark, sf):
 
 
 @register(
+    "sketch_top_items",
+    """SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+def sketch_top_items_q(spark, sf):
+    """Mergeable frequent-items cube: one approx_top_k state per DAY of
+    events, combined to the global top event types without touching raw
+    rows again (operators/sketches.py::top_items_rollup) — the third leg of
+    the sketch fabric (HLL = distinct, KLL = quantiles, frequent-items =
+    heavy hitters).  Exact here because every day's distinct event-type
+    count sits far inside maxItemsTracked (no eviction, counts add across
+    merges) and k >= the distinct-type count, so no tie-cutoff
+    nondeterminism — the same exact-phase argument the HLL/Theta rows use;
+    degradation bounds pinned in tests/test_sketches.py."""
+    from trafficbigdatasearch_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events").withColumn("d", F.to_date("ts"))
+    parts = sketches.top_items_rollup(ev, ["d"], "event_type")
+    return sketches.merged_top_items(parts, k=5)
+
+
+@register(
     "j_range_keyless",
     """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS s FROM events),
        w2 AS (SELECT strftime(s, '%Y-%m-%d') AS w_id,
