@@ -3043,7 +3043,7 @@ def quality_report_q(spark, sf):
 #   - A rotated-out entry must name an in-window SIBLING covering its code
 #     path; everything stays registered and oracle-bearing and is verified
 #     every session by pytest + the dtype-strict tools/driver_sim rehearsal
-#     (92/92 at sf0.01).
+#     (94/94 at sf0.01).
 #
 # Round-4 rotation (r3 swaps are in git history at this comment's previous
 # version):
