@@ -3031,11 +3031,11 @@ def quality_report_q(spark, sf):
 # positions 1-50).  _WINDOW is the explicit first-50 roster.
 #
 # ROTATION POLICY (adopted round 4, per VERDICT r3 #2):
-#   - ~39 STABLE slots: one flagship per capability family — the most
+#   - ~37 STABLE slots: one flagship per capability family — the most
 #     substantive, least-redundant representative (preferring compositions
 #     that exercise their siblings' machinery).  These stay put so every
 #     round re-verifies the load-bearing paths.
-#   - ~11 ROTATING slots: cycle the long tail so every registered query gets
+#   - ~13 ROTATING slots: cycle the long tail so every registered query gets
 #     a driver row at least once and no row's last driver verification ages
 #     more than ~2 rounds.  New queries enter through rotating slots in
 #     their first round, then promote to stable (displacing a sibling) or
@@ -3052,8 +3052,12 @@ def quality_report_q(spark, sf):
 #       a_anomaly_zscore, text_repetition, text_phrase_search,
 #       mm_frame_sample, sample_stratified
 #   in  (this round's new queries)
-#       sim_pq_trained_topk, sim_pq_rerank_topk, stream_attribution
+#       sim_pq_trained_topk, sim_pq_rerank_topk, stream_attribution,
+#       sample_split_leakage_free, sketch_top_items
 #   out (-> in-window sibling covering the code path)
+#       a_unpivot_doc_metrics -> a_pivot_event_types (both Expand reshapes)
+#       sample_group_topk     -> sample_mixture + w_quality_deciles carry
+#                                the hash-membership and window machinery
 #       dedup_exact          -> exact-md5 stage inside pipeline_dedup_corpus
 #       dedup_ngram_jaccard  -> shingle machinery shared w/ dedup_minhash_lsh
 #       pipeline_clean_corpus-> literal prefix of pipeline_dedup_corpus
@@ -3069,7 +3073,7 @@ def quality_report_q(spark, sf):
 # =============================================================================
 
 _WINDOW = [
-    # --- stable flagship slots (39) --------------------------------------
+    # --- stable flagship slots (37) --------------------------------------
     "p_bbox_filter",
     "j2_interval_join",
     "j_semi_anti",
@@ -3091,7 +3095,6 @@ _WINDOW = [
     "mm_phash_pairs",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "sample_group_topk",
     "sample_mixture",
     "text_chunk_docs",
     "decontaminate",
@@ -3104,12 +3107,11 @@ _WINDOW = [
     "stream_events_hourly",
     "stream_sessions",
     "a_pivot_event_types",
-    "a_unpivot_doc_metrics",
     "w_trailing_range",
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 4 (11) ------------------------------------
+    # --- rotating slots, round 4 (13) ------------------------------------
     "a_grouping_sets",
     "w_quality_deciles",
     "w_scd2_intervals",
@@ -3121,6 +3123,8 @@ _WINDOW = [
     "sim_pq_trained_topk",
     "sim_pq_rerank_topk",
     "stream_attribution",
+    "sample_split_leakage_free",
+    "sketch_top_items",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
