@@ -365,3 +365,48 @@ def test_pq_rerank_and_trained_codebook_recall(spark):
     assert recall(rerank) > recall(adc)
     assert recall(tr_adc) >= recall(adc)
     assert recall(tr_rerank) >= recall(rerank)
+
+
+def test_pq_gemm_kernel_bit_identical_to_expr(spark):
+    """The Arrow GEMM encode kernel must produce byte-for-byte the same
+    codes as the Catalyst expression path, for both the stride-sampled and
+    the trained codebook — integer distances and the first-occurrence
+    argmin reproduce the packed min(d*PACK + code) exactly."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, similarity.pq_codes(emb, m=8, centroid_stride=97).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.pq_codes(emb, m=8, centroid_stride=97, kernel="gemm").collect(),
+        )
+    )
+    assert a == b and a
+    trained = similarity.pq_train_codebook(emb, n_iter=1, centroid_stride=97).select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    ).localCheckpoint()
+    ta = sorted(map(tuple, similarity.pq_codes(emb, m=8, centroids=trained).collect()))
+    tb = sorted(
+        map(
+            tuple,
+            similarity.pq_codes(emb, m=8, centroids=trained, kernel="gemm").collect(),
+        )
+    )
+    assert ta == tb and ta
+
+    def canon_cb(df):
+        return sorted(
+            (r["cell_id"], r["n_members"], tuple(r["centroid"]))
+            for r in df.collect()
+        )
+
+    ea = canon_cb(similarity.pq_train_codebook(emb, n_iter=2, centroid_stride=97))
+    eb = canon_cb(
+        similarity.pq_train_codebook(
+            emb, n_iter=2, centroid_stride=97, kernel="gemm"
+        )
+    )
+    assert ea == eb and ea

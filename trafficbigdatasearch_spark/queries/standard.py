@@ -2854,7 +2854,7 @@ def sim_pq_codes_q(spark, sf):
     exceed 2^20 and corrupt the packing); one broadcast codebook, one
     corpus scan."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97)
+    return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97, kernel="gemm")
 
 
 _PQ_ADC_TOPK_TAIL = """,
@@ -2885,7 +2885,8 @@ def sim_pq_adc_topk_q(spark, sf):
     shortlist, the standard IVF+PQ arrangement."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, m=_PQ_M, centroid_stride=97
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=_PQ_M, centroid_stride=97,
+        kernel="gemm",
     ).withColumnRenamed("rank", "rnk")
 
 
@@ -2928,6 +2929,7 @@ def sim_pq_rerank_topk_q(spark, sf):
         shortlist=100,
         m=_PQ_M,
         centroid_stride=97,
+        kernel="gemm",
     ).withColumnRenamed("rank", "rnk")
 
 
@@ -2957,7 +2959,9 @@ def sim_pq_trained_topk_q(spark, sf):
     reproduces the codebook bit-for-bit — float avg() accumulation would
     be partitioning-dependent and unhashable."""
     emb = load_table(spark, sf, "embeddings")
-    trained = similarity.pq_train_codebook(emb, n_iter=2, centroid_stride=97)
+    trained = similarity.pq_train_codebook(
+        emb, n_iter=2, centroid_stride=97, kernel="gemm"
+    )
     # the trained codebook feeds BOTH the encode pass and the ADC LUT; a
     # LAZY localCheckpoint (zero jobs at build — the builder contract)
     # materializes the ~n_cells-row training chain once on first action
@@ -2971,6 +2975,7 @@ def sim_pq_trained_topk_q(spark, sf):
         k=5,
         m=_PQ_M,
         centroids=cents,
+        kernel="gemm",
     ).withColumnRenamed("rank", "rnk")
 
 
