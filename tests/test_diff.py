@@ -1,0 +1,78 @@
+"""Snapshot diff / reconciliation (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import diff
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, a string, b double")
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, None, 4.0)])
+    new = _snap(spark, [(2, "y", 2.0), (3, "z", 30.0), (4, None, 4.0), (5, "w", 5.0)])
+    return old, new
+
+
+def test_statuses_exact_mode(spark, snaps):
+    old, new = snaps
+    got = {
+        r.k: r.diff_status
+        for r in diff.snapshot_diff(old, new, ["k"], fingerprint=False).collect()
+    }
+    # k=1 removed, k=5 added, k=3 changed; 2 and 4 unchanged (dropped)
+    assert got == {1: "removed", 5: "added", 3: "changed"}
+
+
+def test_fingerprint_mode_agrees(spark, snaps):
+    old, new = snaps
+    exact = diff.snapshot_diff(old, new, ["k"], fingerprint=False, keep_unchanged=True)
+    fp = diff.snapshot_diff(old, new, ["k"], fingerprint=True, keep_unchanged=True)
+    assert sorted((r.k, r.diff_status) for r in exact.collect()) == sorted(
+        (r.k, r.diff_status) for r in fp.collect()
+    )
+
+
+def test_null_equals_null_is_unchanged(spark, snaps):
+    # k=4 has NULL 'a' on both sides: null-safe compare must NOT call it
+    # changed (a plain != would yield NULL -> 'unchanged' by accident of
+    # when(); eqNullSafe makes it principled)
+    old, new = snaps
+    rows = diff.snapshot_diff(
+        old, new, ["k"], fingerprint=False, keep_unchanged=True
+    ).collect()
+    assert {r.diff_status for r in rows if r.k == 4} == {"unchanged"}
+
+
+def test_compare_cols_subset(spark, snaps):
+    old, new = snaps
+    # comparing only 'a' means k=3's b-change is invisible
+    got = {
+        r.k: r.diff_status
+        for r in diff.snapshot_diff(
+            old, new, ["k"], compare_cols=["a"], fingerprint=False
+        ).collect()
+    }
+    assert 3 not in got
+    assert got == {1: "removed", 5: "added"}
+
+
+def test_missing_compare_col_raises(spark, snaps):
+    old, new = snaps
+    with pytest.raises(ValueError, match="absent"):
+        diff.snapshot_diff(old.drop("b"), new, ["k"], compare_cols=["b"])
+
+
+def test_summary_rollup(spark, snaps):
+    old, new = snaps
+    s = diff.diff_summary(
+        diff.snapshot_diff(old, new, ["k"], fingerprint=True, keep_unchanged=True)
+    )
+    assert {(r.diff_status, r.n) for r in s.collect()} == {
+        ("added", 1), ("removed", 1), ("changed", 1), ("unchanged", 2),
+    }

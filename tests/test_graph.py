@@ -82,3 +82,40 @@ def test_dedup_clusters_keeper_flag(spark):
     assert rows[10]["is_keeper"] and rows[40]["is_keeper"]
     assert not rows[20]["is_keeper"] and rows[20]["component"] == 10
     assert rows[30]["component"] == 10 and rows[50]["component"] == 40
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, edges, seeds, depth):
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    s = spark.createDataFrame([(x,) for x in seeds], "id: bigint")
+    return {r.id: r.level for r in graph.bfs_levels(e, s, depth).collect()}
+
+
+def test_bfs_path_graph_levels(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    assert _bfs(spark, edges, [1], 3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_level_wins_on_multiple_paths(spark):
+    # 1-2-3-4 and a shortcut 1-4: node 4 is level 1, not 3
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert _bfs(spark, edges, [1], 4) == {1: 0, 2: 1, 3: 2, 4: 1}
+
+
+def test_bfs_multiple_seeds_and_cycle(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = _bfs(spark, edges, [1, 4], 2)
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_unreachable_component_absent(spark):
+    edges = [(1, 2), (10, 11)]
+    assert _bfs(spark, edges, [1], 5) == {1: 0, 2: 1}
+
+
+def test_bfs_seed_only_depth_zero(spark):
+    assert _bfs(spark, [(1, 2)], [7], 0) == {7: 0}

@@ -74,3 +74,47 @@ def test_bucketed_interval_join_equals_plain(spark):
     assert _rows(bucketed.select(*cols)) == _rows(plain.select(*cols))
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# blocked_levenshtein_join
+# ---------------------------------------------------------------------------
+
+
+def _names(spark, col, names):
+    return spark.createDataFrame([(n,) for n in names], f"{col}: string")
+
+
+def test_fuzzy_join_finds_within_distance(spark):
+    a = _names(spark, "na", ["red bolt", "blue bolt", "red ring"])
+    b = _names(spark, "nb", ["rad bolt", "blue belt", "red rings"])
+    out = J.blocked_levenshtein_join(
+        a, b, "na", "nb",
+        F.split(F.col("na"), " ")[1], F.split(F.col("nb"), " ")[1], 2,
+    )
+    got = {(r.na, r.nb, r.edit_distance) for r in out.collect()}
+    # same-noun blocks only: 'blue belt' (noun belt) matches nothing;
+    # 'red rings' (noun rings) matches nothing despite distance 1 to
+    # 'red ring' — the documented blocking recall trade.  'blue bolt' vs
+    # 'rad bolt' shares the block but is distance 4 — residual rejects it.
+    assert got == {("red bolt", "rad bolt", 1)}
+
+
+def test_fuzzy_join_null_blocks_never_match(spark):
+    a = spark.createDataFrame([("one",), (None,)], "na: string")
+    b = spark.createDataFrame([("one",), ("ona",)], "nb: string")
+    out = J.blocked_levenshtein_join(
+        a, b, "na", "nb", F.substring("na", 1, 1), F.substring("nb", 1, 1), 1
+    )
+    assert {(r.na, r.nb) for r in out.collect()} == {("one", "one"), ("one", "ona")}
+
+
+def test_fuzzy_join_plan_is_equi_join(spark):
+    a = _names(spark, "na", ["aa bb"] * 5)
+    b = _names(spark, "nb", ["aa bc"] * 5)
+    plan = J.blocked_levenshtein_join(
+        a, b, "na", "nb",
+        F.split(F.col("na"), " ")[1], F.split(F.col("nb"), " ")[1], 2,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

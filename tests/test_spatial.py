@@ -1,0 +1,72 @@
+"""Grid-bucketed spatial radius join (operators/spatial.py) vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import spatial
+
+
+def _points(spark, pts):
+    return spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+    )
+
+
+def _brute(pts, r):
+    out = set()
+    for i, (xa, ya) in enumerate(pts):
+        for j, (xb, yb) in enumerate(pts):
+            if i < j and (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r:
+                out.add((i, j))
+    return out
+
+
+def test_radius_pairs_exact(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        pts = [(rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(120)]
+        got = {
+            (r.id_a, r.id_b)
+            for r in spatial.radius_pairs(_points(spark, pts), "id", "x", "y", 15)
+            .collect()
+        }
+        assert got == _brute(pts, 15)
+
+
+def test_boundary_distance_inclusive(spark):
+    # distance exactly r (dist2 == r²) must be included; r+1 excluded
+    pts = [(0, 0), (10, 0), (21, 0)]
+    rows = spatial.radius_pairs(_points(spark, pts), "id", "x", "y", 10).collect()
+    assert {(r.id_a, r.id_b, r.dist2) for r in rows} == {(0, 1, 100)}
+
+
+def test_cross_cell_pairs_found_once(spark):
+    # points in adjacent cells: each qualifying pair appears exactly once
+    pts = [(9, 9), (11, 11), (10, 10), (9, 11)]
+    rows = spatial.radius_pairs(_points(spark, pts), "id", "x", "y", 10).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 6  # all 4 points mutually close
+
+
+def test_neighbor_counts_include_isolated(spark):
+    pts = [(0, 0), (5, 0), (500, 500)]
+    got = {
+        r.id: r.n_neighbors
+        for r in spatial.radius_join_counts(
+            _points(spark, pts), "id", "x", "y", 10
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 0}
+
+
+def test_plan_is_single_equi_join_no_bnlj(spark):
+    pts = _points(spark, [(i * 3 % 50, i * 7 % 50) for i in range(40)])
+    plan = (
+        spatial.radius_pairs(pts, "id", "x", "y", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

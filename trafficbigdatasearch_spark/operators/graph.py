@@ -151,6 +151,59 @@ def connected_components(
     return labels
 
 
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Breadth-first level propagation from a seed set over an undirected
+    edge list: (id, level) for every node whose shortest hop-distance to
+    any seed is <= ``max_depth`` (seeds are level 0).
+
+    The iterative-frontier sibling of :func:`connected_components`: where
+    CC contracts the whole graph to a fixpoint, BFS expands a bounded
+    neighborhood — the shape behind "pull in every document within k
+    near-dup hops of a contaminated benchmark doc" (decontamination
+    blast-radius), seed-set expansion for crawl frontier scoring, and
+    k-hop feature joins.
+
+    Each round is ONE hash join (frontier ⋈ edges) + distinct + anti-join
+    against the visited set — all partitioned on the node id, nothing
+    collected to the driver, no per-round action (the round count is FIXED
+    at ``max_depth``, so unlike a fixpoint there is no convergence check;
+    lineage is truncated with a lazy localCheckpoint per round).  At scale
+    the frontier is the working set: rounds touch only edges incident to
+    the frontier, not the whole graph.
+    """
+    sym = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
+    )
+    visited = (
+        seeds.select(F.col(id_col).cast("bigint").alias("id"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+    )
+    frontier = visited.select("id")
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            frontier.join(sym, frontier["id"] == sym["u"])
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        fresh = neighbors.join(visited, "id", "left_anti").withColumn(
+            "level", F.lit(depth)
+        )
+        visited = visited.union(fresh).localCheckpoint(eager=False)
+        frontier = fresh.select("id")
+    return visited
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

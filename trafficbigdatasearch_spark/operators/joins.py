@@ -216,6 +216,43 @@ def salted_equi_join(
     return out.drop("_salt")
 
 
+def blocked_levenshtein_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_left,
+    block_right,
+    max_distance: int,
+) -> DataFrame:
+    """Fuzzy string equi-ish join: pairs whose edit distance is within
+    ``max_distance``, found via BLOCKING — the entity-resolution pattern
+    (same family as the dedup module's LSH banding, for short keys instead
+    of documents).
+
+    ``block_left`` / ``block_right`` are Column expressions over the
+    respective sides (e.g. a token, a prefix, a phonetic code); only pairs
+    sharing a block value are compared, turning the O(n·m) all-pairs
+    Levenshtein into one hash join on the block key plus a residual edit
+    distance on candidates.  Block recall is the caller's contract: a pair
+    in no common block is never found (use multiple passes with different
+    blocking keys and union for higher recall — each pass stays an equi
+    join).
+
+    Rows with NULL in the join or block column never match (SQL join
+    semantics).  Output: both sides' columns plus ``edit_distance``.
+    """
+    lb = left.withColumn("_block", block_left)
+    rb = right.withColumn("_block", block_right)
+    d = F.levenshtein(lb[left_col], rb[right_col])
+    return (
+        lb.join(rb, "_block")
+        .withColumn("edit_distance", d)
+        .filter(F.col("edit_distance") <= max_distance)
+        .drop("_block")
+    )
+
+
 def union_of_joins_on_either_key(
     left: DataFrame,
     right: DataFrame,

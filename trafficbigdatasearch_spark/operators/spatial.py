@@ -1,0 +1,120 @@
+"""Grid-bucketed spatial joins (radius / k-nearest-cell neighborhood).
+
+The reference's only spatial operator is the rectangular bbox predicate (P1,
+src/AccidentStatistics.scala:102, src/OverSpeedCount.scala:36) — a plain
+2-D BETWEEN.  This module adds the spatial JOIN the reference cannot
+express: "all pairs of points within radius r" — the accident-hotspot /
+station-proximity question — in the shuffle-native grid formulation every
+distributed spatial engine uses (GeoSpark/Sedona-style uniform grid
+partition join).
+
+Why not a cross join + distance filter: that is O(n²) rows through the
+cluster regardless of selectivity.  The grid form is O(n · 9) candidate
+rows and ONE hash shuffle on the cell key:
+
+1. cell(p) = (floor(x / r), floor(y / r)) — with cell size exactly r, any
+   two points within distance r are in the same or 8-adjacent cells.
+2. LEFT side explodes to its 3×3 cell neighborhood (9 rows / point);
+   RIGHT side stays on its single home cell.  A qualifying pair (a, b) is
+   then matched at exactly ONE join key — b's home cell — so no
+   post-join dedup is needed.
+3. equi join on the cell key → candidates; the exact distance predicate
+   runs as a residual on the candidate set only.
+
+At 100 TB: the shuffle is on the uniform grid key, so skew only appears
+when the DATA is spatially skewed (urban hotspots).  The standard fix
+composes with this operator unchanged: recurse — re-grid dense cells at a
+finer pitch — or salt the hot cells; both stay equi joins.  AQE's skew
+split handles moderate hotspots without either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grid_cells_3x3(x, y, cell: int):
+    """Array of the 9 (cx, cy) cells adjacent to (and including) the home
+    cell of integer point (x, y) at grid pitch ``cell``.  Encoded as a
+    single bigint key ``cx * 2^21 + cy`` (cells are non-negative after the
+    +1 offset guard; callers keep coordinates >= 0)."""
+    cx = F.floor(x / cell)
+    cy = F.floor(y / cell)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    return F.array(
+        *[((cx + dx + 1) * (1 << 21) + (cy + dy + 1)) for dx, dy in offs]
+    )
+
+
+def grid_cell_home(x, y, cell: int):
+    """The single home-cell key of (x, y) — same encoding as
+    :func:`grid_cells_3x3`."""
+    return (F.floor(x / cell) + 1) * (1 << 21) + (F.floor(y / cell) + 1)
+
+
+def radius_pairs(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All unordered pairs of points within ``radius``, exact and
+    duplicate-free: (id_a, id_b, dist2) with id_a < id_b and
+    dist2 = (xa-xb)² + (ya-yb)² <= radius².
+
+    Coordinates must be non-negative integers (cast them; integer dist2
+    keeps the operator exactly reproducible in any engine — no floating
+    point).  One explode (9×, left side only), one equi-join shuffle on the
+    cell key, residual distance filter on candidates only.
+    """
+    p = points.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    left = p.select(
+        F.col("_id").alias("id_a"),
+        F.col("_x").alias("xa"),
+        F.col("_y").alias("ya"),
+        F.explode(grid_cells_3x3(F.col("_x"), F.col("_y"), radius)).alias("_cell"),
+    )
+    right = p.select(
+        F.col("_id").alias("id_b"),
+        F.col("_x").alias("xb"),
+        F.col("_y").alias("yb"),
+        grid_cell_home(F.col("_x"), F.col("_y"), radius).alias("_cell"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist2 = dx * dx + dy * dy  # bigint arithmetic — pow() would go double
+    return (
+        left.join(right, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist2", dist2.cast("bigint"))
+        .filter(F.col("dist2") <= radius * radius)
+        .select("id_a", "id_b", "dist2")
+    )
+
+
+def radius_join_counts(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """Per-point neighbor count within ``radius`` (the density / hotspot
+    score): (id, n_neighbors).  Both orientations of each pair contribute,
+    so the count is symmetric; isolated points report 0."""
+    pairs = radius_pairs(points, id_col, x_col, y_col, radius)
+    both = pairs.select(F.col("id_a").alias("_id")).union(
+        pairs.select(F.col("id_b").alias("_id"))
+    )
+    counts = both.groupBy("_id").agg(F.count("*").alias("n_neighbors"))
+    ids = points.select(F.col(id_col).cast("bigint").alias("_id")).distinct()
+    return ids.join(counts, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+    )

@@ -3031,6 +3031,272 @@ def quality_report_q(spark, sf):
 
 
 # =============================================================================
+# Round-4 additions — spatial join, reconciliation, incremental maintenance,
+# frontier graph traversal, fuzzy join, higher-order-function surface
+# =============================================================================
+
+
+@register(
+    "j_spatial_grid",
+    """WITH pts AS (SELECT c_custkey AS id,
+                           ((c_custkey * 48271) % 99991) % 1000 AS x,
+                           ((c_custkey * 16807) % 104729) % 1000 AS y
+                    FROM customer)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+       FROM pts a JOIN pts b
+         ON a.id < b.id
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225""",
+)
+def j_spatial_grid_q(spark, sf):
+    """SPATIAL RADIUS JOIN — the join form of the reference's bbox predicate
+    (P1, src/AccidentStatistics.scala:102): all point pairs within distance
+    r, via the uniform-grid bucketing of operators/spatial.py::radius_pairs.
+    Cell pitch = r, left side explodes to its 3x3 neighborhood, right side
+    keeps its home cell, so every qualifying pair matches on exactly ONE
+    cell key: one equi-join shuffle, no dedup, exact integer dist² residual
+    on candidates only.  The ORACLE is the O(n²) cross join — quadratic
+    lives only on the DuckDB side, as with every dedup/ANN row.  Points are
+    a deterministic integer scatter of the customer keys (prime-modulus
+    LCG mixing), so the query runs at any SF."""
+    from trafficbigdatasearch_spark.operators import spatial
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
+        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
+    )
+    return spatial.radius_pairs(pts, "id", "x", "y", radius=15)
+
+
+@register(
+    "table_diff_orders",
+    """WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                    FROM orders WHERE o_orderkey % 10 <> 3),
+            new AS (SELECT o_orderkey,
+                           CASE WHEN o_orderkey % 5 = 0
+                                THEN o_totalprice + 10.0
+                                ELSE o_totalprice END AS o_totalprice,
+                           o_orderstatus
+                    FROM orders WHERE o_orderkey % 10 <> 7)
+       SELECT o_orderkey, diff_status FROM (
+         SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                     WHEN new.o_orderkey IS NULL THEN 'removed'
+                     WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                          THEN 'changed'
+                     ELSE 'unchanged' END AS diff_status
+         FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+       WHERE diff_status <> 'unchanged'""",
+)
+def table_diff_orders_q(spark, sf):
+    """SNAPSHOT RECONCILIATION (operators/diff.py::snapshot_diff): which
+    keys were added / removed / changed between two versions of a table —
+    the daily question behind incremental reprocessing and
+    pipeline-rewrite regression gates.  One full-outer hash join on the
+    key; unchanged rows (the dominant class) are dropped before leaving
+    the join, so output ∝ churn.  This row uses the exact column-compare
+    mode (engine-portable null-safe equality); production at 100 TB uses
+    fingerprint=True — map-side xxhash64 collapses any table width to a
+    16-byte shuffle row (tests/test_diff.py pins both modes agree).  The
+    two snapshots are deterministic slices of orders (drop keys %10=3 vs
+    %10=7, perturb prices of keys %5=0)."""
+    from trafficbigdatasearch_spark.operators import diff
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return diff.snapshot_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+        fingerprint=False,
+    )
+
+
+@register(
+    "a_incremental_merge",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*)
+                AS avg_value,
+              CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
+                AS min_value,
+              CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
+                AS max_value
+       FROM events GROUP BY event_type""",
+)
+def a_incremental_merge_q(spark, sf):
+    """INCREMENTAL AGGREGATE MAINTENANCE (operators/incremental.py): the
+    events table is split into a history slice and a delta slice, each
+    collapsed independently to mergeable integer partials (count / sum /
+    min / max cents), then MERGED and finalized — and the result is
+    bit-identical to the oracle's full rescan.  This is the exact-measure
+    sibling of the sketch rollups: at 100 TB the history partials are
+    computed once when each day lands and stored (kilobytes/key); a query
+    over any horizon merges partials instead of rescanning history, and a
+    late backfill is one more partial in the union.  The reference
+    re-parses every month's CSV per query — this row is the structural
+    fix."""
+    from trafficbigdatasearch_spark.operators import incremental as I
+
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    base = ev.filter(F.col("ts") < cut)
+    delta = ev.filter(F.col("ts") >= cut)
+    parts = [
+        I.partial_aggregate(base, ["event_type"], _cents(F.col("value"))),
+        I.partial_aggregate(delta, ["event_type"], _cents(F.col("value"))),
+    ]
+    return I.finalize(I.merge_partials(parts, ["event_type"]), ["event_type"])
+
+
+@register(
+    "graph_bfs_reach",
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey AS u, (c_custkey*c_custkey) % 1500 + 1 AS v
+         FROM customer),
+       sym AS (SELECT u, v FROM e WHERE u <> v
+               UNION SELECT v, u FROM e WHERE u <> v),
+       bfs(id, level) AS (
+         SELECT c_custkey, 0 FROM customer WHERE c_custkey <= 5
+         UNION
+         SELECT s.v, b.level + 1 FROM bfs b JOIN sym s ON s.u = b.id
+         WHERE b.level < 4)
+       SELECT id, CAST(MIN(level) AS INTEGER) AS level FROM bfs GROUP BY id""",
+)
+def graph_bfs_reach_q(spark, sf):
+    """BOUNDED BFS from a seed set (operators/graph.py::bfs_levels) — the
+    frontier-expansion sibling of connected_components: k-hop reachability
+    with shortest-hop levels, the shape behind decontamination blast-radius
+    ("every doc within 4 near-dup hops of a benchmark doc") and crawl
+    seed-set expansion.  Fixed round count → NO per-round driver sync or
+    convergence job (unlike the CC fixpoint); each round is one hash join
+    on the frontier + anti-join against visited, all node-id-partitioned.
+    The graph is a deterministic quadratic-residue scatter over customer
+    keys (branching ~3x/level); the oracle is DuckDB's recursive CTE with
+    MIN(level) — level-synchronous BFS and shortest-path closure agree by
+    definition."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("u"),
+        ((F.col("c_custkey") * F.col("c_custkey")) % 1500 + 1).alias("v"),
+    )
+    seeds = cust.filter(F.col("c_custkey") <= 5).select(
+        F.col("c_custkey").alias("id")
+    )
+    return G.bfs_levels(edges, seeds, max_depth=4)
+
+
+@register(
+    "j_fuzzy_name",
+    """WITH n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM part GROUP BY p_name)
+       SELECT a.p_name AS name_a, b.p_name AS name_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance,
+              CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+       FROM n a JOIN n b
+         ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+        AND a.p_name < b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= 2""",
+)
+def j_fuzzy_name_q(spark, sf):
+    """FUZZY (edit-distance) JOIN via blocking
+    (operators/joins.py::blocked_levenshtein_join) — entity resolution for
+    short keys: near-identical part names, blocked on the head noun so
+    Levenshtein runs only inside blocks (one equi join on the block key)
+    instead of over all name pairs — the short-string sibling of the dedup
+    module's LSH banding, with the same recall contract (pairs sharing no
+    block are unseen; add blocking passes and union for recall).  Names
+    are first collapsed to distinct (name, count); n_pairs = cnt_a*cnt_b
+    scores how many raw part pairs each name pair represents."""
+    names = (
+        load_table(spark, sf, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"))
+    out = joins.blocked_levenshtein_join(
+        a,
+        b,
+        "name_a",
+        "name_b",
+        F.split(F.col("name_a"), " ")[1],
+        F.split(F.col("name_b"), " ")[1],
+        max_distance=2,
+    )
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a",
+        "name_b",
+        "edit_distance",
+        (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+    )
+
+
+@register(
+    "f_higher_order",
+    """WITH q AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+            FROM embeddings)
+       SELECT vec_id,
+              CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS l1,
+              CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+              CAST(list_dot_product(v[1:32], v[33:64]) AS BIGINT) AS half_dot,
+              CAST(len(list_filter(v, x -> abs(x) > 2500)) AS INTEGER)
+                AS n_extreme
+       FROM q""",
+)
+def f_higher_order_q(spark, sf):
+    """HIGHER-ORDER ARRAY FUNCTION surface (§2.6 beyond the reference,
+    which has no array types at all): transform / filter / aggregate /
+    zip_with / slice composed over the embedding arrays, all JVM-side
+    Catalyst lambda expressions — zero Python, zero explode (the naive
+    relational form explodes 64 rows/vector through a shuffle; the lambda
+    form is a row-local fold at scan speed).  Quantized to the registry's
+    1e-4 integer lattice so every measure is integer-exact and
+    hash-comparable: L1 norm, positive-component count, first-half x
+    second-half dot product, extreme-component count."""
+    emb = load_table(spark, sf, "embeddings")
+    v = V.quantize(F.col("embedding"))
+    q = emb.select("vec_id", v.alias("v"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("l1"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("v"), 1, 32),
+                F.slice(F.col("v"), 33, 32),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("half_dot"),
+        F.size(F.filter(F.col("v"), lambda x: F.abs(x) > 2500)).alias(
+            "n_extreme"
+        ),
+    )
+
+
+# =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
 # positions 1-50).  _WINDOW is the explicit first-50 roster.
