@@ -82,6 +82,12 @@ HEADLINE = [
     "sim_pq_rerank_topk",
     "sim_pq_trained_topk",
     "quality_report",
+    "j_spatial_grid",
+    "table_diff_orders",
+    "a_incremental_merge",
+    "graph_bfs_reach",
+    "j_fuzzy_name",
+    "f_higher_order",
 ]
 
 

@@ -488,3 +488,74 @@ def test_scratch_dirs_reused_per_artifact():
     other = S._scratch("pin", "/root/testdata/sf0.01")
     assert other != a
     assert os.path.dirname(a) == os.path.dirname(other) == S._SCRATCH_ROOT
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent sinks (streaming/sink.py)
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_batch_upsert_builds_queryable_table(spark, event_stream_dir, tmp_path):
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    out = str(tmp_path / "table")
+    cp = str(tmp_path / "cp")
+    stream = SE.read_event_stream(spark, event_stream_dir).withColumn(
+        "d", F.to_date("ts")
+    )
+    q = (
+        stream.writeStream.foreachBatch(SK.foreach_batch_upsert(out, ["d"]))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = load_table(spark, SF, "events")
+    assert got.count() == want.count()
+    # partition-scoped: directory layout is d=YYYY-MM-DD
+    import os
+
+    assert any(p.startswith("d=") for p in os.listdir(out))
+    # replaying the same batch (fresh checkpoint, same input) is idempotent:
+    # same partitions rewritten, row count unchanged
+    q2 = (
+        stream.writeStream.foreachBatch(SK.foreach_batch_upsert(out, ["d"]))
+        .option("checkpointLocation", str(tmp_path / "cp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want.count()
+
+
+def test_foreach_batch_merge_partials_equals_full_rescan(
+    spark, event_stream_dir, tmp_path
+):
+    from trafficbigdatasearch_spark.operators import incremental as I
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    out = str(tmp_path / "partials")
+    stream = SE.read_event_stream(spark, event_stream_dir).withColumn(
+        "v_cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.foreach_batch_merge_partials(out, ["event_type"], "v_cents")
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    partials = spark.read.parquet(out).drop("_batch_id")
+    merged = I.finalize(I.merge_partials([partials], ["event_type"]), ["event_type"])
+    ev = load_table(spark, SF, "events")
+    full = I.finalize(
+        I.merge_partials(
+            [I.partial_aggregate(ev, ["event_type"], F.round(F.col("value") * 100).cast("bigint"))],
+            ["event_type"],
+        ),
+        ["event_type"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

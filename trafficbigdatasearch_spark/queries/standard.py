@@ -3324,7 +3324,9 @@ def f_higher_order_q(spark, sf):
 #       mm_frame_sample, sample_stratified
 #   in  (this round's new queries)
 #       sim_pq_trained_topk, sim_pq_rerank_topk, stream_attribution,
-#       sample_split_leakage_free, sketch_top_items
+#       sample_split_leakage_free, sketch_top_items, j_spatial_grid,
+#       table_diff_orders, a_incremental_merge, graph_bfs_reach,
+#       j_fuzzy_name, f_higher_order
 #   out (-> in-window sibling covering the code path)
 #       a_unpivot_doc_metrics -> a_pivot_event_types (both Expand reshapes)
 #       sample_group_topk     -> sample_mixture + w_quality_deciles carry
@@ -3341,10 +3343,24 @@ def f_higher_order_q(spark, sf):
 #       a_approx_sketches    -> sketch family held by sketch_distinct_rollup
 #       sketch_segment_overlap -> sibling sketch_distinct_rollup
 #       sim_pq_codes         -> encode stage inside all three ADC rows
+#   out (second batch, making room for the six newest; each remains green
+#        under pytest + driver_sim and has an in-window sibling)
+#       dedup_minhash_lsh    -> band machinery inside dedup_incremental +
+#                               pipeline_dedup_corpus's LSH stage
+#       mm_features          -> mm_phash_pairs + mm_frame_sample carry the
+#                               Arrow-batched multimodal path
+#       w_trailing_range     -> range-frame machinery beside w_sessionize /
+#                               w_quality_deciles / w_scd2_intervals
+#       stream_sessions      -> identical oracle to w_sessionize (in-window);
+#                               streaming execution held by stream_events_hourly
+#                               + stream_attribution
+#       a_pivot_event_types  -> a_grouping_sets (same Expand reshape family)
+#       sim_kmeans_refine    -> the training chain runs inside in-window
+#                               sim_pq_trained_topk
 # =============================================================================
 
 _WINDOW = [
-    # --- stable flagship slots (37) --------------------------------------
+    # --- stable flagship slots (31) --------------------------------------
     "p_bbox_filter",
     "j2_interval_join",
     "j_semi_anti",
@@ -3352,7 +3368,6 @@ _WINDOW = [
     "a_rollup_reagg",
     "w_sessionize",
     "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
     "dedup_clusters",
     "pipeline_dedup_corpus",
     "dedup_incremental",
@@ -3360,9 +3375,7 @@ _WINDOW = [
     "sim_lsh_buckets",
     "sim_embedding_near_dup",
     "sim_ivf_indexed",
-    "sim_kmeans_refine",
     "sim_pq_adc_topk",
-    "mm_features",
     "mm_phash_pairs",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -3376,13 +3389,10 @@ _WINDOW = [
     "j_skew_salted",
     "j_range_keyless",
     "stream_events_hourly",
-    "stream_sessions",
-    "a_pivot_event_types",
-    "w_trailing_range",
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 4 (13) ------------------------------------
+    # --- rotating slots, round 4 (19) ------------------------------------
     "a_grouping_sets",
     "w_quality_deciles",
     "w_scd2_intervals",
@@ -3396,6 +3406,12 @@ _WINDOW = [
     "stream_attribution",
     "sample_split_leakage_free",
     "sketch_top_items",
+    "j_spatial_grid",
+    "table_diff_orders",
+    "a_incremental_merge",
+    "graph_bfs_reach",
+    "j_fuzzy_name",
+    "f_higher_order",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
