@@ -88,6 +88,9 @@ HEADLINE = [
     "graph_bfs_reach",
     "j_fuzzy_name",
     "f_higher_order",
+    "q4_priority_exists",
+    "a_exact_percentiles",
+    "f_variant_extract",
 ]
 
 

@@ -188,49 +188,12 @@ def test_pq_rerank_broadcasts_shortlist_never_shuffles_corpus_vectors(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
-def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
-    """At 100 TB a selective dim filter should prune the FACT side's shuffle
-    via a runtime bloom filter (Spark's runtime row-level filtering) when
-    the dim is too large to broadcast.  Pin that the engine's session leaves
-    the feature enabled and that Catalyst injects bloom_filter/might_contain
-    once the join is a shuffle join."""
-    assert (
-        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
-        == "true"
-    )
-    saved = {
-        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold"
-        ),
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
-            spark.conf.get(
-                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
-            ),
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
-            spark.conf.get(
-                "spark.sql.optimizer.runtime.bloomFilter"
-                ".applicationSideScanSizeThreshold"
-            ),
-    }
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            "1GB",
-        )
-        # the sf0.001 fact scan is KBs; production hits the 10GB default
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter"
-            ".applicationSideScanSizeThreshold",
-            "0",
-        )
-        fact = load_table(spark, SF, "lineitem")
-        dim = load_table(spark, SF, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = fact.join(dim, fact["l_orderkey"] == dim["o_orderkey"])
-        plan = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter" in plan or "might_contain" in plan, plan
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """q4_priority_exists: Catalyst must rewrite the correlated EXISTS into
+    a left-semi hash join (RewritePredicateSubquery) — never a per-row
+    subquery probe or nested loop."""
+    df = standard.queries()["q4_priority_exists"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -184,6 +184,10 @@ def bfs_levels(
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
         F.col("u") != F.col("v")
     )
+    # the edge list is referenced by every round's join: checkpoint it once
+    # (lazily — materialized by the first round's execution, reused from
+    # block storage by the rest) instead of re-deriving it per round
+    sym = sym.localCheckpoint(eager=False)
     visited = (
         seeds.select(F.col(id_col).cast("bigint").alias("id"))
         .distinct()

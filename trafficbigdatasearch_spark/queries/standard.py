@@ -3296,6 +3296,147 @@ def f_higher_order_q(spark, sf):
     )
 
 
+@register(
+    "stream_partial_maintenance",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*)
+                AS avg_value,
+              CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
+                AS min_value,
+              CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
+                AS max_value
+       FROM events GROUP BY event_type""",
+)
+def stream_partial_maintenance_q(spark, sf):
+    """STREAMING-MAINTAINED incremental aggregates — a_incremental_merge's
+    batch-split partials, maintained continuously instead: the bounded
+    event stream runs through streaming/sink.py::foreach_batch_merge_partials
+    (each micro-batch collapsed to mergeable integer partials, upserted
+    under its batch id — replay-idempotent), then query time merges the
+    partial table and finalizes.  Same oracle as the batch row: the
+    streamed partial state must equal a full rescan bit-for-bit.  This is
+    the no-state-store maintenance path — per-key state lives in parquet
+    partials, not the streaming state store, so there is no watermark
+    eviction pressure and the history horizon is unbounded."""
+    import os
+    import uuid
+
+    from trafficbigdatasearch_spark.operators import incremental as I
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    src = _stream_events_source(spark, sf).withColumn(
+        "v_cents", _cents(F.col("value"))
+    )
+    d = _scratch("stream_partials", sf)
+    out = os.path.join(d, "partials")
+    q = (
+        src.writeStream.foreachBatch(
+            SK.foreach_batch_merge_partials(out, ["event_type"], "v_cents")
+        )
+        .option("checkpointLocation", os.path.join(d, "cp-" + uuid.uuid4().hex[:8]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_partial_maintenance: did not drain in 300s")
+    partials = spark.read.parquet(out).drop("_batch_id")
+    return I.finalize(
+        I.merge_partials([partials], ["event_type"]), ["event_type"]
+    )
+
+
+@register(
+    "q4_priority_exists",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def q4_priority_exists_q(spark, sf):
+    """TPC-H Q4 shape — correlated EXISTS subquery, counted by priority
+    (adapted to the testdata's columns: "has a returned line" instead of
+    commit<receipt, which the generator lacks).  Registered through
+    ``spark.sql`` EXISTS on purpose: it pins Catalyst's subquery
+    DECORRELATION — the optimizer must rewrite the per-row EXISTS probe
+    into one left-semi hash join (RewritePredicateSubquery), the only
+    shape that scales; a row-at-a-time subquery evaluation would be
+    O(|orders| × probe).  Semi-join plan pinned in tests/test_plans.py."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+           FROM v_orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND EXISTS (SELECT 1 FROM v_lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_returnflag = 'R')
+           GROUP BY o_orderpriority"""
+    )
+
+
+@register(
+    "a_exact_percentiles",
+    """SELECT event_type,
+              quantile_cont(CAST(round(value*100) AS BIGINT), 0.50) AS p50_cents,
+              quantile_cont(CAST(round(value*100) AS BIGINT), 0.90) AS p90_cents,
+              quantile_cont(CAST(round(value*100) AS BIGINT), 0.99) AS p99_cents
+       FROM events GROUP BY event_type""",
+)
+def a_exact_percentiles_q(spark, sf):
+    """EXACT percentiles per group (vs the mergeable KLL approximation in
+    the sketch family): Spark's ``percentile`` sorts within each hash
+    partition group — one shuffle, no global sort.  Cross-engine
+    determinism: computed over integer CENTS so both engines interpolate
+    ``lo + (hi - lo) * frac`` between exact integers with one IEEE
+    multiply-add — bit-identical doubles (percentile over raw doubles
+    would compare two engines' float sums).  At 100 TB exact per-group
+    percentiles are the spill risk (a group's values must co-locate);
+    the KLL sketch rollup is the bounded-memory alternative and this row
+    is its audit baseline."""
+    ev = load_table(spark, sf, "events")
+    cents = _cents(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.percentile(cents, F.lit(0.50)).alias("p50_cents"),
+        F.percentile(cents, F.lit(0.90)).alias("p90_cents"),
+        F.percentile(cents, F.lit(0.99)).alias("p99_cents"),
+    )
+
+
+@register(
+    "f_variant_extract",
+    """SELECT event_id,
+              CAST(props->>'$.k' AS INTEGER) AS k_val,
+              CAST(CASE WHEN json_extract(props, '$.missing') IS NULL
+                   THEN 0 ELSE 1 END AS INTEGER) AS has_missing
+       FROM events WHERE event_id < 2000""",
+)
+def f_variant_extract_q(spark, sf):
+    """Semi-structured VARIANT surface (Spark 4's open-schema JSON type,
+    beyond the fixed-schema ``from_json`` used in f_json_extract):
+    ``parse_json`` ingests the props column ONCE into the binary variant
+    encoding; ``try_variant_get`` then extracts typed paths without
+    re-parsing text per access — the pattern for 100 TB event-property
+    columns where fields vary by event type and a declared struct schema
+    would either drop fields or explode column count.  Missing paths
+    yield NULL (mapped to a 0/1 flag so the oracle compare is
+    dtype-stable)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+        F.when(
+            F.try_variant_get(v, "$.missing", "string").isNull(), F.lit(0)
+        ).otherwise(F.lit(1)).alias("has_missing"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
