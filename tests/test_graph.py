@@ -119,3 +119,17 @@ def test_bfs_unreachable_component_absent(spark):
 
 def test_bfs_seed_only_depth_zero(spark):
     assert _bfs(spark, [(1, 2)], [7], 0) == {7: 0}
+
+
+def test_cc_string_ids_lexicographic_components(spark):
+    # cast=None: string node ids cluster with lexicographic-min canonical
+    df = spark.createDataFrame(
+        [("cold bolt", "old bolt"), ("old bolt", "red bolt"), ("zz", "aa")],
+        "id_a: string, id_b: string",
+    )
+    got = {r.id: r.component for r in graph.connected_components(
+        df, cast=None).collect()}
+    assert got == {
+        "cold bolt": "cold bolt", "old bolt": "cold bolt",
+        "red bolt": "cold bolt", "zz": "aa", "aa": "aa",
+    }

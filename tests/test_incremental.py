@@ -64,3 +64,51 @@ def test_merge_is_associative(spark):
     assert sorted(map(tuple, I.finalize(left, ["k"]).collect())) == sorted(
         map(tuple, I.finalize(right, ["k"]).collect())
     )
+
+
+def test_apply_delta_equals_rescan_under_churn(spark):
+    old = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), i * 1.5) for i in range(60)], "id long, k string, v double"
+    )
+    # churn: drop ids %7==0, add ids 100..110 (new group "k9"), reprice %5==0
+    new_rows = [(i, "k%d" % (i % 3), i * 1.5 + (7.0 if i % 5 == 0 else 0.0))
+                for i in range(60) if i % 7 != 0]
+    new_rows += [(100 + j, "k9", 9.99) for j in range(11)]
+    new = spark.createDataFrame(new_rows, "id long, k string, v double")
+
+    cents = _cents(F.col("v"))
+    base = I.additive_partial(old, ["k"], cents)
+    added = new.join(old.select("id"), "id", "left_anti")
+    removed = old.join(new.select("id"), "id", "left_anti")
+    both = old.alias("o").join(new.alias("n"), "id").filter(
+        ~F.col("o.v").eqNullSafe(F.col("n.v"))
+    )
+    upd_old = both.select(F.col("o.k").alias("k"), F.col("o.v").alias("v"))
+    upd_new = both.select(F.col("n.k").alias("k"), F.col("n.v").alias("v"))
+    refreshed = I.finalize_additive(
+        I.apply_delta(base, [
+            I.additive_partial(added, ["k"], cents),
+            I.additive_partial(removed, ["k"], cents, sign=-1),
+            I.additive_partial(upd_old, ["k"], cents, sign=-1),
+            I.additive_partial(upd_new, ["k"], cents),
+        ], ["k"]),
+        ["k"],
+    )
+    rescan = I.finalize_additive(
+        I.apply_delta(I.additive_partial(new, ["k"], cents), [], ["k"]), ["k"]
+    )
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rescan.collect())
+    )
+
+
+def test_apply_delta_drops_emptied_group(spark):
+    old = spark.createDataFrame([("g", 1.0), ("g", 2.0), ("h", 3.0)], "k string, v double")
+    gone = old.filter(F.col("k") == "g")
+    cents = _cents(F.col("v"))
+    out = I.apply_delta(
+        I.additive_partial(old, ["k"], cents),
+        [I.additive_partial(gone, ["k"], cents, sign=-1)],
+        ["k"],
+    )
+    assert [r.k for r in out.collect()] == ["h"]

@@ -81,11 +81,16 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iterations: int = 25,
+    cast: str | None = "bigint",
 ) -> DataFrame:
     """Resolve an undirected pair set into components.
 
     Returns (id, component) with ``component`` = the minimum id in the
-    node's component — deterministic regardless of round count, so any
+    node's component.  The algorithm needs only a TOTAL ORDER on ids:
+    ``cast`` defaults to bigint for the dedup id paths; pass ``cast=None``
+    for naturally orderable ids (e.g. strings in entity resolution) —
+    min/least/greatest compare lexicographically and everything else is
+    unchanged — deterministic regardless of round count, so any
     engine (or a SQL oracle's recursive reachability closure) produces the
     identical labeling.  Only nodes appearing in ``pairs`` are labeled
     unless ``nodes`` is given, in which case isolated nodes label
@@ -100,9 +105,10 @@ def connected_components(
     clusters; the bound is generous (2^25 nodes would converge well inside
     25 large/small rounds).
     """
+    _id = (lambda c: F.col(c).cast(cast)) if cast else F.col
     raw = pairs.select(
-        F.col(id_a).cast("bigint").alias("u"),
-        F.col(id_b).cast("bigint").alias("v"),
+        _id(id_a).alias("u"),
+        _id(id_b).alias("v"),
     ).filter(F.col("u") != F.col("v"))
     # SMALL-STAR PRE-PASS instead of a plain distinct: near-dup pair sets
     # are dominated by tiny clusters (banded LSH buckets), which one
@@ -143,7 +149,9 @@ def connected_components(
         F.min("component").alias("component")
     )
     if nodes is not None:
-        base = nodes.select(F.col(id_col).cast("bigint").alias(id_col)).distinct()
+        base = nodes.select(
+            (F.col(id_col).cast(cast) if cast else F.col(id_col)).alias(id_col)
+        ).distinct()
         labels = base.join(labels, id_col, "left").select(
             id_col,
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),

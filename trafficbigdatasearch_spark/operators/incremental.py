@@ -60,6 +60,58 @@ def merge_partials(parts: list[DataFrame], keys: list[str]) -> DataFrame:
     )
 
 
+def additive_partial(
+    df: DataFrame,
+    keys: list[str],
+    value_cents,
+    sign: int = 1,
+) -> DataFrame:
+    """Retraction-capable partial state: (keys..., _n, _sum_c) with an
+    optional negative ``sign`` — the delta algebra of incremental view
+    maintenance.  Count and sum form a GROUP (they have inverses), so a
+    maintained aggregate can apply removals and updates as negated
+    partials; min/max only form a monoid (no inverse — a removed minimum
+    forces a rescan of its group), which is why :func:`partial_aggregate`'s
+    min/max live only in the append-only path."""
+    return df.groupBy(*keys).agg(
+        (F.count("*") * sign).alias("_n"),
+        (F.sum(value_cents) * sign).alias("_sum_c"),
+    )
+
+
+def apply_delta(
+    base: DataFrame,
+    deltas: list[DataFrame],
+    keys: list[str],
+) -> DataFrame:
+    """Maintain an additive partial-state table under churn: ``base`` plus
+    any number of signed :func:`additive_partial` deltas (insertions
+    positive, deletions negative, updates = negative-old + positive-new),
+    merged by one union + re-aggregate.  Groups whose count reaches zero
+    are dropped (the group no longer exists in the maintained view).  At
+    100 TB this is the diff-driven refresh: yesterday's aggregate plus
+    partials over the CHANGED rows only — the snapshot never rescans."""
+    u = base
+    for d in deltas:
+        u = u.unionByName(d)
+    return (
+        u.groupBy(*keys)
+        .agg(F.sum("_n").alias("_n"), F.sum("_sum_c").alias("_sum_c"))
+        .filter(F.col("_n") != 0)
+    )
+
+
+def finalize_additive(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Additive state -> (keys..., n_rows, total, avg_value), the same
+    fixed IEEE op sequence as :func:`finalize`."""
+    return partials.select(
+        *keys,
+        F.col("_n").alias("n_rows"),
+        (F.col("_sum_c").cast("double") / 100).alias("total"),
+        (F.col("_sum_c").cast("double") / 100 / F.col("_n")).alias("avg_value"),
+    )
+
+
 def finalize(partials: DataFrame, keys: list[str]) -> DataFrame:
     """Partial state -> presentation measures: (keys..., n_rows, total,
     avg_value, min_value, max_value).  The avg is the fixed IEEE op

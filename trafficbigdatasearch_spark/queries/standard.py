@@ -3437,6 +3437,140 @@ def f_variant_extract_q(spark, sf):
     )
 
 
+@register(
+    "pipeline_entity_resolution",
+    """WITH RECURSIVE n AS (
+         SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part
+         GROUP BY p_name),
+       pairs AS (
+         SELECT a.p_name AS na, b.p_name AS nb
+         FROM n a JOIN n b
+           ON split_part(a.p_name,' ',2) = split_part(b.p_name,' ',2)
+          AND a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 2),
+       sym AS (SELECT na, nb FROM pairs UNION SELECT nb, na FROM pairs),
+       reach(a, b) AS (
+         SELECT na, nb FROM sym
+         UNION
+         SELECT r.a, s.nb FROM reach r JOIN sym s ON s.na = r.b
+         WHERE s.nb <> r.a),
+       canon AS (
+         SELECT n.p_name AS name, n.cnt,
+                COALESCE(LEAST(n.p_name, m.mn), n.p_name) AS canonical_name
+         FROM n LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+           ON m.a = n.p_name)
+       SELECT canonical_name,
+              CAST(COUNT(*) AS BIGINT) AS n_variants,
+              CAST(SUM(cnt) AS BIGINT) AS n_parts
+       FROM canon GROUP BY canonical_name""",
+)
+def pipeline_entity_resolution_q(spark, sf):
+    """ENTITY RESOLUTION end-to-end — the composition the fuzzy join and
+    connected components exist for: near-identical part names are blocked
+    + matched (blocked_levenshtein_join, d<=2), the match pairs resolve
+    into entity clusters via the SAME alternating-star CC engine the dedup
+    pipeline uses (``cast=None``: the algorithm needs only a total order,
+    so string keys cluster directly — no surrogate-id round trip), and
+    each cluster elects its lexicographic-min name as the golden record.
+    Transitivity is the point: 'cold bolt'-'old bolt'-'red bolt'-'new
+    bolt' chain into ONE entity even though the ends are distance 4
+    apart.  Oracle = recursive-CTE reachability closure over the identical
+    pair set."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    names = (
+        load_table(spark, sf, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = names.select(F.col("p_name").alias("na"))
+    b = names.select(F.col("p_name").alias("nb"))
+    pairs = joins.blocked_levenshtein_join(
+        a, b, "na", "nb",
+        F.split(F.col("na"), " ")[1], F.split(F.col("nb"), " ")[1],
+        max_distance=2,
+    ).filter(F.col("na") < F.col("nb"))
+    cc = G.connected_components(
+        pairs, "na", "nb",
+        nodes=names.select(F.col("p_name").alias("id")),
+        cast=None,
+    )
+    return (
+        names.join(cc, names["p_name"] == cc["id"])
+        .groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum("cnt").alias("n_parts"),
+        )
+    )
+
+
+@register(
+    "pipeline_incremental_refresh",
+    """WITH new AS (SELECT o_orderkey, o_orderstatus,
+                           CASE WHEN o_orderkey % 5 = 0
+                                THEN o_totalprice + 10.0
+                                ELSE o_totalprice END AS o_totalprice
+                    FROM orders WHERE o_orderkey % 10 <> 7)
+       SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+                AS total,
+              CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
+                /COUNT(*) AS avg_value
+       FROM new GROUP BY o_orderstatus""",
+)
+def pipeline_incremental_refresh_q(spark, sf):
+    """INCREMENTAL VIEW MAINTENANCE — diff-driven aggregate refresh, the
+    composition of snapshot_diff and the additive delta algebra
+    (operators/incremental.py::additive_partial/apply_delta): starting
+    from the OLD snapshot's aggregate, the new aggregate is produced by
+    applying signed partials over only the CHANGED rows — inserts
+    positive, deletes negative, updates as delete+insert — and the result
+    must equal the oracle's direct rescan of the new snapshot
+    bit-for-bit.  Count/sum form a group (invertible), which is exactly
+    why the maintained measures here exclude min/max (monoid-only; a
+    removed minimum needs a per-group rescan).  At 100 TB: the refresh
+    touches O(churn), never O(table)."""
+    from trafficbigdatasearch_spark.operators import incremental as I
+
+    orders = load_table(spark, sf, "orders")
+    keys = ["o_orderstatus"]
+    price_new = F.when(
+        F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+    ).otherwise(F.col("o_totalprice"))
+    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey", "o_orderstatus", price_new.alias("o_totalprice")
+    )
+    base = I.additive_partial(old, keys, _cents(F.col("o_totalprice")))
+    added = new.join(old.select("o_orderkey"), "o_orderkey", "left_anti")
+    removed = old.join(new.select("o_orderkey"), "o_orderkey", "left_anti")
+    # updates: both present, value differs — retract old row, insert new
+    both = old.alias("o").join(new.alias("n"), "o_orderkey").filter(
+        ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+        | ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+    )
+    upd_old = both.select(
+        F.col("o.o_orderstatus").alias("o_orderstatus"),
+        F.col("o.o_totalprice").alias("o_totalprice"),
+    )
+    upd_new = both.select(
+        F.col("n.o_orderstatus").alias("o_orderstatus"),
+        F.col("n.o_totalprice").alias("o_totalprice"),
+    )
+    cents = _cents(F.col("o_totalprice"))
+    deltas = [
+        I.additive_partial(added, keys, cents),
+        I.additive_partial(removed, keys, cents, sign=-1),
+        I.additive_partial(upd_old, keys, cents, sign=-1),
+        I.additive_partial(upd_new, keys, cents),
+    ]
+    return I.finalize_additive(I.apply_delta(base, deltas, keys), keys)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
