@@ -91,6 +91,9 @@ HEADLINE = [
     "q4_priority_exists",
     "a_exact_percentiles",
     "f_variant_extract",
+    "pipeline_entity_resolution",
+    "pipeline_incremental_refresh",
+    "stream_partial_maintenance",
 ]
 
 

@@ -330,3 +330,16 @@ class TestSchemaEvolution:
         assert set(got.columns) == {"id", "text", "lang"}
         rows = {r["id"]: (r["text"], r["lang"]) for r in got.collect()}
         assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", "en")}
+
+
+def test_map_in_arrow_features_equal_pandas_path(spark):
+    """extract_features_arrow must produce byte-identical output to the
+    mapInPandas path — same stub kernel, zero-copy Arrow batches."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import multimodal as MM
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    assets = MM.assets_from_documents(docs)
+    a = sorted(map(tuple, MM.extract_features(assets).collect()))
+    b = sorted(map(tuple, MM.extract_features_arrow(assets).collect()))
+    assert a == b

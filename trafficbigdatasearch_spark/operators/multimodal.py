@@ -110,6 +110,49 @@ def extract_features(assets: DataFrame, batch_hint: int | None = None) -> DataFr
     return assets.mapInPandas(run, out_schema)
 
 
+def extract_features_arrow(assets: DataFrame) -> DataFrame:
+    """The ``mapInArrow`` twin of :func:`extract_features`: identical output,
+    but the Python side receives raw ``pyarrow.RecordBatch``es — no
+    Arrow->pandas materialization of the binary payload column.  For
+    media-scale payloads (MBs per cell) the pandas conversion is real
+    memory traffic (object boxing of every payload); operating on the
+    Arrow buffers directly keeps the per-batch footprint at the Arrow
+    buffer itself.  Same worker/batch topology as mapInPandas, so
+    everything said there about partitioning holds unchanged."""
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index("asset_id"))
+            mts = batch.column(batch.schema.get_field_index("media_type"))
+            pays = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes, feats = [], []
+            for p, m in zip(pays, mts):
+                b = p.as_py() or b""
+                n_bytes.append(len(b))
+                feats.append(_decode_stub(b, m.as_py()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    mts,
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(feats, type=pa.list_(pa.float64())),
+                ],
+                names=["asset_id", "media_type", "n_bytes", "features"],
+            )
+
+    return assets.mapInArrow(run, out_schema)
+
+
 def resize_stub(assets: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
     """Image-resize stage placeholder: REAL pipelines decode+resize here.
     Raises on use of the pixel path; the plumbing (schema/partitioning) is

@@ -3632,6 +3632,11 @@ def pipeline_incremental_refresh_q(spark, sf):
 #       a_pivot_event_types  -> a_grouping_sets (same Expand reshape family)
 #       sim_kmeans_refine    -> the training chain runs inside in-window
 #                               sim_pq_trained_topk
+#
+# ROUND-5 ROTATION QUEUE (registered after this round's window was frozen;
+# first driver rows next round): stream_partial_maintenance,
+# q4_priority_exists, a_exact_percentiles, f_variant_extract,
+# pipeline_entity_resolution, pipeline_incremental_refresh
 # =============================================================================
 
 _WINDOW = [
