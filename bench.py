@@ -94,6 +94,8 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "pipeline_incremental_refresh",
     "stream_partial_maintenance",
+    "j_interval_overlap",
+    "w_pattern_sequence",
 ]
 
 

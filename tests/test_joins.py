@@ -118,3 +118,61 @@ def test_fuzzy_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def _ivals(spark, prefix, ivals):
+    return spark.createDataFrame(
+        [(f"{prefix}{i}", lo, hi) for i, (lo, hi) in enumerate(ivals)],
+        f"{prefix}id: string, {prefix}lo: long, {prefix}hi: long",
+    )
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    a = [(x, x + rng.randrange(1, 40)) for x in (rng.randrange(0, 300) for _ in range(60))]
+    b = [(x, x + rng.randrange(1, 40)) for x in (rng.randrange(0, 300) for _ in range(60))]
+    out = J.interval_overlap_join(
+        _ivals(spark, "a", a), _ivals(spark, "b", b), "alo", "ahi", "blo", "bhi", 16
+    )
+    got = sorted((r.aid, r.bid) for r in out.collect())
+    want = sorted(
+        (f"a{i}", f"b{j}")
+        for i, (alo, ahi) in enumerate(a)
+        for j, (blo, bhi) in enumerate(b)
+        if alo <= bhi and blo <= ahi
+    )
+    assert got == want  # exactly-once: sorted lists equal => no dup pairs
+
+
+def test_interval_overlap_boundary_touch_counts(spark):
+    # closed ends: [0,10] and [10,20] overlap at the single instant 10
+    out = J.interval_overlap_join(
+        _ivals(spark, "a", [(0, 10)]), _ivals(spark, "b", [(10, 20)]),
+        "alo", "ahi", "blo", "bhi", 4,
+    )
+    assert [(r.aid, r.bid) for r in out.collect()] == [("a0", "b0")]
+
+
+def test_interval_overlap_disjoint_empty(spark):
+    out = J.interval_overlap_join(
+        _ivals(spark, "a", [(0, 5)]), _ivals(spark, "b", [(7, 9)]),
+        "alo", "ahi", "blo", "bhi", 2,
+    )
+    assert out.count() == 0
+
+
+def test_interval_overlap_plan_no_bnlj(spark):
+    a = _ivals(spark, "a", [(i, i + 5) for i in range(30)])
+    b = _ivals(spark, "b", [(i * 2, i * 2 + 3) for i in range(30)])
+    plan = J.interval_overlap_join(
+        a, b, "alo", "ahi", "blo", "bhi", 8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

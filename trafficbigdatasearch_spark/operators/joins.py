@@ -216,6 +216,63 @@ def salted_equi_join(
     return out.drop("_salt")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join at scale: pairs where
+    ``[left_lo, left_hi]`` and ``[right_lo, right_hi]`` overlap
+    (``a.lo <= b.hi AND b.lo <= a.hi``, closed ends), optionally under equi
+    keys.  The third member of the range-join family: ``interval_join`` is
+    point-in-interval with keys, ``bucketed_interval_join`` is keyless
+    point-in-interval — this one is range-against-range, the shape of
+    session-vs-session, downtime-vs-shift, possession-vs-possession
+    overlap questions.
+
+    Both sides explode into the fixed-width buckets they cover, equi join
+    on the bucket, exact overlap as residual.  An overlapping pair shares
+    EVERY bucket covered by their intersection — so each pair CLAIMS
+    exactly one bucket (the one containing ``greatest(a.lo, b.lo)``, i.e.
+    the first bucket of the intersection) and candidates in other shared
+    buckets are discarded by a one-expression filter: exactly-once output
+    with no distinct/dedup exchange.  One shuffle on the bucket key;
+    fan-out per row = interval_len / bucket_width (pick width ~ median
+    interval length).
+    """
+    lw = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(left_lo) / bucket_width).cast("bigint"),
+                (F.col(left_hi) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    rw = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket_width).cast("bigint"),
+                (F.col(right_hi) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    overlap = (lw[left_lo] <= rw[right_hi]) & (rw[right_lo] <= lw[left_hi])
+    claim = (
+        F.greatest(lw[left_lo], rw[right_lo]) / bucket_width
+    ).cast("bigint") == lw["_bucket"]
+    cond = (lw["_bucket"] == rw["_bucket"]) & overlap & claim
+    for k in on or []:
+        cond = cond & (lw[k] == rw[k])
+    return lw.join(rw, cond, "inner").drop(lw["_bucket"]).drop(rw["_bucket"])
+
+
 def blocked_levenshtein_join(
     left: DataFrame,
     right: DataFrame,

@@ -3571,6 +3571,114 @@ def pipeline_incremental_refresh_q(spark, sf):
     return I.finalize_additive(I.apply_delta(base, deltas, keys), keys)
 
 
+@register(
+    "j_interval_overlap",
+    """WITH spans AS (
+         SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+                epoch_ms(MIN(ts)) AS lo, epoch_ms(MAX(ts)) AS hi
+         FROM events GROUP BY 1, 2),
+       w AS (SELECT DISTINCT date_trunc('day', ts) AS s FROM events),
+       w2 AS (SELECT strftime(s, '%Y-%m-%d') AS w_id,
+                     epoch_ms(s) AS wlo,
+                     epoch_ms(s + INTERVAL 36 HOUR) AS whi
+              FROM w)
+       SELECT user_id, d, w_id,
+              CAST(LEAST(hi, whi) - GREATEST(lo, wlo) AS BIGINT) AS overlap_ms
+       FROM spans JOIN w2 ON lo <= whi AND wlo <= hi""",
+)
+def j_interval_overlap_q(spark, sf):
+    """INTERVAL × INTERVAL overlap join (operators/joins.py::
+    interval_overlap_join) — the range-vs-range member of the range-join
+    family (j2 = keyed point-in-interval, j_range_keyless = keyless
+    point-in-interval): per-user daily activity spans against overlapping
+    36-hour maintenance windows, overlap duration in exact millis.  Both
+    interval sets explode into 6-hour buckets and equi-join on the
+    bucket; each overlapping pair CLAIMS exactly one bucket (the first
+    bucket of the intersection), so the output is exactly-once with NO
+    dedup exchange.  Oracle = the quadratic overlap join."""
+    ev = load_table(spark, sf, "events")
+    spans = ev.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.unix_millis(F.min("ts")).alias("lo"),
+        F.unix_millis(F.max("ts")).alias("hi"),
+    )
+    w = (
+        ev.select(F.date_trunc("day", "ts").alias("s"))
+        .distinct()
+        .select(
+            F.date_format("s", "yyyy-MM-dd").alias("w_id"),
+            F.unix_millis(F.col("s")).alias("wlo"),
+            F.unix_millis(F.col("s") + F.expr("INTERVAL 36 HOURS")).alias("whi"),
+        )
+    )
+    j = joins.interval_overlap_join(
+        spans, w, "lo", "hi", "wlo", "whi", bucket_width=6 * 3600 * 1000
+    )
+    return j.select(
+        "user_id",
+        "d",
+        "w_id",
+        (F.least(F.col("hi"), F.col("whi")) - F.greatest(F.col("lo"), F.col("wlo")))
+        .cast("bigint")
+        .alias("overlap_ms"),
+    )
+
+
+@register(
+    "w_pattern_sequence",
+    """WITH seqs AS (
+         SELECT user_id,
+                string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id)
+       SELECT user_id, n_events,
+              CAST(CASE WHEN regexp_matches(seq, 'signup.*purchase')
+                   THEN 1 ELSE 0 END AS INTEGER) AS converted,
+              CAST(CASE WHEN regexp_matches(seq, 'error,error,error')
+                   THEN 1 ELSE 0 END AS INTEGER) AS rage_errors
+       FROM seqs""",
+)
+def w_pattern_sequence_q(spark, sf):
+    """SEQUENCE PATTERN MATCHING over per-user event streams (the
+    MATCH_RECOGNIZE-class question, composed from primitives): each
+    user's events are ordered into one comma-joined type sequence
+    (deterministic tiebreak ts, event_id) and regex-scanned — 'did a
+    signup ever lead to a purchase' (conversion with any gap) and 'three
+    errors back-to-back' (exact adjacency — the comma-join makes
+    adjacency expressible, unlike the funnel's step-min formulation).
+    ONE shuffle (groupBy user); the per-user sequence is the documented
+    memory bound — at 100 TB, sessionize first (w_sessionize) so
+    sequences are per-session, or cap with slice(array, 1, K).  Plan
+    note: collect_list+array_sort is a row-local fold after the
+    exchange; no window, no second shuffle."""
+    ev = load_table(spark, sf, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type").alias("et")))
+            ),
+            lambda x: x["et"],
+        ),
+        ",",
+    )
+    g = ev.groupBy("user_id").agg(
+        seq.alias("seq"), F.count("*").alias("n_events")
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("seq").rlike("signup.*purchase"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("converted"),
+        F.when(F.col("seq").rlike("error,error,error"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rage_errors"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -3636,7 +3744,8 @@ def pipeline_incremental_refresh_q(spark, sf):
 # ROUND-5 ROTATION QUEUE (registered after this round's window was frozen;
 # first driver rows next round): stream_partial_maintenance,
 # q4_priority_exists, a_exact_percentiles, f_variant_extract,
-# pipeline_entity_resolution, pipeline_incremental_refresh
+# pipeline_entity_resolution, pipeline_incremental_refresh,
+# j_interval_overlap, w_pattern_sequence
 # =============================================================================
 
 _WINDOW = [
