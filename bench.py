@@ -96,6 +96,7 @@ HEADLINE = [
     "stream_partial_maintenance",
     "j_interval_overlap",
     "w_pattern_sequence",
+    "pipeline_semantic_dedup",
 ]
 
 
