@@ -97,6 +97,7 @@ HEADLINE = [
     "j_interval_overlap",
     "w_pattern_sequence",
     "pipeline_semantic_dedup",
+    "spatial_density",
 ]
 
 

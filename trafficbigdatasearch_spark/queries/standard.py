@@ -3731,6 +3731,40 @@ def pipeline_semantic_dedup_q(spark, sf):
     )
 
 
+@register(
+    "spatial_density",
+    """WITH pts AS (SELECT c_custkey AS id,
+                           ((c_custkey * 48271) % 99991) % 1000 AS x,
+                           ((c_custkey * 16807) % 104729) % 1000 AS y
+                    FROM customer),
+       pairs AS (
+         SELECT a.id AS ia, b.id AS ib
+         FROM pts a JOIN pts b
+           ON a.id < b.id
+          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
+       sides AS (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs),
+       cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sides GROUP BY id)
+       SELECT pts.id, COALESCE(cnt.n, 0) AS n_neighbors
+       FROM pts LEFT JOIN cnt ON cnt.id = pts.id""",
+)
+def spatial_density_q(spark, sf):
+    """Per-point neighbor DENSITY within radius r (operators/spatial.py::
+    radius_join_counts) — the hotspot score over the same grid join as
+    j_spatial_grid: symmetric counts from the one-shot pair set, isolated
+    points report 0.  This is the accident-hotspot / station-coverage
+    question asked as a per-entity measure instead of a pair list; at
+    scale it is the density stage of DBSCAN-style clustering (core-point
+    test = n_neighbors >= minPts)."""
+    from trafficbigdatasearch_spark.operators import spatial
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
+        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
+    )
+    return spatial.radius_join_counts(pts, "id", "x", "y", radius=15)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -3797,7 +3831,8 @@ def pipeline_semantic_dedup_q(spark, sf):
 # first driver rows next round): stream_partial_maintenance,
 # q4_priority_exists, a_exact_percentiles, f_variant_extract,
 # pipeline_entity_resolution, pipeline_incremental_refresh,
-# j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup
+# j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
+# spatial_density
 # =============================================================================
 
 _WINDOW = [
