@@ -98,6 +98,7 @@ HEADLINE = [
     "w_pattern_sequence",
     "pipeline_semantic_dedup",
     "spatial_density",
+    "pipeline_dbscan",
 ]
 
 

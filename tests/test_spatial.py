@@ -70,3 +70,63 @@ def test_plan_is_single_equi_join_no_bnlj(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dbscan
+# ---------------------------------------------------------------------------
+
+
+def _dbscan_reference(pts, r, min_pts):
+    """Pure-python DBSCAN with the module's conventions: self-excluded
+    neighbor counts, min-core-id cluster labels, border -> min core
+    neighbor's cluster."""
+    n = len(pts)
+    nbrs = {i: [] for i in range(n)}
+    for i in range(n):
+        for j in range(n):
+            if i != j and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= r * r:
+                nbrs[i].append(j)
+    core = {i for i in range(n) if len(nbrs[i]) >= min_pts}
+    # components over core-core edges (union-find)
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp = {i: min(k for k in core if find(k) == find(i)) for i in core}
+    out = {}
+    for i in range(n):
+        if i in core:
+            out[i] = (comp[i], "core")
+        else:
+            cs = [comp[j] for j in nbrs[i] if j in core]
+            out[i] = (min(cs), "border") if cs else (-1, "noise")
+    return out
+
+
+def test_dbscan_matches_reference(spark):
+    rng = random.Random(3)
+    for trial in range(2):
+        pts = [(rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(90)]
+        got = {
+            r.id: (r.cluster, r.role)
+            for r in spatial.dbscan(_points(spark, pts), "id", "x", "y", 12, 3).collect()
+        }
+        assert got == _dbscan_reference(pts, 12, 3)
+
+
+def test_dbscan_all_noise_when_sparse(spark):
+    pts = [(0, 0), (500, 500), (900, 100)]
+    got = {r.id: (r.cluster, r.role)
+           for r in spatial.dbscan(_points(spark, pts), "id", "x", "y", 10, 1).collect()}
+    assert got == {0: (-1, "noise"), 1: (-1, "noise"), 2: (-1, "noise")}

@@ -98,6 +98,71 @@ def radius_pairs(
     )
 
 
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    min_pts: int,
+) -> DataFrame:
+    """Distributed DBSCAN over integer points: (id, cluster, role) with
+    role in {'core', 'border', 'noise'} and cluster = the minimum core-point
+    id of the cluster (-1 for noise) — the standard density-clustering
+    composition, built ENTIRELY from the already-verified pieces:
+
+    1. neighbor pairs within eps     -> :func:`radius_pairs` (grid join)
+    2. density (core-point test)     -> pair-count per point;
+       ``n_neighbors >= min_pts``, self EXCLUDED (document your convention;
+       the classic |N_eps(p)| >= minPts includes p — subtract 1)
+    3. core connectivity             -> connected components over the
+       core-core edge subset (operators/graph.py, alternating star)
+    4. border attachment             -> non-core points adopt the MINIMUM
+       cluster id among their core neighbors (deterministic where classic
+       DBSCAN is scan-order-dependent); everything else is noise
+
+    Every stage is a hash-partitioned join/aggregate — no region growing,
+    no scan order, no driver-side frontier; the O(log² n) CC fixpoint
+    replaces the sequential flood fill.  Deterministic output (min-id
+    labels) regardless of partitioning, unlike textbook DBSCAN whose
+    border assignment depends on visit order.
+    """
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    p = points.select(F.col(id_col).cast("bigint").alias("id"), x_col, y_col)
+    pairs = radius_pairs(points, id_col, x_col, y_col, radius)
+    sides = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    counts = sides.groupBy("id").agg(F.count("*").alias("n"))
+    core = counts.filter(F.col("n") >= min_pts).select("id")
+
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+    )
+    cc = G.connected_components(core_pairs, "id_a", "id_b", nodes=core)
+
+    sym = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    border = (
+        sym.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
+        .join(cc.withColumnRenamed("id", "id_a"), "id_a")
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("component").alias("cluster"))
+    )
+
+    core_out = cc.select("id", F.col("component").alias("cluster"), F.lit("core").alias("role"))
+    border_out = border.select("id", "cluster", F.lit("border").alias("role"))
+    labeled = core_out.union(border_out)
+    noise = p.select("id").join(labeled.select("id"), "id", "left_anti").select(
+        "id", F.lit(-1).cast("bigint").alias("cluster"), F.lit("noise").alias("role")
+    )
+    return labeled.union(noise)
+
+
 def radius_join_counts(
     points: DataFrame,
     id_col: str,

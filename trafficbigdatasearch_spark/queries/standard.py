@@ -3765,6 +3765,73 @@ def spatial_density_q(spark, sf):
     return spatial.radius_join_counts(pts, "id", "x", "y", radius=15)
 
 
+@register(
+    "pipeline_dbscan",
+    """WITH RECURSIVE pts AS (
+         SELECT c_custkey AS id,
+                ((c_custkey * 48271) % 99991) % 1000 AS x,
+                ((c_custkey * 16807) % 104729) % 1000 AS y
+         FROM customer),
+       pairs AS (
+         SELECT a.id AS ia, b.id AS ib
+         FROM pts a JOIN pts b
+           ON a.id < b.id
+          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
+       sides AS (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs),
+       cnt AS (SELECT id, COUNT(*) AS n FROM sides GROUP BY id),
+       core AS (SELECT id FROM cnt WHERE n >= 3),
+       cp AS (SELECT ia, ib FROM pairs
+              WHERE ia IN (SELECT id FROM core)
+                AND ib IN (SELECT id FROM core)),
+       csym AS (SELECT ia, ib FROM cp UNION SELECT ib, ia FROM cp),
+       reach(a, b) AS (
+         SELECT ia, ib FROM csym
+         UNION
+         SELECT r.a, s.ib FROM reach r JOIN csym s ON s.ia = r.b
+         WHERE s.ib <> r.a),
+       comp AS (
+         SELECT core.id,
+                COALESCE(LEAST(core.id, m.mn), core.id) AS component
+         FROM core LEFT JOIN
+              (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
+           ON m.a = core.id),
+       asym AS (SELECT ia, ib FROM pairs
+                UNION ALL SELECT ib, ia FROM pairs),
+       border AS (
+         SELECT asym.ib AS id, MIN(comp.component) AS cluster
+         FROM asym JOIN comp ON comp.id = asym.ia
+         WHERE asym.ib NOT IN (SELECT id FROM core)
+         GROUP BY asym.ib)
+       SELECT id, CAST(cluster AS BIGINT) AS cluster, role FROM (
+         SELECT id, component AS cluster, 'core' AS role FROM comp
+         UNION ALL
+         SELECT id, cluster, 'border' FROM border
+         UNION ALL
+         SELECT pts.id, -1, 'noise' FROM pts
+         WHERE pts.id NOT IN (SELECT id FROM comp)
+           AND pts.id NOT IN (SELECT id FROM border))""",
+)
+def pipeline_dbscan_q(spark, sf):
+    """DISTRIBUTED DBSCAN (operators/spatial.py::dbscan) — density
+    clustering composed entirely from verified pieces: grid radius join
+    (eps-neighborhoods) -> pair counts (core test, minPts=3) -> connected
+    components over the core-core subgraph (flood fill replaced by the
+    O(log² n) alternating-star fixpoint) -> border points adopt the min
+    cluster among their core neighbors; the rest is noise.  Min-id labels
+    make the output deterministic under any partitioning — textbook
+    DBSCAN's border assignment is scan-order-dependent, which cannot
+    exist at 100 TB.  Oracle = the same construction over the quadratic
+    pair join with a recursive-CTE closure."""
+    from trafficbigdatasearch_spark.operators import spatial
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
+        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
+    )
+    return spatial.dbscan(pts, "id", "x", "y", radius=15, min_pts=3)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -3832,7 +3899,7 @@ def spatial_density_q(spark, sf):
 # q4_priority_exists, a_exact_percentiles, f_variant_extract,
 # pipeline_entity_resolution, pipeline_incremental_refresh,
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
-# spatial_density
+# spatial_density, pipeline_dbscan
 # =============================================================================
 
 _WINDOW = [
