@@ -99,6 +99,8 @@ HEADLINE = [
     "pipeline_semantic_dedup",
     "spatial_density",
     "pipeline_dbscan",
+    "sample_importance",
+    "graph_pagerank",
 ]
 
 

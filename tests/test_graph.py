@@ -133,3 +133,51 @@ def test_cc_string_ids_lexicographic_components(spark):
         "cold bolt": "cold bolt", "old bolt": "cold bolt",
         "red bolt": "cold bolt", "zz": "aa", "aa": "aa",
     }
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # a directed cycle is rank-symmetric: every node keeps the same rank
+    n = 8
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "u: bigint, v: bigint")
+    ranks = {r.id: r["rank"] for r in graph.pagerank_integer(e, n_iter=4).collect()}
+    assert len(set(ranks.values())) == 1
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # star pointing at 0 (0 self-loops to keep out-degree): hub accumulates
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 0)], "u: bigint, v: bigint"
+    )
+    ranks = {r.id: r["rank"] for r in graph.pagerank_integer(e, n_iter=3).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
+    # leaves (no in-edges beyond base) are symmetric
+    assert len({ranks[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_mass_nearly_conserved(spark):
+    scale = 10**12
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 11) for i in range(11)], "u: bigint, v: bigint"
+    )
+    total = sum(
+        r["rank"] for r in graph.pagerank_integer(e, n_iter=3, scale=scale).collect()
+    )
+    # floor-division drains at most ~n units per arithmetic step per round
+    assert scale * 0.999 <= total <= scale
+
+
+def test_pagerank_rejects_dangling_source(spark):
+    e = spark.createDataFrame([(1, 2)], "u: bigint, v: bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id: bigint")
+    # node 2 and 3 have no out-edges, but only edge SOURCES are validated;
+    # a source outside the node set must raise
+    bad_nodes = spark.createDataFrame([(2,)], "id: bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside the node set"):
+        graph.pagerank_integer(e, n_iter=1, nodes=bad_nodes)

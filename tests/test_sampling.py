@@ -123,3 +123,20 @@ def test_leakage_free_split_keeps_pairs_together(spark):
         assert side[r["id_a"]] == side[r["id_b"]], (r["id_a"], r["id_b"])
     frac = sum(1 for s in side.values() if s == "train") / len(side)
     assert 0.8 <= frac <= 0.97, frac
+
+
+def test_importance_sample_extremes_and_stability(spark):
+    from trafficbigdatasearch_spark.operators import sampling as S
+
+    df = spark.createDataFrame([(i, i % 10) for i in range(1000)], "id long, q int")
+    assert S.importance_sample(df, "id", F.lit(0.0)).count() == 0
+    assert S.importance_sample(df, "id", F.lit(1.0)).count() == 1000
+    # out-of-range weights clamp instead of misbehaving
+    assert S.importance_sample(df, "id", F.lit(7.5)).count() == 1000
+    # deterministic under repartition; rate tracks the weight
+    w = F.col("q") / 10.0
+    a = sorted(r.id for r in S.importance_sample(df, "id", w).collect())
+    b = sorted(r.id for r in S.importance_sample(df.repartition(13), "id", w).collect())
+    assert a == b
+    # E[kept] = sum(q/10) = 450; md5 uniformity keeps it close
+    assert 380 <= len(a) <= 520

@@ -216,6 +216,80 @@ def bfs_levels(
     return visited
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+    u_col: str = "u",
+    v_col: str = "v",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Fixed-iteration PageRank with INTEGER-EXACT arithmetic: ranks are
+    scaled bigints, damping is the rational ``damping_num/damping_den``
+    (default 17/20 = 0.85), and every step is integer multiply / integer
+    floor-division — so the result is bit-identical in any engine (the
+    float formulation would accumulate engine-specific rounding), and
+    deterministic under any partitioning or retry.
+
+    Per iteration (one hash join + one map-side-combined aggregate, the
+    textbook distributed PageRank shape):
+
+        contrib(u->v) = r(u) div outdeg(u)
+        r'(v) = base + (damping_num * Σ contrib) div damping_den
+        base  = ((damping_den - damping_num) * scale) div (damping_den * n)
+
+    Truncation drains a few units of mass per round (bounded by n per
+    iteration out of ``scale`` — vanishing for scale=1e12); rank ORDER and
+    exact values are reproducible, which is the property that matters.
+    Requires every node to have >= 1 out-edge (no dangling-mass handling
+    — assert upstream or add sink self-loops); ``nodes`` defaults to the
+    edge endpoints.  Fixed ``n_iter`` -> no convergence sync; lineage is
+    truncated per round with a lazy localCheckpoint.
+    """
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    )
+    if nodes is None:
+        node_df = e.select(F.col("u").alias("id")).union(
+            e.select(F.col("v").alias("id"))
+        ).distinct()
+    else:
+        node_df = nodes.select(F.col(id_col).cast("bigint").alias("id")).distinct()
+    node_df = node_df.localCheckpoint(eager=False)
+    n = node_df.count()
+    if e.join(node_df, e["u"] == node_df["id"], "left_anti").limit(1).count():
+        raise ValueError("edge source outside the node set")
+    deg = e.groupBy("u").agg(F.count("*").alias("_d"))
+    ew = e.join(deg, "u").localCheckpoint(eager=False)
+
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    r = node_df.withColumn("rank", F.lit(scale // n).cast("bigint"))
+    for _ in range(n_iter):
+        insum = (
+            ew.join(r, ew["u"] == r["id"])
+            .select(F.col("v"), F.expr("rank div _d").alias("_c"))
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = (
+            node_df.join(insum, node_df["id"] == insum["v"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L)) div {damping_den}"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

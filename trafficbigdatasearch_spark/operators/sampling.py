@@ -74,6 +74,26 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def importance_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "importance",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: keep a row iff its
+    md5-uniform draw falls under its per-row keep probability ``weight``
+    (a Column in [0, 1] — e.g. a quality score mapped to a keep rate).
+    The accept test is ``hash_bucket(key) < floor(weight * BUCKETS)`` —
+    pure row-local expressions: no shuffle, no RNG state, and therefore
+    stable under retries, repartitioning, AND re-runs with a widened
+    corpus (a row's fate depends only on its key and its own weight) —
+    the property quality-weighted data mixing needs when the corpus is
+    rebuilt daily.  Weights outside [0, 1] are clamped."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    keep = hash_bucket(F.col(key_col), salt) < F.floor(w * BUCKETS).cast("bigint")
+    return df.filter(keep)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -3832,6 +3832,80 @@ def pipeline_dbscan_q(spark, sf):
     return spatial.dbscan(pts, "id", "x", "y", radius=15, min_pts=3)
 
 
+@register(
+    "sample_importance",
+    f"""SELECT doc_id, n_chars
+       FROM documents
+       WHERE {_BUCKET_SQL.format(salt='importance')} <
+             CAST(floor(LEAST(GREATEST(n_chars / 1000.0, 0.0), 1.0)
+                        * {sampling.BUCKETS}) AS BIGINT)""",
+)
+def sample_importance_q(spark, sf):
+    """IMPORTANCE (weighted Bernoulli) sampling
+    (operators/sampling.py::importance_sample): each document's keep
+    probability is its own quality proxy (length-based here: n_chars/1000
+    clamped to [0,1]), and the accept test is the md5-uniform draw under
+    that per-row rate — quality-weighted data mixing with zero shuffle,
+    zero RNG state.  A row's fate depends only on (key, weight): reruns,
+    retries, repartitions, and corpus growth never flip it — the
+    stability that daily-rebuilt training mixes need.  Oracle recomputes
+    the identical md5 threshold test."""
+    docs = load_table(spark, sf, "documents")
+    w = F.col("n_chars") / 1000.0
+    return sampling.importance_sample(docs, "doc_id", w).select(
+        "doc_id", "n_chars"
+    )
+
+
+_PR_SCALE = 10**12
+_PR_N = 1500
+_PR_BASE = (3 * _PR_SCALE) // (20 * _PR_N)
+
+
+def _pr_oracle() -> str:
+    parts = [
+        f"e AS (SELECT range AS u, (range*range) % {_PR_N} AS v "
+        f"FROM range({_PR_N}))",
+        "nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u)",
+        f"r0 AS (SELECT id, CAST({_PR_SCALE // _PR_N} AS BIGINT) AS rank "
+        "FROM nodes)",
+    ]
+    for k in range(1, 4):
+        parts.append(
+            f"s{k} AS (SELECT e.v, SUM(r{k-1}.rank // deg.d) AS s "
+            f"FROM e JOIN r{k-1} ON r{k-1}.id = e.u "
+            "JOIN deg ON deg.u = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.id, "
+            f"CAST({_PR_BASE} + (17 * COALESCE(s{k}.s, 0)) // 20 AS BIGINT) "
+            f"AS rank FROM nodes LEFT JOIN s{k} ON s{k}.v = nodes.id)"
+        )
+    return "WITH " + ",\n       ".join(parts) + "\n       SELECT id, rank FROM r3"
+
+
+@register("graph_pagerank", _pr_oracle())
+def graph_pagerank_q(spark, sf):
+    """Integer-exact PageRank (operators/graph.py::pagerank_integer), 3
+    iterations at damping 17/20 over the deterministic quadratic-residue
+    functional graph on 1500 nodes (every node has out-degree 1 — no
+    dangling mass, so the oracle needs no redistribution term).  Scaled-
+    bigint ranks with integer floor-division make the whole chain
+    bit-identical to the oracle's unrolled CTE iterations — the float
+    formulation could not be hash-compared across engines.  Each round is
+    one hash join + one map-side-combined aggregate; fixed iteration
+    count -> no driver convergence sync (same argument as
+    graph_bfs_reach)."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(_PR_N)
+    edges = ids.select(
+        F.col("id").alias("u"), ((F.col("id") * F.col("id")) % _PR_N).alias("v")
+    )
+    return G.pagerank_integer(edges, n_iter=3, scale=_PR_SCALE)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -3899,7 +3973,7 @@ def pipeline_dbscan_q(spark, sf):
 # q4_priority_exists, a_exact_percentiles, f_variant_extract,
 # pipeline_entity_resolution, pipeline_incremental_refresh,
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
-# spatial_density, pipeline_dbscan
+# spatial_density, pipeline_dbscan, sample_importance, graph_pagerank
 # =============================================================================
 
 _WINDOW = [
