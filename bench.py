@@ -101,6 +101,10 @@ HEADLINE = [
     "pipeline_dbscan",
     "sample_importance",
     "graph_pagerank",
+    "ts_resample_ohlc",
+    "ts_gapfill",
+    "graph_triangles",
+    "a_corr_stats",
 ]
 
 

@@ -1,0 +1,120 @@
+"""Unit semantics for operators/timeseries.py (resample + gap-fill) and
+operators/graph.py::triangle_counts — the cross-engine registry rows
+(ts_resample_ohlc, ts_gapfill, graph_triangles) are covered by
+test_entry_correctness; these pin the hand-checkable edge semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import graph, timeseries
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "k: bigint, ts: timestamp, v: double, id: bigint"
+    )
+
+
+def _t(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_ohlc_open_close_tiebreak(spark):
+    # two rows share the same timestamp: the ordering key's id component
+    # must break the tie deterministically (id 1 before id 2)
+    df = _ev(
+        spark,
+        [
+            (1, _t(9, 0), 10.0, 2),
+            (1, _t(9, 0), 20.0, 1),  # same instant, smaller id -> open
+            (1, _t(9, 30), 5.0, 3),
+            (1, _t(9, 59), 7.0, 4),
+        ],
+    )
+    out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == (
+        20.0, 20.0, 5.0, 7.0, 4,
+    )
+
+
+def test_ohlc_buckets_are_hourly(spark):
+    df = _ev(spark, [(1, _t(9, 59), 1.0, 1), (1, _t(10, 0), 2.0, 2)])
+    out = timeseries.resample_ohlc(df, "k", "ts", "v", "id")
+    assert out.count() == 2
+
+
+def test_gapfill_fills_interior_gap(spark):
+    # observations at 09:00 and 12:00 -> 10:00 and 11:00 are generated,
+    # carry 09:00's close, and are flagged unobserved
+    df = _ev(spark, [(1, _t(9, 15), 3.0, 1), (1, _t(12, 5), 9.0, 2)])
+    rows = {
+        r["bucket"].hour: (r["value"], r["is_observed"])
+        for r in timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+    }
+    assert rows == {
+        9: (3.0, 1),
+        10: (3.0, 0),
+        11: (3.0, 0),
+        12: (9.0, 1),
+    }
+
+
+def test_gapfill_close_is_last_by_ordkey(spark):
+    # within 09:00, the 09:45 value (not the max) is the carried close
+    df = _ev(
+        spark,
+        [(1, _t(9, 10), 100.0, 1), (1, _t(9, 45), 2.0, 2), (1, _t(11, 0), 5.0, 3)],
+    )
+    rows = {
+        r["bucket"].hour: r["value"]
+        for r in timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+    }
+    assert rows[9] == 2.0 and rows[10] == 2.0 and rows[11] == 5.0
+
+
+def test_gapfill_keys_independent_spans(spark):
+    # key 2's span must not widen key 1's spine
+    df = _ev(spark, [(1, _t(9), 1.0, 1), (2, _t(0), 1.0, 2), (2, _t(23), 2.0, 3)])
+    out = timeseries.gapfill_ffill(df, "k", "ts", "v", "id")
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 1, 2: 24}
+
+
+def test_triangles_single(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u: bigint, v: bigint"
+    )
+    got = {r["id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangles_duplicate_and_reversed_edges_ignored(spark):
+    # duplicates / reversed orientations must not inflate counts
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 3)], "u: bigint, v: bigint"
+    )
+    got = {r["id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: C(3,2)=3 triangles per node, 4 total
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    got = {r["id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_hub_star_has_none(spark):
+    # star graph: hub with high degree, zero triangles — exercises the
+    # degree-orientation path that bounds hub out-degree
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u: bigint, v: bigint"
+    )
+    out = graph.triangle_counts(e)
+    assert out.filter(F.col("n_triangles") > 0).count() == 0

@@ -3906,6 +3906,187 @@ def graph_pagerank_q(spark, sf):
     return G.pagerank_integer(edges, n_iter=3, scale=_PR_SCALE)
 
 
+@register(
+    "ts_resample_ohlc",
+    """SELECT user_id, date_trunc('hour', ts) AS bucket,
+              arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+              CAST(count(*) AS BIGINT) AS volume
+       FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+)
+def ts_resample_ohlc_q(spark, sf):
+    """Time-series RESAMPLE (operators/timeseries.py::resample_ohlc): the
+    irregular per-user event stream bucketed to an hourly OHLC grid —
+    open/close are min_by/max_by over ONE bigint (epoch_ms, event_id)
+    ordering key (deterministic tie-break, no window, no sort), high/low/
+    volume ride the same map-side-combined aggregate.  Values pass through
+    with no float arithmetic, so doubles hash-compare exactly.  This is the
+    hypertable/continuous-aggregate rollup shape: ONE shuffle total, and at
+    100 TB the partial aggregation means each executor ships one row per
+    (user, hour) it saw, not its raw events."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    return TS.resample_ohlc(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", bucket="hour",
+    )
+
+
+@register(
+    "ts_gapfill",
+    """WITH closes AS (
+         SELECT user_id, date_trunc('hour', ts) AS bucket,
+                arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS _close
+         FROM events GROUP BY user_id, date_trunc('hour', ts)),
+       spine AS (
+         SELECT user_id,
+                unnest(generate_series(min(bucket), max(bucket),
+                                       INTERVAL 1 HOUR)) AS bucket
+         FROM closes GROUP BY user_id)
+       SELECT s.user_id, s.bucket,
+              last_value(c._close IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+              CAST(CASE WHEN c._close IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                AS is_observed
+       FROM spine s LEFT JOIN closes c
+         ON c.user_id = s.user_id AND c.bucket = s.bucket""",
+)
+def ts_gapfill_q(spark, sf):
+    """GAP-FILL + forward-fill (operators/timeseries.py::gapfill_ffill):
+    densify each user's hourly grid from its OWN [min, max] span
+    (``sequence`` + ``explode`` — row-local spine, no driver calendar, no
+    global cross join) and carry the last hourly close forward with one
+    ``last(ignorenulls)`` running window.  Two shuffles on user_id total
+    (aggregate + window); a key dark for a year inflates only its own
+    partition.  This is the sensor-downtime / traffic-station-outage
+    completion the reference's per-month scans cannot express."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    return TS.gapfill_ffill(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", bucket="hour",
+    )
+
+
+@register(
+    "graph_triangles",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       raw AS (
+         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 2) % n.n) + 1 FROM customer, n),
+       e AS (
+         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         FROM raw WHERE u <> v),
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1
+         JOIN e e2 ON e2.a = e1.b
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       corners AS (
+         SELECT x AS id FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri),
+       cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+               FROM corners GROUP BY id)
+       SELECT c.c_custkey AS id, COALESCE(cnt.n_triangles, 0) AS n_triangles
+       FROM customer c LEFT JOIN cnt ON cnt.id = c.c_custkey""",
+)
+def graph_triangles_q(spark, sf):
+    """Per-node TRIANGLE COUNTS (operators/graph.py::triangle_counts) over
+    the circulant graph C_N{1,2,3} on the customer ids — the local
+    clustering-coefficient numerator, the classic cohesion feature for
+    community/spam detection over near-dup and link graphs.  The Spark side
+    is the degree-ordered wedge join (Suri & Vassilvitskii, WWW'11): orient
+    edges small->large by (degree, id) so per-node out-degree is
+    O(sqrt(|E|)) and the hub-skew wedge explosion of the naive self-join
+    cannot happen; the oracle counts the same triangles declaratively with
+    an a<b<c three-way join."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 2) % n) + 1)
+    )
+    return G.triangle_counts(edges, nodes=cust)
+
+
+@register(
+    "a_corr_stats",
+    """WITH t AS (
+         SELECT l_returnflag AS rflag,
+                CAST(round(l_quantity) AS BIGINT) AS x,
+                CAST(round(l_discount * 100) AS BIGINT) AS y
+         FROM lineitem),
+       s AS (
+         SELECT rflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sum_x,
+                CAST(SUM(y) AS BIGINT) AS sum_y,
+                CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+                CAST(SUM(x * y) AS BIGINT) AS sum_xy
+         FROM t GROUP BY rflag)
+       SELECT rflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+              CAST(n * sum_xy - sum_x * sum_y AS DOUBLE) /
+                sqrt(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE) *
+                     CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)) AS corr_xy
+       FROM s""",
+)
+def a_corr_stats_q(spark, sf):
+    """Distributed Pearson CORRELATION via exact integer sufficient
+    statistics: per group, ONE map-side-combined aggregate ships six
+    bigints (n, Σx, Σy, Σx², Σy², Σxy) — the mergeable-statistic shape that
+    pre-aggregates at the executor and composes across partitions/days,
+    unlike a naive two-pass mean-then-deviation formulation.  The
+    correlation itself is derived from the integers with one FIXED double
+    op sequence, bit-identical across engines.  int64 headroom: per-group
+    n·Σxy ≤ n²·x_max·y_max — safe to ~10⁸ rows/group at these value ranges;
+    the 100 TB variant casts the moment products to DECIMAL(38,0)."""
+    li = load_table(spark, sf, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_discount") * 100).cast("bigint")
+    s = (
+        li.select(F.col("l_returnflag").alias("rflag"), x.alias("x"), y.alias("y"))
+        .groupBy("rflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+            F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
+            F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
+            F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        )
+    )
+    num = (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")).cast(
+        "double"
+    )
+    return s.select(
+        "rflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+        (num / F.sqrt(den_x * den_y)).alias("corr_xy"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -3973,7 +4154,8 @@ def graph_pagerank_q(spark, sf):
 # q4_priority_exists, a_exact_percentiles, f_variant_extract,
 # pipeline_entity_resolution, pipeline_incremental_refresh,
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
-# spatial_density, pipeline_dbscan, sample_importance, graph_pagerank
+# spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
+# ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats
 # =============================================================================
 
 _WINDOW = [
