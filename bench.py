@@ -105,6 +105,9 @@ HEADLINE = [
     "ts_gapfill",
     "graph_triangles",
     "a_corr_stats",
+    "text_bm25_topk",
+    "text_vocab_encode",
+    "j_point_in_polygon",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Unit semantics for operators/vocab.py (build/encode), search.bm25_topk,
+and spatial.point_in_convex_polygon_join — cross-engine registry parity
+(text_vocab_encode, text_bm25_topk, j_point_in_polygon) is covered by
+test_entry_correctness; these pin hand-checkable behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import search, spatial, vocab
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: bigint, text: string"
+    )
+
+
+def test_vocab_rank_order_and_ties(spark):
+    # freq desc, then token asc on ties
+    docs = _docs(spark, ["b b b a a c", "a c"])
+    v = {r["token"]: (r["token_id"], r["freq"])
+         for r in vocab.build_vocab(docs, vocab_size=10).collect()}
+    assert v == {"a": (0, 3), "b": (1, 3), "c": (2, 2)}
+
+
+def test_vocab_size_and_min_freq(spark):
+    docs = _docs(spark, ["a a b b c"])
+    v = vocab.build_vocab(docs, vocab_size=1, min_freq=2)
+    rows = v.collect()
+    assert len(rows) == 1 and rows[0]["token"] == "a"
+
+
+def test_encode_positions_and_oov(spark):
+    docs = _docs(spark, ["a b zz a"])
+    v = vocab.build_vocab(docs, vocab_size=10, min_freq=2)  # only 'a' qualifies
+    enc = sorted(
+        (r["pos"], r["token_id"])
+        for r in vocab.encode_docs(docs, v).collect()
+    )
+    assert enc == [(0, 0), (1, -1), (2, -1), (3, 0)]
+
+
+def test_vocab_rejects_bad_size(spark):
+    with pytest.raises(ValueError, match="vocab_size"):
+        vocab.build_vocab(_docs(spark, ["a"]), vocab_size=0)
+
+
+def test_bm25_length_normalization(spark):
+    # same tf for 'x' in a short and a long doc: the short doc must score
+    # higher under b=0.75 (tfidf would tie them)
+    docs = _docs(spark, ["x y", "x " + "filler " * 50])
+    out = {r["doc_id"]: r["score"]
+           for r in search.bm25_topk(docs, ["x"], k=10).collect()}
+    assert out[0] > out[1]
+
+
+def test_bm25_saturation(spark):
+    # 10x the tf must yield far less than 10x the score (k1 saturation)
+    docs = _docs(spark, ["x a a a", "x x x x x x x x x x a a a a a a"])
+    out = {r["doc_id"]: r["score"]
+           for r in search.bm25_topk(docs, ["x"], k=10).collect()}
+    assert out[1] < 4 * out[0]
+
+
+def test_bm25_rank_and_k(spark):
+    docs = _docs(spark, ["q q q", "q q pad pad", "q pad pad pad", "pad"])
+    rows = search.bm25_topk(docs, ["q"], k=2).collect()
+    assert len(rows) == 2
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [0, 1]
+
+
+def _pts(spark, pts):
+    return spark.createDataFrame(pts, "id: bigint, x: bigint, y: bigint")
+
+
+_SQUARE = [(10, [(0, 0), (10, 0), (10, 10), (0, 10)])]
+
+
+def test_pip_inside_outside_boundary(spark):
+    pts = _pts(spark, [(1, 5, 5), (2, 15, 5), (3, 10, 5), (4, 0, 0)])
+    got = {(r["id"], r["polygon_id"])
+           for r in spatial.point_in_convex_polygon_join(pts, _SQUARE).collect()}
+    # interior, boundary edge, and vertex are inside; exterior is not
+    assert got == {(1, 10), (3, 10), (4, 10)}
+
+
+def test_pip_overlapping_zones(spark):
+    zones = _SQUARE + [(20, [(5, 0), (15, 0), (15, 10), (5, 10)])]
+    pts = _pts(spark, [(1, 7, 5)])
+    got = sorted(
+        r["polygon_id"]
+        for r in spatial.point_in_convex_polygon_join(pts, zones).collect()
+    )
+    assert got == [10, 20]
+
+
+def test_pip_rejects_degenerate(spark):
+    pts = _pts(spark, [(1, 0, 0)])
+    with pytest.raises(ValueError, match="vertices"):
+        spatial.point_in_convex_polygon_join(pts, [(1, [(0, 0), (1, 1)])])
+    with pytest.raises(ValueError, match="non-empty"):
+        spatial.point_in_convex_polygon_join(pts, [])

@@ -210,3 +210,76 @@ def phrase_search_indexed(
         .filter(F.col("term").isin(phrase))
     )
     return _chain_phrase(postings, phrase, id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term top-``k`` documents under BM25 — TF-IDF's production
+    successor: term-frequency saturation (k1) plus document-length
+    normalization (b), so a term repeated 50 times in a short doc stops
+    outranking genuinely relevant long docs.
+
+    Same plan shape as :func:`tfidf_topk` — postings pre-filtered to the
+    query terms BEFORE exploding (O(matches), never O(corpus)), df/N/avgdl
+    broadcast, one small (term, doc) shuffle, per-term top-k window.  The
+    extra ingredient, per-doc token length, is a row-local ``size()`` on
+    the scan.
+
+    Determinism: the idf factor is the raw ratio N/df (same rationale as
+    tfidf_topk — ``ln`` is not correctly rounded across math libraries, a
+    ratio is, and the ranking is order-isomorphic for fixed N); the
+    saturation term is the FIXED IEEE op sequence
+    ``(tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))`` with
+    ``avgdl = total_tokens/N`` — reproducible bit-for-bit in any engine
+    that evaluates the same expression tree.  Returns (term, id_col, tf,
+    dl, df, score, rank)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("_m"),
+        F.size(toks).cast("bigint").alias("dl"),
+    )
+    lens = base.agg(
+        F.sum("dl").alias("_tot"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "n", (F.col("_tot").cast("double") / F.col("n")).alias("avgdl")
+    )
+    postings = base.select(id_col, "dl", F.explode("_m").alias("term"))
+    tf = postings.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sat = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(lens))
+        .select(
+            "term",
+            id_col,
+            "tf",
+            "dl",
+            "df",
+            (sat * (F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

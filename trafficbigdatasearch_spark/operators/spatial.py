@@ -183,3 +183,62 @@ def radius_join_counts(
         F.col("_id").alias(id_col),
         F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
     )
+
+
+def point_in_convex_polygon_join(
+    points: DataFrame,
+    polygons: list[tuple[int, list[tuple[int, int]]]],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Assign each point to the convex polygons containing it — the
+    zone/geofence join (accident -> district, station -> coverage area)
+    the bbox predicate cannot express for non-rectangular regions.
+
+    ``polygons`` is a small driver-side list of (polygon_id, vertices)
+    with INTEGER vertices in counter-clockwise order — the dimension-table
+    side of a geofence join (hundreds of zones, not data-scale), compiled
+    into literal column expressions.  Containment is the standard
+    half-plane test: p is inside iff for every CCW edge (a, b) the cross
+    product (b-a) x (p-a) is >= 0 (boundary inclusive).  All-integer
+    arithmetic -> exact, no epsilon.
+
+    Scale shape: ZERO shuffle — each polygon's test is a row-local boolean
+    over the scan (whole-stage codegen), and the result is one row per
+    (point, containing polygon) via an array of matched ids exploded
+    inline.  With P polygons of ~V vertices the per-row cost is O(P·V)
+    multiplications; for P beyond a few thousand, pre-filter with a grid
+    join on polygon bounding boxes (radius_pairs' cell machinery) first.
+    Points in no polygon are dropped (inner-join semantics).
+    """
+    if not polygons:
+        raise ValueError("polygons must be non-empty")
+    px, py = F.col(x_col), F.col(y_col)
+
+    def _inside(verts: list[tuple[int, int]]):
+        if len(verts) < 3:
+            raise ValueError("polygon needs >= 3 vertices")
+        tests = []
+        for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1]):
+            cross = (F.lit(bx - ax) * (py - F.lit(ay))
+                     - F.lit(by - ay) * (px - F.lit(ax)))
+            tests.append(cross >= 0)
+        acc = tests[0]
+        for t in tests[1:]:
+            acc = acc & t
+        return acc
+
+    matched = F.array_compact(
+        F.array(
+            *[
+                F.when(_inside(verts), F.lit(pid).cast("bigint"))
+                for pid, verts in polygons
+            ]
+        )
+    )
+    return (
+        points.select(F.col(id_col), px.alias("_x"), py.alias("_y"),
+                      matched.alias("_m"))
+        .select(id_col, F.explode("_m").alias("polygon_id"))
+    )

@@ -1,0 +1,102 @@
+"""Vocabulary construction and corpus encoding — the tokenizer-prep stage
+of a training-data pipeline: build a frequency-ranked token vocabulary over
+the corpus, then encode every document as (position, token_id) against it.
+
+The reference has no text surface (its tokenization is CSV field splitting,
+src/OverSpeedCount.scala:24-31); this is beyond-parity LLM-pipeline
+machinery, sharing the whitespace-token convention of functions/text.py so
+vocab counts, TF-IDF postings, and dedup shingles all agree on what a
+"token" is.
+
+Scale posture (100 TB):
+
+- ``build_vocab`` is one explode + one map-side-combined count + a
+  distributed top-V (``orderBy().limit()`` = TakeOrdered: per-partition
+  heaps, only V rows ever reach the driver-side merge).  The final dense
+  id assignment is a row_number over the V surviving rows ONLY — a
+  bounded, kilobyte-scale window (V = 32k ids is ~1 MB), never a global
+  sort of the corpus.
+- ``encode_docs`` broadcasts the vocabulary (V rows) and joins it against
+  the exploded (doc, pos, token) stream — map-side hash join, zero
+  shuffle on the corpus side; out-of-vocabulary tokens map to ``unk_id``
+  so positions are preserved for downstream sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.functions import text as T
+
+
+def build_vocab(
+    docs: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> DataFrame:
+    """Top-``vocab_size`` lowercased whitespace tokens by corpus frequency.
+
+    Returns (token, token_id, freq): ids are dense 0..V-1 in (freq DESC,
+    token ASC) order — the deterministic tie-break makes the vocabulary a
+    total function of the corpus (retry/partitioning-stable).
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    counts = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    # V rows only: the single-partition window is bounded by vocab_size,
+    # not by the corpus
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        "freq",
+    )
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocabulary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Corpus -> (doc_id, pos, token_id) stream against ``vocabulary``.
+
+    ``pos`` is the 0-based token position; tokens outside the vocabulary
+    encode as ``unk_id`` (positions are never dropped, so sequence lengths
+    survive for packing).  The vocabulary is broadcast — the corpus-side
+    stream never shuffles.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.join(F.broadcast(vocabulary.select("token", "token_id")),
+                  "token", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.coalesce(F.col("token_id"), F.lit(unk_id).cast("bigint")).alias(
+                "token_id"
+            ),
+        )
+    )

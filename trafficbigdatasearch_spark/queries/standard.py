@@ -4087,6 +4087,134 @@ def a_corr_stats_q(spark, sf):
     )
 
 
+@register(
+    "text_bm25_topk",
+    f"""WITH d AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                 FROM dd),
+       p AS (SELECT doc_id, dl, unnest(t) AS term FROM dd),
+       tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                     CAST(min(dl) AS BIGINT) AS dl
+              FROM p WHERE term IN ('join', 'merge', 'query')
+              GROUP BY term, doc_id),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       s AS (SELECT term, doc_id, tf, dl, df,
+                    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                      (tf + CAST(1.2 AS DOUBLE) *
+                        ((1 - CAST(0.75 AS DOUBLE)) +
+                         CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+                      (n / df) AS score
+             FROM tf JOIN dfq USING (term), stats)
+       SELECT term, doc_id, tf, dl, df, score,
+              CAST(row_number() OVER (PARTITION BY term
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def text_bm25_topk_q(spark, sf):
+    """BM25 ranking (operators/search.py::bm25_topk) — TF-IDF's production
+    successor: saturation (k1=1.2) caps keyword-stuffed term counts,
+    length normalization (b=0.75) stops short docs free-riding.  Same
+    O(matches) plan as tfidf_topk (pre-filtered postings, broadcast
+    df/N/avgdl, one (term, doc) shuffle + per-term top-k window); the one
+    new input, per-doc token length, is a row-local size() on the scan.
+    Raw-ratio idf keeps the score a fixed IEEE op sequence — oracle-
+    hashable to the last bit."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, sf, "documents")
+    return search.bm25_topk(docs, ["join", "merge", "query"], k=10)
+
+
+@register(
+    "text_vocab_encode",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(t) AS term FROM toks)
+               WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
+       vocab AS (SELECT term,
+                        CAST(row_number() OVER (ORDER BY freq DESC, term)
+                             - 1 AS BIGINT) AS token_id
+                 FROM cnt QUALIFY token_id <= 499),
+       pos AS (SELECT doc_id, unnest(t) AS term,
+                      generate_subscripts(t, 1) - 1 AS pos
+               FROM toks WHERE doc_id % 20 = 0)
+       SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+              COALESCE(v.token_id, -1) AS token_id
+       FROM pos p LEFT JOIN vocab v USING (term)
+       WHERE p.term <> ''""",
+)
+def text_vocab_encode_q(spark, sf):
+    """Tokenizer-prep VOCABULARY build + corpus ENCODE (operators/
+    vocab.py): frequency-ranked top-500 token vocabulary (min_freq=2,
+    deterministic (freq DESC, token ASC) ids) over the WHOLE corpus, then
+    a 1-in-20 doc slice encoded as a (doc_id, pos, token_id) stream with
+    OOV as -1 — the id-ification step between raw text and sequence
+    packing (pack_sequences consumes exactly these lengths).  Vocab build
+    = one count + distributed TakeOrdered top-V; the dense-id window runs
+    over the V surviving rows only; encode broadcasts the vocabulary so
+    the corpus stream never shuffles."""
+    from trafficbigdatasearch_spark.operators import vocab as VB
+
+    docs = load_table(spark, sf, "documents")
+    v = VB.build_vocab(docs, vocab_size=500, min_freq=2)
+    sliced = docs.filter(F.col("doc_id") % 20 == 0)
+    return VB.encode_docs(sliced, v)
+
+
+#: Convex CCW districts on the same deterministic (x, y) in [0, 1000)²
+#: lattice as the spatial_density points — a triangle, a square, and a
+#: pentagon, overlapping so some points land in two zones.
+_ZONES = [
+    (1, [(0, 0), (500, 0), (250, 450)]),
+    (2, [(300, 200), (800, 200), (800, 700), (300, 700)]),
+    (3, [(550, 500), (950, 550), (990, 900), (700, 990), (500, 800)]),
+]
+
+
+def _zone_edges_sql() -> str:
+    rows = []
+    for pid, verts in _ZONES:
+        for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1]):
+            rows.append(f"({pid}, {ax}, {ay}, {bx}, {by})")
+    return ", ".join(rows)
+
+
+@register(
+    "j_point_in_polygon",
+    f"""WITH pts AS (SELECT c_custkey AS id,
+                            ((c_custkey * 48271) % 99991) % 1000 AS x,
+                            ((c_custkey * 16807) % 104729) % 1000 AS y
+                     FROM customer),
+       edges(pid, ax, ay, bx, by) AS (VALUES {_zone_edges_sql()}),
+       tests AS (
+         SELECT p.id, e.pid,
+                (e.bx - e.ax) * (p.y - e.ay)
+                  - (e.by - e.ay) * (p.x - e.ax) >= 0 AS inside_edge
+         FROM pts p CROSS JOIN edges e)
+       SELECT id, CAST(pid AS BIGINT) AS polygon_id
+       FROM tests GROUP BY id, pid HAVING bool_and(inside_edge)""",
+)
+def j_point_in_polygon_q(spark, sf):
+    """Point-in-convex-polygon GEOFENCE join (operators/spatial.py::
+    point_in_convex_polygon_join): three literal CCW districts
+    (triangle/square/pentagon, deliberately overlapping) against the
+    deterministic customer lattice — the zone-assignment join the bbox
+    predicate cannot express.  All-integer half-plane tests compiled to
+    row-local codegen expressions: ZERO shuffle, the polygon "dim side"
+    rides in the instruction stream.  The oracle factors the same edges
+    into a VALUES table and bool_and's the half-plane tests."""
+    from trafficbigdatasearch_spark.operators import spatial
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
+        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
+    )
+    return spatial.point_in_convex_polygon_join(pts, _ZONES)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -4155,7 +4283,8 @@ def a_corr_stats_q(spark, sf):
 # pipeline_entity_resolution, pipeline_incremental_refresh,
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
 # spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
-# ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats
+# ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats,
+# text_bm25_topk, text_vocab_encode, j_point_in_polygon
 # =============================================================================
 
 _WINDOW = [
