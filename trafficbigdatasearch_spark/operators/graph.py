@@ -325,22 +325,28 @@ def triangle_counts(
     canon = e.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).distinct()
-    sym = canon.union(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # orient by (deg, id): rank = deg * 2^31 + id gives one bigint total
-    # order (ids < 2^31 here; the 100 TB variant pairs the columns)
-    ranked = (
-        sym.join(deg.withColumnRenamed("u", "_n").withColumnRenamed("deg", "_du"),
-                 F.col("u") == F.col("_n"))
-        .join(deg.withColumnRenamed("u", "_m").withColumnRenamed("deg", "_dv"),
-              F.col("v") == F.col("_m"))
-        .select(
-            "u", "v",
-            (F.col("_du") * F.lit(1 << 31) + F.col("u")).alias("ru"),
-            (F.col("_dv") * F.lit(1 << 31) + F.col("v")).alias("rv"),
-        )
+    # canon is consumed by the degree count, BOTH orientation joins, and
+    # the closing-edge join — checkpoint the deduped edge set once
+    canon = canon.localCheckpoint(eager=False)
+    ends = canon.select(F.col("u").alias("n")).union(
+        canon.select(F.col("v").alias("n"))
     )
-    oriented = ranked.filter(F.col("ru") < F.col("rv")).select("u", "v")
+    # orient by (deg, id): rank = deg * 2^31 + id gives one bigint total
+    # order (ids < 2^31 here; the 100 TB variant pairs the columns); the
+    # joins run over the E-row canonical set, not the 2E symmetrized one
+    rank = (
+        ends.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .select("n", (F.col("_d") * F.lit(1 << 31) + F.col("n")).alias("rnk"))
+    )
+    ranked = (
+        canon.join(rank.select(F.col("n").alias("u"), F.col("rnk").alias("ru")), "u")
+        .join(rank.select(F.col("n").alias("v"), F.col("rnk").alias("rv")), "v")
+    )
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("v"),
+    )
     o1 = oriented.select(F.col("u").alias("w"), F.col("v").alias("a"))
     o2 = oriented.select(F.col("u").alias("w"), F.col("v").alias("b"))
     wedges = o1.join(o2, "w").filter(F.col("a") < F.col("b"))
@@ -357,7 +363,7 @@ def triangle_counts(
     base = (
         nodes.select(F.col(id_col).cast("bigint").alias("id")).distinct()
         if nodes is not None
-        else sym.select(F.col("u").alias("id")).distinct()
+        else ends.select(F.col("n").alias("id")).distinct()
     )
     return base.join(counts, "id", "left").select(
         "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")

@@ -130,12 +130,21 @@ def dbscan(
     from trafficbigdatasearch_spark.operators import graph as G
 
     p = points.select(F.col(id_col).cast("bigint").alias("id"), x_col, y_col)
-    pairs = radius_pairs(points, id_col, x_col, y_col, radius)
+    # the grid join feeds FIVE downstream consumers (counts, core filter,
+    # core-core subset, the CC loop via it, and border attachment) —
+    # checkpoint it once (lazily: materialized by the first job, block
+    # storage after) instead of re-running the explode+join per consumer
+    pairs = radius_pairs(points, id_col, x_col, y_col, radius).localCheckpoint(
+        eager=False
+    )
     sides = pairs.select(F.col("id_a").alias("id")).union(
         pairs.select(F.col("id_b").alias("id"))
     )
     counts = sides.groupBy("id").agg(F.count("*").alias("n"))
-    core = counts.filter(F.col("n") >= min_pts).select("id")
+    # core is probed by three semi/anti joins below — reuse, don't re-agg
+    core = (
+        counts.filter(F.col("n") >= min_pts).select("id").localCheckpoint(eager=False)
+    )
 
     core_pairs = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
