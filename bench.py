@@ -108,6 +108,8 @@ HEADLINE = [
     "text_bm25_topk",
     "text_vocab_encode",
     "j_point_in_polygon",
+    "ts_interpolate",
+    "q19_disjunctive_join",
 ]
 
 

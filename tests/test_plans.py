@@ -197,3 +197,24 @@ def test_exists_subquery_decorrelates_to_semi_join(spark):
     assert "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_factored_to_both_scans(spark):
+    """TPC-H Q19 shape: Catalyst must extract the side-local implications
+    of the OR-of-ANDs join predicate and push them into BOTH parquet
+    scans (the reference's union-of-joins workaround becomes one join)."""
+    df = standard.queries()["q19_disjunctive_join"](spark, SF)
+    pushed = " ".join(X.pushed_filters(df))
+    assert "l_quantity" in pushed, pushed     # lineitem-side OR ranges
+    assert "p_brand" in pushed, pushed        # part-side OR clauses
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+    assert not X.has_nested_loop_join(df)
+
+
+def test_gapfill_single_window_sort(spark):
+    """ts_interpolate's behind/ahead frames share one (key, bucket) sort:
+    the plan must contain exactly ONE exchange for the window stage plus
+    the aggregate exchanges — no per-frame re-sort shuffle."""
+    df = standard.queries()["ts_interpolate"](spark, SF)
+    # closes agg + spine agg + window partitioning: 3 hash exchanges max
+    assert X.exchange_count(df) <= 3, X.formatted_plan(df)

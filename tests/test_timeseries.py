@@ -118,3 +118,28 @@ def test_triangles_hub_star_has_none(spark):
     )
     out = graph.triangle_counts(e)
     assert out.filter(F.col("n_triangles") > 0).count() == 0
+
+
+def test_interpolate_linear_midpoints(spark):
+    # 09:00 -> 3.0, 12:00 -> 9.0: gaps at 10:00/11:00 interpolate to 5, 7
+    df = _ev(spark, [(1, _t(9, 0), 3.0, 1), (1, _t(12, 0), 9.0, 2)])
+    rows = {
+        r["bucket"].hour: (r["value"], r["is_observed"])
+        for r in timeseries.gapfill_interpolate(df, "k", "ts", "v", "id").collect()
+    }
+    assert rows == {9: (3.0, 1), 10: (5.0, 0), 11: (7.0, 0), 12: (9.0, 1)}
+
+
+def test_interpolate_observed_passthrough_and_tail(spark):
+    # observed buckets keep their close untouched; interpolation uses the
+    # BUCKET time (not the raw event ts) so the 09:30 observation anchors
+    # at 09:00
+    df = _ev(
+        spark,
+        [(1, _t(9, 30), 4.0, 1), (1, _t(11, 0), 8.0, 2), (1, _t(11, 30), 6.0, 3)],
+    )
+    rows = {
+        r["bucket"].hour: r["value"]
+        for r in timeseries.gapfill_interpolate(df, "k", "ts", "v", "id").collect()
+    }
+    assert rows == {9: 4.0, 10: 5.0, 11: 6.0}

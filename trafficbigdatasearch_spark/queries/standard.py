@@ -4215,6 +4215,110 @@ def j_point_in_polygon_q(spark, sf):
     return spatial.point_in_convex_polygon_join(pts, _ZONES)
 
 
+@register(
+    "ts_interpolate",
+    """WITH closes AS (
+         SELECT user_id, date_trunc('hour', ts) AS bucket,
+                arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS _close
+         FROM events GROUP BY user_id, date_trunc('hour', ts)),
+       spine AS (
+         SELECT user_id,
+                unnest(generate_series(min(bucket), max(bucket),
+                                       INTERVAL 1 HOUR)) AS bucket
+         FROM closes GROUP BY user_id),
+       j AS (SELECT s.user_id, s.bucket, c._close
+             FROM spine s LEFT JOIN closes c
+               ON c.user_id = s.user_id AND c.bucket = s.bucket),
+       w AS (SELECT user_id, bucket, _close,
+               last_value(_close IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+               last_value(CASE WHEN _close IS NOT NULL
+                               THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+               first_value(_close IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+               first_value(CASE WHEN _close IS NOT NULL
+                                THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+             FROM j)
+       SELECT user_id, bucket,
+              CASE WHEN _close IS NOT NULL THEN _close
+                   WHEN t1 IS NULL THEN v0
+                   ELSE v0 + (v1 - v0) *
+                        ((epoch_ms(bucket) - t0) / (t1 - t0)) END AS value,
+              CAST(CASE WHEN _close IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                AS is_observed
+       FROM w""",
+)
+def ts_interpolate_q(spark, sf):
+    """LINEAR-interpolated gap-fill (operators/timeseries.py::
+    gapfill_interpolate) — the continuous-signal completion where ffill's
+    step function is wrong.  Bracketing observations come from two window
+    passes (last/first ignorenulls) over ONE (key, bucket) sort that
+    Catalyst plans with a single exchange; the interpolation itself is a
+    fixed IEEE op sequence over epoch-millis bigints, hash-identical
+    across engines.  Same two-shuffles-per-key cost as ts_gapfill."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    return TS.gapfill_interpolate(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", bucket="hour",
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 21)
+          OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 30
+              AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 45
+              AND l_quantity BETWEEN 20 AND 40)""",
+)
+def q19_disjunctive_join_q(spark, sf):
+    """TPC-H Q19's shape — a join whose predicate is an OR of conjunctive
+    clauses spanning BOTH sides.  The Catalyst showcase: the optimizer
+    factors side-local implications of the disjunction out of the join
+    condition (every branch constrains p_brand/p_size and l_quantity), so
+    both scans are pre-filtered BEFORE the equi join on partkey and the
+    residual OR runs on the survivors — the reference's J3 workaround
+    (union of per-branch joins, src/AverageSpeed.scala:139-160) is what
+    this replaces with ONE join.  Exact cent arithmetic for the revenue
+    sum."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    clause = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 45)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return j.filter(clause).agg(
+        (F.sum(rev_cents).cast("double") / 100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -4284,7 +4388,8 @@ def j_point_in_polygon_q(spark, sf):
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
 # spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
 # ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats,
-# text_bm25_topk, text_vocab_encode, j_point_in_polygon
+# text_bm25_topk, text_vocab_encode, j_point_in_polygon, ts_interpolate,
+# q19_disjunctive_join
 # =============================================================================
 
 _WINDOW = [
