@@ -110,6 +110,7 @@ HEADLINE = [
     "j_point_in_polygon",
     "ts_interpolate",
     "q19_disjunctive_join",
+    "dedup_keep_best",
 ]
 
 

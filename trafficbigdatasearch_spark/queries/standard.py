@@ -4319,6 +4319,75 @@ def q19_disjunctive_join_q(spark, sf):
     )
 
 
+@register(
+    "dedup_keep_best",
+    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id),
+       allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       q AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS quality
+             FROM documents),
+       best AS (SELECT component,
+                       arg_max(a.doc_id, quality * 2147483648 - a.doc_id)
+                         AS keep_id
+                FROM allc a JOIN q USING (doc_id) GROUP BY component)
+       SELECT a.doc_id, CAST(a.component AS BIGINT) AS component,
+              CAST(b.keep_id AS BIGINT) AS keep_id,
+              CAST(CASE WHEN a.doc_id = b.keep_id THEN 1 ELSE 0 END AS INTEGER)
+                AS is_keeper
+       FROM allc a JOIN best b USING (component)""",
+)
+def dedup_keep_best_q(spark, sf):
+    """Quality-aware near-dup survivor selection — the CURATION refinement
+    of dedup_clusters: instead of the min-id convention, each cluster keeps
+    its highest-QUALITY member (token count here; any scalar score plugs
+    in), ties to the smaller id via one composite max_by ordering key —
+    still a total function of the corpus, no scan-order dependence.
+    Isolated docs form singleton clusters and keep themselves.  Cost over
+    dedup_clusters: one broadcast-size quality join + one map-side-combined
+    arg-max per component — the keep-the-best policy every production
+    dedup actually wants (drop the boilerplate copy, keep the full
+    article)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
+    cc = graph.connected_components(pairs)
+    quality = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("quality")
+    )
+    allc = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    best = (
+        allc.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.col("quality") * F.lit(1 << 31) - F.col("doc_id"),
+            ).alias("keep_id")
+        )
+    )
+    return allc.join(best, "component").select(
+        "doc_id",
+        "component",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).cast("int").alias("is_keeper"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -4389,7 +4458,7 @@ def q19_disjunctive_join_q(spark, sf):
 # spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
 # ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats,
 # text_bm25_topk, text_vocab_encode, j_point_in_polygon, ts_interpolate,
-# q19_disjunctive_join
+# q19_disjunctive_join, dedup_keep_best
 # =============================================================================
 
 _WINDOW = [
