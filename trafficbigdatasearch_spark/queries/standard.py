@@ -4393,12 +4393,13 @@ def dedup_keep_best_q(spark, sf):
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
 # positions 1-50).  _WINDOW is the explicit first-50 roster.
 #
-# ROTATION POLICY (adopted round 4, per VERDICT r3 #2):
-#   - ~37 STABLE slots: one flagship per capability family — the most
+# ROTATION POLICY (adopted round 4, per VERDICT r3 #2; stable/rotating
+# split is ~23/27 this round — new-capability pressure was high):
+#   - STABLE slots: one flagship per capability family — the most
 #     substantive, least-redundant representative (preferring compositions
 #     that exercise their siblings' machinery).  These stay put so every
 #     round re-verifies the load-bearing paths.
-#   - ~13 ROTATING slots: cycle the long tail so every registered query gets
+#   - ROTATING slots: cycle the long tail so every registered query gets
 #     a driver row at least once and no row's last driver verification ages
 #     more than ~2 rounds.  New queries enter through rotating slots in
 #     their first round, then promote to stable (displacing a sibling) or
@@ -4449,6 +4450,23 @@ def dedup_keep_best_q(spark, sf):
 #       a_pivot_event_types  -> a_grouping_sets (same Expand reshape family)
 #       sim_kmeans_refine    -> the training chain runs inside in-window
 #                               sim_pq_trained_topk
+#   out (third batch, late-r4: this session's 8 new capability classes
+#        enter in their first round per policy; each slot freed was GREEN
+#        in CORRECTNESS_r03 and keeps an in-window sibling)
+#       j2_interval_join     -> interval machinery held by j_range_keyless +
+#                               j_skew_salted's band residual
+#       j_semi_anti          -> semi/anti joins inside decontaminate (semi)
+#                               + dedup pipelines (anti)
+#       a_rollup_reagg       -> a_grouping_sets (same Expand/rollup family)
+#       dedup_simhash_pairs  -> mm_phash_pairs rides the same shared
+#                               banded-Hamming engine
+#       sim_lsh_buckets      -> LSH banding inside dedup_incremental;
+#                               ANN held by sim_ivf_indexed + PQ rows
+#       sample_mixture       -> md5 membership held by sample_stratified +
+#                               sample_split_leakage_free
+#       q5_local_supplier    -> TPC-H join family held by q3 + q19 (new)
+#       a_funnel_steps       -> event-sequence machinery beside
+#                               stream_attribution + a_cohort_retention
 #
 # ROUND-5 ROTATION QUEUE (registered after this round's window was frozen;
 # first driver rows next round): stream_partial_maintenance,
@@ -4456,35 +4474,28 @@ def dedup_keep_best_q(spark, sf):
 # pipeline_entity_resolution, pipeline_incremental_refresh,
 # j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
 # spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
-# ts_resample_ohlc, ts_gapfill, graph_triangles, a_corr_stats,
-# text_bm25_topk, text_vocab_encode, j_point_in_polygon, ts_interpolate,
-# q19_disjunctive_join, dedup_keep_best
+# ts_resample_ohlc, ts_gapfill (this session's other additions —
+# ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
+# text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
+# dedup_keep_best — entered the r4 window directly, third rotation batch)
 # =============================================================================
 
 _WINDOW = [
-    # --- stable flagship slots (31) --------------------------------------
+    # --- stable flagship slots (23) --------------------------------------
     "p_bbox_filter",
-    "j2_interval_join",
-    "j_semi_anti",
     "j_asof",
-    "a_rollup_reagg",
     "w_sessionize",
-    "dedup_simhash_pairs",
     "dedup_clusters",
     "pipeline_dedup_corpus",
     "dedup_incremental",
     "text_lang_id",
-    "sim_lsh_buckets",
     "sim_embedding_near_dup",
     "sim_ivf_indexed",
     "sim_pq_adc_topk",
     "mm_phash_pairs",
     "q3_shipping_priority",
-    "q5_local_supplier",
-    "sample_mixture",
     "text_chunk_docs",
     "decontaminate",
-    "a_funnel_steps",
     "a_cohort_retention",
     "text_tfidf_topk",
     "text_phrase_indexed",
@@ -4494,6 +4505,15 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
+    # --- rotating slots: this session's 8 new capability classes ----------
+    "ts_interpolate",
+    "graph_triangles",
+    "a_corr_stats",
+    "text_bm25_topk",
+    "text_vocab_encode",
+    "j_point_in_polygon",
+    "q19_disjunctive_join",
+    "dedup_keep_best",
     # --- rotating slots, round 4 (19) ------------------------------------
     "a_grouping_sets",
     "w_quality_deciles",
