@@ -111,6 +111,7 @@ HEADLINE = [
     "ts_interpolate",
     "q19_disjunctive_join",
     "dedup_keep_best",
+    "stream_ohlc",
 ]
 
 

@@ -4388,6 +4388,51 @@ def dedup_keep_best_q(spark, sf):
     )
 
 
+@register(
+    "stream_ohlc",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+              user_id,
+              arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+              CAST(count(*) AS BIGINT) AS volume
+       FROM events GROUP BY 1, 2""",
+)
+def stream_ohlc_q(spark, sf):
+    """STREAMING OHLC — ts_resample_ohlc's continuous twin: the same
+    min_by/max_by-over-composite-key aggregate as a watermarkable windowed
+    STREAMING aggregation (micro-batch planner + state store + sink
+    commit), drained from a bounded file stream in complete mode so the
+    batch SQL oracle applies hash-exactly (the stream_events_hourly
+    verification shape).  This pins that ordered-argmin/argmax state —
+    the continuous-rollup core of a live tick/sensor hypertable — survives
+    the streaming aggregate path, not just the batch one.  At scale the
+    identical plan runs unbounded with a watermark + append sink."""
+    src = _stream_events_source(spark, sf)
+    ord_key = F.unix_millis(F.col("ts")) * F.lit(1_000_000) + F.col("event_id")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.min_by(F.col("value"), ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ord_key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+    return _drain_to_memory(agg, "stream_ohlc")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -4477,7 +4522,8 @@ def dedup_keep_best_q(spark, sf):
 # ts_resample_ohlc, ts_gapfill (this session's other additions —
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
-# dedup_keep_best — entered the r4 window directly, third rotation batch)
+# dedup_keep_best — entered the r4 window directly, third rotation batch);
+# stream_ohlc
 # =============================================================================
 
 _WINDOW = [
