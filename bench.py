@@ -112,6 +112,7 @@ HEADLINE = [
     "q19_disjunctive_join",
     "dedup_keep_best",
     "stream_ohlc",
+    "a_anomaly_mad",
 ]
 
 

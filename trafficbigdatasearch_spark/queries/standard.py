@@ -4433,6 +4433,66 @@ def stream_ohlc_q(spark, sf):
     return _drain_to_memory(agg, "stream_ohlc")
 
 
+@register(
+    "a_anomaly_mad",
+    """WITH c AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+       med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+               FROM c GROUP BY event_type),
+       dev AS (SELECT c.event_type, c.cents, med.med,
+                      abs(c.cents - med.med) AS d
+               FROM c JOIN med USING (event_type)),
+       mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+               FROM dev GROUP BY event_type)
+       SELECT dev.event_type,
+              CAST(max(dev.med) AS DOUBLE) AS med_cents,
+              CAST(max(mad.mad) AS DOUBLE) AS mad_cents,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM dev JOIN mad ON mad.event_type = dev.event_type
+       GROUP BY dev.event_type""",
+)
+def a_anomaly_mad_q(spark, sf):
+    """ROBUST anomaly detection via median absolute deviation — the
+    outlier-resistant twin of a_anomaly_zscore (one extreme value drags a
+    mean/stddev gate; it cannot drag the median).  Composition of the
+    exact-percentile machinery: per-group median (one grouped sort-agg),
+    BROADCAST the K group medians back (no row explosion — the fact
+    stream is touched twice, shuffled on the same group key both times),
+    per-group MAD (second percentile pass), then a 3-MAD outlier count.
+    All arithmetic over integer cents with the same lo+(hi-lo)*frac
+    interpolation both engines apply — bit-identical doubles.  At 100 TB
+    this is the audit baseline for the KLL-sketch quantile gate (same
+    argument as a_exact_percentiles)."""
+    ev = load_table(spark, sf, "events")
+    c = ev.select("event_type", _cents(F.col("value")).alias("cents"))
+    med = c.groupBy("event_type").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -4523,7 +4583,7 @@ def stream_ohlc_q(spark, sf):
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
 # dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc
+# stream_ohlc, a_anomaly_mad
 # =============================================================================
 
 _WINDOW = [
