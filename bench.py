@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_keep_best",
     "stream_ohlc",
     "a_anomaly_mad",
+    "graph_kcore",
 ]
 
 

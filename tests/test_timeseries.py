@@ -143,3 +143,33 @@ def test_interpolate_observed_passthrough_and_tail(spark):
         for r in timeseries.gapfill_interpolate(df, "k", "ts", "v", "id").collect()
     }
     assert rows == {9: 4.0, 10: 5.0, 11: 6.0}
+
+
+def test_kcore_peels_tendril_keeps_clique(spark):
+    # K4 clique (3-core) with a pendant chain: the chain must peel away
+    # within 3 rounds, the clique must survive
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    got = {r["id"]: r["in_kcore"]
+           for r in graph.kcore_membership(e, k=3, n_rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 0, 6: 0, 7: 0}
+
+
+def test_kcore_bounded_rounds_overapproximates(spark):
+    # a 6-chain with k=2 peels one end-node per round from each side;
+    # 1 round leaves the middle over-approximation, 3 rounds empties it
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "u: bigint, v: bigint"
+    )
+    one = graph.kcore_membership(e, k=2, n_rounds=1)
+    assert one.filter(F.col("in_kcore") == 1).count() == 4  # nodes 2,3,4,5
+    three = graph.kcore_membership(e, k=2, n_rounds=3)
+    assert three.filter(F.col("in_kcore") == 1).count() == 0
+
+
+def test_kcore_rejects_bad_params(spark):
+    import pytest as _pytest
+    e = spark.createDataFrame([(1, 2)], "u: bigint, v: bigint")
+    with _pytest.raises(ValueError, match="k and n_rounds"):
+        graph.kcore_membership(e, k=0, n_rounds=1)

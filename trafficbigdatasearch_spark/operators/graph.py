@@ -386,3 +386,79 @@ def dedup_clusters(
         "component",
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int,
+    nodes: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list: ``n_rounds``
+    rounds of "drop every node with degree < k, delete its edges", the
+    cohesion filter that separates dense communities from tendrils (spam
+    farms vs organic link clusters, boilerplate template families vs
+    genuinely interlinked document groups).
+
+    FIXED round count by design: the result is the n-round peel — equal to
+    the true k-core once the peel converges (each round only removes
+    nodes, so membership is monotonically shrinking and the fixpoint is
+    reached when no round removes anything), an over-approximation
+    otherwise.  Fixed rounds make the operator a pure function of
+    (edges, k, n_rounds): no driver-side convergence sync (the same
+    argument as bfs_levels/pagerank_integer), deterministic under retries,
+    and expressible as an unrolled declarative oracle.  Long chains peel
+    one layer per round — size n_rounds to the graph's expected tendril
+    depth, or run the convergence-checked variant at the cost of one
+    count() per round.
+
+    Per round: one map-side-combined degree aggregate + two semi joins on
+    the node id; lineage truncated with a lazy localCheckpoint per round.
+    Returns (id, in_kcore) over ``nodes`` (or all edge endpoints).
+    """
+    if k < 1 or n_rounds < 1:
+        raise ValueError(f"k and n_rounds must be >= 1, got k={k}, rounds={n_rounds}")
+    e = (
+        edges.select(
+            F.col(u_col).cast("bigint").alias("u"),
+            F.col(v_col).cast("bigint").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (
+        nodes.select(F.col(id_col).cast("bigint").alias("id")).distinct()
+        if nodes is not None
+        else e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    surv = None
+    for _ in range(n_rounds):
+        ends = e.select(F.col("u").alias("n")).union(
+            e.select(F.col("v").alias("n"))
+        )
+        surv = (
+            ends.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("n")
+            .localCheckpoint(eager=False)
+        )
+        e = (
+            e.join(surv.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(surv.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return base.join(
+        surv.withColumnRenamed("n", "id"), "id", "left_semi"
+    ).withColumn("in_kcore", F.lit(1).cast("int")).unionByName(
+        base.join(surv.withColumnRenamed("n", "id"), "id", "left_anti")
+        .withColumn("in_kcore", F.lit(0).cast("int"))
+    )

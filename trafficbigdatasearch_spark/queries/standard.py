@@ -3885,6 +3885,84 @@ def _pr_oracle() -> str:
     return "WITH " + ",\n       ".join(parts) + "\n       SELECT id, rank FROM r3"
 
 
+_KC_N = 1500
+_KC_K = 3
+_KC_ROUNDS = 10  # peel converges at 8 on this graph (1489-node true 3-core)
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED is load-bearing: each CTE is referenced 2-3x per round;
+    # DuckDB's default inlining would re-evaluate the whole chain per
+    # reference — exponential in round count (measured: 6 plain rounds
+    # time out, 16 materialized rounds run in 60 ms)
+    parts = [
+        f"""raw AS MATERIALIZED (
+           SELECT range AS u, (range + 1) % {_KC_N} AS v FROM range({_KC_N})
+           UNION ALL
+           SELECT range, (range + 2) % {_KC_N} FROM range({_KC_N})
+           WHERE range < 900
+           UNION ALL
+           SELECT range, (range*range + 1) % {_KC_N} FROM range({_KC_N}))""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, "
+        "greatest(u, v) AS v FROM raw WHERE u <> v)",
+        f"nodes AS (SELECT range AS id FROM range({_KC_N}))",
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM "
+            f"(SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) t{r} "
+            "GROUP BY n)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KC_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v)"
+        )
+    last = f"s{_KC_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n       ".join(parts)
+        + f"\n       SELECT nodes.id, CAST(CASE WHEN {last}.n IS NOT NULL "
+        "THEN 1 ELSE 0 END AS INTEGER) AS in_kcore "
+        f"FROM nodes LEFT JOIN {last} ON {last}.n = nodes.id"
+    )
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore_q(spark, sf):
+    """Bounded k-CORE peeling (operators/graph.py::kcore_membership): 10
+    rounds of drop-degree-below-3 over a 1500-node graph mixing a dense
+    chord band (cycle + partial chords — the surviving community) with
+    quadratic-functional tendrils (what peels away) — the cohesion filter
+    separating dense communities from tendrils (spam farms vs organic
+    clusters, template families vs genuinely interlinked docs).  The peel
+    converges at round 8 here, so the row verifies the TRUE 3-core (1489
+    in, 11 out); fixed round count keeps the operator a pure function of
+    (edges, k, rounds) — no driver convergence sync, retry-deterministic,
+    and the oracle is the same peel unrolled as materialized CTE stages.
+    Per round: one map-side-combined degree aggregate + two semi joins,
+    lineage checkpointed."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(_KC_N)
+    edges = (
+        ids.select(F.col("id").alias("u"), ((F.col("id") + 1) % _KC_N).alias("v"))
+        .union(
+            ids.filter(F.col("id") < 900).select(
+                F.col("id"), (F.col("id") + 2) % _KC_N
+            )
+        )
+        .union(
+            ids.select(F.col("id"), (F.col("id") * F.col("id") + 1) % _KC_N)
+        )
+    )
+    return G.kcore_membership(
+        edges, k=_KC_K, n_rounds=_KC_ROUNDS, nodes=ids
+    )
+
+
 @register("graph_pagerank", _pr_oracle())
 def graph_pagerank_q(spark, sf):
     """Integer-exact PageRank (operators/graph.py::pagerank_integer), 3
@@ -4583,7 +4661,7 @@ def a_anomaly_mad_q(spark, sf):
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
 # dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc, a_anomaly_mad
+# stream_ohlc, a_anomaly_mad, graph_kcore
 # =============================================================================
 
 _WINDOW = [
