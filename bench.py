@@ -114,6 +114,7 @@ HEADLINE = [
     "stream_ohlc",
     "a_anomaly_mad",
     "graph_kcore",
+    "graph_label_prop",
 ]
 
 

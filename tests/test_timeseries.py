@@ -173,3 +173,35 @@ def test_kcore_rejects_bad_params(spark):
     e = spark.createDataFrame([(1, 2)], "u: bigint, v: bigint")
     with _pytest.raises(ValueError, match="k and n_rounds"):
         graph.kcore_membership(e, k=0, n_rounds=1)
+
+
+def test_lpa_splits_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge: each triangle converges to
+    # its min label; the bridge is outvoted (2 triangle votes vs 1)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "u: bigint, v: bigint",
+    )
+    got = {r["id"]: r["community"]
+           for r in graph.label_propagation(e, n_rounds=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+
+def test_lpa_isolated_keeps_own_label(spark):
+    e = spark.createDataFrame([(1, 2)], "u: bigint, v: bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id: bigint")
+    got = {r["id"]: r["community"]
+           for r in graph.label_propagation(e, n_rounds=2, nodes=nodes).collect()}
+    assert got[9] == 9 and got[1] == 1 and got[2] == 1
+
+
+def test_lpa_deterministic_across_runs(spark):
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50)] + [
+        (i, (i + 1) % 50) for i in range(50)
+    ]
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint").repartition(7)
+    a = sorted(map(tuple, graph.label_propagation(e, n_rounds=3).collect()))
+    b = sorted(map(tuple, graph.label_propagation(e.repartition(3), n_rounds=3).collect()))
+    assert a == b

@@ -462,3 +462,65 @@ def kcore_membership(
         base.join(surv.withColumnRenamed("n", "id"), "id", "left_anti")
         .withColumn("in_kcore", F.lit(0).cast("int"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int,
+    nodes: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Deterministic label-propagation communities (LPA) over an undirected
+    edge list: every node starts as its own label; each round it adopts the
+    label occurring MOST among its neighbors, ties broken toward the
+    smaller label — the community detector that, unlike connected
+    components, splits a single connected graph into densely-linked
+    groups.
+
+    Determinism is the engineering point: textbook LPA is scan-order- and
+    tie-random, which cannot exist at 100 TB (retries and speculative
+    tasks would flap).  Here the per-node update is ONE composite argmax —
+    ``max_by(label, count * 2^31 - label)`` (counts dominate, smaller
+    label wins ties; labels < 2^31, the same packing bound as
+    triangle_counts) — and the round count is FIXED, so the result is a
+    pure function of (edges, rounds), unrollable as a declarative oracle.
+    Each node also casts ONE vote for its own current label (the
+    self-vote), which kills the two-node swap oscillation synchronous LPA
+    is notorious for and covers isolated nodes without a special case.
+
+    Per round: one hash join (labels ⋈ edges) + one (node, label) count
+    aggregate + one per-node argmax — all map-side-combinable, partitioned
+    on node ids; lazy localCheckpoint truncates lineage.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        e.select("u", "v")
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (
+        nodes.select(F.col(id_col).cast("bigint").alias("id")).distinct()
+        if nodes is not None
+        else sym.select(F.col("u").alias("id")).distinct()
+    ).localCheckpoint(eager=False)
+    labels = base.select("id", F.col("id").alias("lab"))
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "lab")
+            .unionByName(labels)
+        )
+        nb = votes.groupBy("id", "lab").agg(F.count(F.lit(1)).alias("_c"))
+        labels = nb.groupBy("id").agg(
+            F.max_by(
+                "lab", F.col("_c") * F.lit(1 << 31) - F.col("lab")
+            ).alias("lab")
+        ).localCheckpoint(eager=False)
+    return labels.select("id", F.col("lab").alias("community"))

@@ -3963,6 +3963,74 @@ def graph_kcore_q(spark, sf):
     )
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""raw AS MATERIALIZED (
+           SELECT range AS u, (range + 1) % {_KC_N} AS v FROM range({_KC_N})
+           UNION ALL
+           SELECT range, (range + 2) % {_KC_N} FROM range({_KC_N})
+           WHERE range < 900
+           UNION ALL
+           SELECT range, (range*range + 1) % {_KC_N} FROM range({_KC_N}))""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, "
+        "greatest(u, v) AS v FROM raw WHERE u <> v)",
+        "sym AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v, u FROM e0)",
+        f"nodes AS MATERIALIZED (SELECT range AS id FROM range({_KC_N}))",
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"nb{r} AS MATERIALIZED (SELECT id, lab, COUNT(*) AS c FROM "
+            f"(SELECT s.v AS id, l.lab FROM sym s JOIN l{r-1} l ON l.id = s.u "
+            f"UNION ALL SELECT id, lab FROM l{r-1}) t{r} "
+            "GROUP BY id, lab)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT id, "
+            f"arg_max(lab, c * 2147483648 - lab) AS lab "
+            f"FROM nb{r} GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n       ".join(parts)
+        + f"\n       SELECT id, lab AS community FROM l{_LPA_ROUNDS}"
+    )
+
+
+@register("graph_label_prop", _lpa_oracle())
+def graph_label_prop_q(spark, sf):
+    """Deterministic label-propagation COMMUNITIES (operators/graph.py::
+    label_propagation), 4 synchronous rounds over the same chord-band +
+    tendril graph as graph_kcore — the detector that splits one CONNECTED
+    graph into densely-linked groups, which connected components cannot
+    (CC gives a single label here).  Textbook LPA is scan-order- and
+    tie-random — impossible at 100 TB where retries and speculation would
+    flap; this formulation packs (count, label) into ONE composite argmax
+    (counts dominate, smaller label breaks ties), adds a self-vote (kills
+    the two-node swap oscillation), and fixes the round count,
+    making the result a pure function of the graph and the oracle the
+    same rounds unrolled as materialized CTEs."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(_KC_N)
+    edges = (
+        ids.select(F.col("id").alias("u"), ((F.col("id") + 1) % _KC_N).alias("v"))
+        .union(
+            ids.filter(F.col("id") < 900).select(
+                F.col("id"), (F.col("id") + 2) % _KC_N
+            )
+        )
+        .union(
+            ids.select(F.col("id"), (F.col("id") * F.col("id") + 1) % _KC_N)
+        )
+    )
+    return G.label_propagation(edges, n_rounds=_LPA_ROUNDS, nodes=ids)
+
+
 @register("graph_pagerank", _pr_oracle())
 def graph_pagerank_q(spark, sf):
     """Integer-exact PageRank (operators/graph.py::pagerank_integer), 3
@@ -4661,7 +4729,7 @@ def a_anomaly_mad_q(spark, sf):
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
 # dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc, a_anomaly_mad, graph_kcore
+# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop
 # =============================================================================
 
 _WINDOW = [
