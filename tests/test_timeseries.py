@@ -205,3 +205,57 @@ def test_lpa_deterministic_across_runs(spark):
     a = sorted(map(tuple, graph.label_propagation(e, n_rounds=3).collect()))
     b = sorted(map(tuple, graph.label_propagation(e.repartition(3), n_rounds=3).collect()))
     assert a == b
+
+
+def _seeded_graph(n=60, m=150, seed=7):
+    # deterministic pseudo-random edge set (LCG — no RNG state dependence)
+    edges, x = [], seed
+    while len(edges) < m:
+        x = (x * 48271) % 2147483647
+        u = x % n
+        x = (x * 48271) % 2147483647
+        v = x % n
+        if u != v:
+            edges.append((u, v))
+    return edges
+
+
+def test_triangles_match_bruteforce_on_random_graph(spark):
+    edges = _seeded_graph()
+    undirected = {frozenset(e) for e in edges}
+    adj = {}
+    for e in undirected:
+        a, b = sorted(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {
+        n: sum(
+            1
+            for x in adj[n]
+            for y in adj[n]
+            if x < y and y in adj.get(x, ())
+        )
+        for n in adj
+    }
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    got = {r["id"]: r["n_triangles"] for r in graph.triangle_counts(e).collect()}
+    assert got == expected
+
+
+def test_kcore_matches_bruteforce_peel_on_random_graph(spark):
+    edges = _seeded_graph(n=50, m=90, seed=11)
+    undirected = {tuple(sorted(e)) for e in edges}
+    k = 3
+    cur = set(undirected)
+    for _ in range(10):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        surv = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in surv and b in surv}
+    nodes = {n for e in undirected for n in e}
+    e = spark.createDataFrame(list(undirected), "u: bigint, v: bigint")
+    got = {r["id"]: r["in_kcore"]
+           for r in graph.kcore_membership(e, k=k, n_rounds=10).collect()}
+    assert got == {n: int(n in surv) for n in nodes}
