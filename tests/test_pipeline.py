@@ -77,3 +77,33 @@ def test_empty_corpus_flows_through(spark, docs):
     )
     assert out.count() == 0
     assert set(out.columns) == set(docs.columns)
+
+
+def test_pipeline_keep_best_prefers_quality_over_min_id(spark):
+    """dedup_near_keep_best keeps the longest member of each near-dup
+    cluster where dedup_near keeps the min id — and both keep exactly one
+    survivor per cluster."""
+    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a much longer tail of extra quality words"),
+            (7, "completely unrelated content about distributed systems"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    min_ids = {
+        r["doc_id"]
+        for r in CorpusPipeline(docs).dedup_near(k=8, bands=4, n=2).ids().collect()
+    }
+    best = {
+        r["doc_id"]
+        for r in CorpusPipeline(docs)
+        .dedup_near_keep_best(k=8, bands=4, n=2)
+        .ids()
+        .collect()
+    }
+    assert min_ids == {1, 7}
+    assert best == {2, 7}

@@ -64,6 +64,44 @@ class CorpusPipeline:
         )
         return self._next(self.df.join(drop, self.id_col, "left_anti"))
 
+    def dedup_near_keep_best(
+        self, k: int = 16, bands: int = 4, n: int = 3
+    ) -> "CorpusPipeline":
+        """Near-dup clusters keep their highest-QUALITY member (token
+        count; ties to the smaller id) instead of the min id — the
+        curation policy that drops the boilerplate copy and keeps the full
+        article.  Same LSH -> CC machinery as :meth:`dedup_near` plus one
+        quality join and one composite arg-max per cluster; survivor
+        choice stays a total function of the corpus (no scan-order
+        dependence)."""
+        pairs = dedup.minhash_lsh_pairs(
+            self.df.select(self.id_col, self.text_col),
+            k=k, bands=bands, n=n,
+            id_col=self.id_col, text_col=self.text_col,
+        )
+        cc = graph.connected_components(pairs)
+        members = cc.join(
+            self.df.select(
+                F.col(self.id_col).alias("id"),
+                T.token_count(F.col(self.text_col)).alias("_q"),
+            ),
+            "id",
+        )
+        keep = (
+            members.groupBy("component")
+            .agg(
+                F.max_by(
+                    "id", F.col("_q") * F.lit(1 << 31) - F.col("id")
+                ).alias("id")
+            )
+            .select(F.col("id").alias(self.id_col))
+        )
+        drop = (
+            cc.select(F.col("id").alias(self.id_col))
+            .join(keep, self.id_col, "left_anti")
+        )
+        return self._next(self.df.join(drop, self.id_col, "left_anti"))
+
     def sample(self, fraction: float) -> "CorpusPipeline":
         """Deterministic md5-hash sample — retry/repartition-stable,
         row-local (no shuffle)."""
