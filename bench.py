@@ -115,6 +115,7 @@ HEADLINE = [
     "a_anomaly_mad",
     "graph_kcore",
     "graph_label_prop",
+    "graph_sssp",
 ]
 
 

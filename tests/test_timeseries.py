@@ -259,3 +259,49 @@ def test_kcore_matches_bruteforce_peel_on_random_graph(spark):
     got = {r["id"]: r["in_kcore"]
            for r in graph.kcore_membership(e, k=k, n_rounds=10).collect()}
     assert got == {n: int(n in surv) for n in nodes}
+
+
+def test_sssp_matches_bruteforce_dijkstra(spark):
+    import heapq
+
+    edges = []
+    x = 13
+    for _ in range(120):
+        x = (x * 48271) % 2147483647
+        u = x % 40
+        x = (x * 48271) % 2147483647
+        v = x % 40
+        if u != v:
+            edges.append((u, v, (u + v) % 7 + 1))
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, n = heapq.heappop(pq)
+        if d > dist.get(n, float("inf")):
+            continue
+        for v, w in adj.get(n, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint, w: bigint")
+    seeds = spark.createDataFrame([(0,)], "id: bigint")
+    # 40 rounds >= any shortest path's hop count on 40 nodes -> exact
+    got = {r["id"]: r["dist"]
+           for r in graph.sssp_bounded(e, seeds, n_rounds=40).collect()}
+    assert got == dist
+
+
+def test_sssp_bounded_rounds_upper_bound(spark):
+    # chain 0-1-2-3 with weight 1: after 2 rounds node 3 is unreached
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "u: bigint, v: bigint, w: bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "id: bigint")
+    two = {r["id"]: r["dist"] for r in graph.sssp_bounded(e, seeds, 2).collect()}
+    assert two == {0: 0, 1: 1, 2: 2}
+    three = {r["id"]: r["dist"] for r in graph.sssp_bounded(e, seeds, 3).collect()}
+    assert three == {0: 0, 1: 1, 2: 2, 3: 3}

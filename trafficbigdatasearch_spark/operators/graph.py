@@ -524,3 +524,58 @@ def label_propagation(
             ).alias("lab")
         ).localCheckpoint(eager=False)
     return labels.select("id", F.col("lab").alias("community"))
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded single-source(-set) shortest paths over DIRECTED weighted
+    edges: ``n_rounds`` synchronous Bellman-Ford relaxations from the seed
+    set (seeds at distance 0) — the cost-to-reach computation behind
+    routing distance, influence radius, and weighted contamination spread
+    (hop-weighted decontamination where bfs_levels counts unweighted
+    hops).
+
+    Fixed round count, same contract as the rest of the graph suite: the
+    result is exact for every node whose shortest path uses <= n_rounds
+    edges (all nodes, once n_rounds >= the weighted-path hop diameter),
+    an upper bound otherwise — a pure function of (edges, seeds, rounds),
+    no driver convergence sync, unrollable as a declarative oracle.
+    Integer weights -> integer distances, bit-identical anywhere.
+
+    Per round: one hash join (frontier-less dense relaxation: distances ⋈
+    out-edges) + one min-combine aggregate — both map-side-combinable,
+    partitioned on node ids; lazy localCheckpoint per round.  Returns
+    (id, dist) for every node with a <= n_rounds-edge path; join against
+    your node table for unreachable sentinels.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"),
+        F.col(v_col).cast("bigint").alias("v"),
+        F.col(w_col).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=False)
+    dist = (
+        seeds.select(F.col(id_col).cast("bigint").alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

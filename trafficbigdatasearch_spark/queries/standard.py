@@ -4031,6 +4031,68 @@ def graph_label_prop_q(spark, sf):
     return G.label_propagation(edges, n_rounds=_LPA_ROUNDS, nodes=ids)
 
 
+_SSSP_ROUNDS = 8
+
+
+def _sssp_oracle() -> str:
+    parts = [
+        f"""e AS MATERIALIZED (
+           SELECT range AS u, (range * 7 + 3) % {_KC_N} AS v,
+                  (range % 10) + 1 AS w FROM range({_KC_N})
+           UNION ALL
+           SELECT range, (range + 1) % {_KC_N}, (range % 5) + 1
+           FROM range({_KC_N}))""",
+        f"nodes AS (SELECT range AS id FROM range({_KC_N}))",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM "
+            f"(SELECT id, dist FROM d{r-1} "
+            f"UNION ALL "
+            f"SELECT e.v AS id, d.dist + e.w FROM e "
+            f"JOIN d{r-1} d ON d.id = e.u) t{r} GROUP BY id)"
+        )
+    last = f"d{_SSSP_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n       ".join(parts)
+        + f"\n       SELECT nodes.id, COALESCE({last}.dist, -1) AS dist "
+        f"FROM nodes LEFT JOIN {last} ON {last}.id = nodes.id"
+    )
+
+
+@register("graph_sssp", _sssp_oracle())
+def graph_sssp_q(spark, sf):
+    """Bounded weighted SHORTEST PATHS (operators/graph.py::sssp_bounded):
+    8 synchronous Bellman-Ford relaxations from node 0 over a directed
+    two-out-edge graph with integer weights — routing distance / weighted
+    influence radius, where graph_bfs_reach counts unweighted hops.
+    Result is exact for every node whose shortest path uses <= 8 edges
+    (here the expander-style (7x+3) jumps reach all 1500 nodes well
+    within 8), -1 for the unreached; fixed rounds keep it a pure function
+    of (edges, seeds, rounds) — no convergence sync, integer distances
+    bit-identical to the oracle's unrolled materialized-CTE relaxations."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(_KC_N)
+    edges = ids.select(
+        F.col("id").alias("u"),
+        ((F.col("id") * 7 + 3) % _KC_N).alias("v"),
+        ((F.col("id") % 10) + 1).alias("w"),
+    ).union(
+        ids.select(
+            F.col("id"), (F.col("id") + 1) % _KC_N, (F.col("id") % 5) + 1
+        )
+    )
+    seeds = spark.range(1).select(F.col("id"))
+    dist = G.sssp_bounded(edges, seeds, n_rounds=_SSSP_ROUNDS)
+    return ids.join(dist, "id", "left").select(
+        "id", F.coalesce("dist", F.lit(-1)).alias("dist")
+    )
+
+
 @register("graph_pagerank", _pr_oracle())
 def graph_pagerank_q(spark, sf):
     """Integer-exact PageRank (operators/graph.py::pagerank_integer), 3
@@ -4729,7 +4791,7 @@ def a_anomaly_mad_q(spark, sf):
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
 # dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop
+# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop, graph_sssp
 # =============================================================================
 
 _WINDOW = [
