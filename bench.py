@@ -116,6 +116,7 @@ HEADLINE = [
     "graph_kcore",
     "graph_label_prop",
     "graph_sssp",
+    "text_bm25_indexed",
 ]
 
 

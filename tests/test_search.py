@@ -142,3 +142,25 @@ def test_phrase_absent_terms_empty(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     out = search.phrase_search(docs, ["zzzneverzz", "inanycorpus"])
     assert out.count() == 0
+
+
+def test_bm25_indexed_equals_direct(spark, tmp_path):
+    """bm25_indexed over the persisted index must reproduce bm25_topk
+    bit-for-bit (scores included), and its posting scan must be pruned to
+    the query terms' bucket partitions."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "postings")
+    search.build_text_index(docs, path)
+    direct = sorted(
+        map(tuple, search.bm25_topk(docs, ["join", "query"], k=5).collect())
+    )
+    indexed = sorted(
+        map(tuple, search.bm25_indexed(spark, path, ["join", "query"], k=5).collect())
+    )
+    assert direct == indexed
+    plan = search.bm25_indexed(
+        spark, path, ["join", "query"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]

@@ -173,10 +173,19 @@ def build_text_index(
     shuffle into term-bucket partitions.  Buckets (not raw terms) as the
     partition key keep the directory count fixed at ``n_buckets`` no matter
     the vocabulary size; md5-prefix bucketing means a QUERY can compute its
-    terms' buckets driver-side and read only those partitions."""
+    terms' buckets driver-side and read only those partitions.
+
+    Alongside the postings, per-doc token lengths land in the sibling
+    ``{path}_stats`` directory — the corpus statistics (dl, N, avgdl) that
+    ranked retrieval (:func:`bm25_indexed`) needs without re-tokenizing
+    the corpus at query time."""
     toks = T.tokens(F.lower(F.col(text_col)))
-    postings = docs.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+    )
+    postings = base.select(
+        F.col(id_col), F.posexplode("_t").alias("pos", "term")
     ).withColumn(
         "bucket", (T.shingle_hash(F.col("term")) % n_buckets).cast("int")
     )
@@ -185,6 +194,11 @@ def build_text_index(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
+    )
+    (
+        base.select(F.col(id_col), F.size("_t").cast("bigint").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(path + "_stats")
     )
 
 
@@ -273,6 +287,62 @@ def bm25_topk(
             "tf",
             "dl",
             "df",
+            (sat * (F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over a :func:`build_text_index` index: identical results to
+    :func:`bm25_topk` (pinned in tests), but tf comes from the PRUNED
+    posting partitions (only the query terms' buckets are read — static
+    partition pruning) and dl/N/avgdl from the tiny ``{path}_stats``
+    sidecar — at 100 TB the difference between re-tokenizing the corpus
+    per query and reading a few hundred MB of postings plus a doc-stats
+    table.  The (term, doc) tf set is O(matches); corpus-level N/avgdl
+    are one aggregate over the stats sidecar; the stats join broadcasts
+    the small tf side."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(path + "_stats")
+    lens = stats.agg(
+        F.sum("dl").alias("_tot"), F.count(F.lit(1)).alias("n")
+    ).select("n", (F.col("_tot").cast("double") / F.col("n")).alias("avgdl"))
+    tf = postings.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.join(stats, id_col)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sat = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(lens))
+        .select(
+            "term", id_col, "tf", "dl", "df",
             (sat * (F.col("n") / F.col("df"))).alias("score"),
         )
     )

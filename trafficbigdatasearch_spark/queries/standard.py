@@ -4335,6 +4335,28 @@ def text_bm25_topk_q(spark, sf):
     return search.bm25_topk(docs, ["join", "merge", "query"], k=10)
 
 
+@register("text_bm25_indexed", _REGISTRY["text_bm25_topk"][1])
+def text_bm25_indexed_q(spark, sf):
+    """BM25 over the PERSISTED positional index (operators/search.py::
+    bm25_indexed): identical scores to text_bm25_topk (same oracle SQL),
+    but tf comes from partition-pruned posting reads and dl/N/avgdl from
+    the doc-stats sidecar the index build writes alongside — ranked
+    retrieval without re-tokenizing the corpus at query time, completing
+    the indexed-search story (phrase: text_phrase_indexed; ranked: this).
+    Shares the per-process index cache with text_phrase_indexed, so the
+    build cost is paid once for both."""
+    import os
+
+    from trafficbigdatasearch_spark.operators import search
+
+    path = _TEXT_INDEX_CACHE.get(sf)
+    if path is None:
+        path = os.path.join(_scratch("text_index", sf), "postings")
+        search.build_text_index(load_table(spark, sf, "documents"), path)
+        _TEXT_INDEX_CACHE[sf] = path
+    return search.bm25_indexed(spark, path, ["join", "merge", "query"], k=10)
+
+
 @register(
     "text_vocab_encode",
     f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
@@ -4791,7 +4813,8 @@ def a_anomaly_mad_q(spark, sf):
 # ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
 # text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
 # dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop, graph_sssp
+# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop, graph_sssp,
+# text_bm25_indexed
 # =============================================================================
 
 _WINDOW = [
