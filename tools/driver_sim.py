@@ -10,6 +10,14 @@ column — the step that crashed on array columns) and a value-level compare.
 
 Usage: ``python tools/driver_sim.py [sf_dir] [query ...]``; prints one
 status line per query and exits non-zero on any failure.
+
+Scale caveat: run the FULL sweep only at sf0.01 (the driver's gate).  At
+sf0.1 the WITH RECURSIVE closure oracles (dedup_clusters,
+pipeline_dedup_corpus, pipeline_semantic_dedup, pipeline_dbscan,
+dedup_keep_best, pipeline_entity_resolution) compute all-pairs
+reachability in DuckDB and run for hours — an oracle-side cost only.
+Name-targeted non-closure subsets at sf0.1 are fine (80 queries verified
+that way in round 4).
 """
 
 from __future__ import annotations
