@@ -164,3 +164,42 @@ def test_bm25_indexed_equals_direct(spark, tmp_path):
         spark, path, ["join", "query"], k=5
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
+
+
+def test_bm25_robertson_idf_rank_equivalent(spark):
+    """idf='robertson' (textbook ln((N-df+.5)/(df+.5)+1)) must produce the
+    SAME per-term ranking as the oracle-hashable raw-ratio default (idf is
+    constant within a term, so only score magnitudes differ), with
+    standard-magnitude scores (smaller than N/df for df << N)."""
+    import math
+
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ["join", "query"]
+    raw = search.bm25_topk(docs, terms, k=10).collect()
+    rob = search.bm25_topk(docs, terms, k=10, idf="robertson").collect()
+    key = lambda r: (r["term"], r["rank"])  # noqa: E731
+    assert sorted((r["term"], r["rank"], r["doc_id"]) for r in raw) == sorted(
+        (r["term"], r["rank"], r["doc_id"]) for r in rob
+    )
+    n = docs.count()
+    by_key = {key(r): r for r in raw}
+    for r in rob:
+        mate = by_key[key(r)]
+        expected = (
+            mate["score"]
+            / (n / mate["df"])
+            * math.log((n - mate["df"] + 0.5) / (mate["df"] + 0.5) + 1.0)
+        )
+        assert abs(r["score"] - expected) < 1e-9
+
+
+def test_bm25_bad_idf_raises(spark):
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="robertson"):
+        search.bm25_topk(docs, ["join"], idf="idf2").collect()

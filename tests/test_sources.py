@@ -343,3 +343,29 @@ def test_map_in_arrow_features_equal_pandas_path(spark):
     a = sorted(map(tuple, MM.extract_features(assets).collect()))
     b = sorted(map(tuple, MM.extract_features_arrow(assets).collect()))
     assert a == b
+
+
+def test_resize_autodetects_pillow(spark):
+    """Without Pillow the pixel path raises the documented error but the
+    plan still builds (plumbing validated); with Pillow it runs the real
+    decode+resize kernel.  Both arms of the importlib gate are exercised
+    on whichever container runs the suite."""
+    import pytest
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import multimodal as MM
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    assets = MM.assets_from_documents(docs)
+    out = MM.resize_stub(assets)
+    # plumbing holds in both modes (nullability differs between literal
+    # expressions and the declared mapInPandas schema — compare shape)
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in assets.schema
+    ]
+    if not MM._pillow_available():
+        with pytest.raises(Exception, match="Pillow"):
+            out.collect()
+        pytest.skip("Pillow not installed — real-kernel arm untested here")
+    rows = out.collect()
+    assert len(rows) == assets.count()

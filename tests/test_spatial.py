@@ -130,3 +130,35 @@ def test_dbscan_all_noise_when_sparse(spark):
     got = {r.id: (r.cluster, r.role)
            for r in spatial.dbscan(_points(spark, pts), "id", "x", "y", 10, 1).collect()}
     assert got == {0: (-1, "noise"), 1: (-1, "noise"), 2: (-1, "noise")}
+
+
+def test_polygon_join_matches_and_validates(spark):
+    # unit square (CCW) + triangle; point on boundary is inside
+    polys = [
+        (1, [(0, 0), (10, 0), (10, 10), (0, 10)]),
+        (2, [(5, 5), (20, 5), (12, 15)]),
+    ]
+    pts = _points(spark, [(1, 1), (10, 5), (11, 6), (30, 30)])
+    got = sorted(
+        (r.id, r.polygon_id)
+        for r in spatial.point_in_convex_polygon_join(pts, polys).collect()
+    )
+    assert got == [(0, 1), (1, 1), (1, 2), (2, 2)]
+
+
+def test_polygon_join_rejects_clockwise(spark):
+    import pytest
+
+    pts = _points(spark, [(1, 1)])
+    cw = [(3, [(0, 0), (0, 10), (10, 10), (10, 0)])]
+    with pytest.raises(ValueError, match="counter-clockwise"):
+        spatial.point_in_convex_polygon_join(pts, cw)
+
+
+def test_polygon_join_rejects_concave(spark):
+    import pytest
+
+    pts = _points(spark, [(1, 1)])
+    concave = [(4, [(0, 0), (10, 0), (5, 3), (10, 10), (0, 10)])]
+    with pytest.raises(ValueError, match="concave"):
+        spatial.point_in_convex_polygon_join(pts, concave)

@@ -157,13 +157,19 @@ def test_kcore_peels_tendril_keeps_clique(spark):
 
 
 def test_kcore_bounded_rounds_overapproximates(spark):
-    # a 6-chain with k=2 peels one end-node per round from each side;
-    # 1 round leaves the middle over-approximation, 3 rounds empties it
+    # a 6-chain with k=2: membership = the degree test AFTER the n-th
+    # edge deletion (n COMPLETE peels — the final degree pass re-checks
+    # drops caused by the last deletion).  1 complete peel removes the
+    # ends {1,6} and their edges, leaving degrees 2:1 3:2 4:2 5:1 ->
+    # in_kcore {3,4}; the second peel's deletion leaves only edge 3-4,
+    # so 2 rounds already empties it (true 2-core of a chain is empty).
     e = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "u: bigint, v: bigint"
     )
     one = graph.kcore_membership(e, k=2, n_rounds=1)
-    assert one.filter(F.col("in_kcore") == 1).count() == 4  # nodes 2,3,4,5
+    assert one.filter(F.col("in_kcore") == 1).count() == 2  # nodes 3,4
+    two = graph.kcore_membership(e, k=2, n_rounds=2)
+    assert two.filter(F.col("in_kcore") == 1).count() == 0
     three = graph.kcore_membership(e, k=2, n_rounds=3)
     assert three.filter(F.col("in_kcore") == 1).count() == 0
 

@@ -29,6 +29,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Shift for composite (major, minor) -> one-bigint arg-max keys, e.g.
+#: ``quality * 2^31 - id``: injective while 0 <= minor < 2^31 (minor must
+#: fit the low bits) and major < 2^32 (int64 headroom — ~4.3e9, far past
+#: any token count).  Same documented-bound convention as similarity.py's
+#: _PQ_PACK; :func:`quality_argmax_key` ENFORCES it at runtime.
+_ARGMAX_PACK = 1 << 31
+
+
+def quality_argmax_key(major, minor):
+    """Composite arg-max ordering key ``major * 2^31 - minor`` (major
+    dominates, SMALLER minor wins ties) for max_by survivor election —
+    used by the keep-best dedup paths (pipeline.py, dedup_keep_best).
+
+    The injectivity/overflow bounds are enforced, not just documented: an
+    out-of-range value raises at runtime (two row-local comparisons)
+    instead of silently corrupting which duplicate survives.  Expressible
+    in DuckDB as ``arg_max(x, major * 2147483648 - minor)``."""
+    guarded_major = F.when(
+        (major >= 0) & (major < F.lit(1 << 32)), major
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("argmax key major out of [0, 2^32): "),
+                major.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    guarded_minor = F.when(
+        (minor >= 0) & (minor < F.lit(_ARGMAX_PACK)), minor
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("argmax key minor out of [0, 2^31): "),
+                minor.cast("string"),
+            )
+        ).cast("bigint")
+    )
+    return guarded_major * F.lit(_ARGMAX_PACK) - guarded_minor
+
+
 def _symmetrize(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
@@ -438,24 +478,31 @@ def kcore_membership(
         .union(e.select(F.col("v").alias("id")))
         .distinct()
     )
-    surv = None
-    for _ in range(n_rounds):
-        ends = e.select(F.col("u").alias("n")).union(
-            e.select(F.col("v").alias("n"))
+    def _survivors(edge_set):
+        ends = edge_set.select(F.col("u").alias("n")).union(
+            edge_set.select(F.col("v").alias("n"))
         )
-        surv = (
+        return (
             ends.groupBy("n")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select("n")
             .localCheckpoint(eager=False)
         )
+
+    for _ in range(n_rounds):
+        surv = _survivors(e)
         e = (
             e.join(surv.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(surv.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
+    # Membership from a FINAL degree pass over the edges left after the
+    # n-th deletion — so n_rounds means n COMPLETE peels (degree drops
+    # caused by the last round's edge deletion are re-checked), not
+    # "survivors as of the start of the final round".
+    surv = _survivors(e)
     return base.join(
         surv.withColumnRenamed("n", "id"), "id", "left_semi"
     ).withColumn("in_kcore", F.lit(1).cast("int")).unionByName(

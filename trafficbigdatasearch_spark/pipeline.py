@@ -90,8 +90,10 @@ class CorpusPipeline:
         keep = (
             members.groupBy("component")
             .agg(
+                # bounds (quality < 2^32, id < 2^31) enforced inside the
+                # shared key builder — see graph._ARGMAX_PACK
                 F.max_by(
-                    "id", F.col("_q") * F.lit(1 << 31) - F.col("id")
+                    "id", graph.quality_argmax_key(F.col("_q"), F.col("id"))
                 ).alias("id")
             )
             .select(F.col("id").alias(self.id_col))

@@ -2598,6 +2598,46 @@ def w_quality_deciles_q(spark, sf):
 
 
 @register(
+    "w_quality_deciles_global",
+    """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
+       h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM s
+             GROUP BY n_chars),
+       b AS (SELECT n_chars,
+                    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+             FROM h)
+       SELECT doc_id, lang, s.n_chars,
+              CAST((10 * cum + nn - 1) // nn AS BIGINT) AS g_bucket,
+              CAST(cum AS DOUBLE) / nn AS g_cdist
+       FROM s JOIN b USING (n_chars) CROSS JOIN n""",
+)
+def w_quality_deciles_global_q(spark, sf):
+    """CORPUS-WIDE decile — the promised scale variant of
+    w_quality_deciles (whose docstring and SCALING.md's window row cite
+    broadcast cutpoints as the global-rank mitigation).  A global
+    ``ntile``/``cume_dist`` funnels every row through ONE task; this
+    operator (operators/ranks.py::global_quantile_buckets) instead builds
+    the exact value histogram with one map-side-combined cube() scan, turns
+    it into a CDF with a window over the HISTOGRAM only (|distinct
+    lengths| rows, bounded like vocab.py's top-V window), and broadcasts
+    the bucket map back — zero corpus shuffle, zero global sort, exact
+    ties-share-a-bucket semantics.  bucket = ceil(10·cum/N) in pure
+    integer arithmetic; cdist = one IEEE divide of exact integers — both
+    bit-identical cross-engine.  The ``method='approx'`` companion
+    (approxQuantile cutpoints, for continuous high-cardinality scores) is
+    pinned by pytest in tests/test_ranks.py."""
+    from trafficbigdatasearch_spark.operators import ranks
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
+    )
+    out = ranks.global_quantile_buckets(docs, "n_chars", 10)
+    # the equi join surfaces the join key first; match the oracle's order
+    return out.select("doc_id", "lang", "n_chars", "g_bucket", "g_cdist")
+
+
+@register(
     "w_scd2_intervals",
     """SELECT user_id, event_id,
               CAST(round(value * 100) AS BIGINT) AS cents,
@@ -3907,7 +3947,10 @@ def _kcore_oracle() -> str:
         "greatest(u, v) AS v FROM raw WHERE u <> v)",
         f"nodes AS (SELECT range AS id FROM range({_KC_N}))",
     ]
-    for r in range(1, _KC_ROUNDS + 1):
+    # one extra d/s stage past the last edge deletion — membership is the
+    # FINAL degree pass over e{ROUNDS}, matching kcore_membership's
+    # "n complete peels" semantics
+    for r in range(1, _KC_ROUNDS + 2):
         parts.append(
             f"d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM "
             f"(SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) t{r} "
@@ -3916,11 +3959,12 @@ def _kcore_oracle() -> str:
         parts.append(
             f"s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KC_K})"
         )
-        parts.append(
-            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
-            f"JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v)"
-        )
-    last = f"s{_KC_ROUNDS}"
+        if r <= _KC_ROUNDS:
+            parts.append(
+                f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+                f"JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v)"
+            )
+    last = f"s{_KC_ROUNDS + 1}"
     return (
         "WITH "
         + ",\n       ".join(parts)
@@ -4604,9 +4648,11 @@ def dedup_keep_best_q(spark, sf):
         allc.join(quality, "doc_id")
         .groupBy("component")
         .agg(
+            # bounds (quality < 2^32, doc_id < 2^31) enforced inside the
+            # shared key builder — see graph._ARGMAX_PACK
             F.max_by(
                 "doc_id",
-                F.col("quality") * F.lit(1 << 31) - F.col("doc_id"),
+                graph.quality_argmax_key(F.col("quality"), F.col("doc_id")),
             ).alias("keep_id")
         )
     )
@@ -4803,26 +4849,99 @@ def a_anomaly_mad_q(spark, sf):
 #       a_funnel_steps       -> event-sequence machinery beside
 #                               stream_attribution + a_cohort_retention
 #
-# ROUND-5 ROTATION QUEUE (registered after this round's window was frozen;
-# first driver rows next round): stream_partial_maintenance,
-# q4_priority_exists, a_exact_percentiles, f_variant_extract,
-# pipeline_entity_resolution, pipeline_incremental_refresh,
-# j_interval_overlap, w_pattern_sequence, pipeline_semantic_dedup,
-# spatial_density, pipeline_dbscan, sample_importance, graph_pagerank,
-# ts_resample_ohlc, ts_gapfill (this session's other additions —
-# ts_interpolate, graph_triangles, a_corr_stats, text_bm25_topk,
-# text_vocab_encode, j_point_in_polygon, q19_disjunctive_join,
-# dedup_keep_best — entered the r4 window directly, third rotation batch);
-# stream_ohlc, a_anomaly_mad, graph_kcore, graph_label_prop, graph_sssp,
-# text_bm25_indexed
+# SLOT PRIORITY (stated round 5, per VERDICT r4 #2): when queue pressure
+# and the ~2-round staleness bound compete for rotating slots, the order
+# is (1) never-driver-checked queue first — driver-green is the contract's
+# currency and a query's first row converts its whole capability family —
+# then (2) oldest-stale rows, oldest last-green round first.  Stable-slot
+# demotions are allowed to relieve pressure when the demoted row has a
+# strictly-covering in-window sibling.
+#
+# Round-5 rotation (r4 swaps above; full r1-r4 history in git):
+#   stable restructure (23 -> 22; both demotions have strict siblings)
+#       dedup_clusters   -> CC stage runs inside pipeline_dedup_corpus
+#                           (stable) + pipeline_dbscan /
+#                           pipeline_entity_resolution / pipeline_semantic_dedup
+#                           (all in-window this round)
+#       text_tfidf_topk  -> postings machinery held by text_phrase_indexed
+#                           (stable) + text_bm25_indexed (in-window)
+#       a_grouping_sets  promoted rotating -> stable: the Expand-reshape
+#                           family flagship (pivot/unpivot/rollup siblings
+#                           all rotated out in r4 and need a standing rep)
+#   in  (the 21 never-driver-checked queries — the whole ROUND-5 QUEUE)
+#       stream_partial_maintenance, q4_priority_exists, a_exact_percentiles,
+#       f_variant_extract, pipeline_entity_resolution,
+#       pipeline_incremental_refresh, j_interval_overlap, w_pattern_sequence,
+#       pipeline_semantic_dedup, spatial_density, pipeline_dbscan,
+#       sample_importance, graph_pagerank, graph_kcore, graph_label_prop,
+#       graph_sssp, ts_resample_ohlc, ts_gapfill, text_bm25_indexed,
+#       stream_ohlc, a_anomaly_mad
+#   in  (6 oldest-stale §2-parity rows, last green r1/r2)
+#       f_date_arith, u_union_distinct, sort_topk, p_time_range_closed,
+#       s_scan_project, f_lenient_cast
+#   in  (this round's new query, first-round entry per policy)
+#       w_quality_deciles_global
+#   out (-> in-window sibling covering the code path; every exit was GREEN
+#        in CORRECTNESS_r04)
+#       ts_interpolate       -> ts_gapfill (same per-key running-frame
+#                               fill machinery) + ts_resample_ohlc
+#       graph_triangles      -> graph suite held by graph_pagerank /
+#                               graph_kcore / graph_label_prop / graph_sssp
+#       a_corr_stats         -> exact-sum aggregate machinery in
+#                               quality_report (stable) + a_exact_percentiles
+#       text_bm25_topk       -> identical scoring + oracle inside
+#                               text_bm25_indexed
+#       text_vocab_encode    -> tokenize machinery in text_phrase_indexed;
+#                               broadcast-join encode pattern in decontaminate
+#       j_point_in_polygon   -> spatial grid machinery in spatial_density +
+#                               pipeline_dbscan
+#       q19_disjunctive_join -> TPC-H family held by q3 (stable) +
+#                               q4_priority_exists
+#       dedup_keep_best      -> CC + survivor election inside
+#                               pipeline_dedup_corpus (stable) +
+#                               pipeline_entity_resolution
+#       w_quality_deciles    -> w_quality_deciles_global (in-window scale
+#                               variant) + ranking windows in w_pattern_sequence
+#       w_scd2_intervals     -> lead/lag machinery in w_sessionize (stable)
+#                               + w_pattern_sequence
+#       a_anomaly_zscore     -> a_anomaly_mad (same robust-anomaly family)
+#       text_repetition      -> text_lang_id (stable; same pure-expression
+#                               text-metrics family)
+#       text_phrase_search   -> text_phrase_indexed (stable; identical oracle)
+#       mm_frame_sample      -> mm_phash_pairs (stable; Arrow-batched
+#                               multimodal path)
+#       sample_stratified    -> sample_importance (same md5-membership
+#                               machinery)
+#       sim_pq_trained_topk  -> ADC chain held by sim_pq_adc_topk (stable);
+#                               trainer pinned by tests/test_pipeline.py
+#       sim_pq_rerank_topk   -> sim_pq_adc_topk + sim_ivf_indexed (stable)
+#       stream_attribution   -> stream_ohlc + stream_partial_maintenance
+#                               (in-window streaming) + stream_events_hourly
+#                               (stable)
+#       sample_split_leakage_free -> sample_importance (md5 membership);
+#                               cluster-id machinery in dedup pipelines
+#       sketch_top_items     -> sketch_distinct_rollup (stable)
+#       j_spatial_grid       -> grid join machinery in spatial_density +
+#                               pipeline_dbscan
+#       table_diff_orders    -> diff-driven refresh inside
+#                               pipeline_incremental_refresh
+#       a_incremental_merge  -> same mergeable-partial algebra inside
+#                               pipeline_incremental_refresh +
+#                               stream_partial_maintenance
+#       graph_bfs_reach      -> graph_sssp (BFS = unit-weight SSSP, same
+#                               fixpoint loop)
+#       j_fuzzy_name         -> blocked_levenshtein_join is the core of
+#                               pipeline_entity_resolution
+#       f_higher_order       -> array-lambda (transform/aggregate/zip_with)
+#                               machinery inside the stable sim_* quantize
+#                               path + f_variant_extract (functions family)
 # =============================================================================
 
 _WINDOW = [
-    # --- stable flagship slots (23) --------------------------------------
+    # --- stable flagship slots (22) --------------------------------------
     "p_bbox_filter",
     "j_asof",
     "w_sessionize",
-    "dedup_clusters",
     "pipeline_dedup_corpus",
     "dedup_incremental",
     "text_lang_id",
@@ -4834,7 +4953,7 @@ _WINDOW = [
     "text_chunk_docs",
     "decontaminate",
     "a_cohort_retention",
-    "text_tfidf_topk",
+    "a_grouping_sets",
     "text_phrase_indexed",
     "j_skew_salted",
     "j_range_keyless",
@@ -4842,35 +4961,37 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots: this session's 8 new capability classes ----------
-    "ts_interpolate",
-    "graph_triangles",
-    "a_corr_stats",
-    "text_bm25_topk",
-    "text_vocab_encode",
-    "j_point_in_polygon",
-    "q19_disjunctive_join",
-    "dedup_keep_best",
-    # --- rotating slots, round 4 (19) ------------------------------------
-    "a_grouping_sets",
-    "w_quality_deciles",
-    "w_scd2_intervals",
-    "a_anomaly_zscore",
-    "text_repetition",
-    "text_phrase_search",
-    "mm_frame_sample",
-    "sample_stratified",
-    "sim_pq_trained_topk",
-    "sim_pq_rerank_topk",
-    "stream_attribution",
-    "sample_split_leakage_free",
-    "sketch_top_items",
-    "j_spatial_grid",
-    "table_diff_orders",
-    "a_incremental_merge",
-    "graph_bfs_reach",
-    "j_fuzzy_name",
-    "f_higher_order",
+    # --- rotating slots, round 5: the 21-query never-checked queue --------
+    "stream_partial_maintenance",
+    "q4_priority_exists",
+    "a_exact_percentiles",
+    "f_variant_extract",
+    "pipeline_entity_resolution",
+    "pipeline_incremental_refresh",
+    "j_interval_overlap",
+    "w_pattern_sequence",
+    "pipeline_semantic_dedup",
+    "spatial_density",
+    "pipeline_dbscan",
+    "sample_importance",
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_label_prop",
+    "graph_sssp",
+    "ts_resample_ohlc",
+    "ts_gapfill",
+    "text_bm25_indexed",
+    "stream_ohlc",
+    "a_anomaly_mad",
+    # --- rotating slots, round 5: oldest-stale §2 rows (last green r1/r2) --
+    "f_date_arith",
+    "u_union_distinct",
+    "sort_topk",
+    "p_time_range_closed",
+    "s_scan_project",
+    "f_lenient_cast",
+    # --- rotating slot, round 5: new query, first-round entry -------------
+    "w_quality_deciles_global",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
