@@ -42,7 +42,8 @@ def test_exact_histogram_null_safe(spark):
     )
     out = global_quantile_buckets(df, "score", 2)
     rows = {r["id"]: r["g_bucket"] for r in out.collect()}
-    # inner join on score drops the NULL row; non-null rows bucket over n=4
+    # NULLs are excluded consistently: dropped from the histogram, the
+    # total (n=3), and (via the inner join) the output
     assert 2 not in rows
     assert rows[1] == 1 and rows[3] == 2 and rows[4] == 2
 
@@ -56,6 +57,17 @@ def test_exact_histogram_no_corpus_shuffle_window(spark):
     w = plan.find("Window")
     agg = plan.find("Aggregate", w)
     assert w != -1 and agg != -1, plan
+
+
+def test_exact_histogram_reuses_one_scan(spark):
+    # the CDF window and the grand total both consume the histogram; AQE
+    # exchange reuse must collapse them to ONE shuffle stage (and so one
+    # corpus scan) at runtime
+    df = _mk(spark, range(500))
+    out = global_quantile_buckets(df, "score", 10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:3000]
 
 
 def test_approx_buckets_monotone_and_balanced(spark):

@@ -56,14 +56,21 @@ def global_quantile_buckets(
 def _exact_histogram(
     df: DataFrame, col: str, n_buckets: int, out_prefix: str
 ) -> DataFrame:
-    # Histogram + total in ONE scan: grouping-sets on (col) and () so the
-    # corpus is read once; the () row carries the grand total.  grouping()
-    # (not isNull) separates the total row, so NULL data values stay safe.
-    hist = df.cube(col).agg(
-        F.count(F.lit(1)).alias("_c"), F.grouping(col).alias("_g")
+    # ONE corpus scan: the value histogram.  The grand total is the SUM of
+    # the histogram's own counts — a histogram-sized aggregate, so the
+    # corpus is never read twice (a cube() over (col)/() compiles to two
+    # full scan+aggregate branches — verified in PLANS.md and avoided).
+    # The two consumers of `counts` (CDF window + total) share ONE shuffle
+    # stage at runtime: AQE's exchange reuse dedupes the identical
+    # subtrees, so the corpus scan executes once (ReusedExchange pinned in
+    # tests/test_ranks.py).  NULL values are excluded consistently from
+    # histogram, total, and (via the inner join) the output.
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    counts = hist.filter(F.col("_g") == 0).drop("_g")
-    total = hist.filter(F.col("_g") == 1).select(F.col("_c").alias("_n"))
+    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
     # Cumulative CDF over the histogram only — this unpartitioned window
     # runs over |distinct(col)| rows (bounded by construction, same
     # documented pattern as vocab.py's top-V rank), never the corpus.
