@@ -176,3 +176,79 @@ def test_interval_overlap_plan_no_bnlj(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom-bitmap prefiltered joins
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    keys = (
+        load_table(spark, SF, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    plain = li.join(keys.distinct(), "l_suppkey", "left_semi")
+    bloomed = J.bloom_semi_join(li, keys, "l_suppkey", n_bits=1 << 12)
+    assert _rows(bloomed) == _rows(plain)
+
+
+def test_bloom_anti_join_equals_plain(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    keys = (
+        load_table(spark, SF, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    plain = li.join(keys.distinct(), "l_suppkey", "left_anti")
+    bloomed = J.bloom_anti_join(li, keys, "l_suppkey", n_bits=1 << 12)
+    # plain left_anti reorders the string join key first; align columns
+    assert _rows(bloomed.select(*plain.columns)) == _rows(plain)
+
+
+def test_bloom_anti_join_null_keys_survive(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k bigint, v string"
+    )
+    keys = spark.createDataFrame([(1,)], "k bigint")
+    got = set(map(tuple, J.bloom_anti_join(left, keys, "k", n_bits=64 * 4).collect()))
+    want = set(map(tuple, left.join(keys, "k", "left_anti").collect()))
+    assert got == want
+    assert (None, "b") in got
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every true member must pass the prefilter (bloom contract)."""
+    keys = spark.range(0, 500).select((F.col("id") * 7).alias("k"))
+    words = J.bloom_bitmap(keys, "k", n_bits=1 << 10, n_hashes=3)
+    assert len(words) == (1 << 10) // 64
+    passed = J.bloom_prefilter(keys, "k", words).count()
+    assert passed == 500
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """With a tiny key set and an adequate bitmap, most non-members are
+    dropped before any join."""
+    big = spark.range(0, 20000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 20).select(F.col("id").alias("k"))
+    words = J.bloom_bitmap(keys, "k", n_bits=1 << 16, n_hashes=3)
+    passed = J.bloom_prefilter(big, "k", words).count()
+    assert 20 <= passed < 200  # fp rate at m/n=3276 bits/key is ~0
+
+
+def test_bloom_bitmap_validates_params(spark):
+    keys = spark.range(3).select(F.col("id").alias("k"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        J.bloom_bitmap(keys, "k", n_bits=100)
+    with _pytest.raises(ValueError):
+        J.bloom_bitmap(keys, "k", n_bits=1 << 30)
+    with _pytest.raises(ValueError):
+        J.bloom_bitmap(keys, "k", n_hashes=0)

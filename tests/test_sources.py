@@ -369,3 +369,62 @@ def test_resize_autodetects_pillow(spark):
         pytest.skip("Pillow not installed — real-kernel arm untested here")
     rows = out.collect()
     assert len(rows) == assets.count()
+
+
+# ---------------------------------------------------------------------------
+# Min/max sidecar file skipping
+# ---------------------------------------------------------------------------
+
+
+def test_minmax_sidecar_prunes_and_matches(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_by_date")
+    P.write_sized(
+        orders, layout, rows_per_file=1 << 30, range_by=["o_orderdate"], n_files=8
+    )
+    sidecar = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
+    stats = sidecar.collect()
+    assert len(stats) == 8
+    lo, hi = "1995-01-01", "1995-04-01"
+    picked = [
+        r
+        for r in stats
+        if str(r["max_o_orderdate"]) >= lo and str(r["min_o_orderdate"]) < hi
+    ]
+    # range clustering must make the quarter touch a strict subset of files
+    assert 0 < len(picked) < 8
+    pruned = P.read_pruned_by_sidecar(spark, layout, sidecar, "o_orderdate", lo, hi)
+    plain = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the pruned scan must read only the selected files
+    read_files = {
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert read_files <= {r["file"] for r in picked}
+
+
+def test_minmax_sidecar_empty_range(spark, tmp_path):
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_small")
+    P.write_sized(
+        orders, layout, rows_per_file=1 << 30, range_by=["o_orderdate"], n_files=4
+    )
+    sidecar = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
+    out = P.read_pruned_by_sidecar(
+        spark, layout, sidecar, "o_orderdate", "2050-01-01", "2051-01-01"
+    )
+    assert out.count() == 0
+    assert out.columns == orders.columns

@@ -310,6 +310,150 @@ def blocked_levenshtein_join(
     )
 
 
+#: Bitmap-literal ceiling: 1<<27 bits = 16 MB of longs.  The bitmap ships
+#: inside the plan as one array literal (serialized once per task binary,
+#: not per row); past this size use a real broadcast-side join instead.
+_BLOOM_MAX_BITS = 1 << 27
+
+
+def bloom_bitmap(keys: DataFrame, key: str, n_bits: int = 1 << 20,
+                 n_hashes: int = 3) -> list[int]:
+    """Aggregate a key set into an ``n_bits``-wide Bloom bitmap, returned as
+    ``n_bits/64`` int64 words.
+
+    One distributed pass: each key explodes into its ``n_hashes`` bit
+    positions (``pmod(xxhash64(key, seed), n_bits)``), positions group by
+    64-bit word index, and ``bit_or`` folds the masks — so the collect is
+    bounded by ``n_bits/64`` rows BY CONSTRUCTION (131 072 bytes at the
+    default 2^20 bits), never by the key count.  Same collect-then-broadcast
+    contract as the PQ codebooks (operators/similarity.py).
+
+    Spark's own runtime bloom filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) injects this
+    pattern automatically into some shuffle joins; the explicit operator is
+    for when the filter must be deterministic, reused across several
+    consumers, or applied where the optimizer won't put it (ahead of an
+    aggregate, a stream, or an ANTI join's bypass — see
+    ``bloom_anti_join``).
+    """
+    if n_bits % 64 or not 64 <= n_bits <= _BLOOM_MAX_BITS:
+        raise ValueError(
+            f"n_bits must be a multiple of 64 in [64, {_BLOOM_MAX_BITS}], "
+            f"got {n_bits}"
+        )
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(n_bits))
+            for s in range(n_hashes)
+        ]
+    )
+    rows = (
+        keys.select(F.explode(pos).alias("_pos"))
+        .select(
+            F.expr("CAST(_pos div 64 AS INT)").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_mask"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[r["_w"]] = r["_mask"]
+    return words
+
+
+def bloom_prefilter(df: DataFrame, key: str, words: list[int],
+                    n_hashes: int = 3) -> DataFrame:
+    """Keep only rows whose ``key`` MIGHT be in the bitmap (same hash family
+    as ``bloom_bitmap`` — no false negatives; false-positive rate ~
+    ``(1 - e^(-kn/m))^k``).  All probing is JVM-side integer arithmetic
+    against one array literal; Catalyst collapses the helper projections so
+    the test evaluates at the scan, before any exchange."""
+    n_bits = 64 * len(words)
+    out = df.withColumn("_bf_arr", F.lit(words))
+    helper = [f"_bf_p{s}" for s in range(n_hashes)]
+    for s in range(n_hashes):
+        out = out.withColumn(
+            helper[s], F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(n_bits))
+        )
+    test = " AND ".join(
+        f"(element_at(_bf_arr, CAST(_bf_p{s} div 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_bf_p{s} % 64 AS INT))) != 0"
+        for s in range(n_hashes)
+    )
+    return out.filter(F.expr(test)).drop("_bf_arr", *helper)
+
+
+def bloom_semi_join(
+    large: DataFrame,
+    keys: DataFrame,
+    key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """EXACT semi join (``large`` rows whose ``key`` appears in ``keys``)
+    with a Bloom-bitmap prefilter ahead of the shuffle.
+
+    The bitmap build touches only the small side; the probe drops most
+    non-matching large-side rows at the scan, so the exchange feeding the
+    exact ``left_semi`` join moves ~selectivity × |large| rows instead of
+    all of them — the point of runtime row-level filtering at 100 TB, where
+    the semi join's shuffle dominates.  False positives survive the
+    prefilter and are removed by the exact join; the result is
+    row-identical to ``large.join(keys, key, "left_semi")``.
+    """
+    kdf = keys.select(key).distinct()
+    words = bloom_bitmap(kdf, key, n_bits, n_hashes)
+    return bloom_prefilter(large, key, words, n_hashes).join(
+        kdf, key, "left_semi"
+    )
+
+
+def bloom_anti_join(
+    large: DataFrame,
+    keys: DataFrame,
+    key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """EXACT anti join (``large`` rows whose ``key`` does NOT appear in
+    ``keys``) where bloom-definite non-members BYPASS the join entirely.
+
+    A bloom miss proves non-membership, so those rows go straight to the
+    output with zero shuffle; only the might-contain candidates (true
+    members + false positives) flow through the exact ``left_anti`` join.
+    With a selective key set almost the whole large side takes the bypass
+    lane — the blocklist/decontamination shape (operators/decontam.py)
+    where at 100 TB the anti join's exchange is the bottleneck.  NULL keys
+    take the candidate lane (xxhash64 still hashes them) and survive the
+    anti join, matching ``left_anti`` NULL semantics.  Result is
+    row-identical to ``large.join(keys, key, "left_anti")``.
+    """
+    kdf = keys.select(key).distinct()
+    words = bloom_bitmap(kdf, key, n_bits, n_hashes)
+    n = 64 * len(words)
+    tagged = large.withColumn("_bf_arr", F.lit(words))
+    helper = [f"_bf_p{s}" for s in range(n_hashes)]
+    for s in range(n_hashes):
+        tagged = tagged.withColumn(
+            helper[s], F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(n))
+        )
+    test = " AND ".join(
+        f"(element_at(_bf_arr, CAST(_bf_p{s} div 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_bf_p{s} % 64 AS INT))) != 0"
+        for s in range(n_hashes)
+    )
+    maybe = F.expr(test)
+    definite_out = tagged.filter(~maybe).drop("_bf_arr", *helper)
+    candidates = tagged.filter(maybe).drop("_bf_arr", *helper)
+    return definite_out.unionByName(candidates.join(kdf, key, "left_anti"))
+
+
 def union_of_joins_on_either_key(
     left: DataFrame,
     right: DataFrame,

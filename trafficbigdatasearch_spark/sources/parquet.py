@@ -317,6 +317,73 @@ def write_zordered(
     )
 
 
+def build_minmax_sidecar(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-FILE min/max/count statistics for ``cols`` — a manifest-style
+    data-skipping index (the Delta/Iceberg file-stats idea without a table
+    format): one row per parquet file with ``min_<c>``/``max_<c>`` bounds.
+
+    Built with one column-pruned scan grouped by ``input_file_name()``
+    (only the indexed columns are read).  At 100 TB the sidecar should be
+    maintained INCREMENTALLY at write time (stat the files each job just
+    wrote, append to the sidecar) — this full-scan builder is the bootstrap
+    / repair path.  Pair with a clustered layout (``write_sized(range_by=…)``
+    or ``write_zordered``) — statistics only skip files whose bounds are
+    tight."""
+    agg = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        agg += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*agg)
+    )
+
+
+def read_pruned_by_sidecar(
+    spark: SparkSession,
+    path: str,
+    sidecar: DataFrame,
+    col: str,
+    lo,
+    hi,
+    closed: str = "left",
+) -> DataFrame:
+    """Range read over a parquet directory with PLANNING-TIME file pruning:
+    the (tiny) sidecar picks the files whose [min, max] overlaps [lo, hi),
+    and only those files are handed to the reader — no other file is listed,
+    opened, or footer-parsed.
+
+    Parquet's own row-group statistics skip data too, but only AFTER every
+    footer is fetched; with millions of files on an object store the footer
+    round-trips are the planning bottleneck this sidecar removes.  The exact
+    range predicate is re-applied as a residual (``closed``: "left" =
+    ``[lo, hi)``, "both" = ``[lo, hi]``), so results are row-identical to
+    the unpruned filtered scan for any RANGE predicate on ``col``.  Files
+    with NULL bounds (no non-null values in ``col``) are skipped — sound
+    here because no NULL row satisfies a range predicate; an IS NULL
+    workload must not use this path."""
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    res = (F.col(col) >= lo) & (
+        (F.col(col) <= hi) if closed == "both" else (F.col(col) < hi)
+    )
+    upper = (F.col(f"min_{col}") <= hi) if closed == "both" else (
+        F.col(f"min_{col}") < hi
+    )
+    files = [
+        r["file"]
+        for r in sidecar.filter((F.col(f"max_{col}") >= lo) & upper)
+        .select("file")
+        .collect()
+    ]
+    full_schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
+    return spark.read.schema(full_schema).parquet(*files).filter(res)
+
+
 def upsert_partitions(
     df: DataFrame,
     path: str,
