@@ -118,6 +118,13 @@ HEADLINE = [
     "graph_sssp",
     "text_bm25_indexed",
     "w_quality_deciles_global",
+    "j_bloom_prefilter",
+    "j_bloom_anti",
+    "stream_dedup",
+    "quality_referential",
+    "s_minmax_skipping",
+    "s_orc_roundtrip",
+    "table_merge_upsert",
 ]
 
 

@@ -76,3 +76,66 @@ def test_summary_rollup(spark, snaps):
     assert {(r.diff_status, r.n) for r in s.collect()} == {
         ("added", 1), ("removed", 1), ("changed", 1), ("unchanged", 2),
     }
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert (CDC apply)
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 25.0, "U"),   # update
+            (3, None, None, "D"),   # delete (non-key cols may be NULL)
+            (4, "d", 40.0, "I"),    # insert
+        ],
+        "k bigint, name string, val double, op string",
+    )
+    return snap, changes
+
+
+def test_merge_upsert_applies_ops(spark):
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap, changes = _merge_fixture(spark)
+    got = sorted(map(tuple, D.merge_upsert(snap, changes, ["k"]).collect()))
+    assert got == [(1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)]
+
+
+def test_merge_upsert_idempotent(spark):
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap, changes = _merge_fixture(spark)
+    once = D.merge_upsert(snap, changes, ["k"])
+    twice = D.merge_upsert(once, changes, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_merge_upsert_diff_roundtrip(spark):
+    """snapshot_diff(snap, merged) must report exactly the changeset's ops."""
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap, changes = _merge_fixture(spark)
+    merged = D.merge_upsert(snap, changes, ["k"])
+    d = {r["k"]: r["diff_status"] for r in
+         D.snapshot_diff(snap, merged, ["k"], fingerprint=False).collect()}
+    assert d == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_merge_upsert_validates_columns(spark):
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap, changes = _merge_fixture(spark)
+    with pytest.raises(ValueError):
+        D.merge_upsert(snap, changes.drop("val"), ["k"])
+    with pytest.raises(ValueError):
+        D.merge_upsert(snap, changes.drop("op"), ["k"])

@@ -218,3 +218,29 @@ def test_gapfill_single_window_sort(spark):
     df = standard.queries()["ts_interpolate"](spark, SF)
     # closes agg + spine agg + window partitioning: 3 hash exchanges max
     assert X.exchange_count(df) <= 3, X.formatted_plan(df)
+
+
+def test_explicit_bloom_prefilter_below_exchange(spark):
+    """The bitmap probe (operators/joins.py bloom_prefilter) must evaluate
+    on the large side's scan branch BELOW the join exchange — that ordering
+    is the whole point (shuffle moves ~selectivity x |large| rows)."""
+    from trafficbigdatasearch_spark.operators import joins as J
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+        keys = load_table(spark, SF, "supplier").select(
+            F.col("s_suppkey").alias("l_suppkey")
+        )
+        out = J.bloom_semi_join(li, keys, "l_suppkey", n_bits=1 << 12)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "shiftleft" in plan, plan  # probe survived optimization
+        # between the probe filter and the scan it guards there is no
+        # SHUFFLE exchange: the filter runs scan-side, before the join
+        # shuffle (the bitmap's own BroadcastExchange is expected and fine)
+        tail = plan[plan.index("shiftleft"):]
+        scan_at = tail.index("FileScan")
+        assert "Exchange hashpartitioning" not in tail[:scan_at], tail[:scan_at]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -428,3 +428,40 @@ def test_minmax_sidecar_empty_range(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == orders.columns
+
+
+# ---------------------------------------------------------------------------
+# ORC interop
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_identical(spark, tmp_path):
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import orc as O
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "li_orc")
+    O.write_orc(li, path, rows_per_file=2000)
+    back = O.read_orc(spark, path, schema=li.schema)
+    assert back.schema == li.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import orc as O
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "li_orc2")
+    O.write_orc(li, path)
+    df = O.read_orc(spark, path).filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_linenumber"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_linenumber" in plan.split(
+        "PushedFilters"
+    )[1][:120], plan
+    # column pruning reaches the ORC reader too
+    assert "ReadSchema" in plan

@@ -87,6 +87,43 @@ def snapshot_diff(
     return out
 
 
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to a keyed snapshot — the row-level MERGE
+    primitive (Delta/Iceberg ``MERGE INTO`` semantics without a table
+    format): upserts ('U'/'I' — any op other than 'D') replace-or-insert
+    their key's row; 'D' removes it; untouched keys pass through.
+
+    ONE anti join on the key (snapshot rows not in the changeset) + a
+    union with the non-delete change rows — no full-outer compare, since
+    MERGE doesn't need to know whether a value actually differed.  At
+    100 TB the anti join is the cost; with a churn-sized changeset use the
+    bloom-bypass anti join (operators/joins.py::bloom_anti_join) to route
+    the untouched bulk around the exchange.  Compose with
+    :func:`snapshot_diff` (validate what a changeset did) and
+    ``incremental.apply_delta`` (maintain downstream aggregates from the
+    same changeset).
+
+    Keys must be unique per side; a key carrying multiple change ops is a
+    caller error (which row wins is undefined).  ``changes`` must carry
+    the snapshot's full column set plus ``op_col`` — delete rows may leave
+    non-key columns NULL.  Applying the same changeset twice is
+    idempotent (pinned in tests/test_diff.py).
+    """
+    if op_col not in changes.columns:
+        raise ValueError(f"changes is missing the op column {op_col!r}")
+    missing = [c for c in snapshot.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing snapshot columns {missing}")
+    untouched = snapshot.join(changes.select(*keys), keys, "left_anti")
+    applied = changes.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    return untouched.unionByName(applied)
+
+
 def diff_summary(diff: DataFrame) -> DataFrame:
     """(diff_status, n) rollup of a :func:`snapshot_diff` result — the
     one-line churn report a daily pipeline gate thresholds on."""

@@ -310,9 +310,9 @@ def blocked_levenshtein_join(
     )
 
 
-#: Bitmap-literal ceiling: 1<<27 bits = 16 MB of longs.  The bitmap ships
-#: inside the plan as one array literal (serialized once per task binary,
-#: not per row); past this size use a real broadcast-side join instead.
+#: Bitmap ceiling: 1<<27 bits = 16 MB of longs.  The bitmap ships as a
+#: one-row broadcast (see _bloom_tagged); past this size the broadcast and
+#: per-executor resident copies stop being "free" — use a plain join.
 _BLOOM_MAX_BITS = 1 << 27
 
 
@@ -367,26 +367,53 @@ def bloom_bitmap(keys: DataFrame, key: str, n_bits: int = 1 << 20,
     return words
 
 
+def _bloom_probe(df: DataFrame, key: str, words: list[int], n_hashes: int):
+    """Build the probe predicate Column for ``df[key]`` against the bitmap.
+
+    The bitmap reaches the executors as a SCALAR SUBQUERY over a one-row
+    temp view, not an array literal: ``F.lit([...])`` builds a CreateArray
+    of n_bits/64 literal nodes and the analyzer re-walks that tree per rule
+    — measured ~7 s of pure planning at the 2^20-bit default — while a
+    cross-joined broadcast row licenses Catalyst to reorder the exact join
+    BELOW the probe filter (the probe then runs after the shuffle it was
+    meant to shrink).  The scalar subquery executes once as a millisecond
+    local job, its value is inlined into the predicate at runtime, the
+    expression tree stays constant-size, and the filter keeps sitting
+    directly on the scan branch (plan-pinned).  The one-row view is
+    session-scoped and uuid-named (O(128 KB) each; negligible)."""
+    import uuid
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    n_bits = 64 * len(words)
+    spark = df.sparkSession
+    view = f"_bf_bitmap_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(
+        [(words,)],
+        StructType([StructField("w", ArrayType(LongType(), False), False)]),
+    ).createOrReplaceTempView(view)
+    arr = f"(SELECT w FROM {view})"
+
+    def _test(s: int) -> str:
+        # seed literal is a plain INT on both build (F.lit(s)) and probe
+        # side, so xxhash64 sees identical argument types
+        pos = f"pmod(xxhash64(`{key}`, {s}), {n_bits})"
+        return (
+            f"(element_at({arr}, CAST({pos} div 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+
+    return F.expr(" AND ".join(_test(s) for s in range(n_hashes)))
+
+
 def bloom_prefilter(df: DataFrame, key: str, words: list[int],
                     n_hashes: int = 3) -> DataFrame:
     """Keep only rows whose ``key`` MIGHT be in the bitmap (same hash family
     as ``bloom_bitmap`` — no false negatives; false-positive rate ~
     ``(1 - e^(-kn/m))^k``).  All probing is JVM-side integer arithmetic
-    against one array literal; Catalyst collapses the helper projections so
-    the test evaluates at the scan, before any exchange."""
-    n_bits = 64 * len(words)
-    out = df.withColumn("_bf_arr", F.lit(words))
-    helper = [f"_bf_p{s}" for s in range(n_hashes)]
-    for s in range(n_hashes):
-        out = out.withColumn(
-            helper[s], F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(n_bits))
-        )
-    test = " AND ".join(
-        f"(element_at(_bf_arr, CAST(_bf_p{s} div 64 AS INT) + 1) & "
-        f"shiftleft(CAST(1 AS BIGINT), CAST(_bf_p{s} % 64 AS INT))) != 0"
-        for s in range(n_hashes)
-    )
-    return out.filter(F.expr(test)).drop("_bf_arr", *helper)
+    against the subquery-inlined bitmap; the test evaluates on the scan
+    side, before any shuffle exchange (plan-pinned)."""
+    return df.filter(_bloom_probe(df, key, words, n_hashes))
 
 
 def bloom_semi_join(
@@ -436,21 +463,9 @@ def bloom_anti_join(
     """
     kdf = keys.select(key).distinct()
     words = bloom_bitmap(kdf, key, n_bits, n_hashes)
-    n = 64 * len(words)
-    tagged = large.withColumn("_bf_arr", F.lit(words))
-    helper = [f"_bf_p{s}" for s in range(n_hashes)]
-    for s in range(n_hashes):
-        tagged = tagged.withColumn(
-            helper[s], F.pmod(F.xxhash64(F.col(key), F.lit(s)), F.lit(n))
-        )
-    test = " AND ".join(
-        f"(element_at(_bf_arr, CAST(_bf_p{s} div 64 AS INT) + 1) & "
-        f"shiftleft(CAST(1 AS BIGINT), CAST(_bf_p{s} % 64 AS INT))) != 0"
-        for s in range(n_hashes)
-    )
-    maybe = F.expr(test)
-    definite_out = tagged.filter(~maybe).drop("_bf_arr", *helper)
-    candidates = tagged.filter(maybe).drop("_bf_arr", *helper)
+    maybe = _bloom_probe(large, key, words, n_hashes)
+    definite_out = large.filter(~maybe)
+    candidates = large.filter(maybe)
     return definite_out.unionByName(candidates.join(kdf, key, "left_anti"))
 
 

@@ -4973,6 +4973,125 @@ def quality_referential_q(spark, sf):
 
 
 # =============================================================================
+# ORC interop: round-trip through the second columnar format
+# =============================================================================
+
+#: Per-(sf dir) cache of the ORC copy of lineitem, so repeated calls bench
+#: the READ path.
+_ORC_LAYOUT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "s_orc_roundtrip",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                   AS DOUBLE) / 100 AS sum_qty
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def s_orc_roundtrip_q(spark, sf):
+    """Format interop (sources/orc.py): lineitem converted once per process
+    to ORC, then the pricing-summary shape computed from the ORC copy —
+    scan-layer results must be identical whichever columnar format holds
+    the bytes.  The ship-date filter pushes down to the vectorized ORC
+    reader just as with parquet (pinned in tests/test_sources.py); the
+    oracle reads the original parquet, so the hash-match proves the
+    round-trip lossless."""
+    import os
+
+    from trafficbigdatasearch_spark.sources import orc as O
+
+    if sf not in _ORC_LAYOUT_CACHE:
+        d = _scratch("orc_layout", sf)
+        path = os.path.join(d, "lineitem_orc")
+        O.write_orc(load_table(spark, sf, "lineitem"), path)
+        _ORC_LAYOUT_CACHE[sf] = path
+    li = O.read_orc(spark, _ORC_LAYOUT_CACHE[sf])
+    return (
+        li.filter(F.col("l_shipdate") >= "1995-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+# =============================================================================
+# CDC apply: MERGE a changeset into a keyed snapshot
+# =============================================================================
+
+
+@register(
+    "table_merge_upsert",
+    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM orders),
+       changes AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + 1.0 AS o_totalprice, 'U' AS op
+         FROM snap WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+         FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, 'I'
+         FROM snap WHERE o_orderkey % 13 = 0
+       ),
+       merged AS (
+         SELECT s.* FROM snap s
+         WHERE NOT EXISTS (SELECT 1 FROM changes c
+                           WHERE c.o_orderkey = s.o_orderkey)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM changes WHERE op <> 'D'
+       )
+       SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+       FROM merged""",
+)
+def table_merge_upsert_q(spark, sf):
+    """Row-level MERGE (operators/diff.py merge_upsert — Delta/Iceberg
+    MERGE INTO semantics without a table format): a deterministic CDC
+    changeset derived from orders itself (updates on keys %7, deletes on
+    %11, inserts at key+10M on %13) applied to the snapshot — upserts
+    replace-or-insert, deletes remove, untouched rows pass through.  One
+    anti join + union, no full-outer compare; at 100 TB the untouched bulk
+    routes around the exchange via the bloom-bypass anti join.  The full
+    merged table is the result — every row's survival/replacement is
+    hash-checked, not a summary."""
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        snap.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        snap.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        snap.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = D.merge_upsert(snap, changes, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+    )
+
+
+# =============================================================================
 # Planning-time file skipping: min/max sidecar over a range-clustered layout
 # =============================================================================
 
@@ -5159,7 +5278,7 @@ def s_minmax_skipping_q(spark, sf):
 # frozen — never driver-checked; per the slot-priority rule they enter the
 # r6 window FIRST, then the oldest-stale rows, oldest last-green first):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
-#       s_minmax_skipping
+#       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
