@@ -125,6 +125,7 @@ HEADLINE = [
     "s_minmax_skipping",
     "s_orc_roundtrip",
     "table_merge_upsert",
+    "stream_merge_upsert",
 ]
 
 

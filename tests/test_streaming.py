@@ -559,3 +559,67 @@ def test_foreach_batch_merge_partials_equals_full_rescan(
         ["event_type"],
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch streaming MERGE (CDC apply into a versioned snapshot)
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_batch_merge_upsert_versions_and_replay(spark, tmp_path):
+    """Two change batches applied sequentially, then batch 1 REPLAYED:
+    the snapshot after replay must equal the snapshot before it
+    (merge_upsert idempotence carried through the sink), and _CURRENT
+    must always point at a complete version."""
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    snap_dir = str(tmp_path / "snap")
+    import os
+
+    os.makedirs(snap_dir)
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, name string, val double"
+    )
+    seed.write.parquet(os.path.join(snap_dir, "vseed"))
+    with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
+        f.write("vseed")
+
+    fb = SK.foreach_batch_merge_upsert(snap_dir, ["k"])
+    b0 = spark.createDataFrame(
+        [(2, "b2", 25.0, "U"), (3, "c", 30.0, "I")],
+        "k bigint, name string, val double, op string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, None, None, "D")], "k bigint, name string, val double, op string"
+    )
+    fb(b0, 0)
+    fb(b1, 1)
+    after = sorted(
+        map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect())
+    )
+    assert after == [(2, "b2", 25.0), (3, "c", 30.0)]
+    fb(b1, 1)  # replay of the last batch
+    replayed = sorted(
+        map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect())
+    )
+    assert replayed == after
+    with open(os.path.join(snap_dir, "_CURRENT")) as f:
+        assert f.read().strip() == "v1"
+
+
+def test_foreach_batch_merge_upsert_empty_batch_noop(spark, tmp_path):
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    import os
+
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir)
+    seed = spark.createDataFrame([(1, 10.0)], "k bigint, val double")
+    seed.write.parquet(os.path.join(snap_dir, "vseed"))
+    with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
+        f.write("vseed")
+    fb = SK.foreach_batch_merge_upsert(snap_dir, ["k"])
+    empty = spark.createDataFrame([], "k bigint, val double, op string")
+    fb(empty, 0)
+    with open(os.path.join(snap_dir, "_CURRENT")) as f:
+        assert f.read().strip() == "vseed"

@@ -5051,21 +5051,10 @@ def s_orc_roundtrip_q(spark, sf):
               CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
        FROM merged""",
 )
-def table_merge_upsert_q(spark, sf):
-    """Row-level MERGE (operators/diff.py merge_upsert — Delta/Iceberg
-    MERGE INTO semantics without a table format): a deterministic CDC
-    changeset derived from orders itself (updates on keys %7, deletes on
-    %11, inserts at key+10M on %13) applied to the snapshot — upserts
-    replace-or-insert, deletes remove, untouched rows pass through.  One
-    anti join + union, no full-outer compare; at 100 TB the untouched bulk
-    routes around the exchange via the bloom-bypass anti join.  The full
-    merged table is the result — every row's survival/replacement is
-    hash-checked, not a summary."""
-    from trafficbigdatasearch_spark.operators import diff as D
-
-    snap = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+def _orders_changeset(snap):
+    """The deterministic CDC changeset both merge rows share: updates on
+    keys %7, deletes on %11 (minus the updates), inserts at key+10M on
+    %13."""
     upd = (
         snap.filter(F.col("o_orderkey") % 7 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
@@ -5081,14 +5070,78 @@ def table_merge_upsert_q(spark, sf):
         .withColumn("o_orderstatus", F.lit("N"))
         .withColumn("op", F.lit("I"))
     )
-    changes = upd.unionByName(dele).unionByName(ins)
-    merged = D.merge_upsert(snap, changes, ["o_orderkey"])
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def _merged_cents(merged):
     return merged.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
         _cents(F.col("o_totalprice")).alias("totalprice_cents"),
     )
+
+
+def table_merge_upsert_q(spark, sf):
+    """Row-level MERGE (operators/diff.py merge_upsert — Delta/Iceberg
+    MERGE INTO semantics without a table format): a deterministic CDC
+    changeset derived from orders itself (updates on keys %7, deletes on
+    %11, inserts at key+10M on %13) applied to the snapshot — upserts
+    replace-or-insert, deletes remove, untouched rows pass through.  One
+    anti join + union, no full-outer compare; at 100 TB the untouched bulk
+    routes around the exchange via the bloom-bypass anti join.  The full
+    merged table is the result — every row's survival/replacement is
+    hash-checked, not a summary."""
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    merged = D.merge_upsert(snap, _orders_changeset(snap), ["o_orderkey"])
+    return _merged_cents(merged)
+
+
+@register("stream_merge_upsert", _REGISTRY["table_merge_upsert"][1])
+def stream_merge_upsert_q(spark, sf):
+    """STREAMING CDC apply (streaming/sink.py foreach_batch_merge_upsert):
+    the same changeset as table_merge_upsert, but delivered as a change
+    STREAM applied by foreachBatch MERGE into a versioned copy-on-write
+    parquet snapshot with an atomically-swapped _CURRENT pointer — the
+    continuously-maintained dimension-table shape.  Batch replay is
+    idempotent because merge_upsert is (pinned in tests/test_streaming.py).
+    Identical oracle to table_merge_upsert: the streamed merge must land
+    byte-identical to the batch merge."""
+    import os
+
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    snap = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch("stream_merge", sf)
+    snap_dir = os.path.join(d, "snap")
+    changes_dir = os.path.join(d, "changes")
+    pointer = os.path.join(snap_dir, "_CURRENT")
+    if not os.path.exists(pointer):
+        os.makedirs(snap_dir, exist_ok=True)
+        snap.write.mode("overwrite").parquet(os.path.join(snap_dir, "vseed"))
+        with open(pointer, "w") as f:
+            f.write("vseed")
+        _orders_changeset(snap).write.mode("overwrite").parquet(changes_dir)
+    schema = spark.read.parquet(changes_dir).schema
+    stream = spark.readStream.schema(schema).parquet(changes_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.foreach_batch_merge_upsert(snap_dir, ["o_orderkey"])
+        )
+        .option("checkpointLocation", os.path.join(d, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_merge_upsert: stream did not drain in 300s")
+    return _merged_cents(SK.read_merge_snapshot(spark, snap_dir))
 
 
 # =============================================================================
@@ -5278,7 +5331,8 @@ def s_minmax_skipping_q(spark, sf):
 # frozen — never driver-checked; per the slot-priority rule they enter the
 # r6 window FIRST, then the oldest-stale rows, oldest last-green first):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
-#       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert
+#       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
+#       stream_merge_upsert
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
