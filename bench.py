@@ -126,6 +126,9 @@ HEADLINE = [
     "s_orc_roundtrip",
     "table_merge_upsert",
     "stream_merge_upsert",
+    "a_histogram",
+    "a_event_transitions",
+    "a_winsorize",
 ]
 
 

@@ -4770,6 +4770,121 @@ def a_anomaly_mad_q(spark, sf):
 
 
 # =============================================================================
+# Classic OLAP additions: histogram, sequence transitions, winsorized stats
+# =============================================================================
+
+
+@register(
+    "a_histogram",
+    """SELECT event_type,
+              CAST(least(19, greatest(0, CAST(floor(value / 10) AS BIGINT)))
+                   AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events
+       GROUP BY 1, 2""",
+)
+def a_histogram_q(spark, sf):
+    """Fixed-width histogram / binned aggregation: value binned into 20
+    clamped width-10 buckets per event_type — one map-side-combined
+    shuffle carrying at most |types| x 20 rows per executor.  Binning is
+    pure integer arithmetic (floor of a double divide, clamped), identical
+    in both engines — no width_bucket dependency.  The at-scale
+    distribution-profiling primitive (the exact sibling of the KLL sketch
+    histogram)."""
+    ev = load_table(spark, sf, "events")
+    bucket = F.least(
+        F.lit(19),
+        F.greatest(F.lit(0), F.floor(F.col("value") / 10).cast("bigint")),
+    ).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT prev_type, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM seq
+       WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type""",
+)
+def a_event_transitions_q(spark, sf):
+    """First-order event-sequence transition counts (the Markov-chain /
+    user-journey matrix): per-user lag over (ts, event_id) — event_id
+    breaks timestamp ties deterministically — then a grouped count of
+    (prev, next) pairs.  One shuffle for the window (user-partitioned,
+    the natural key) + one map-side-combined count bounded by |types|².
+    Feeds funnel design and next-event prediction baselines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a_winsorize",
+    """WITH c AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+       cuts AS (SELECT event_type,
+                       CAST(ceil(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+                       CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+                FROM c GROUP BY event_type)
+       SELECT c.event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN c.cents < cuts.lo THEN cuts.lo
+                            WHEN c.cents > cuts.hi THEN cuts.hi
+                            ELSE c.cents END) AS BIGINT) AS winsorized_cents,
+              CAST(SUM(CASE WHEN c.cents < cuts.lo OR c.cents > cuts.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+       FROM c JOIN cuts ON cuts.event_type = c.event_type
+       GROUP BY c.event_type""",
+)
+def a_winsorize_q(spark, sf):
+    """Winsorized robust statistics: per-group exact P5/P95 cut points
+    (integer-cent percentiles, ceil/floor-rounded to integers so every
+    downstream sum stays in exact int64 arithmetic — order-independent,
+    hash-stable), values clamped to the cuts, clipped-row count alongside.
+    The outlier-resistant aggregate for quality-score distributions where
+    a_anomaly_* flags rows and this one bounds their influence.  Two
+    passes over the fact stream shuffled on the same group key, cut
+    points broadcast back — same shape as a_anomaly_mad."""
+    ev = load_table(spark, sf, "events")
+    c = ev.select("event_type", _cents(F.col("value")).alias("cents"))
+    cuts = c.groupBy("event_type").agg(
+        F.ceil(F.percentile(F.col("cents"), F.lit(0.05))).cast("bigint").alias("lo"),
+        F.floor(F.percentile(F.col("cents"), F.lit(0.95))).cast("bigint").alias("hi"),
+    )
+    j = c.join(F.broadcast(cuts), "event_type")
+    clamped = F.when(F.col("cents") < F.col("lo"), F.col("lo")).when(
+        F.col("cents") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("cents"))
+    clipped = F.when(
+        (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
+    ).otherwise(0)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(clamped).cast("bigint").alias("winsorized_cents"),
+        F.sum(clipped).cast("bigint").alias("n_clipped"),
+    )
+
+
+# =============================================================================
 # Runtime row-level filtering: bloom-bitmap prefiltered joins
 # =============================================================================
 
@@ -5024,33 +5139,6 @@ def s_orc_roundtrip_q(spark, sf):
 # =============================================================================
 
 
-@register(
-    "table_merge_upsert",
-    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-                     FROM orders),
-       changes AS (
-         SELECT o_orderkey, o_custkey, o_orderstatus,
-                o_totalprice + 1.0 AS o_totalprice, 'U' AS op
-         FROM snap WHERE o_orderkey % 7 = 0
-         UNION ALL
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
-         FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
-         UNION ALL
-         SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, 'I'
-         FROM snap WHERE o_orderkey % 13 = 0
-       ),
-       merged AS (
-         SELECT s.* FROM snap s
-         WHERE NOT EXISTS (SELECT 1 FROM changes c
-                           WHERE c.o_orderkey = s.o_orderkey)
-         UNION ALL
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM changes WHERE op <> 'D'
-       )
-       SELECT o_orderkey, o_custkey, o_orderstatus,
-              CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
-       FROM merged""",
-)
 def _orders_changeset(snap):
     """The deterministic CDC changeset both merge rows share: updates on
     keys %7, deletes on %11 (minus the updates), inserts at key+10M on
@@ -5082,6 +5170,33 @@ def _merged_cents(merged):
     )
 
 
+@register(
+    "table_merge_upsert",
+    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM orders),
+       changes AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + 1.0 AS o_totalprice, 'U' AS op
+         FROM snap WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
+         FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, 'I'
+         FROM snap WHERE o_orderkey % 13 = 0
+       ),
+       merged AS (
+         SELECT s.* FROM snap s
+         WHERE NOT EXISTS (SELECT 1 FROM changes c
+                           WHERE c.o_orderkey = s.o_orderkey)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM changes WHERE op <> 'D'
+       )
+       SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+       FROM merged""",
+)
 def table_merge_upsert_q(spark, sf):
     """Row-level MERGE (operators/diff.py merge_upsert — Delta/Iceberg
     MERGE INTO semantics without a table format): a deterministic CDC
@@ -5332,7 +5447,7 @@ def s_minmax_skipping_q(spark, sf):
 # r6 window FIRST, then the oldest-stale rows, oldest last-green first):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
 #       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
-#       stream_merge_upsert
+#       stream_merge_upsert, a_histogram, a_event_transitions, a_winsorize
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
