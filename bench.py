@@ -129,6 +129,7 @@ HEADLINE = [
     "a_histogram",
     "a_event_transitions",
     "a_winsorize",
+    "quality_profile",
 ]
 
 

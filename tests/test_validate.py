@@ -71,3 +71,31 @@ def test_referential_report(spark, lineitem):
         lineitem, some, "l_orderkey", "o_orderkey"
     ).first()
     assert bad_row["ok"] is False and bad_row["violations"] > 0
+
+
+def test_profile_counts(spark):
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k bigint, v string"
+    )
+    got = {r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in V.profile(df, ["k", "v"]).collect()}
+    assert got == {"k": (4, 1, 3), "v": (4, 1, 2)}
+
+
+def test_profile_single_scan(spark):
+    """The profile is one aggregate plan over one scan — no per-column
+    jobs (the Expand branches for exact distincts all hang off the same
+    read)."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    plan = (
+        V.profile(orders, ["o_custkey", "o_orderstatus"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1, plan

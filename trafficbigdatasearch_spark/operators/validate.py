@@ -110,3 +110,31 @@ def referential_report(
     return spark.createDataFrame(
         [(check_name, n, n == 0)], "check string, violations bigint, ok boolean"
     )
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-profile report: one row per profiled column with
+    (column_name, n_rows, n_nulls, n_distinct) — the data-profiling pass a
+    pipeline runs on an unfamiliar ingest before writing expectations
+    against it.
+
+    ONE aggregate over one scan computes every column's counts, then a
+    ``stack`` unpivots the single wide row into the per-column report
+    (kilobytes — no second pass, no per-column job).  Exact
+    ``count_distinct`` keeps the result oracle-hashable; Spark plans one
+    Expand branch per distinct column, so at 100 TB swap in
+    ``approx_count_distinct`` (one pass, mergeable HLL partials — same
+    sketch fabric as operators/sketches.py) once profile numbers feed
+    dashboards instead of hash gates."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

@@ -4769,6 +4769,39 @@ def a_anomaly_mad_q(spark, sf):
     )
 
 
+@register(
+    "quality_profile",
+    """WITH a AS (SELECT COUNT(*) AS n,
+                         COUNT(o_custkey) AS nn1,
+                         COUNT(DISTINCT o_custkey) AS nd1,
+                         COUNT(o_orderstatus) AS nn2,
+                         COUNT(DISTINCT o_orderstatus) AS nd2,
+                         COUNT(o_orderpriority) AS nn3,
+                         COUNT(DISTINCT o_orderpriority) AS nd3
+                  FROM orders)
+       SELECT 'o_custkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+              CAST(n - nn1 AS BIGINT) AS n_nulls,
+              CAST(nd1 AS BIGINT) AS n_distinct FROM a
+       UNION ALL
+       SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+              CAST(nd2 AS BIGINT) FROM a
+       UNION ALL
+       SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+              CAST(nd3 AS BIGINT) FROM a""",
+)
+def quality_profile_q(spark, sf):
+    """Data profiling (operators/validate.py profile): per-column
+    null/distinct counts for an ingest, computed in ONE aggregate over one
+    scan and unpivoted with stack() into the per-column report.  Exact
+    count_distinct for the oracle hash; the 100 TB variant swaps in
+    approx_count_distinct (mergeable HLL partials, one Expand-free pass) —
+    documented in the operator."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    orders = load_table(spark, sf, "orders")
+    return V.profile(orders, ["o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
 # =============================================================================
 # Classic OLAP additions: histogram, sequence transitions, winsorized stats
 # =============================================================================
@@ -5447,7 +5480,8 @@ def s_minmax_skipping_q(spark, sf):
 # r6 window FIRST, then the oldest-stale rows, oldest last-green first):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
 #       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
-#       stream_merge_upsert, a_histogram, a_event_transitions, a_winsorize
+#       stream_merge_upsert, a_histogram, a_event_transitions,
+#       a_winsorize, quality_profile
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
