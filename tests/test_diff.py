@@ -139,3 +139,46 @@ def test_merge_upsert_validates_columns(spark):
         D.merge_upsert(snap, changes.drop("val"), ["k"])
     with pytest.raises(ValueError):
         D.merge_upsert(snap, changes.drop("op"), ["k"])
+
+
+def test_diff_to_changeset_reconstructs_new(spark):
+    """The diff/merge algebra closes: a changeset derived from
+    snapshot_diff(old, new) applied to old must reproduce new exactly —
+    the CDC pipeline's end-to-end invariant (capture -> apply)."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    old = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # synthesize a "new" snapshot: drop %11 keys, bump %7 prices, add keys
+    new = (
+        old.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 5.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.limit(50).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    d = D.snapshot_diff(old, new, ["o_orderkey"], fingerprint=False)
+    ops = d.withColumn(
+        "op",
+        F.when(F.col("diff_status") == "removed", "D")
+        .when(F.col("diff_status") == "added", "I")
+        .otherwise("U"),
+    ).select("o_orderkey", "op")
+    changes = ops.join(new, "o_orderkey", "left").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "op"
+    )
+    rebuilt = D.merge_upsert(old, changes, ["o_orderkey"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
