@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Compare two bench records query-by-query.
+
+Usage: ``python tools/bench_compare.py OLD.json NEW.json [threshold]``
+
+Accepts either the full ``BENCH_local.json`` shape (``queries`` map inline)
+or a driver ``BENCH_r{N}.json`` wrapper (``parsed`` holding the summary —
+whose ``queries`` map may be the slowest-only compact subset).  Prints the
+common-query totals, the per-query ratio table for everything past
+``threshold`` (default 1.15 = +15 %), and exits 1 if any common query
+regressed beyond 1.5x — a cheap guard for perf refactors.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        rec = json.load(f)
+    if "queries" in rec:
+        return rec["queries"]
+    parsed = rec.get("parsed") or {}
+    if parsed.get("queries"):
+        return parsed["queries"]
+    # truncated driver record (r1-r4 "parsed": null): scrape the surviving
+    # "name": seconds pairs out of the 2000-char stdout tail
+    import re
+
+    tail = rec.get("tail") or ""
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+        if m.group(1) not in ("value", "sf", "cold_total_sec", "n_queries")
+    }
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = _queries(sys.argv[1]), _queries(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.15
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no common queries between the two records")
+        return 2
+    t_old = sum(old[q] for q in common)
+    t_new = sum(new[q] for q in common)
+    print(
+        f"{len(common)} common queries: {t_old:.2f}s -> {t_new:.2f}s "
+        f"({t_new / t_old:.2f}x)"
+    )
+    worst = 0.0
+    for q in sorted(common, key=lambda q: -(new[q] / max(old[q], 1e-9))):
+        r = new[q] / max(old[q], 1e-9)
+        worst = max(worst, r)
+        if r >= threshold:
+            print(f"  {q:32s} {old[q]:7.3f}s -> {new[q]:7.3f}s  {r:.2f}x")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"new-only ({len(only_new)}): " + ", ".join(only_new))
+    return 1 if worst > 1.5 else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
