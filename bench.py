@@ -130,6 +130,8 @@ HEADLINE = [
     "a_event_transitions",
     "a_winsorize",
     "quality_profile",
+    "a_basket_pairs",
+    "a_attribution_touch",
 ]
 
 

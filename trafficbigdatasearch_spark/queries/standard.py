@@ -4870,6 +4870,92 @@ def a_event_transitions_q(spark, sf):
 
 
 @register(
+    "a_basket_pairs",
+    """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+       SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM d a JOIN d b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2""",
+)
+def a_basket_pairs_q(spark, sf):
+    """Co-occurrence / market-basket pairs: how many users exhibit each
+    PAIR of event types — the association-mining support table.  Distinct
+    (user, type) first (collapses the fact stream to <= users x types
+    rows), then an ordered self-join per user and one map-side-combined
+    count bounded by |types|² rows.  The distinct is the guard: the
+    self-join runs on the collapsed set, never on raw events, so per-user
+    fan-out is at most types-choose-2 — at 100 TB the classic a-priori
+    first step without a single wide shuffle."""
+    ev = load_table(spark, sf, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "a_attribution_touch",
+    """WITH e AS (SELECT user_id, event_type,
+                         epoch_ms(ts) * 1000000 + event_id AS ord
+                  FROM events),
+       p AS (SELECT user_id, MIN(ord) AS fp FROM e
+             WHERE event_type = 'purchase' GROUP BY user_id),
+       pre AS (SELECT e.user_id, e.event_type, e.ord
+               FROM e JOIN p USING (user_id)
+               WHERE e.event_type <> 'purchase' AND e.ord < p.fp),
+       t AS (SELECT user_id,
+                    arg_min(event_type, ord) AS first_touch,
+                    arg_max(event_type, ord) AS last_touch
+             FROM pre GROUP BY user_id)
+       SELECT first_touch, last_touch,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM t GROUP BY 1, 2""",
+)
+def a_attribution_touch_q(spark, sf):
+    """BATCH first-touch / last-touch attribution: for each converting
+    user, the first and last non-purchase event before their FIRST
+    purchase, rolled up into the (first_touch, last_touch) matrix —
+    the batch twin of stream_attribution's within-horizon join.  Ordering
+    key is the timeseries module's packed (epoch_ms x 1e6 + event_id)
+    bigint — injective while id < 1e6 (bound enforced there; ids here max
+    ~1e6 x sf), so min_by/max_by are deterministic and the oracle's
+    arg_min/arg_max agree exactly.  Three map-side-combined aggregates
+    shuffled on user_id, one broadcast-scale conversion row per user."""
+    ev = load_table(spark, sf, "events")
+    ordk = F.unix_millis(F.col("ts")) * F.lit(1000000) + F.col("event_id")
+    e = ev.select("user_id", "event_type", ordk.alias("ord"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ord").alias("fp"))
+    )
+    pre = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(p, "user_id")
+        .filter(F.col("ord") < F.col("fp"))
+    )
+    t = pre.groupBy("user_id").agg(
+        F.min_by("event_type", "ord").alias("first_touch"),
+        F.max_by("event_type", "ord").alias("last_touch"),
+    )
+    return t.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
     "a_winsorize",
     """WITH c AS (SELECT event_type,
                          CAST(round(value * 100) AS BIGINT) AS cents
@@ -5481,7 +5567,7 @@ def s_minmax_skipping_q(spark, sf):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
 #       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
 #       stream_merge_upsert, a_histogram, a_event_transitions,
-#       a_winsorize, quality_profile
+#       a_winsorize, quality_profile, a_basket_pairs, a_attribution_touch
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
