@@ -422,6 +422,7 @@ def bloom_semi_join(
     key: str,
     n_bits: int = 1 << 20,
     n_hashes: int = 3,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """EXACT semi join (``large`` rows whose ``key`` appears in ``keys``)
     with a Bloom-bitmap prefilter ahead of the shuffle.
@@ -433,9 +434,16 @@ def bloom_semi_join(
     the semi join's shuffle dominates.  False positives survive the
     prefilter and are removed by the exact join; the result is
     row-identical to ``large.join(keys, key, "left_semi")``.
+
+    ``words``: a prebuilt :func:`bloom_bitmap` — the repeated-query
+    arrangement (build the bitmap once per key-set version, probe
+    forever), which removes the two-job build constant from every call;
+    the bitmap MUST have been built over this ``keys`` set or a superset
+    (a stale subset loses the no-false-negative guarantee).
     """
     kdf = keys.select(key).distinct()
-    words = bloom_bitmap(kdf, key, n_bits, n_hashes)
+    if words is None:
+        words = bloom_bitmap(kdf, key, n_bits, n_hashes)
     return bloom_prefilter(large, key, words, n_hashes).join(
         kdf, key, "left_semi"
     )
@@ -447,6 +455,7 @@ def bloom_anti_join(
     key: str,
     n_bits: int = 1 << 20,
     n_hashes: int = 3,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """EXACT anti join (``large`` rows whose ``key`` does NOT appear in
     ``keys``) where bloom-definite non-members BYPASS the join entirely.
@@ -459,10 +468,14 @@ def bloom_anti_join(
     where at 100 TB the anti join's exchange is the bottleneck.  NULL keys
     take the candidate lane (xxhash64 still hashes them) and survive the
     anti join, matching ``left_anti`` NULL semantics.  Result is
-    row-identical to ``large.join(keys, key, "left_anti")``.
+    row-identical to ``large.join(keys, key, "left_anti")``.  ``words``:
+    prebuilt bitmap, same contract as :func:`bloom_semi_join` — and the
+    same superset requirement: a bitmap MISSING a current key would route
+    its rows around the anti join and wrongly keep them.
     """
     kdf = keys.select(key).distinct()
-    words = bloom_bitmap(kdf, key, n_bits, n_hashes)
+    if words is None:
+        words = bloom_bitmap(kdf, key, n_bits, n_hashes)
     maybe = _bloom_probe(large, key, words, n_hashes)
     definite_out = large.filter(~maybe)
     candidates = large.filter(maybe)
