@@ -132,6 +132,7 @@ HEADLINE = [
     "quality_profile",
     "a_basket_pairs",
     "a_attribution_touch",
+    "dedup_containment",
 ]
 
 

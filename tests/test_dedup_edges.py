@@ -229,3 +229,26 @@ def test_rowwise_band_buckets_equal_batch(spark):
         map(tuple, dedup.minhash_band_buckets_rowwise(docs, k=8, bands=4).collect())
     )
     assert a == b
+
+
+def test_containment_catches_quoted_doc(spark):
+    """A short doc quoted verbatim inside a long one: Jaccard stays small
+    (union-normalized) but containment is 1.0 — the asymmetric case the
+    operator exists for."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    cont = D.ngram_containment_pairs(docs, threshold=0.9, max_shingle_freq=None)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0]["id_a"] == 1 and rows[0]["id_b"] == 2
+    r = rows[0]
+    jaccard = r["shared"] / (r["size_a"] + r["size_b"] - r["shared"])
+    containment = r["shared"] / min(r["size_a"], r["size_b"])
+    assert containment == 1.0 and jaccard < 0.05

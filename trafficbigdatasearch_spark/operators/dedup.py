@@ -621,3 +621,34 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: pairs where the smaller document's
+    shingle set is mostly CONTAINED in the other's —
+    ``containment = shared / min(|A|, |B|)``.
+
+    Jaccard misses exactly this case: a short document quoted whole inside
+    a long one has tiny ``shared / (|A| + |B| - shared)`` but containment
+    ~1.0 — the quote/boilerplate-wrapper/excerpt duplication a training
+    corpus needs caught (a contained document adds no new text, only a
+    length prior).  Same inverted-index plan as
+    :func:`ngram_jaccard_pairs` (one shared shingle exchange, window
+    frequency guard, generate-then-verify under ``max_shingle_freq``) —
+    only the final score changes, so the scale posture is identical.
+    Output: (id_a, id_b, shared, size_a, size_b) with id_a < id_b;
+    containment is re-derivable exactly from the integer columns.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, n,
+        threshold=0.0, max_shingle_freq=max_shingle_freq,
+    )
+    cont = F.col("shared").cast("double") / F.least("size_a", "size_b")
+    return pairs.filter(cont >= threshold)

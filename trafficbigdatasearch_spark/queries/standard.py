@@ -892,6 +892,35 @@ def dedup_ngram_jaccard_q(spark, sf):
 
 
 @register(
+    "dedup_containment",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+       FROM shared
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.3""",
+)
+def dedup_containment_q(spark, sf):
+    """Asymmetric containment near-dup (operators/dedup.py
+    ngram_containment_pairs): pairs where the smaller doc's shingles are
+    >= 30 % contained in the other — the quote/excerpt/boilerplate-wrapper
+    duplication symmetric Jaccard under-scores (tiny union-normalized
+    score, high containment).  Same single-exchange inverted-index plan as
+    dedup_ngram_jaccard; only the final score differs."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf, "documents"), threshold=0.3, max_shingle_freq=None
+    )
+
+
+@register(
     "text_top_ngrams",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
        idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i FROM toks),
@@ -5593,7 +5622,8 @@ def s_minmax_skipping_q(spark, sf):
 #       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
 #       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
 #       stream_merge_upsert, a_histogram, a_event_transitions,
-#       a_winsorize, quality_profile, a_basket_pairs, a_attribution_touch
+#       a_winsorize, quality_profile, a_basket_pairs, a_attribution_touch,
+#       dedup_containment
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
