@@ -465,3 +465,30 @@ def test_orc_scan_pushes_filters(spark, tmp_path):
     )[1][:120], plan
     # column pruning reaches the ORC reader too
     assert "ReadSchema" in plan
+
+
+def test_minmax_sidecar_explicit_schema_no_probe(spark, tmp_path):
+    """With an explicit schema the pruned read never lists the data dir
+    for planning — only the sidecar-selected files appear in the scan."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_schema")
+    P.write_sized(
+        orders, layout, rows_per_file=1 << 30, range_by=["o_orderdate"], n_files=4
+    )
+    sidecar = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
+    pruned = P.read_pruned_by_sidecar(
+        spark, layout, sidecar, "o_orderdate",
+        "1995-01-01", "1995-04-01", schema=orders.schema,
+    )
+    plain = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -349,6 +349,7 @@ def read_pruned_by_sidecar(
     lo,
     hi,
     closed: str = "left",
+    schema=None,
 ) -> DataFrame:
     """Range read over a parquet directory with PLANNING-TIME file pruning:
     the (tiny) sidecar picks the files whose [min, max] overlaps [lo, hi),
@@ -363,7 +364,12 @@ def read_pruned_by_sidecar(
     the unpruned filtered scan for any RANGE predicate on ``col``.  Files
     with NULL bounds (no non-null values in ``col``) are skipped — sound
     here because no NULL row satisfies a range predicate; an IS NULL
-    workload must not use this path."""
+    workload must not use this path.
+
+    Pass ``schema`` (the writer's StructType) to make the zero-listing
+    claim literal: without it, one directory listing + one footer read
+    resolve the schema at planning time (fine locally; at object-store
+    scale the schema belongs next to the sidecar, not re-derived)."""
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
     res = (F.col(col) >= lo) & (
@@ -378,7 +384,7 @@ def read_pruned_by_sidecar(
         .select("file")
         .collect()
     ]
-    full_schema = spark.read.parquet(path).schema
+    full_schema = schema if schema is not None else spark.read.parquet(path).schema
     if not files:
         return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
     return spark.read.schema(full_schema).parquet(*files).filter(res)
