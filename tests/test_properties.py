@@ -122,3 +122,72 @@ def test_lenient_speed_csv_parser_properties(spark, tmp_path_factory, rows):
     for r in got.collect():
         assert r["WZSJMillis"] > 0
         assert r["CLSD"] is not None and r["ISOVERSPEED"] is not None
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=1_000_000),
+    n_keys=st.integers(min_value=1, max_value=60),
+    n_bits=st.sampled_from([1 << 8, 1 << 10, 1 << 12]),
+)
+@PROP
+def test_bloom_no_false_negatives_property(spark, seed, n_keys, n_bits):
+    """For ANY key set and bitmap size, every true member passes the
+    prefilter and the semi/anti joins stay row-identical to their plain
+    forms (the bloom contract: false positives allowed, false negatives
+    never)."""
+    from trafficbigdatasearch_spark.operators import joins as J
+
+    keys = (
+        spark.range(0, n_keys)
+        .select(((F.col("id") * 2654435761 + seed) % 100_000).alias("k"))
+        .distinct()
+    )
+    big = spark.range(0, 500).select(((F.col("id") * 97) % 100_000).alias("k"))
+    words = J.bloom_bitmap(keys, "k", n_bits=n_bits, n_hashes=3)
+    # membership: every key passes its own bitmap
+    assert J.bloom_prefilter(keys, "k", words).count() == keys.count()
+    # join exactness under arbitrary fp rate (tiny bitmaps force fps)
+    semi = J.bloom_semi_join(big, keys, "k", n_bits=n_bits)
+    plain_semi = big.join(keys, "k", "left_semi")
+    assert sorted(r["k"] for r in semi.collect()) == sorted(
+        r["k"] for r in plain_semi.collect()
+    )
+    anti = J.bloom_anti_join(big, keys, "k", n_bits=n_bits)
+    plain_anti = big.join(keys, "k", "left_anti")
+    assert sorted(r["k"] for r in anti.collect()) == sorted(
+        r["k"] for r in plain_anti.collect()
+    )
+
+
+@given(
+    upd=st.sets(st.integers(min_value=0, max_value=29), max_size=8),
+    dele=st.sets(st.integers(min_value=0, max_value=29), max_size=8),
+    ins=st.sets(st.integers(min_value=30, max_value=49), max_size=8),
+)
+@PROP
+def test_merge_upsert_algebra_property(spark, upd, dele, ins):
+    """For ANY disjoint update/delete/insert key sets: the merged snapshot
+    contains exactly (base - deletes) ∪ inserts, updates carry the new
+    value, and re-applying the changeset is a no-op (idempotence)."""
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    upd = upd - dele  # a key must carry one op
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    rows = (
+        [(k, k * 10.0 + 1.0, "U") for k in sorted(upd)]
+        + [(k, None, "D") for k in sorted(dele)]
+        + [(k, k * 10.0, "I") for k in sorted(ins)]
+    )
+    if not rows:
+        return
+    changes = spark.createDataFrame(rows, "k bigint, v double, op string")
+    merged = D.merge_upsert(base, changes, ["k"])
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    want = {k: k * 10.0 for k in range(30) if k not in dele}
+    want.update({k: k * 10.0 + 1.0 for k in upd})
+    want.update({k: k * 10.0 for k in ins})
+    assert got == want
+    again = D.merge_upsert(merged, changes, ["k"])
+    assert {r["k"]: r["v"] for r in again.collect()} == want
