@@ -133,6 +133,8 @@ HEADLINE = [
     "a_basket_pairs",
     "a_attribution_touch",
     "dedup_containment",
+    "text_bpe_merges",
+    "text_bpe_encode",
 ]
 
 

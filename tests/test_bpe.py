@@ -1,0 +1,88 @@
+"""BPE merge-rule learning: golden equivalence against a pure-Python
+reference implementation, greedy-leftmost semantics, and determinism."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from trafficbigdatasearch_spark.catalog import load_table
+from trafficbigdatasearch_spark.operators import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Textbook BPE over (word, freq): count adjacent pairs weighted by
+    freq, merge the (weight DESC, pair ASC) winner greedy-leftmost,
+    repeat."""
+    seqs = {w: [list(w), f] for w, f in word_freqs.items()}
+    rules = []
+    for r in range(n_merges):
+        counts = Counter()
+        for toks, f in seqs.values():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        if not counts:
+            break
+        (a, b), w = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((r, a, b, w))
+        for entry in seqs.values():
+            toks = entry[0]
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            entry[0] = out
+    return rules, seqs
+
+
+def _word_freqs_py(rows):
+    import re
+
+    c = Counter()
+    for (text,) in rows:
+        for w in re.split(r"\s+", text.lower().strip()):
+            if re.fullmatch(r"[a-z0-9]+", w):
+                c[w] += 1
+    return dict(c)
+
+
+def test_learn_merges_matches_reference(spark):
+    docs = load_table(spark, SF, "documents").limit(120)
+    wf_py = _word_freqs_py([(r["text"],) for r in docs.select("text").collect()])
+    want_rules, want_seqs = _ref_bpe(wf_py, 5)
+    got_rules, got_reprs = bpe.learn_merges(docs, 5)
+    assert got_rules == want_rules
+    got_tokens = Counter()
+    for r in bpe.token_counts(got_reprs).collect():
+        got_tokens[r["token"]] = r["n"]
+    want_tokens = Counter()
+    for toks, f in want_seqs.values():
+        for t in toks:
+            want_tokens[t] += f
+    assert got_tokens == want_tokens
+
+
+def test_merge_is_greedy_leftmost(spark):
+    """'aaa' under merge (a, a) must become aa + a, never a + aa."""
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id bigint, text string")
+    rules, reprs = bpe.learn_merges(docs, 1)
+    assert [(r[1], r[2]) for r in rules] == [("a", "a")]
+    assert [row["repr"] for row in reprs.collect()] == ["|aa||a|"]
+
+
+def test_learn_merges_stops_when_exhausted(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    rules, _ = bpe.learn_merges(docs, 10)
+    assert [(r[1], r[2]) for r in rules] == [("a", "b")]  # then no pairs left
+
+
+def test_learn_merges_deterministic(spark):
+    docs = load_table(spark, SF, "documents").limit(80)
+    a, _ = bpe.learn_merges(docs, 4)
+    b, _ = bpe.learn_merges(docs.repartition(13), 4)
+    assert a == b

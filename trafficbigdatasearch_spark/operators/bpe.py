@@ -1,0 +1,133 @@
+"""Distributed BPE merge-rule learning — the tokenizer-TRAINING step.
+
+Not in the reference (no text processing at all); completes this engine's
+tokenizer-prep story: ``vocab.py`` builds word vocabularies,
+``learn_merges`` here learns subword MERGE RULES (byte-pair encoding over
+word characters, weighted by word frequency), and the merged token stream
+feeds ``text_vocab_encode`` / ``pack_sequences``.
+
+Distributed shape per round (same bounded-fixpoint family as connected
+components / k-means):
+
+- the corpus collapses ONCE to the distinct-word frequency table (at
+  100 TB: ~1e8 rows, trivially partitioned — BPE statistics depend only on
+  (word, freq), never on document order);
+- adjacent-pair counts are one explode + one map-side-combined sum over
+  that table;
+- the round's top pair is ``ORDER BY weight DESC, a, b LIMIT 1`` — a
+  1-row collect per round, bounded by construction (the codebook-collect
+  contract), deterministic under ties;
+- the merge applies as ONE literal string ``replace`` per row.
+
+The token sequence is carried as a DELIMITED STRING, each token wrapped
+``|t|`` (word ``abc`` -> ``|a||b||c|``): applying merge (a, b) is then
+``replace(repr, '|a||b|', '|ab|')``, whose left-to-right non-overlapping
+scan IS standard BPE's greedy leftmost pairing (``aaa`` + merge (a,a) ->
+``aa``+``a``, pinned in tests).  Everything stays whole-stage-codegen'd
+string/array expressions — no UDFs — and the identical formulation runs in
+DuckDB, so the full k-round training is oracle-hashable (see
+``queries/standard.py::_bpe_oracle``).  Words are restricted to
+``[a-z0-9]+`` so the delimiter can never collide with content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tokens-array expression over the delimited repr column.
+_TK = r"split(substring(repr, 2, length(repr) - 2), '\\|\\|')"
+
+#: Adjacent (a, b) pairs of the token array (empty for 1-token words).
+_PAIRS = (
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> struct(element_at(tk, i) AS a, element_at(tk, CAST(i + 1 AS INT)) AS b))"
+)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercase whitespace tokens, restricted to
+    ``[a-z0-9]+`` (the delimiter-safety contract).  The one corpus-wide
+    pass; every BPE round after this touches only the word table."""
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word")
+    )
+    return (
+        words.filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("tk", F.expr(_TK))
+
+
+def pair_counts(reprs: DataFrame) -> DataFrame:
+    """(a, b, weight) counts of adjacent token pairs, weighted by word
+    frequency — one explode + one map-side-combined sum."""
+    return (
+        _with_tokens(reprs)
+        .filter(F.expr("size(tk) >= 2"))
+        .select("freq", F.explode(F.expr(_PAIRS)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").cast("bigint").alias("weight"))
+    )
+
+
+def initial_reprs(wf: DataFrame) -> DataFrame:
+    """(repr, freq): each word as its wrapped-character sequence."""
+    return wf.select(
+        F.regexp_replace(F.col("word"), "(.)", r"|$1|").alias("repr"),
+        "freq",
+    )
+
+
+def apply_merge(reprs: DataFrame, a: str, b: str) -> DataFrame:
+    """One literal-replace merge application (greedy leftmost pairing)."""
+    return reprs.withColumn(
+        "repr",
+        F.replace(F.col("repr"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+    )
+
+
+def learn_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE rules; returns (rules, final_reprs) where
+    rules = [(rank, lhs, rhs, weight)] and final_reprs is the (repr, freq)
+    word table after all merges (feed to :func:`token_counts`).
+
+    Driver loop of bounded rounds; per round one 1-row collect (the top
+    pair) and one lazy ``localCheckpoint`` truncating the replace lineage.
+    Stops early if no adjacent pair remains."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    cur = initial_reprs(word_freqs(docs, text_col)).localCheckpoint(eager=False)
+    rules: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, w = top[0]["a"], top[0]["b"], top[0]["weight"]
+        rules.append((r, a, b, int(w)))
+        cur = apply_merge(cur, a, b).localCheckpoint(eager=False)
+    return rules, cur
+
+
+def token_counts(reprs: DataFrame) -> DataFrame:
+    """(token, n) frequency of the current subword inventory — corpus
+    token occurrences weighted by word freq."""
+    return (
+        _with_tokens(reprs)
+        .select("freq", F.explode(F.col("tk")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )

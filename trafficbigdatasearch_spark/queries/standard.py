@@ -920,6 +920,111 @@ def dedup_containment_q(spark, sf):
     )
 
 
+#: BPE training rounds for the registry pair (enough to learn multi-char
+#: subwords on the synthetic corpus; the oracle chains one CTE stage per
+#: round, so keep it small).
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle_ctes() -> str:
+    """The k-round BPE chain as DuckDB CTEs (kcore-style generated SQL;
+    MATERIALIZED is load-bearing — each round references the previous 2-3
+    times).  Mirrors operators/bpe.py exactly: wrapped-token string repr,
+    literal-replace merges, (weight DESC, a, b) top-pair tie-break."""
+    parts = [
+        r"""wf AS MATERIALIZED (
+           SELECT word, COUNT(*) AS freq FROM (
+             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+             FROM documents) t
+           WHERE regexp_matches(word, '^[a-z0-9]+$')
+           GROUP BY word)""",
+        r"""r0 AS MATERIALIZED (
+           SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS repr, freq FROM wf)""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""tk{r} AS MATERIALIZED (
+           SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t,
+                  freq, repr
+           FROM r{r - 1})"""
+        )
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+           SELECT t[i] AS a, t[i + 1] AS b, SUM(freq) AS w
+           FROM (SELECT t, freq, unnest(range(1, len(t))) AS i FROM tk{r}) u{r}
+           GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""tp{r} AS MATERIALIZED (
+           SELECT a, b, w FROM pc{r} ORDER BY w DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+           SELECT replace(repr,
+                          '|' || (SELECT a FROM tp{r}) || '||' ||
+                                 (SELECT b FROM tp{r}) || '|',
+                          '|' || (SELECT a FROM tp{r}) ||
+                                 (SELECT b FROM tp{r}) || '|') AS repr, freq
+           FROM r{r - 1})"""
+        )
+    return ",\n       ".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    rows = "\n       UNION ALL\n       ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS rank, a AS lhs, b AS rhs, "
+        f"CAST(w AS BIGINT) AS weight FROM tp{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes()}\n       {rows}"
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""WITH {_bpe_oracle_ctes()},
+       final_tk AS (
+         SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t, freq
+         FROM r{_BPE_ROUNDS}),
+       tok AS (SELECT unnest(t) AS token, freq FROM final_tk)
+       SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+       FROM tok GROUP BY token
+       ORDER BY n DESC, token ASC LIMIT 20"""
+
+
+@register("text_bpe_merges", _bpe_merges_oracle())
+def text_bpe_merges_q(spark, sf):
+    """BPE merge-rule LEARNING (operators/bpe.py learn_merges): 6 rounds of
+    frequency-weighted adjacent-pair counting over the distinct-word table,
+    each round's top pair (weight DESC, lexicographic tie-break) applied as
+    one literal string replace whose left-to-right scan IS greedy-leftmost
+    BPE pairing.  The corpus collapses once to (word, freq); every round is
+    one explode + one map-side-combined sum + a 1-row collect — the
+    bounded-fixpoint family (CC, k-means) applied to tokenizer TRAINING.
+    The identical delimited-string formulation runs in DuckDB, so all six
+    learned rules hash-match end-to-end."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    rules, _ = bpe.learn_merges(load_table(spark, sf, "documents"), _BPE_ROUNDS)
+    return spark.createDataFrame(
+        rules, "rank int, lhs string, rhs string, weight bigint"
+    )
+
+
+@register("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode_q(spark, sf):
+    """The learned subword inventory in action: corpus token frequencies
+    AFTER the 6 merges (top-20, deterministic tie-break) — the token
+    stream that feeds text_vocab_encode / pack_sequences once rules are
+    trained.  Same chain as text_bpe_merges plus one final explode+sum."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    _, reprs = bpe.learn_merges(load_table(spark, sf, "documents"), _BPE_ROUNDS)
+    return (
+        bpe.token_counts(reprs)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
 @register(
     "text_top_ngrams",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -5623,7 +5728,7 @@ def s_minmax_skipping_q(spark, sf):
 #       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
 #       stream_merge_upsert, a_histogram, a_event_transitions,
 #       a_winsorize, quality_profile, a_basket_pairs, a_attribution_touch,
-#       dedup_containment
+#       dedup_containment, text_bpe_merges, text_bpe_encode
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
