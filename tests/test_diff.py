@@ -182,3 +182,20 @@ def test_diff_to_changeset_reconstructs_new(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_merge_upsert_null_op_is_upsert(spark):
+    """A NULL op must act as an upsert per the "any op other than 'D'"
+    contract — not silently delete the key (plain != evaluates NULL and
+    drops the row from `applied` while the anti join still removes the
+    snapshot row; ADVICE r5)."""
+    from trafficbigdatasearch_spark.operators import diff as D
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0)], "k bigint, name string, val double"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", 11.0, None)], "k bigint, name string, val double, op string"
+    )
+    got = sorted(map(tuple, D.merge_upsert(snap, changes, ["k"]).collect()))
+    assert got == [(1, "a2", 11.0)]

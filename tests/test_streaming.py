@@ -623,3 +623,37 @@ def test_foreach_batch_merge_upsert_empty_batch_noop(spark, tmp_path):
     fb(empty, 0)
     with open(os.path.join(snap_dir, "_CURRENT")) as f:
         assert f.read().strip() == "vseed"
+
+
+def test_foreach_batch_merge_upsert_replay_is_noop(spark, tmp_path):
+    """Replay of the batch _CURRENT already points at must NOT rewrite the
+    live version in place (self-read-overwrite; ADVICE r5) — the sink
+    short-circuits and the version directory's files are untouched."""
+    import os
+
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir)
+    seed = spark.createDataFrame([(1, 10.0)], "k bigint, val double")
+    seed.write.parquet(os.path.join(snap_dir, "vseed"))
+    with open(os.path.join(snap_dir, "_CURRENT"), "w") as f:
+        f.write("vseed")
+    fb = SK.foreach_batch_merge_upsert(snap_dir, ["k"])
+    b7 = spark.createDataFrame(
+        [(2, 20.0, "I")], "k bigint, val double, op string"
+    )
+    fb(b7, 7)
+    vdir = os.path.join(snap_dir, "v7")
+    before = {
+        f: os.stat(os.path.join(vdir, f)).st_mtime_ns
+        for f in os.listdir(vdir)
+    }
+    fb(b7, 7)  # replay: must be a pure no-op
+    after = {
+        f: os.stat(os.path.join(vdir, f)).st_mtime_ns
+        for f in os.listdir(vdir)
+    }
+    assert after == before
+    got = sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect()))
+    assert got == [(1, 10.0), (2, 20.0)]

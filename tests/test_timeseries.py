@@ -311,3 +311,42 @@ def test_sssp_bounded_rounds_upper_bound(spark):
     assert two == {0: 0, 1: 1, 2: 2}
     three = {r["id"]: r["dist"] for r in graph.sssp_bounded(e, seeds, 3).collect()}
     assert three == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ohlc_amortized_guard_raises_out_of_range_id(spark):
+    """The ordering-key bounds check is amortized to one boolean per group
+    but still ENFORCED: an id >= _ORD_SCALE must raise instead of silently
+    colliding ordering keys."""
+    import pytest as _pytest
+
+    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000), (1, _t(9, 1), 20.0, 1)])
+    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+        timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+
+
+def test_gapfill_amortized_guard_raises(spark):
+    import pytest as _pytest
+
+    df = _ev(spark, [(1, _t(9, 0), 10.0, -5), (1, _t(11, 0), 20.0, 1)])
+    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+        timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+
+
+def test_argmax_amortized_guard_raises(spark):
+    """graph.quality_argmax_key's bounds survive the amortization: an
+    out-of-range minor raises through the group-level guard."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 1 << 31)], "c bigint, q bigint, id bigint"
+    )
+    bad = (
+        df.groupBy("c")
+        .agg(
+            F.max_by("id", graph.quality_argmax_key(F.col("q"), F.col("id"))).alias("_k"),
+            graph.quality_argmax_bounds_ok(F.col("q"), F.col("id")).alias("_ok"),
+        )
+        .select(graph.quality_argmax_guard(F.col("_ok"), F.col("_k")).alias("keep"))
+    )
+    with _pytest.raises(Exception, match="argmax key out of range"):
+        bad.collect()

@@ -99,3 +99,31 @@ def test_profile_single_scan(spark):
         .toString()
     )
     assert plan.count("FileScan") == 1, plan
+
+
+def test_profile_hostile_column_names(spark):
+    """Names with dots, spaces, hyphens, and quotes must profile fine —
+    the unpivot is Column-API-built, never interpolated into SQL text
+    (ADVICE r5)."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")],
+        ["dotted.name", "it's a-weird name"],
+    )
+    got = {r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in V.profile(df, list(df.columns)).collect()}
+    assert got == {
+        "dotted.name": (3, 1, 2),
+        "it's a-weird name": (3, 1, 1),
+    }
+
+
+def test_profile_empty_cols_raises(spark):
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="at least one column"):
+        V.profile(df, [])

@@ -120,7 +120,13 @@ def merge_upsert(
     if missing:
         raise ValueError(f"changes is missing snapshot columns {missing}")
     untouched = snapshot.join(changes.select(*keys), keys, "left_anti")
-    applied = changes.filter(F.col(op_col) != "D").select(*snapshot.columns)
+    # eqNullSafe: a NULL op must count as an upsert per the "any op other
+    # than 'D'" contract.  Plain `op != 'D'` evaluates NULL for NULL ops,
+    # which would drop the row from `applied` while its key still anti-joins
+    # the snapshot row away — a silent delete.
+    applied = changes.filter(~F.col(op_col).eqNullSafe("D")).select(
+        *snapshot.columns
+    )
     return untouched.unionByName(applied)
 
 

@@ -42,31 +42,44 @@ def quality_argmax_key(major, minor):
     dominates, SMALLER minor wins ties) for max_by survivor election —
     used by the keep-best dedup paths (pipeline.py, dedup_keep_best).
 
-    The injectivity/overflow bounds are enforced, not just documented: an
-    out-of-range value raises at runtime (two row-local comparisons)
-    instead of silently corrupting which duplicate survives.  Expressible
-    in DuckDB as ``arg_max(x, major * 2147483648 - minor)``."""
-    guarded_major = F.when(
-        (major >= 0) & (major < F.lit(1 << 32)), major
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("argmax key major out of [0, 2^32): "),
-                major.cast("string"),
-            )
-        ).cast("bigint")
+    The key itself is RAW multiply-subtract (stays inside whole-stage
+    codegen); the injectivity/overflow bounds (major < 2^32,
+    0 <= minor < 2^31) are still runtime-enforced but AMORTIZED to the
+    aggregate level: fold :func:`quality_argmax_bounds_ok` into the same
+    aggregate and wrap one output column with :func:`quality_argmax_guard`
+    so an out-of-range value raises before a silently-corrupted survivor
+    choice can escape.  Expressible in DuckDB as
+    ``arg_max(x, major * 2147483648 - minor)``."""
+    return major * F.lit(_ARGMAX_PACK) - minor
+
+
+def quality_argmax_bounds_ok(major, minor):
+    """Aggregate-level bounds check for :func:`quality_argmax_key` —
+    ``min`` of the per-row boolean is the group's logical AND, combined
+    map-side like any other partial."""
+    return F.min(
+        (major >= 0)
+        & (major < F.lit(1 << 32))
+        & (minor >= 0)
+        & (minor < F.lit(_ARGMAX_PACK))
     )
-    guarded_minor = F.when(
-        (minor >= 0) & (minor < F.lit(_ARGMAX_PACK)), minor
-    ).otherwise(
+
+
+def quality_argmax_guard(ok_col, out_col):
+    """Attach the amortized bounds check to a live output column: passes
+    the value through when every (major, minor) in the group was in range,
+    raises otherwise (``raise_error`` in the else-branch — an identical-
+    branch CASE around ``assert_true`` would be folded away by Catalyst).
+    Same enforcement as the old per-row guard, one boolean per GROUP
+    instead of two branches per row."""
+    return F.when(ok_col, out_col).otherwise(
         F.raise_error(
-            F.concat(
-                F.lit("argmax key minor out of [0, 2^31): "),
-                minor.cast("string"),
+            F.lit(
+                "argmax key out of range (need 0 <= major < 2^32, "
+                "0 <= minor < 2^31) — see graph._ARGMAX_PACK"
             )
-        ).cast("bigint")
+        )
     )
-    return guarded_major * F.lit(_ARGMAX_PACK) - guarded_minor
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:

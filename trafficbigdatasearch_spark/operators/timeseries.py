@@ -42,26 +42,45 @@ def _ord_key(ts_col, id_col):
     identically in DuckDB as ``epoch_ms(ts) * 1000000 + id`` (the repo's
     established unix_millis <-> epoch_ms cross-engine pairing).
 
-    The injectivity bound (0 <= id < _ORD_SCALE) is ENFORCED, not just
-    documented: an out-of-range id silently collides ordering keys and
-    makes open/close nondeterministic, so the key raises at runtime
-    instead (two row-local comparisons — negligible next to the
-    aggregate itself).  At a scale where ids exceed 1e6 per ordered
-    scope, widen _ORD_SCALE or switch to a DECIMAL(38,0) packing."""
-    guarded = F.when((id_col >= 0) & (id_col < _ORD_SCALE), id_col).otherwise(
+    The key itself is RAW arithmetic — pure bigint multiply-add, fully
+    codegen'd inside the aggregate.  The injectivity bound
+    (0 <= id < _ORD_SCALE) is still enforced at runtime, but AMORTIZED to
+    the aggregate level: callers fold :func:`_ord_ids_ok` into the same
+    aggregate (one map-side-combined ``min`` of a boolean — no branch or
+    string machinery on the per-row hot path) and wrap one output column
+    with :func:`_ord_guard`, which raises before any key-collision-
+    corrupted result can escape.  At a scale where ids exceed 1e6 per
+    ordered scope, widen _ORD_SCALE or switch to a DECIMAL(38,0)
+    packing."""
+    return F.unix_millis(ts_col) * F.lit(_ORD_SCALE) + id_col
+
+
+def _ord_ids_ok(id_col):
+    """Aggregate-level bounds check for :func:`_ord_key`: ``min`` of the
+    per-row boolean is the group's logical AND, combined map-side like any
+    other partial — the whole guard costs two comparisons per row with no
+    branch in the ordering key itself."""
+    return F.min((id_col >= 0) & (id_col < F.lit(_ORD_SCALE)))
+
+
+def _ord_guard(ok_col, out_col):
+    """Attach the amortized bounds check to a real output column so
+    Catalyst cannot prune it: when the group's ids were all in range the
+    value passes through unchanged; otherwise the ``raise_error`` branch
+    fires with the same remediation message the old per-row guard carried.
+    (``when(cond, x).otherwise(x)`` with an ``assert_true`` inside the
+    condition does NOT work — Catalyst folds identical-branch CASEs and
+    prunes the assert; ``raise_error`` in the else-branch is side-effecting
+    and survives.)  NullType coercion leaves the output type untouched —
+    pinned in tests/test_timeseries.py."""
+    return F.when(ok_col, out_col).otherwise(
         F.raise_error(
-            F.concat(
-                F.lit(
-                    "timeseries ordering id out of [0, %d): " % _ORD_SCALE
-                ),
-                id_col.cast("string"),
-                F.lit(" — widen _ORD_SCALE (see _ord_key docstring)"),
+            F.lit(
+                "timeseries ordering id out of [0, %d) — widen _ORD_SCALE "
+                "(see _ord_key docstring)" % _ORD_SCALE
             )
-        ).cast(
-            "bigint"
         )
     )
-    return F.unix_millis(ts_col) * F.lit(_ORD_SCALE) + guarded
 
 
 #: Bucket units accepted by the gap-fill spine generators: every unit here
@@ -111,6 +130,16 @@ def resample_ohlc(
             F.min(value_col).alias("low"),
             F.max_by(F.col(value_col), ord_key).alias("close"),
             F.count(F.lit(1)).alias("volume"),
+            _ord_ids_ok(F.col(id_col)).alias("_ids_ok"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            _ord_guard(F.col("_ids_ok"), F.col("open")).alias("open"),
+            "high",
+            "low",
+            "close",
+            "volume",
         )
     )
 
@@ -149,8 +178,14 @@ def gapfill_ffill(
         )
         .agg(
             F.max_by(F.col(value_col), _ord_key(F.col(ts_col), F.col(id_col))).alias(
-                "_close"
-            )
+                "_c0"
+            ),
+            _ord_ids_ok(F.col(id_col)).alias("_ids_ok"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            _ord_guard(F.col("_ids_ok"), F.col("_c0")).alias("_close"),
         )
     )
     spine = (
@@ -211,8 +246,14 @@ def gapfill_interpolate(
         )
         .agg(
             F.max_by(F.col(value_col), _ord_key(F.col(ts_col), F.col(id_col))).alias(
-                "_close"
-            )
+                "_c0"
+            ),
+            _ord_ids_ok(F.col(id_col)).alias("_ids_ok"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            _ord_guard(F.col("_ids_ok"), F.col("_c0")).alias("_close"),
         )
     )
     spine = (

@@ -125,16 +125,35 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
     Expand branch per distinct column, so at 100 TB swap in
     ``approx_count_distinct`` (one pass, mergeable HLL partials — same
     sketch fabric as operators/sketches.py) once profile numbers feed
-    dashboards instead of hash gates."""
+    dashboards instead of hash gates.
+
+    The unpivot is built with the Column API (explode over an array of
+    structs), never by interpolating raw column names into SQL text — names
+    with dots, spaces, hyphens, or quotes profile fine.  Internal partial
+    aliases are index-based for the same reason."""
+    if not cols:
+        raise ValueError("profile() needs at least one column to profile")
+    def _quoted(name: str):
+        # backtick-quote so '.' is not parsed as struct access and
+        # embedded backticks are escaped by doubling
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(_quoted(c)).alias(f"_nn_{i}"))
+        aggs.append(F.count_distinct(_quoted(c)).alias(f"_nd_{i}"))
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', _n - _nn_{c}, _nd_{c}" for c in cols
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("_n") - F.col(f"_nn_{i}")).alias("n_nulls"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.selectExpr(
-        "_n AS n_rows",
-        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)",
-    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+    return (
+        wide.select(F.col("_n").alias("n_rows"), F.explode(per_col).alias("p"))
+        .select("p.column_name", "n_rows", "p.n_nulls", "p.n_distinct")
+    )

@@ -90,13 +90,20 @@ class CorpusPipeline:
         keep = (
             members.groupBy("component")
             .agg(
-                # bounds (quality < 2^32, id < 2^31) enforced inside the
-                # shared key builder — see graph._ARGMAX_PACK
+                # bounds (quality < 2^32, id < 2^31) enforced via the
+                # amortized group-level guard — see graph._ARGMAX_PACK
                 F.max_by(
                     "id", graph.quality_argmax_key(F.col("_q"), F.col("id"))
-                ).alias("id")
+                ).alias("id"),
+                graph.quality_argmax_bounds_ok(
+                    F.col("_q"), F.col("id")
+                ).alias("_ok"),
             )
-            .select(F.col("id").alias(self.id_col))
+            .select(
+                graph.quality_argmax_guard(F.col("_ok"), F.col("id")).alias(
+                    self.id_col
+                )
+            )
         )
         drop = (
             cc.select(F.col("id").alias(self.id_col))

@@ -4782,12 +4782,21 @@ def dedup_keep_best_q(spark, sf):
         allc.join(quality, "doc_id")
         .groupBy("component")
         .agg(
-            # bounds (quality < 2^32, doc_id < 2^31) enforced inside the
-            # shared key builder — see graph._ARGMAX_PACK
+            # bounds (quality < 2^32, doc_id < 2^31) enforced via the
+            # amortized group-level guard — see graph._ARGMAX_PACK
             F.max_by(
                 "doc_id",
                 graph.quality_argmax_key(F.col("quality"), F.col("doc_id")),
-            ).alias("keep_id")
+            ).alias("_keep0"),
+            graph.quality_argmax_bounds_ok(
+                F.col("quality"), F.col("doc_id")
+            ).alias("_ok"),
+        )
+        .select(
+            "component",
+            graph.quality_argmax_guard(F.col("_ok"), F.col("_keep0")).alias(
+                "keep_id"
+            ),
         )
     )
     return allc.join(best, "component").select(
@@ -5042,7 +5051,7 @@ def a_basket_pairs_q(spark, sf):
 @register(
     "a_attribution_touch",
     """WITH e AS (SELECT user_id, event_type,
-                         epoch_ms(ts) * 1000000 + event_id AS ord
+                         epoch_ms(ts)::HUGEINT * 10000000000 + event_id AS ord
                   FROM events),
        p AS (SELECT user_id, MIN(ord) AS fp FROM e
              WHERE event_type = 'purchase' GROUP BY user_id),
@@ -5062,13 +5071,19 @@ def a_attribution_touch_q(spark, sf):
     user, the first and last non-purchase event before their FIRST
     purchase, rolled up into the (first_touch, last_touch) matrix —
     the batch twin of stream_attribution's within-horizon join.  Ordering
-    key is the timeseries module's packed (epoch_ms x 1e6 + event_id)
-    bigint — injective while id < 1e6 (bound enforced there; ids here max
-    ~1e6 x sf), so min_by/max_by are deterministic and the oracle's
-    arg_min/arg_max agree exactly.  Three map-side-combined aggregates
-    shuffled on user_id, one broadcast-scale conversion row per user."""
+    key is (epoch_ms x 1e10 + event_id) packed WIDE — DECIMAL(38,0) on the
+    Spark side, HUGEINT in the oracle — so it stays injective for any
+    event_id < 1e10 at EVERY scale factor (the old bigint x1e6 pack
+    collided once ids passed 1e6, i.e. at sf >= 1), and min_by/max_by and
+    the oracle's arg_min/arg_max agree exactly.  Three map-side-combined
+    aggregates shuffled on user_id, one broadcast-scale conversion row per
+    user."""
     ev = load_table(spark, sf, "events")
-    ordk = F.unix_millis(F.col("ts")) * F.lit(1000000) + F.col("event_id")
+    ordk = (
+        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
+        * F.lit(10000000000).cast("decimal(11,0)")
+        + F.col("event_id").cast("decimal(20,0)")
+    )
     e = ev.select("user_id", "event_type", ordk.alias("ord"))
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -5255,9 +5270,11 @@ def stream_dedup_q(spark, sf):
     ``dropDuplicatesWithinWatermark`` on the event key collapses the replay
     back to exactly the original table.  State is bounded by the watermark
     horizon, not stream length — the production shape for CDC/queue ingest
-    where upstream retries duplicate events.  Both copies arrive in one
-    availableNow batch (file source default maxFilesPerTrigger=1000), so
-    the watermark never classifies the replica as late.  Oracle: the
+    where upstream retries duplicate events.  Both copies MUST arrive in
+    one availableNow micro-batch or the 24h watermark could classify the
+    replayed copy as late and leak a duplicate — that one-batch assumption
+    is pinned explicitly (``maxFilesPerTrigger`` on the readStream) rather
+    than inherited from the file source's default of 1000.  Oracle: the
     events table itself — dedup must be EXACTLY inverse to the doubling."""
     import os
 
@@ -5269,7 +5286,14 @@ def stream_dedup_q(spark, sf):
         link = os.path.join(d, name)
         if not os.path.lexists(link):
             os.symlink(src_file, link)
-    src = spark.readStream.schema(raw.schema).parquet(d)
+    src = (
+        spark.readStream.schema(raw.schema)
+        # enforce the single-micro-batch assumption: both replica files
+        # (each a symlink to one parquet file) must land in batch 0, else
+        # the watermark could classify the replayed copy as late
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(d)
+    )
     _ts_type = dict(src.dtypes).get("ts")
     if _ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -84,16 +84,24 @@ def foreach_batch_merge_upsert(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        vdir = f"v{batch_id}"
         pointer = os.path.join(snapshot_dir, "_CURRENT")
         if os.path.exists(pointer):
             with open(pointer) as f:
-                snap = spark.read.parquet(
-                    os.path.join(snapshot_dir, f.read().strip())
-                )
+                current = f.read().strip()
+            if current == vdir:
+                # Replay of an already-applied batch: _CURRENT is swapped
+                # only AFTER a committed version write, so pointing at
+                # v{batch_id} proves this batch's merge is durable.
+                # Re-running would read and overwrite the live version in
+                # place (self-read-overwrite is plan-shape-dependent and
+                # breaks the atomicity contract for concurrent readers);
+                # the safe idempotent action is a no-op.
+                return
+            snap = spark.read.parquet(os.path.join(snapshot_dir, current))
         else:
             snap = batch_df.drop(op_col).filter(F.lit(False))
         merged = merge_upsert(snap, batch_df, keys, op_col)
-        vdir = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, vdir))
         tmp = pointer + f".tmp{batch_id}"
         with open(tmp, "w") as f:
