@@ -252,3 +252,27 @@ def test_bloom_bitmap_validates_params(spark):
         J.bloom_bitmap(keys, "k", n_bits=1 << 30)
     with _pytest.raises(ValueError):
         J.bloom_bitmap(keys, "k", n_hashes=0)
+
+
+def test_quality_referential_fact_edge_bloom_and_preagg(spark):
+    """The lineitem→orders FK edge runs the scale path: child pre-aggregated
+    to distinct keys (map-side combine) and the key-level anti join routed
+    through bloom_anti_join — the plan must show the xxhash64 bloom probe,
+    and the violation count must equal the plain row-level anti join."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.queries import standard
+
+    sf = "/root/testdata/sf0.001"
+    out = standard.queries()["quality_referential"](spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan
+
+    got = {r["check_name"]: r["violations"] for r in out.collect()}
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    plain = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).count()
+    assert got["lineitem_orders_fk"] == plain

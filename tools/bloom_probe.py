@@ -72,6 +72,41 @@ def main() -> None:
             "t_bloom_s": t_bloom,
         }))
 
+    # --- FK-audit anti edge (quality_referential's lineitem→orders path) --
+    # Child pre-aggregated to (key, cnt); orphan rate synthesized by
+    # DROPPING a fraction of orders keys from the parent set.  Measures the
+    # rows each lane moves: pre-agg shrinks the child exchange from row
+    # count to distinct-key count, and the bloom bypass removes
+    # definite-orphan keys from the anti join's probe input.
+    orders = load_table(spark, SF_DIR, "orders")
+    li_ok = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    counts = li_ok.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_cnt"))
+    n_rows = li_ok.count()
+    n_keys = counts.count()
+    for drop_mod in (0, 20, 4):  # 0 = clean FK, then 5 % / 25 % orphan keys
+        parent = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+        if drop_mod:
+            parent = parent.filter(F.col("l_orderkey") % drop_mod != 0)
+        words = J.bloom_bitmap(parent.distinct(), "l_orderkey", 1 << 20, 3)
+        candidates = J.bloom_prefilter(counts, "l_orderkey", words).count()
+        plain_viol = (
+            li_ok.join(parent, "l_orderkey", "left_anti").count()
+        )
+        bloom_viol = (
+            J.bloom_anti_join(counts, parent, "l_orderkey", words=words)
+            .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).alias("v"))
+            .first()["v"]
+        )
+        assert bloom_viol == plain_viol, (bloom_viol, plain_viol)
+        print(json.dumps({
+            "fk_edge": "lineitem_orders",
+            "orphan_key_fraction": round(1 / drop_mod, 4) if drop_mod else 0.0,
+            "rows_into_exchange_rowlevel": n_rows,
+            "rows_into_exchange_preagg": n_keys,
+            "keys_into_anti_probe_bloom": candidates,
+            "violations": plain_viol,
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -5348,11 +5348,20 @@ def quality_referential_q(spark, sf):
     """Cross-table referential-integrity audit — the validation pass a
     training-data pipeline runs after every ingest/join stage: four FK
     orphan counts (anti join per FK edge) plus a PK uniqueness check
-    (duplicate-surplus count).  Dimension key sets broadcast (customer/
-    orders keys at 100 TB would use the bloom-bypass anti join instead —
-    same module, j_bloom_anti); each check is one agg over one anti join,
-    all five assembled with unionByName into a single plan.  Complements
-    quality_report (single-table expectations via observe())."""
+    (duplicate-surplus count).  Dimension key sets broadcast; the one
+    fact×fact edge (lineitem→orders) takes the SCALE path: the child side
+    pre-aggregates to (key, row_count) — one map-side-combined shuffle
+    that collapses ~4 lineitems/order to distinct keys — and the key-level
+    anti join runs through ``bloom_anti_join`` (operators/joins.py), so
+    definite-orphan keys (bloom misses against the orders bitmap) bypass
+    the join exchange entirely and only maybe-member keys reach the exact
+    anti join.  Violations = sum of bypassed+surviving keys' row counts —
+    identical to the row-level anti-join count (plan-pinned in
+    tests/test_joins.py).  All five checks assemble with unionByName into
+    one plan.  Complements quality_report (single-table expectations via
+    observe())."""
+    from trafficbigdatasearch_spark.operators import joins as J
+
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")
     lineitem = load_table(spark, sf, "lineitem")
@@ -5370,6 +5379,24 @@ def quality_referential_q(spark, sf):
             .select(F.lit(name).alias("check_name"), "violations")
         )
 
+    def _orphans_fact(name, child, child_key, parent, parent_key):
+        counts = child.groupBy(child_key).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        orphan_keys = J.bloom_anti_join(
+            counts,
+            parent.select(F.col(parent_key).alias(child_key)),
+            child_key,
+        )
+        return (
+            orphan_keys.agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("violations")
+            )
+            .select(F.lit(name).alias("check_name"), "violations")
+        )
+
     dup_surplus = (
         orders.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -5379,7 +5406,9 @@ def quality_referential_q(spark, sf):
     )
     checks = [
         _orphans("orders_customer_fk", orders, "o_custkey", customer, "c_custkey"),
-        _orphans("lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"),
+        _orphans_fact(
+            "lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"
+        ),
         _orphans("lineitem_supplier_fk", lineitem, "l_suppkey", supplier, "s_suppkey"),
         _orphans("customer_nation_fk", customer, "c_nationkey", nation, "n_nationkey"),
         dup_surplus,
