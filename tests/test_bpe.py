@@ -86,3 +86,47 @@ def test_learn_merges_deterministic(spark):
     a, _ = bpe.learn_merges(docs, 4)
     b, _ = bpe.learn_merges(docs.repartition(13), 4)
     assert a == b
+
+
+def test_apply_merges_matches_training_reprs(spark):
+    """A word seen in training must encode EXACTLY as its final training
+    repr — apply folds the same replaces in the same rank order."""
+    docs = load_table(spark, SF, "documents").limit(120)
+    rules, reprs = bpe.learn_merges(docs, 4)
+    applied = bpe.apply_merges(docs.limit(120), rules)
+    train = {
+        row["repr"]: row["repr"]
+        .strip("|")
+        .replace("||", " ")
+        for row in reprs.collect()
+    }
+    # rebuild each training word from its repr to key the comparison
+    train_by_word = {k.replace("|", ""): v for k, v in train.items()}
+    for row in applied.collect():
+        assert row["encoded"] == train_by_word[row["word"]], row
+
+
+def test_apply_merges_oov_degrades_to_chars(spark):
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id bigint, text string")
+    rules, _ = bpe.learn_merges(docs, 1)  # learns (a, b)
+    new = spark.createDataFrame([(9, "ab xyz")], "doc_id bigint, text string")
+    got = {r["word"]: r["encoded"] for r in bpe.apply_merges(new, rules).collect()}
+    assert got == {"ab": "ab", "xyz": "x y z"}
+
+
+def test_apply_merges_rank_order_and_positions(spark):
+    """Merges fold in rank order (rule 2 can consume rule 1's output) and
+    pos tracks the pre-filter whitespace stream."""
+    rules = [(0, "a", "b", 9), (1, "ab", "c", 5)]
+    new = spark.createDataFrame(
+        [(1, "abc  W!  abcabc")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        (r["pos"], r["word"], r["encoded"])
+        for r in bpe.apply_merges(new, rules).collect()
+    )
+    # 'W!' fails the [a-z0-9]+ contract but still occupies position 1
+    assert rows == [
+        (0, "abc", "abc"),
+        (2, "abcabc", "abc abc"),
+    ]

@@ -122,6 +122,58 @@ def learn_merges(
     return rules, cur
 
 
+def apply_merges(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode UNSEEN documents with a learned rule list — the INFERENCE
+    half of the tokenizer (:func:`learn_merges` is the training half).
+
+    Tokenizes to whitespace words under the same ``[a-z0-9]+``
+    delimiter-safety contract as training, wraps each word's characters
+    (``abc`` -> ``|a||b||c|``), folds the k merges IN RANK ORDER as
+    sequential literal ``replace`` expressions — identical greedy-leftmost
+    semantics to training, so a word seen in training encodes exactly as
+    its final training repr — and returns
+    ``(id, pos, word, encoded)`` with ``encoded`` the space-joined subword
+    sequence.  ``pos`` is the word's position in the document's whitespace
+    token stream (pre-filter, so positions are stable under the contract
+    filter).
+
+    Scale posture: ZERO shuffles — posexplode + k row-local string
+    replaces, all whole-stage-codegen'd; the rule list rides into the plan
+    as k scalar literals (k = merge count, typically 1e2-1e5 at which
+    point chunk the folds), never a literal array.  OOV words degrade
+    gracefully to their character sequence — no failure mode on unseen
+    text."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    out = words.withColumn(
+        "repr", F.regexp_replace(F.col("word"), "(.)", r"|$1|")
+    )
+    for _rank, a, b, _w in sorted(rules):
+        out = out.withColumn(
+            "repr",
+            F.replace(F.col("repr"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+        )
+    return out.select(
+        id_col,
+        "pos",
+        "word",
+        F.replace(
+            F.expr("substring(repr, 2, length(repr) - 2)"),
+            F.lit("||"),
+            F.lit(" "),
+        ).alias("encoded"),
+    )
+
+
 def token_counts(reprs: DataFrame) -> DataFrame:
     """(token, n) frequency of the current subword inventory — corpus
     token occurrences weighted by word freq."""

@@ -1025,6 +1025,132 @@ def text_bpe_encode_q(spark, sf):
     )
 
 
+def _bpe_apply_ctes() -> str:
+    """Held-out documents (doc_id % 10 = 3) folded through the learned
+    merges — the APPLY chain as CTEs ending in ``w{_BPE_ROUNDS}``.
+    Positions come from the pre-filter whitespace token stream (matching
+    apply_merges' posexplode-then-filter order)."""
+    parts = [
+        r"""toks2 AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents WHERE doc_id % 10 = 3)""",
+        """idx2 AS (SELECT doc_id, i AS pos, t[i + 1] AS word
+           FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+                 FROM toks2) u)""",
+        r"""w0 AS (SELECT doc_id, pos, word,
+                  regexp_replace(word, '(.)', '|\1|', 'g') AS repr
+           FROM idx2 WHERE regexp_matches(word, '^[a-z0-9]+$'))""",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""w{r} AS (SELECT doc_id, pos, word, replace(repr,
+                          '|' || (SELECT a FROM tp{r}) || '||' ||
+                                 (SELECT b FROM tp{r}) || '|',
+                          '|' || (SELECT a FROM tp{r}) ||
+                                 (SELECT b FROM tp{r}) || '|') AS repr
+           FROM w{r - 1})"""
+        )
+    return ",\n       ".join(parts)
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""WITH {_bpe_oracle_ctes()},
+       {_bpe_apply_ctes()}
+       SELECT doc_id, CAST(pos AS INT) AS pos, word,
+              replace(substring(repr, 2, length(repr) - 2), '||', ' ')
+                AS encoded
+       FROM w{_BPE_ROUNDS}"""
+
+
+@register("text_bpe_apply", _bpe_apply_oracle())
+def text_bpe_apply_q(spark, sf):
+    """Tokenizer INFERENCE (operators/bpe.py apply_merges): rules learned
+    on the full corpus, applied to the held-out doc_id % 10 = 3 slice —
+    the train→apply story a production tokenizer runs (learn once, encode
+    every new shard).  The apply side is ZERO-shuffle: posexplode + k
+    row-local literal replaces in rank order, identical greedy-leftmost
+    semantics to training, OOV words degrading to character sequences."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    rules, _ = bpe.learn_merges(docs, _BPE_ROUNDS)
+    return bpe.apply_merges(docs.filter(F.col("doc_id") % 10 == 3), rules)
+
+
+def _pipeline_bpe_oracle() -> str:
+    return f"""WITH {_bpe_oracle_ctes()},
+       {_bpe_apply_ctes()},
+       final_tk2 AS (
+         SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t,
+                freq
+         FROM r{_BPE_ROUNDS}),
+       inv AS (SELECT token, SUM(freq) AS n
+               FROM (SELECT unnest(t) AS token, freq FROM final_tk2) x
+               GROUP BY token),
+       vocab AS (SELECT token FROM inv ORDER BY n DESC, token ASC LIMIT 30),
+       enc_tok AS (
+         SELECT doc_id,
+                unnest(str_split(substring(repr, 2, length(repr) - 2), '||'))
+                  AS token
+         FROM w{_BPE_ROUNDS}),
+       tok_stats AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+         FROM enc_tok GROUP BY doc_id),
+       word_stats AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(SUM(length(word)) AS BIGINT) AS n_chars
+         FROM w{_BPE_ROUNDS} GROUP BY doc_id)
+       SELECT doc_id, n_words, n_chars, n_tokens, n_known
+       FROM word_stats JOIN tok_stats USING (doc_id)"""
+
+
+@register("pipeline_bpe", _pipeline_bpe_oracle())
+def pipeline_bpe_q(spark, sf):
+    """The composed tokenizer pipeline — learn → apply → vocab → per-doc
+    stats in ONE plan (the composition flagship for the BPE family,
+    mirroring pipeline_dedup_corpus's role for dedup): merge rules learned
+    on the full corpus, applied to the held-out slice, the top-30 subword
+    inventory taken from the TRAINING token frequencies (vocab.py's top-V
+    TakeOrdered shape), and each held-out doc summarized as (n_words,
+    n_chars, n_tokens, n_known) — chars-per-token and vocab coverage are
+    the two numbers a tokenizer ablation reads.  Vocab membership is a
+    broadcast join; both aggregates are map-side-combined on doc_id."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    rules, reprs = bpe.learn_merges(docs, _BPE_ROUNDS)
+    enc = bpe.apply_merges(docs.filter(F.col("doc_id") % 10 == 3), rules)
+    vocab = (
+        bpe.token_counts(reprs)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(30)
+        .select("token")
+        .withColumn("_known", F.lit(1))
+    )
+    toks = enc.select(
+        "doc_id", F.explode(F.split("encoded", " ")).alias("token")
+    )
+    tok_stats = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("_known"), F.lit(0))
+            .cast("bigint")
+            .alias("n_known"),
+        )
+    )
+    word_stats = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+    )
+    return word_stats.join(tok_stats, "doc_id").select(
+        "doc_id", "n_words", "n_chars", "n_tokens", "n_known"
+    )
+
+
 @register(
     "text_top_ngrams",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
