@@ -492,3 +492,60 @@ def test_minmax_sidecar_explicit_schema_no_probe(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_sidecar_incremental_append_equals_bootstrap(spark, tmp_path):
+    """write→append→pruned-read: the incrementally-maintained sidecar must
+    equal a fresh full-scan rebuild, and pruned reads over the evolving
+    table must stay row-identical to the plain filtered scan."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_incr")
+    side = str(tmp_path / "orders_incr_sidecar")
+
+    batches = [
+        orders.filter(F.col("o_orderkey") % 3 == i).repartition(2)
+        for i in range(3)
+    ]
+    for b in batches:
+        P.append_with_sidecar(b, layout, ["o_orderdate"], side)
+
+    incr = P.load_sidecar(spark, side)
+    boot = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, boot.collect())
+    )
+
+    lo, hi = "1995-01-01", "1995-07-01"
+    pruned = P.read_pruned_by_sidecar(spark, layout, incr, "o_orderdate", lo, hi)
+    plain = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_sidecar_compact_repairs(spark, tmp_path):
+    """compact_sidecar rebuilds the persisted sidecar in place (atomic
+    swap); the result equals the incremental one on unchanged data and
+    recovers after the sidecar is deleted."""
+    import shutil
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_cmp")
+    side = str(tmp_path / "orders_cmp_sidecar")
+    P.append_with_sidecar(orders.repartition(3), layout, ["o_orderdate"], side)
+    want = sorted(map(tuple, P.load_sidecar(spark, side).collect()))
+
+    shutil.rmtree(side)  # lose the sidecar
+    P.compact_sidecar(spark, layout, ["o_orderdate"], side)
+    got = sorted(map(tuple, P.load_sidecar(spark, side).collect()))
+    assert got == want

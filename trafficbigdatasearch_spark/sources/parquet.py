@@ -331,14 +331,99 @@ def build_minmax_sidecar(
     / repair path.  Pair with a clustered layout (``write_sized(range_by=…)``
     or ``write_zordered``) — statistics only skip files whose bounds are
     tight."""
+    return _minmax_stats_for_files(spark, [path], cols)
+
+
+def _minmax_stats_for_files(
+    spark: SparkSession, files: list[str], cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/count rows for an EXPLICIT file list — the shared
+    stat pass of the bootstrap builder and the incremental appender (one
+    column-pruned scan of just those files)."""
     agg = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         agg += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(*files)
         .groupBy(F.input_file_name().alias("file"))
         .agg(*agg)
     )
+
+
+def append_with_sidecar(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    sidecar_path: str,
+) -> None:
+    """Append ``df`` to the parquet directory at ``path`` AND incrementally
+    maintain its min/max sidecar — the stat-what-you-wrote path that
+    :func:`build_minmax_sidecar`'s docstring names as the at-scale
+    requirement (the full-scan builder stays the bootstrap/repair tool).
+
+    Stats ONLY the files this write created (directory listing diff around
+    the write — the local equivalent of reading the job's commit manifest,
+    which is where the file list comes from on an object store) with one
+    column-pruned scan, and appends those rows to the sidecar parquet at
+    ``sidecar_path``.  Cost per ingest: O(new files), never a rescan of the
+    table — at 100 TB the sidecar keeps up with the write rate because its
+    maintenance touches exactly the data the job already had in flight.
+
+    The resulting sidecar is row-identical to a fresh
+    ``build_minmax_sidecar`` over the whole directory (pinned in
+    tests/test_sources.py); :func:`compact_sidecar` rebuilds it from
+    scratch when repair is needed (lost sidecar, compacted data files)."""
+    import os
+
+    def _data_files() -> set[str]:
+        if not os.path.isdir(path):
+            return set()
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        }
+
+    spark = df.sparkSession
+    before = _data_files()
+    df.write.mode("append").parquet(path)
+    new = sorted(_data_files() - before)
+    if not new:
+        return
+    stats = _minmax_stats_for_files(
+        spark, [os.path.join(path, f) for f in new], cols
+    )
+    stats.write.mode("append").parquet(sidecar_path)
+
+
+def load_sidecar(spark: SparkSession, sidecar_path: str) -> DataFrame:
+    """Read a persisted sidecar (appended by :func:`append_with_sidecar`)
+    for use with :func:`read_pruned_by_sidecar`."""
+    return spark.read.parquet(sidecar_path)
+
+
+def compact_sidecar(
+    spark: SparkSession, path: str, cols: list[str], sidecar_path: str
+) -> None:
+    """Repair/compact entry point: rebuild the sidecar from a full scan of
+    ``path`` (the bootstrap builder) and atomically replace the persisted
+    sidecar — run after data-file compaction, bound drift, or sidecar loss.
+    The rebuild writes to a fresh directory and renames over the old one so
+    concurrent :func:`load_sidecar` readers see old-or-new, never half."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{sidecar_path}.rebuild-{uuid.uuid4().hex[:8]}"
+    build_minmax_sidecar(spark, path, cols).write.mode("overwrite").parquet(
+        tmp
+    )
+    old = f"{sidecar_path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(sidecar_path):
+        os.replace(sidecar_path, old)
+    os.replace(tmp, sidecar_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def read_pruned_by_sidecar(
