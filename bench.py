@@ -135,6 +135,8 @@ HEADLINE = [
     "dedup_containment",
     "text_bpe_merges",
     "text_bpe_encode",
+    "text_bpe_apply",
+    "pipeline_bpe",
 ]
 
 

@@ -5911,6 +5911,56 @@ def s_minmax_skipping_q(spark, sf):
 #   (each is green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session)
 #
+# Round-6 rotation (executing the queue above):
+#   SLOT-PRIORITY AMENDMENT (stated this round): rows whose IMPLEMENTATION
+#   changed this session outrank stale rows for the leftover slots — a
+#   driver row must certify the code that will ship, not last round's; a
+#   green row on since-rewritten code is weaker evidence than a stale row
+#   on untouched code.
+#   in  (the whole 17-query ROUND-6 QUEUE — after this round every
+#        registered query has had >= 1 driver row)
+#   in  (this round's new queries, first-round entry per policy)
+#       text_bpe_apply, pipeline_bpe
+#   in  (changed-code re-verification per the amendment: the ordering-key
+#        guard amortization rewrote the OHLC/gapfill closes aggregates and
+#        the keep-best argmax projection this session)
+#       ts_resample_ohlc, ts_gapfill, ts_interpolate, stream_ohlc,
+#       dedup_keep_best
+#   in  (oldest-stale, last green r2, registration order)
+#       p_time_range_halfopen, p_segments_case, j1_equi_join_dims,
+#       j3_or_key_union
+#   out (-> in-window sibling covering the code path; every exit was GREEN
+#        in CORRECTNESS_r05)
+#       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
+#                               maintenance family) + stable stream_events_hourly
+#       q4_priority_exists   -> q3_shipping_priority (stable TPC-H family)
+#       a_exact_percentiles  -> a_winsorize (same quantile_cont machinery)
+#       f_variant_extract    -> JSON machinery held by json_sink goldens
+#                               (tests/test_jsonl.py) until its next cycle
+#       pipeline_entity_resolution -> pipeline_dedup_corpus (stable CC +
+#                               survivor election)
+#       pipeline_incremental_refresh -> table_merge_upsert +
+#                               stream_merge_upsert (in-window)
+#       j_interval_overlap   -> j_range_keyless (stable band machinery)
+#       w_pattern_sequence   -> w_sessionize (stable lag/lead sequencing)
+#       pipeline_semantic_dedup -> pipeline_dedup_corpus (stable) +
+#                               dedup_containment (in-window)
+#       spatial_density      -> grid machinery beside p_bbox_filter
+#                               (stable); dbscan family cycles back r7
+#       pipeline_dbscan      -> CC held by pipeline_dedup_corpus (stable)
+#       sample_importance    -> md5-membership machinery inside
+#                               decontaminate (stable)
+#       graph_pagerank/kcore/label_prop/sssp -> bounded-fixpoint family
+#                               held by pipeline_dedup_corpus's CC (stable);
+#                               graph suite cycles back r7
+#       text_bm25_indexed    -> text_phrase_indexed (stable postings)
+#       a_anomaly_mad        -> a_winsorize (same grouped-quantile shape)
+#       f_date_arith, u_union_distinct, sort_topk, p_time_range_closed,
+#       s_scan_project, f_lenient_cast -> §2-parity rows re-verified r5,
+#                               within the 2-round bound through r7
+#       w_quality_deciles_global -> histogram-CDF machinery beside
+#                               a_histogram (in-window)
+#
 #   out (-> in-window sibling covering the code path; every exit was GREEN
 #        in CORRECTNESS_r04)
 #       ts_interpolate       -> ts_gapfill (same per-key running-frame
@@ -5991,37 +6041,38 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 5: the 21-query never-checked queue --------
-    "stream_partial_maintenance",
-    "q4_priority_exists",
-    "a_exact_percentiles",
-    "f_variant_extract",
-    "pipeline_entity_resolution",
-    "pipeline_incremental_refresh",
-    "j_interval_overlap",
-    "w_pattern_sequence",
-    "pipeline_semantic_dedup",
-    "spatial_density",
-    "pipeline_dbscan",
-    "sample_importance",
-    "graph_pagerank",
-    "graph_kcore",
-    "graph_label_prop",
-    "graph_sssp",
+    # --- rotating slots, round 6: the 17-query never-checked queue --------
+    "j_bloom_prefilter",
+    "j_bloom_anti",
+    "stream_dedup",
+    "quality_referential",
+    "s_minmax_skipping",
+    "s_orc_roundtrip",
+    "table_merge_upsert",
+    "stream_merge_upsert",
+    "a_histogram",
+    "a_event_transitions",
+    "a_winsorize",
+    "quality_profile",
+    "a_basket_pairs",
+    "a_attribution_touch",
+    "dedup_containment",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    # --- rotating slots, round 6: new queries, first-round entry ----------
+    "text_bpe_apply",
+    "pipeline_bpe",
+    # --- rotating slots, round 6: changed-code re-verification ------------
     "ts_resample_ohlc",
     "ts_gapfill",
-    "text_bm25_indexed",
+    "ts_interpolate",
     "stream_ohlc",
-    "a_anomaly_mad",
-    # --- rotating slots, round 5: oldest-stale §2 rows (last green r1/r2) --
-    "f_date_arith",
-    "u_union_distinct",
-    "sort_topk",
-    "p_time_range_closed",
-    "s_scan_project",
-    "f_lenient_cast",
-    # --- rotating slot, round 5: new query, first-round entry -------------
-    "w_quality_deciles_global",
+    "dedup_keep_best",
+    # --- rotating slots, round 6: oldest-stale rows (last green r2) -------
+    "p_time_range_halfopen",
+    "p_segments_case",
+    "j1_equi_join_dims",
+    "j3_or_key_union",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
