@@ -191,3 +191,31 @@ def test_merge_upsert_algebra_property(spark, upd, dele, ins):
     assert got == want
     again = D.merge_upsert(merged, changes, ["k"])
     assert {r["k"]: r["v"] for r in again.collect()} == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab01", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@PROP
+def test_bpe_apply_lossless_property(spark, words, n_merges):
+    """For ANY corpus and ANY learned rule count, apply_merges is lossless:
+    concatenating a word's subword tokens reproduces the word exactly, and
+    every emitted token is non-empty — the delimiter-safety contract under
+    random inputs."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    rules, _ = bpe.learn_merges(docs, n_merges)
+    out = bpe.apply_merges(docs, rules).collect()
+    assert len(out) == len(words)
+    for r in out:
+        toks = r["encoded"].split(" ")
+        assert all(toks), r
+        assert "".join(toks) == r["word"], r

@@ -549,3 +549,50 @@ def test_sidecar_compact_repairs(spark, tmp_path):
     P.compact_sidecar(spark, layout, ["o_orderdate"], side)
     got = sorted(map(tuple, P.load_sidecar(spark, side).collect()))
     assert got == want
+
+
+def test_compact_parquet_dir_collapses_small_files(spark, tmp_path):
+    """Many small appended files compact to the target count with data
+    unchanged, and the sidecar is rebuilt to match the new files so pruned
+    reads keep working."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_sm")
+    side = str(tmp_path / "orders_sm_sidecar")
+    for i in range(4):
+        P.append_with_sidecar(
+            orders.filter(F.col("o_orderkey") % 4 == i).repartition(5),
+            layout, ["o_orderdate"], side,
+        )
+    import os
+
+    n_before = len([f for f in os.listdir(layout) if f.endswith(".parquet")])
+    assert n_before >= 20
+    want = sorted(map(tuple, orders.collect()))
+
+    P.compact_parquet_dir(
+        spark, layout,
+        rows_per_file=1 << 30,
+        range_by=["o_orderdate"],
+        sidecar_cols=["o_orderdate"],
+        sidecar_path=side,
+    )
+    files_after = [f for f in os.listdir(layout) if f.endswith(".parquet")]
+    assert len(files_after) < n_before
+    assert sorted(map(tuple, spark.read.parquet(layout).collect())) == want
+
+    # rebuilt sidecar covers exactly the new files and still prunes
+    sc = P.load_sidecar(spark, side)
+    assert {r["file"].rsplit("/", 1)[-1] for r in sc.collect()} == set(files_after)
+    lo, hi = "1995-01-01", "1995-07-01"
+    pruned = P.read_pruned_by_sidecar(spark, layout, sc, "o_orderdate", lo, hi)
+    plain = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

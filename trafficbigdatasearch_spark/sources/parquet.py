@@ -426,6 +426,45 @@ def compact_sidecar(
         shutil.rmtree(old, ignore_errors=True)
 
 
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    rows_per_file: int,
+    range_by: list[str] | None = None,
+    sidecar_cols: list[str] | None = None,
+    sidecar_path: str | None = None,
+) -> None:
+    """Small-files maintenance: rewrite a parquet directory at the target
+    file size (:func:`write_sized` — optionally range-clustered so the
+    compaction also tightens data-skipping bounds) and ATOMICALLY swap the
+    result in: the rewrite lands in a fresh sibling directory and two
+    renames publish it, so a concurrent reader lists old-or-new files,
+    never a mix.  If the directory has a min/max sidecar, pass
+    ``sidecar_cols``/``sidecar_path`` and the sidecar is rebuilt to match
+    the new files (:func:`compact_sidecar`) — a stale sidecar after
+    compaction would prune against files that no longer exist.
+
+    This is the OPTIMIZE step of the incremental-ingest lifecycle:
+    :func:`append_with_sidecar` accumulates small batch files cheaply;
+    this periodically collapses them to scan-sized files.  At 100 TB run
+    it per partition/time-slice, not per table — each invocation reads and
+    rewrites only the slice it compacts."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    write_sized(df, tmp, rows_per_file=rows_per_file, range_by=range_by)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    if sidecar_cols and sidecar_path:
+        compact_sidecar(spark, path, sidecar_cols, sidecar_path)
+
+
 def read_pruned_by_sidecar(
     spark: SparkSession,
     path: str,
