@@ -256,18 +256,14 @@ def test_bloom_bitmap_validates_params(spark):
 
 def test_quality_referential_fact_edge_bloom_and_preagg(spark):
     """The lineitem→orders FK edge runs the scale path: child pre-aggregated
-    to distinct keys (map-side combine) and the key-level anti join routed
-    through bloom_anti_join — the plan must show the xxhash64 bloom probe,
-    and the violation count must equal the plain row-level anti join."""
+    to distinct keys in BOTH regimes; the bloom bypass engages exactly when
+    the parent cannot broadcast (threshold gate, the planner's own regime
+    signal) — pinned both ways, with the violation count equal to the plain
+    row-level anti join in each."""
     from trafficbigdatasearch_spark.catalog import load_table
     from trafficbigdatasearch_spark.queries import standard
 
     sf = "/root/testdata/sf0.001"
-    out = standard.queries()["quality_referential"](spark, sf)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan, plan
-
-    got = {r["check_name"]: r["violations"] for r in out.collect()}
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     plain = li.join(
@@ -275,4 +271,24 @@ def test_quality_referential_fact_edge_bloom_and_preagg(spark):
         "l_orderkey",
         "left_anti",
     ).count()
+
+    # broadcast regime (default threshold): pre-agg anti join, NO bloom
+    out = standard.queries()["quality_referential"](spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan, plan
+    got = {r["check_name"]: r["violations"] for r in out.collect()}
     assert got["lineitem_orders_fk"] == plain
+
+    # shuffle regime (broadcast off): the bloom probe must appear
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        standard._FK_BLOOM_CACHE.clear()
+        out2 = standard.queries()["quality_referential"](spark, sf)
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in plan2, plan2
+        got2 = {r["check_name"]: r["violations"] for r in out2.collect()}
+        assert got2["lineitem_orders_fk"] == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        standard._FK_BLOOM_CACHE.clear()

