@@ -130,3 +130,20 @@ def test_apply_merges_rank_order_and_positions(spark):
         (0, "abc", "abc"),
         (2, "abcabc", "abc abc"),
     ]
+
+
+def test_apply_merges_memoized_equals_fold(spark):
+    """The memo-join variant must be row-identical to the plain fold on a
+    mixed known/OOV corpus — known words ride the training-table join, OOV
+    words the replace chain."""
+    docs = load_table(spark, SF, "documents").limit(100)
+    rules, reprs = bpe.learn_merges(docs, 4)
+    new = spark.createDataFrame(
+        [(901, "unseenword zzz 42"), (902, "the a of")],
+        "doc_id bigint, text string",
+    ).unionByName(docs.select("doc_id", "text").limit(10))
+    plain = sorted(map(tuple, bpe.apply_merges(new, rules).collect()))
+    memo = sorted(
+        map(tuple, bpe.apply_merges_memoized(new, rules, reprs).collect())
+    )
+    assert memo == plain

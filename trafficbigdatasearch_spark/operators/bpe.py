@@ -127,6 +127,7 @@ def apply_merges(
     rules: list[tuple[int, str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_every: int = 128,
 ) -> DataFrame:
     """Encode UNSEEN documents with a learned rule list — the INFERENCE
     half of the tokenizer (:func:`learn_merges` is the training half).
@@ -142,22 +143,92 @@ def apply_merges(
     token stream (pre-filter, so positions are stable under the contract
     filter).
 
-    Scale posture: ZERO shuffles — posexplode + k row-local string
-    replaces, all whole-stage-codegen'd; the rule list rides into the plan
-    as k scalar literals (k = merge count, typically 1e2-1e5 at which
-    point chunk the folds), never a literal array.  OOV words degrade
-    gracefully to their character sequence — no failure mode on unseen
-    text."""
+    Scale posture: ZERO shuffles in the fold — posexplode + k row-local
+    string replaces, all whole-stage-codegen'd; the rule list rides into
+    the plan as k scalar literals, never a literal array.  Catalyst
+    PLANNING cost grows with the replace-chain depth (~15 ms/rule
+    measured — a 30k-rule tokenizer would spend hours analyzing one
+    projection), so the fold truncates lineage with a lazy
+    ``localCheckpoint`` every ``checkpoint_every`` merges: each chunk
+    plans against a flat scan, planning cost returns to linear with small
+    constant, execution order is unchanged.  OOV words degrade gracefully
+    to their character sequence — no failure mode on unseen text."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     words = docs.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("pos", "word"),
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    return _fold_rules_on_words(words, rules, id_col, checkpoint_every)
+
+
+def apply_merges_memoized(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    train_reprs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 128,
+) -> DataFrame:
+    """:func:`apply_merges` with the training word table as a MEMO: words
+    seen in training take their final repr from ``train_reprs`` via one
+    hash join (broadcast under AQE for dim-sized vocabularies, shuffle
+    otherwise) — zero per-rule work; only OOV words pay the k-deep replace
+    fold.  Result is row-identical to :func:`apply_merges` (pinned in
+    tests/test_bpe.py).
+
+    This is the production shape once rule counts reach real-tokenizer
+    sizes (30k+): the fold's Catalyst planning cost is per-QUERY
+    (~6 ms/rule with chunked lineage) and its execution cost per-ROW —
+    both acceptable for the OOV MINORITY, wasteful for the bulk that the
+    training table already encodes.  At 100 TB the training word table is
+    ~1e8 rows (join-sized, not broadcast) and OOV is typically a few
+    percent of tokens."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    memo = train_reprs.select(
+        F.replace(F.col("repr"), F.lit("|"), F.lit("")).alias("word"),
+        F.replace(
+            F.expr("substring(repr, 2, length(repr) - 2)"),
+            F.lit("||"),
+            F.lit(" "),
+        ).alias("_memo_encoded"),
+    ).distinct()
+    joined = words.join(memo, "word", "left")
+    known = joined.filter(F.col("_memo_encoded").isNotNull()).select(
+        id_col, "pos", "word", F.col("_memo_encoded").alias("encoded")
+    )
+    oov = joined.filter(F.col("_memo_encoded").isNull()).select(
+        id_col, "pos", "word"
+    )
+    return known.unionByName(
+        _fold_rules_on_words(oov, rules, id_col, checkpoint_every)
+    )
+
+
+def _fold_rules_on_words(
+    words: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    id_col: str,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Fold the rank-ordered replace chain over an (id, pos, word) stream —
+    the shared fold of :func:`apply_merges` (which tokenizes first) and
+    :func:`apply_merges_memoized`'s OOV lane."""
     out = words.withColumn(
         "repr", F.regexp_replace(F.col("word"), "(.)", r"|$1|")
     )
-    for _rank, a, b, _w in sorted(rules):
+    for i, (_rank, a, b, _w) in enumerate(sorted(rules)):
+        if i and i % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=False)
         out = out.withColumn(
             "repr",
             F.replace(F.col("repr"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
