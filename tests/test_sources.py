@@ -596,3 +596,40 @@ def test_compact_parquet_dir_collapses_small_files(spark, tmp_path):
     assert sorted(map(tuple, pruned.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_binary_ingest_to_asset_table(spark, tmp_path):
+    """Media-directory ingest: one row per file, deterministic ids,
+    extension-derived media types, content intact, length filter pushed to
+    the binaryFile reader."""
+    from trafficbigdatasearch_spark.operators import multimodal as MM
+    from trafficbigdatasearch_spark.sources import binary as B
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake" * 10)
+    (d / "b.wav").write_bytes(b"RIFF-fake" * 200)
+    (d / "c.xyz").write_bytes(b"opaque")
+    (d / "skip.txt").write_bytes(b"not media")
+
+    assets = B.assets_from_files(spark, str(d), glob="*.{png,wav,xyz}")
+    rows = {r["meta"]: r for r in assets.collect()}
+    assert len(rows) == 3
+    by_ext = {r["media_type"] for r in rows.values()}
+    assert by_ext == {"image", "audio", "binary"}
+    total = sum(len(r["payload"]) for r in rows.values())
+    assert total == 90 + 1800 + 6
+
+    # ids deterministic under re-read
+    again = {r["asset_id"] for r in B.assets_from_files(spark, str(d), glob="*.{png,wav,xyz}").collect()}
+    assert again == {r["asset_id"] for r in rows.values()}
+
+    # length guard pushes down (oversized wav excluded before read)
+    small = B.assets_from_files(spark, str(d), glob="*.{png,wav,xyz}", max_bytes=100)
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(length" in plan or "length" in plan, plan
+    assert {r["media_type"] for r in small.collect()} == {"image", "binary"}
+
+    # the asset table feeds the multimodal kernels directly
+    feats = MM.extract_features(small)
+    assert feats.count() == 2
