@@ -137,6 +137,7 @@ HEADLINE = [
     "text_bpe_encode",
     "text_bpe_apply",
     "pipeline_bpe",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -252,3 +252,31 @@ def test_containment_catches_quoted_doc(spark):
     jaccard = r["shared"] / (r["size_a"] + r["size_b"] - r["shared"])
     containment = r["shared"] / min(r["size_a"], r["size_b"])
     assert containment == 1.0 and jaccard < 0.05
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark):
+    """Prefix filtering is LOSSLESS at the threshold: output must be
+    row-identical to the unguarded inverted-index operator at several
+    thresholds."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    for t in (0.5, 0.8):
+        plain = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs(
+                    docs, threshold=t, max_shingle_freq=None
+                ).collect(),
+            )
+        )
+        pref = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs_prefix(docs, threshold=t).collect(),
+            )
+        )
+        assert pref == plain, (t, len(pref), len(plain))

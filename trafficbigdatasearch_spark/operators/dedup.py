@@ -193,6 +193,93 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    PPJoin family: Bayardo et al., WWW'07) — candidate generation indexes
+    only each document's prefix under a global rarity order, yet recall at
+    the threshold is LOSSLESS, unlike :func:`ngram_jaccard_pairs`'s
+    ``max_shingle_freq`` guard which trades recall on hot-shingle overlap.
+
+    Lemma: if ``|A∩B| >= ceil(t·|A|)`` then A and B share an element within
+    the first ``|A| - ceil(t·|A|) + 1`` elements of A under ANY common
+    total order (pigeonhole), and Jaccard >= t implies that overlap bound
+    for both docs — so indexing only prefixes misses no qualifying pair.
+    Ordering by (document-frequency asc, shingle asc) makes prefixes carry
+    each doc's RAREST shingles: posting lists stay short exactly where the
+    plain inverted index explodes, which is the scale win — candidate
+    volume shrinks superlinearly as the threshold rises.
+
+    Shape: shingle exchange (df counts) -> doc exchange (per-doc
+    ``row_number`` in rarity order + prefix cut) -> shingle exchange
+    (prefix posting lists, two-explode pair generation) -> exact verify of
+    candidates against the FULL shingle sets (pair-restricted join) ->
+    threshold filter.  One more exchange than the guard variant — the
+    price of losslessness; both end in the same verify/filter, so outputs
+    are comparable row-for-row (pinned in tests/test_dedup_edges.py).
+    Output schema identical to :func:`ngram_jaccard_pairs`."""
+    ex = _shingle_exploded(docs, id_col, text_col, n)
+    exsh = ex.repartition(F.col("shingle"))
+    sizes = exsh.groupBy("_id").agg(F.count("*").alias("sz"))
+    ranked = exsh.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    pos_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+    pre = (
+        ranked.withColumn("_pos", F.row_number().over(pos_w))
+        .join(sizes, "_id")
+        .filter(
+            F.col("_pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+    )
+    posting = (
+        pre.filter(F.col("_df") > 1)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+    )
+    ids = F.col("ids")
+    cand = (
+        posting.select(F.explode(ids).alias("id_a"), "ids")
+        .select("id_a", F.explode(ids).alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = ex.select(F.col("_id").alias("id_a"), "shingle")
+    b = ex.select(F.col("_id").alias("id_b"), "shingle")
+    shared = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                "sz", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                "sz", "size_b"
+            ),
+            "id_b",
+        )
+        .filter(
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            >= threshold
+        )
+    )
+    return out.select("id_a", "id_b", "shared", "size_a", "size_b")
+
+
 def _minhash_wide(
     docs: DataFrame, id_col: str, text_col: str, k: int, n: int
 ) -> DataFrame:

@@ -892,6 +892,36 @@ def dedup_ngram_jaccard_q(spark, sf):
 
 
 @register(
+    "dedup_jaccard_prefix",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+       FROM shared
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2""",
+)
+def dedup_jaccard_prefix_q(spark, sf):
+    """AllPairs/PPJoin prefix-filtered exact Jaccard pairs — LOSSLESS at
+    the threshold where the plain operator's hot-shingle guard trades
+    recall: candidate generation indexes only each doc's rarity-ordered
+    prefix (rarest shingles first), shrinking candidate volume to 34/9.7/
+    3.8 % of the plain inverted index at t=0.5/0.8/0.9 (sf0.1, SCALING.md).
+    Oracle is the SAME naive all-pairs SQL as dedup_ngram_jaccard — the
+    whole point is that the optimized plan is output-identical."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf, "documents"), threshold=0.2
+    )
+
+
+@register(
     "dedup_containment",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
        idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
@@ -5969,6 +5999,14 @@ def s_minmax_skipping_q(spark, sf):
 #   strict oracle compare) at sf0.01 this session — 149/149 — so every
 #   rotated-out row is freshly re-verified against its oracle even though
 #   its last DRIVER row is older.
+#
+# ROUND-7 ROTATION QUEUE (registered after the round-6 window was frozen
+# and rehearsed — never driver-checked; enters the r7 window FIRST per the
+# slot-priority rule, then oldest-stale rows, oldest last-green first):
+#       dedup_jaccard_prefix
+#   (green under pytest + tools/driver_sim at sf0.01 as of its
+#    registration session; pinned row-identical to the unguarded
+#    ngram-jaccard operator in tests/test_dedup_edges.py)
 #   out (-> in-window sibling covering the code path; every exit was GREEN
 #        in CORRECTNESS_r05)
 #       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
