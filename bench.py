@@ -138,6 +138,7 @@ HEADLINE = [
     "text_bpe_apply",
     "pipeline_bpe",
     "dedup_jaccard_prefix",
+    "text_dup_spans",
 ]
 
 

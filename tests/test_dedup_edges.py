@@ -280,3 +280,58 @@ def test_prefix_filtered_jaccard_equals_plain(spark):
             )
         )
         assert pref == plain, (t, len(pref), len(plain))
+
+
+def test_duplicated_spans_finds_and_strips_shared_region(spark):
+    """A 10-token region shared by two docs is reported as ONE maximal
+    span per doc at the right offsets, a unique doc reports nothing, and
+    strip_duplicated_spans removes exactly the spans."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and unique tail here"),
+            (2, "some prefix words the quick brown fox jumps over the lazy dog and"),
+            (3, "entirely different content with no repeated region at all present"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.duplicated_spans(docs, k=4)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in spans.collect()
+    }
+    assert got == {1: (0, 10, 10), 2: (3, 13, 10)}
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in dedup.strip_duplicated_spans(docs, spans).collect()
+    }
+    assert stripped[1] == "unique tail here"
+    assert stripped[2] == "some prefix words"
+    assert stripped[3].startswith("entirely different")
+
+
+def test_duplicated_spans_merges_overlaps_and_gaps(spark):
+    """Two hot windows overlapping by one token merge into one span; a
+    clean gap yields two separate spans."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    # a b c d shared AND f g h i shared, with unique 'e' between in doc 1
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "a b c d x y z w q"),
+            (3, "p q r s t f g h i"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.duplicated_spans(docs, k=4)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+    )
+    assert got == [
+        (1, 0, 4), (1, 5, 9),
+        (2, 0, 4),
+        (3, 5, 9),
+    ]

@@ -280,6 +280,120 @@ def ngram_jaccard_pairs_prefix(
     return out.select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans — SUBSTRING-level
+    dedup (the "exact substring deduplication" of the training-data
+    literature, approximated the way production pipelines do it: a span is
+    duplicated iff every k-token window inside it occurs in >= ``min_docs``
+    docs; overlapping hot windows merge into maximal spans).  Doc-level
+    dedup misses boilerplate/quotes embedded in otherwise-unique pages;
+    this finds the regions themselves, per doc, for surgical removal.
+
+    Shape: one k-shingle posexplode -> one shingle-key exchange for the
+    distinct-doc frequency (map-side combined) -> hot windows join back
+    (semi-shaped, key = shingle) -> PER-DOC interval merge with two
+    windows over one (doc, start) sort: break-flag = start beyond the
+    running max end of prior windows, group id = running sum of breaks,
+    then min(start)/max(end) per group.  All bounded: output rows <=
+    duplicated regions, never data volume; the per-doc sort partitions on
+    the doc key.  Output: (doc_id, span_start, span_end, n_tokens) with
+    token positions 0-based, end exclusive."""
+    toks = T.tokens(F.lower(F.trim(F.col(text_col))))
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
+            "start", "shingle"
+        ),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("_id").alias("_d"))
+        .filter(F.col("_d") >= min_docs)
+        .select("shingle")
+    )
+    pos = sh.join(hot, "shingle").select(
+        "_id", "start", (F.col("start") + k).alias("fin")
+    )
+    w_ord = Window.partitionBy("_id").orderBy("start", "fin")
+    prev_max = F.max("fin").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max.isNull() | (F.col("start") > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    grouped = pos.withColumn("_brk", brk).withColumn(
+        "_gid",
+        F.sum("_brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        grouped.groupBy(F.col("_id").alias(id_col), "_gid")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("fin").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the :func:`duplicated_spans` regions from each document's
+    token stream — the surgical-removal half of substring dedup: tokens
+    whose position falls inside any of the doc's spans are dropped, the
+    remainder re-joins in order.  Row-local except one key-partitioned
+    range join against the (small) span set; docs without spans pass
+    through a left join untouched.  Deterministic re-assembly: tokens are
+    re-ordered by an ``array_sort`` over (pos, token) structs, never a
+    ``collect_list`` ordering assumption."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            T.tokens(F.lower(F.trim(F.col(text_col))))
+        ).alias("pos", "tok"),
+    )
+    marked = (
+        toks.join(spans, [id_col], "left")
+        .withColumn(
+            "_dup",
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") < F.col("span_end")),
+        )
+        .groupBy(id_col, "pos", "tok")
+        .agg(F.max(F.coalesce(F.col("_dup"), F.lit(False))).alias("_in_dup"))
+    )
+    kept = marked.filter(~F.col("_in_dup"))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )
+
+
 def _minhash_wide(
     docs: DataFrame, id_col: str, text_col: str, k: int, n: int
 ) -> DataFrame:

@@ -922,6 +922,43 @@ def dedup_jaccard_prefix_q(spark, sf):
 
 
 @register(
+    "text_dup_spans",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS i FROM toks),
+       shp AS (SELECT doc_id, i AS start, array_to_string(t[i + 1 : i + 8], ' ') AS s FROM idx),
+       hot AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS d
+                              FROM shp GROUP BY s) q WHERE d >= 2),
+       pos AS (SELECT doc_id, start, start + 8 AS fin FROM shp
+               WHERE s IN (SELECT s FROM hot)),
+       m AS (SELECT doc_id, start, fin,
+                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+             FROM pos),
+       g AS (SELECT doc_id, start, fin,
+                    SUM(CASE WHEN pm IS NULL OR start > pm
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
+             FROM m)
+       SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
+              CAST(MAX(fin) AS INT) AS span_end,
+              CAST(MAX(fin) - MIN(start) AS BIGINT) AS n_tokens
+       FROM g GROUP BY doc_id, gid""",
+)
+def text_dup_spans_q(spark, sf):
+    """SUBSTRING-level dedup (the training-data literature's exact
+    substring deduplication, production-shaped): maximal per-doc token
+    spans whose every 8-token window recurs in >= 2 documents —
+    boilerplate/quote regions doc-level dedup can't see, located for
+    surgical removal (operators/dedup.py::strip_duplicated_spans).  One
+    shingle exchange for corpus-wide window frequencies + one per-doc
+    two-window interval merge; output bounded by duplicated regions."""
+    return dedup.duplicated_spans(
+        load_table(spark, sf, "documents"), k=8, min_docs=2
+    )
+
+
+@register(
     "dedup_containment",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
        idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
@@ -6003,10 +6040,11 @@ def s_minmax_skipping_q(spark, sf):
 # ROUND-7 ROTATION QUEUE (registered after the round-6 window was frozen
 # and rehearsed — never driver-checked; enters the r7 window FIRST per the
 # slot-priority rule, then oldest-stale rows, oldest last-green first):
-#       dedup_jaccard_prefix
-#   (green under pytest + tools/driver_sim at sf0.01 as of its
-#    registration session; pinned row-identical to the unguarded
-#    ngram-jaccard operator in tests/test_dedup_edges.py)
+#       dedup_jaccard_prefix, text_dup_spans
+#   (each green under pytest + tools/driver_sim at sf0.01 as of its
+#    registration session; dedup_jaccard_prefix additionally pinned
+#    row-identical to the unguarded ngram-jaccard operator in
+#    tests/test_dedup_edges.py)
 #   out (-> in-window sibling covering the code path; every exit was GREEN
 #        in CORRECTNESS_r05)
 #       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
