@@ -335,3 +335,43 @@ def test_duplicated_spans_merges_overlaps_and_gaps(spark):
         (2, 0, 4),
         (3, 5, 9),
     ]
+
+
+def test_prefix_jaccard_exact_integer_threshold_boundary(spark):
+    """Regression (review r6): float ceil(0.28*25)=8 would shorten the
+    prefix below the lossless bound and miss a pair sitting EXACTLY at the
+    threshold.  Doc B holds 7 of A's 25 shingles (J = 7/25 = 0.28), chosen
+    as A's most-frequent shingles so they sit at the END of A's rarity
+    order — only a correct 19-long prefix reaches them."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    # words w0..w24 -> doc A's 1-gram shingles; B shares w0..w6; filler
+    # docs make w0..w6 the most common shingles corpus-wide
+    a_words = " ".join(f"w{i}" for i in range(25))
+    b_words = " ".join(f"w{i}" for i in range(7))
+    rows = [(1, a_words), (2, b_words)]
+    rows += [(100 + j, " ".join(f"w{i}" for i in range(7))) for j in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup.ngram_jaccard_pairs_prefix(docs, n=1, threshold=0.28)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs, pairs
+    plain = dedup.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.28, max_shingle_freq=None
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_strip_spans_keeps_fully_covered_doc(spark):
+    """A 100%-boilerplate doc must come back with empty text, not vanish."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id bigint, text string",
+    )
+    spans = dedup.duplicated_spans(docs, k=4)
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicated_spans(docs, spans).collect()}
+    assert out == {1: "", 2: "", 3: "x y z w"}

@@ -292,3 +292,17 @@ def test_quality_referential_fact_edge_bloom_and_preagg(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         standard._FK_BLOOM_CACHE.clear()
+
+
+def test_fk_threshold_conf_parse_human_forms(spark):
+    """Regression (review r6): the broadcast-threshold gate must parse the
+    documented human conf forms ('10MB', '1g'), not just the rendered
+    '<n>b' form."""
+    from trafficbigdatasearch_spark.queries.standard import _parse_size_conf
+
+    assert _parse_size_conf("-1") == -1
+    assert _parse_size_conf("10485760") == 10485760
+    assert _parse_size_conf("10485760b") == 10485760
+    assert _parse_size_conf("10MB") == 10 << 20
+    assert _parse_size_conf("1g") == 1 << 30
+    assert _parse_size_conf(" 64k ") == 64 << 10

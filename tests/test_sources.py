@@ -633,3 +633,28 @@ def test_binary_ingest_to_asset_table(spark, tmp_path):
     # the asset table feeds the multimodal kernels directly
     feats = MM.extract_features(small)
     assert feats.count() == 2
+
+
+def test_verify_sidecar_manifest_detects_gap(spark, tmp_path):
+    """A data file missing from the sidecar (crashed ingest) is reported;
+    after compact_sidecar repair the manifest is consistent again."""
+    import os
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "o")
+    side = str(tmp_path / "o_sc")
+    P.append_with_sidecar(orders.repartition(2), layout, ["o_orderdate"], side)
+    assert P.verify_sidecar_manifest(spark, layout, P.load_sidecar(spark, side)) == []
+
+    # simulate a crash: data lands without its sidecar rows
+    orders.limit(10).repartition(1).write.mode("append").parquet(layout)
+    missing = P.verify_sidecar_manifest(
+        spark, layout, P.load_sidecar(spark, side)
+    )
+    assert len(missing) == 1
+
+    P.compact_sidecar(spark, layout, ["o_orderdate"], side)
+    assert P.verify_sidecar_manifest(spark, layout, P.load_sidecar(spark, side)) == []

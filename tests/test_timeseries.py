@@ -350,3 +350,27 @@ def test_argmax_amortized_guard_raises(spark):
     )
     with _pytest.raises(Exception, match="argmax key out of range"):
         bad.collect()
+
+
+def test_ohlc_guard_raises_on_null_id(spark):
+    """Regression (review r6): a NULL id must RAISE (the old per-row guard
+    did) — min over a NULL-skipping boolean would silently pass while
+    min_by skips the row."""
+    import pytest as _pytest
+
+    df = _ev(spark, [(1, _t(9, 0), 10.0, None), (1, _t(9, 1), 20.0, 1)])
+    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+        timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+
+
+def test_ohlc_guard_survives_projection_of_close(spark):
+    """The guard is attached to BOTH key-elected columns: selecting only
+    'close' (pruning 'open') must still raise on an out-of-range id."""
+    import pytest as _pytest
+
+    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000), (1, _t(9, 1), 20.0, 1)])
+    out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").select(
+        "k", "bucket", "close"
+    )
+    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+        out.collect()

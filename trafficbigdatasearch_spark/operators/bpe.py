@@ -157,13 +157,21 @@ def apply_merges(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    words = docs.select(
+    words = _word_stream(docs, text_col, id_col)
+    return _fold_rules_on_words(words, rules, id_col, checkpoint_every)
+
+
+def _word_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, word): the positioned whitespace word stream under the
+    ``[a-z0-9]+`` delimiter-safety contract — THE shared tokenization of
+    apply_merges and apply_merges_memoized (one definition, so the memo
+    join can never see different words/positions than the fold)."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("pos", "word"),
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
-    return _fold_rules_on_words(words, rules, id_col, checkpoint_every)
 
 
 def apply_merges_memoized(
@@ -188,12 +196,7 @@ def apply_merges_memoized(
     training table already encodes.  At 100 TB the training word table is
     ~1e8 rows (join-sized, not broadcast) and OOV is typically a few
     percent of tokens."""
-    words = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("pos", "word"),
-    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    words = _word_stream(docs, text_col, id_col)
     memo = train_reprs.select(
         F.replace(F.col("repr"), F.lit("|"), F.lit("")).alias("word"),
         F.replace(

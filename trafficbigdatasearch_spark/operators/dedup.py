@@ -230,13 +230,17 @@ def ngram_jaccard_pairs_prefix(
         "_df", F.count("*").over(Window.partitionBy("shingle"))
     )
     pos_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+    # ceil(t*sz) via floats can OVERSHOOT the exact ceiling when t*sz is
+    # an integer the float product renders as n + δ (e.g. 0.28*25 =
+    # 7.000000000000001 -> ceil 8), which would SHORTEN the prefix below
+    # the lossless bound and drop qualifying pairs.  Subtracting an
+    # epsilon can only err toward a smaller alpha = LONGER prefix = more
+    # candidates, never lost recall.
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     pre = (
         ranked.withColumn("_pos", F.row_number().over(pos_w))
         .join(sizes, "_id")
-        .filter(
-            F.col("_pos")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("_pos") <= F.col("sz") - alpha + 1)
     )
     posting = (
         pre.filter(F.col("_df") > 1)
@@ -303,8 +307,10 @@ def duplicated_spans(
     then min(start)/max(end) per group.  All bounded: output rows <=
     duplicated regions, never data volume; the per-doc sort partitions on
     the doc key.  Output: (doc_id, span_start, span_end, n_tokens) with
-    token positions 0-based, end exclusive."""
-    toks = T.tokens(F.lower(F.trim(F.col(text_col))))
+    token positions 0-based, end exclusive — positions index the same
+    whitespace token stream :func:`strip_duplicated_spans` explodes
+    (word_shingles lowercases internally, so shingling and stripping see
+    identical tokens)."""
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
@@ -363,7 +369,10 @@ def strip_duplicated_spans(
     range join against the (small) span set; docs without spans pass
     through a left join untouched.  Deterministic re-assembly: tokens are
     re-ordered by an ``array_sort`` over (pos, token) structs, never a
-    ``collect_list`` ordering assumption."""
+    ``collect_list`` ordering assumption.  EVERY input doc appears in the
+    output — a doc whose whole token stream is covered by spans (100 %
+    boilerplate) comes back with empty text rather than silently vanishing
+    from the corpus."""
     toks = docs.select(
         F.col(id_col),
         F.posexplode(
@@ -381,7 +390,7 @@ def strip_duplicated_spans(
         .agg(F.max(F.coalesce(F.col("_dup"), F.lit(False))).alias("_in_dup"))
     )
     kept = marked.filter(~F.col("_in_dup"))
-    return kept.groupBy(id_col).agg(
+    rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -391,6 +400,11 @@ def strip_duplicated_spans(
             ),
             " ",
         ).alias("text")
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col("text"), F.lit("")).alias("text"))
     )
 
 

@@ -56,12 +56,17 @@ def quality_argmax_key(major, minor):
 def quality_argmax_bounds_ok(major, minor):
     """Aggregate-level bounds check for :func:`quality_argmax_key` —
     ``min`` of the per-row boolean is the group's logical AND, combined
-    map-side like any other partial."""
+    map-side like any other partial.  NULL major/minor coalesce to False:
+    a NULL packed key would make max_by silently skip the row (the old
+    per-row guard raised on NULL; ``min`` alone would skip it)."""
     return F.min(
-        (major >= 0)
-        & (major < F.lit(1 << 32))
-        & (minor >= 0)
-        & (minor < F.lit(_ARGMAX_PACK))
+        F.coalesce(
+            (major >= 0)
+            & (major < F.lit(1 << 32))
+            & (minor >= 0)
+            & (minor < F.lit(_ARGMAX_PACK)),
+            F.lit(False),
+        )
     )
 
 

@@ -59,8 +59,13 @@ def _ord_ids_ok(id_col):
     """Aggregate-level bounds check for :func:`_ord_key`: ``min`` of the
     per-row boolean is the group's logical AND, combined map-side like any
     other partial — the whole guard costs two comparisons per row with no
-    branch in the ordering key itself."""
-    return F.min((id_col >= 0) & (id_col < F.lit(_ORD_SCALE)))
+    branch in the ordering key itself.  A NULL id coalesces to False (a
+    NULL ordering key would be silently SKIPPED by min_by/max_by — the old
+    per-row guard raised on NULL, and so does this one; ``min`` alone
+    would skip the NULL and pass)."""
+    return F.min(
+        F.coalesce((id_col >= 0) & (id_col < F.lit(_ORD_SCALE)), F.lit(False))
+    )
 
 
 def _ord_guard(ok_col, out_col):
@@ -135,10 +140,15 @@ def resample_ohlc(
         .select(
             key_col,
             "bucket",
+            # the guard wraps BOTH key-elected columns: a downstream
+            # projection keeping either open or close keeps the check
+            # (Catalyst prunes expressions with their columns); high/low/
+            # volume are unaffected by key collisions, so a projection
+            # keeping only those is safe without it.
             _ord_guard(F.col("_ids_ok"), F.col("open")).alias("open"),
             "high",
             "low",
-            "close",
+            _ord_guard(F.col("_ids_ok"), F.col("close")).alias("close"),
             "volume",
         )
     )

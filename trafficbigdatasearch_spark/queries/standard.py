@@ -5505,9 +5505,30 @@ def stream_dedup_q(spark, sf):
 # =============================================================================
 
 #: Per-(sf dir, FK edge) cache of the parent-key bloom bitmap — see
-#: _orphans_fact: the audit's probe-forever arrangement (parent key sets
-#: change slowly; the bitmap is versioned with them).
+#: _orphans_fact: the audit's probe-forever arrangement.  Sound here
+#: because the sf-dir fixtures are immutable; a LIVE deployment must key
+#: the cache by the parent's version (snapshot id / ingest watermark) and
+#: rebuild when the parent GAINS keys — a bitmap missing a current parent
+#: key routes that key's child rows around the anti join as "definite
+#: orphans" and OVERCOUNTS violations.  (A parent that lost keys leaves
+#: the bitmap a superset, which only sends extra candidates to the exact
+#: join — sound.)
 _FK_BLOOM_CACHE: dict[tuple, list] = {}
+
+
+def _parse_size_conf(v: str) -> int:
+    """Spark size-conf string -> bytes: handles '-1', '10485760',
+    '10485760b', '10m', '10MB', '1g', … (the documented human forms, not
+    just the internally-rendered '<n>b')."""
+    s = v.strip().lower()
+    for suf, mult in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
 
 
 @register(
@@ -5593,10 +5614,8 @@ def quality_referential_q(spark, sf):
         # the broadcast threshold — so toy scale takes the broadcast path
         # and a 100 TB parent takes the bloom bypass.  Plan-level decision,
         # zero extra jobs; pinned both ways in tests/test_joins.py.
-        threshold = int(
+        threshold = _parse_size_conf(
             spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
-            .lower()
-            .removesuffix("b")
         )
         psize = int(
             str(pkeys._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
@@ -5606,8 +5625,9 @@ def quality_referential_q(spark, sf):
         else:
             # Bitmap cached per (sf, edge) — build-once-probe-forever: a
             # daily audit probes the slowly-changing parent's bitmap,
-            # rebuilt when the parent version changes (a stale SUPERSET
-            # stays sound; a parent that LOST keys requires a rebuild).
+            # rebuilt whenever the parent GAINS keys (see _FK_BLOOM_CACHE's
+            # soundness note — missing keys overcount violations; lost
+            # keys only leave a sound superset).
             ck = (sf, name)
             if ck not in _FK_BLOOM_CACHE:
                 _FK_BLOOM_CACHE[ck] = J.bloom_bitmap(

@@ -372,7 +372,16 @@ def append_with_sidecar(
     The resulting sidecar is row-identical to a fresh
     ``build_minmax_sidecar`` over the whole directory (pinned in
     tests/test_sources.py); :func:`compact_sidecar` rebuilds it from
-    scratch when repair is needed (lost sidecar, compacted data files)."""
+    scratch when repair is needed (lost sidecar, compacted data files).
+
+    FAILURE WINDOW: the data append commits before the sidecar append, so
+    a crash between the two leaves files the sidecar doesn't list — and
+    because :func:`read_pruned_by_sidecar` treats the sidecar as the file
+    MANIFEST, those files' rows would be silently absent from pruned
+    reads, not merely unpruned.  After any interrupted ingest run
+    :func:`verify_sidecar_manifest` (cheap listing diff) and repair via
+    :func:`compact_sidecar`; a production deployment makes the pair
+    atomic by committing both under one table-format transaction."""
     import os
 
     def _data_files() -> set[str]:
@@ -402,14 +411,42 @@ def load_sidecar(spark: SparkSession, sidecar_path: str) -> DataFrame:
     return spark.read.parquet(sidecar_path)
 
 
+def verify_sidecar_manifest(
+    spark: SparkSession, path: str, sidecar: DataFrame
+) -> list[str]:
+    """Data files ABSENT from the sidecar (empty list = consistent).
+
+    The sidecar is the file MANIFEST for pruned reads, so a gap (crashed
+    ingest between the data append and the sidecar append) silently drops
+    those files' rows from every pruned query — run this after any
+    interrupted ingest and repair with :func:`compact_sidecar` (or stat
+    just the returned files and append).  One directory listing + the
+    (tiny) sidecar collect; no data scan."""
+    import os
+
+    data = {
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    listed = {
+        r["file"].rsplit("/", 1)[-1]
+        for r in sidecar.select("file").collect()
+    }
+    return sorted(data - listed)
+
+
 def compact_sidecar(
     spark: SparkSession, path: str, cols: list[str], sidecar_path: str
 ) -> None:
     """Repair/compact entry point: rebuild the sidecar from a full scan of
-    ``path`` (the bootstrap builder) and atomically replace the persisted
-    sidecar — run after data-file compaction, bound drift, or sidecar loss.
-    The rebuild writes to a fresh directory and renames over the old one so
-    concurrent :func:`load_sidecar` readers see old-or-new, never half."""
+    ``path`` (the bootstrap builder) and swap it in — run after data-file
+    compaction, bound drift, or sidecar loss.  The rebuild lands in a
+    fresh directory and two renames publish it: readers see old-or-new
+    rows, never half, though (as in :func:`compact_parquet_dir`) the two
+    renames are not jointly atomic — a read in the gap fails rather than
+    returning wrong rows, and a crash leaves the old sidecar under the
+    ``.old-*`` sibling."""
     import os
     import shutil
     import uuid
@@ -437,10 +474,17 @@ def compact_parquet_dir(
 ) -> None:
     """Small-files maintenance: rewrite a parquet directory at the target
     file size (:func:`write_sized` — optionally range-clustered so the
-    compaction also tightens data-skipping bounds) and ATOMICALLY swap the
-    result in: the rewrite lands in a fresh sibling directory and two
-    renames publish it, so a concurrent reader lists old-or-new files,
-    never a mix.  If the directory has a min/max sidecar, pass
+    compaction also tightens data-skipping bounds) and swap the result in
+    via two renames.  A reader never sees a MIX of old and new files, but
+    directory renames are not jointly atomic: between the two renames the
+    path briefly does not exist (a concurrent read errors rather than
+    returning wrong rows — fail-stop, not corruption), and a crash there
+    leaves the data intact under the ``.old-*`` sibling for manual
+    recovery.  Concurrent-reader deployments should publish through a
+    pointer file instead (the ``_CURRENT`` pattern of
+    streaming/sink.py::foreach_batch_merge_upsert, which IS atomic via
+    one ``os.replace`` of the pointer).  If the directory has a min/max
+    sidecar, pass
     ``sidecar_cols``/``sidecar_path`` and the sidecar is rebuilt to match
     the new files (:func:`compact_sidecar`) — a stale sidecar after
     compaction would prune against files that no longer exist.
