@@ -219,3 +219,93 @@ def test_bpe_apply_lossless_property(spark, words, n_merges):
         toks = r["encoded"].split(" ")
         assert all(toks), r
         assert "".join(toks) == r["word"], r
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    threshold=st.sampled_from([0.2, 0.28, 0.33, 0.5, 0.75, 0.8]),
+)
+@PROP
+def test_prefix_jaccard_lossless_property(spark, seed, threshold):
+    """Prefix filtering equals the unguarded inverted index for random
+    corpora and thresholds, including awkward threshold*size products."""
+    import random
+
+    from trafficbigdatasearch_spark.operators import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 25))))
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    plain = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs(
+                docs, n=1, threshold=threshold, max_shingle_freq=None
+            ).collect(),
+        )
+    )
+    pref = sorted(
+        map(
+            tuple,
+            dedup.ngram_jaccard_pairs_prefix(
+                docs, n=1, threshold=threshold
+            ).collect(),
+        )
+    )
+    assert pref == plain
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_duplicated_spans_match_bruteforce_property(spark, seed):
+    """duplicated_spans' merged intervals equal a Python brute-force
+    computation of the union of hot k-windows for random corpora."""
+    import random
+
+    from trafficbigdatasearch_spark.operators import dedup
+
+    rng = random.Random(seed)
+    k = 3
+    vocab = [f"w{i}" for i in range(8)]
+    corpus = {
+        i: [rng.choice(vocab) for _ in range(rng.randrange(k, 15))]
+        for i in range(8)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()],
+        "doc_id bigint, text string",
+    )
+
+    def windows(toks):
+        if len(toks) < k:
+            return [(0, tuple(toks))]
+        return [(i, tuple(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+
+    freq = {}
+    for i, toks in corpus.items():
+        for _, w in set(windows(toks)):
+            freq.setdefault(w, set()).add(i)
+    want = {}
+    for i, toks in corpus.items():
+        ivals = sorted(
+            (p, p + k) for p, w in windows(toks) if len(freq[w]) >= 2
+        )
+        merged = []
+        for lo, hi in ivals:
+            if merged and lo <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        for lo, hi in merged:
+            want[(i, lo)] = hi
+    got = {
+        (r["doc_id"], r["span_start"]): r["span_end"]
+        for r in dedup.duplicated_spans(docs, k=k).collect()
+    }
+    assert got == want
