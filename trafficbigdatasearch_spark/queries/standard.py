@@ -6039,8 +6039,9 @@ def s_minmax_skipping_q(spark, sf):
 #   driver row must certify the code that will ship, not last round's; a
 #   green row on since-rewritten code is weaker evidence than a stale row
 #   on untouched code.
-#   in  (the whole 17-query ROUND-6 QUEUE — after this round every
-#        registered query has had >= 1 driver row)
+#   in  (the whole 17-query ROUND-6 QUEUE — after this round every query
+#        registered BEFORE the r6 window froze has had >= 1 driver row;
+#        the two post-freeze registrations sit in the ROUND-7 QUEUE below)
 #   in  (this round's new queries, first-round entry per policy)
 #       text_bpe_apply, pipeline_bpe
 #   in  (changed-code re-verification per the amendment: the ordering-key
