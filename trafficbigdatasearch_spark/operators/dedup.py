@@ -254,26 +254,36 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    a = ex.select(F.col("_id").alias("id_a"), "shingle")
-    b = ex.select(F.col("_id").alias("id_b"), "shingle")
-    shared = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+    # Verify via ROW-LOCAL set intersection: each candidate joins its two
+    # docs' sorted shingle arrays and counts the overlap in one
+    # array_intersect — two hash joins carrying |candidates| rows, no
+    # candidate×shingle explode (the explode-then-regroup verify measured
+    # 2× the whole rest of the plan at 300k candidates).  Arrays are
+    # bounded by doc size, the same bound the posting lists already carry.
+    doc_sets = ex.groupBy("_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("_sh")
     )
     out = (
-        shared.join(
-            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed(
-                "sz", "size_a"
+        cand.join(
+            doc_sets.select(
+                F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
             ),
             "id_a",
         )
         .join(
-            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed(
-                "sz", "size_b"
+            doc_sets.select(
+                F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
             ),
             "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb"))
+            .cast("bigint")
+            .alias("shared"),
+            F.size("_sha").cast("bigint").alias("size_a"),
+            F.size("_shb").cast("bigint").alias("size_b"),
         )
         .filter(
             F.col("shared").cast("double")
