@@ -657,3 +657,48 @@ def test_foreach_batch_merge_upsert_replay_is_noop(spark, tmp_path):
     assert after == before
     got = sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect()))
     assert got == [(1, 10.0), (2, 20.0)]
+
+
+def test_foreach_batch_append_with_sidecar_stream_ingest(spark, tmp_path):
+    """Streaming parquet ingest maintains the data-skipping sidecar batch
+    by batch: after the stream drains, the sidecar equals a fresh
+    bootstrap build and pruned reads match plain filtered reads."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    side = str(tmp_path / "table_sc")
+    cp = str(tmp_path / "cp")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(3).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.foreach_batch_append_with_sidecar(out, ["o_orderdate"], side)
+        )
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    incr = P.load_sidecar(spark, side)
+    boot = P.build_minmax_sidecar(spark, out, ["o_orderdate"])
+    assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, boot.collect()))
+    assert P.verify_sidecar_manifest(spark, out, incr) == []
+
+    lo, hi = "1996-01-01", "1997-01-01"
+    pruned = P.read_pruned_by_sidecar(spark, out, incr, "o_orderdate", lo, hi)
+    plain = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))

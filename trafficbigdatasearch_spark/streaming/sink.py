@@ -120,6 +120,37 @@ def read_merge_snapshot(spark, snapshot_dir: str) -> DataFrame:
         return spark.read.parquet(os.path.join(snapshot_dir, f.read().strip()))
 
 
+def foreach_batch_append_with_sidecar(
+    path: str,
+    cols: list[str],
+    sidecar_path: str,
+):
+    """Return a ``foreachBatch`` function that appends each micro-batch to
+    a parquet directory WHILE maintaining its min/max data-skipping
+    sidecar (sources/parquet.py::append_with_sidecar): streaming ingest
+    whose output table supports planning-time file pruning from the first
+    batch, no bootstrap scan ever.
+
+    Stats cost per batch is O(that batch's files) — the data was already
+    in flight, so the sidecar keeps up with any sustained rate.  On batch
+    REPLAY the data append duplicates rows (file-sink append semantics —
+    use the partition-overwrite sink for effectively-once output); the
+    sidecar stays CONSISTENT with whatever files exist because it stats
+    exactly the files each write created.  After a crash between the two
+    appends, ``verify_sidecar_manifest`` + ``compact_sidecar`` repair
+    (same contract as the batch path)."""
+    from trafficbigdatasearch_spark.sources.parquet import (
+        append_with_sidecar,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_with_sidecar(batch_df, path, cols, sidecar_path)
+
+    return _write
+
+
 def foreach_batch_merge_partials(
     path: str,
     keys: list[str],
