@@ -702,3 +702,34 @@ def test_foreach_batch_append_with_sidecar_stream_ingest(spark, tmp_path):
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
     assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_merge_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Copy-on-write lifecycle: historical versions readable by name
+    (time travel), vacuum keeps the retention window + _CURRENT, and the
+    live read is untouched by vacuum."""
+    import os
+
+    from trafficbigdatasearch_spark.streaming import sink as SK
+
+    snap_dir = str(tmp_path / "snap")
+    os.makedirs(snap_dir)
+    fb = SK.foreach_batch_merge_upsert(snap_dir, ["k"])
+    for i, rows in enumerate(
+        [[(1, 10.0, "I")], [(2, 20.0, "I")], [(1, 11.0, "U")], [(2, None, "D")]]
+    ):
+        fb(
+            spark.createDataFrame(rows, "k bigint, val double, op string"),
+            i,
+        )
+    assert SK.list_merge_versions(snap_dir) == ["v0", "v1", "v2", "v3"]
+    # time travel: v1 predates the update and the delete
+    v1 = sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir, "v1").collect()))
+    assert v1 == [(1, 10.0), (2, 20.0)]
+    live = sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect()))
+    assert live == [(1, 11.0)]
+
+    dropped = SK.vacuum_merge_versions(snap_dir, keep_last=2)
+    assert dropped == ["v0", "v1"]
+    assert SK.list_merge_versions(snap_dir) == ["v2", "v3"]
+    assert sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect())) == live

@@ -111,13 +111,53 @@ def foreach_batch_merge_upsert(
     return _write
 
 
-def read_merge_snapshot(spark, snapshot_dir: str) -> DataFrame:
-    """Read the live version of a :func:`foreach_batch_merge_upsert`
-    snapshot (the ``_CURRENT`` pointer's target)."""
+def read_merge_snapshot(spark, snapshot_dir: str, version: str | None = None) -> DataFrame:
+    """Read a :func:`foreach_batch_merge_upsert` snapshot: the live version
+    (the ``_CURRENT`` pointer's target) by default, or any retained
+    historical version by name (``version="v7"``) — TIME TRAVEL over the
+    copy-on-write layout, for free, until :func:`vacuum_merge_versions`
+    reclaims the directory."""
     import os
 
+    if version is None:
+        with open(os.path.join(snapshot_dir, "_CURRENT")) as f:
+            version = f.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
+def list_merge_versions(snapshot_dir: str) -> list[str]:
+    """Retained version directories of a merge snapshot, oldest batch id
+    first, plus which one ``_CURRENT`` names — the audit view of the
+    copy-on-write history."""
+    import os
+
+    vs = sorted(
+        (d for d in os.listdir(snapshot_dir)
+         if d.startswith("v") and d[1:].isdigit()
+         and os.path.isdir(os.path.join(snapshot_dir, d))),
+        key=lambda d: int(d[1:]),
+    )
+    return vs
+
+
+def vacuum_merge_versions(snapshot_dir: str, keep_last: int = 2) -> list[str]:
+    """Reclaim old versions of a merge snapshot: keep the ``_CURRENT``
+    target plus the newest ``keep_last`` version dirs, delete the rest;
+    returns what was deleted.  The retention window is the time-travel /
+    slow-reader horizon — a reader that opened a version before the vacuum
+    must finish within it (the same contract every copy-on-write table
+    format documents for its VACUUM)."""
+    import os
+    import shutil
+
     with open(os.path.join(snapshot_dir, "_CURRENT")) as f:
-        return spark.read.parquet(os.path.join(snapshot_dir, f.read().strip()))
+        current = f.read().strip()
+    vs = list_merge_versions(snapshot_dir)
+    keep = set(vs[-keep_last:]) | {current}
+    dropped = [v for v in vs if v not in keep]
+    for v in dropped:
+        shutil.rmtree(os.path.join(snapshot_dir, v), ignore_errors=True)
+    return dropped
 
 
 def foreach_batch_append_with_sidecar(
