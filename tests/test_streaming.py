@@ -663,8 +663,6 @@ def test_foreach_batch_append_with_sidecar_stream_ingest(spark, tmp_path):
     """Streaming parquet ingest maintains the data-skipping sidecar batch
     by batch: after the stream drains, the sidecar equals a fresh
     bootstrap build and pruned reads match plain filtered reads."""
-    import os
-
     from pyspark.sql import functions as F
 
     from trafficbigdatasearch_spark.catalog import load_table
@@ -689,7 +687,7 @@ def test_foreach_batch_append_with_sidecar_stream_ingest(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120s"
 
     incr = P.load_sidecar(spark, side)
     boot = P.build_minmax_sidecar(spark, out, ["o_orderdate"])

@@ -24,12 +24,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.catalog import load_table
 from trafficbigdatasearch_spark.operators import dedup
-from trafficbigdatasearch_spark.operators.dedup import _shingle_exploded
+from trafficbigdatasearch_spark.operators.dedup import (
+    _rarity_prefix_rows,
+    _shingle_exploded,
+)
 from trafficbigdatasearch_spark.session import build_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,22 +61,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     ex = _shingle_exploded(docs, "doc_id", "text", N)
-    exsh = ex.repartition(F.col("shingle"))
-    sizes = exsh.groupBy("_id").agg(F.count("*").alias("sz"))
-    ranked = exsh.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("shingle"))
-    )
-    plain_cand = int(_pairs(ranked))
+    plain_cand = int(_pairs(ex.repartition(F.col("shingle"))))
     for t in (0.5, 0.8, 0.9):
-        pos_w = Window.partitionBy("_id").orderBy(
-            F.asc("_df"), F.asc("shingle")
-        )
-        alpha = F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9))
-        pre = (
-            ranked.withColumn("_pos", F.row_number().over(pos_w))
-            .join(sizes, "_id")
-            .filter(F.col("_pos") <= F.col("sz") - alpha + 1)
-        )
+        # the SHIPPED prefix construction — same helper the operator uses,
+        # so this evidence cannot drift from the code it describes
+        pre, _ = _rarity_prefix_rows(ex, t)
         pref_cand = int(_pairs(pre))
         t_plain = _timed(
             lambda: dedup.ngram_jaccard_pairs(
@@ -107,7 +98,11 @@ def main() -> None:
                     "threshold": t,
                     "candidates_plain": plain_cand,
                     "candidates_prefix": pref_cand,
-                    "reduction": round(1 - pref_cand / plain_cand, 4),
+                    "reduction": (
+                        round(1 - pref_cand / plain_cand, 4)
+                        if plain_cand
+                        else None
+                    ),
                     "t_plain_s": t_plain,
                     "t_prefix_s": t_pref,
                     "results_equal": eq,

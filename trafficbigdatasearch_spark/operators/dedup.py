@@ -193,6 +193,43 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
+def _rarity_prefix_rows(ex, threshold: float):
+    """(prefix_rows, doc_sets) for the AllPairs cut — THE shared prefix
+    construction of :func:`ngram_jaccard_pairs_prefix` and
+    tools/prefix_probe.py (one definition, so the probe's evidence always
+    measures the shipped formula).
+
+    ``doc_sets`` = one per-doc aggregation (sorted distinct-shingle array);
+    sizes derive from it (arrays are distinct and null-free by
+    construction), so the whole plan pays a single per-doc exchange.
+    ``prefix_rows`` = the (_id, shingle, _df, _pos, sz) rows whose rank in
+    the per-doc (document-frequency asc, shingle asc) order falls inside
+    the lossless prefix.
+
+    ceil(t*sz) via floats can OVERSHOOT the exact ceiling when t*sz is an
+    integer the float product renders as n + δ (e.g. 0.28*25 =
+    7.000000000000001 -> ceil 8), which would SHORTEN the prefix below the
+    lossless bound and drop qualifying pairs; subtracting an epsilon can
+    only err toward a smaller alpha = LONGER prefix = more candidates,
+    never lost recall."""
+    exsh = ex.repartition(F.col("shingle"))
+    doc_sets = exsh.groupBy("_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("_sh")
+    )
+    sizes = doc_sets.select("_id", F.size("_sh").alias("sz"))
+    ranked = exsh.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    pos_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    pre = (
+        ranked.withColumn("_pos", F.row_number().over(pos_w))
+        .join(sizes, "_id")
+        .filter(F.col("_pos") <= F.col("sz") - alpha + 1)
+    )
+    return pre, doc_sets
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -224,24 +261,7 @@ def ngram_jaccard_pairs_prefix(
     are comparable row-for-row (pinned in tests/test_dedup_edges.py).
     Output schema identical to :func:`ngram_jaccard_pairs`."""
     ex = _shingle_exploded(docs, id_col, text_col, n)
-    exsh = ex.repartition(F.col("shingle"))
-    sizes = exsh.groupBy("_id").agg(F.count("*").alias("sz"))
-    ranked = exsh.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("shingle"))
-    )
-    pos_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
-    # ceil(t*sz) via floats can OVERSHOOT the exact ceiling when t*sz is
-    # an integer the float product renders as n + δ (e.g. 0.28*25 =
-    # 7.000000000000001 -> ceil 8), which would SHORTEN the prefix below
-    # the lossless bound and drop qualifying pairs.  Subtracting an
-    # epsilon can only err toward a smaller alpha = LONGER prefix = more
-    # candidates, never lost recall.
-    alpha = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
-    pre = (
-        ranked.withColumn("_pos", F.row_number().over(pos_w))
-        .join(sizes, "_id")
-        .filter(F.col("_pos") <= F.col("sz") - alpha + 1)
-    )
+    pre, doc_sets = _rarity_prefix_rows(ex, threshold)
     posting = (
         pre.filter(F.col("_df") > 1)
         .groupBy("shingle")
@@ -259,10 +279,9 @@ def ngram_jaccard_pairs_prefix(
     # array_intersect — two hash joins carrying |candidates| rows, no
     # candidate×shingle explode (the explode-then-regroup verify measured
     # 2× the whole rest of the plan at 300k candidates).  Arrays are
-    # bounded by doc size, the same bound the posting lists already carry.
-    doc_sets = ex.groupBy("_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("_sh")
-    )
+    # bounded by doc size, the same bound the posting lists already carry;
+    # doc_sets is the ONE per-doc aggregation of the plan (the prefix
+    # cut's sizes derive from it).
     out = (
         cand.join(
             doc_sets.select(

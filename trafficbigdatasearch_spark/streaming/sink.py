@@ -127,8 +127,7 @@ def read_merge_snapshot(spark, snapshot_dir: str, version: str | None = None) ->
 
 def list_merge_versions(snapshot_dir: str) -> list[str]:
     """Retained version directories of a merge snapshot, oldest batch id
-    first, plus which one ``_CURRENT`` names — the audit view of the
-    copy-on-write history."""
+    first; read ``_CURRENT`` (one line) for the live designation."""
     import os
 
     vs = sorted(
@@ -146,17 +145,36 @@ def vacuum_merge_versions(snapshot_dir: str, keep_last: int = 2) -> list[str]:
     returns what was deleted.  The retention window is the time-travel /
     slow-reader horizon — a reader that opened a version before the vacuum
     must finish within it (the same contract every copy-on-write table
-    format documents for its VACUUM)."""
+    format documents for its VACUUM).
+
+    Fail-stop deletion: each dropped version is first RENAMED out of the
+    version namespace (one atomic ``os.replace``) and only then removed,
+    so a crash or permission failure mid-delete leaves a ``.trash-*``
+    directory invisible to :func:`list_merge_versions` /
+    :func:`read_merge_snapshot` — never a half-deleted version that time
+    travel would silently read as truncated data."""
     import os
     import shutil
+    import uuid
 
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
     with open(os.path.join(snapshot_dir, "_CURRENT")) as f:
         current = f.read().strip()
     vs = list_merge_versions(snapshot_dir)
-    keep = set(vs[-keep_last:]) | {current}
-    dropped = [v for v in vs if v not in keep]
-    for v in dropped:
-        shutil.rmtree(os.path.join(snapshot_dir, v), ignore_errors=True)
+    # vs[-0:] would slice the WHOLE list, silently keeping everything
+    newest = set(vs[-keep_last:]) if keep_last else set()
+    keep = newest | {current}
+    dropped = []
+    for v in vs:
+        if v in keep:
+            continue
+        trash = os.path.join(
+            snapshot_dir, f".trash-{v}-{uuid.uuid4().hex[:8]}"
+        )
+        os.replace(os.path.join(snapshot_dir, v), trash)
+        dropped.append(v)
+        shutil.rmtree(trash, ignore_errors=True)
     return dropped
 
 
