@@ -127,3 +127,53 @@ def test_profile_empty_cols_raises(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError, match="at least one column"):
         V.profile(df, [])
+
+
+def test_enforce_passes_clean_and_raises_on_violation(spark):
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    clean = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 7.5, "b")], "k bigint, v double, c string"
+    )
+    checks = {
+        "k_not_null": V.row_not_null("k"),
+        "v_range": V.row_in_range("v", 0.0, 10.0),
+        "c_member": V.row_member_of("c", ["a", "b"]),
+    }
+    assert V.enforce(clean, checks).count() == 2
+
+    bad = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 99.0, "b")], "k bigint, v double, c string"
+    )
+    with pytest.raises(Exception, match="v_range"):
+        V.enforce(bad, checks).count()
+
+
+def test_enforce_survives_projection(spark):
+    """The check is a filter, so projecting AWAY the checked column still
+    enforces it — the pruning hole a column-attached guard would have."""
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    bad = spark.createDataFrame([(1, None)], "k bigint, v double")
+    out = V.enforce(bad, {"v_required": V.row_not_null("v")}).select("k")
+    with pytest.raises(Exception, match="v_required"):
+        out.collect()
+
+
+def test_enforce_null_semantics_of_range_and_member(spark):
+    """row_in_range / row_member_of treat NULL as pass (presence is
+    row_not_null's job) so the predicates compose independently."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    df = spark.createDataFrame([(None, None)], "v double, c string")
+    assert (
+        V.enforce(
+            df,
+            {"r": V.row_in_range("v", 0, 1), "m": V.row_member_of("c", ["x"])},
+        ).count()
+        == 1
+    )

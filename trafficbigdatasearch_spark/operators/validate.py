@@ -47,6 +47,56 @@ def member_of(col: str, allowed: list) -> Column:
     ).cast("bigint")
 
 
+def row_not_null(col: str) -> Column:
+    """Row-level predicate: value present (for :func:`enforce`)."""
+    return F.col(col).isNotNull()
+
+
+def row_in_range(col: str, lo, hi) -> Column:
+    """Row-level predicate: NULL or within [lo, hi] (NULL presence is
+    :func:`row_not_null`'s job — compose both to require a value in
+    range)."""
+    return F.col(col).isNull() | F.col(col).between(F.lit(lo), F.lit(hi))
+
+
+def row_matches(col: str, pattern: str) -> Column:
+    """Row-level predicate: NULL or matches the regex."""
+    return F.col(col).isNull() | F.col(col).rlike(pattern)
+
+
+def row_member_of(col: str, allowed: list) -> Column:
+    """Row-level predicate: NULL or a member of ``allowed``."""
+    return F.col(col).isNull() | F.col(col).isin(allowed)
+
+
+def enforce(df: DataFrame, row_checks: dict[str, Column]) -> DataFrame:
+    """Inline row-level constraint ENFORCEMENT — the write-path guard:
+    :func:`report`/:func:`observed` measure violations, ``enforce`` makes
+    any job built on the returned DataFrame FAIL on the first violating
+    row, so bad rows cannot reach a published table.
+
+    Each check rides as a FILTER whose predicate passes conforming rows
+    and raises (with the check's name) otherwise — filters determine row
+    membership, so Catalyst can never prune the check away no matter what
+    downstream projections keep (unlike a guard attached to one output
+    column).  Cost: row-local predicate per check inside the scan's
+    codegen stage; zero extra passes, zero shuffles.  Row-local
+    constraints only (not-null / range / regex / membership via the
+    ``row_*`` builders); table-level checks (uniqueness, referential)
+    stay in :func:`report` / :func:`referential_report` where they
+    aggregate."""
+    out = df
+    for name, pred in row_checks.items():
+        out = out.filter(
+            F.when(pred, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(f"constraint {name!r} violated on a row")
+                )
+            )
+        )
+    return out
+
+
 def report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Run every check in one aggregate pass -> (check, violations, ok).
 
