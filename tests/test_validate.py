@@ -177,3 +177,46 @@ def test_enforce_null_semantics_of_range_and_member(spark):
         ).count()
         == 1
     )
+
+
+def test_row_matches_is_full_match_and_empty_checks_raise(spark):
+    import pytest
+
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    df = spark.createDataFrame([("garbage-ABC-junk",)], "code string")
+    with pytest.raises(Exception, match="code_fmt"):
+        V.enforce(df, {"code_fmt": V.row_matches("code", "[A-Z]{3}")}).count()
+    ok = spark.createDataFrame([("ABC",), (None,)], "code string")
+    assert V.enforce(ok, {"f": V.row_matches("code", "[A-Z]{3}")}).count() == 2
+
+    with pytest.raises(ValueError, match="at least one check"):
+        V.enforce(df, {})
+
+
+def test_enforce_output_always_clean_even_with_pushdown(spark, tmp_path):
+    """The guarantee that matters: whatever plan shape Catalyst picks
+    (filters merged/pushed into a parquet scan), no violating row reaches
+    the output — either the job raises or the row was filtered out by
+    other predicates anyway."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 5.0, "EU"), (2, 99.0, "AS"), (3, 7.0, "EU")],
+        "k bigint, v double, region string",
+    ).write.parquet(p)
+    src = spark.read.parquet(p)
+    guarded = V.enforce(src, {"v_range": V.row_in_range("v", 0, 10)})
+    try:
+        rows = guarded.filter(F.col("region") == "EU").collect()
+        assert all(0 <= r["v"] <= 10 for r in rows)
+    except Exception:
+        pass  # raising is also within contract — bad row reached the check
+    # and with no other filters, the violating row must raise
+    import pytest
+
+    with pytest.raises(Exception, match="v_range"):
+        guarded.collect()

@@ -22,14 +22,12 @@ from pyspark.sql import functions as F
 
 def not_null(col: str) -> Column:
     """Observed value: number of NULL rows (expect 0)."""
-    return F.count_if(F.col(col).isNull()).cast("bigint")
+    return F.count_if(~row_not_null(col)).cast("bigint")
 
 
 def in_range(col: str, lo, hi) -> Column:
     """Observed value: number of rows outside [lo, hi] (expect 0)."""
-    return F.count_if(
-        F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
-    ).cast("bigint")
+    return F.count_if(~row_in_range(col, lo, hi)).cast("bigint")
 
 
 def unique_key(col: str) -> Column:
@@ -42,9 +40,7 @@ def unique_key(col: str) -> Column:
 
 def member_of(col: str, allowed: list) -> Column:
     """Observed value: rows with a non-NULL value outside ``allowed``."""
-    return F.count_if(
-        F.col(col).isNotNull() & ~F.col(col).isin(allowed)
-    ).cast("bigint")
+    return F.count_if(~row_member_of(col, allowed)).cast("bigint")
 
 
 def row_not_null(col: str) -> Column:
@@ -60,8 +56,11 @@ def row_in_range(col: str, lo, hi) -> Column:
 
 
 def row_matches(col: str, pattern: str) -> Column:
-    """Row-level predicate: NULL or matches the regex."""
-    return F.col(col).isNull() | F.col(col).rlike(pattern)
+    """Row-level predicate: NULL or the WHOLE value matches the regex —
+    the pattern is anchored (``^(?:...)$``) because a constraint named
+    "matches" must not pass values that merely CONTAIN a matching
+    substring (bare ``rlike`` is a substring search)."""
+    return F.col(col).isNull() | F.col(col).rlike(f"^(?:{pattern})$")
 
 
 def row_member_of(col: str, allowed: list) -> Column:
@@ -71,20 +70,30 @@ def row_member_of(col: str, allowed: list) -> Column:
 
 def enforce(df: DataFrame, row_checks: dict[str, Column]) -> DataFrame:
     """Inline row-level constraint ENFORCEMENT — the write-path guard:
-    :func:`report`/:func:`observed` measure violations, ``enforce`` makes
-    any job built on the returned DataFrame FAIL on the first violating
-    row, so bad rows cannot reach a published table.
+    :func:`report`/:func:`observed` measure violations, ``enforce``
+    guarantees that NO VIOLATING ROW CAN FLOW PAST IT into the output — a
+    violating row that reaches the enforce point fails the job with the
+    check's name.  (A violating row that some OTHER filter in the final
+    plan discards may be dropped before the check evaluates, depending on
+    predicate order after Catalyst merges and pushes filters — either way
+    it cannot reach the published table, which is the guarantee that
+    matters; do not use job success/failure as a "was the source clean"
+    probe, that is :func:`report`'s job.)
 
     Each check rides as a FILTER whose predicate passes conforming rows
-    and raises (with the check's name) otherwise — filters determine row
-    membership, so Catalyst can never prune the check away no matter what
-    downstream projections keep (unlike a guard attached to one output
-    column).  Cost: row-local predicate per check inside the scan's
-    codegen stage; zero extra passes, zero shuffles.  Row-local
-    constraints only (not-null / range / regex / membership via the
-    ``row_*`` builders); table-level checks (uniqueness, referential)
-    stay in :func:`report` / :func:`referential_report` where they
-    aggregate."""
+    and raises otherwise — filters determine row membership, so Catalyst
+    can never prune the check away no matter what downstream projections
+    keep (unlike a guard attached to one output column).  Cost: row-local
+    predicate per check inside the scan's codegen stage; zero extra
+    passes, zero shuffles.  Row-local constraints only (not-null / range
+    / regex / membership via the ``row_*`` builders); table-level checks
+    (uniqueness, referential) stay in :func:`report` /
+    :func:`referential_report` where they aggregate."""
+    if not row_checks:
+        raise ValueError(
+            "enforce() needs at least one check — an empty dict would be "
+            "a silent no-op guard"
+        )
     out = df
     for name, pred in row_checks.items():
         out = out.filter(
