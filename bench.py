@@ -139,6 +139,7 @@ HEADLINE = [
     "pipeline_bpe",
     "dedup_jaccard_prefix",
     "text_dup_spans",
+    "a_attribution_linear",
 ]
 
 

@@ -5305,6 +5305,76 @@ def a_attribution_touch_q(spark, sf):
 
 
 @register(
+    "a_attribution_linear",
+    """WITH e AS (SELECT user_id, event_type,
+                         epoch_ms(ts)::HUGEINT * 10000000000 + event_id AS ord
+                  FROM events),
+       p AS (SELECT user_id, MIN(ord) AS fp FROM e
+             WHERE event_type = 'purchase' GROUP BY user_id),
+       pre AS (SELECT e.user_id, e.event_type, e.ord
+               FROM e JOIN p USING (user_id)
+               WHERE e.event_type <> 'purchase' AND e.ord < p.fp),
+       t AS (SELECT user_id, event_type,
+                    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ord) AS rn
+             FROM pre)
+       SELECT event_type,
+              CAST(SUM(CASE WHEN rn = 1
+                            THEN 1000000 - (n - 1) * (1000000 // n)
+                            ELSE 1000000 // n END) AS BIGINT) AS credit_ppm,
+              CAST(COUNT(*) AS BIGINT) AS n_touches
+       FROM t GROUP BY event_type""",
+)
+def a_attribution_linear_q(spark, sf):
+    """LINEAR multi-touch attribution — every pre-conversion touch shares
+    the conversion credit equally, completing the attribution family
+    (first/last batch matrix + the streaming within-horizon join).
+    Credit is EXACT INTEGER parts-per-million: each touch gets
+    floor(1e6 / n) and the FIRST touch absorbs the division remainder, so
+    every converting user's credit sums to exactly 1 000 000 and the
+    rollup is order/partition/retry-independent — the integer-cents
+    discipline applied to a fractional-allocation problem (floats here
+    would make the per-channel sums accumulation-order-dependent).  Same
+    injective DECIMAL/HUGEINT ordering key as a_attribution_touch; two
+    windows over one per-user sort + one map-side-combined rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    ordk = (
+        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
+        * F.lit(10000000000).cast("decimal(11,0)")
+        + F.col("event_id").cast("decimal(20,0)")
+    )
+    e = ev.select("user_id", "event_type", ordk.alias("ord"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ord").alias("fp"))
+    )
+    pre = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(p, "user_id")
+        .filter(F.col("ord") < F.col("fp"))
+    )
+    w = Window.partitionBy("user_id")
+    t = pre.select(
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(w.orderBy("ord")).alias("rn"),
+    )
+    share = F.expr("1000000 div n")  # integer floor div, no float path
+    credit = F.when(
+        F.col("rn") == 1,
+        F.lit(1000000) - (F.col("n") - 1) * share,
+    ).otherwise(share)
+    return t.groupBy("event_type").agg(
+        F.sum(credit).cast("bigint").alias("credit_ppm"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+
+
+@register(
     "a_winsorize",
     """WITH c AS (SELECT event_type,
                          CAST(round(value * 100) AS BIGINT) AS cents
@@ -6068,7 +6138,7 @@ def s_minmax_skipping_q(spark, sf):
 # ROUND-7 ROTATION QUEUE (registered after the round-6 window was frozen
 # and rehearsed — never driver-checked; enters the r7 window FIRST per the
 # slot-priority rule, then oldest-stale rows, oldest last-green first):
-#       dedup_jaccard_prefix, text_dup_spans
+#       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; dedup_jaccard_prefix additionally pinned
 #    row-identical to the unguarded ngram-jaccard operator in
