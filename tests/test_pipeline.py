@@ -107,3 +107,34 @@ def test_pipeline_keep_best_prefers_quality_over_min_id(spark):
     }
     assert min_ids == {1, 7}
     assert best == {2, 7}
+
+
+def test_pipeline_enforce_stage(spark):
+    """enforce() composes into the pipeline: clean corpora pass through,
+    a broken invariant fails the terminal action with the check's name."""
+    import pytest
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import validate as V
+    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ok = (
+        CorpusPipeline(docs)
+        .enforce({"doc_id_present": V.row_not_null("doc_id")})
+        .quality_gate(min_tokens=1)
+        .docs()
+    )
+    assert ok.count() > 0
+
+    broken = docs.withColumn(
+        "lang",
+        __import__("pyspark.sql.functions", fromlist=["when"]).when(
+            docs.doc_id % 100 == 0, None
+        ).otherwise(docs.lang),
+    )
+    bad = CorpusPipeline(broken).enforce(
+        {"lang_present": V.row_not_null("lang")}
+    ).docs()
+    with pytest.raises(Exception, match="lang_present"):
+        bad.count()

@@ -41,6 +41,16 @@ class CorpusPipeline:
             self.df.filter(T.token_count(F.col(self.text_col)) >= min_tokens)
         )
 
+    def enforce(self, row_checks: dict) -> "CorpusPipeline":
+        """FAIL the pipeline on the first row violating a constraint
+        (operators/validate.py::enforce — row-local predicates fused into
+        the scan): where quality_gate silently DROPS substandard rows,
+        enforce asserts invariants whose violation means the upstream feed
+        is broken and publishing anything would be wrong."""
+        from trafficbigdatasearch_spark.operators import validate as V
+
+        return self._next(V.enforce(self.df, row_checks))
+
     def dedup_exact(self) -> "CorpusPipeline":
         """Keep the min-id document per exact content fingerprint."""
         keep = dedup.dedup_exact(
