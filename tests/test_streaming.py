@@ -731,3 +731,61 @@ def test_merge_snapshot_time_travel_and_vacuum(spark, tmp_path):
     assert dropped == ["v0", "v1"]
     assert SK.list_merge_versions(snap_dir) == ["v2", "v3"]
     assert sorted(map(tuple, SK.read_merge_snapshot(spark, snap_dir).collect())) == live
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs protobuf (absent here); the "
+    "operator's import gate is covered by test_user_topk_gate_message",
+)
+def test_user_topk_transform_with_state(spark, event_stream_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the final
+    per-user top-k must equal the batch window computation, with the
+    deterministic (value DESC, event_id ASC) tie-break."""
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    got = _run(spark, SE.user_topk_events(stream, k=3), "t_topk", "update")
+    # update mode re-emits a user's whole top-k each touched batch; keep
+    # the LAST emission per (user, rank) — pandas-side: the memory sink
+    # appends in emission order, so group max by monotone… simpler: replay
+    # semantics make the final state the last emitted frame per user; take
+    # rows from the last occurrence of each (user_id, rank).
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = pdf.groupby(["user_id", "rank"]).tail(1)
+
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+        .toPandas()
+    )
+    got_set = set(map(tuple, final[["user_id", "rank", "event_id"]].values.tolist()))
+    want_set = set(map(tuple, want[["user_id", "rank", "event_id"]].values.tolist()))
+    assert got_set == want_set
+
+
+def test_user_topk_gate_message(spark, event_stream_dir):
+    """Without protobuf the operator must raise immediately with the
+    dependency named — never crash the streaming Python driver worker
+    mid-query."""
+    if _protobuf_available():
+        pytest.skip("protobuf present; the real operator test runs instead")
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    with pytest.raises(ImportError, match="protobuf"):
+        SE.user_topk_events(stream, k=3)

@@ -155,6 +155,85 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running TOP-K highest-value events via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state API (the
+    successor to ``applyInPandasWithState``): typed state handles
+    (ValueState/ListState/MapState), per-state TTL, and timers, managed by
+    the state store like any built-in stateful operator.
+
+    A streaming windowed aggregate cannot maintain "the k best rows ever
+    seen per key" (it would need ORDER BY over unbounded history); here
+    state is EXACTLY k fixed-width rows per user — bounded by key
+    cardinality × k, never stream length — and each micro-batch emits the
+    refreshed top-k for the keys it touched (update semantics).  The
+    merge is a pandas concat + nlargest over (k + batch) rows per touched
+    key, at the Arrow batch boundary only.
+
+    Deterministic tie-break: (value DESC, event_id ASC), so replays and
+    retries rebuild identical state.
+
+    ENVIRONMENT GATE: the transformWithState worker protocol needs
+    ``protobuf`` (its state-server messages are proto-encoded); where the
+    package is absent this raises immediately with the dependency named,
+    instead of crashing the Python driver worker mid-query.  The
+    ``applyInPandasWithState`` twin (:func:`user_running_totals`) has no
+    such dependency and covers the custom-stateful pattern everywhere."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol is proto-encoded); install "
+            "protobuf or use user_running_totals "
+            "(applyInPandasWithState) instead"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id bigint, rank int, event_id bigint, value double"
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState(
+                "topk", "event_id bigint, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = pd.DataFrame(
+                [(r.event_id, r.value) for r in self._state.get()],
+                columns=["event_id", "value"],
+            )
+            batches = [cur] + [
+                pdf[["event_id", "value"]] for pdf in rows
+            ]
+            merged = pd.concat(batches, ignore_index=True)
+            merged = merged.sort_values(
+                ["value", "event_id"], ascending=[False, True]
+            ).head(k)
+            self._state.clear()
+            self._state.appendList(
+                [tuple(t) for t in merged.itertuples(index=False)]
+            )
+            out = merged.reset_index(drop=True)
+            out.insert(0, "rank", out.index + 1)
+            out.insert(0, "user_id", key[0])
+            yield out[["user_id", "rank", "event_id", "value"]]
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def attribution_join(
     views: DataFrame,
     purchases: DataFrame,
