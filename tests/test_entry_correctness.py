@@ -410,3 +410,46 @@ def test_pq_gemm_kernel_bit_identical_to_expr(spark):
         )
     )
     assert ea == eb and ea
+
+
+def test_attribution_linear_exact_shares(spark):
+    """Remainder arithmetic pinned on a hand-checkable case: 3 touches
+    share 1e6 as 333334+333333+333333; a single touch takes the full 1e6;
+    users with no pre-conversion touch contribute nothing."""
+    import datetime as dt
+
+    from trafficbigdatasearch_spark.queries import standard
+
+    rows = [
+        # user 1: ad, email, search, then purchase  (n=3)
+        (1, 1, dt.datetime(2024, 1, 1, 9), "ad", 1.0),
+        (2, 1, dt.datetime(2024, 1, 1, 10), "email", 1.0),
+        (3, 1, dt.datetime(2024, 1, 1, 11), "search", 1.0),
+        (4, 1, dt.datetime(2024, 1, 1, 12), "purchase", 9.0),
+        # user 2: one touch then purchase  (n=1)
+        (5, 2, dt.datetime(2024, 1, 2, 9), "ad", 1.0),
+        (6, 2, dt.datetime(2024, 1, 2, 10), "purchase", 5.0),
+        # user 3: purchase with NO prior touch -> contributes nothing
+        (7, 3, dt.datetime(2024, 1, 3, 9), "purchase", 2.0),
+        # user 4: touches but never converts -> contributes nothing
+        (8, 4, dt.datetime(2024, 1, 4, 9), "email", 1.0),
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts timestamp, event_type string, "
+        "value double",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_type"]: (r["credit_ppm"], r["n_touches"])
+        for r in standard.queries()["a_attribution_linear"](spark, d).collect()
+    }
+    assert out == {
+        "ad": (333334 + 1000000, 2),  # first touch of user 1 + sole of user 2
+        "email": (333333, 1),
+        "search": (333333, 1),
+    }
+    assert sum(v[0] for v in out.values()) == 2_000_000  # 2 converting users
