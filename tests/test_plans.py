@@ -244,3 +244,57 @@ def test_explicit_bloom_prefilter_below_exchange(spark):
         assert "Exchange hashpartitioning" not in tail[:scan_at], tail[:scan_at]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pipeline_bpe_vocab_join_broadcasts(spark):
+    """The composed BPE pipeline's vocab-membership join must broadcast
+    the 30-row vocab, never shuffle the encoded token stream for it."""
+    from trafficbigdatasearch_spark.queries import standard
+
+    out = standard.queries()["pipeline_bpe"](spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_apply_fold_is_shuffle_free(spark):
+    """apply_merges is posexplode + literal replaces: from the output back
+    to the documents scan there must be ZERO shuffle exchanges."""
+    from trafficbigdatasearch_spark.operators import bpe
+
+    docs = load_table(spark, SF, "documents")
+    rules = [(0, "t", "h", 9), (1, "th", "e", 5)]
+    plan = (
+        bpe.apply_merges(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dup_spans_single_shingle_exchange_family(spark):
+    """text_dup_spans: corpus-wide window frequencies + per-doc interval
+    merge — the plan must contain no cartesian/nested-loop join and no
+    per-row Python."""
+    from trafficbigdatasearch_spark.queries import standard
+
+    out = standard.queries()["text_dup_spans"](spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_prefix_jaccard_no_python_no_cartesian(spark):
+    """The prefix-filtered Jaccard plan stays JVM-side (whole-stage
+    expressions) with no cartesian pair generation."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = (
+        dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
