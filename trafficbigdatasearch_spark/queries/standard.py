@@ -6143,6 +6143,16 @@ def s_minmax_skipping_q(spark, sf):
 #    registration session; dedup_jaccard_prefix additionally pinned
 #    row-identical to the unguarded ngram-jaccard operator in
 #    tests/test_dedup_edges.py)
+#
+# ROUND-6 CLOSING STATE (for the r7 rotation): the r6 window (positions
+# 1-50 above) was rehearsed 50/50 green before freezing AND the whole
+# 152-query registry swept green twice this session (dtype-strict
+# driver_sim, sf0.01).  Oldest-stale after r6: the ~21 remaining r2-green
+# rows (p_calendar_eq, a_group_avg, a_pricing_summary, a_rollup, a_cube,
+# set_intersect, set_except, f_string_funcs, w_row_number, ... in
+# registration order) then the r3 batch — r7's stale slots start there
+# after the 3-query queue.  The 5 changed-code slots (OHLC/gapfill/
+# keep-best) and the 4 r2 rows in-window this round free up in r7.
 #   out (-> in-window sibling covering the code path; every exit was GREEN
 #        in CORRECTNESS_r05)
 #       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
