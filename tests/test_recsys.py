@@ -1,0 +1,85 @@
+"""Item-item collaborative filtering (operators/recsys.py).
+
+The registry rows (rec_item_cosine, rec_user_topn) oracle-verify the full
+event-stream path; these tests pin the arithmetic and contracts on
+hand-sized matrices.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import recsys
+
+
+def _ui(spark, pairs):
+    return spark.createDataFrame(pairs, "user_id BIGINT, item_id BIGINT")
+
+
+def test_user_item_distinct_and_null_drop(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (1, '{"k": 5}'),      # duplicate interaction collapses
+            (2, '{"k": 7}'),
+            (3, '{"nope": 1}'),   # no k -> dropped
+            (4, None),            # NULL props -> dropped
+            (5, '{"k": "junk"}'),  # non-numeric -> try_cast NULL -> dropped
+        ],
+        "user_id BIGINT, props STRING",
+    )
+    got = {(r["user_id"], r["item_id"]) for r in recsys.user_item(ev).collect()}
+    assert got == {(1, 5), (2, 7)}
+
+
+def test_cooccurrence_and_cosine_hand_checked(spark):
+    # items: A=1 users{1,2,3}; B=2 users{1,2}; C=3 users{3}
+    ui = _ui(spark, [(1, 1), (2, 1), (3, 1), (1, 2), (2, 2), (3, 3)])
+    co = {
+        (r["item_a"], r["item_b"]): r["n_co"]
+        for r in recsys.item_cooccurrence(ui).collect()
+    }
+    assert co == {(1, 2): 2, (1, 3): 1}
+    out = recsys.item_cosine_neighbors(ui, n=10, min_co=1).collect()
+    by = {(r["item_id"], r["neighbor_id"]): r for r in out}
+    # sim(1,2) = 2 / (sqrt(3)*sqrt(2)), present in BOTH orientations
+    want = 2 / (math.sqrt(3) * math.sqrt(2))
+    assert by[(1, 2)]["score"] == pytest.approx(want, abs=0)
+    assert by[(2, 1)]["score"] == by[(1, 2)]["score"]
+    # min_co prunes the (1,3) pair everywhere
+    pruned = recsys.item_cosine_neighbors(ui, n=10, min_co=2).collect()
+    assert {(r["item_id"], r["neighbor_id"]) for r in pruned} == {(1, 2), (2, 1)}
+
+
+def test_recommend_excludes_seen_and_sums_integer_votes(spark):
+    # user 1 has {A, B}; A co-occurs with C (2x), B with C (1x) -> C scores 3
+    ui = _ui(
+        spark,
+        [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (3, 3), (4, 2), (4, 3)],
+    )
+    out = recsys.recommend_topn(ui, n=5, min_co=1).collect()
+    u1 = {r["item_id"]: r for r in out if r["user_id"] == 1}
+    assert set(u1) == {3}  # items 1, 2 are seen -> excluded
+    assert u1[3]["score"] == 2 + 1  # co(1,3)=2, co(2,3)=1
+    assert u1[3]["rank"] == 1
+
+
+def test_recommend_hint_validated(spark):
+    ui = _ui(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="hint"):
+        recsys.recommend_topn(ui, hint="shuffle")
+
+
+def test_neighbor_window_is_item_partitioned(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ui = recsys.user_item(ev)
+    plan = (
+        recsys.item_cosine_neighbors(ui, n=5, min_co=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the top-n window must partition by item_id — no global exchange
+    assert "partitionBy=[item_id" in plan.replace(" ", "") or \
+        "hashpartitioning(item_id" in plan

@@ -1,0 +1,181 @@
+"""Item-item collaborative filtering over an interaction stream.
+
+The reference aggregates per-entity traffic statistics
+(`/root/reference/src/OverSpeedCount.scala:18-139` counts per vehicle); the
+analytics-engine generalization is the co-occurrence family: which ITEMS
+travel together across users, and what does that imply for ranking unseen
+items per user.  Classic item-based CF (Sarwar et al., WWW'01) —
+deliberately neighborhood-based, not matrix factorization: co-occurrence
+counts and cosine-normalized neighbor lists are exact, shuffle-bounded
+DataFrame aggregates, where ALS-style factorization is an iterative solver
+with different infrastructure needs.
+
+Shapes (the 100 TB posture):
+
+- Everything runs on the DISTINCT (user, item) matrix — the same guard as
+  a_basket_pairs: the raw event stream collapses first (one shuffle), so
+  per-user fan-out in the pair join is items-per-user choose 2, never
+  events choose 2.
+- The co-occurrence table is bounded by item-pair support, not data volume;
+  ``min_co`` cuts the long tail exactly like lm.py's ``min_count``.  The
+  per-user recommend join ships it broadcast when small (``hint=
+  "broadcast"``) or AQE-sized otherwise.
+- Determinism for the registry oracle: co-counts and per-item counts are
+  integers; the cosine ``n_co / (sqrt(n_a) * sqrt(n_b))`` is one fixed
+  IEEE op sequence (vectors.py's policy); the user-level recommendation
+  score is an INTEGER sum of co-counts (order-independent), never a float
+  SUM — rank ties break on item id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_item(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_expr: Column | None = None,
+) -> DataFrame:
+    """Distinct (user_id, item_id) interaction matrix.  ``item_expr``
+    defaults to the ``k`` field of the events ``props`` JSON (the testdata
+    item id); pass any Column for real schemas.  NULL items (malformed
+    props) are dropped — they would otherwise form a phantom mega-item."""
+    if item_expr is None:
+        # try_cast, not cast: a malformed props value must drop the row
+        # (NULL filter below), not fail the job under Spark 4's ANSI default
+        item_expr = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"), item_expr.alias("item_id")
+        )
+        .filter(F.col("item_id").isNotNull())
+        .distinct()
+    )
+
+
+def item_counts(ui: DataFrame) -> DataFrame:
+    """(item_id, n_users) — each item's interaction-set size."""
+    return ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def item_cooccurrence(ui: DataFrame, min_co: int = 1) -> DataFrame:
+    """Ordered co-occurrence pairs: (item_a < item_b, n_co) = number of
+    users who interacted with both.  Self-join on user over the collapsed
+    matrix + one map-side-combined count; ``min_co`` prunes the tail."""
+    a = ui.alias("a")
+    b = ui.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_a"),
+            F.col("b.item_id").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+
+
+def _symmetric(co: DataFrame) -> DataFrame:
+    """Both orientations of the ordered pair table: (item_id, neighbor_id,
+    n_co).  Union, not a second join — the count is symmetric."""
+    return co.select(
+        F.col("item_a").alias("item_id"),
+        F.col("item_b").alias("neighbor_id"),
+        "n_co",
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item_id"),
+            F.col("item_a").alias("neighbor_id"),
+            "n_co",
+        )
+    )
+
+
+def item_cosine_neighbors(
+    ui: DataFrame, n: int = 10, min_co: int = 1
+) -> DataFrame:
+    """Per-item top-``n`` neighbor list under co-occurrence cosine:
+    (item_id, neighbor_id, n_co, score, rank) with
+    ``score = n_co / (sqrt(n_users_a) * sqrt(n_users_b))`` — the
+    similarity index an item-based recommender serves from.
+
+    Plan: pair counts (one self-join + count), symmetrize (union), two
+    broadcast joins to the tiny per-item count table, per-item top-n
+    window.  The window partitions by item_id, so no global exchange; the
+    scored set is the pruned co-table, already support-bounded."""
+    counts = item_counts(ui)
+    sym = _symmetric(item_cooccurrence(ui, min_co))
+    na = counts.select(
+        F.col("item_id"), F.col("n_users").alias("_na")
+    )
+    nb = counts.select(
+        F.col("item_id").alias("neighbor_id"), F.col("n_users").alias("_nb")
+    )
+    scored = (
+        sym.join(F.broadcast(na), "item_id")
+        .join(F.broadcast(nb), "neighbor_id")
+        .select(
+            "item_id",
+            "neighbor_id",
+            "n_co",
+            (
+                F.col("n_co").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def recommend_topn(
+    ui: DataFrame,
+    n: int = 5,
+    min_co: int = 1,
+    hint: str = "broadcast",
+) -> DataFrame:
+    """Per-user top-``n`` unseen-item recommendations: (user_id, item_id,
+    score, rank) where score = SUM of co-counts between the candidate and
+    the user's items — item-based CF with count weights.
+
+    The score is an INTEGER sum (order-independent — this is what makes
+    the row oracle-hashable; a float-weighted variant would need the
+    fixed-order-add treatment fusion.py uses).  Candidates already seen by
+    the user are removed with a LEFT ANTI join on the interaction matrix.
+    Plan: ui ⋈ co-table (broadcast under the default hint) -> one
+    map-side-combined (user, candidate) sum -> anti join -> per-user top-n
+    window (partitioned by user, no global exchange)."""
+    if hint not in ("broadcast", "auto"):
+        raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
+    sym = _symmetric(item_cooccurrence(ui, min_co))
+    if hint == "broadcast":
+        sym = F.broadcast(sym)
+    cand = (
+        ui.join(sym, "item_id")
+        .groupBy("user_id", F.col("neighbor_id").alias("item_id"))
+        .agg(F.sum("n_co").alias("score"))
+    )
+    # anti join needs matching names on both sides; ui is (user_id, item_id)
+    unseen = cand.join(ui, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return (
+        unseen.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= n)
+        .select("user_id", "item_id", "score", "rank")
+    )

@@ -248,6 +248,59 @@ def _idf_factor(idf: str):
     raise ValueError(f"idf must be 'raw' or 'robertson', got {idf!r}")
 
 
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf: str = "raw",
+) -> DataFrame:
+    """Un-windowed BM25 scores, one row per (term, matching doc): the
+    scored-posting set :func:`bm25_topk` windows per-term and
+    fusion.hybrid machinery aggregates per-doc.  Columns: (term, id_col,
+    tf, dl, df, score).  Plan and determinism contract are bm25_topk's —
+    this is the shared scoring stage, factored out so the hybrid path
+    doesn't pay a second tokenize+shuffle."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = T.tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("_m"),
+        F.size(toks).cast("bigint").alias("dl"),
+    )
+    lens = base.agg(
+        F.sum("dl").alias("_tot"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "n", (F.col("_tot").cast("double") / F.col("n")).alias("avgdl")
+    )
+    postings = base.select(id_col, "dl", F.explode("_m").alias("term"))
+    tf = postings.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sat = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(lens))
+        .select(
+            "term",
+            id_col,
+            "tf",
+            "dl",
+            "df",
+            (sat * _idf_factor(idf)).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: list[str],
@@ -280,42 +333,7 @@ def bm25_topk(
     ``avgdl = total_tokens/N`` — reproducible bit-for-bit in any engine
     that evaluates the same expression tree.  Returns (term, id_col, tf,
     dl, df, score, rank)."""
-    if not terms:
-        raise ValueError("terms must be non-empty")
-    term_arr = F.array(*[F.lit(t) for t in terms])
-    toks = T.tokens(F.lower(F.col(text_col)))
-    base = docs.select(
-        F.col(id_col),
-        F.filter(toks, lambda t: F.array_contains(term_arr, t)).alias("_m"),
-        F.size(toks).cast("bigint").alias("dl"),
-    )
-    lens = base.agg(
-        F.sum("dl").alias("_tot"), F.count(F.lit(1)).alias("n")
-    ).select(
-        "n", (F.col("_tot").cast("double") / F.col("n")).alias("avgdl")
-    )
-    postings = base.select(id_col, "dl", F.explode("_m").alias("term"))
-    tf = postings.groupBy("term", id_col).agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    sat = (F.col("tf") * F.lit(k1 + 1)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(lens))
-        .select(
-            "term",
-            id_col,
-            "tf",
-            "dl",
-            "df",
-            (sat * _idf_factor(idf)).alias("score"),
-        )
-    )
+    scored = bm25_scores(docs, terms, k1, b, id_col, text_col, idf)
     w = Window.partitionBy("term").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

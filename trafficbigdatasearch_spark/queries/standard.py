@@ -5988,6 +5988,210 @@ def s_minmax_skipping_q(spark, sf):
 
 
 # =============================================================================
+# §ROUND-7 — hybrid retrieval, LM quality scoring, collaborative filtering
+# =============================================================================
+
+
+@register(
+    "text_hybrid_rrf",
+    f"""WITH d AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+                 FROM dd),
+       p AS (SELECT doc_id, dl, unnest(t) AS term FROM dd),
+       tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                     CAST(min(dl) AS BIGINT) AS dl
+              FROM p WHERE term IN ('join', 'merge', 'query')
+              GROUP BY term, doc_id),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       s AS (SELECT term, doc_id,
+                    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+                      (tf + CAST(1.2 AS DOUBLE) *
+                        ((1 - CAST(0.75 AS DOUBLE)) +
+                         CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+                      (n / df) AS score
+             FROM tf JOIN dfq USING (term), stats),
+       lexsc AS (SELECT doc_id,
+                    CAST(0.0 AS DOUBLE)
+                  + COALESCE(MAX(CASE WHEN term = 'join' THEN score END),
+                             CAST(0.0 AS DOUBLE))
+                  + COALESCE(MAX(CASE WHEN term = 'merge' THEN score END),
+                             CAST(0.0 AS DOUBLE))
+                  + COALESCE(MAX(CASE WHEN term = 'query' THEN score END),
+                             CAST(0.0 AS DOUBLE)) AS score
+                 FROM s GROUP BY doc_id),
+       lex AS (SELECT doc_id, CAST(row_number() OVER (
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+               FROM lexsc QUALIFY rank_lex <= 50),
+       q AS (SELECT {_QVEC} AS qv FROM embeddings WHERE vec_id = 0),
+       c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
+       vs AS (SELECT neighbor_id,
+                     list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))) AS score
+              FROM c CROSS JOIN q WHERE neighbor_id <> 0),
+       vec AS (SELECT neighbor_id AS doc_id, CAST(row_number() OVER (
+                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank_vec
+               FROM vs QUALIFY rank_vec <= 50),
+       fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+                        lex.rank_lex, vec.rank_vec,
+                        CAST(0.0 AS DOUBLE)
+                      + COALESCE(CAST(1.0 AS DOUBLE) /
+                                 (CAST(60 AS DOUBLE) + rank_lex),
+                                 CAST(0.0 AS DOUBLE))
+                      + COALESCE(CAST(1.0 AS DOUBLE) /
+                                 (CAST(60 AS DOUBLE) + rank_vec),
+                                 CAST(0.0 AS DOUBLE)) AS rrf_score
+                 FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       SELECT doc_id, rank_lex, rank_vec, rrf_score,
+              CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                   AS BIGINT) AS rank
+       FROM fused QUALIFY rank <= 20""",
+)
+def text_hybrid_rrf_q(spark, sf):
+    """Hybrid retrieval (operators/fusion.py): a BM25 bag-of-terms lexical
+    leg over documents + an exact-cosine vector leg over embeddings
+    (query = stored vector 0, doc ids linked by equality), fused with
+    reciprocal-rank fusion (k0=60) and cut to the top 20 — the modern
+    two-leg search shape over this package's own retrieval stack.  Every
+    float in the chain is a FIXED-ORDER op sequence (pivoted per-term
+    adds, per-leg coalesce-adds — never a float SUM aggregate), which is
+    what lets a rank-fusion query hash-match across engines at all.  The
+    legs are k-sized before fusion, so the fuse join is O(k) regardless
+    of corpus size; at 100 TB the legs swap to their indexed siblings
+    (bm25_indexed, ivf_topk_indexed) with identical fusion semantics."""
+    from trafficbigdatasearch_spark.operators import fusion
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    return fusion.hybrid_topk(
+        docs, emb, ["join", "merge", "query"], query_vec_id=0,
+        k=20, leg_k=50,
+    )
+
+
+@register(
+    "text_lm_coverage",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
+       pos AS (SELECT doc_id, unnest(t) AS term,
+                      generate_subscripts(t, 1) AS p FROM tt),
+       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       lm AS (SELECT w1, w2 FROM bg WHERE doc_id % 4 = 0
+              GROUP BY w1, w2 HAVING count(*) >= 3),
+       sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+                     CAST(SUM(CASE WHEN lm.w1 IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nk
+              FROM bg LEFT JOIN lm USING (w1, w2) GROUP BY bg.doc_id)
+       SELECT d.doc_id,
+              COALESCE(sc.nb, 0) AS n_bigrams,
+              COALESCE(sc.nk, 0) AS n_known,
+              CASE WHEN COALESCE(sc.nb, 0) = 0 THEN NULL
+                   ELSE CAST(COALESCE(sc.nk, 0) AS DOUBLE) /
+                        CAST(COALESCE(sc.nb, 0) AS DOUBLE) END AS coverage
+       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+)
+def text_lm_coverage_q(spark, sf):
+    """LM quality scoring (operators/lm.py), the CCNet/KenLM curation
+    stage: train bigram counts on a quarter of the corpus (doc_id % 4 = 0,
+    min_count=3 — the held-in "trusted" slice), then score EVERY document
+    by known-bigram coverage.  Training is one map-side-combined shuffle
+    bounded by distinct-bigram vocabulary; scoring is a broadcast join at
+    scan speed; both counts are integer sums and the single closing
+    division is one IEEE op — the oracle-hashable half of the LM story
+    (the ln-based perplexity variant is pytest-pinned, same policy as
+    BM25's robertson idf)."""
+    from trafficbigdatasearch_spark.operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    model = lm.bigram_lm(
+        docs.filter(F.col("doc_id") % 4 == 0), min_count=3
+    )
+    return lm.coverage_scores(docs, model)
+
+
+_REC_UI_CTE = """ui AS (SELECT DISTINCT user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS item_id
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL),
+       n AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_users
+             FROM ui GROUP BY item_id),
+       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM ui a JOIN ui b
+                ON a.user_id = b.user_id AND a.item_id < b.item_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
+               UNION ALL SELECT item_b, item_a, n_co FROM co)"""
+
+
+@register(
+    "rec_item_cosine",
+    f"""WITH {_REC_UI_CTE},
+       s AS (SELECT sym.item_id, sym.neighbor_id, sym.n_co,
+                    CAST(sym.n_co AS DOUBLE) /
+                    (sqrt(CAST(na.n_users AS DOUBLE)) *
+                     sqrt(CAST(nb.n_users AS DOUBLE))) AS score
+             FROM sym
+             JOIN n na ON sym.item_id = na.item_id
+             JOIN n nb ON sym.neighbor_id = nb.item_id)
+       SELECT item_id, neighbor_id, n_co, score,
+              CAST(row_number() OVER (PARTITION BY item_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def rec_item_cosine_q(spark, sf):
+    """Item-item collaborative similarity (operators/recsys.py, Sarwar
+    et al. WWW'01): distinct (user, item) matrix from the event stream
+    (item = the props.k field), ordered co-occurrence counts with support
+    >= 2, cosine normalization by each item's user-set size, per-item
+    top-10 neighbor list.  The distinct-first collapse is the a_basket_
+    pairs guard (pair fan-out bounded by items-per-user, never events);
+    the co-table is support-bounded; the cosine is one fixed IEEE op
+    sequence over integer counts — hash-stable across engines."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    return recsys.item_cosine_neighbors(ui, n=10, min_co=2)
+
+
+@register(
+    "rec_user_topn",
+    f"""WITH {_REC_UI_CTE},
+       cand AS (SELECT ui.user_id, sym.neighbor_id AS item_id,
+                       CAST(SUM(sym.n_co) AS BIGINT) AS score
+                FROM ui JOIN sym ON ui.item_id = sym.item_id
+                GROUP BY 1, 2),
+       unseen AS (SELECT c.user_id, c.item_id, c.score
+                  FROM cand c LEFT JOIN ui
+                    ON c.user_id = ui.user_id AND c.item_id = ui.item_id
+                  WHERE ui.user_id IS NULL)
+       SELECT user_id, item_id, score,
+              CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, item_id) AS BIGINT) AS rank
+       FROM unseen QUALIFY rank <= 5""",
+)
+def rec_user_topn_q(spark, sf):
+    """Per-user top-5 unseen-item recommendations (operators/recsys.py):
+    each user's items vote for co-occurring candidates with INTEGER
+    co-count weights (order-independent sum — the oracle-hashable scoring;
+    a float-weighted variant would need fusion.py's fixed-order-add
+    treatment), seen items removed by an anti join on the interaction
+    matrix, per-user top-5 window partitioned by user.  The co-table
+    ships broadcast (support-bounded); the candidate aggregate is
+    map-side combined."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    return recsys.recommend_topn(ui, n=5, min_co=2)
+
+
+# =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
 # positions 1-50).  _WINDOW is the explicit first-50 roster.
