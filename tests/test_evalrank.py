@@ -1,0 +1,155 @@
+"""Ranking-evaluation operators (operators/evalrank.py).
+
+The registry rows (eval_ivf_recall, rec_eval_holdout) oracle-verify the
+full composed paths; these tests pin the metric arithmetic and the honest-
+evaluation contracts (zero-overlap queries kept, cold users kept as
+misses, split determinism) on hand-sized inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trafficbigdatasearch_spark.operators import evalrank
+
+
+def _pairs(spark, rows, q="query_id", i="neighbor_id"):
+    return spark.createDataFrame(rows, f"{q} BIGINT, {i} BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# topk_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_topk_overlap_identical_and_disjoint(spark):
+    truth = _pairs(spark, [(1, 10), (1, 11), (2, 20), (2, 21)])
+    # query 1 predicted perfectly; query 2 predicted completely wrong
+    pred = _pairs(spark, [(1, 10), (1, 11), (2, 98), (2, 99)])
+    out = {
+        r["query_id"]: r
+        for r in evalrank.topk_overlap(pred, truth, k=2).collect()
+    }
+    assert out[1]["n_overlap"] == 2 and out[1]["recall"] == 1.0
+    # the failed query is REPORTED, not dropped
+    assert out[2]["n_overlap"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_topk_overlap_partial_and_missing_query(spark):
+    truth = _pairs(spark, [(1, 10), (1, 11), (1, 12), (1, 13), (3, 30)])
+    pred = _pairs(spark, [(1, 11), (1, 13), (1, 99), (1, 98)])  # no query 3
+    out = {
+        r["query_id"]: r
+        for r in evalrank.topk_overlap(pred, truth, k=4).collect()
+    }
+    assert out[1]["n_overlap"] == 2 and out[1]["recall"] == 0.5
+    assert out[3]["n_overlap"] == 0 and out[3]["recall"] == 0.0
+
+
+def test_topk_overlap_rejects_bad_k(spark):
+    df = _pairs(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="k must be positive"):
+        evalrank.topk_overlap(df, df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# first_hit_rank
+# ---------------------------------------------------------------------------
+
+
+def test_first_hit_rank_hand_case(spark):
+    recs = spark.createDataFrame(
+        [
+            (1, 100, 1), (1, 101, 2), (1, 102, 3),   # hit at rank 2
+            (2, 200, 1), (2, 201, 2),                 # no hits
+        ],
+        "user_id BIGINT, item_id BIGINT, rank BIGINT",
+    )
+    rel = spark.createDataFrame(
+        [
+            (1, 101), (1, 102),   # user 1: first hit rank 2 (min of 2, 3)
+            (2, 999),             # user 2: relevant item never recommended
+            (3, 300),             # user 3: cold — no recs at all
+        ],
+        "user_id BIGINT, item_id BIGINT",
+    )
+    out = {
+        r["user_id"]: r for r in evalrank.first_hit_rank(recs, rel).collect()
+    }
+    assert out[1]["hit_rank"] == 2 and out[1]["rr"] == 0.5
+    assert out[1]["n_relevant"] == 2
+    # miss and cold user both reported as misses, never dropped
+    assert out[2]["hit_rank"] is None and out[2]["rr"] == 0.0
+    assert out[3]["hit_rank"] is None and out[3]["rr"] == 0.0
+    assert set(out) == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# holdout_split
+# ---------------------------------------------------------------------------
+
+
+def _ui(spark, n_users=40, n_items=25):
+    return (
+        spark.range(n_users)
+        .withColumnRenamed("id", "user_id")
+        .crossJoin(
+            spark.range(n_items).withColumnRenamed("id", "item_id")
+        )
+        .filter((F.col("user_id") + F.col("item_id")) % 3 != 0)
+    )
+
+
+def test_holdout_split_partitions_exactly(spark):
+    ui = _ui(spark)
+    train, test = evalrank.holdout_split(ui, test_frac=0.2)
+    n, ntr, nte = ui.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.intersect(test).count() == 0
+    # md5 is uniform: 20% +- a loose binomial bound on ~667 rows
+    assert 0.10 < nte / n < 0.30
+
+
+def test_holdout_split_deterministic_under_repartition(spark):
+    ui = _ui(spark)
+    _, t1 = evalrank.holdout_split(ui, test_frac=0.2)
+    _, t2 = evalrank.holdout_split(ui.repartition(7), test_frac=0.2)
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_holdout_split_salt_changes_membership(spark):
+    ui = _ui(spark)
+    _, a = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
+    _, b = evalrank.holdout_split(ui, test_frac=0.2, salt="other")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, b.collect()))
+
+
+def test_holdout_split_rejects_bad_frac(spark):
+    ui = _ui(spark, 2, 2)
+    for frac in (0.0, 1.0, -0.1, 1e-9):
+        with pytest.raises(ValueError):
+            evalrank.holdout_split(ui, test_frac=frac)
+
+
+# ---------------------------------------------------------------------------
+# composed: the registered rec_eval_holdout path on a hand-checkable matrix
+# ---------------------------------------------------------------------------
+
+
+def test_holdout_eval_end_to_end_shape(spark):
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = _ui(spark, n_users=60, n_items=30)
+    train, test = evalrank.holdout_split(ui, test_frac=0.2)
+    recs = recsys.recommend_topn(train, n=10, min_co=2)
+    out = evalrank.first_hit_rank(recs, test)
+    rows = out.collect()
+    # one row per user with >= 1 holdout interaction
+    assert len(rows) == test.select("user_id").distinct().count()
+    for r in rows:
+        if r["hit_rank"] is not None:
+            assert 1 <= r["hit_rank"] <= 10
+            assert r["rr"] == pytest.approx(1.0 / r["hit_rank"])
+        else:
+            assert r["rr"] == 0.0

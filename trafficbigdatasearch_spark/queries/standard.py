@@ -1669,7 +1669,10 @@ _COS = (
 
 #: Shared by ``sim_ivf_topk`` (inline assignment) and ``sim_ivf_indexed``
 #: (persisted index) — same deterministic centroids, so identical results.
-_IVF_ORACLE = f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+# Shared IVF CTE chain (through `scored`, plus the base `c` and query `q`
+# sets) — consumed by the sim_ivf_* oracles below AND composed with an
+# exact-cosine leg by eval_ivf_recall's oracle in the round-7 section.
+_IVF_CTES = f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
        cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
        asim AS (SELECT c.vec_id AS nid, cell_id,
                        {_COS.format(a='v', b='mv')} AS s
@@ -1687,7 +1690,9 @@ _IVF_ORACLE = f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
                          {_COS.format(a='qv', b='v')} AS score
                   FROM probes JOIN assign USING (cell_id)
                   JOIN c ON c.vec_id = assign.nid
-                  WHERE assign.nid <> query_id)
+                  WHERE assign.nid <> query_id)"""
+
+_IVF_ORACLE = f"""WITH {_IVF_CTES}
        SELECT query_id, neighbor_id, rnk, score FROM (
          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
@@ -6189,6 +6194,120 @@ def rec_user_topn_q(spark, sf):
 
     ui = recsys.user_item(load_table(spark, sf, "events"))
     return recsys.recommend_topn(ui, n=5, min_co=2)
+
+
+@register(
+    "eval_ivf_recall",
+    f"""WITH {_IVF_CTES},
+       ivf AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS rnk
+         FROM scored) r WHERE rnk <= 5),
+       bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      {_COS.format(a='qv', b='v')} AS score
+               FROM c CROSS JOIN q WHERE c.vec_id <> query_id),
+       exact AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS rnk
+         FROM bsc) r WHERE rnk <= 5),
+       hit AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+               FROM ivf JOIN exact USING (query_id, neighbor_id)
+               GROUP BY query_id)
+       SELECT eq.query_id,
+              CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+              CAST(COALESCE(n_overlap, 0) AS DOUBLE) /
+                CAST(5.0 AS DOUBLE) AS recall
+       FROM (SELECT DISTINCT query_id FROM exact) eq
+       LEFT JOIN hit USING (query_id)""",
+)
+def eval_ivf_recall_q(spark, sf):
+    """Recall@5 of the IVF index against the exact brute-force baseline,
+    PER QUERY (operators/evalrank.py::topk_overlap) — the recall ladder
+    the ANN family's docstrings promise, now a first-class measured
+    result instead of a pytest assertion.  Both legs are the registered
+    sim_ivf_topk / sim_brute_topk configurations (same centroid stride,
+    nprobe, tie-break contract), so this row certifies the accuracy of
+    exactly the plans the registry ships.  The overlap join is k-sized
+    per query — O(n_queries * k) whatever the corpus size; per-query
+    rows are integer counts + one division (no float mean), per the
+    evaluation module's determinism policy."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    ivf = similarity.ivf_topk(
+        emb, qs, k=5, nprobe=2, centroid_stride=97, validate=True
+    )
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    return evalrank.topk_overlap(ivf, exact, k=5)
+
+
+@register(
+    "rec_eval_holdout",
+    """WITH ui AS (SELECT DISTINCT user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS item_id
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL),
+       b AS (SELECT user_id, item_id,
+                    ('0x' || substr(md5('eval' ||
+                        CAST(user_id AS VARCHAR) || ':' ||
+                        CAST(item_id AS VARCHAR)), 1, 7))::BIGINT
+                      % 10000 AS bkt
+             FROM ui),
+       train AS (SELECT user_id, item_id FROM b WHERE bkt < 8000),
+       test AS (SELECT user_id, item_id FROM b WHERE bkt >= 8000),
+       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM train a JOIN train b
+                ON a.user_id = b.user_id AND a.item_id < b.item_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
+               UNION ALL SELECT item_b, item_a, n_co FROM co),
+       cand AS (SELECT t.user_id, sym.neighbor_id AS item_id,
+                       CAST(SUM(sym.n_co) AS BIGINT) AS score
+                FROM train t JOIN sym ON t.item_id = sym.item_id
+                GROUP BY 1, 2),
+       unseen AS (SELECT c.user_id, c.item_id, c.score
+                  FROM cand c LEFT JOIN train tr
+                    ON c.user_id = tr.user_id AND c.item_id = tr.item_id
+                  WHERE tr.user_id IS NULL),
+       recs AS (SELECT user_id, item_id,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, item_id) AS BIGINT) AS rank
+                FROM unseen QUALIFY rank <= 10),
+       rel AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_relevant
+               FROM test GROUP BY user_id),
+       hits AS (SELECT r.user_id, CAST(min(r.rank) AS BIGINT) AS hit_rank
+                FROM recs r JOIN test
+                  ON r.user_id = test.user_id AND r.item_id = test.item_id
+                GROUP BY r.user_id)
+       SELECT rel.user_id, rel.n_relevant, hits.hit_rank,
+              COALESCE(CAST(1.0 AS DOUBLE) / hit_rank,
+                       CAST(0.0 AS DOUBLE)) AS rr
+       FROM rel LEFT JOIN hits ON rel.user_id = hits.user_id""",
+)
+def rec_eval_holdout_q(spark, sf):
+    """Leave-out evaluation of the item-based recommender: split the
+    distinct interaction matrix 80/20 by md5 of the (user, item) PAIR
+    (operators/evalrank.py::holdout_split — row-local, engine-portable
+    membership), train co-occurrence on the 80 %, recommend top-10 per
+    user, and report each holdout user's first-hit rank and reciprocal
+    rank (rr = MRR's per-user term, left un-averaged — integer counts +
+    one division per row is what hash-compares across engines; a float
+    MEAN over unordered rows does not).  Users the trained model cannot
+    reach (cold in the train split) are reported as misses with NULL
+    hit_rank, not dropped — the honest-evaluation contract of
+    evalrank.first_hit_rank.  This closes the recsys loop the round-7
+    modules opened: train (rec_item_cosine) -> serve (rec_user_topn)
+    -> measure (this row)."""
+    from trafficbigdatasearch_spark.operators import evalrank, recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    train, test = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
+    recs = recsys.recommend_topn(train, n=10, min_co=2)
+    return evalrank.first_hit_rank(recs, test)
 
 
 # =============================================================================
