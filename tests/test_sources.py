@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.catalog import load_table
@@ -276,6 +277,54 @@ class TestZOrder:
             F.col("lat").between(36.15, 36.45)
         )
         assert back.filter(box).count() == df.filter(box).count()
+
+    def test_read_pruned_box_identical_and_prunes(self, spark, tmp_path):
+        import random
+
+        from trafficbigdatasearch_spark.sources.parquet import (
+            build_minmax_sidecar,
+            read_pruned_box,
+            write_zordered,
+        )
+
+        rng = random.Random(13)
+        rows = [
+            (i, 116.0 + 2.0 * rng.random(), 36.0 + 3.0 * rng.random())
+            for i in range(8_000)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, lon double, lat double")
+        path = str(tmp_path / "ztiles")
+        write_zordered(df, path, ["lon", "lat"], rows_per_file=200)
+        sidecar = build_minmax_sidecar(spark, path, ["lon", "lat"])
+        n_files = sidecar.count()
+        assert n_files >= 30
+
+        preds = [("lon", 116.2, 116.5), ("lat", 36.3, 36.8)]
+        pruned = read_pruned_box(spark, path, sidecar, preds)
+        expect = df.filter(
+            (F.col("lon") >= 116.2) & (F.col("lon") < 116.5)
+            & (F.col("lat") >= 36.3) & (F.col("lat") < 36.8)
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+        # the 2-D conjunction actually skips: the box covers ~2.5% of the
+        # area, tiles are compact, so most files never reach the reader
+        kept = sidecar.filter(
+            (F.col("max_lon") >= 116.2) & (F.col("min_lon") < 116.5)
+            & (F.col("max_lat") >= 36.3) & (F.col("min_lat") < 36.8)
+        ).count()
+        assert kept * 3 <= n_files, (kept, n_files)
+
+        # empty box: zero rows, schema intact, no crash on the no-file path
+        empty = read_pruned_box(
+            spark, path, sidecar, [("lon", 200.0, 201.0), ("lat", 36.0, 37.0)]
+        )
+        assert empty.count() == 0
+        assert empty.columns == ["id", "lon", "lat"]
+
+        with pytest.raises(ValueError, match="at least one"):
+            read_pruned_box(spark, path, sidecar, [])
 
 
 class TestUpsertPartitions:

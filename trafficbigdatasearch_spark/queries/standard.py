@@ -6310,6 +6310,61 @@ def rec_eval_holdout_q(spark, sf):
     return evalrank.first_hit_rank(recs, test)
 
 
+@register(
+    "s_zorder_skipping",
+    """SELECT event_id, user_id,
+              CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+       FROM events
+       WHERE user_id >= 2 AND user_id < 10
+         AND epoch_ms(ts) >= 1704672000000
+         AND epoch_ms(ts) <  1705276800000""",
+)
+def s_zorder_skipping_q(spark, sf):
+    """Multi-dimensional data skipping (sources/parquet.py write_zordered +
+    read_pruned_box): events rewritten once per process into a Z-ordered
+    layout on (user_id, ts_ms) — every file covers a compact TILE in both
+    dimensions — then a 2-D box (a user band x one week) read through
+    planning-time sidecar pruning with per-dimension overlap tests.  A 1-D
+    clustering makes only its own column's bounds tight: a 2-D box still
+    opens every file in the matching 1-D slab, which at 100 TB is the
+    difference between opening a few tiles and scanning a whole
+    user-range stripe.  Row-identical to the unpruned scan — the oracle
+    is the plain box filter; tiles-actually-skip is pinned in
+    tests/test_sources.py."""
+    import os
+
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    key = ("zorder", sf)
+    if key not in _SKIP_LAYOUT_CACHE:
+        d = _scratch("zorder_layout", sf)
+        layout = os.path.join(d, "events_zordered")
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+        )
+        # ~10 tiles at sf0.01 (and 1 plain file at sf0.001 — pruning is an
+        # optimization, row-identity holds at any file count)
+        P.write_zordered(
+            ev, layout, ["user_id", "ts_ms"], rows_per_file=1024
+        )
+        sidecar = P.build_minmax_sidecar(spark, layout, ["user_id", "ts_ms"])
+        sidecar_path = os.path.join(d, "sidecar")
+        sidecar.write.mode("overwrite").parquet(sidecar_path)
+        _SKIP_LAYOUT_CACHE[key] = (layout, sidecar_path)
+    layout, sidecar_path = _SKIP_LAYOUT_CACHE[key]
+    return P.read_pruned_box(
+        spark,
+        layout,
+        spark.read.parquet(sidecar_path),
+        [
+            ("user_id", 2, 10),
+            ("ts_ms", 1704672000000, 1705276800000),
+        ],
+    ).select("event_id", "user_id", "ts_ms")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly

@@ -558,6 +558,40 @@ def read_pruned_by_sidecar(
     return spark.read.schema(full_schema).parquet(*files).filter(res)
 
 
+def read_pruned_box(
+    spark: SparkSession,
+    path: str,
+    sidecar: DataFrame,
+    preds: list[tuple],
+    schema=None,
+) -> DataFrame:
+    """Multi-dimensional box read with planning-time file pruning: the
+    conjunction of half-open ranges ``[lo, hi)`` per ``(col, lo, hi)`` in
+    ``preds``, each tested against the sidecar's per-file min/max bounds.
+
+    This is the reader :func:`write_zordered` exists for: a 1-D clustering
+    makes only its own column's bounds tight, so a 2-D box still opens
+    every file in the matching 1-D slab; Z-ordered files bound EVERY
+    clustered dimension at once, and the per-dimension overlap conjunction
+    here skips any file whose tile misses the box in ANY dimension
+    (pinned in tests/test_sources.py).  Same soundness contract as
+    :func:`read_pruned_by_sidecar`: NULL-bound files are skipped — no
+    NULL row satisfies a range predicate — and the exact box is re-applied
+    as the residual, so results are row-identical to the unpruned scan."""
+    if not preds:
+        raise ValueError("preds must name at least one (col, lo, hi) range")
+    res = F.lit(True)
+    keep = F.lit(True)
+    for col, lo, hi in preds:
+        res = res & (F.col(col) >= lo) & (F.col(col) < hi)
+        keep = keep & (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") < hi)
+    files = [r["file"] for r in sidecar.filter(keep).select("file").collect()]
+    full_schema = schema if schema is not None else spark.read.parquet(path).schema
+    if not files:
+        return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
+    return spark.read.schema(full_schema).parquet(*files).filter(res)
+
+
 def upsert_partitions(
     df: DataFrame,
     path: str,
