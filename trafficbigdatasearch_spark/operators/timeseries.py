@@ -310,3 +310,75 @@ def gapfill_interpolate(
         interp.alias("value"),
         F.col("_close").isNotNull().cast("int").alias("is_observed"),
     )
+
+
+def trend_per_key(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+    cents: int = 100,
+) -> DataFrame:
+    """Per-key least-squares trend (slope + mean level) of an irregular
+    value stream — the screening pass a 100 TB telemetry warehouse runs
+    before anything fancier: which keys are drifting, and how fast.
+
+    Exact-integer formulation so the result hash-compares across engines
+    (the cent-sum policy of queries/_core.py, extended to second moments):
+    x = whole SECONDS since ``epoch``, y = ``round(value * cents)``, and
+    the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact DECIMAL
+    integer sums — order-independent, so one map-side-combined shuffle on
+    the key computes them at any parallelism.  The closing algebra
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` runs in DOUBLE (the
+    integer numerator/denominator can exceed 38 digits at extreme row
+    counts; two rounded casts + one division is a FIXED IEEE sequence).
+    Slope unit: cent-units of ``value`` per second.
+
+    Overflow headroom is a design parameter, documented not guessed:
+    |x| ≤ span_seconds (a year ≈ 3.2e7), so Σx² ≤ n·1e15 — DECIMAL(38)
+    holds it to n ≈ 1e23 rows per key.  Keys observed at a single instant
+    (or a single row) have a zero denominator: slope is NULL via
+    try_divide, never a crash.
+
+    Returns (key_col, n, slope, mean_y) — mean_y in ORIGINAL value units
+    (one division by n·cents)."""
+    import datetime as dt
+
+    # epoch offset resolved DRIVER-SIDE as UTC: to_timestamp(lit) would
+    # parse in the session time zone, silently shifting x (and the exact
+    # integer sums) between deployments; unix_seconds(ts) itself is an
+    # instant -> zone-independent
+    off = int(
+        dt.datetime.fromisoformat(epoch)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+    )
+    # decimal(18,0) terms -> decimal(37,0) products -> decimal(38,0) sums:
+    # exactly inside Spark's decimal lattice, no precision cap, ANSI-safe
+    x = (F.unix_seconds(F.col(ts_col)) - F.lit(off)).cast("decimal(18,0)")
+    y = F.round(F.col(value_col) * cents).cast("decimal(18,0)")
+    agg = events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    num = (
+        F.col("_n").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    )
+    den = (
+        F.col("_n").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    return agg.select(
+        F.col(key_col),
+        F.col("_n").cast("bigint").alias("n"),
+        F.try_divide(num, den).alias("slope"),
+        F.try_divide(
+            F.col("_sy").cast("double"),
+            F.col("_n").cast("double") * F.lit(float(cents)),
+        ).alias("mean_y"),
+    )

@@ -6365,6 +6365,101 @@ def s_zorder_skipping_q(spark, sf):
     ).select("event_id", "user_id", "ts_ms")
 
 
+@register(
+    "ts_trend_per_key",
+    """WITH t AS (SELECT event_type,
+                  CAST(epoch_ms(ts) // 1000 - 1704067200 AS HUGEINT) AS x,
+                  CAST(round(value * 100) AS HUGEINT) AS y
+           FROM events),
+       a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    SUM(x) AS sx, SUM(y) AS sy,
+                    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+             FROM t GROUP BY event_type)
+       SELECT event_type, n,
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope,
+              CAST(sy AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)) AS mean_y
+       FROM a""",
+)
+def ts_trend_per_key_q(spark, sf):
+    """Per-key least-squares trend of the event value stream
+    (operators/timeseries.py::trend_per_key) — the drift-screening pass
+    run before any heavier modeling: slope in cent-units/second + mean
+    level per event_type.  The five sufficient statistics are EXACT
+    decimal integer sums (x = seconds since 2024-01-01 resolved as UTC
+    driver-side, y = cent-quantized value — the cent-sum policy extended
+    to second moments), so one map-side-combined shuffle computes them
+    order-independently at any parallelism; only the closing slope
+    algebra runs in double as a fixed IEEE cast/multiply/divide sequence
+    the oracle mirrors term-for-term."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.trend_per_key(load_table(spark, sf, "events"))
+
+
+@register(
+    "a_ab_conversion",
+    """WITH u AS (SELECT user_id,
+                    CAST(max(CASE WHEN event_type = 'purchase'
+                             AND value >= 90 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS conv
+             FROM events GROUP BY user_id),
+       lab AS (SELECT *,
+                 CASE WHEN ('0x' || substr(md5('exp' ||
+                           CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+                           % 10000 < 5000
+                      THEN 'control' ELSE 'treatment' END AS arm
+               FROM u),
+       s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(SUM(conv) AS BIGINT) AS n_converted
+             FROM lab GROUP BY arm),
+       one AS (SELECT
+                 SUM(CASE WHEN arm = 'control' THEN n_users END) AS n_a,
+                 SUM(CASE WHEN arm = 'control' THEN n_converted END) AS conv_a,
+                 SUM(CASE WHEN arm = 'treatment' THEN n_users END) AS n_b,
+                 SUM(CASE WHEN arm = 'treatment' THEN n_converted END) AS conv_b
+               FROM s)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+              CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+              (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+              NULLIF(sqrt(
+                (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 0) AS z
+       FROM one""",
+)
+def a_ab_conversion_q(spark, sf):
+    """Deterministic A/B experiment read-out (operators/abtest.py): users
+    assigned 50/50 to arms by md5 range of the user id (sticky, engine-
+    portable — never rand()), conversion = >= 1 HIGH-VALUE purchase per
+    USER (value >= 90 — the plain any-purchase event saturates at 100 %
+    conversion in this corpus, which would make every z degenerate)
+    (the distinct-user collapse guarding against heavy-user bias), folded
+    into one row with the pooled two-proportion z statistic.  The z is a
+    fixed IEEE op chain over four integer counts, mirrored term-for-term
+    in the oracle; degenerate designs give NULL z via try_divide.  Plan:
+    one user-collapse shuffle + one 2-row fold — nothing data-sized
+    reaches the driver."""
+    from trafficbigdatasearch_spark.operators import abtest
+
+    summary = abtest.conversion_by_arm(
+        load_table(spark, sf, "events"),
+        (F.col("event_type") == "purchase") & (F.col("value") >= 90),
+        {"control": 0.5, "treatment": 0.5},
+        salt="exp",
+    )
+    return abtest.two_proportion_z(summary, "control", "treatment")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
