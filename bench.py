@@ -140,6 +140,15 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "text_dup_spans",
     "a_attribution_linear",
+    "text_hybrid_rrf",
+    "text_lm_coverage",
+    "rec_item_cosine",
+    "rec_user_topn",
+    "eval_ivf_recall",
+    "rec_eval_holdout",
+    "s_zorder_skipping",
+    "ts_trend_per_key",
+    "a_ab_conversion",
 ]
 
 

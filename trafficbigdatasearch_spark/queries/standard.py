@@ -6714,6 +6714,62 @@ def a_ab_conversion_q(spark, sf):
 #                               path + f_variant_extract (functions family)
 # =============================================================================
 
+# ROUND-7 rotation (executing the r7 queue + slot-priority policy):
+#   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
+#       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
+#   in  (this round's new queries, first-round entry per policy)
+#       text_hybrid_rrf, text_lm_coverage, rec_item_cosine, rec_user_topn,
+#       eval_ivf_recall, rec_eval_holdout, s_zorder_skipping,
+#       ts_trend_per_key, a_ab_conversion
+#   in  (changed-code re-verification per the slot-priority amendment:
+#        search.py's bm25_scores factoring rewrote the shared BM25 scoring
+#        stage this session, and the IVF oracle was refactored into the
+#        shared _IVF_CTES block)
+#       text_bm25_topk, text_bm25_indexed, sim_ivf_topk
+#   in  (cycle-backs promised in the r6 closing state)
+#       pipeline_dbscan, spatial_density,
+#       graph_pagerank, graph_kcore, graph_label_prop, graph_sssp
+#   in  (oldest-stale, last green r2, registration order)
+#       p_calendar_eq, a_group_avg, a_pricing_summary, a_rollup, a_cube,
+#       set_intersect, set_except
+#   out (-> in-window sibling covering the code path; every exit was
+#        rehearsed green in the r6 window)
+#       j_bloom_prefilter/j_bloom_anti -> join family held by j_skew_salted
+#                               + j_range_keyless (stable); bitmap pinned by
+#                               tests/test_joins.py + tools/bloom_probe.py
+#       stream_dedup         -> stream_events_hourly (stable streaming)
+#       quality_referential, quality_profile -> quality_report (stable)
+#       s_minmax_skipping    -> s_zorder_skipping (in-window; same sidecar
+#                               build + planning-time pruning machinery)
+#       s_orc_roundtrip      -> format goldens in tests/test_sources.py;
+#                               cycles back r8
+#       table_merge_upsert, stream_merge_upsert -> merge machinery pinned
+#                               by tests/test_diff.py + tests/test_streaming
+#                               _sinks.py; FIRST in line for r8 stale slots
+#       a_histogram          -> histogram-CDF machinery beside
+#                               w_quality_deciles_global family; a_grouping_
+#                               sets (stable agg)
+#       a_event_transitions, a_basket_pairs -> rec_item_cosine (in-window;
+#                               same distinct-collapse + pair self-join)
+#       a_winsorize          -> quality_report (stable exact aggregates)
+#       a_attribution_touch  -> a_attribution_linear (in-window; same
+#                               ordering-key + credit arithmetic family)
+#       dedup_containment    -> dedup_jaccard_prefix (in-window) +
+#                               dedup_incremental (stable)
+#       text_bpe_merges/encode/apply, pipeline_bpe -> BPE goldens in
+#                               tests/test_bpe.py; pack_sequences (stable)
+#                               holds the tokenizer-pipeline tail; FIRST in
+#                               line for r8 stale slots with merge_upsert
+#       ts_resample_ohlc, ts_gapfill, ts_interpolate, stream_ohlc ->
+#                               ts_trend_per_key (in-window, same module) +
+#                               stream_events_hourly (stable windowed agg)
+#       dedup_keep_best      -> pipeline_dedup_corpus (stable CC + survivor)
+#       p_time_range_halfopen, p_segments_case -> p_bbox_filter (stable
+#                               predicate family)
+#       j1_equi_join_dims, j3_or_key_union -> q3_shipping_priority (stable
+#                               TPC-H equi-join + broadcast dims)
+# =============================================================================
+
 _WINDOW = [
     # --- stable flagship slots (22) --------------------------------------
     "p_bbox_filter",
@@ -6738,38 +6794,39 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 6: the 17-query never-checked queue --------
-    "j_bloom_prefilter",
-    "j_bloom_anti",
-    "stream_dedup",
-    "quality_referential",
-    "s_minmax_skipping",
-    "s_orc_roundtrip",
-    "table_merge_upsert",
-    "stream_merge_upsert",
-    "a_histogram",
-    "a_event_transitions",
-    "a_winsorize",
-    "quality_profile",
-    "a_basket_pairs",
-    "a_attribution_touch",
-    "dedup_containment",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    # --- rotating slots, round 6: new queries, first-round entry ----------
-    "text_bpe_apply",
-    "pipeline_bpe",
-    # --- rotating slots, round 6: changed-code re-verification ------------
-    "ts_resample_ohlc",
-    "ts_gapfill",
-    "ts_interpolate",
-    "stream_ohlc",
-    "dedup_keep_best",
-    # --- rotating slots, round 6: oldest-stale rows (last green r2) -------
-    "p_time_range_halfopen",
-    "p_segments_case",
-    "j1_equi_join_dims",
-    "j3_or_key_union",
+    # --- rotating slots, round 7: the 3-query r7 queue ---------------------
+    "dedup_jaccard_prefix",
+    "text_dup_spans",
+    "a_attribution_linear",
+    # --- rotating slots, round 7: new queries, first-round entry -----------
+    "text_hybrid_rrf",
+    "text_lm_coverage",
+    "rec_item_cosine",
+    "rec_user_topn",
+    "eval_ivf_recall",
+    "rec_eval_holdout",
+    "s_zorder_skipping",
+    "ts_trend_per_key",
+    "a_ab_conversion",
+    # --- rotating slots, round 7: changed-code re-verification -------------
+    "text_bm25_topk",
+    "text_bm25_indexed",
+    "sim_ivf_topk",
+    # --- rotating slots, round 7: promised cycle-backs ---------------------
+    "pipeline_dbscan",
+    "spatial_density",
+    "graph_pagerank",
+    "graph_kcore",
+    "graph_label_prop",
+    "graph_sssp",
+    # --- rotating slots, round 7: oldest-stale rows (last green r2) --------
+    "p_calendar_eq",
+    "a_group_avg",
+    "a_pricing_summary",
+    "a_rollup",
+    "a_cube",
+    "set_intersect",
+    "set_except",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
