@@ -298,3 +298,75 @@ def test_prefix_jaccard_no_python_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hybrid_lexical_leg_take_ordered_not_global_sort(spark):
+    """fusion.ranked_leg cuts with orderBy().limit(k) BEFORE ranking, which
+    must plan as TakeOrderedAndProject (per-partition heap + k-sized merge)
+    — a bare unpartitioned rank window over all matches would drag every
+    matching doc through one partition."""
+    from trafficbigdatasearch_spark.operators import fusion
+
+    docs = load_table(spark, SF, "documents")
+    leg = fusion.ranked_leg(
+        fusion.bm25_bag_scores(docs, ["join", "merge"]), k=50, id_col="doc_id"
+    )
+    plan = leg._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # df/N/avgdl stats ship broadcast inside the BM25 scoring stage
+    assert X.has_broadcast_join(leg), plan
+
+
+def test_lm_coverage_broadcast_model_jvm_only(spark):
+    """lm.coverage_scores under the default hint ships the model broadcast
+    and stays whole-stage JVM — no Python eval anywhere in the scorer."""
+    from trafficbigdatasearch_spark.operators import lm
+
+    docs = load_table(spark, SF, "documents")
+    model = lm.bigram_lm(docs, min_count=2)
+    out = lm.coverage_scores(docs, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert X.has_broadcast_join(out), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recsys_windows_partitioned_counts_broadcast(spark):
+    """item_cosine_neighbors: per-item top-n window partitions by item_id
+    (never a single-partition global rank) and the tiny per-item count
+    table joins broadcast on both sides."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, SF, "events"))
+    out = recsys.item_cosine_neighbors(ui, n=10, min_co=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert X.has_broadcast_join(out), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_recommend_topn_broadcast_co_table_partitioned_window(spark):
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, SF, "events"))
+    out = recsys.recommend_topn(ui, n=5, min_co=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert X.has_broadcast_join(out), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_trend_per_key_single_exchange(spark):
+    """trend_per_key is ONE map-side-combined aggregate: exactly one hash
+    exchange between scan and result, partial aggregation below it."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    out = TS.trend_per_key(load_table(spark, SF, "events"))
+    assert X.exchange_count(out) == 1, X.formatted_plan(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower(), plan
+
+
+def test_ab_conversion_bounded_exchanges(spark):
+    """a_ab_conversion: the user-collapse shuffle plus the (bounded, <=
+    arm-count rows) fold to one row — nothing data-sized crosses a single
+    partition."""
+    out = standard.queries()["a_ab_conversion"](spark, SF)
+    assert X.exchange_count(out) <= 3, X.formatted_plan(out)
