@@ -149,6 +149,8 @@ HEADLINE = [
     "s_zorder_skipping",
     "ts_trend_per_key",
     "a_ab_conversion",
+    "ts_trend_incremental",
+    "stream_trend",
 ]
 
 

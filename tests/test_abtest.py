@@ -135,3 +135,47 @@ def test_trend_order_and_partition_invariant(spark):
         # the closing float algebra bit-identical at any parallelism
         assert a[k]["slope"] == b[k]["slope"]
         assert a[k]["mean_y"] == b[k]["mean_y"]
+
+
+def test_trend_partial_merge_finalize_bit_identical(spark):
+    """Slice -> partial -> merge -> finalize must equal the single-pass
+    trend EXACTLY (integer moments make the closing float algebra
+    bit-identical), including when a slice misses some keys entirely."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        ("a" if i % 3 else "b",
+         f"2024-01-{1 + i % 28:02d} {i % 24:02d}:{i % 60:02d}:00",
+         round(rng.uniform(-20, 120), 2))
+        for i in range(400)
+    ] + [("c", "2024-01-02 00:00:00", 5.0)]   # key only in the first slice
+    df = spark.createDataFrame(rows, "k STRING, ts STRING, value DOUBLE").select(
+        "k", F.to_utc_timestamp(F.col("ts"), "UTC").alias("ts"), "value"
+    )
+    single = {r["k"]: r for r in TS.trend_per_key(df, key_col="k").collect()}
+    day = F.dayofmonth(F.col("ts"))
+    parts = [
+        TS.trend_partial(df.filter(day <= 10), key_col="k"),
+        TS.trend_partial(df.filter((day > 10) & (day <= 20)), key_col="k"),
+        TS.trend_partial(df.filter(day > 20), key_col="k"),
+    ]
+    merged = {
+        r["k"]: r
+        for r in TS.trend_finalize(TS.trend_merge(parts, key_col="k"),
+                                   key_col="k").collect()
+    }
+    assert set(single) == set(merged)
+    for k in single:
+        assert single[k]["n"] == merged[k]["n"]
+        assert single[k]["slope"] == merged[k]["slope"]     # exact, not approx
+        assert single[k]["mean_y"] == merged[k]["mean_y"]
+
+
+def test_trend_merge_rejects_empty(spark):
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    with pytest.raises(ValueError, match="non-empty"):
+        TS.trend_merge([])

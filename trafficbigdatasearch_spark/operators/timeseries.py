@@ -342,7 +342,34 @@ def trend_per_key(
     try_divide, never a crash.
 
     Returns (key_col, n, slope, mean_y) — mean_y in ORIGINAL value units
-    (one division by n·cents)."""
+    (one division by n·cents).
+
+    The five moments are ASSOCIATIVE + COMMUTATIVE integer sums, i.e. a
+    mergeable partial in the operators/incremental.py sense — this
+    function is just ``trend_finalize(trend_partial(events))``; slice
+    history into :func:`trend_partial` states and merge with
+    :func:`trend_merge` for O(new data) maintenance (the never-rescan
+    posture), or keep the same aggregate live under Structured Streaming —
+    bit-identical results in all three arrangements by construction."""
+    return trend_finalize(
+        trend_partial(events, key_col, ts_col, value_col, epoch, cents),
+        key_col=key_col,
+        cents=cents,
+    )
+
+
+def trend_partial(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+    cents: int = 100,
+) -> DataFrame:
+    """Collapse one slice of the stream to its per-key trend state:
+    (key_col, _n, _sx, _sy, _sxy, _sxx) — the five exact integer moments
+    of :func:`trend_per_key`.  One map-side-combined shuffle; every later
+    merge is order-independent because the state is integer sums."""
     import datetime as dt
 
     # epoch offset resolved DRIVER-SIDE as UTC: to_timestamp(lit) would
@@ -358,13 +385,40 @@ def trend_per_key(
     # exactly inside Spark's decimal lattice, no precision cap, ANSI-safe
     x = (F.unix_seconds(F.col(ts_col)) - F.lit(off)).cast("decimal(18,0)")
     y = F.round(F.col(value_col) * cents).cast("decimal(18,0)")
-    agg = events.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("_n"),
+    return events.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
         F.sum(x).alias("_sx"),
         F.sum(y).alias("_sy"),
         F.sum(x * y).alias("_sxy"),
         F.sum(x * x).alias("_sxx"),
     )
+
+
+def trend_merge(parts: list[DataFrame], key_col: str = "event_type") -> DataFrame:
+    """Merge per-slice trend states by summing the five moments — exact,
+    order-independent, and bit-identical to a single-pass
+    :func:`trend_partial` over the concatenated slices.  Keys absent from
+    a slice simply contribute nothing (union, not join)."""
+    from functools import reduce
+
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy(key_col).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_sx").alias("_sx"),
+        F.sum("_sy").alias("_sy"),
+        F.sum("_sxy").alias("_sxy"),
+        F.sum("_sxx").alias("_sxx"),
+    )
+
+
+def trend_finalize(
+    partials: DataFrame, key_col: str = "event_type", cents: int = 100
+) -> DataFrame:
+    """Close a per-key trend state into (key_col, n, slope, mean_y) — the
+    fixed double cast/multiply/divide sequence of :func:`trend_per_key`'s
+    contract.  Runs on kilobyte state, never on data."""
     num = (
         F.col("_n").cast("double") * F.col("_sxy").cast("double")
         - F.col("_sx").cast("double") * F.col("_sy").cast("double")
@@ -373,7 +427,7 @@ def trend_per_key(
         F.col("_n").cast("double") * F.col("_sxx").cast("double")
         - F.col("_sx").cast("double") * F.col("_sx").cast("double")
     )
-    return agg.select(
+    return partials.select(
         F.col(key_col),
         F.col("_n").cast("bigint").alias("n"),
         F.try_divide(num, den).alias("slope"),

@@ -6365,9 +6365,7 @@ def s_zorder_skipping_q(spark, sf):
     ).select("event_id", "user_id", "ts_ms")
 
 
-@register(
-    "ts_trend_per_key",
-    """WITH t AS (SELECT event_type,
+_TREND_ORACLE = """WITH t AS (SELECT event_type,
                   CAST(epoch_ms(ts) // 1000 - 1704067200 AS HUGEINT) AS x,
                   CAST(round(value * 100) AS HUGEINT) AS y
            FROM events),
@@ -6382,8 +6380,10 @@ def s_zorder_skipping_q(spark, sf):
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope,
               CAST(sy AS DOUBLE) /
               (CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)) AS mean_y
-       FROM a""",
-)
+       FROM a"""
+
+
+@register("ts_trend_per_key", _TREND_ORACLE)
 def ts_trend_per_key_q(spark, sf):
     """Per-key least-squares trend of the event value stream
     (operators/timeseries.py::trend_per_key) — the drift-screening pass
@@ -6458,6 +6458,49 @@ def a_ab_conversion_q(spark, sf):
         salt="exp",
     )
     return abtest.two_proportion_z(summary, "control", "treatment")
+
+
+@register("ts_trend_incremental", _TREND_ORACLE)
+def ts_trend_incremental_q(spark, sf):
+    """The INCREMENTAL arrangement of ts_trend_per_key, proven through the
+    driver: the month is sliced into three disjoint epoch ranges (UTC
+    second cuts, zone-independent), each slice collapses to its five-moment
+    trend state (timeseries.trend_partial), the states merge
+    (trend_merge), and the closing algebra runs on kilobytes
+    (trend_finalize).  Because the moments are exact integer sums, the
+    sliced-merged result is BIT-IDENTICAL to the single-pass query — the
+    oracle is literally ts_trend_per_key's, which is the whole point: at
+    100 TB history collapses to state once, and each new day costs one
+    partial + one kilobyte merge (the operators/incremental.py posture,
+    extended from first to second moments)."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf, "events")
+    us = F.unix_seconds(F.col("ts"))
+    c1, c2 = 1704931200, 1705795200  # 2024-01-11, 2024-01-21 UTC
+    parts = [
+        TS.trend_partial(ev.filter(us < c1)),
+        TS.trend_partial(ev.filter((us >= c1) & (us < c2))),
+        TS.trend_partial(ev.filter(us >= c2)),
+    ]
+    return TS.trend_finalize(TS.trend_merge(parts))
+
+
+@register("stream_trend", _TREND_ORACLE)
+def stream_trend_q(spark, sf):
+    """The STREAMING arrangement of ts_trend_per_key: the same five-moment
+    state lives in the streaming aggregation's state store (decimal sums
+    are associative+commutative, exactly what streaming state needs),
+    drained complete over the bounded events stream, finalized on the
+    drained kilobytes.  One oracle pins all three arrangements — batch,
+    incremental-merge, streaming — to the same bits, which is the payoff
+    of sufficient-statistics design: the 100 TB deployment keeps the
+    trend LIVE per key at O(keys) state with no recompute."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    src = _stream_events_source(spark, sf)
+    drained = _drain_to_memory(TS.trend_partial(src), "stream_trend")
+    return TS.trend_finalize(drained)
 
 
 # =============================================================================
@@ -6714,6 +6757,17 @@ def a_ab_conversion_q(spark, sf):
 #                               path + f_variant_extract (functions family)
 # =============================================================================
 
+# ROUND-8 ROTATION QUEUE (registered after the round-7 window was frozen
+# and rehearsed — never driver-checked; enters the r8 window FIRST per the
+# slot-priority rule, then the r8 cycle-back priorities named in the exits
+# below — merge_upsert + BPE families — then oldest-stale rows):
+#       ts_trend_incremental, stream_trend
+#   (each green under pytest + tools/driver_sim at sf0.01 as of its
+#    registration session; both share ts_trend_per_key's oracle — the
+#    sliced-merged and streaming arrangements are pinned bit-identical to
+#    the in-window single-pass row, so the r7 window already certifies the
+#    shared moments/finalize code path)
+#
 # ROUND-7 rotation (executing the r7 queue + slot-priority policy):
 #   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
 #       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
