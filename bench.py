@@ -151,6 +151,7 @@ HEADLINE = [
     "a_ab_conversion",
     "ts_trend_incremental",
     "stream_trend",
+    "pipeline_lm_filter",
 ]
 
 

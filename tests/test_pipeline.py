@@ -138,3 +138,33 @@ def test_pipeline_enforce_stage(spark):
     ).docs()
     with pytest.raises(Exception, match="lang_present"):
         bad.count()
+
+
+def test_lm_gate_keeps_fluent_drops_alien_and_empty(spark):
+    """lm_gate: docs sharing the trusted corpus's bigrams pass; docs with
+    entirely alien vocabulary fail; docs with no bigrams (single token)
+    drop — NULL coverage is a failed gate, not a pass."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+
+    trusted = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id BIGINT, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # fully covered
+            (2, "zzz qqq vvv kkk www"),            # alien bigrams
+            (3, "single"),                          # no bigrams -> NULL
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    kept = [
+        r["doc_id"]
+        for r in CorpusPipeline(docs)
+        .lm_gate(trusted, min_coverage=0.5, min_count=2)
+        .df.select("doc_id")
+        .collect()
+    ]
+    assert kept == [1]

@@ -51,6 +51,33 @@ class CorpusPipeline:
 
         return self._next(V.enforce(self.df, row_checks))
 
+    def lm_gate(
+        self,
+        trusted: DataFrame,
+        min_coverage: float = 0.85,
+        min_count: int = 10,
+    ) -> "CorpusPipeline":
+        """CCNet-style fluency gate (operators/lm.py): train a bigram LM on
+        ``trusted`` documents (same id/text columns as the pipeline), keep
+        rows whose known-bigram coverage is >= ``min_coverage``.  Documents
+        with no bigrams have NULL coverage and DROP — "no signal" fails a
+        fluency gate, unlike quality_gate's explicit length floor which is
+        the stage that should have caught them.  Cost: one bounded model
+        shuffle + one broadcast-scored pass + a semi join on the id."""
+        from trafficbigdatasearch_spark.operators import lm
+
+        model = lm.bigram_lm(
+            trusted, id_col=self.id_col, text_col=self.text_col,
+            min_count=min_count,
+        )
+        scored = lm.coverage_scores(
+            self.df, model, id_col=self.id_col, text_col=self.text_col
+        )
+        keep = scored.filter(F.col("coverage") >= min_coverage).select(
+            self.id_col
+        )
+        return self._next(self.df.join(keep, self.id_col, "left_semi"))
+
     def dedup_exact(self) -> "CorpusPipeline":
         """Keep the min-id document per exact content fingerprint."""
         keep = dedup.dedup_exact(

@@ -6503,6 +6503,53 @@ def stream_trend_q(spark, sf):
     return TS.trend_finalize(drained)
 
 
+@register(
+    "pipeline_lm_filter",
+    f"""WITH qf AS (SELECT doc_id, lang, text FROM documents
+                  WHERE {_TOKCOUNT_SQL} >= 5),
+       toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM qf),
+       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
+       pos AS (SELECT doc_id, unnest(t) AS term,
+                      generate_subscripts(t, 1) AS p FROM tt),
+       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       lm AS (SELECT bg.w1, bg.w2 FROM bg JOIN qf USING (doc_id)
+              WHERE qf.lang = 'en'
+              GROUP BY 1, 2 HAVING count(*) >= 10),
+       sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
+                     CAST(SUM(CASE WHEN lm.w1 IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nk
+              FROM bg LEFT JOIN lm
+                ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+              GROUP BY bg.doc_id)
+       SELECT qf.doc_id, qf.lang
+       FROM qf JOIN sc USING (doc_id)
+       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85""",
+)
+def pipeline_lm_filter_q(spark, sf):
+    """The LM fluency gate COMPOSED as a curation pass
+    (CorpusPipeline.quality_gate -> lm_gate): token floor first, then a
+    bigram model trained on the gated ENGLISH slice (min_count=10 — high
+    enough that only genuinely frequent constructions count as "known",
+    giving the coverage score real spread) gates every document at
+    coverage >= 0.85 — the CCNet arrangement: trusted-corpus model,
+    whole-corpus scoring, threshold keep.  One declarative plan: gate
+    filter fused into the scan, bounded model shuffle, broadcast-scored
+    pass, semi-join keep.  Both stages are already-oracle-verified
+    operators; this row verifies their composition, like
+    pipeline_clean_corpus does for the dedup chain."""
+    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, sf, "documents")
+    p = CorpusPipeline(docs).quality_gate(min_tokens=5)
+    trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
+    return (
+        p.lm_gate(trusted, min_coverage=0.85, min_count=10)
+        .df.select("doc_id", "lang")
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -6761,7 +6808,7 @@ def stream_trend_q(spark, sf):
 # and rehearsed — never driver-checked; enters the r8 window FIRST per the
 # slot-priority rule, then the r8 cycle-back priorities named in the exits
 # below — merge_upsert + BPE families — then oldest-stale rows):
-#       ts_trend_incremental, stream_trend
+#       ts_trend_incremental, stream_trend, pipeline_lm_filter
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
