@@ -179,3 +179,20 @@ def test_trend_merge_rejects_empty(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         TS.trend_merge([])
+
+
+def test_conversion_null_predicate_counts_as_no(spark):
+    """A NULL convert predicate (NULL value column) must count as
+    non-converting — the oracle's CASE ... ELSE 0 — never poison the
+    user's flag."""
+    ev = spark.createDataFrame(
+        [(1, "purchase", None), (1, "view", 10.0), (2, "purchase", 95.0)],
+        "user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    out = abtest.conversion_by_arm(
+        ev,
+        (F.col("event_type") == "purchase") & (F.col("value") >= 90),
+        {"a": 0.5, "b": 0.5},
+    )
+    assert sum(r["n_converted"] for r in out.collect()) == 1
+    assert sum(r["n_users"] for r in out.collect()) == 2

@@ -60,9 +60,14 @@ def conversion_by_arm(
     Plan: distinct users (one collapse shuffle), row-local arm label,
     per-user max(convert) + per-arm integer counts in one
     map-side-combined aggregate chain."""
+    # coalesce BEFORE the max: a NULL predicate (e.g. a NULL value column)
+    # must mean "this event does not convert" (the oracle's CASE ... ELSE 0
+    # semantics), not propagate NULL into the user's conversion flag
     per_user = (
         events.groupBy(user_col)
-        .agg(F.max(convert.cast("int")).alias("_conv"))
+        .agg(
+            F.max(F.coalesce(convert.cast("int"), F.lit(0))).alias("_conv")
+        )
     )
     labeled = assign_arms(per_user, arms, salt=salt, user_col=user_col)
     return (
