@@ -108,7 +108,14 @@ def item_cosine_neighbors(
     Plan: pair counts (one self-join + count), symmetrize (union), two
     broadcast joins to the tiny per-item count table, per-item top-n
     window.  The window partitions by item_id, so no global exchange; the
-    scored set is the pruned co-table, already support-bounded."""
+    scored set is the pruned co-table, already support-bounded.
+
+    The interaction matrix feeds FOUR plan branches (both co-join sides +
+    both count lookups); without materialization Spark recomputes the
+    distinct collapse — and the event scan under it — once per branch
+    (measured: 6 scans, 0 reused exchanges).  One lazy localCheckpoint
+    pins it to a single computation, the graph.py fixpoint pattern."""
+    ui = ui.localCheckpoint(eager=False)
     counts = item_counts(ui)
     sym = _symmetric(item_cooccurrence(ui, min_co))
     na = counts.select(
@@ -161,6 +168,10 @@ def recommend_topn(
     window (partitioned by user, no global exchange)."""
     if hint not in ("broadcast", "auto"):
         raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
+    # same multi-consumer materialization as item_cosine_neighbors: the
+    # matrix feeds the co-join (twice), the candidate join, and the anti
+    # join — checkpoint once instead of four event-scan recomputes
+    ui = ui.localCheckpoint(eager=False)
     sym = _symmetric(item_cooccurrence(ui, min_co))
     if hint == "broadcast":
         sym = F.broadcast(sym)
