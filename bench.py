@@ -152,6 +152,8 @@ HEADLINE = [
     "ts_trend_incremental",
     "stream_trend",
     "pipeline_lm_filter",
+    "text_doc_keywords",
+    "rec_negatives",
 ]
 
 

@@ -83,3 +83,34 @@ def test_neighbor_window_is_item_partitioned(spark, sf_dir):
     # the top-n window must partition by item_id — no global exchange
     assert "partitionBy=[item_id" in plan.replace(" ", "") or \
         "hashpartitioning(item_id" in plan
+
+
+def test_sample_negatives_deterministic_and_excludes_positives(spark):
+    from pyspark.sql import functions as F
+
+    ui = _ui(spark, [(u, i) for u in range(6) for i in range(20) if (u + i) % 4])
+    out = recsys.sample_negatives(ui, k=3)
+    rows = out.collect()
+    pos = {(r["user_id"], r["item_id"]) for r in ui.collect()}
+    for r in rows:
+        # a sampled negative is NEVER one of the user's positives
+        assert (r["user_id"], r["neg_item_id"]) not in pos
+        assert 0 <= r["slot"] < 3
+    # every emitted (pos, slot) appears at most once; deficit only from drops
+    keys = [(r["user_id"], r["pos_item_id"], r["slot"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(rows) <= 3 * len(pos)
+    # deterministic under repartitioning
+    again = recsys.sample_negatives(ui.repartition(5), k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # salt changes the draws
+    other = recsys.sample_negatives(ui, k=3, salt="other").collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_sample_negatives_guards(spark):
+    import pytest as _pytest
+
+    ui = _ui(spark, [(1, 2)])
+    with _pytest.raises(ValueError, match="positive"):
+        recsys.sample_negatives(ui, k=0)

@@ -203,3 +203,40 @@ def test_bm25_bad_idf_raises(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(ValueError, match="robertson"):
         search.bm25_topk(docs, ["join"], idf="idf2").collect()
+
+
+def test_doc_keywords_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common common"),
+            (2, "banana banana common common common"),
+            (3, "common cherry"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in search.doc_keywords(docs, k=2).collect()
+    }
+    # doc 1: apple tf=3 df=1 -> 9.0; common tf=2 df=3 -> 2.0
+    assert out[(1, 1)]["term"] == "apple" and out[(1, 1)]["score"] == 9.0
+    assert out[(1, 2)]["term"] == "common"
+    assert out[(2, 1)]["term"] == "banana"
+    # doc 3: cherry (3/1=3) beats common (3/3=1)
+    assert out[(3, 1)]["term"] == "cherry"
+    # every doc labeled, <= k rows each
+    assert {d for d, _ in out} == {1, 2, 3}
+
+
+def test_doc_keywords_guards(spark):
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError, match="positive"):
+        search.doc_keywords(docs, k=0)
+    with _pytest.raises(ValueError, match="hint"):
+        search.doc_keywords(docs, hint="nope")

@@ -190,3 +190,82 @@ def recommend_topn(
         .filter(F.col("rank") <= n)
         .select("user_id", "item_id", "score", "rank")
     )
+
+
+def sample_negatives(
+    ui: DataFrame,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling over the interaction matrix — the
+    training-data generator for contrastive recommenders (BPR, two-tower):
+    for every positive (user, item) pair, ``k`` candidate negatives drawn
+    uniformly from the item catalog by md5 of (salt, user:item:slot), with
+    candidates that collide with ANY of the user's positives dropped.
+
+    Determinism contract (the sampling.py recipe, extended to drawing from
+    a catalog): the draw index is a pure row-local md5 expression, so the
+    sample is identical under retries, repartitioning, and in the DuckDB
+    oracle — never rand().  Dropped collisions mean a positive-heavy user
+    gets slightly fewer than ``k`` negatives per positive rather than a
+    re-draw loop; at real catalog sizes (collision rate = positives /
+    catalog) the deficit is negligible, and the fixed-slot shape keeps the
+    operator one-pass.
+
+    Plan: the catalog gets a dense 0-based index with ONE bounded global
+    window (catalog-sized, the vocab top-V posture — items, not events),
+    ships broadcast to the slot-exploded positives (one row-local explode
+    of width k), and the collision filter is one anti join on
+    (user, item).  Returns (user_id, pos_item_id, slot, neg_item_id)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cat = (
+        ui.select("item_id")
+        .distinct()
+        .withColumn(
+            "_idx",
+            F.row_number().over(Window.orderBy(F.col("item_id"))).cast(
+                "bigint"
+            )
+            - 1,
+        )
+    )
+    n_items = cat.count()
+    if n_items == 0:
+        raise ValueError("interaction matrix has no items")
+    key = F.concat(
+        F.lit(salt),
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.col("item_id").cast("string"),
+        F.lit(":"),
+        F.col("slot").cast("string"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("bigint")
+        % n_items
+    )
+    cand = (
+        ui.select("user_id", "item_id")
+        .withColumn(
+            "slot", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+        )
+        .withColumn("_idx", draw)
+        .withColumnRenamed("item_id", "pos_item_id")
+        .join(
+            F.broadcast(cat.withColumnRenamed("item_id", "neg_item_id")),
+            "_idx",
+        )
+    )
+    pos = ui.select(
+        "user_id", F.col("item_id").alias("neg_item_id")
+    )
+    return (
+        cand.join(pos, ["user_id", "neg_item_id"], "left_anti")
+        .select(
+            "user_id",
+            "pos_item_id",
+            F.col("slot").cast("bigint").alias("slot"),
+            "neg_item_id",
+        )
+    )

@@ -402,3 +402,61 @@ def bm25_indexed(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hint: str = "auto",
+) -> DataFrame:
+    """Per-DOCUMENT top-``k`` characteristic terms by ``tf * (N / df)`` —
+    the inversion of :func:`tfidf_topk` (per-term top docs): the
+    keyword-extraction pass that labels every document in a corpus, feeding
+    topic routing, index pruning, and human inspection samples.
+
+    Returns (id_col, term, tf, df, score, rank), rank 1..k per doc, ties
+    broken by ascending term so the labeling is a total function of the
+    corpus.  Same raw-ratio idf policy as tfidf_topk/BM25 (a ratio is
+    correctly rounded where ln is platform math), so rows hash-compare
+    across engines.
+
+    Plan: one full token explode (the text family's standard cost) -> one
+    map-side-combined (term, doc) tf aggregate -> per-term df aggregate.
+    UNLIKE the query-driven searchers, the df table here is the WHOLE
+    vocabulary — Heaps-sublinear but ~1e8+ terms at 100 TB, far past
+    broadcast range — so the tf<-df join defaults to an AQE-sized equi
+    join on the term (``hint="auto"``); pass ``hint="broadcast"`` only
+    for corpora whose vocabulary demonstrably fits."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if hint not in ("broadcast", "auto"):
+        raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
+    toks = F.filter(
+        T.tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    postings = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if hint == "broadcast":
+        df_ = F.broadcast(df_)
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -6550,6 +6550,84 @@ def pipeline_lm_filter_q(spark, sf):
     )
 
 
+@register(
+    "text_doc_keywords",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
+       p AS (SELECT doc_id, unnest(t) AS term FROM tt),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM p GROUP BY 1, 2),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       s AS (SELECT doc_id, term, tf, df,
+                    CAST(tf * n AS DOUBLE) / df AS score
+             FROM tf JOIN dfq USING (term), nn)
+       SELECT doc_id, term, tf, df, score,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 3""",
+)
+def text_doc_keywords_q(spark, sf):
+    """Per-document keyword extraction (operators/search.py::doc_keywords):
+    every doc's top-3 characteristic terms by tf x (N/df) — the inversion
+    of tfidf_topk's per-term ranking, labeling the whole corpus in one
+    declarative plan.  The df table is the WHOLE vocabulary (not a query's
+    terms), so the tf<-df join runs AQE-sized on the term rather than
+    broadcast — the honest at-scale default the operator documents.  Raw-
+    ratio idf and row_number ties on the term keep rows hash-stable."""
+    from trafficbigdatasearch_spark.operators import search
+
+    return search.doc_keywords(load_table(spark, sf, "documents"), k=3)
+
+
+@register(
+    "rec_negatives",
+    """WITH ui AS (SELECT DISTINCT user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS item_id
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL),
+       cat AS (SELECT item_id,
+                      CAST(row_number() OVER (ORDER BY item_id) - 1
+                           AS BIGINT) AS _idx
+               FROM (SELECT DISTINCT item_id FROM ui)),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM cat),
+       slots AS (SELECT unnest(range(4)) AS slot),
+       cand AS (SELECT ui.user_id, ui.item_id AS pos_item_id,
+                       CAST(slot AS BIGINT) AS slot,
+                       ('0x' || substr(md5('neg' ||
+                           CAST(ui.user_id AS VARCHAR) || ':' ||
+                           CAST(ui.item_id AS VARCHAR) || ':' ||
+                           CAST(slot AS VARCHAR)), 1, 7))::BIGINT
+                         % n_items AS _idx
+                FROM ui CROSS JOIN slots CROSS JOIN nn),
+       wi AS (SELECT c.user_id, c.pos_item_id, c.slot,
+                     cat.item_id AS neg_item_id
+              FROM cand c JOIN cat USING (_idx))
+       SELECT w.user_id, w.pos_item_id, w.slot, w.neg_item_id
+       FROM wi w LEFT JOIN ui p
+         ON w.user_id = p.user_id AND w.neg_item_id = p.item_id
+       WHERE p.user_id IS NULL""",
+)
+def rec_negatives_q(spark, sf):
+    """Deterministic negative sampling for contrastive recommender
+    training (operators/recsys.py::sample_negatives): 4 md5-drawn catalog
+    negatives per positive interaction, collisions with the user's own
+    positives dropped by one anti join.  The draw is a row-local md5
+    expression over (salt, user:item:slot) — identical under retries,
+    repartitioning, and in the oracle; the catalog's dense index is ONE
+    bounded global window (items, never events — the vocab top-V
+    posture) shipped broadcast to the slot-exploded positives.  Completes
+    the training-data side of the recsys story: interactions ->
+    positives + sampled negatives -> holdout evaluation."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    return recsys.sample_negatives(ui, k=4, salt="neg")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -6808,7 +6886,8 @@ def pipeline_lm_filter_q(spark, sf):
 # and rehearsed — never driver-checked; enters the r8 window FIRST per the
 # slot-priority rule, then the r8 cycle-back priorities named in the exits
 # below — merge_upsert + BPE families — then oldest-stale rows):
-#       ts_trend_incremental, stream_trend, pipeline_lm_filter
+#       ts_trend_incremental, stream_trend, pipeline_lm_filter,
+#       text_doc_keywords, rec_negatives
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
