@@ -154,6 +154,7 @@ HEADLINE = [
     "pipeline_lm_filter",
     "text_doc_keywords",
     "rec_negatives",
+    "sim_ivf_adc_topk",
 ]
 
 

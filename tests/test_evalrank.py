@@ -153,3 +153,51 @@ def test_holdout_eval_end_to_end_shape(spark):
             assert r["rr"] == pytest.approx(1.0 / r["hit_rank"])
         else:
             assert r["rr"] == 0.0
+
+
+def test_ivfadc_candidates_come_from_probed_cells(spark):
+    """IVFADC's structural contract: every returned neighbor lies in one
+    of its query's nprobe probed coarse cells, and per-query result sets
+    agree with whole-corpus ADC RESTRICTED to those candidates (the coarse
+    stage only selects candidates; it never perturbs the fine ranking).
+
+    Measured side note, kept as a loose pin: at the registered config the
+    coarse restriction IMPROVED recall@5 vs whole-corpus ADC (0.12 vs
+    0.08 here) — pruning removes far-away points that quantization error
+    would otherwise promote; the naive "pruning can only lose recall"
+    ladder is false for ADC and deliberately NOT asserted."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    ivfadc = similarity.ivf_adc_topk(emb, qs, k=5, nprobe=2, m=8).collect()
+    assert len(ivfadc) > 0
+
+    # reconstruct the probe sets via the sibling IVF operator's plumbing:
+    # exact-rerank IVF with a huge k returns exactly the candidate pairs
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, qs, k=10**9, nprobe=2, centroid_stride=97
+        ).collect()
+    }
+    for r in ivfadc:
+        assert (r["query_id"], r["neighbor_id"]) in cand
+
+    # fine ranking = whole-corpus ADC restricted to the candidates
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in similarity.pq_adc_topk(emb, qs, k=10**9, m=8).collect()
+    }
+    for r in ivfadc:
+        assert adc[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
+
+    # and it stays a non-trivial retriever at the registered config
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    pred = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in ivfadc],
+        "query_id BIGINT, neighbor_id BIGINT",
+    )
+    rows = evalrank.topk_overlap(pred, exact, k=5).collect()
+    assert sum(r["n_overlap"] for r in rows) > 0

@@ -921,6 +921,47 @@ def pq_adc_topk(
     the same dense codebook ranks :func:`pq_codes` emits, so the
     (subspace, cell) join keys line up by construction.
     """
+    long_codes, lut = _pq_adc_parts(
+        corpus, queries, m, centroid_stride, id_col, vec_col,
+        query_id_col, centroids, kernel,
+    )
+    # LUT is |queries| x m x n_cells — bounded by the query batch and the
+    # broadcast-sized codebook, NEVER by the corpus — so broadcast it: the
+    # corpus codes stream map-side through the join instead of shuffling
+    # |corpus| x m rows (the initial planner otherwise picks SMJ because
+    # the LUT's size is unknown pre-execution)
+    scored = (
+        long_codes.join(F.broadcast(lut), ["j", "cell_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _pq_adc_parts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    centroid_stride: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    centroids: DataFrame | None,
+    kernel: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The two halves of ADC scoring, shared by :func:`pq_adc_topk`
+    (whole-corpus) and :func:`ivf_adc_topk` (candidate-restricted):
+    ``long_codes`` = (neighbor_id, j, cell_id) — each corpus vector's m PQ
+    codes melted long; ``lut`` = (query_id, cell_id, j, ld) — every
+    query's exact subvector-to-codeword L2^2 table, bounded by the query
+    batch x m x codebook size, never by the corpus."""
     cent = centroids if centroids is not None else corpus.filter(
         (F.col(id_col) % centroid_stride) == 0
     )
@@ -959,13 +1000,92 @@ def pq_adc_topk(
         .select("query_id", "cell_id", F.explode(F.array(*lut_rows)).alias("s"))
         .select("query_id", "cell_id", F.col("s.j").alias("j"), F.col("s.ld").alias("ld"))
     )
-    # LUT is |queries| x m x n_cells — bounded by the query batch and the
-    # broadcast-sized codebook, NEVER by the corpus — so broadcast it: the
-    # corpus codes stream map-side through the join instead of shuffling
-    # |corpus| x m rows (the initial planner otherwise picks SMJ because
-    # the LUT's size is unknown pre-execution)
+    return long_codes, lut
+
+
+def ivf_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    kernel: str = "expr",
+) -> DataFrame:
+    """IVFADC (Jégou, Douze & Schmid, PAMI 2011) — THE production ANN
+    arrangement, composed from this module's two existing halves: a coarse
+    IVF quantizer prunes each query to its ``nprobe`` nearest cells, and
+    PQ asymmetric distance ranks ONLY the candidates inside those cells —
+    the corpus is touched as codes (m bytes-ish per vector), never as
+    vectors, and only ~nprobe/n_cells of it per query batch.
+
+    Returns (query_id, neighbor_id, rank, adc_dist) — rank ascending by
+    exact-integer ADC distance, neighbor tie-break, self excluded.  Recall
+    vs the brute baseline is a property of (nprobe, m) — two independent
+    knobs: nprobe buys candidate coverage (cells), m buys ranking fidelity
+    (code resolution); eval_ivf_recall's harness measures either.
+
+    Shapes at 100 TB: coarse assignment is the same broadcast argmin pass
+    ivf_topk documents (persist via build_ivf_index for repeated query
+    batches); the candidate set is (query, neighbor) pairs from the probe
+    join — the ONLY data-sized join, keyed on the coarse cell; fine
+    scoring expands candidates x m and joins the broadcast LUT on
+    (query, subspace, code) — cost proportional to candidates, not corpus.
+    Determinism: both quantizers are deterministic samples, distances are
+    exact integers on the quantized lattice — oracle-hashable end-to-end."""
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+        F.col(id_col).alias("ccell"), "mv", "mn"
+    )
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("neighbor_id"), "cv", "cn"
+    )
+    sim = c.crossJoin(F.broadcast(cq)).select(
+        "neighbor_id",
+        "ccell",
+        V.cosine_from_parts(
+            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+        ).alias("csim"),
+    )
+    assign = sim.groupBy("neighbor_id").agg(
+        F.min_by(
+            F.col("ccell"), F.struct((-F.col("csim")).alias("d"), F.col("ccell"))
+        ).alias("ccell")
+    )
+    q = _with_quantized(queries, vec_col, "qv", "qn").select(
+        F.col(query_id_col).alias("query_id"), "qv", "qn"
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("ccell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cq))
+        .select(
+            "query_id",
+            "ccell",
+            V.cosine_from_parts(
+                V.dot(F.col("qv"), F.col("mv")), F.col("qn"), F.col("mn")
+            ).alias("psim"),
+        )
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "ccell")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "ccell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    long_codes, lut = _pq_adc_parts(
+        corpus, queries, m, centroid_stride, id_col, vec_col,
+        query_id_col, None, kernel,
+    )
     scored = (
-        long_codes.join(F.broadcast(lut), ["j", "cell_id"])
+        cand.join(long_codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "j", "cell_id"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("ld").cast("bigint").alias("adc_dist"))
     )

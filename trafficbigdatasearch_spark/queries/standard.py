@@ -6628,6 +6628,55 @@ def rec_negatives_q(spark, sf):
     return recsys.sample_negatives(ui, k=4, salt="neg")
 
 
+@register(
+    "sim_ivf_adc_topk",
+    f"""WITH {_pq_codes_cte()},
+       {_pq_adc_cte()},
+       coarse AS (SELECT vec_id AS ccell, v AS cmv FROM c
+                  WHERE vec_id % 97 = 0),
+       casim AS (SELECT c.vec_id AS nid, ccell,
+                        {_COS.format(a='v', b='cmv')} AS s
+                 FROM c CROSS JOIN coarse),
+       cassign AS (SELECT nid, ccell FROM (
+           SELECT *, row_number() OVER (PARTITION BY nid
+                        ORDER BY s DESC, ccell ASC) AS cr
+           FROM casim) t WHERE cr = 1),
+       cprobe AS (SELECT query_id, ccell FROM (
+           SELECT q.query_id, ccell, {_COS.format(a='qv', b='cmv')} AS s,
+                  row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, ccell ASC) AS pr
+           FROM q CROSS JOIN coarse) t2 WHERE pr <= 2),
+       cand AS (SELECT cprobe.query_id, cassign.nid AS neighbor_id
+                FROM cprobe JOIN cassign USING (ccell)
+                WHERE cassign.nid <> cprobe.query_id),
+       fine AS (SELECT adc.query_id, adc.neighbor_id, adc.adc_dist
+                FROM adc JOIN cand USING (query_id, neighbor_id)),
+       fr AS (SELECT query_id, neighbor_id, adc_dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, neighbor_id) AS rn
+              FROM fine)
+       SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, adc_dist
+       FROM fr WHERE rn <= 5""",
+)
+def sim_ivf_adc_topk_q(spark, sf):
+    """IVFADC (operators/similarity.py::ivf_adc_topk — Jégou et al., PAMI
+    2011), THE production ANN arrangement, composed from the registry's
+    two proven halves: the IVF coarse quantizer prunes each query to
+    nprobe=2 cells, and PQ asymmetric distance ranks ONLY the candidates
+    inside them — the corpus is touched as m=8 integer codes per vector,
+    never as vectors, and only ~nprobe/n_cells of it per query.  Both
+    quantizers are deterministic stride samples and every distance is an
+    exact integer on the quantized lattice, so the whole composition
+    hash-compares against the composed oracle (coarse CTEs x the shared
+    PQ codes/ADC CTEs).  nprobe buys candidate coverage, m buys ranking
+    fidelity — the two independent recall knobs of a deployed ANN tier."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2, m=8,
+        centroid_stride=97,
+    ).withColumnRenamed("rank", "rnk")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -6887,7 +6936,7 @@ def rec_negatives_q(spark, sf):
 # slot-priority rule, then the r8 cycle-back priorities named in the exits
 # below — merge_upsert + BPE families — then oldest-stale rows):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
-#       text_doc_keywords, rec_negatives
+#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
