@@ -370,3 +370,47 @@ def test_ab_conversion_bounded_exchanges(spark):
     partition."""
     out = standard.queries()["a_ab_conversion"](spark, SF)
     assert X.exchange_count(out) <= 3, X.formatted_plan(out)
+
+
+def test_ivfadc_luts_broadcast_no_corpus_vector_shuffle(spark):
+    """ivf_adc_topk: the centroid table and the per-query LUT ship
+    broadcast; the only hash exchanges carry codes/candidates, never raw
+    corpus vectors past the assignment pass; no cartesian product."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    out = similarity.ivf_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2, m=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert X.has_broadcast_join(out), plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_keywords_windows_partitioned_by_doc(spark):
+    """doc_keywords: the top-k window partitions by doc (never a global
+    single-partition rank) and the whole-vocab df join is NOT broadcast
+    under the default hint — the documented at-scale shape."""
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = load_table(spark, SF, "documents")
+    out = search.doc_keywords(docs, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE single-partition exchange is legitimate: the 1-row
+    # corpus-count fold for N (same as tfidf_topk) — the rank window and
+    # the tf/df aggregates must all stay hash-partitioned
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_sample_negatives_broadcast_catalog(spark):
+    """sample_negatives: the dense-indexed catalog ships broadcast to the
+    slot-exploded positives; the draw is pure expressions (no Python)."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, SF, "events"))
+    out = recsys.sample_negatives(ui, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert X.has_broadcast_join(out), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
