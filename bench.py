@@ -155,6 +155,7 @@ HEADLINE = [
     "text_doc_keywords",
     "rec_negatives",
     "sim_ivf_adc_topk",
+    "graph_ppr",
 ]
 
 

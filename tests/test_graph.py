@@ -181,3 +181,54 @@ def test_pagerank_rejects_dangling_source(spark):
 
     with _pytest.raises(ValueError, match="outside the node set"):
         graph.pagerank_integer(e, n_iter=1, nodes=bad_nodes)
+
+
+class TestPersonalizedPageRank:
+    def _ring(self, spark, n=12):
+        ids = spark.range(n)
+        from pyspark.sql import functions as F
+
+        return ids.select(
+            F.col("id").alias("u"), ((F.col("id") + 1) % n).alias("v")
+        )
+
+    def test_mass_concentrates_near_seed(self, spark):
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        edges = self._ring(spark, 12)
+        seeds = spark.range(1)  # node 0
+        r = {
+            row["id"]: row["rank"]
+            for row in G.personalized_pagerank_integer(
+                edges, seeds, n_iter=3
+            ).collect()
+        }
+        # teleport + walk mass sits on the seed and its forward path
+        assert r[0] > r[6]
+        assert r[1] > r[6] and r[2] > r[6]
+        # nodes unreachable within 3 steps of the seed carry zero rank
+        assert r[6] == 0 and r[7] == 0
+        # determinism under repartitioning: exact equality
+        again = {
+            row["id"]: row["rank"]
+            for row in G.personalized_pagerank_integer(
+                edges.repartition(5), seeds, n_iter=3
+            ).collect()
+        }
+        assert r == again
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        edges = self._ring(spark, 6)
+        with _pytest.raises(ValueError, match="non-empty"):
+            G.personalized_pagerank_integer(edges, spark.range(0))
+        with _pytest.raises(ValueError, match="seed outside"):
+            G.personalized_pagerank_integer(
+                edges, spark.range(100, 101)
+            )

@@ -6677,6 +6677,54 @@ def sim_ivf_adc_topk_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
+def _ppr_oracle() -> str:
+    base = ((20 - 17) * _PR_SCALE) // (20 * 10)
+    parts = [
+        f"e AS (SELECT range AS u, (range*range) % {_PR_N} AS v "
+        f"FROM range({_PR_N}))",
+        "nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u)",
+        f"r0 AS (SELECT id, CAST(CASE WHEN id < 10 THEN {_PR_SCALE // 10} "
+        "ELSE 0 END AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, 4):
+        parts.append(
+            f"s{k} AS (SELECT e.v, SUM(r{k-1}.rank // deg.d) AS s "
+            f"FROM e JOIN r{k-1} ON r{k-1}.id = e.u "
+            "JOIN deg ON deg.u = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.id, "
+            f"CAST((CASE WHEN nodes.id < 10 THEN {base} ELSE 0 END) "
+            f"+ (17 * COALESCE(s{k}.s, 0)) // 20 AS BIGINT) "
+            f"AS rank FROM nodes LEFT JOIN s{k} ON s{k}.v = nodes.id)"
+        )
+    return "WITH " + ",\n       ".join(parts) + "\n       SELECT id, rank FROM r3"
+
+
+@register("graph_ppr", _ppr_oracle())
+def graph_ppr_q(spark, sf):
+    """PERSONALIZED PageRank (operators/graph.py::
+    personalized_pagerank_integer): teleport mass returns to the 10-node
+    seed set instead of all nodes, so ranks measure proximity to the
+    seeds — the related-items / local-relevance query global PageRank
+    cannot answer.  Same integer-exact arithmetic (scaled bigints,
+    rational damping, floor division) and per-round shape (one hash join
+    + one map-side-combined aggregate, lazy checkpoint) as
+    graph_pagerank, so the 3-step power iteration is bit-identical to
+    the unrolled CTE oracle; seeds ship broadcast — a query parameter,
+    not data."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(_PR_N)
+    edges = ids.select(
+        F.col("id").alias("u"), ((F.col("id") * F.col("id")) % _PR_N).alias("v")
+    )
+    return G.personalized_pagerank_integer(
+        edges, ids.filter(F.col("id") < 10), n_iter=3, scale=_PR_SCALE
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -6936,7 +6984,7 @@ def sim_ivf_adc_topk_q(spark, sf):
 # slot-priority rule, then the r8 cycle-back priorities named in the exits
 # below — merge_upsert + BPE families — then oldest-stale rows):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
-#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk
+#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
