@@ -156,6 +156,7 @@ HEADLINE = [
     "rec_negatives",
     "sim_ivf_adc_topk",
     "graph_ppr",
+    "dedup_semantic_ivf",
 ]
 
 

@@ -1097,3 +1097,43 @@ def ivf_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cell_id): each vector's nearest coarse centroid under the
+    same deterministic stride-sample quantizer as :func:`ivf_topk` /
+    :func:`ivf_adc_topk` — exposed standalone because cell membership is a
+    general BLOCKING fabric, not just a query-path detail: semantic dedup
+    blocks on it (cells group cosine-similar vectors, so within-cell pair
+    generation finds what arbitrary label blocking misses), and any
+    per-cluster rollup can group by it.  One broadcast argmin pass, ties
+    to the smaller cell id."""
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+        F.col(id_col).alias("cell_id"), "mv", "mn"
+    )
+    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+        F.col(id_col).alias("_nid"), "cv", "cn"
+    )
+    sim = c.crossJoin(F.broadcast(cq)).select(
+        "_nid",
+        "cell_id",
+        V.cosine_from_parts(
+            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+        ).alias("csim"),
+    )
+    return (
+        sim.groupBy("_nid")
+        .agg(
+            F.min_by(
+                F.col("cell_id"),
+                F.struct((-F.col("csim")).alias("d"), F.col("cell_id")),
+            ).alias("cell_id")
+        )
+        .select(F.col("_nid").alias(id_col), "cell_id")
+    )
