@@ -212,9 +212,20 @@ def _rarity_prefix_rows(ex, threshold: float):
     lossless bound and drop qualifying pairs; subtracting an epsilon can
     only err toward a smaller alpha = LONGER prefix = more candidates,
     never lost recall."""
-    exsh = ex.repartition(F.col("shingle"))
-    doc_sets = exsh.groupBy("_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("_sh")
+    # Both intermediates are multi-consumer: exsh feeds doc_sets + the
+    # rarity ranking, doc_sets feeds sizes + both verify joins — without
+    # materialization Spark recomputes the tokenize/shingle explode once
+    # per branch (measured: 4 document scans, 0 reused exchanges).  Lazy
+    # localCheckpoints pin each to ONE computation (the recsys/graph
+    # pattern).  Measured at sf0.1 (idle host, warm min-of-3): plain
+    # 5.21 s, both-checkpointed 5.31 s, doc_sets-only 7.50 s — parity at
+    # toy scale, and at deployment scale one explode + an executor-local
+    # sequential write beats four source scans + four tokenize passes.
+    exsh = ex.repartition(F.col("shingle")).localCheckpoint(eager=False)
+    doc_sets = (
+        exsh.groupBy("_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("_sh"))
+        .localCheckpoint(eager=False)
     )
     sizes = doc_sets.select("_id", F.size("_sh").alias("sz"))
     ranked = exsh.withColumn(
