@@ -219,6 +219,10 @@ def sample_negatives(
     (user, item).  Returns (user_id, pos_item_id, slot, neg_item_id)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # the matrix feeds three branches (catalog, slot-exploded positives,
+    # collision anti join) — same one-computation materialization as the
+    # sibling operators
+    ui = ui.localCheckpoint(eager=False)
     cat = (
         ui.select("item_id")
         .distinct()
