@@ -157,6 +157,7 @@ HEADLINE = [
     "sim_ivf_adc_topk",
     "graph_ppr",
     "dedup_semantic_ivf",
+    "q18_large_orders",
 ]
 
 
