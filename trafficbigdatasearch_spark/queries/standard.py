@@ -7078,6 +7078,31 @@ def q18_large_orders_q(spark, sf):
 #                               path + f_variant_extract (functions family)
 # =============================================================================
 
+# ROUND-7 CLOSING STATE (for the r8 rotation): the r7 window (positions
+# 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
+# registry was swept green through tools/driver_sim (dtype-strict, sf0.01)
+# THREE times this session — 161/161 early, 168/168 mid-session, and
+# 170/170 at close, the last sweep certifying every post-rehearsal code
+# change (the recsys/prefix-join/negatives localCheckpoints and the
+# _pq_adc_parts refactor) on the code that ships.  pytest at close: 538
+# passed / 2 skipped / 0 failed.  Bench at close: BENCH_local.json,
+# 134-query roster, 161.9 s warm / 221.8 s cold at sf0.1; the 58-query
+# r5-common subset measured 0.87x and 1.05x of the r5 driver bench in two
+# same-session runs — a same-code bracket around r5 confirming the
+# host-variance ruling (SCALING.md).
+#   r8 slot guidance, in order:
+#   1. the 9-query ROUND-8 QUEUE below (never driver-checked);
+#   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
+#      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
+#      shared scoring stage this session; both re-verified green via
+#      driver_sim post-refactor, but their last DRIVER row predates it);
+#   3. the r8-priority cycle-backs named in the r7 exits:
+#      table_merge_upsert, stream_merge_upsert, text_bpe_merges/encode/
+#      apply, pipeline_bpe, s_orc_roundtrip;
+#   4. oldest-stale rows (r3-green exits first: j2_interval_join,
+#      dedup_exact family, mm_features, q5_local_supplier, ... in
+#      registration order, then the r4 batch).
+#
 # ROUND-8 ROTATION QUEUE (registered after the round-7 window was frozen
 # and rehearsed — never driver-checked; enters the r8 window FIRST per the
 # slot-priority rule, then the r8 cycle-back priorities named in the exits
