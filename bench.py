@@ -158,6 +158,7 @@ HEADLINE = [
     "graph_ppr",
     "dedup_semantic_ivf",
     "q18_large_orders",
+    "text_collocations",
 ]
 
 

@@ -103,3 +103,44 @@ def test_hint_validated(spark):
         lm.coverage_scores(df, model, hint="shuffle")
     with pytest.raises(ValueError, match="hint"):
         lm.logprob_scores(df, model, hint="shuffle")
+
+
+def test_collocations_hand_case(spark):
+    """Lift ranks the exclusive pair above the promiscuous one, ties break
+    lexically, min_count floors hapax pairs."""
+    from trafficbigdatasearch_spark.operators import lm
+
+    # "new york" always together; "the cat"/"the dog" share a context word
+    docs = spark.createDataFrame(
+        [(i, "new york the cat") for i in range(3)]
+        + [(10 + i, "new york the dog") for i in range(3)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = lm.collocations(docs, k=10, min_count=2).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    # bigram stream: (new,york) x6, (york,the) x6, (the,cat) x3, (the,dog) x3
+    assert by_pair[("new", "york")]["n_pair"] == 6
+    # lift(new york) = 18*6/(6*6) = 3.0 ; lift(the cat) = 18*3/(6*3) = 3.0
+    # lift(york the) = 18*6/(6*6)... york appears as w1 6x, the as w2 6x -> 3.0
+    for r in out:
+        assert r["lift"] == 3.0
+    # lexical tie-break makes the list deterministic
+    assert [(r["w1"], r["w2"]) for r in out] == sorted(
+        (r["w1"], r["w2"]) for r in out
+    )
+
+
+def test_collocations_min_count_floors_hapax(spark):
+    from trafficbigdatasearch_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common common common common")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = lm.collocations(docs, k=10, min_count=2).collect()
+    assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        lm.collocations(docs, k=0)

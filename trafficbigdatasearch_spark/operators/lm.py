@@ -181,3 +181,63 @@ def logprob_scores(
         )
     )
     return scored
+
+
+def collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocations: the top-``k`` bigrams by LIFT — the phrase-
+    mining pass that surfaces multiword expressions ("new york", "machine
+    learning") for tokenizer vocabularies and index phrase dictionaries.
+
+        lift(w1, w2) = N · c(w1,w2) / (c(w1·) · c(·w2))
+
+    — PMI's exponential twin: same ranking (log is monotone), but a pure
+    RATIO of integer counts, so rows hash-compare across engines where a
+    log-based PMI would not (the BM25 raw-idf / lm-coverage policy).
+    ``min_count`` floors the pair support — lift explodes on hapax pairs
+    (two words seen once, together: lift = N), which is noise, not signal.
+
+    Plan: ONE bigram explode feeds three map-side-combined counts (pair,
+    left-unigram context, right-unigram context — the latter two bounded
+    by vocabulary and joined back broadcast), then a corpus-total cross
+    join and a TakeOrdered top-k.  Returns (w1, w2, n_pair, n_w1, n_w2,
+    lift) ordered by (lift DESC, w1, w2) — ties broken lexically so the
+    list is a total function of the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    bg = doc_bigrams(docs, id_col, text_col).localCheckpoint(eager=False)
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    left = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    right = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
+    total = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        pairs.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                F.col("n_total").cast("double") * F.col("n_pair").cast("double")
+                / (F.col("n_w1").cast("double") * F.col("n_w2").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
+    )

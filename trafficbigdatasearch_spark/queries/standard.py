@@ -6824,6 +6824,46 @@ def q18_large_orders_q(spark, sf):
     )
 
 
+@register(
+    "text_collocations",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
+       pos AS (SELECT doc_id, unnest(t) AS term,
+                      generate_subscripts(t, 1) AS p FROM tt),
+       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+       pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+       l AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_w1
+             FROM bg GROUP BY 1),
+       r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_w2
+             FROM bg GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg),
+       s AS (SELECT w1, w2, n_pair, n_w1, n_w2,
+                    CAST(n_total AS DOUBLE) * CAST(n_pair AS DOUBLE) /
+                    (CAST(n_w1 AS DOUBLE) * CAST(n_w2 AS DOUBLE)) AS lift
+             FROM pairs JOIN l USING (w1) JOIN r USING (w2), t)
+       SELECT w1, w2, n_pair, n_w1, n_w2, lift
+       FROM s ORDER BY lift DESC, w1, w2 LIMIT 20""",
+)
+def text_collocations_q(spark, sf):
+    """Collocation mining (operators/lm.py::collocations): the corpus's
+    top-20 bigrams by LIFT = N·c(w1,w2)/(c(w1·)·c(·w2)) — PMI's
+    exponential twin (same ranking, log is monotone) expressed as a pure
+    integer-count ratio so rows hash-compare across engines; min support 5
+    floors the hapax-pair noise where lift saturates at N.  The phrase-
+    mining pass that feeds tokenizer vocabularies and index phrase
+    dictionaries.  ONE bigram explode (materialized once — it feeds four
+    counts) -> three map-side-combined aggregates, unigram contexts
+    broadcast back, TakeOrdered top-20."""
+    from trafficbigdatasearch_spark.operators import lm
+
+    return lm.collocations(
+        load_table(spark, sf, "documents"), k=20, min_count=5
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7091,7 +7131,7 @@ def q18_large_orders_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 9-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 10-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7109,7 +7149,7 @@ def q18_large_orders_q(spark, sf):
 # below — merge_upsert + BPE families — then oldest-stale rows):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
-#       dedup_semantic_ivf, q18_large_orders
+#       dedup_semantic_ivf, q18_large_orders, text_collocations
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
