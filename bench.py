@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_semantic_ivf",
     "q18_large_orders",
     "text_collocations",
+    "stream_lm_gate",
 ]
 
 

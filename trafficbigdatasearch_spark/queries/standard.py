@@ -6503,9 +6503,7 @@ def stream_trend_q(spark, sf):
     return TS.trend_finalize(drained)
 
 
-@register(
-    "pipeline_lm_filter",
-    f"""WITH qf AS (SELECT doc_id, lang, text FROM documents
+_LM_FILTER_ORACLE = f"""WITH qf AS (SELECT doc_id, lang, text FROM documents
                   WHERE {_TOKCOUNT_SQL} >= 5),
        toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM qf),
        tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
@@ -6525,8 +6523,10 @@ def stream_trend_q(spark, sf):
               GROUP BY bg.doc_id)
        SELECT qf.doc_id, qf.lang
        FROM qf JOIN sc USING (doc_id)
-       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85""",
-)
+       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85"""
+
+
+@register("pipeline_lm_filter", _LM_FILTER_ORACLE)
 def pipeline_lm_filter_q(spark, sf):
     """The LM fluency gate COMPOSED as a curation pass
     (CorpusPipeline.quality_gate -> lm_gate): token floor first, then a
@@ -6864,6 +6864,75 @@ def text_collocations_q(spark, sf):
     )
 
 
+def _stream_documents_source(spark, sf):
+    """Bounded file-source STREAM over the documents table (the
+    _stream_events_source arrangement, no ts normalization needed)."""
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    d = _scratch("stream_documents", sf)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.lexists(link):
+        os.symlink(
+            os.path.realpath(os.path.join(sf, "documents.parquet")), link
+        )
+    return spark.readStream.schema(raw.schema).parquet(d)
+
+
+@register("stream_lm_gate", _LM_FILTER_ORACLE)
+def stream_lm_gate_q(spark, sf):
+    """The LM fluency gate ON A STREAM — the production arrangement of
+    pipeline_lm_filter: the bigram model trains OFFLINE on the static
+    gated English slice (batch lm.bigram_lm, min_count=10), then gates
+    arriving documents with a stream-static broadcast join + one
+    streaming (doc, lang) aggregation, keeping docs at coverage >= 0.85
+    (no-bigram docs produce no aggregate row and drop — the gate
+    semantics, identical to the batch row).  One oracle pins the batch
+    pipeline and this streaming twin to the same bits, the
+    trend/merge-upsert pattern applied to corpus curation: train once,
+    gate forever, no recompute on the stream."""
+    from trafficbigdatasearch_spark.operators import lm
+
+    docs = load_table(spark, sf, "documents")
+    gated_static = docs.filter(T.token_count(F.col("text")) >= 5)
+    model = lm.bigram_lm(
+        gated_static.filter(F.col("lang") == "en").select("doc_id", "text"),
+        min_count=10,
+    ).select("w1", "w2", F.lit(True).alias("_known"))
+
+    src = _stream_documents_source(spark, sf)
+    gated = src.filter(T.token_count(F.col("text")) >= 5)
+    toks = F.filter(
+        T.tokens(F.lower(F.col("text"))), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = gated.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bgp")
+    ).select(
+        "doc_id", "lang",
+        F.col("bgp.w1").alias("w1"), F.col("bgp.w2").alias("w2"),
+    )
+    agg = (
+        bg.join(F.broadcast(model), ["w1", "w2"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(
+                F.when(F.col("_known"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_nk"),
+        )
+    )
+    drained = _drain_to_memory(agg, "stream_lm_gate")
+    return drained.filter(
+        F.col("_nk").cast("double") / F.col("_nb").cast("double") >= 0.85
+    ).select("doc_id", "lang")
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7131,7 +7200,7 @@ def text_collocations_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 10-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 11-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7149,7 +7218,8 @@ def text_collocations_q(spark, sf):
 # below — merge_upsert + BPE families — then oldest-stale rows):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
-#       dedup_semantic_ivf, q18_large_orders, text_collocations
+#       dedup_semantic_ivf, q18_large_orders, text_collocations,
+#       stream_lm_gate
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
