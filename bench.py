@@ -160,6 +160,7 @@ HEADLINE = [
     "q18_large_orders",
     "text_collocations",
     "stream_lm_gate",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -59,3 +59,39 @@ def test_decontam_probe_is_broadcast(corpus):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_pairs_and_drop(spark):
+    """Jaccard-normalized contamination: a paraphrase sharing most of a
+    short bench doc's shingles flags; a long doc sharing the same absolute
+    shingle count does not; decontaminate_fuzzy drops exactly the flagged
+    train docs and never touches the benchmark table."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id BIGINT, text STRING",
+    )
+    filler = " ".join(f"w{i}" for i in range(200))
+    corpus = spark.createDataFrame(
+        [
+            # near-copy: almost the bench doc -> high jaccard
+            (1, "the quick brown fox jumps over the lazy cat"),
+            # same shared shingles buried in a long doc -> low jaccard
+            (2, "the quick brown fox jumps over the lazy dog " + filler),
+            # unrelated
+            (3, "completely different words here entirely unrelated text"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = decontam.fuzzy_contamination_pairs(
+        corpus, bench, threshold=0.5, n=5
+    ).collect()
+    assert {r["doc_id"] for r in pairs} == {1}
+    (p,) = pairs
+    assert p["bench_id"] == 100 and p["jaccard"] >= 0.5
+
+    kept = decontam.decontaminate_fuzzy(corpus, bench, threshold=0.5, n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]

@@ -82,3 +82,89 @@ def decontaminate(
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate train/test contamination: (id_col, bench_id, shared,
+    size_a, size_b, jaccard) for every (corpus doc, benchmark doc) pair
+    whose DISTINCT ``n``-gram shingle sets overlap at Jaccard >=
+    ``threshold`` — the paraphrase/partial-copy leakage that
+    :func:`contamination_scores`' absolute hit counter underweights for
+    long documents (100 shared shingles is decisive for a 120-shingle doc
+    and noise for a 12 000-shingle one; Jaccard normalizes).
+
+    Same posture as the exact scorer: everything benchmark-sized ships
+    BROADCAST (postings for candidate generation, whole shingle sets for
+    the verify), candidates exist only for docs sharing >= 1 shingle, and
+    the verify is one row-local ``array_intersect`` per candidate — the
+    corpus text never shuffles.  Identity pairs (same id on both sides —
+    only possible when the benchmark is carved from the corpus, as in
+    fixtures) are excluded."""
+    def _sets(df, idc):
+        return df.select(
+            F.col(idc).alias("_id"),
+            F.array_distinct(
+                F.filter(
+                    T.word_shingles(F.col(text_col), n),
+                    lambda s: s != F.lit(""),
+                )
+            ).alias("_sh"),
+        )
+
+    bsets = _sets(benchmark, bench_id_col).withColumnRenamed(
+        "_id", "_bid"
+    ).withColumnRenamed("_sh", "_bsh")
+    bpost = bsets.select("_bid", F.explode("_bsh").alias("_s"))
+    csets = _sets(corpus, id_col)
+    cand = (
+        csets.select("_id", F.explode("_sh").alias("_s"))
+        .join(F.broadcast(bpost), "_s")
+        .filter(F.col("_id") != F.col("_bid"))
+        .select("_id", "_bid")
+        .distinct()
+    )
+    scored = (
+        cand.join(csets, "_id")
+        .join(F.broadcast(bsets), "_bid")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            F.size(F.array_intersect("_sh", "_bsh"))
+            .cast("bigint")
+            .alias("shared"),
+            F.size("_sh").cast("bigint").alias("size_a"),
+            F.size("_bsh").cast("bigint").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents near-duplicating ANY benchmark document at
+    shingle-Jaccard >= ``threshold`` — one anti join on the flagged ids
+    after :func:`fuzzy_contamination_pairs`."""
+    flagged = fuzzy_contamination_pairs(
+        corpus, benchmark, threshold, n, id_col, bench_id_col, text_col
+    ).select(id_col).distinct()
+    return corpus.join(flagged, id_col, "left_anti")

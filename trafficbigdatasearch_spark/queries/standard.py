@@ -6933,6 +6933,57 @@ def stream_lm_gate_q(spark, sf):
     ).select("doc_id", "lang")
 
 
+@register(
+    "decontaminate_fuzzy",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS i
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 5], ' ') AS s
+              FROM idx
+              WHERE array_to_string(t[i + 1 : i + 5], ' ') <> ''),
+       bsh AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 7 = 0),
+       cand AS (SELECT DISTINCT sh.doc_id, bsh.bid
+                FROM sh JOIN bsh USING (s)
+                WHERE sh.doc_id <> bsh.bid),
+       szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+               FROM sh GROUP BY 1),
+       ov AS (SELECT c.doc_id, c.bid, CAST(count(*) AS BIGINT) AS shared
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_id
+              JOIN bsh b ON b.bid = c.bid AND b.s = a.s
+              GROUP BY 1, 2)
+       SELECT ov.doc_id, ov.bid AS bench_id, ov.shared,
+              sa.sz AS size_a, sb.sz AS size_b,
+              CAST(shared AS DOUBLE) /
+              (sa.sz + sb.sz - shared) AS jaccard
+       FROM ov
+       JOIN szs sa ON sa.doc_id = ov.doc_id
+       JOIN szs sb ON sb.doc_id = ov.bid
+       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
+)
+def decontaminate_fuzzy_q(spark, sf):
+    """FUZZY test-set decontamination
+    (operators/decontam.py::fuzzy_contamination_pairs): (train doc, bench
+    doc) pairs whose distinct 5-gram shingle sets overlap at Jaccard >=
+    0.5 — the paraphrase/partial-copy leakage the exact hit counter
+    (decontaminate) underweights for long documents, since Jaccard
+    normalizes by both set sizes.  Benchmark = every 7th doc standing in
+    for an eval suite; identity pairs excluded (the benchmark is carved
+    from the corpus in this fixture).  Everything benchmark-sized ships
+    broadcast — candidate postings and whole shingle sets — candidates
+    exist only on shared shingles, and the verify is one row-local
+    array_intersect per candidate: the corpus text never shuffles."""
+    from trafficbigdatasearch_spark.operators import decontam
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontam.fuzzy_contamination_pairs(
+        docs, bench, threshold=0.5, n=5
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7200,7 +7251,7 @@ def stream_lm_gate_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 11-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 12-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7219,7 +7270,7 @@ def stream_lm_gate_q(spark, sf):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
 #       dedup_semantic_ivf, q18_large_orders, text_collocations,
-#       stream_lm_gate
+#       stream_lm_gate, decontaminate_fuzzy
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
