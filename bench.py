@@ -161,6 +161,7 @@ HEADLINE = [
     "text_collocations",
     "stream_lm_gate",
     "decontaminate_fuzzy",
+    "graph_link_pred",
 ]
 
 

@@ -232,3 +232,41 @@ class TestPersonalizedPageRank:
             G.personalized_pagerank_integer(
                 edges, spark.range(100, 101)
             )
+
+
+class TestLinkPrediction:
+    def test_hand_checkable_square(self, spark):
+        """Path a-b-c plus a-d-c: pair (a, c) shares {b, d}; all other
+        distance-2 pairs share one neighbor; adjacent pairs never appear."""
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 3), (3, 2)], "u BIGINT, v BIGINT"
+        )
+        out = {
+            (r["u"], r["v"]): r
+            for r in G.jaccard_link_prediction(edges).collect()
+        }
+        # square 0-1-2-3: diagonals (0,2) and (1,3) share two neighbors
+        assert out[(0, 2)]["shared"] == 2
+        # jaccard = 2 / (2 + 2 - 2) = 1.0 — N(0) = {1,3} = N(2)
+        assert out[(0, 2)]["score"] == 1.0
+        assert out[(1, 3)]["score"] == 1.0
+        # adjacent pairs excluded
+        assert (0, 1) not in out and (0, 3) not in out
+        assert set(out) == {(0, 2), (1, 3)}
+
+    def test_max_degree_cap_drops_hub_witnesses(self, spark):
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        # star: hub 0 connected to 1..5; every leaf pair is witnessed
+        # ONLY through the hub
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "u BIGINT, v BIGINT"
+        )
+        full = G.jaccard_link_prediction(edges).count()
+        assert full == 10  # C(5,2) leaf pairs
+        capped = G.jaccard_link_prediction(edges, max_degree=3).count()
+        assert capped == 0  # hub dropped -> no witnesses survive

@@ -6984,6 +6984,57 @@ def decontaminate_fuzzy_q(spark, sf):
     )
 
 
+@register(
+    "graph_link_pred",
+    """WITH raw AS (SELECT range AS u, (range + 1) % 1500 AS v
+                  FROM range(1500)
+                  UNION ALL
+                  SELECT range, (range * 7 + 3) % 1500 FROM range(1500)),
+       canon AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                 FROM raw WHERE u <> v),
+       adj AS (SELECT u AS n, v AS m FROM canon
+               UNION ALL SELECT v AS n, u AS m FROM canon),
+       deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+       w2 AS (SELECT a.m AS x, b.m AS y
+              FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m),
+       shared AS (SELECT x AS u, y AS v, CAST(count(*) AS BIGINT) AS shared
+                  FROM w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+       nonadj AS (SELECT s.* FROM shared s
+                  LEFT JOIN canon c ON c.u = s.u AND c.v = s.v
+                  WHERE c.u IS NULL)
+       SELECT na.u, na.v, na.shared,
+              du.d AS deg_u, dv.d AS deg_v,
+              CAST(na.shared AS DOUBLE) /
+              (du.d + dv.d - na.shared) AS score
+       FROM nonadj na
+       JOIN deg du ON du.n = na.u
+       JOIN deg dv ON dv.n = na.v""",
+)
+def graph_link_pred_q(spark, sf):
+    """Neighbor-Jaccard link prediction (operators/graph.py::
+    jaccard_link_prediction, Liben-Nowell & Kleinberg CIKM'03): scores
+    every non-adjacent distance-2 pair with >= 2 common neighbors over
+    the deterministic two-family graph — the "people you may know" /
+    related-entities primitive, all-integer counts + one division so the
+    168 scored pairs hash-compare exactly.  One wedge self-join on the
+    common neighbor (the d(w)^2 fan-out is inherent to distance-2
+    enumeration; the operator's max_degree cap is the documented hub
+    guard), map-side-combined shared counts, broadcast degrees, anti join
+    against existing edges."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    ids = spark.range(1500)
+    edges = ids.select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % 1500).alias("v")
+    ).unionByName(
+        ids.select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 7 + 3) % 1500).alias("v"),
+        )
+    )
+    return G.jaccard_link_prediction(edges, min_shared=2)
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7251,7 +7302,7 @@ def decontaminate_fuzzy_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 12-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 13-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7270,7 +7321,7 @@ def decontaminate_fuzzy_q(spark, sf):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
 #       dedup_semantic_ivf, q18_large_orders, text_collocations,
-#       stream_lm_gate, decontaminate_fuzzy
+#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
