@@ -162,6 +162,7 @@ HEADLINE = [
     "stream_lm_gate",
     "decontaminate_fuzzy",
     "graph_link_pred",
+    "a_impute_median",
 ]
 
 

@@ -220,3 +220,28 @@ def test_enforce_output_always_clean_even_with_pushdown(spark, tmp_path):
 
     with pytest.raises(Exception, match="v_range"):
         guarded.collect()
+
+
+def test_impute_group_median_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import validate as VA
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, None),
+            ("b", 4, 10.0), ("b", 5, None), ("b", 6, 20.0), ("b", 7, 30.0),
+        ],
+        "g STRING, id BIGINT, v DOUBLE",
+    )
+    out = {r["id"]: r for r in VA.impute_group_median(df, "v", ["g"]).collect()}
+    assert len(out) == 7                       # repair drops nothing
+    assert out[3]["v_filled"] == 2.0           # median of {1, 3}
+    assert out[5]["v_filled"] == 20.0          # median of {10, 20, 30}
+    assert out[3]["was_null"] == 1 and out[1]["was_null"] == 0
+    assert out[1]["v_filled"] == 1.0           # observed rows pass through
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group col"):
+        VA.impute_group_median(df, "v", [])

@@ -216,3 +216,55 @@ def profile(df: DataFrame, cols: list[str]) -> DataFrame:
         wide.select(F.col("_n").alias("n_rows"), F.explode(per_col).alias("p"))
         .select("p.column_name", "n_rows", "p.n_nulls", "p.n_distinct")
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    cents: int = 100,
+    filled_col: str | None = None,
+) -> DataFrame:
+    """Missing-value REPAIR: fill NULL ``value_col`` rows with their
+    group's EXACT median of the observed values — the robust imputation a
+    curation pipeline runs before features hit a trainer (mean imputation
+    follows outliers; the median does not).
+
+    Every row is returned (repair must not drop data) with two added
+    columns: ``<filled_col>`` (default ``<value_col>_filled``) and
+    ``was_null`` (0/1 bigint audit flag — downstream must be able to
+    distinguish measured values from imputed ones).
+
+    Determinism (the a_exact_percentiles contract): medians are computed
+    on the integer-cent lattice (``round(value*cents)``), where both
+    engines interpolate between exact integers with one IEEE op — a
+    median over raw doubles would compare two engines' float arithmetic.
+    The fill value is ``median_cents / cents`` (one division).
+
+    Plan: one filtered grouped ``percentile`` (values co-locate per group
+    — the exact-percentile spill posture; the KLL sketch is the
+    bounded-memory alternative at extreme group sizes) broadcast back
+    onto the full table: the table itself never shuffles."""
+    if not group_cols:
+        raise ValueError("impute_group_median needs at least one group col")
+    out = filled_col or f"{value_col}_filled"
+    c = F.round(F.col(value_col) * cents).cast("bigint")
+    meds = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.percentile(c, F.lit(0.5)).alias("_med_c"))
+    )
+    return (
+        df.join(F.broadcast(meds), group_cols, "left")
+        .withColumn(
+            out,
+            F.coalesce(
+                F.col(value_col),
+                F.col("_med_c") / F.lit(float(cents)),
+            ),
+        )
+        .withColumn(
+            "was_null", F.col(value_col).isNull().cast("bigint")
+        )
+        .drop("_med_c")
+    )

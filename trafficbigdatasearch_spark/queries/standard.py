@@ -7035,6 +7035,48 @@ def graph_link_pred_q(spark, sf):
     return G.jaccard_link_prediction(edges, min_shared=2)
 
 
+@register(
+    "a_impute_median",
+    """WITH nulled AS (SELECT event_id, event_type,
+                     CASE WHEN event_id % 13 = 0 THEN NULL
+                          ELSE value END AS v
+              FROM events),
+       med AS (SELECT event_type,
+                      quantile_cont(CAST(round(v * 100) AS BIGINT), 0.5)
+                        AS m_c
+               FROM nulled WHERE v IS NOT NULL GROUP BY 1)
+       SELECT n.event_id, n.event_type,
+              COALESCE(n.v, m_c / CAST(100.0 AS DOUBLE)) AS value_filled,
+              CAST(n.v IS NULL AS BIGINT) AS was_null
+       FROM nulled n JOIN med USING (event_type)""",
+)
+def a_impute_median_q(spark, sf):
+    """Missing-value repair (operators/validate.py::impute_group_median):
+    every 13th event's value is deterministically NULLed (the fixture's
+    stand-in for sensor dropouts), then filled with its event_type's
+    EXACT median — computed on the integer-cent lattice so both engines
+    interpolate between exact integers (the a_exact_percentiles
+    contract; a raw-double median would not hash-match).  All rows
+    returned with a was_null audit flag — repair never drops data and
+    downstream must distinguish measured from imputed.  One grouped
+    percentile broadcast back; the fact table never shuffles."""
+    from trafficbigdatasearch_spark.operators import validate as VA
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    return VA.impute_group_median(ev, "v", ["event_type"]).select(
+        "event_id",
+        "event_type",
+        F.col("v_filled").alias("value_filled"),
+        "was_null",
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7302,7 +7344,7 @@ def graph_link_pred_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 13-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 14-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7321,7 +7363,8 @@ def graph_link_pred_q(spark, sf):
 #       ts_trend_incremental, stream_trend, pipeline_lm_filter,
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
 #       dedup_semantic_ivf, q18_large_orders, text_collocations,
-#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred
+#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
+#       a_impute_median
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
