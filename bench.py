@@ -163,6 +163,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "graph_link_pred",
     "a_impute_median",
+    "pipeline_mm_dedup",
 ]
 
 

@@ -7077,6 +7077,60 @@ def a_impute_median_q(spark, sf):
     )
 
 
+@register(
+    "pipeline_mm_dedup",
+    """WITH RECURSIVE fp AS (SELECT doc_id AS id,
+                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT)
+                            AS h
+            FROM documents),
+       prs AS (SELECT a.id AS id_a, b.id AS id_b
+               FROM fp a JOIN fp b ON a.id < b.id
+               WHERE bit_count(xor(a.h, b.h)) <= 3),
+       eds AS (SELECT id_a AS u, id_b AS v FROM prs
+               UNION SELECT id_b, id_a FROM prs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
+                FROM walk GROUP BY id),
+       labeled AS (SELECT d.doc_id,
+                          COALESCE(c.component, d.doc_id) AS component
+                   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       SELECT component, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_members
+       FROM labeled GROUP BY component""",
+)
+def pipeline_mm_dedup_q(spark, sf):
+    """MULTIMODAL dedup composed end-to-end: perceptual-hash near-dup
+    pairs (banded-Hamming engine, pigeonhole-lossless at radius 3) ->
+    connected components (transitive closure, not pairwise order-bias)
+    -> min-id keeper per visual cluster, singletons kept as their own
+    component — the image-corpus twin of pipeline_dedup_corpus, proving
+    the mm blocking path feeds the same CC + survivor machinery the text
+    family uses.  Oracle: the all-pairs Hamming filter + a recursive-CTE
+    closure (the pipeline_dedup_corpus verification pattern)."""
+    from trafficbigdatasearch_spark.operators import graph as G
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    pairs = multimodal.phash_pairs(assets).select("id_a", "id_b")
+    comp = G.connected_components(pairs)
+    labeled = docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return labeled.groupBy("component").agg(
+        F.min("doc_id").cast("bigint").alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+
+
 # =============================================================================
 # Registry ordering: the driver verifies the FIRST 50 entries in registration
 # order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
@@ -7344,7 +7398,7 @@ def a_impute_median_q(spark, sf):
 # same-session runs — a same-code bracket around r5 confirming the
 # host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
-#   1. the 14-query ROUND-8 QUEUE below (never driver-checked);
+#   1. the 15-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
 #      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
 #      shared scoring stage this session; both re-verified green via
@@ -7364,7 +7418,7 @@ def a_impute_median_q(spark, sf):
 #       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
 #       dedup_semantic_ivf, q18_large_orders, text_collocations,
 #       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
-#       a_impute_median
+#       a_impute_median, pipeline_mm_dedup
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
 #    registration session; both share ts_trend_per_key's oracle — the
 #    sliced-merged and streaming arrangements are pinned bit-identical to
