@@ -7388,15 +7388,14 @@ def pipeline_mm_dedup_q(spark, sf):
 # ROUND-7 CLOSING STATE (for the r8 rotation): the r7 window (positions
 # 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
 # registry was swept green through tools/driver_sim (dtype-strict, sf0.01)
-# THREE times this session — 161/161 early, 168/168 mid-session, and
-# 170/170 at close, the last sweep certifying every post-rehearsal code
-# change (the recsys/prefix-join/negatives localCheckpoints and the
-# _pq_adc_parts refactor) on the code that ships.  pytest at close: 538
-# passed / 2 skipped / 0 failed.  Bench at close: BENCH_local.json,
-# 134-query roster, 161.9 s warm / 221.8 s cold at sf0.1; the 58-query
-# r5-common subset measured 0.87x and 1.05x of the r5 driver bench in two
-# same-session runs — a same-code bracket around r5 confirming the
-# host-variance ruling (SCALING.md).
+# FOUR times this session — 161/161 early, 168/168 and 170/170
+# mid-session, and 176/176 at close, the final sweep certifying every
+# post-rehearsal code change (the recsys/prefix-join/negatives
+# localCheckpoints and the _pq_adc_parts refactor) on the code that
+# ships.  pytest at close: 551 passed / 2 skipped / 0 failed.  The
+# 58-query r5-common bench subset measured 0.87x and 1.05x
+# of the r5 driver bench in two same-session sf0.1 runs — a same-code
+# bracket around r5 confirming the host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
 #   1. the 15-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
