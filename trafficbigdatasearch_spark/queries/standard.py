@@ -7393,9 +7393,10 @@ def pipeline_mm_dedup_q(spark, sf):
 # post-rehearsal code change (the recsys/prefix-join/negatives
 # localCheckpoints and the _pq_adc_parts refactor) on the code that
 # ships.  pytest at close: 551 passed / 2 skipped / 0 failed.  The
-# 58-query r5-common bench subset measured 0.87x and 1.05x
-# of the r5 driver bench in two same-session sf0.1 runs — a same-code
-# bracket around r5 confirming the host-variance ruling (SCALING.md).
+# 58-query r5-common bench subset measured 0.87x, 1.05x, and 0.87x
+# of the r5 driver bench across three same-session sf0.1 runs (closing
+# roster: 140 queries, 144.9 s warm) — a same-code bracket around r5
+# confirming the host-variance ruling (SCALING.md).
 #   r8 slot guidance, in order:
 #   1. the 15-query ROUND-8 QUEUE below (never driver-checked);
 #   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
@@ -7419,10 +7420,12 @@ def pipeline_mm_dedup_q(spark, sf):
 #       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
 #       a_impute_median, pipeline_mm_dedup
 #   (each green under pytest + tools/driver_sim at sf0.01 as of its
-#    registration session; both share ts_trend_per_key's oracle — the
-#    sliced-merged and streaming arrangements are pinned bit-identical to
-#    the in-window single-pass row, so the r7 window already certifies the
-#    shared moments/finalize code path)
+#    registration session AND re-green in the closing 176/176 sweep;
+#    ts_trend_incremental/stream_trend share ts_trend_per_key's oracle —
+#    the sliced-merged and streaming arrangements are pinned bit-identical
+#    to the in-window single-pass row, so the r7 window already certifies
+#    the shared moments/finalize code path; stream_lm_gate likewise shares
+#    pipeline_lm_filter's oracle)
 #
 # ROUND-7 rotation (executing the r7 queue + slot-priority policy):
 #   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
