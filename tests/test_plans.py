@@ -58,13 +58,18 @@ def test_pricing_summary_single_exchange(spark):
     assert any("l_shipdate" in f for f in X.pushed_filters(df))
 
 
-def test_no_cartesian_product_anywhere(spark):
-    """Sweeping gate: no registered query may plan an unbroadcast cartesian
-    product — the one join shape that cannot survive any scale-up.  (Broadcast
-    nested-loop against a small literal side, e.g. IVF centroids, is fine.)"""
+def test_no_cartesian_product_or_per_row_python_anywhere(spark):
+    """Sweeping gates over EVERY registered query: (1) no unbroadcast
+    cartesian product — the one join shape that cannot survive any
+    scale-up (broadcast nested-loop against a small literal side, e.g.
+    IVF centroids, is fine); (2) no per-row Python UDF (BatchEvalPython)
+    — Python is allowed only at Arrow batch boundaries (MapInPandas /
+    FlatMapGroupsInPandas / ArrowEval), which serialize once per batch
+    instead of once per row."""
     for name, fn in standard.queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name} plans a per-row Python UDF"
 
 
 def test_ivf_broadcasts_centroids_and_probes(spark):

@@ -309,3 +309,50 @@ def test_duplicated_spans_match_bruteforce_property(spark, seed):
         for r in dedup.duplicated_spans(docs, k=k).collect()
     }
     assert got == want
+
+
+@given(
+    cut1=st.integers(min_value=2, max_value=14),
+    span=st.integers(min_value=1, max_value=13),
+)
+@PROP
+def test_trend_merge_equals_single_pass_any_slicing(spark, cut1, span):
+    """The trend moments are associative+commutative integer sums, so ANY
+    3-way slicing of the stream must merge to the single-pass result
+    EXACTLY (bit-equal slopes, not approximately)."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    cut2 = cut1 + span
+    ev = load_table(spark, SF, "events")
+    day = F.dayofmonth("ts")
+    parts = [
+        TS.trend_partial(ev.filter(day < cut1)),
+        TS.trend_partial(ev.filter((day >= cut1) & (day < cut2))),
+        TS.trend_partial(ev.filter(day >= cut2)),
+    ]
+    merged = {
+        r["event_type"]: r
+        for r in TS.trend_finalize(TS.trend_merge(parts)).collect()
+    }
+    single = {
+        r["event_type"]: r for r in TS.trend_per_key(ev).collect()
+    }
+    assert set(merged) == set(single)
+    for k in single:
+        assert merged[k]["n"] == single[k]["n"]
+        assert merged[k]["slope"] == single[k]["slope"]
+        assert merged[k]["mean_y"] == single[k]["mean_y"]
+
+
+@given(frac=st.floats(min_value=0.05, max_value=0.95))
+@PROP
+def test_holdout_split_partitions_for_any_fraction(spark, frac):
+    """holdout_split is an exact partition at every admissible fraction:
+    no row lost, none duplicated, membership disjoint."""
+    from trafficbigdatasearch_spark.operators import evalrank, recsys
+
+    ui = recsys.user_item(load_table(spark, SF, "events"))
+    train, test = evalrank.holdout_split(ui, test_frac=frac)
+    n, ntr, nte = ui.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.intersect(test).count() == 0
