@@ -245,3 +245,17 @@ def test_impute_group_median_hand_case(spark):
 
     with _pytest.raises(ValueError, match="group col"):
         VA.impute_group_median(df, "v", [])
+
+
+def test_impute_all_null_group_stays_null(spark):
+    """A group with no observed values keeps NULL (was_null=1) — never
+    borrows another group's median."""
+    from trafficbigdatasearch_spark.operators import validate as VA
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 2, None), ("b", 3, None)],
+        "g STRING, id BIGINT, v DOUBLE",
+    )
+    out = {r["id"]: r for r in VA.impute_group_median(df, "v", ["g"]).collect()}
+    assert out[2]["v_filled"] is None and out[2]["was_null"] == 1
+    assert out[1]["v_filled"] == 5.0

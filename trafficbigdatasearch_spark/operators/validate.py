@@ -244,7 +244,12 @@ def impute_group_median(
     Plan: one filtered grouped ``percentile`` (values co-locate per group
     — the exact-percentile spill posture; the KLL sketch is the
     bounded-memory alternative at extreme group sizes) broadcast back
-    onto the full table: the table itself never shuffles."""
+    onto the full table: the table itself never shuffles.
+
+    A group with NO observed values has no median to offer: its rows keep
+    NULL in the filled column (was_null = 1) rather than silently
+    borrowing another group's statistic — route such groups to a global
+    fallback explicitly if the pipeline wants one."""
     if not group_cols:
         raise ValueError("impute_group_median needs at least one group col")
     out = filled_col or f"{value_col}_filled"
