@@ -201,3 +201,51 @@ def test_ivfadc_candidates_come_from_probed_cells(spark):
     )
     rows = evalrank.topk_overlap(pred, exact, k=5).collect()
     assert sum(r["n_overlap"] for r in rows) > 0
+
+
+def test_ndcg_hand_case(spark):
+    """NDCG@3: perfect ranking -> 1.0; one hit at rank 3 of an
+    ideal-1 user -> 1/log2(4); miss/cold users -> 0.0 with NULL-free
+    dcg."""
+    import math
+
+    recs = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),   # both relevant at 1,2
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),   # relevant only at 3
+            (3, 30, 1),                             # no relevant items hit
+        ],
+        "user_id BIGINT, item_id BIGINT, rank BIGINT",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 22), (3, 99), (4, 40)],
+        "user_id BIGINT, item_id BIGINT",
+    )
+    out = {
+        r["user_id"]: r
+        for r in evalrank.ndcg_at_k(recs, rel, k=3).collect()
+    }
+    assert out[1]["ndcg"] == pytest.approx(1.0)     # ideal order achieved
+    assert out[2]["dcg"] == pytest.approx(1.0 / math.log2(4))
+    assert out[2]["ndcg"] == pytest.approx(1.0 / math.log2(4) / 1.0)
+    assert out[3]["ndcg"] == 0.0 and out[3]["dcg"] == 0.0
+    assert out[4]["ndcg"] == 0.0                    # cold user reported
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_ndcg_partition_invariant(spark):
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = _ui(spark, n_users=40, n_items=25)
+    train, test = evalrank.holdout_split(ui, test_frac=0.2)
+    recs = recsys.recommend_topn(train, n=10, min_co=2)
+    a = sorted(map(tuple, evalrank.ndcg_at_k(recs, test, k=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            evalrank.ndcg_at_k(
+                recs.repartition(7), test.repartition(3), k=10
+            ).collect(),
+        )
+    )
+    assert a == b   # fixed-order fold: exact equality, not approx

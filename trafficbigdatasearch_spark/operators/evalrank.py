@@ -143,3 +143,70 @@ def holdout_split(
     )
     bkt = sampling.hash_bucket(key, salt)
     return ui.filter(bkt < cut), ui.filter(bkt >= cut)
+
+
+def ndcg_at_k(
+    recs: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-user NDCG@k with binary relevance: (user_col, n_relevant, dcg,
+    idcg, ndcg) where ``dcg = Σ 1/log2(1 + rank)`` over relevant items in
+    the top-``k`` and ``idcg`` is the same sum over the ideal ranks
+    ``1..min(k, n_relevant)`` — the position-sensitive complement to
+    first_hit_rank's MRR term (MRR sees only the first hit; NDCG credits
+    every hit, discounted by depth).
+
+    PYTEST-PINNED, deliberately NOT oracle-hashed: log2 is platform math
+    and the per-user sum is a float fold — the same policy split as
+    BM25's robertson idf and lm.logprob_scores.  The per-user hit sum is
+    bounded by k terms folded in a FIXED rank order (sorted array
+    aggregate, not a row-order-dependent SUM), so within one engine the
+    result is deterministic under any partitioning.
+
+    Plan: one equi join on (user, item) + one per-user sorted-array fold
+    + a row-local ideal-rank expression — the same O(users * k) cost
+    envelope as the other evaluation rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hits = (
+        recs.filter(F.col(rank_col) <= k)
+        .select(user_col, item_col, rank_col)
+        .join(relevant.select(user_col, item_col), [user_col, item_col])
+    )
+    # fixed-order fold: collect ranks, sort, then aggregate — never a
+    # float SUM over unordered rows
+    dcg = (
+        hits.groupBy(user_col)
+        .agg(F.sort_array(F.collect_list(rank_col)).alias("_ranks"))
+        .select(
+            user_col,
+            F.aggregate(
+                "_ranks",
+                F.lit(0.0),
+                lambda acc, r: acc + F.lit(1.0) / F.log2(r.cast("double") + 1),
+            ).alias("dcg"),
+        )
+    )
+    rel_users = relevant.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    ideal_n = F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_n),
+        F.lit(0.0),
+        lambda acc, r: acc + F.lit(1.0) / F.log2(r.cast("double") + 1),
+    )
+    return (
+        rel_users.join(dcg, user_col, "left")
+        .select(
+            F.col(user_col),
+            "n_relevant",
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            idcg.alias("idcg"),
+        )
+        .withColumn("ndcg", F.try_divide(F.col("dcg"), F.col("idcg")))
+    )
