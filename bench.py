@@ -252,6 +252,22 @@ def main() -> None:
     if run_traffic:
         _bench_traffic(spark, times, cold)
 
+    # Blind-spot sweep (verdict r7 #5): every registry query OUTSIDE the
+    # headline roster gets one wall-time row per round, so a regression in
+    # the sub-second tail (p_*/f_*/set_*/small a_*) is visible in
+    # BENCH_local.json instead of invisible until a driver window catches
+    # it.  One run each — these are trivia; the MIN-of-2 steady-state
+    # treatment stays reserved for the headline set so totals remain
+    # comparable across rounds.  Skipped under SPARK_GRAFT_BENCH_ONLY.
+    sweep: dict[str, float] = {}
+    if not only:
+        for name in qs:
+            if name in times:
+                continue
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            sweep[name] = round(time.perf_counter() - t0, 3)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     full = {
@@ -264,6 +280,9 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "n_queries": len(times),
         "traffic_fixture_scale": TRAFFIC_SCALE,
+        "sweep_queries": sweep,
+        "sweep_total_sec": round(sum(sweep.values()), 3),
+        "n_sweep": len(sweep),
     }
     # Full per-query record goes to a FILE: at 90+ queries the one-line
     # JSON exceeds the driver's 2000-char stdout tail and BENCH_r04.json

@@ -249,3 +249,73 @@ def test_ndcg_partition_invariant(spark):
         )
     )
     assert a == b   # fixed-order fold: exact equality, not approx
+
+
+def test_eval_operators_deduplicate_inputs(spark):
+    """Review (advice r7): duplicated (query,id)/(user,item) rows in either
+    input must not inflate overlap (recall stays <= 1), n_relevant, or
+    double-count dcg terms — the public-surface dedup contract."""
+    pred = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20)], "query_id BIGINT, neighbor_id BIGINT"
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 10)], "query_id BIGINT, neighbor_id BIGINT"
+    )
+    (row,) = evalrank.topk_overlap(pred, truth, k=1).collect()
+    assert row["n_overlap"] == 1 and row["recall"] == 1.0
+
+    recs = spark.createDataFrame(
+        [(1, 10, 2), (1, 10, 3), (1, 30, 1)],
+        "user_id BIGINT, item_id BIGINT, rank BIGINT",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 99)], "user_id BIGINT, item_id BIGINT"
+    )
+    (fh,) = evalrank.first_hit_rank(recs, rel).collect()
+    assert fh["n_relevant"] == 2  # not 3: dup ground-truth row collapsed
+    assert fh["hit_rank"] == 2
+
+    (nd,) = evalrank.ndcg_at_k(recs, rel, k=5).collect()
+    # one dcg term at the BEST rank (2) for the duplicated hit:
+    # dcg = 1/log2(3), idcg over min(k, n_relevant)=2 ideal ranks
+    import math as _math
+
+    assert nd["n_relevant"] == 2
+    assert nd["dcg"] == pytest.approx(1 / _math.log2(3))
+    assert nd["idcg"] == pytest.approx(1 / _math.log2(2) + 1 / _math.log2(3))
+
+
+def test_hdcg_hand_case(spark):
+    """hdcg_at_k (the oracle-hashable DCG twin): D = lcm(2..k+1); hits at
+    ranks 1 and 3 of k=3 -> dcg_num = D/2 + D/4; ideal for n_relevant=2 ->
+    idcg_num = D/2 + D/3; all integers, one closing division."""
+    recs = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (1, 99, 4)],
+        "user_id BIGINT, item_id BIGINT, rank BIGINT",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 30), (2, 50)], "user_id BIGINT, item_id BIGINT"
+    )
+    out = {r["user_id"]: r for r in evalrank.hdcg_at_k(recs, rel, k=3).collect()}
+    import math as _math
+
+    d = _math.lcm(2, 3, 4)  # 12
+    u1 = out[1]
+    assert u1["n_relevant"] == 2
+    assert u1["dcg_num"] == d // 2 + d // 4      # ranks 1 and 3
+    assert u1["idcg_num"] == d // 2 + d // 3     # ideal ranks 1 and 2
+    assert u1["hdcg"] == (d // 2 + d // 4) / (d // 2 + d // 3)
+    # user 2: relevant but never recommended -> dcg 0, hdcg 0, still a row
+    u2 = out[2]
+    assert (u2["dcg_num"], u2["hdcg"]) == (0, 0.0)
+    assert u2["idcg_num"] == d // 2
+    # rank-4 hit is outside k=3; duplicates credit once at the best rank
+    dup = recs.unionByName(
+        spark.createDataFrame([(1, 10, 2)], "user_id BIGINT, item_id BIGINT, rank BIGINT")
+    )
+    (r1,) = [r for r in evalrank.hdcg_at_k(dup, rel, k=3).collect() if r["user_id"] == 1]
+    assert r1["dcg_num"] == u1["dcg_num"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        evalrank.hdcg_at_k(recs, rel, k=0)

@@ -96,3 +96,25 @@ def test_hybrid_topk_leg_provenance(spark, sf_dir):
     )
     # ranks are dense from 1
     assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+def test_bag_scores_validates_terms(spark, sf_dir):
+    """Review (advice r7): duplicate terms double-count their pivot column
+    and must raise (the rrf_fuse duplicate-name contract); empty term
+    lists raise; and a term equal to id_col scores fine — the _t_ pivot
+    prefix prevents the ambiguous-column collision."""
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="duplicate terms"):
+        fusion.bm25_bag_scores(docs, ["join", "join"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        fusion.bm25_bag_scores(docs, [])
+    clash = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc_id prefix "), F.col("text")).alias("text"),
+    )
+    out = fusion.bm25_bag_scores(clash, ["doc_id", "prefix"]).collect()
+    assert len(out) > 0 and all(r["score"] > 0 for r in out)

@@ -144,3 +144,27 @@ def test_collocations_min_count_floors_hapax(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         lm.collocations(docs, k=0)
+
+
+def test_collocations_hint_auto_same_rows(spark):
+    """The unigram-context joins get the module's standard hint escape
+    hatch (advice r7): 'auto' must produce identical rows to the default
+    broadcast pin, and a bad hint raises."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york city"), (2, "new york is big")],
+        "doc_id BIGINT, text STRING",
+    )
+    base = sorted(
+        map(tuple, lm.collocations(docs, k=10, min_count=2).collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            lm.collocations(docs, k=10, min_count=2, hint="auto").collect(),
+        )
+    )
+    assert base == auto and len(base) > 0
+    with _pytest.raises(ValueError, match="hint"):
+        lm.collocations(docs, k=10, hint="nope")

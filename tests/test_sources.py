@@ -707,3 +707,33 @@ def test_verify_sidecar_manifest_detects_gap(spark, tmp_path):
 
     P.compact_sidecar(spark, layout, ["o_orderdate"], side)
     assert P.verify_sidecar_manifest(spark, layout, P.load_sidecar(spark, side)) == []
+
+
+def test_minmax_sidecar_unselective_range_falls_back_to_dir(spark, tmp_path):
+    """Verdict r7 #7: at 10^6-file scale an UNSELECTIVE predicate must not
+    ship ~every path through the driver — when >= _PRUNE_FALLBACK_RATIO of
+    the sidecar survives, the reader gets the DIRECTORY + residual (rows
+    identical, planning O(1)); a selective range still gets the explicit
+    pruned file list."""
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.sources import parquet as P
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    layout = str(tmp_path / "orders_fallback")
+    P.write_sized(
+        orders, layout, rows_per_file=1 << 30, range_by=["o_orderdate"], n_files=8
+    )
+    sidecar = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
+    lo, hi = "1990-01-01", "2050-01-01"  # covers everything -> fallback
+    wide = P.read_pruned_by_sidecar(spark, layout, sidecar, "o_orderdate", lo, hi)
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    # fallback shape: the scan's paths are the directory listing (all 8
+    # files), NOT an explicit subset — and input_file_name confirms all read
+    assert len(wide.inputFiles()) == 8
+    # a selective quarter still prunes to a strict subset
+    narrow = P.read_pruned_by_sidecar(
+        spark, layout, sidecar, "o_orderdate", "1995-01-01", "1995-04-01"
+    )
+    assert 0 < len(narrow.inputFiles()) < 8

@@ -319,9 +319,31 @@ def test_ohlc_amortized_guard_raises_out_of_range_id(spark):
     colliding ordering keys."""
     import pytest as _pytest
 
-    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000), (1, _t(9, 1), 20.0, 1)])
+    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000_000), (1, _t(9, 1), 20.0, 1)])
     with _pytest.raises(Exception, match="widen _ORD_SCALE"):
         timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+
+
+def test_ohlc_wide_key_computes_past_old_bigint_bound(spark):
+    """Regression (verdict r7 #4): ids >= 1e6 — where the old bigint ×1e6
+    pack collided and its guard ABORTED — must now COMPUTE under the
+    DECIMAL(38,0) pack, with the id tie-break still exact at the same
+    instant.  sf >= 1 event_ids live in this range."""
+    df = _ev(
+        spark,
+        [
+            (1, _t(9, 0), 10.0, 1_000_001),
+            (1, _t(9, 0), 20.0, 1_000_000),  # same instant, smaller id -> open
+            (1, _t(9, 59), 7.0, 9_999_999_999),  # largest legal id -> close
+        ],
+    )
+    out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["close"], r["volume"]) == (20.0, 7.0, 3)
+
+    filled = timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+    assert all(row["value"] is not None for row in filled)
 
 
 def test_gapfill_amortized_guard_raises(spark):
@@ -368,7 +390,7 @@ def test_ohlc_guard_survives_projection_of_close(spark):
     'close' (pruning 'open') must still raise on an out-of-range id."""
     import pytest as _pytest
 
-    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000), (1, _t(9, 1), 20.0, 1)])
+    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000_000), (1, _t(9, 1), 20.0, 1)])
     out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").select(
         "k", "bucket", "close"
     )

@@ -92,6 +92,7 @@ def fuzzy_contamination_pairs(
     id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate train/test contamination: (id_col, bench_id, shared,
     size_a, size_b, jaccard) for every (corpus doc, benchmark doc) pair
@@ -105,9 +106,14 @@ def fuzzy_contamination_pairs(
     BROADCAST (postings for candidate generation, whole shingle sets for
     the verify), candidates exist only for docs sharing >= 1 shingle, and
     the verify is one row-local ``array_intersect`` per candidate — the
-    corpus text never shuffles.  Identity pairs (same id on both sides —
-    only possible when the benchmark is carved from the corpus, as in
-    fixtures) are excluded."""
+    corpus text never shuffles.
+
+    Corpus and benchmark ids are INDEPENDENT namespaces by default: a
+    coincidental id collision across the two tables is a genuine
+    contamination pair and is reported.  Pass ``exclude_same_id=True``
+    only when the benchmark is literally carved from the corpus (shared
+    id space, as in the registry fixture) so a document is not flagged
+    as contaminating itself."""
     def _sets(df, idc):
         return df.select(
             F.col(idc).alias("_id"),
@@ -124,13 +130,12 @@ def fuzzy_contamination_pairs(
     ).withColumnRenamed("_sh", "_bsh")
     bpost = bsets.select("_bid", F.explode("_bsh").alias("_s"))
     csets = _sets(corpus, id_col)
-    cand = (
-        csets.select("_id", F.explode("_sh").alias("_s"))
-        .join(F.broadcast(bpost), "_s")
-        .filter(F.col("_id") != F.col("_bid"))
-        .select("_id", "_bid")
-        .distinct()
+    cand = csets.select("_id", F.explode("_sh").alias("_s")).join(
+        F.broadcast(bpost), "_s"
     )
+    if exclude_same_id:
+        cand = cand.filter(F.col("_id") != F.col("_bid"))
+    cand = cand.select("_id", "_bid").distinct()
     scored = (
         cand.join(csets, "_id")
         .join(F.broadcast(bsets), "_bid")
@@ -160,11 +165,20 @@ def decontaminate_fuzzy(
     id_col: str = "doc_id",
     bench_id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Drop corpus documents near-duplicating ANY benchmark document at
     shingle-Jaccard >= ``threshold`` — one anti join on the flagged ids
-    after :func:`fuzzy_contamination_pairs`."""
+    after :func:`fuzzy_contamination_pairs` (see there for the
+    ``exclude_same_id`` namespace contract)."""
     flagged = fuzzy_contamination_pairs(
-        corpus, benchmark, threshold, n, id_col, bench_id_col, text_col
+        corpus,
+        benchmark,
+        threshold,
+        n,
+        id_col,
+        bench_id_col,
+        text_col,
+        exclude_same_id,
     ).select(id_col).distinct()
     return corpus.join(flagged, id_col, "left_anti")

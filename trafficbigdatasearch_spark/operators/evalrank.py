@@ -32,6 +32,8 @@ Shapes (the 100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,12 +56,20 @@ def topk_overlap(
     with ``n_overlap = 0`` (the left join from truth's query set) — a
     recall report that silently drops its failures is not a report.  The
     join is k-sized per query on both sides, so cost is O(n_queries * k)
-    regardless of corpus size."""
+    regardless of corpus size.
+
+    Both id selections are deduplicated before the join: this is a
+    public evaluation surface, and a duplicated (query, id) row in
+    either input must not inflate ``n_overlap`` past ``k`` (recall > 1
+    is never a valid report)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     hits = (
         pred.select(query_col, id_col)
-        .join(truth.select(query_col, id_col), [query_col, id_col])
+        .distinct()
+        .join(
+            truth.select(query_col, id_col).distinct(), [query_col, id_col]
+        )
         .groupBy(query_col)
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -92,13 +102,19 @@ def first_hit_rank(
 
     Every user with >= 1 relevant item is reported, including users the
     recommender produced nothing for (cold users absent from the training
-    split) — evaluation must count those as misses, not drop them."""
-    rel_users = relevant.groupBy(user_col).agg(
+    split) — evaluation must count those as misses, not drop them.
+
+    ``relevant`` is deduplicated on (user, item) before both the
+    ``n_relevant`` count and the hit join — a duplicated ground-truth
+    row must not inflate the relevant-set size (the hit side is already
+    immune: MIN over rank absorbs duplicates)."""
+    rel = relevant.select(user_col, item_col).distinct()
+    rel_users = rel.groupBy(user_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_relevant")
     )
     hits = (
         recs.select(user_col, item_col, rank_col)
-        .join(relevant.select(user_col, item_col), [user_col, item_col])
+        .join(rel, [user_col, item_col])
         .groupBy(user_col)
         .agg(F.min(rank_col).cast("bigint").alias("hit_rank"))
     )
@@ -169,13 +185,22 @@ def ndcg_at_k(
 
     Plan: one equi join on (user, item) + one per-user sorted-array fold
     + a row-local ideal-rank expression — the same O(users * k) cost
-    envelope as the other evaluation rows."""
+    envelope as the other evaluation rows.
+
+    Inputs are deduplicated: ``relevant`` collapses to distinct
+    (user, item) before the ``n_relevant`` count and the hit join, and a
+    relevant item recommended at several ranks contributes ONE dcg term
+    at its best (minimum) rank — duplicates must not double-count the
+    discounted gain."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    rel = relevant.select(user_col, item_col).distinct()
     hits = (
         recs.filter(F.col(rank_col) <= k)
         .select(user_col, item_col, rank_col)
-        .join(relevant.select(user_col, item_col), [user_col, item_col])
+        .join(rel, [user_col, item_col])
+        .groupBy(user_col, item_col)
+        .agg(F.min(rank_col).alias(rank_col))
     )
     # fixed-order fold: collect ranks, sort, then aggregate — never a
     # float SUM over unordered rows
@@ -191,7 +216,7 @@ def ndcg_at_k(
             ).alias("dcg"),
         )
     )
-    rel_users = relevant.groupBy(user_col).agg(
+    rel_users = rel.groupBy(user_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_relevant")
     )
     ideal_n = F.least(F.col("n_relevant"), F.lit(k)).cast("int")
@@ -209,4 +234,82 @@ def ndcg_at_k(
             idcg.alias("idcg"),
         )
         .withColumn("ndcg", F.try_divide(F.col("dcg"), F.col("idcg")))
+    )
+
+
+def hdcg_at_k(
+    recs: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-user HARMONIC-discount cumulative gain at ``k`` — the
+    position-sensitive evaluation row :func:`ndcg_at_k` cannot make
+    oracle-hashable, made hashable by swapping the discount:
+
+        hdcg = Σ 1/(1 + rank)   over relevant items in the top-k
+
+    1/(1+r) is RATIONAL, so with D = lcm(2..k+1) every term D/(1+r) is an
+    exact integer and the per-user gain is an order-independent INTEGER
+    sum — no float fold, no platform log2 (the collocations lift-vs-PMI
+    move applied to ranked evaluation; same discount family as MRR, one
+    rung gentler than log2's).  Returns (user_col, n_relevant, dcg_num,
+    idcg_num, hdcg) where dcg_num/idcg_num are the integer numerators
+    over the implicit denominator D and ``hdcg = dcg_num / idcg_num`` is
+    the normalized [0, 1] score — ONE closing IEEE division of two exact
+    integers, bit-identical in any engine (the module's determinism
+    policy).  idcg_num is the gain of the ideal ranking 1..min(k,
+    n_relevant), so hdcg = 1 exactly when every relevant item (up to k)
+    sits at the top of the list.
+
+    Same input contract as the siblings: both inputs deduplicated, a
+    relevant item recommended at several ranks credits ONE term at its
+    best rank.  Plan: one (user, item) equi join + two map-side-combined
+    integer aggregates + a row-local ideal-gain expression — O(users * k).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    denom = math.lcm(*range(2, k + 2))
+    rel = relevant.select(user_col, item_col).distinct()
+    hits = (
+        recs.filter(F.col(rank_col) <= k)
+        .select(user_col, item_col, rank_col)
+        .join(rel, [user_col, item_col])
+        .groupBy(user_col, item_col)
+        .agg(F.min(rank_col).alias(rank_col))
+    )
+    dcg = hits.groupBy(user_col).agg(
+        F.sum(F.expr(f"{denom} div (1 + {rank_col})"))
+        .cast("bigint")
+        .alias("dcg_num")
+    )
+    rel_users = rel.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    ideal_n = F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    # ideal gains precomputed exactly driver-side (k tiny): prefix[j-1] =
+    # Σ_{r=1..j} D//(1+r) — a literal lookup, zero in-plan arithmetic
+    prefix, tot = [], 0
+    for r in range(1, k + 1):
+        tot += denom // (1 + r)
+        prefix.append(tot)
+    idcg_num = F.element_at(
+        F.array(*[F.lit(v).cast("bigint") for v in prefix]), ideal_n
+    )
+    return (
+        rel_users.join(dcg, user_col, "left")
+        .select(
+            F.col(user_col),
+            "n_relevant",
+            F.coalesce(F.col("dcg_num"), F.lit(0)).cast("bigint").alias(
+                "dcg_num"
+            ),
+            idcg_num.cast("bigint").alias("idcg_num"),
+        )
+        .withColumn(
+            "hdcg",
+            F.col("dcg_num").cast("double") / F.col("idcg_num").cast("double"),
+        )
     )

@@ -57,16 +57,27 @@ def bm25_bag_scores(
     per matching doc.  The pivot width is len(terms) (a user query, not
     data-sized), so the plan stays a single map-side-combinable aggregate;
     the fixed addition order is what makes the float sum reproducible
-    bit-for-bit in any engine (see module docstring)."""
+    bit-for-bit in any engine (see module docstring).
+
+    ``terms`` is validated up front (the rrf_fuse duplicate-name
+    contract): a duplicated term would silently double-count its pivot
+    column in the sum, and the pivot columns are prefixed so a term that
+    happens to equal ``id_col`` cannot collide into an ambiguous column
+    reference."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate terms: {terms}")
     scored = search.bm25_scores(docs, terms, k1, b, id_col, text_col, idf)
     pivoted = (
-        scored.groupBy(id_col)
-        .pivot("term", terms)
+        scored.withColumn("term", F.concat(F.lit("_t_"), F.col("term")))
+        .groupBy(id_col)
+        .pivot("term", [f"_t_{t}" for t in terms])
         .agg(F.max("score"))
     )
     total = F.lit(0.0)
     for t in terms:
-        total = total + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = total + F.coalesce(F.col(f"`_t_{t}`"), F.lit(0.0))
     return pivoted.select(F.col(id_col), total.alias("score"))
 
 

@@ -189,6 +189,7 @@ def collocations(
     min_count: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hint: str = "broadcast",
 ) -> DataFrame:
     """Corpus collocations: the top-``k`` bigrams by LIFT — the phrase-
     mining pass that surfaces multiword expressions ("new york", "machine
@@ -207,9 +208,19 @@ def collocations(
     by vocabulary and joined back broadcast), then a corpus-total cross
     join and a TakeOrdered top-k.  Returns (w1, w2, n_pair, n_w1, n_w2,
     lift) ordered by (lift DESC, w1, w2) — ties broken lexically so the
-    list is a total function of the corpus."""
+    list is a total function of the corpus.
+
+    The unigram-context tables are VOCABULARY-sized — the same table
+    doc_keywords documents as far past broadcast range at 100 TB — so
+    the module's standard ``hint`` escape hatch applies: ``"broadcast"``
+    (default) pins both lookups map-side for the common
+    vocabulary-fits-in-memory case; ``"auto"`` leaves them as AQE-sized
+    equi joins on w1/w2.  The corpus-total scalar broadcasts either
+    way (one row)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if hint not in ("broadcast", "auto"):
+        raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
     bg = doc_bigrams(docs, id_col, text_col).localCheckpoint(eager=False)
     pairs = (
         bg.groupBy("w1", "w2")
@@ -219,9 +230,11 @@ def collocations(
     left = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
     right = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_w2"))
     total = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    if hint == "broadcast":
+        left, right = F.broadcast(left), F.broadcast(right)
     scored = (
-        pairs.join(F.broadcast(left), "w1")
-        .join(F.broadcast(right), "w2")
+        pairs.join(left, "w1")
+        .join(right, "w2")
         .crossJoin(F.broadcast(total))
         .select(
             "w1",

@@ -60,10 +60,48 @@ def item_counts(ui: DataFrame) -> DataFrame:
     return ui.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_users"))
 
 
-def item_cooccurrence(ui: DataFrame, min_co: int = 1) -> DataFrame:
+def cap_hot_users(ui: DataFrame, max_user_items: int | None) -> DataFrame:
+    """Drop users whose distinct-item count exceeds ``max_user_items``
+    BEFORE any pair join — the co-occurrence twin of
+    ``jaccard_link_prediction``'s ``max_degree`` hub guard
+    (graph.py): the user self-join fans out quadratically in each
+    user's item count, so one crawler / power user with 10⁵ items
+    yields ~5×10⁹ pairs from a single shuffle key.  ``min_co`` prunes
+    AFTER that explosion; this guard prevents it.
+
+    Whole-user drop, not head-sampling: the same explicit recall trade
+    the LSH bucket cap and the wedge-join hub guard make — co-counts
+    witnessed ONLY through a user this promiscuous are near-uniform
+    noise (such a user co-occurs with most of the catalog), so the
+    dropped signal is uninformative, and the drop keeps every surviving
+    co-count EXACT (a sampled user would bias counts unpredictably).
+    Hot users are few by construction, so the over-cap id list ships
+    broadcast to a left-anti join.  ``None`` = no cap (identity)."""
+    if max_user_items is None:
+        return ui
+    if max_user_items <= 0:
+        raise ValueError(
+            f"max_user_items must be positive, got {max_user_items}"
+        )
+    hot = (
+        ui.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n_items"))
+        .filter(F.col("_n_items") > max_user_items)
+        .select("user_id")
+    )
+    return ui.join(F.broadcast(hot), "user_id", "left_anti")
+
+
+def item_cooccurrence(
+    ui: DataFrame, min_co: int = 1, max_user_items: int | None = None
+) -> DataFrame:
     """Ordered co-occurrence pairs: (item_a < item_b, n_co) = number of
     users who interacted with both.  Self-join on user over the collapsed
-    matrix + one map-side-combined count; ``min_co`` prunes the tail."""
+    matrix + one map-side-combined count; ``min_co`` prunes the tail.
+    ``max_user_items`` (see ``cap_hot_users``) drops over-degree users
+    BEFORE the self-join — the pre-explosion skew guard ``min_co``
+    cannot provide."""
+    ui = cap_hot_users(ui, max_user_items)
     a = ui.alias("a")
     b = ui.alias("b")
     return (
@@ -98,7 +136,10 @@ def _symmetric(co: DataFrame) -> DataFrame:
 
 
 def item_cosine_neighbors(
-    ui: DataFrame, n: int = 10, min_co: int = 1
+    ui: DataFrame,
+    n: int = 10,
+    min_co: int = 1,
+    max_user_items: int | None = None,
 ) -> DataFrame:
     """Per-item top-``n`` neighbor list under co-occurrence cosine:
     (item_id, neighbor_id, n_co, score, rank) with
@@ -114,8 +155,13 @@ def item_cosine_neighbors(
     both count lookups); without materialization Spark recomputes the
     distinct collapse — and the event scan under it — once per branch
     (measured: 6 scans, 0 reused exchanges).  One lazy localCheckpoint
-    pins it to a single computation, the graph.py fixpoint pattern."""
-    ui = ui.localCheckpoint(eager=False)
+    pins it to a single computation, the graph.py fixpoint pattern.
+
+    ``max_user_items`` applies ``cap_hot_users`` to the WHOLE
+    computation (co-counts AND the n_users denominators) so the cosine
+    stays internally consistent — capping only the pair join would
+    inflate denominators with users whose co-counts were excluded."""
+    ui = cap_hot_users(ui, max_user_items).localCheckpoint(eager=False)
     counts = item_counts(ui)
     sym = _symmetric(item_cooccurrence(ui, min_co))
     na = counts.select(
@@ -154,6 +200,7 @@ def recommend_topn(
     n: int = 5,
     min_co: int = 1,
     hint: str = "broadcast",
+    max_user_items: int | None = None,
 ) -> DataFrame:
     """Per-user top-``n`` unseen-item recommendations: (user_id, item_id,
     score, rank) where score = SUM of co-counts between the candidate and
@@ -165,14 +212,21 @@ def recommend_topn(
     the user are removed with a LEFT ANTI join on the interaction matrix.
     Plan: ui ⋈ co-table (broadcast under the default hint) -> one
     map-side-combined (user, candidate) sum -> anti join -> per-user top-n
-    window (partitioned by user, no global exchange)."""
+    window (partitioned by user, no global exchange).
+
+    ``max_user_items`` caps ONLY the co-occurrence input (the quadratic
+    stage — see ``cap_hot_users``); the candidate and anti joins keep the
+    FULL matrix, so an over-cap user still receives recommendations —
+    scored by the co-counts the normal population produced — and still
+    has every seen item excluded.  Those two stages are linear in the
+    user's item count, so the hot user is harmless there."""
     if hint not in ("broadcast", "auto"):
         raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
     # same multi-consumer materialization as item_cosine_neighbors: the
     # matrix feeds the co-join (twice), the candidate join, and the anti
     # join — checkpoint once instead of four event-scan recomputes
     ui = ui.localCheckpoint(eager=False)
-    sym = _symmetric(item_cooccurrence(ui, min_co))
+    sym = _symmetric(item_cooccurrence(ui, min_co, max_user_items))
     if hint == "broadcast":
         sym = F.broadcast(sym)
     cand = (

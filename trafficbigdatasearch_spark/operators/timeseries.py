@@ -29,30 +29,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Multiplier folding (epoch-millis, row-id) into ONE bigint ordering key:
-#: ``epoch_ms * _ORD_SCALE + id``.  Exact while epoch_ms < 9.2e12 (year
-#: ~2261) and id < 1e6 within the partition being ordered; the 100 TB
-#: variant widens to DECIMAL(38,0) or salts ids per bucket — documented
-#: rather than silently truncated.
-_ORD_SCALE = 1_000_000
+#: Multiplier folding (epoch-millis, row-id) into ONE DECIMAL(38,0)
+#: ordering key: ``epoch_ms * _ORD_SCALE + id``.  The wide pack (the
+#: a_attribution_touch pattern, queries/standard.py) stays injective for
+#: any id < 1e10 at EVERY scale factor — the old bigint ×1e6 pack
+#: collided (and its guard ABORTED the job) once ids passed 1e6, i.e. at
+#: sf >= 1.  DECIMAL(38,0) arithmetic is exact; DuckDB's twin is
+#: ``epoch_ms(ts)::HUGEINT * 10000000000 + id``.
+_ORD_SCALE = 10_000_000_000
 
 
 def _ord_key(ts_col, id_col):
     """Deterministic total order for min_by/max_by tie-breaks, expressible
-    identically in DuckDB as ``epoch_ms(ts) * 1000000 + id`` (the repo's
-    established unix_millis <-> epoch_ms cross-engine pairing).
+    identically in DuckDB as ``epoch_ms(ts)::HUGEINT * 10000000000 + id``
+    (the repo's established unix_millis <-> epoch_ms cross-engine
+    pairing, HUGEINT matching the DECIMAL(38,0) pack exactly).
 
-    The key itself is RAW arithmetic — pure bigint multiply-add, fully
-    codegen'd inside the aggregate.  The injectivity bound
-    (0 <= id < _ORD_SCALE) is still enforced at runtime, but AMORTIZED to
-    the aggregate level: callers fold :func:`_ord_ids_ok` into the same
+    The key itself is RAW arithmetic — one exact decimal multiply-add,
+    still evaluated entirely inside the aggregate.  The injectivity bound
+    (0 <= id < _ORD_SCALE) is enforced at runtime but AMORTIZED to the
+    aggregate level: callers fold :func:`_ord_ids_ok` into the same
     aggregate (one map-side-combined ``min`` of a boolean — no branch or
     string machinery on the per-row hot path) and wrap one output column
     with :func:`_ord_guard`, which raises before any key-collision-
-    corrupted result can escape.  At a scale where ids exceed 1e6 per
-    ordered scope, widen _ORD_SCALE or switch to a DECIMAL(38,0)
-    packing."""
-    return F.unix_millis(ts_col) * F.lit(_ORD_SCALE) + id_col
+    corrupted result can escape.  Ten-billion ids per ordered scope is
+    past any real event-id space; if a schema ever exceeds it, widen
+    _ORD_SCALE (DECIMAL(38,0) has ~25 spare digits) rather than letting
+    keys collide silently."""
+    return (
+        F.unix_millis(ts_col).cast("decimal(20,0)")
+        * F.lit(_ORD_SCALE).cast("decimal(11,0)")
+        + id_col.cast("decimal(20,0)")
+    )
 
 
 def _ord_ids_ok(id_col):

@@ -4500,10 +4500,10 @@ def graph_pagerank_q(spark, sf):
 @register(
     "ts_resample_ohlc",
     """SELECT user_id, date_trunc('hour', ts) AS bucket,
-              arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
               max(value) AS high,
               min(value) AS low,
-              arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
               CAST(count(*) AS BIGINT) AS volume
        FROM events GROUP BY user_id, date_trunc('hour', ts)""",
 )
@@ -4530,7 +4530,7 @@ def ts_resample_ohlc_q(spark, sf):
     "ts_gapfill",
     """WITH closes AS (
          SELECT user_id, date_trunc('hour', ts) AS bucket,
-                arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS _close
+                arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS _close
          FROM events GROUP BY user_id, date_trunc('hour', ts)),
        spine AS (
          SELECT user_id,
@@ -4832,7 +4832,7 @@ def j_point_in_polygon_q(spark, sf):
     "ts_interpolate",
     """WITH closes AS (
          SELECT user_id, date_trunc('hour', ts) AS bucket,
-                arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS _close
+                arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS _close
          FROM events GROUP BY user_id, date_trunc('hour', ts)),
        spine AS (
          SELECT user_id,
@@ -5016,10 +5016,10 @@ def dedup_keep_best_q(spark, sf):
     "stream_ohlc",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
               user_id,
-              arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
               max(value) AS high,
               min(value) AS low,
-              arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
               CAST(count(*) AS BIGINT) AS volume
        FROM events GROUP BY 1, 2""",
 )
@@ -5032,9 +5032,16 @@ def stream_ohlc_q(spark, sf):
     verification shape).  This pins that ordered-argmin/argmax state —
     the continuous-rollup core of a live tick/sensor hypertable — survives
     the streaming aggregate path, not just the batch one.  At scale the
-    identical plan runs unbounded with a watermark + append sink."""
+    identical plan runs unbounded with a watermark + append sink.
+    Ordering key = the wide DECIMAL(38,0) pack (timeseries._ord_key's
+    contract, HUGEINT in the oracle) — injective for event_id < 1e10 at
+    every SF; the old bigint ×1e6 pack collided at sf >= 1."""
     src = _stream_events_source(spark, sf)
-    ord_key = F.unix_millis(F.col("ts")) * F.lit(1_000_000) + F.col("event_id")
+    ord_key = (
+        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
+        * F.lit(10_000_000_000).cast("decimal(11,0)")
+        + F.col("event_id").cast("decimal(20,0)")
+    )
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(
@@ -6166,6 +6173,58 @@ def rec_item_cosine_q(spark, sf):
 
 
 @register(
+    "rec_item_cosine_capped",
+    """WITH ui0 AS (SELECT DISTINCT user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS item_id
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL),
+       ui AS (SELECT * FROM ui0
+              WHERE user_id NOT IN (SELECT user_id FROM ui0
+                                    GROUP BY user_id
+                                    HAVING count(*) > 55)),
+       n AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_users
+             FROM ui GROUP BY item_id),
+       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM ui a JOIN ui b
+                ON a.user_id = b.user_id AND a.item_id < b.item_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
+               UNION ALL SELECT item_b, item_a, n_co FROM co),
+       s AS (SELECT sym.item_id, sym.neighbor_id, sym.n_co,
+                    CAST(sym.n_co AS DOUBLE) /
+                    (sqrt(CAST(na.n_users AS DOUBLE)) *
+                     sqrt(CAST(nb.n_users AS DOUBLE))) AS score
+             FROM sym
+             JOIN n na ON sym.item_id = na.item_id
+             JOIN n nb ON sym.neighbor_id = nb.item_id)
+       SELECT item_id, neighbor_id, n_co, score,
+              CAST(row_number() OVER (PARTITION BY item_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10""",
+)
+def rec_item_cosine_capped_q(spark, sf):
+    """rec_item_cosine under the HOT-USER CAP (recsys.cap_hot_users,
+    max_user_items=55): users with more than 55 distinct items are
+    dropped BEFORE the pair self-join — the pre-explosion skew guard
+    mirroring jaccard_link_prediction's max_degree hub contract.  At
+    sf0.01 the cap genuinely fires (~10% of users exceed it), so this
+    row certifies the cap SEMANTICS against the oracle — both the
+    whole-user drop and the requirement that the n_users cosine
+    denominators shrink consistently with the co-counts — not just the
+    identity path.  The quadratic stage's per-key fan-out is now
+    bounded by 55²/2 pairs per user regardless of corpus skew."""
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    return recsys.item_cosine_neighbors(
+        ui, n=10, min_co=2, max_user_items=55
+    )
+
+
+@register(
     "rec_user_topn",
     f"""WITH {_REC_UI_CTE},
        cand AS (SELECT ui.user_id, sym.neighbor_id AS item_id,
@@ -6308,6 +6367,82 @@ def rec_eval_holdout_q(spark, sf):
     train, test = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
     recs = recsys.recommend_topn(train, n=10, min_co=2)
     return evalrank.first_hit_rank(recs, test)
+
+
+@register(
+    "eval_rec_hdcg",
+    """WITH ui AS (SELECT DISTINCT user_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS item_id
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  IS NOT NULL),
+       b AS (SELECT user_id, item_id,
+                    ('0x' || substr(md5('eval' ||
+                        CAST(user_id AS VARCHAR) || ':' ||
+                        CAST(item_id AS VARCHAR)), 1, 7))::BIGINT
+                      % 10000 AS bkt
+             FROM ui),
+       train AS (SELECT user_id, item_id FROM b WHERE bkt < 8000),
+       test AS (SELECT user_id, item_id FROM b WHERE bkt >= 8000),
+       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM train a JOIN train b
+                ON a.user_id = b.user_id AND a.item_id < b.item_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
+               UNION ALL SELECT item_b, item_a, n_co FROM co),
+       cand AS (SELECT t.user_id, sym.neighbor_id AS item_id,
+                       CAST(SUM(sym.n_co) AS BIGINT) AS score
+                FROM train t JOIN sym ON t.item_id = sym.item_id
+                GROUP BY 1, 2),
+       unseen AS (SELECT c.user_id, c.item_id, c.score
+                  FROM cand c LEFT JOIN train tr
+                    ON c.user_id = tr.user_id AND c.item_id = tr.item_id
+                  WHERE tr.user_id IS NULL),
+       recs AS (SELECT user_id, item_id,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, item_id) AS BIGINT) AS rank
+                FROM unseen QUALIFY rank <= 10),
+       rel AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_relevant
+               FROM test GROUP BY user_id),
+       dcg AS (SELECT r.user_id,
+                      CAST(SUM(27720 // (1 + r.rank)) AS BIGINT) AS dcg_num
+               FROM recs r JOIN test
+                 ON r.user_id = test.user_id AND r.item_id = test.item_id
+               GROUP BY r.user_id),
+       ideal AS (SELECT rel.user_id,
+                        CAST(SUM(27720 // (1 + g.range)) AS BIGINT)
+                          AS idcg_num
+                 FROM rel, range(1, 11) AS g
+                 WHERE g.range <= least(rel.n_relevant, 10)
+                 GROUP BY rel.user_id)
+       SELECT rel.user_id, rel.n_relevant,
+              CAST(COALESCE(dcg.dcg_num, 0) AS BIGINT) AS dcg_num,
+              ideal.idcg_num,
+              CAST(COALESCE(dcg.dcg_num, 0) AS DOUBLE) / idcg_num AS hdcg
+       FROM rel
+       JOIN ideal ON rel.user_id = ideal.user_id
+       LEFT JOIN dcg ON rel.user_id = dcg.user_id""",
+)
+def eval_rec_hdcg_q(spark, sf):
+    """Position-sensitive holdout evaluation, ORACLE-HASHED (evalrank.
+    hdcg_at_k, closing verdict r7 #8): harmonic-discount cumulative gain
+    over the same 80/20 md5 holdout and top-10 recommendations as
+    rec_eval_holdout.  The discount 1/(1+rank) is RATIONAL, so with
+    D = lcm(2..11) = 27720 every gain term is an exact integer and the
+    per-user dcg/idcg are order-independent INTEGER sums — where NDCG's
+    1/log2(1+rank) is platform math and stays pytest-pinned.  hdcg =
+    dcg_num/idcg_num is one closing IEEE division of two exact integers,
+    bit-identical across engines; the evaluation family is now 100%
+    oracle-verifiable (MRR term via rec_eval_holdout, recall@k via
+    eval_ivf_recall, position-sensitive gain via this row)."""
+    from trafficbigdatasearch_spark.operators import evalrank, recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    train, test = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
+    recs = recsys.recommend_topn(train, n=10, min_co=2)
+    return evalrank.hdcg_at_k(recs, test, k=10)
 
 
 @register(
@@ -6970,8 +7105,11 @@ def decontaminate_fuzzy_q(spark, sf):
     0.5 — the paraphrase/partial-copy leakage the exact hit counter
     (decontaminate) underweights for long documents, since Jaccard
     normalizes by both set sizes.  Benchmark = every 7th doc standing in
-    for an eval suite; identity pairs excluded (the benchmark is carved
-    from the corpus in this fixture).  Everything benchmark-sized ships
+    for an eval suite; identity pairs excluded via exclude_same_id=True —
+    an OPT-IN this fixture makes because its benchmark is carved from
+    the corpus (shared id space); independent-namespace callers keep the
+    default, where an id collision is a real pair.  Everything
+    benchmark-sized ships
     broadcast — candidate postings and whole shingle sets — candidates
     exist only on shared shingles, and the verify is one row-local
     array_intersect per candidate: the corpus text never shuffles."""
@@ -6980,7 +7118,7 @@ def decontaminate_fuzzy_q(spark, sf):
     docs = load_table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     return decontam.fuzzy_contamination_pairs(
-        docs, bench, threshold=0.5, n=5
+        docs, bench, threshold=0.5, n=5, exclude_same_id=True
     )
 
 
@@ -7427,6 +7565,109 @@ def pipeline_mm_dedup_q(spark, sf):
 #    the shared moments/finalize code path; stream_lm_gate likewise shares
 #    pipeline_lm_filter's oracle)
 #
+# ROUND-8 rotation (executing the r8 queue + slot-priority policy; the
+# stable 22 stay put):
+#   in  (the 15-query ROUND-8 QUEUE above, never driver-checked)
+#       ts_trend_incremental, stream_trend, pipeline_lm_filter,
+#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
+#       dedup_semantic_ivf, q18_large_orders, text_collocations,
+#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
+#       a_impute_median, pipeline_mm_dedup
+#   in  (changed-code re-verification per the r7 amendment: the
+#        _pq_adc_parts refactor rewrote their shared scoring stage; their
+#        last driver row predates it)
+#       sim_pq_rerank_topk, sim_pq_trained_topk
+#   in  (this round's new query, first-round entry per policy)
+#       rec_item_cosine_capped (the hot-user-cap variant, verdict r7 #1 —
+#       cap genuinely fires at sf0.01 so the oracle certifies the drop
+#       semantics, not the identity path)
+#   in  (cycle-backs promised in the r7 exits)
+#       table_merge_upsert, stream_merge_upsert, text_bpe_merges,
+#       text_bpe_encode, text_bpe_apply, pipeline_bpe, s_orc_roundtrip
+#   in  (this round's second new query, first-round entry per policy)
+#       eval_rec_hdcg (the rational-discount DCG twin, verdict r7 #8 —
+#       takes the slot ts_resample_ohlc would have used; see next note)
+#   in  (changed-code re-verification, THIS round's change: the OHLC/
+#        gapfill ordering key widened from the bigint x1e6 pack to
+#        DECIMAL(38,0) x1e10 — verdict r7 #4 — on both engines)
+#       ts_gapfill, stream_ohlc
+#       (ts_resample_ohlc yields its slot to the new eval_rec_hdcg row:
+#        its widened key is the SAME _ord_key expression ts_gapfill's
+#        closes stage runs, its min_by+max_by OHLC shape is what
+#        stream_ohlc runs with the same wide pack, and the sf>=1
+#        boundary is pinned by the new wide-key pytest
+#        (tests/test_timeseries.py) — plus a green driver_sim rehearsal
+#        this session; cycles back r9 with ts_interpolate, which shares
+#        ts_gapfill's widened closes stage with untouched interpolation
+#        arithmetic)
+#   out (-> in-window sibling covering the code path; every exit was
+#        green in the r7 driver window, and this round's full driver_sim
+#        sweep re-verifies all of them on shipping code)
+#       dedup_jaccard_prefix  -> dedup_incremental + pipeline_dedup_corpus
+#                                (stable) hold the shingle/anti machinery;
+#                                prefix-filter pinned tests/test_dedup_edges
+#       text_dup_spans        -> shingle+posexplode machinery inside the
+#                                stable dedup pipelines; span-merge goldens
+#                                in tests/test_dedup_edges.py
+#       a_attribution_linear  -> the DECIMAL(38,0) ordering-key family is
+#                                carried by the in-window widened OHLC trio;
+#                                credit arithmetic pinned tests/test_abtest
+#       text_hybrid_rrf       -> fusion arithmetic pinned tests/test_fusion
+#                                (incl. the new term-validation contract);
+#                                leg machinery held by stable
+#                                text_phrase_indexed + sim_ivf_indexed
+#       text_lm_coverage      -> pipeline_lm_filter + stream_lm_gate
+#                                (in-window) run the same lm scoring path
+#       rec_item_cosine       -> rec_item_cosine_capped (in-window) is a
+#                                strict superset: same pipeline + cap stage
+#       rec_user_topn         -> rec_negatives (in-window) holds the
+#                                interaction-matrix machinery; recommend
+#                                path pinned tests/test_recsys.py
+#       eval_ivf_recall       -> IVF legs held by sim_ivf_adc_topk
+#                                (in-window) + sim_ivf_indexed (stable);
+#                                dedup'd overlap pinned tests/test_evalrank
+#       rec_eval_holdout      -> holdout split + first_hit_rank pinned
+#                                tests/test_evalrank.py; matrix machinery
+#                                in rec_negatives (in-window)
+#       s_zorder_skipping     -> sidecar build + prune machinery pinned
+#                                tests/test_sources.py; cycles back r9
+#       ts_trend_per_key      -> ts_trend_incremental + stream_trend
+#                                (in-window) are pinned bit-identical to it
+#       a_ab_conversion       -> a_grouping_sets (stable agg) +
+#                                tests/test_abtest.py goldens
+#       text_bm25_topk/_indexed -> postings + BM25 scoring pinned
+#                                tests/test_search.py; postings machinery
+#                                in stable text_phrase_indexed
+#       sim_ivf_topk          -> sim_ivf_adc_topk (in-window) shares the
+#                                _IVF_CTES build/probe; sim_ivf_indexed
+#                                (stable) holds the index surface
+#       pipeline_dbscan, spatial_density -> CC fixpoint held by
+#                                pipeline_mm_dedup (in-window) + stable
+#                                pipeline_dedup_corpus; grid machinery
+#                                pinned tests/test_spatial.py
+#       graph_pagerank        -> graph_ppr (in-window): same integer
+#                                power-iteration loop, personalized seeds
+#       graph_kcore, graph_label_prop, graph_sssp -> graph family held by
+#                                graph_ppr + graph_link_pred (in-window);
+#                                fixpoint loop shared; tests/test_graph.py
+#       p_calendar_eq         -> p_bbox_filter (stable predicate family)
+#       a_group_avg, a_pricing_summary -> quality_report (stable exact
+#                                aggregates) + q3_shipping_priority
+#       a_rollup, a_cube      -> a_grouping_sets (stable: the same Expand
+#                                grouping-set machinery, superset shape)
+#       set_intersect, set_except -> set-op rewrite pinned
+#                                tests/test_plans.py + pytest goldens
+#
+# ROUND-9 ROTATION QUEUE (the 12 remaining never-driver-checked rows, in
+# registration order — enters the r9 window FIRST per the slot-priority
+# rule): a_attribution_touch, a_basket_pairs, a_event_transitions,
+#       a_histogram, a_winsorize, dedup_containment, j_bloom_anti,
+#       j_bloom_prefilter, quality_profile, quality_referential,
+#       s_minmax_skipping, stream_dedup
+#   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
+#   ts_interpolate) and oldest-stale (the r3/r4-green exits in
+#   registration order).
+#
 # ROUND-7 rotation (executing the r7 queue + slot-priority policy):
 #   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
 #       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
@@ -7507,39 +7748,42 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 7: the 3-query r7 queue ---------------------
-    "dedup_jaccard_prefix",
-    "text_dup_spans",
-    "a_attribution_linear",
-    # --- rotating slots, round 7: new queries, first-round entry -----------
-    "text_hybrid_rrf",
-    "text_lm_coverage",
-    "rec_item_cosine",
-    "rec_user_topn",
-    "eval_ivf_recall",
-    "rec_eval_holdout",
-    "s_zorder_skipping",
-    "ts_trend_per_key",
-    "a_ab_conversion",
-    # --- rotating slots, round 7: changed-code re-verification -------------
-    "text_bm25_topk",
-    "text_bm25_indexed",
-    "sim_ivf_topk",
-    # --- rotating slots, round 7: promised cycle-backs ---------------------
-    "pipeline_dbscan",
-    "spatial_density",
-    "graph_pagerank",
-    "graph_kcore",
-    "graph_label_prop",
-    "graph_sssp",
-    # --- rotating slots, round 7: oldest-stale rows (last green r2) --------
-    "p_calendar_eq",
-    "a_group_avg",
-    "a_pricing_summary",
-    "a_rollup",
-    "a_cube",
-    "set_intersect",
-    "set_except",
+    # --- rotating slots, round 8: the 15-query r8 queue --------------------
+    "ts_trend_incremental",
+    "stream_trend",
+    "pipeline_lm_filter",
+    "text_doc_keywords",
+    "rec_negatives",
+    "sim_ivf_adc_topk",
+    "graph_ppr",
+    "dedup_semantic_ivf",
+    "q18_large_orders",
+    "text_collocations",
+    "stream_lm_gate",
+    "decontaminate_fuzzy",
+    "graph_link_pred",
+    "a_impute_median",
+    "pipeline_mm_dedup",
+    # --- rotating slots, round 8: changed-code re-verification (r7 PQ
+    # refactor amendment) ----------------------------------------------------
+    "sim_pq_rerank_topk",
+    "sim_pq_trained_topk",
+    # --- rotating slots, round 8: new query, first-round entry -------------
+    "rec_item_cosine_capped",
+    # --- rotating slots, round 8: promised cycle-backs ---------------------
+    "table_merge_upsert",
+    "stream_merge_upsert",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "text_bpe_apply",
+    "pipeline_bpe",
+    "s_orc_roundtrip",
+    # --- rotating slots, round 8: new query, first-round entry -------------
+    "eval_rec_hdcg",
+    # --- rotating slots, round 8: changed-code re-verification (ordering
+    # key widened to DECIMAL(38,0), this round) ------------------------------
+    "ts_gapfill",
+    "stream_ohlc",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)

@@ -509,6 +509,38 @@ def compact_parquet_dir(
         compact_sidecar(spark, path, sidecar_cols, sidecar_path)
 
 
+#: Fallback threshold for the sidecar-pruned readers: when the surviving
+#: file set is at least this fraction of the sidecar, hand the reader the
+#: DIRECTORY plus the residual predicate instead of an explicit path list.
+#: The collected list is bounded by |surviving files|, not table size —
+#: selective reads on a 10⁶-file layout still collect only their own few
+#: files — but an UNSELECTIVE predicate would otherwise ship ~all paths to
+#: the driver and back into the reader (tens of MB of strings at 100 TB)
+#: to save almost no I/O.  Above the threshold, pruning buys < 1/5 of the
+#: scan; the directory read costs at most that much extra I/O and keeps
+#: planning O(1).  Partition-value pruning (month/date directories +
+#: `load_table`'s partition filters) remains the PRIMARY path for layouts
+#: where a partition column carries the predicate — the sidecar is for
+#: value ranges finer than the partition grain (see SCALING.md).
+_PRUNE_FALLBACK_RATIO = 0.8
+
+
+def _read_surviving(spark, path, sidecar, surviving, residual, schema):
+    """Shared tail of the sidecar-pruned readers: collect the surviving
+    file list (bounded by predicate selectivity), or fall back to the
+    directory scan when pruning would not pay (see
+    :data:`_PRUNE_FALLBACK_RATIO`).  The residual predicate makes both
+    shapes row-identical to the unpruned filtered scan."""
+    n_total = sidecar.count()
+    files = [r["file"] for r in surviving.select("file").collect()]
+    full_schema = schema if schema is not None else spark.read.parquet(path).schema
+    if not files:
+        return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
+    if n_total > 0 and len(files) >= _PRUNE_FALLBACK_RATIO * n_total:
+        return spark.read.schema(full_schema).parquet(path).filter(residual)
+    return spark.read.schema(full_schema).parquet(*files).filter(residual)
+
+
 def read_pruned_by_sidecar(
     spark: SparkSession,
     path: str,
@@ -546,16 +578,8 @@ def read_pruned_by_sidecar(
     upper = (F.col(f"min_{col}") <= hi) if closed == "both" else (
         F.col(f"min_{col}") < hi
     )
-    files = [
-        r["file"]
-        for r in sidecar.filter((F.col(f"max_{col}") >= lo) & upper)
-        .select("file")
-        .collect()
-    ]
-    full_schema = schema if schema is not None else spark.read.parquet(path).schema
-    if not files:
-        return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
-    return spark.read.schema(full_schema).parquet(*files).filter(res)
+    surviving = sidecar.filter((F.col(f"max_{col}") >= lo) & upper)
+    return _read_surviving(spark, path, sidecar, surviving, res, schema)
 
 
 def read_pruned_box(
@@ -585,11 +609,7 @@ def read_pruned_box(
     for col, lo, hi in preds:
         res = res & (F.col(col) >= lo) & (F.col(col) < hi)
         keep = keep & (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") < hi)
-    files = [r["file"] for r in sidecar.filter(keep).select("file").collect()]
-    full_schema = schema if schema is not None else spark.read.parquet(path).schema
-    if not files:
-        return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
-    return spark.read.schema(full_schema).parquet(*files).filter(res)
+    return _read_surviving(spark, path, sidecar, sidecar.filter(keep), res, schema)
 
 
 def upsert_partitions(
