@@ -164,6 +164,11 @@ HEADLINE = [
     "graph_link_pred",
     "a_impute_median",
     "pipeline_mm_dedup",
+    "rec_item_cosine_capped",
+    "eval_rec_hdcg",
+    "sample_temperature",
+    "text_boilerplate_spans",
+    "pipeline_boilerplate_strip",
 ]
 
 

@@ -375,3 +375,40 @@ def test_strip_spans_keeps_fully_covered_doc(spark):
     out = {r["doc_id"]: r["text"] for r in
            dedup.strip_duplicated_spans(docs, spans).collect()}
     assert out == {1: "", 2: "", 3: "x y z w"}
+
+
+def test_boilerplate_spans_group_scoped(spark):
+    """boilerplate_spans: a footer phrase recurring across most of ONE
+    source's docs flags there — but the same phrase in a source where it
+    appears once does not (group-scoped DF is the whole point); strip
+    removes exactly the flagged tokens."""
+    footer = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + footer, "hostA"),
+            (2, "delta epsilon zeta " + footer, "hostA"),
+            (3, "eta theta iota " + footer, "hostA"),
+            (4, "unique words only here entirely", "hostA"),
+            (5, "kappa lambda mu " + footer, "hostB"),
+            (6, "nu xi omicron pi rho sigma", "hostB"),
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    spans = dedup.boilerplate_spans(
+        docs, group_col="source", k=5, min_df_pct=60, min_docs=2
+    )
+    rows = spans.collect()
+    # hostA: 3/4 docs carry the footer (75% >= 60%) -> flagged there;
+    # hostB: 1/2 docs (50% < 60%) -> NOT flagged
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    for r in rows:
+        assert r["span_start"] == 3 and r["span_end"] == 8  # the 5 footer tokens
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in dedup.strip_duplicated_spans(docs, spans).collect()
+    }
+    assert stripped[1] == "alpha beta gamma"
+    assert stripped[4] == "unique words only here entirely"
+    assert stripped[5] == "kappa lambda mu " + footer  # hostB untouched
+    with pytest.raises(ValueError, match="min_df_pct"):
+        dedup.boilerplate_spans(docs, min_df_pct=0)

@@ -140,3 +140,59 @@ def test_importance_sample_extremes_and_stability(spark):
     assert a == b
     # E[kept] = sum(q/10) = 450; md5 uniformity keeps it close
     assert 380 <= len(a) <= 520
+
+
+def test_temperature_sample_flattens_and_is_exact(spark):
+    """temperature_sample (alpha = a/b): membership is the exact integer
+    inequality bucket^b * n_g^(b-a) < BUCKETS^b * n_min^(b-a) — verified
+    against a Python reimplementation — the smallest group is kept whole,
+    larger groups shrink toward sqrt scaling, and alpha=1 is the
+    identity."""
+    import hashlib
+
+    # group sizes 100 / 400 / 1600: alpha=1/2 targets 100 / 200 / 400
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(400)]
+        + [(10_000 + i, "c") for i in range(1600)]
+    )
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING")
+    kept = sampling.temperature_sample(
+        df, "src", key_col="doc_id", alpha=(1, 2)
+    )
+    got = {(r["doc_id"], r["src"]) for r in kept.collect()}
+
+    def bucket(key, salt="temp"):
+        return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:7], 16) % 10_000
+
+    sizes = {"a": 100, "b": 400, "c": 1600}
+    n_min = 100
+    want = {
+        (i, s)
+        for i, s in rows
+        if bucket(i) ** 2 * sizes[s] < 10_000**2 * n_min
+    }
+    assert got == want
+    by = {}
+    for _, s in got:
+        by[s] = by.get(s, 0) + 1
+    assert by["a"] == 100                    # anchor group kept whole
+    # sqrt targets 200 / 400 with binomial noise (md5-uniform buckets)
+    assert 150 < by["b"] < 250 and 320 < by["c"] < 480
+    # alpha = 1 is the identity
+    assert sampling.temperature_sample(
+        df, "src", key_col="doc_id", alpha=(1, 1)
+    ).count() == len(rows)
+    # guards
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(df, "src", key_col="doc_id", alpha=(0, 2))
+    with pytest.raises(ValueError, match="denominator"):
+        sampling.temperature_sample(df, "src", key_col="doc_id", alpha=(1, 4))
+    # deterministic under repartitioning (the module contract)
+    again = {
+        (r["doc_id"], r["src"])
+        for r in sampling.temperature_sample(
+            df.repartition(7), "src", key_col="doc_id", alpha=(1, 2)
+        ).collect()
+    }
+    assert again == got

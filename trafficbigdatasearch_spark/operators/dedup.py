@@ -366,6 +366,16 @@ def duplicated_spans(
     pos = sh.join(hot, "shingle").select(
         "_id", "start", (F.col("start") + k).alias("fin")
     )
+    return _merge_doc_intervals(pos, id_col)
+
+
+def _merge_doc_intervals(pos: DataFrame, id_col: str) -> DataFrame:
+    """Shared per-doc interval merge for the span finders: overlapping or
+    touching (start, fin) windows in ``pos`` (columns: _id, start, fin)
+    collapse into maximal spans with two windows over ONE (_id, start)
+    sort — break-flag = start beyond the running max end of prior windows,
+    group id = running sum of breaks, then min/max per group.  Output:
+    (id_col, span_start, span_end, n_tokens)."""
     w_ord = Window.partitionBy("_id").orderBy("start", "fin")
     prev_max = F.max("fin").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -394,6 +404,65 @@ def duplicated_spans(
             .alias("n_tokens"),
         )
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_df_pct: int = 25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-SOURCE boilerplate regions — the C4/RefinedWeb boilerplate
+    signal made span-shaped: a k-token window is boilerplate for a source
+    iff it appears in >= ``min_docs`` of the source's documents AND in
+    >= ``min_df_pct`` percent of them (navigation chrome, cookie banners,
+    footers — template text that recurs across most of a HOST's pages but
+    is rare corpus-wide, so the global :func:`duplicated_spans` threshold
+    underweights it on big corpora while flagging legitimate cross-site
+    quotations).  Hot windows merge into maximal per-doc spans exactly
+    like duplicated_spans (shared interval-merge stage), positioned on
+    the same token stream :func:`strip_duplicated_spans` explodes — so
+    the strip half is reusable as-is for surgical removal.
+
+    The document-frequency ratio is an INTEGER cross-multiplication
+    (``d * 100 >= min_df_pct * n_docs``) — no float threshold to wobble
+    across engines.  Shape: one shingle posexplode -> one (source,
+    shingle) exchange for within-source distinct-doc frequencies (the
+    per-source doc totals ride a broadcast join) -> hot windows join back
+    on (source, shingle) -> the per-doc two-window merge.  Everything is
+    bounded by boilerplate volume: a source's hot-window set is at most
+    its template text, never its corpus."""
+    if not 0 < min_df_pct <= 100:
+        raise ValueError(
+            f"min_df_pct must be in (0, 100], got {min_df_pct}"
+        )
+    sh = docs.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
+            "start", "shingle"
+        ),
+    )
+    n_docs = docs.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    hot = (
+        sh.groupBy("_g", "shingle")
+        .agg(F.count_distinct("_id").alias("_d"))
+        .join(F.broadcast(n_docs), "_g")
+        .filter(
+            (F.col("_d") >= min_docs)
+            & (F.col("_d") * 100 >= F.lit(min_df_pct) * F.col("_n_docs"))
+        )
+        .select("_g", "shingle")
+    )
+    pos = sh.join(hot, ["_g", "shingle"]).select(
+        "_id", "start", (F.col("start") + k).alias("fin")
+    )
+    return _merge_doc_intervals(pos, id_col)
 
 
 def strip_duplicated_spans(

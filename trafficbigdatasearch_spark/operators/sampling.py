@@ -173,6 +173,76 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: tuple[int, int] = (1, 2),
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-balanced mixture downsampling — the domain/language
+    REBALANCING pass of multilingual and multi-source pretraining
+    pipelines (the XLM-R / mT5 exponent-smoothing recipe): with
+    ``alpha = a/b`` in (0, 1], each group's kept size targets
+
+        kept_g = n_min^(1-alpha) * n_g^alpha
+
+    — the smallest group is kept WHOLE (rate 1, the anchor) and larger
+    groups are hash-downsampled at rate (n_min/n_g)^(1-alpha), flattening
+    the group-size distribution: alpha=1 keeps everything (identity),
+    alpha→0 levels every group to ~n_min, alpha=1/2 is the conventional
+    square-root temperature.  Unlike :func:`mixture_sample` this needs no
+    target weights — the rebalance is a pure function of the observed
+    sizes.
+
+    EXACT membership, no platform ``pow``: alpha is a RATIONAL (a, b), so
+    ``bucket < BUCKETS * (n_min/n_g)^((b-a)/b)`` cross-multiplies into the
+    all-integer inequality
+
+        bucket^b * n_g^(b-a)  <  BUCKETS^b * n_min^(b-a)
+
+    evaluated in DECIMAL(38,0) (HUGEINT in the oracle) — reproducible
+    bit-for-bit in any engine, where a float ``pow`` is not correctly
+    rounded and a one-ULP wobble at a bucket boundary would flip
+    membership.  ``b <= 3`` keeps the products inside 38 digits for group
+    sizes up to ~1e9 (documented bound; widen the decimal before raising
+    b).  Membership is md5-of-key (the module contract): retry-,
+    repartition-, and engine-stable.
+
+    Plan: one small count aggregate on the group key, a 1-row min, one
+    broadcast join of (n_g, n_min) back onto the corpus, and a row-local
+    integer comparison — the corpus never shuffles."""
+    a, b = alpha
+    if not (0 < a <= b):
+        raise ValueError(f"alpha must be a rational in (0, 1], got {a}/{b}")
+    if b > 3:
+        raise ValueError(
+            f"alpha denominator must be <= 3 (decimal-38 bound), got {b}"
+        )
+
+    def _ipow(col, p):
+        if p == 0:
+            return F.lit(1).cast("decimal(1,0)")
+        out = col
+        for _ in range(p - 1):
+            out = out * col
+        return out
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    n_min = counts.agg(F.min("_n_g").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min))
+    bkt = hash_bucket(F.col(key_col), salt).cast("decimal(5,0)")
+    lhs = _ipow(bkt, b) * _ipow(F.col("_n_g").cast("decimal(10,0)"), b - a)
+    rhs = F.lit(BUCKETS**b).cast("decimal(13,0)") * _ipow(
+        F.col("_n_min").cast("decimal(10,0)"), b - a
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(lhs < rhs)
+        .drop("_n_g", "_n_min")
+    )
+
+
 def group_sample(
     df: DataFrame,
     group_col: str,

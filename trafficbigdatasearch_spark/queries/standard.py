@@ -966,6 +966,125 @@ def text_dup_spans_q(spark, sf):
 
 
 @register(
+    "text_boilerplate_spans",
+    f"""WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, source, t,
+                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM toks),
+       shp AS (SELECT doc_id, source, i AS start,
+                      array_to_string(t[i + 1 : i + 3], ' ') AS s
+               FROM idx),
+       nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       hot AS (SELECT q.source, q.s
+               FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
+                     FROM shp GROUP BY 1, 2) q
+               JOIN nd ON nd.source = q.source
+               WHERE d >= 2 AND d * 100 >= 10 * n_docs),
+       pos AS (SELECT shp.doc_id, shp.start, shp.start + 3 AS fin
+               FROM shp JOIN hot
+                 ON hot.source = shp.source AND hot.s = shp.s),
+       m AS (SELECT doc_id, start, fin,
+                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+             FROM pos),
+       g AS (SELECT doc_id, start, fin,
+                    SUM(CASE WHEN pm IS NULL OR start > pm
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
+             FROM m)
+       SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
+              CAST(MAX(fin) AS INT) AS span_end,
+              CAST(MAX(fin) - MIN(start) AS BIGINT) AS n_tokens
+       FROM g GROUP BY doc_id, gid""",
+)
+def text_boilerplate_spans_q(spark, sf):
+    """Per-SOURCE boilerplate detection (operators/dedup.py::
+    boilerplate_spans) — the C4/RefinedWeb template-text signal: maximal
+    per-doc token spans whose every 3-token window recurs in >= 2 docs
+    AND >= 10 % of the SAME source's documents.  Group-scoped document
+    frequency is what separates host chrome (cookie banners, nav,
+    footers) from legitimate cross-site quotation — the global
+    text_dup_spans threshold underweights the former on big corpora and
+    flags the latter.  The DF ratio is an integer cross-multiplication
+    (d*100 >= pct*n_docs), the per-source doc totals ride a broadcast
+    join, and the spans land on the same token stream
+    strip_duplicated_spans consumes — the strip half is shared."""
+    return dedup.boilerplate_spans(
+        load_table(spark, sf, "documents"),
+        group_col="source",
+        k=3,
+        min_df_pct=10,
+        min_docs=2,
+    )
+
+
+@register(
+    "pipeline_boilerplate_strip",
+    f"""WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, source, t,
+                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM toks),
+       shp AS (SELECT doc_id, source, i AS start,
+                      array_to_string(t[i + 1 : i + 3], ' ') AS s
+               FROM idx),
+       nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       hot AS (SELECT q.source, q.s
+               FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
+                     FROM shp GROUP BY 1, 2) q
+               JOIN nd ON nd.source = q.source
+               WHERE d >= 2 AND d * 100 >= 10 * n_docs),
+       pos AS (SELECT shp.doc_id, shp.start, shp.start + 3 AS fin
+               FROM shp JOIN hot
+                 ON hot.source = shp.source AND hot.s = shp.s),
+       m AS (SELECT doc_id, start, fin,
+                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+             FROM pos),
+       g AS (SELECT doc_id, start, fin,
+                    SUM(CASE WHEN pm IS NULL OR start > pm
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
+             FROM m),
+       spans AS (SELECT doc_id, MIN(start) AS span_start,
+                        MAX(fin) AS span_end
+                 FROM g GROUP BY doc_id, gid),
+       tok AS (SELECT doc_id, t[i + 1] AS tok, i AS pos
+               FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
+                     FROM toks)),
+       marked AS (SELECT tok.doc_id, tok.pos, tok.tok,
+                         MAX(CASE WHEN s.doc_id IS NOT NULL
+                                   AND tok.pos >= s.span_start
+                                   AND tok.pos < s.span_end
+                                  THEN 1 ELSE 0 END) AS in_bp
+                  FROM tok LEFT JOIN spans s ON s.doc_id = tok.doc_id
+                  GROUP BY 1, 2, 3),
+       rebuilt AS (SELECT doc_id,
+                          string_agg(tok, ' ' ORDER BY pos) AS text
+                   FROM marked WHERE in_bp = 0 GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(r.text, '') AS text
+       FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""",
+)
+def pipeline_boilerplate_strip_q(spark, sf):
+    """Boilerplate removal end-to-end: per-source span detection
+    (text_boilerplate_spans' configuration) -> surgical token removal
+    (operators/dedup.py::strip_duplicated_spans, shared with the global
+    dup-span family) -> every document returned with its cleaned text —
+    100 %-boilerplate docs come back EMPTY, never silently dropped (the
+    strip contract).  The output hash covers the full rebuilt text of
+    every document, so this row certifies detection + interval merge +
+    positional strip + deterministic re-assembly (array_sort over (pos,
+    token) structs, not a collect_list ordering assumption) in one
+    oracle comparison."""
+    docs = load_table(spark, sf, "documents")
+    spans = dedup.boilerplate_spans(
+        docs, group_col="source", k=3, min_df_pct=10, min_docs=2
+    )
+    return dedup.strip_duplicated_spans(docs, spans)
+
+
+@register(
     "dedup_containment",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
        idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
@@ -2087,6 +2206,41 @@ def sample_stratified_q(spark, sf):
     return sampling.stratified_sample(
         docs, "lang", {"en": 0.5, "zh": 0.25}, key_col="doc_id", default_rate=0.1
     ).select("doc_id", "lang")
+
+
+@register(
+    "sample_temperature",
+    """WITH nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+               FROM documents GROUP BY 1),
+       mn AS (SELECT min(n_g) AS n_min FROM nd),
+       b AS (SELECT d.source, d.doc_id,
+                    ('0x' || substr(md5('temp' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                      % 10000 AS bkt,
+                    nd.n_g, mn.n_min
+             FROM documents d JOIN nd USING (source) CROSS JOIN mn)
+       SELECT source, doc_id FROM b
+       WHERE bkt::HUGEINT * bkt::HUGEINT * n_g::HUGEINT
+             < 10000::HUGEINT * 10000::HUGEINT * n_min::HUGEINT""",
+)
+def sample_temperature_q(spark, sf):
+    """Temperature-balanced source rebalancing (operators/sampling.py::
+    temperature_sample, the XLM-R/mT5 exponent-smoothing recipe at
+    alpha = 1/2): each source's kept size targets sqrt(n_min * n_g) —
+    the smallest source is kept whole and larger sources are
+    hash-downsampled toward it, flattening the domain distribution
+    without hand-tuned target weights (mixture_sample's contract when
+    you KNOW the mixture; this one when you only know the exponent).
+    Membership is EXACT integer arithmetic: the rational alpha
+    cross-multiplies into bucket^2 * n_g < BUCKETS^2 * n_min evaluated
+    in DECIMAL(38,0)/HUGEINT — no platform pow whose one-ULP wobble
+    could flip a boundary bucket between engines.  The output is the
+    full kept (source, doc_id) membership, so the hash certifies every
+    individual keep/drop decision, not just the counts."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.temperature_sample(
+        docs, "source", key_col="doc_id", alpha=(1, 2)
+    ).select("source", "doc_id")
 
 
 @register(
@@ -7658,15 +7812,21 @@ def pipeline_mm_dedup_q(spark, sf):
 #       set_intersect, set_except -> set-op rewrite pinned
 #                                tests/test_plans.py + pytest goldens
 #
-# ROUND-9 ROTATION QUEUE (the 12 remaining never-driver-checked rows, in
-# registration order — enters the r9 window FIRST per the slot-priority
-# rule): a_attribution_touch, a_basket_pairs, a_event_transitions,
-#       a_histogram, a_winsorize, dedup_containment, j_bloom_anti,
-#       j_bloom_prefilter, quality_profile, quality_referential,
-#       s_minmax_skipping, stream_dedup
+# ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
+# order — enters the r9 window FIRST per the slot-priority rule):
+#   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
+#       a_event_transitions, a_histogram, a_winsorize, dedup_containment,
+#       j_bloom_anti, j_bloom_prefilter, quality_profile,
+#       quality_referential, s_minmax_skipping, stream_dedup
+#   plus the r8 post-freeze registrations (each green under pytest +
+#   tools/driver_sim at sf0.01 in its registration session):
+#       text_boilerplate_spans, pipeline_boilerplate_strip,
+#       sample_temperature
 #   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
-#   ts_interpolate) and oldest-stale (the r3/r4-green exits in
-#   registration order).
+#   ts_interpolate; text_dup_spans re-entry — its interval-merge stage
+#   was factored into the shared _merge_doc_intervals this round,
+#   re-verified green via driver_sim post-refactor) and oldest-stale
+#   (the r3/r4-green exits in registration order).
 #
 # ROUND-7 rotation (executing the r7 queue + slot-priority policy):
 #   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
