@@ -228,7 +228,15 @@ def temperature_sample(
             out = out * col
         return out
 
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    # the group-count table feeds TWO branches (the broadcast rates join
+    # and the 1-row min); one lazy localCheckpoint pins it to a single
+    # corpus scan instead of two (the recsys multi-consumer pattern) —
+    # it is group-cardinality-sized, so materialization is ~free
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n_g"))
+        .localCheckpoint(eager=False)
+    )
     n_min = counts.agg(F.min("_n_g").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min))
     bkt = hash_bucket(F.col(key_col), salt).cast("decimal(5,0)")
