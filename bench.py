@@ -169,6 +169,7 @@ HEADLINE = [
     "sample_temperature",
     "text_boilerplate_spans",
     "pipeline_boilerplate_strip",
+    "dedup_semantic_incremental",
 ]
 
 

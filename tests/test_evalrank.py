@@ -319,3 +319,42 @@ def test_hdcg_hand_case(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         evalrank.hdcg_at_k(recs, rel, k=0)
+
+
+def test_semantic_incremental_dedup_hand_case(spark):
+    """semantic_incremental_dedup: a new vector near-duplicating a corpus
+    vector (same direction) drops; an orthogonal one survives; a
+    re-ingested identical vector drops (identity pairs ARE the duplicate
+    case here, unlike decontam's opt-in exclusion)."""
+    from trafficbigdatasearch_spark.operators import similarity
+
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    corpus = spark.createDataFrame(
+        [
+            (0, vec(1, 0)),        # also the stride-97 centroid (id 0)
+            (3, vec(0.9, 0.1)),
+            (7, vec(0, 1)),
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, vec(0.95, 0.05)),  # near-dup of 0/3 -> dropped
+            (101, vec(-1, 1)),       # nothing similar at 0.9 -> kept
+            (3, vec(0.9, 0.1)),      # re-ingest of corpus 3 -> dropped
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    kept = similarity.semantic_incremental_dedup(
+        corpus, new, threshold=0.9, centroid_stride=97
+    )
+    assert [r["vec_id"] for r in kept.collect()] == [101]
+    # empty new batch flows through
+    assert (
+        similarity.semantic_incremental_dedup(
+            corpus, new.limit(0), threshold=0.9
+        ).count()
+        == 0
+    )

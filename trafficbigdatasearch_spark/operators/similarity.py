@@ -1117,7 +1117,18 @@ def ivf_cell_assignments(
     cq = _with_quantized(cent, vec_col, "mv", "mn").select(
         F.col(id_col).alias("cell_id"), "mv", "mn"
     )
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    return _assign_to_centroids(corpus, cq, id_col, vec_col)
+
+
+def _assign_to_centroids(
+    df: DataFrame, cq: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id_col, cell_id): nearest-centroid assignment of ``df`` against an
+    EXPLICIT quantized centroid table ``cq`` (cell_id, mv, mn) — the shared
+    stage behind self-assignment (:func:`ivf_cell_assignments`) and
+    cross-table assignment (new-batch ingestion against a corpus-derived
+    quantizer).  One broadcast argmin pass, ties to the smaller cell id."""
+    c = _with_quantized(df, vec_col, "cv", "cn").select(
         F.col(id_col).alias("_nid"), "cv", "cn"
     )
     sim = c.crossJoin(F.broadcast(cq)).select(
@@ -1137,3 +1148,70 @@ def ivf_cell_assignments(
         )
         .select(F.col("_nid").alias(id_col), "cell_id")
     )
+
+
+def semantic_incremental_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.95,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL semantic dedup — the ingestion-flow arrangement: keep
+    only the NEW batch's vectors with no cosine near-duplicate (>=
+    ``threshold``) in the already-indexed CORPUS.  The embedding-level
+    twin of dedup.incremental_dedup's text anti-join, completing the
+    matrix: within-corpus semantic dedup exists (IVF-cell blocked pairs),
+    incremental text dedup exists (shingle anti-join); this is
+    new-vs-corpus at the embedding level.
+
+    The quantizer belongs to the CORPUS: centroids are the corpus's
+    deterministic stride sample (the persisted-index posture — a new
+    batch reuses the index's cells, it never re-derives its own), both
+    sides assign with one broadcast argmin pass, and the only data-sized
+    join is new ⋈ corpus keyed on cell_id — candidates restricted to the
+    new vector's best cell, the nprobe=1 recall trade every IVF consumer
+    in this module documents (a true near-dup assigned to a neighboring
+    cell is missed; at near-dup thresholds cells and duplicates cluster
+    together, which is the blocking premise of dedup_semantic_ivf).
+
+    Corpus and new ids are independent namespaces; on a RE-INGESTED
+    vector (same id and payload in both tables) the identity pair is a
+    genuine near-dup and the new copy is correctly dropped — no same-id
+    exclusion (the decontam exclude_same_id discussion, resolved the
+    other way because re-ingest IS the duplicate case here).
+
+    Returns the KEPT subset of ``new`` (all its columns)."""
+    cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    cq = _with_quantized(cent, vec_col, "mv", "mn").select(
+        F.col(id_col).alias("cell_id"), "mv", "mn"
+    )
+    corp = (
+        _with_quantized(corpus, vec_col, "qa", "na")
+        .select(F.col(id_col).alias("_cid"), "qa", "na")
+        .join(
+            _assign_to_centroids(corpus, cq, id_col, vec_col)
+            .withColumnRenamed(id_col, "_cid"),
+            "_cid",
+        )
+    )
+    newq = (
+        _with_quantized(new, vec_col, "qb", "nb")
+        .select(F.col(id_col).alias("_nid"), "qb", "nb")
+        .join(
+            _assign_to_centroids(new, cq, id_col, vec_col)
+            .withColumnRenamed(id_col, "_nid"),
+            "_nid",
+        )
+    )
+    score = V.cosine_from_parts(
+        V.dot(F.col("qb"), F.col("qa")), F.col("nb"), F.col("na")
+    )
+    flagged = (
+        newq.join(corp, "cell_id")
+        .filter(score >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return new.join(flagged, id_col, "left_anti")

@@ -7054,6 +7054,55 @@ def dedup_semantic_ivf_q(spark, sf):
 
 
 @register(
+    "dedup_semantic_incremental",
+    f"""WITH corp AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings
+                    WHERE vec_id % 5 <> 0),
+       nw AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings
+              WHERE vec_id % 5 = 0),
+       cent AS (SELECT vec_id AS cell_id, v AS mv FROM corp
+                WHERE vec_id % 97 = 0),
+       casgn AS (SELECT nid AS cid, cell_id FROM (
+           SELECT corp.vec_id AS nid, cell_id,
+                  row_number() OVER (PARTITION BY corp.vec_id
+                    ORDER BY {_COS.format(a='corp.v', b='cent.mv')} DESC,
+                             cell_id ASC) AS r
+           FROM corp CROSS JOIN cent) t WHERE r = 1),
+       nasgn AS (SELECT nid, cell_id FROM (
+           SELECT nw.vec_id AS nid, cell_id,
+                  row_number() OVER (PARTITION BY nw.vec_id
+                    ORDER BY {_COS.format(a='nw.v', b='cent.mv')} DESC,
+                             cell_id ASC) AS r
+           FROM nw CROSS JOIN cent) t WHERE r = 1),
+       flagged AS (SELECT DISTINCT na.nid
+                   FROM nasgn na
+                   JOIN casgn ca ON ca.cell_id = na.cell_id
+                   JOIN nw ON nw.vec_id = na.nid
+                   JOIN corp ON corp.vec_id = ca.cid
+                   WHERE {_COS.format(a='nw.v', b='corp.v')} >= 0.4)
+       SELECT vec_id, label FROM nw
+       WHERE vec_id NOT IN (SELECT nid FROM flagged)""",
+)
+def dedup_semantic_incremental_q(spark, sf):
+    """INCREMENTAL semantic dedup (similarity.semantic_incremental_dedup):
+    every 5th embedding plays the NEW ingestion batch, the rest the
+    indexed corpus; new vectors with a cosine >= 0.4 near-duplicate in
+    the corpus (candidates restricted to the new vector's best IVF cell
+    under the CORPUS-derived stride quantizer — the persisted-index
+    posture) are dropped, the remainder kept.  Completes the dedup
+    matrix: within-corpus semantic (dedup_semantic_ivf) x incremental
+    text (dedup_incremental) -> incremental semantic.  Both assignments
+    are broadcast argmin passes; the only data-sized join is keyed on
+    cell_id; same 0.4 threshold rationale as the rest of the embedding
+    family (this synthetic corpus tops out near cosine 0.5)."""
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.semantic_incremental_dedup(
+        corpus, new, threshold=0.4
+    ).select("vec_id", "label")
+
+
+@register(
     "q18_large_orders",
     """WITH big AS (SELECT l_orderkey FROM lineitem
                   GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 200),
@@ -7821,7 +7870,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #   plus the r8 post-freeze registrations (each green under pytest +
 #   tools/driver_sim at sf0.01 in its registration session):
 #       text_boilerplate_spans, pipeline_boilerplate_strip,
-#       sample_temperature
+#       sample_temperature, dedup_semantic_incremental
 #   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
 #   ts_interpolate; text_dup_spans re-entry — its interval-merge stage
 #   was factored into the shared _merge_doc_intervals this round,
