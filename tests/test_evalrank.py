@@ -358,3 +358,41 @@ def test_semantic_incremental_dedup_hand_case(spark):
         ).count()
         == 0
     )
+
+
+def test_semantic_incremental_dedup_nprobe_widens_monotonically(spark):
+    """nprobe is the recall dial: the flagged set grows (kept set shrinks)
+    monotonically with nprobe, and at nprobe = n_cells it equals the
+    exhaustive cross-comparison."""
+    from trafficbigdatasearch_spark.operators import similarity
+    import pytest as _pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    n_cells = corpus.filter(F.col("vec_id") % 97 == 0).count()
+    kept = {
+        p: similarity.semantic_incremental_dedup(
+            corpus, new, threshold=0.4, nprobe=p
+        ).count()
+        for p in (1, 2, n_cells)
+    }
+    assert kept[1] >= kept[2] >= kept[n_cells]
+    # exhaustive baseline: every (new, corpus) pair scored directly
+    from trafficbigdatasearch_spark.functions import vectors as V
+
+    cq = similarity._with_quantized(corpus, "embedding", "qa", "na").select(
+        F.col("vec_id").alias("_cid"), "qa", "na"
+    )
+    nq = similarity._with_quantized(new, "embedding", "qb", "nb").select(
+        F.col("vec_id").alias("_nid"), "qb", "nb"
+    )
+    s = V.cosine_from_parts(
+        V.dot(F.col("qb"), F.col("qa")), F.col("nb"), F.col("na")
+    )
+    n_flagged = (
+        nq.crossJoin(cq).filter(s >= 0.4).select("_nid").distinct().count()
+    )
+    assert kept[n_cells] == new.count() - n_flagged
+    with _pytest.raises(ValueError, match="nprobe"):
+        similarity.semantic_incremental_dedup(corpus, new, nprobe=0)

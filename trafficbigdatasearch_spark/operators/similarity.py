@@ -1121,13 +1121,17 @@ def ivf_cell_assignments(
 
 
 def _assign_to_centroids(
-    df: DataFrame, cq: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, cq: DataFrame, id_col: str, vec_col: str, n: int = 1
 ) -> DataFrame:
-    """(id_col, cell_id): nearest-centroid assignment of ``df`` against an
-    EXPLICIT quantized centroid table ``cq`` (cell_id, mv, mn) — the shared
-    stage behind self-assignment (:func:`ivf_cell_assignments`) and
-    cross-table assignment (new-batch ingestion against a corpus-derived
-    quantizer).  One broadcast argmin pass, ties to the smaller cell id."""
+    """(id_col, cell_id): each vector's ``n`` nearest coarse centroids
+    against an EXPLICIT quantized centroid table ``cq`` (cell_id, mv, mn)
+    — the shared stage behind self-assignment
+    (:func:`ivf_cell_assignments`) and cross-table assignment (new-batch
+    ingestion against a corpus-derived quantizer).  One broadcast pass
+    either way; ties to the smaller cell id (the module convention).
+    ``n=1`` stays a pure min_by AGGREGATE (map-side combinable, no
+    window); ``n>1`` ranks with a per-vector window — still partitioned
+    on the vector id, no global exchange."""
     c = _with_quantized(df, vec_col, "cv", "cn").select(
         F.col(id_col).alias("_nid"), "cv", "cn"
     )
@@ -1138,14 +1142,23 @@ def _assign_to_centroids(
             V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
         ).alias("csim"),
     )
-    return (
-        sim.groupBy("_nid")
-        .agg(
-            F.min_by(
-                F.col("cell_id"),
-                F.struct((-F.col("csim")).alias("d"), F.col("cell_id")),
-            ).alias("cell_id")
+    if n == 1:
+        return (
+            sim.groupBy("_nid")
+            .agg(
+                F.min_by(
+                    F.col("cell_id"),
+                    F.struct((-F.col("csim")).alias("d"), F.col("cell_id")),
+                ).alias("cell_id")
+            )
+            .select(F.col("_nid").alias(id_col), "cell_id")
         )
+    w = Window.partitionBy("_nid").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        sim.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
         .select(F.col("_nid").alias(id_col), "cell_id")
     )
 
@@ -1155,6 +1168,7 @@ def semantic_incremental_dedup(
     new: DataFrame,
     threshold: float = 0.95,
     centroid_stride: int = 97,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1171,10 +1185,14 @@ def semantic_incremental_dedup(
     batch reuses the index's cells, it never re-derives its own), both
     sides assign with one broadcast argmin pass, and the only data-sized
     join is new ⋈ corpus keyed on cell_id — candidates restricted to the
-    new vector's best cell, the nprobe=1 recall trade every IVF consumer
-    in this module documents (a true near-dup assigned to a neighboring
-    cell is missed; at near-dup thresholds cells and duplicates cluster
-    together, which is the blocking premise of dedup_semantic_ivf).
+    new vector's ``nprobe`` best cells, the standard IVF recall/cost
+    knob: nprobe=1 compares each new vector against one cell's corpus
+    members (a true near-dup assigned to a neighboring cell is missed —
+    at near-dup thresholds cells and duplicates cluster together, the
+    dedup_semantic_ivf blocking premise); raising nprobe widens the new
+    side's probe fan-out LINEARLY (the corpus side always stays
+    single-cell, so corpus bytes never re-shuffle) and converges on the
+    exhaustive answer at nprobe = n_cells.
 
     Corpus and new ids are independent namespaces; on a RE-INGESTED
     vector (same id and payload in both tables) the identity pair is a
@@ -1196,11 +1214,13 @@ def semantic_incremental_dedup(
             "_cid",
         )
     )
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     newq = (
         _with_quantized(new, vec_col, "qb", "nb")
         .select(F.col(id_col).alias("_nid"), "qb", "nb")
         .join(
-            _assign_to_centroids(new, cq, id_col, vec_col)
+            _assign_to_centroids(new, cq, id_col, vec_col, n=nprobe)
             .withColumnRenamed(id_col, "_nid"),
             "_nid",
         )
