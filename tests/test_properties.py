@@ -356,3 +356,82 @@ def test_holdout_split_partitions_for_any_fraction(spark, frac):
     n, ntr, nte = ui.count(), train.count(), test.count()
     assert ntr + nte == n
     assert train.intersect(test).count() == 0
+
+
+@given(seed=st.integers(min_value=0, max_value=1_000))
+@PROP
+def test_temperature_sample_membership_nests_across_alpha(spark, seed):
+    """r8 invariant: for alpha_1 < alpha_2 (rational), the kept set at the
+    colder temperature is a SUBSET of the kept set at the warmer one —
+    the exact integer cross-multiplied memberships preserve the
+    mathematical nesting bucket < B*(n_min/n_g)^(1-alpha), so tightening
+    the exponent only ever drops rows (never swaps them)."""
+    from trafficbigdatasearch_spark.operators import sampling
+
+    rows = [(seed * 10_000 + i, "g" + str(i % 3)) for i in range(300)]
+    # skew the groups: g0 gets 3x extra rows
+    rows += [(seed * 10_000 + 10_000 + i, "g0") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING")
+    kept = {}
+    for alpha in [(1, 3), (1, 2), (2, 3), (1, 1)]:
+        kept[alpha] = {
+            r["doc_id"]
+            for r in sampling.temperature_sample(
+                df, "src", key_col="doc_id", alpha=alpha
+            ).collect()
+        }
+    assert kept[(1, 3)] <= kept[(1, 2)] <= kept[(2, 3)] <= kept[(1, 1)]
+    assert len(kept[(1, 1)]) == len(rows)
+
+
+@given(pct_lo=st.integers(min_value=20, max_value=50))
+@PROP
+def test_boilerplate_coverage_monotone_in_df_threshold(spark, pct_lo):
+    """r8 invariant: raising min_df_pct only ever SHRINKS the set of
+    (doc, token-position) pairs covered by boilerplate spans — fewer hot
+    windows, nested interval coverage."""
+    from trafficbigdatasearch_spark.operators import dedup
+
+    footer = "one two three four five"
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b " + (footer if i % 3 else "solo text here"),
+          "s0") for i in range(12)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+
+    def coverage(pct):
+        out = set()
+        for r in dedup.boilerplate_spans(
+            docs, group_col="source", k=3, min_df_pct=pct, min_docs=2
+        ).collect():
+            for pos in range(r["span_start"], r["span_end"]):
+                out.add((r["doc_id"], pos))
+        return out
+
+    assert coverage(pct_lo + 40) <= coverage(pct_lo)
+
+
+@given(seed=st.integers(min_value=0, max_value=100))
+@PROP
+def test_hdcg_bounded_and_perfect_head_is_one(spark, seed):
+    """r8 invariant: hdcg is in [0, 1] for ANY inputs, and equals exactly
+    1.0 when every relevant item (up to k) occupies the top ranks."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    k = 5
+    rel_items = [(1, seed * 100 + i) for i in range(3)]
+    rel = spark.createDataFrame(
+        rel_items + [(2, 7), (2, 8)], "user_id BIGINT, item_id BIGINT"
+    )
+    # user 1: perfect head (all 3 relevant at ranks 1-3); user 2: miss
+    recs = spark.createDataFrame(
+        [(1, it, r + 1) for r, (_, it) in enumerate(rel_items)]
+        + [(1, 999, 4), (2, 999, 1)],
+        "user_id BIGINT, item_id BIGINT, rank BIGINT",
+    )
+    out = {r["user_id"]: r for r in evalrank.hdcg_at_k(recs, rel, k=k).collect()}
+    assert out[1]["hdcg"] == 1.0
+    assert out[2]["hdcg"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["hdcg"] <= 1.0
+        assert 0 <= r["dcg_num"] <= r["idcg_num"]
