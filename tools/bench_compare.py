@@ -21,7 +21,9 @@ def _queries(path: str) -> dict[str, float]:
     with open(path) as f:
         rec = json.load(f)
     if "queries" in rec:
-        return rec["queries"]
+        # fold in the r8+ blind-spot sweep rows (single-run tail trivia) so
+        # sweep-only queries are cross-round comparable too
+        return {**rec.get("sweep_queries", {}), **rec["queries"]}
     parsed = rec.get("parsed") or {}
     if parsed.get("queries"):
         return parsed["queries"]
