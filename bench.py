@@ -265,13 +265,22 @@ def main() -> None:
     # it.  One run each — these are trivia; the MIN-of-2 steady-state
     # treatment stays reserved for the headline set so totals remain
     # comparable across rounds.  Skipped under SPARK_GRAFT_BENCH_ONLY.
+    # Per-query error isolation: one broken tail query must not abort the
+    # bench AFTER the headline measurements and lose the whole record —
+    # the sweep exists to make regressions visible in BENCH_local.json,
+    # and a crash would make the entire file invisible instead.
     sweep: dict[str, float] = {}
+    sweep_errors: dict[str, str] = {}
     if not only:
         for name in qs:
             if name in times:
                 continue
             t0 = time.perf_counter()
-            _force(qs[name](spark, SF_DIR))
+            try:
+                _force(qs[name](spark, SF_DIR))
+            except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+                sweep_errors[name] = f"{type(e).__name__}: {e}"[:300]
+                continue
             sweep[name] = round(time.perf_counter() - t0, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -289,6 +298,7 @@ def main() -> None:
         "sweep_queries": sweep,
         "sweep_total_sec": round(sum(sweep.values()), 3),
         "n_sweep": len(sweep),
+        "sweep_errors": sweep_errors,
     }
     # Full per-query record goes to a FILE: at 90+ queries the one-line
     # JSON exceeds the driver's 2000-char stdout tail and BENCH_r04.json

@@ -211,3 +211,15 @@ def test_cap_hot_users_property(spark):
         assert sum(got.values()) <= len(keep) * cap * (cap - 1) // 2
 
     prop()
+
+
+def test_cap_hot_users_counts_distinct_items_not_rows(spark):
+    """Review (r8): the cap thresholds the user's DISTINCT-item fan-out
+    (what the pair join squares) — repeat interaction rows must not
+    whole-drop a small-fan-out user."""
+    # user 1: 3 distinct items x 30 repeat rows; user 2: 5 distinct items
+    rows = [(1, i) for i in (10, 11, 12)] * 30 + [(2, i) for i in range(5)]
+    ui = spark.createDataFrame(rows, "user_id BIGINT, item_id BIGINT")
+    capped = recsys.cap_hot_users(ui, 4)
+    users = {r["user_id"] for r in capped.select("user_id").distinct().collect()}
+    assert users == {1}  # user 2 (5 distinct > 4) drops; user 1 survives

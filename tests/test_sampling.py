@@ -196,3 +196,23 @@ def test_temperature_sample_flattens_and_is_exact(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_temperature_sample_null_group_is_its_own_group(spark):
+    """Review (r8): NULL-group rows must form their own group — not set
+    the n_min anchor and then vanish through the equi join.  alpha=1
+    stays the identity INCLUDING NULL rows."""
+    rows = [(i, "a") for i in range(400)] + [(1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, src STRING")
+    ident = sampling.temperature_sample(df, "src", key_col="doc_id", alpha=(1, 1))
+    assert ident.count() == 405
+    kept = sampling.temperature_sample(df, "src", key_col="doc_id", alpha=(1, 2))
+    by = {}
+    for r in kept.collect():
+        by[r["src"]] = by.get(r["src"], 0) + 1
+    # the NULL group is the smallest -> kept whole; 'a' downsamples
+    # toward sqrt(5 * 400) ~ 45
+    assert by.get(None, 0) == 5
+    assert 20 < by["a"] < 90
+    # schema passes through unchanged (no helper columns leak)
+    assert kept.columns == df.columns

@@ -21,9 +21,16 @@ def _queries(path: str) -> dict[str, float]:
     with open(path) as f:
         rec = json.load(f)
     if "queries" in rec:
-        # fold in the r8+ blind-spot sweep rows (single-run tail trivia) so
-        # sweep-only queries are cross-round comparable too
-        return {**rec.get("sweep_queries", {}), **rec["queries"]}
+        # fold in the r8+ blind-spot sweep rows under a namespaced key:
+        # sweep numbers are ONE cold run (codegen/JIT included) while
+        # headline numbers are MIN-of-2 warm — prefixing keeps the common
+        # set regime-consistent (sweep compares to sweep, warm to warm),
+        # so a query migrating between rosters across rounds never shows
+        # a spurious cold-vs-warm "regression"
+        return {
+            **{f"sweep:{k}": v for k, v in rec.get("sweep_queries", {}).items()},
+            **rec["queries"],
+        }
     parsed = rec.get("parsed") or {}
     if parsed.get("queries"):
         return parsed["queries"]

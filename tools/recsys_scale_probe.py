@@ -36,8 +36,11 @@ from pyspark.sql import functions as F
 from trafficbigdatasearch_spark.operators import recsys
 from trafficbigdatasearch_spark.session import build_spark
 
-HOT_ITEMS = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+# cap default 100: real sf0.1 users hold up to 67 distinct items, so the
+# cap must clear them for the capped==clean assertion to isolate the
+# synthetic hot user (64 was measured unsafe — it capped real users)
+HOT_ITEMS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
 
 def _ui(spark, sf_dir):

@@ -83,9 +83,14 @@ def cap_hot_users(ui: DataFrame, max_user_items: int | None) -> DataFrame:
         raise ValueError(
             f"max_user_items must be positive, got {max_user_items}"
         )
+    # count_distinct, not count: the documented threshold is the user's
+    # DISTINCT-item fan-out (what the pair join squares).  On the collapsed
+    # user_item() matrix the two agree; as a public standalone guard this
+    # must not whole-drop a 3-item user who merely has 100 repeat
+    # interaction rows (review r8).
     hot = (
         ui.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("_n_items"))
+        .agg(F.count_distinct("item_id").alias("_n_items"))
         .filter(F.col("_n_items") > max_user_items)
         .select("user_id")
     )

@@ -209,6 +209,13 @@ def temperature_sample(
     b).  Membership is md5-of-key (the module contract): retry-,
     repartition-, and engine-stable.
 
+    Rows with a NULL group key form their own group (the
+    embedding_near_dup NULL-block precedent): NULL never equi-joins, so
+    without the sentinel coalesce those rows would set the n_min anchor
+    in the count aggregate and then silently VANISH from the output —
+    breaking both the smallest-group-kept-whole and the alpha=1-identity
+    contracts (review r8).
+
     Plan: one small count aggregate on the group key, a 1-row min, one
     broadcast join of (n_g, n_min) back onto the corpus, and a row-local
     integer comparison — the corpus never shuffles."""
@@ -228,12 +235,16 @@ def temperature_sample(
             out = out * col
         return out
 
+    gkey = F.coalesce(
+        F.col(group_col).cast("string"), F.lit("__null_group__")
+    )
+    keyed = df.withColumn("_gkey", gkey)
     # the group-count table feeds TWO branches (the broadcast rates join
     # and the 1-row min); one lazy localCheckpoint pins it to a single
     # corpus scan instead of two (the recsys multi-consumer pattern) —
     # it is group-cardinality-sized, so materialization is ~free
     counts = (
-        df.groupBy(group_col)
+        keyed.groupBy("_gkey")
         .agg(F.count("*").alias("_n_g"))
         .localCheckpoint(eager=False)
     )
@@ -245,9 +256,9 @@ def temperature_sample(
         F.col("_n_min").cast("decimal(10,0)"), b - a
     )
     return (
-        df.join(F.broadcast(rates), group_col)
+        keyed.join(F.broadcast(rates), "_gkey")
         .filter(lhs < rhs)
-        .drop("_n_g", "_n_min")
+        .drop("_gkey", "_n_g", "_n_min")
     )
 
 

@@ -1171,6 +1171,7 @@ def semantic_incremental_dedup(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = True,
 ) -> DataFrame:
     """INCREMENTAL semantic dedup — the ingestion-flow arrangement: keep
     only the NEW batch's vectors with no cosine near-duplicate (>=
@@ -1200,8 +1201,22 @@ def semantic_incremental_dedup(
     exclusion (the decontam exclude_same_id discussion, resolved the
     other way because re-ingest IS the duplicate case here).
 
-    Returns the KEPT subset of ``new`` (all its columns)."""
+    Returns the KEPT subset of ``new`` (all its columns).
+
+    ``validate`` (default TRUE here, unlike the query-path siblings whose
+    empty-centroid failure mode is a conspicuously empty result): a corpus
+    with no id divisible by ``centroid_stride`` yields zero centroids,
+    zero candidates, and a silent NO-dedup that is indistinguishable from
+    a legitimate "no duplicates found" — for a dedup gate that is data
+    corruption, so the one tiny fail-fast job is on by default; builders
+    wiring a pre-validated centroid flow can opt out."""
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+    if validate and cent.isEmpty():
+        raise ValueError(
+            f"semantic_incremental_dedup: corpus has no id divisible by "
+            f"centroid_stride={centroid_stride} — zero centroids would "
+            f"silently disable deduplication"
+        )
     cq = _with_quantized(cent, vec_col, "mv", "mn").select(
         F.col(id_col).alias("cell_id"), "mv", "mn"
     )

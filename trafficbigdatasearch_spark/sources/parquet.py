@@ -530,14 +530,21 @@ def _read_surviving(spark, path, sidecar, surviving, residual, schema):
     file list (bounded by predicate selectivity), or fall back to the
     directory scan when pruning would not pay (see
     :data:`_PRUNE_FALLBACK_RATIO`).  The residual predicate makes both
-    shapes row-identical to the unpruned filtered scan."""
+    shapes row-identical to the unpruned filtered scan.
+
+    The ratio check runs on COUNTS before any path string reaches the
+    driver (review r8): collecting first would materialize ~10⁶ paths on
+    an unselective predicate just to discard them — the exact
+    driver-memory cost the fallback exists to avoid.  Both counts are
+    sidecar-sized jobs (KB–MB)."""
     n_total = sidecar.count()
-    files = [r["file"] for r in surviving.select("file").collect()]
+    n_surv = surviving.count()
     full_schema = schema if schema is not None else spark.read.parquet(path).schema
-    if not files:
+    if n_surv == 0:
         return spark.read.schema(full_schema).parquet(path).filter(F.lit(False))
-    if n_total > 0 and len(files) >= _PRUNE_FALLBACK_RATIO * n_total:
+    if n_total > 0 and n_surv >= _PRUNE_FALLBACK_RATIO * n_total:
         return spark.read.schema(full_schema).parquet(path).filter(residual)
+    files = [r["file"] for r in surviving.select("file").collect()]
     return spark.read.schema(full_schema).parquet(*files).filter(residual)
 
 
