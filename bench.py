@@ -170,6 +170,7 @@ HEADLINE = [
     "text_boilerplate_spans",
     "pipeline_boilerplate_strip",
     "dedup_semantic_incremental",
+    "a_drift_chi2",
 ]
 
 

@@ -259,3 +259,36 @@ def test_impute_all_null_group_stays_null(spark):
     out = {r["id"]: r for r in VA.impute_group_median(df, "v", ["g"]).collect()}
     assert out[2]["v_filled"] is None and out[2]["was_null"] == 1
     assert out[1]["v_filled"] == 5.0
+
+
+def test_histogram_drift_hand_case_and_new_only_bins(spark):
+    """histogram_drift: identical distributions give chi2_term 0 in every
+    bin; a shifted distribution produces positive terms; a NEW-ONLY bin
+    reports NULL term (infinite-drift signal) instead of divide-by-zero;
+    guards reject bad bins."""
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import validate
+
+    old = spark.createDataFrame(
+        [(float(v),) for v in [5, 5, 15, 15]], "value DOUBLE"
+    )
+    same = validate.histogram_drift(old, old, "value", n_bins=4, bin_width=10)
+    for r in same.collect():
+        assert r["chi2_term"] == 0.0 and r["n_old"] == r["n_new"]
+    # new snapshot doubles the mass in bucket 1 and adds bucket 3 (new-only)
+    new = spark.createDataFrame(
+        [(float(v),) for v in [5, 15, 15, 35]], "value DOUBLE"
+    )
+    out = {r["bucket"]: r for r in
+           validate.histogram_drift(old, new, "value", n_bins=4, bin_width=10).collect()}
+    # bucket 0: n_old=2, n_new=1, e = 4_new_total? totals: old 4, new 4
+    # e0 = 4*2/4 = 2 -> term (1-2)^2/2 = 0.5
+    assert out[0]["chi2_term"] == 0.5
+    # bucket 3 is new-only: expected 0 -> NULL term, counts surfaced
+    assert out[3]["n_old"] == 0 and out[3]["n_new"] == 1
+    assert out[3]["chi2_term"] is None
+    with _pytest.raises(ValueError, match="n_bins"):
+        validate.histogram_drift(old, new, "value", n_bins=0)
+    with _pytest.raises(ValueError, match="bin_width"):
+        validate.histogram_drift(old, new, "value", bin_width=0)

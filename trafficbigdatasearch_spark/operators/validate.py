@@ -273,3 +273,100 @@ def impute_group_median(
         )
         .drop("_med_c")
     )
+
+
+def histogram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    bin_width: float = 10.0,
+    lo: float = 0.0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Distribution DRIFT between two corpus snapshots — the ingestion
+    monitor every continuously-fed pipeline needs: bin ``value_col`` with
+    the fixed-width integer recipe (the a_histogram binning: clamped
+    ``floor((value - lo) / bin_width)``), count per bin on both sides,
+    and report the per-bin chi-square contribution of the NEW snapshot
+    against the expectation the OLD distribution predicts:
+
+        e_i    = n_new_total * n_old_i / n_old_total
+        term_i = (n_new_i - e_i)^2 / e_i
+
+    Chi-square, deliberately not PSI: PSI's per-bin ``ln(p/q)`` is
+    platform math (the lm.logprob / NDCG policy line), while the
+    chi-square term is exact integer counts entering a fixed IEEE
+    multiply/divide sequence — oracle-hashable per bin.  Per the module's
+    determinism policy the corpus-level statistic is NOT summed here:
+    per-bin rows hash-compare exactly and the consumer folds them at its
+    own precision (k-1 degrees of freedom, critical values from any
+    table).
+
+    A bin with ``n_old = 0`` but ``n_new > 0`` is NEW-ONLY mass: its
+    expectation is 0 and the term is reported NULL via try_divide — the
+    strongest categorical drift signal there is, surfaced rather than
+    folded into a divide-by-zero.  Bins empty on BOTH sides are omitted
+    (the full-outer join never sees them).
+
+    ``group_col`` scopes the comparison per group (e.g. per event_type)
+    — totals and expectations are per-group.  Shape: two histogram
+    aggregates (map-side combined, <= groups x n_bins rows each), one
+    bin-keyed full-outer join, broadcast per-group totals — nothing
+    data-sized shuffles twice."""
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    gkeys = [group_col] if group_col else []
+
+    def hist(df, cname):
+        bucket = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(bin_width)).cast(
+                    "bigint"
+                ),
+            ),
+        ).cast("bigint")
+        return df.groupBy(
+            *gkeys, bucket.alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias(cname))
+
+    ho = hist(old, "n_old")
+    hn = hist(new, "n_new")
+    joined = ho.join(hn, keys, "full_outer").select(
+        *keys,
+        F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    if group_col:
+        tot_o = ho.groupBy(group_col).agg(F.sum("n_old").alias("_to"))
+        tot_n = hn.groupBy(group_col).agg(F.sum("n_new").alias("_tn"))
+        joined = joined.join(F.broadcast(tot_o), group_col, "left").join(
+            F.broadcast(tot_n), group_col, "left"
+        )
+    else:
+        tot_o = ho.agg(F.sum("n_old").alias("_to"))
+        tot_n = hn.agg(F.sum("n_new").alias("_tn"))
+        joined = joined.crossJoin(F.broadcast(tot_o)).crossJoin(
+            F.broadcast(tot_n)
+        )
+    e = (
+        F.coalesce(F.col("_tn"), F.lit(0)).cast("double")
+        * F.col("n_old").cast("double")
+        / F.col("_to").cast("double")
+    )
+    term = F.try_divide(
+        (F.col("n_new").cast("double") - e) * (F.col("n_new").cast("double") - e),
+        e,
+    )
+    return joined.select(
+        *keys,
+        "n_old",
+        "n_new",
+        e.alias("expected"),
+        term.alias("chi2_term"),
+    )

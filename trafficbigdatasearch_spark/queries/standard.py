@@ -5345,6 +5345,64 @@ def a_histogram_q(spark, sf):
 
 
 @register(
+    "a_drift_chi2",
+    """WITH o AS (SELECT event_type,
+                       CAST(least(19, greatest(0,
+                            CAST(floor(value / 10) AS BIGINT)))
+                            AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_old
+               FROM events WHERE day(ts) <= 15 GROUP BY 1, 2),
+       n AS (SELECT event_type,
+                    CAST(least(19, greatest(0,
+                         CAST(floor(value / 10) AS BIGINT)))
+                         AS BIGINT) AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_new
+             FROM events WHERE day(ts) > 15 GROUP BY 1, 2),
+       j AS (SELECT COALESCE(o.event_type, n.event_type) AS event_type,
+                    COALESCE(o.bucket, n.bucket) AS bucket,
+                    CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+                    CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+             FROM o FULL OUTER JOIN n
+               ON o.event_type = n.event_type AND o.bucket = n.bucket),
+       t AS (SELECT o.event_type, SUM(n_old) AS _to FROM o GROUP BY 1),
+       u AS (SELECT n.event_type, SUM(n_new) AS _tn FROM n GROUP BY 1),
+       e AS (SELECT j.*,
+                    CAST(COALESCE(u._tn, 0) AS DOUBLE) *
+                    CAST(j.n_old AS DOUBLE) /
+                    CAST(t._to AS DOUBLE) AS expected
+             FROM j LEFT JOIN t ON t.event_type = j.event_type
+                    LEFT JOIN u ON u.event_type = j.event_type)
+       SELECT event_type, bucket, n_old, n_new, expected,
+              CASE WHEN expected = 0 OR expected IS NULL THEN NULL
+                   ELSE (CAST(n_new AS DOUBLE) - expected) *
+                        (CAST(n_new AS DOUBLE) - expected) / expected
+              END AS chi2_term
+       FROM e""",
+)
+def a_drift_chi2_q(spark, sf):
+    """Distribution drift between two corpus snapshots
+    (operators/validate.py::histogram_drift): the month's first half
+    plays the OLD snapshot, the rest the NEW feed, per-event_type
+    fixed-width value histograms compared bin-by-bin via the chi-square
+    contribution against the old distribution's expectation — the
+    ingestion monitor of a continuously-fed pipeline.  Chi-square, not
+    PSI: PSI's per-bin ln is platform math (the lm.logprob/NDCG policy
+    line) while these terms are exact integer counts through one fixed
+    IEEE multiply/divide sequence, hash-exact per bin; the corpus-level
+    fold is left to the consumer per the no-float-SUM rule.  New-only
+    bins surface with NULL terms (infinite-drift signal) instead of
+    divide-by-zero."""
+    from trafficbigdatasearch_spark.operators import validate
+
+    ev = load_table(spark, sf, "events")
+    old = ev.filter(F.dayofmonth("ts") <= 15)
+    new = ev.filter(F.dayofmonth("ts") > 15)
+    return validate.histogram_drift(
+        old, new, "value", n_bins=20, bin_width=10.0, group_col="event_type"
+    )
+
+
+@register(
     "a_event_transitions",
     """WITH seq AS (
          SELECT user_id, event_type,
@@ -7875,7 +7933,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #   plus the r8 post-freeze registrations (each green under pytest +
 #   tools/driver_sim at sf0.01 in its registration session):
 #       text_boilerplate_spans, pipeline_boilerplate_strip,
-#       sample_temperature, dedup_semantic_incremental
+#       sample_temperature, dedup_semantic_incremental, a_drift_chi2
 #   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
 #   ts_interpolate; text_dup_spans re-entry — its interval-merge stage
 #   was factored into the shared _merge_doc_intervals this round,
