@@ -7789,30 +7789,30 @@ def pipeline_mm_dedup_q(spark, sf):
 #                               path + f_variant_extract (functions family)
 # =============================================================================
 
-# ROUND-7 CLOSING STATE (for the r8 rotation): the r7 window (positions
+# ROUND-8 CLOSING STATE (for the r9 rotation): the r8 window (positions
 # 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
-# registry was swept green through tools/driver_sim (dtype-strict, sf0.01)
-# FOUR times this session — 161/161 early, 168/168 and 170/170
-# mid-session, and 176/176 at close, the final sweep certifying every
-# post-rehearsal code change (the recsys/prefix-join/negatives
-# localCheckpoints and the _pq_adc_parts refactor) on the code that
-# ships.  pytest at close: 551 passed / 2 skipped / 0 failed.  The
-# 58-query r5-common bench subset measured 0.87x, 1.05x, and 0.87x
-# of the r5 driver bench across three same-session sf0.1 runs (closing
-# roster: 140 queries, 144.9 s warm) — a same-code bracket around r5
-# confirming the host-variance ruling (SCALING.md).
-#   r8 slot guidance, in order:
-#   1. the 15-query ROUND-8 QUEUE below (never driver-checked);
-#   2. changed-code re-verification per the amendment: sim_pq_rerank_topk
-#      + sim_pq_trained_topk (the _pq_adc_parts refactor rewrote their
-#      shared scoring stage this session; both re-verified green via
-#      driver_sim post-refactor, but their last DRIVER row predates it);
-#   3. the r8-priority cycle-backs named in the r7 exits:
-#      table_merge_upsert, stream_merge_upsert, text_bpe_merges/encode/
-#      apply, pipeline_bpe, s_orc_roundtrip;
-#   4. oldest-stale rows (r3-green exits first: j2_interval_join,
-#      dedup_exact family, mm_features, q5_local_supplier, ... in
-#      registration order, then the r4 batch).
+# registry was swept green through tools/driver_sim (dtype-strict,
+# sf0.01) at 181/181 mid-session and 183/183 at close — the closing
+# sweep certifying every post-freeze change (the review-fix batch:
+# count_distinct hot-user cap, NULL-group temperature sentinel,
+# count-before-collect sidecar fallback, semantic-dedup validate
+# fail-fast + nprobe) on the code that ships.  pytest at close: 581
+# passed / 2 skipped / 0 failed.  sf0.1 verification: all 12 r8
+# additions + changed rows hash-green (gapfill/interpolate on the full
+# 1,049,414-row grids under the widened DECIMAL key).  Bench: 0.83x the
+# r5 driver bench on the 58 common queries (mid-session sf0.1 run, 145
+# headline 152.8 s warm + the 39-query blind-spot sweep); the widened
+# ordering key measured flat vs r7.  The recsys hot-user probe recorded
+# the skew bomb (one 20k-item user: 0.48 s -> 23.4 s uncapped, 0.91 s
+# capped, capped == clean) in SCALING.md.
+#   r9 slot guidance, in order:
+#   1. the ROUND-9 QUEUE below (17 never-driver-checked rows: 12 pre-r8
+#      + the 5 r8 post-freeze registrations);
+#   2. cycle-backs named in the r8 exits: s_zorder_skipping,
+#      ts_resample_ohlc, ts_interpolate, text_dup_spans (interval-merge
+#      refactor), s_minmax_skipping (the _read_surviving
+#      count-before-collect rewrite landed after its last driver row);
+#   3. oldest-stale rows (r3/r4-green exits in registration order).
 #
 # ROUND-8 ROTATION QUEUE (registered after the round-7 window was frozen
 # and rehearsed — never driver-checked; enters the r8 window FIRST per the
