@@ -292,3 +292,25 @@ def test_histogram_drift_hand_case_and_new_only_bins(spark):
         validate.histogram_drift(old, new, "value", n_bins=0)
     with _pytest.raises(ValueError, match="bin_width"):
         validate.histogram_drift(old, new, "value", bin_width=0)
+
+
+def test_histogram_drift_null_group_is_monitored(spark):
+    """Review (r8, second pass): a NULL group must be compared as its own
+    group — null-safe joins, not phantom one-sided rows with NULL
+    expectations — and the output preserves the NULL group value."""
+    from trafficbigdatasearch_spark.operators import validate
+
+    old = spark.createDataFrame(
+        [(5.0, None), (5.0, None), (5.0, "a"), (15.0, "a")],
+        "value DOUBLE, src STRING",
+    )
+    out = validate.histogram_drift(
+        old, old, "value", n_bins=4, bin_width=10, group_col="src"
+    ).collect()
+    # identical snapshots: every bin (including the NULL group's) must
+    # report a REAL zero-drift comparison
+    assert len(out) == 3
+    for r in out:
+        assert r["n_old"] == r["n_new"] and r["chi2_term"] == 0.0
+    null_rows = [r for r in out if r["src"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n_old"] == 2

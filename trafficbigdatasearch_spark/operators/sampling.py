@@ -210,11 +210,15 @@ def temperature_sample(
     repartition-, and engine-stable.
 
     Rows with a NULL group key form their own group (the
-    embedding_near_dup NULL-block precedent): NULL never equi-joins, so
-    without the sentinel coalesce those rows would set the n_min anchor
-    in the count aggregate and then silently VANISH from the output —
-    breaking both the smallest-group-kept-whole and the alpha=1-identity
-    contracts (review r8).
+    embedding_near_dup NULL-block precedent): groupBy already counts
+    NULL as a group, and the rates join is NULL-SAFE (``eqNullSafe``),
+    so those rows get their own rate instead of setting the n_min anchor
+    in the count aggregate and then silently VANISHING through a plain
+    equi join — which would break both the smallest-group-kept-whole and
+    the alpha=1-identity contracts (review r8).  No sentinel string is
+    involved, so a group whose value happens to BE some sentinel literal
+    can never merge with the NULL group, and no helper group column is
+    added to the user's schema.
 
     Plan: one small count aggregate on the group key, a 1-row min, one
     broadcast join of (n_g, n_min) back onto the corpus, and a row-local
@@ -235,31 +239,29 @@ def temperature_sample(
             out = out * col
         return out
 
-    gkey = F.coalesce(
-        F.col(group_col).cast("string"), F.lit("__null_group__")
-    )
-    keyed = df.withColumn("_gkey", gkey)
     # the group-count table feeds TWO branches (the broadcast rates join
     # and the 1-row min); one lazy localCheckpoint pins it to a single
     # corpus scan instead of two (the recsys multi-consumer pattern) —
     # it is group-cardinality-sized, so materialization is ~free
     counts = (
-        keyed.groupBy("_gkey")
+        df.groupBy(group_col)
         .agg(F.count("*").alias("_n_g"))
         .localCheckpoint(eager=False)
     )
     n_min = counts.agg(F.min("_n_g").alias("_n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min))
+    rates = counts.crossJoin(F.broadcast(n_min)).withColumnRenamed(
+        group_col, "_rate_group"
+    )
     bkt = hash_bucket(F.col(key_col), salt).cast("decimal(5,0)")
     lhs = _ipow(bkt, b) * _ipow(F.col("_n_g").cast("decimal(10,0)"), b - a)
     rhs = F.lit(BUCKETS**b).cast("decimal(13,0)") * _ipow(
         F.col("_n_min").cast("decimal(10,0)"), b - a
     )
-    return (
-        keyed.join(F.broadcast(rates), "_gkey")
-        .filter(lhs < rhs)
-        .drop("_gkey", "_n_g", "_n_min")
+    joined = df.join(
+        F.broadcast(rates),
+        F.col(group_col).eqNullSafe(F.col("_rate_group")),
     )
+    return joined.filter(lhs < rhs).drop("_rate_group", "_n_g", "_n_min")
 
 
 def group_sample(

@@ -1210,6 +1210,11 @@ def semantic_incremental_dedup(
     a legitimate "no duplicates found" — for a dedup gate that is data
     corruption, so the one tiny fail-fast job is on by default; builders
     wiring a pre-validated centroid flow can opt out."""
+    # argument validation BEFORE any Spark action (the validate probe is
+    # an eager job): a bad nprobe must not cost a cluster job, nor be
+    # masked by the centroid error on an empty-centroid corpus
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
     if validate and cent.isEmpty():
         raise ValueError(
@@ -1229,8 +1234,6 @@ def semantic_incremental_dedup(
             "_cid",
         )
     )
-    if nprobe < 1:
-        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     newq = (
         _with_quantized(new, vec_col, "qb", "nb")
         .select(F.col(id_col).alias("_nid"), "qb", "nb")

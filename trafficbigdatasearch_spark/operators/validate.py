@@ -310,16 +310,20 @@ def histogram_drift(
     (the full-outer join never sees them).
 
     ``group_col`` scopes the comparison per group (e.g. per event_type)
-    — totals and expectations are per-group.  Shape: two histogram
-    aggregates (map-side combined, <= groups x n_bins rows each), one
-    bin-keyed full-outer join, broadcast per-group totals — nothing
-    data-sized shuffles twice."""
+    — totals and expectations are per-group, and every group join is
+    NULL-SAFE (``eqNullSafe``): rows with a NULL group form their own
+    monitored group instead of splitting into phantom one-sided rows
+    with NULL expectations (the temperature_sample NULL-group contract,
+    review r8).  Shape: two histogram aggregates (map-side combined,
+    <= groups x n_bins rows each, each lazily localCheckpointed so each
+    corpus is scanned ONCE even though its histogram feeds both the bin
+    join and the totals branch), one bin-keyed full-outer join,
+    broadcast per-group totals — nothing data-sized shuffles twice."""
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
-    keys = ([group_col] if group_col else []) + ["bucket"]
-    gkeys = [group_col] if group_col else []
+    grouped = group_col is not None
 
     def hist(df, cname):
         bucket = F.least(
@@ -331,22 +335,55 @@ def histogram_drift(
                 ),
             ),
         ).cast("bigint")
-        return df.groupBy(
-            *gkeys, bucket.alias("bucket")
-        ).agg(F.count(F.lit(1)).cast("bigint").alias(cname))
+        gkeys = [group_col] if grouped else []
+        # the histogram feeds TWO consumers (bin join + totals); the lazy
+        # checkpoint pins it to ONE corpus scan (the recsys pattern)
+        return (
+            df.groupBy(*gkeys, bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(cname))
+            .localCheckpoint(eager=False)
+        )
 
-    ho = hist(old, "n_old")
-    hn = hist(new, "n_new")
-    joined = ho.join(hn, keys, "full_outer").select(
-        *keys,
+    ho = hist(old, "n_old").alias("o")
+    hn = hist(new, "n_new").alias("n")
+    if grouped:
+        cond = F.col(f"o.{group_col}").eqNullSafe(
+            F.col(f"n.{group_col}")
+        ) & (F.col("o.bucket") == F.col("n.bucket"))
+    else:
+        cond = F.col("o.bucket") == F.col("n.bucket")
+    sel = (
+        [
+            F.coalesce(
+                F.col(f"o.{group_col}"), F.col(f"n.{group_col}")
+            ).alias(group_col)
+        ]
+        if grouped
+        else []
+    )
+    joined = ho.join(hn, cond, "full_outer").select(
+        *sel,
+        F.coalesce(F.col("o.bucket"), F.col("n.bucket")).alias("bucket"),
         F.coalesce(F.col("n_old"), F.lit(0)).cast("bigint").alias("n_old"),
         F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
     )
-    if group_col:
+    keys = ([group_col] if grouped else []) + ["bucket"]
+    if grouped:
         tot_o = ho.groupBy(group_col).agg(F.sum("n_old").alias("_to"))
-        tot_n = hn.groupBy(group_col).agg(F.sum("n_new").alias("_tn"))
-        joined = joined.join(F.broadcast(tot_o), group_col, "left").join(
-            F.broadcast(tot_n), group_col, "left"
+        tot_n = (
+            hn.groupBy(group_col)
+            .agg(F.sum("n_new").alias("_tn"))
+            .withColumnRenamed(group_col, "_tn_group")
+        )
+        tot_o = tot_o.withColumnRenamed(group_col, "_to_group")
+        joined = joined.join(
+            F.broadcast(tot_o),
+            F.col(group_col).eqNullSafe(F.col("_to_group")),
+            "left",
+        ).join(
+            F.broadcast(tot_n),
+            F.col(group_col).eqNullSafe(F.col("_tn_group")),
+            "left",
         )
     else:
         tot_o = ho.agg(F.sum("n_old").alias("_to"))

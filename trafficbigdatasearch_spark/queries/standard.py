@@ -2218,7 +2218,9 @@ def sample_stratified_q(spark, sf):
                         CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
                       % 10000 AS bkt,
                     nd.n_g, mn.n_min
-             FROM documents d JOIN nd USING (source) CROSS JOIN mn)
+             FROM documents d
+             JOIN nd ON d.source IS NOT DISTINCT FROM nd.source
+             CROSS JOIN mn)
        SELECT source, doc_id FROM b
        WHERE bkt::HUGEINT * bkt::HUGEINT * n_g::HUGEINT
              < 10000::HUGEINT * 10000::HUGEINT * n_min::HUGEINT""",
