@@ -7794,12 +7794,13 @@ def pipeline_mm_dedup_q(spark, sf):
 # ROUND-8 CLOSING STATE (for the r9 rotation): the r8 window (positions
 # 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
 # registry was swept green through tools/driver_sim (dtype-strict,
-# sf0.01) at 181/181 mid-session and 183/183 at close — the closing
-# sweep certifying every post-freeze change (the review-fix batch:
-# count_distinct hot-user cap, NULL-group temperature sentinel,
-# count-before-collect sidecar fallback, semantic-dedup validate
-# fail-fast + nprobe) on the code that ships.  pytest at close: 581
-# passed / 2 skipped / 0 failed.  sf0.1 verification: all 12 r8
+# sf0.01) at 181/181 mid-session and 183/183 TWICE at close — the final
+# sweep certifying every post-freeze change (two review-fix batches:
+# count_distinct hot-user cap, null-safe group joins in drift +
+# temperature, count-before-collect sidecar fallback, semantic-dedup
+# validate fail-fast + hoisted nprobe, drift single-scan checkpoints) on
+# the code that ships.  pytest at close: 581 passed / 2 skipped / 0
+# failed (plan/skew pins re-run green after the last change).  sf0.1 verification: all 12 r8
 # additions + changed rows hash-green (gapfill/interpolate on the full
 # 1,049,414-row grids under the widened DECIMAL key).  Bench: 0.83x the
 # r5 driver bench on the 58 common queries (mid-session sf0.1 run, 145
