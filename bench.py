@@ -171,6 +171,7 @@ HEADLINE = [
     "pipeline_boilerplate_strip",
     "dedup_semantic_incremental",
     "a_drift_chi2",
+    "sim_dim_stats",
 ]
 
 

@@ -396,3 +396,20 @@ def test_semantic_incremental_dedup_nprobe_widens_monotonically(spark):
     assert kept[n_cells] == new.count() - n_flagged
     with _pytest.raises(ValueError, match="nprobe"):
         similarity.semantic_incremental_dedup(corpus, new, nprobe=0)
+
+
+def test_embedding_dim_stats_hand_case(spark):
+    """embedding_dim_stats: exact lattice moments on a hand vector set —
+    dim 0 has values [1.0, 3.0] -> mean 2.0, variance 1.0; dim 1 is dead
+    (all zeros) -> variance 0."""
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    out = {r["dim"]: r for r in similarity.embedding_dim_stats(emb).collect()}
+    assert out[0]["n"] == 2 and out[0]["sum_q"] == 40_000
+    assert out[0]["sumsq_q"] == 10_000**2 + 30_000**2
+    assert out[0]["mean"] == 2.0 and out[0]["variance"] == 1.0
+    assert out[1]["mean"] == 0.0 and out[1]["variance"] == 0.0

@@ -1253,3 +1253,51 @@ def semantic_incremental_dedup(
         .distinct()
     )
     return new.join(flagged, id_col, "left_anti")
+
+
+def embedding_dim_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION moments of an embedding column — the
+    feature-normalization statistics (mean-centering, variance scaling,
+    dead-dimension detection) an embedding pipeline computes before
+    indexing or training a quantizer: (dim, n, sum_q, sumsq_q, mean,
+    variance), with ``dim`` 0-based.
+
+    Exactness contract (the module's quantized-lattice policy): values
+    quantize to the 1e-4 integer lattice first, so ``sum_q`` and
+    ``sumsq_q`` are EXACT integer aggregates — order- and
+    partition-independent — and ``mean`` / population ``variance`` are
+    fixed IEEE op sequences over those exact integers, bit-identical in
+    any engine (a float SUM over raw components would not reproduce).
+    Bounds: per-component |q| <= ~2e4 ⇒ ``sumsq_q`` stays inside int64
+    for n up to ~2.3e10 vectors per dimension; past that ANSI mode
+    raises rather than wrapping.
+
+    Plan: ONE posexplode + one map-side-combined (dim) aggregate — rows
+    shuffled = dims x partials, never corpus-sized; output = one row per
+    dimension."""
+    ex = corpus.select(
+        F.posexplode(V.quantize(F.col(vec_col))).alias("dim", "q")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sumsq_q"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("sum_q").cast("double")
+    ss_d = F.col("sumsq_q").cast("double")
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "sum_q",
+        "sumsq_q",
+        (s_d / n_d / F.lit(float(V.QUANT))).alias("mean"),
+        (
+            (ss_d - s_d * s_d / n_d)
+            / n_d
+            / F.lit(float(V.QUANT) * float(V.QUANT))
+        ).alias("variance"),
+    )

@@ -7168,6 +7168,45 @@ def dedup_semantic_incremental_q(spark, sf):
 
 
 @register(
+    "sim_dim_stats",
+    f"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                        list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT)) AS v
+              FROM embeddings),
+       ex AS (SELECT i AS dim, v[i + 1] AS val
+              FROM (SELECT v, unnest(range(0, len(v))) AS i FROM q)),
+       a AS (SELECT CAST(dim AS BIGINT) AS dim,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(val) AS BIGINT) AS sum_q,
+                    CAST(sum(val * val) AS BIGINT) AS sumsq_q
+             FROM ex GROUP BY 1)
+       SELECT dim, n, sum_q, sumsq_q,
+              CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+              (CAST(sumsq_q AS DOUBLE)
+               - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE) / 100000000.0 AS variance
+       FROM a""",
+)
+def sim_dim_stats_q(spark, sf):
+    """Per-dimension embedding moments (similarity.embedding_dim_stats):
+    the feature-normalization statistics computed before indexing or
+    quantizer training — mean-centering offsets, variance scales,
+    dead-dimension detection.  Components quantize to the 1e-4 integer
+    lattice first, so the per-dim sum and sum-of-squares are EXACT
+    integer aggregates (order/partition/retry-independent) and mean /
+    population variance are fixed IEEE op sequences over exact integers
+    — bit-identical in DuckDB, where a float SUM over raw components
+    would not hash.  One posexplode + one map-side-combined (dim)
+    aggregate; shuffle rows = dims x partials, output = one row per
+    dimension."""
+    return similarity.embedding_dim_stats(
+        load_table(spark, sf, "embeddings")
+    )
+
+
+@register(
     "q18_large_orders",
     """WITH big AS (SELECT l_orderkey FROM lineitem
                   GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 200),
@@ -7936,7 +7975,8 @@ def pipeline_mm_dedup_q(spark, sf):
 #   plus the r8 post-freeze registrations (each green under pytest +
 #   tools/driver_sim at sf0.01 in its registration session):
 #       text_boilerplate_spans, pipeline_boilerplate_strip,
-#       sample_temperature, dedup_semantic_incremental, a_drift_chi2
+#       sample_temperature, dedup_semantic_incremental, a_drift_chi2,
+#       sim_dim_stats
 #   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
 #   ts_interpolate; text_dup_spans re-entry — its interval-merge stage
 #   was factored into the shared _merge_doc_intervals this round,
