@@ -7833,8 +7833,8 @@ def pipeline_mm_dedup_q(spark, sf):
 # ROUND-8 CLOSING STATE (for the r9 rotation): the r8 window (positions
 # 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
 # registry was swept green through tools/driver_sim (dtype-strict,
-# sf0.01) at 181/181 mid-session and 183/183 TWICE at close — the final
-# sweep certifying every post-freeze change (two review-fix batches:
+# sf0.01) at 181/181 and 183/183 mid-session and 184/184 at close — the
+# final sweep certifying every post-freeze change (two review-fix batches:
 # count_distinct hot-user cap, null-safe group joins in drift +
 # temperature, count-before-collect sidecar fallback, semantic-dedup
 # validate fail-fast + hoisted nprobe, drift single-scan checkpoints) on
