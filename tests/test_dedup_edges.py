@@ -412,3 +412,12 @@ def test_boilerplate_spans_group_scoped(spark):
     assert stripped[5] == "kappa lambda mu " + footer  # hostB untouched
     with pytest.raises(ValueError, match="min_df_pct"):
         dedup.boilerplate_spans(docs, min_df_pct=0)
+    # advice r8: the DF denominator must count DISTINCT doc_ids like the
+    # shingle DF numerator does — duplicate doc_id rows (re-ingest, a
+    # messy upstream union) must not inflate n_docs and under-flag
+    # boilerplate.  Doubling hostA's rows leaves the 75% ratio intact.
+    doubled = docs.unionByName(docs.filter(F.col("source") == "hostA"))
+    spans_dup = dedup.boilerplate_spans(
+        doubled, group_col="source", k=5, min_df_pct=60, min_docs=2
+    )
+    assert {r["doc_id"] for r in spans_dup.collect()} == {1, 2, 3}

@@ -319,6 +319,17 @@ def test_hdcg_hand_case(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         evalrank.hdcg_at_k(recs, rel, k=0)
+    # advice r8: lcm(2..k+1) crosses int64 between k=41 and k=42 — past
+    # that the integer numerators can't ride BIGINT columns, so the bound
+    # is validated up front with a clear message instead of an opaque
+    # F.lit conversion failure.  k=41 still constructs a plan.
+    with _pytest.raises(ValueError, match="max supported k is 41"):
+        evalrank.hdcg_at_k(recs, rel, k=42)
+    import math as _math
+
+    assert _math.lcm(*range(2, 43)) <= 2**63 - 1  # k=41 fits
+    assert _math.lcm(*range(2, 44)) > 2**63 - 1   # k=42 does not
+    evalrank.hdcg_at_k(recs, rel, k=41).schema  # plan builds at the bound
 
 
 def test_semantic_incremental_dedup_hand_case(spark):

@@ -118,3 +118,8 @@ def test_bag_scores_validates_terms(spark, sf_dir):
     )
     out = fusion.bm25_bag_scores(clash, ["doc_id", "prefix"]).collect()
     assert len(out) > 0 and all(r["score"] > 0 for r in out)
+    # a backtick inside a term would break out of the backtick-quoted
+    # pivot column reference with an opaque analysis error (advice r8) —
+    # rejected up front alongside the empty/duplicate checks
+    with _pytest.raises(ValueError, match="backtick"):
+        fusion.bm25_bag_scores(docs, ["join", "a`b"])

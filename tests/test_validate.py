@@ -314,3 +314,26 @@ def test_histogram_drift_null_group_is_monitored(spark):
         assert r["n_old"] == r["n_new"] and r["chi2_term"] == 0.0
     null_rows = [r for r in out if r["src"] is None]
     assert len(null_rows) == 1 and null_rows[0]["n_old"] == 2
+
+
+def test_histogram_drift_excludes_null_values(spark):
+    """Advice r8: greatest/least skip NULLs, so floor(NULL) would collapse
+    to the lower clamp and silently mix NULL mass into bucket 0 — NULL
+    values must be EXCLUDED before binning (NULL-rate monitoring is
+    profile's job), leaving bucket 0's counts and chi-square term pure."""
+    from trafficbigdatasearch_spark.operators import validate
+
+    old = spark.createDataFrame(
+        [(5.0,), (5.0,), (15.0,)], "value DOUBLE"
+    )
+    # new side carries two NULLs that must not land in bucket 0
+    new = spark.createDataFrame(
+        [(5.0,), (5.0,), (15.0,), (None,), (None,)], "value DOUBLE"
+    )
+    out = {r["bucket"]: r for r in
+           validate.histogram_drift(old, new, "value", n_bins=4,
+                                    bin_width=10).collect()}
+    assert set(out) == {0, 1}
+    # with NULLs excluded the distributions are identical -> zero drift
+    assert out[0]["n_new"] == 2 and out[0]["chi2_term"] == 0.0
+    assert out[1]["n_new"] == 1 and out[1]["chi2_term"] == 0.0

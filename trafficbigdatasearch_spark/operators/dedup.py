@@ -446,8 +446,11 @@ def boilerplate_spans(
             "start", "shingle"
         ),
     )
+    # count_distinct, not count(*): shingle document frequency counts
+    # DISTINCT doc_ids, so the denominator must too — duplicate doc_id
+    # rows would inflate _n_docs and under-flag boilerplate (ADVICE r8)
     n_docs = docs.groupBy(F.col(group_col).alias("_g")).agg(
-        F.count(F.lit(1)).alias("_n_docs")
+        F.count_distinct(id_col).alias("_n_docs")
     )
     hot = (
         sh.groupBy("_g", "shingle")

@@ -268,10 +268,24 @@ def hdcg_at_k(
     relevant item recommended at several ranks credits ONE term at its
     best rank.  Plan: one (user, item) equi join + two map-side-combined
     integer aggregates + a row-local ideal-gain expression — O(users * k).
+
+    Bound: ``k <= 41``.  D = lcm(2..k+1) must fit int64 for the integer
+    numerators to ride BIGINT columns; lcm(2..43) > 2**63-1, so k=42+
+    raises ValueError up front (use :func:`ndcg_at_k` for larger cutoffs).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     denom = math.lcm(*range(2, k + 2))
+    if denom > 2**63 - 1:
+        # lcm(2..k+1) crosses int64 between k=41 and k=42; past that the
+        # integer-numerator trick cannot ride BIGINT columns and F.lit/
+        # F.expr fail with an opaque conversion error.  Fail loudly with
+        # the actual bound instead.
+        raise ValueError(
+            f"k={k} exceeds the exact-integer bound for harmonic DCG: "
+            f"lcm(2..k+1)={denom} overflows int64 (max supported k is 41). "
+            "Use ndcg_at_k for larger cutoffs."
+        )
     rel = relevant.select(user_col, item_col).distinct()
     hits = (
         recs.filter(F.col(rank_col) <= k)

@@ -68,6 +68,12 @@ def bm25_bag_scores(
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError(f"duplicate terms: {terms}")
+    bad = [t for t in terms if "`" in t]
+    if bad:
+        # the _t_ prefix fixes id_col collisions, but a backtick inside a
+        # term would break out of the backtick-quoted pivot-column
+        # reference below with an opaque analysis error (ADVICE r8)
+        raise ValueError(f"terms must not contain backticks: {bad}")
     scored = search.bm25_scores(docs, terms, k1, b, id_col, text_col, idf)
     pivoted = (
         scored.withColumn("term", F.concat(F.lit("_t_"), F.col("term")))

@@ -326,6 +326,12 @@ def histogram_drift(
     grouped = group_col is not None
 
     def hist(df, cname):
+        # NULL values are excluded, not binned: Spark's greatest/least skip
+        # NULLs, so floor(NULL) would silently collapse to the lower clamp
+        # and mix NULL mass into bucket 0, skewing its chi-square term
+        # (ADVICE r8).  A NULL-rate monitor is quality_profile's job; this
+        # operator compares the distributions of PRESENT values.
+        df = df.filter(F.col(value_col).isNotNull())
         bucket = F.least(
             F.lit(n_bins - 1),
             F.greatest(

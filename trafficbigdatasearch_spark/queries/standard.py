@@ -974,7 +974,8 @@ def text_dup_spans_q(spark, sf):
        shp AS (SELECT doc_id, source, i AS start,
                       array_to_string(t[i + 1 : i + 3], ' ') AS s
                FROM idx),
-       nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+             FROM documents GROUP BY 1),
        hot AS (SELECT q.source, q.s
                FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
                      FROM shp GROUP BY 1, 2) q
@@ -1028,7 +1029,8 @@ def text_boilerplate_spans_q(spark, sf):
        shp AS (SELECT doc_id, source, i AS start,
                       array_to_string(t[i + 1 : i + 3], ' ') AS s
                FROM idx),
-       nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+             FROM documents GROUP BY 1),
        hot AS (SELECT q.source, q.s
                FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
                      FROM shp GROUP BY 1, 2) q
@@ -5325,6 +5327,7 @@ def quality_profile_q(spark, sf):
                    AS BIGINT) AS bucket,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM events
+       WHERE value IS NOT NULL
        GROUP BY 1, 2""",
 )
 def a_histogram_q(spark, sf):
@@ -5334,8 +5337,10 @@ def a_histogram_q(spark, sf):
     pure integer arithmetic (floor of a double divide, clamped), identical
     in both engines — no width_bucket dependency.  The at-scale
     distribution-profiling primitive (the exact sibling of the KLL sketch
-    histogram)."""
-    ev = load_table(spark, sf, "events")
+    histogram).  NULL values excluded before binning (same policy as
+    a_drift_chi2: Spark's greatest/least skip NULLs and would fold NULL
+    mass into bucket 0 where DuckDB yields a NULL bucket)."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
     bucket = F.least(
         F.lit(19),
         F.greatest(F.lit(0), F.floor(F.col("value") / 10).cast("bigint")),
@@ -5353,13 +5358,15 @@ def a_histogram_q(spark, sf):
                             CAST(floor(value / 10) AS BIGINT)))
                             AS BIGINT) AS bucket,
                        CAST(COUNT(*) AS BIGINT) AS n_old
-               FROM events WHERE day(ts) <= 15 GROUP BY 1, 2),
+               FROM events WHERE day(ts) <= 15 AND value IS NOT NULL
+               GROUP BY 1, 2),
        n AS (SELECT event_type,
                     CAST(least(19, greatest(0,
                          CAST(floor(value / 10) AS BIGINT)))
                          AS BIGINT) AS bucket,
                     CAST(COUNT(*) AS BIGINT) AS n_new
-             FROM events WHERE day(ts) > 15 GROUP BY 1, 2),
+             FROM events WHERE day(ts) > 15 AND value IS NOT NULL
+             GROUP BY 1, 2),
        j AS (SELECT COALESCE(o.event_type, n.event_type) AS event_type,
                     COALESCE(o.bucket, n.bucket) AS bucket,
                     CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
@@ -5393,7 +5400,10 @@ def a_drift_chi2_q(spark, sf):
     IEEE multiply/divide sequence, hash-exact per bin; the corpus-level
     fold is left to the consumer per the no-float-SUM rule.  New-only
     bins surface with NULL terms (infinite-drift signal) instead of
-    divide-by-zero."""
+    divide-by-zero.  NULL values are excluded before binning on both
+    engines (ADVICE r8: Spark's greatest/least skip NULLs and would
+    silently fold NULL mass into bucket 0; NULL-rate monitoring is
+    quality_profile's job)."""
     from trafficbigdatasearch_spark.operators import validate
 
     ev = load_table(spark, sf, "events")
