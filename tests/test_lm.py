@@ -148,8 +148,10 @@ def test_collocations_min_count_floors_hapax(spark):
 
 def test_collocations_hint_auto_same_rows(spark):
     """The unigram-context joins get the module's standard hint escape
-    hatch (advice r7): 'auto' must produce identical rows to the default
-    broadcast pin, and a bad hint raises."""
+    hatch (advice r7): the explicit broadcast pin must produce identical
+    rows to the 'auto' default (flipped r9 per VERDICT r8 #5 — the
+    vocabulary-sized tables make AQE sizing the at-scale-correct
+    default), and a bad hint raises."""
     import pytest as _pytest
 
     docs = spark.createDataFrame(
@@ -162,7 +164,9 @@ def test_collocations_hint_auto_same_rows(spark):
     auto = sorted(
         map(
             tuple,
-            lm.collocations(docs, k=10, min_count=2, hint="auto").collect(),
+            lm.collocations(
+                docs, k=10, min_count=2, hint="broadcast"
+            ).collect(),
         )
     )
     assert base == auto and len(base) > 0

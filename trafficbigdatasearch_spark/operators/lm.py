@@ -189,7 +189,7 @@ def collocations(
     min_count: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hint: str = "broadcast",
+    hint: str = "auto",
 ) -> DataFrame:
     """Corpus collocations: the top-``k`` bigrams by LIFT — the phrase-
     mining pass that surfaces multiword expressions ("new york", "machine
@@ -212,11 +212,13 @@ def collocations(
 
     The unigram-context tables are VOCABULARY-sized — the same table
     doc_keywords documents as far past broadcast range at 100 TB — so
-    the module's standard ``hint`` escape hatch applies: ``"broadcast"``
-    (default) pins both lookups map-side for the common
-    vocabulary-fits-in-memory case; ``"auto"`` leaves them as AQE-sized
-    equi joins on w1/w2.  The corpus-total scalar broadcasts either
-    way (one row)."""
+    unlike the pruned-model scoring joins this operator defaults to
+    ``hint="auto"`` (VERDICT r8 #5): AQE sizes the w1/w2 equi joins at
+    runtime and still picks broadcast when the vocabulary fits, but an
+    oversized vocabulary can never OOM the default plan.  Pass
+    ``hint="broadcast"`` to pin both lookups map-side when the
+    vocabulary is known small.  The corpus-total scalar broadcasts
+    either way (one row)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if hint not in ("broadcast", "auto"):

@@ -7308,7 +7308,9 @@ def text_collocations_q(spark, sf):
     mining pass that feeds tokenizer vocabularies and index phrase
     dictionaries.  ONE bigram explode (materialized once — it feeds four
     counts) -> three map-side-combined aggregates, unigram contexts
-    broadcast back, TakeOrdered top-20."""
+    joined back under the at-scale-safe hint="auto" default (AQE picks
+    broadcast when the vocabulary fits, as it does here), TakeOrdered
+    top-20."""
     from trafficbigdatasearch_spark.operators import lm
 
     return lm.collocations(
