@@ -81,6 +81,73 @@ def test_learn_merges_stops_when_exhausted(spark):
     assert [(r[1], r[2]) for r in rules] == [("a", "b")]  # then no pairs left
 
 
+def test_batched_equals_sequential_on_tie_trap(spark):
+    """The r9 batch guard's adversarial case: after merging the top pair
+    (a,z), the NEW pair ("az","q") TIES at weight 70 with the disjoint
+    pair (m,n) and wins the lexical tie-break ("az" < "m") — so a batch
+    that accepted (m,n) alongside (a,z) would diverge from sequential
+    BPE.  The strict weight > w_conf truncation must reject (m,n) in
+    round 1 and pick ("az","q") in round 2, exactly like batch_size=1
+    and the pure-Python reference."""
+    words = {"azq": 70, "az": 30, "mn": 70}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(words.items())],
+        "doc_id bigint, text string",
+    )
+    want_rules, _ = _ref_bpe(words, 3)
+    seq_rules, _ = bpe.learn_merges(docs, 3, batch_size=1)
+    bat_rules, bat_reprs = bpe.learn_merges(docs, 3, batch_size=8)
+    assert seq_rules == want_rules
+    assert bat_rules == want_rules
+    assert [r[1] + r[2] for r in want_rules][:2] == ["az", "azq"]
+    # and the final word table agrees
+    seq_tokens = sorted(
+        map(tuple, bpe.token_counts(bat_reprs).collect())
+    )
+    _, seq_reprs = bpe.learn_merges(docs, 3, batch_size=1)
+    assert seq_tokens == sorted(
+        map(tuple, bpe.token_counts(seq_reprs).collect())
+    )
+
+
+def test_batched_accepts_disjoint_prefix_in_one_round(spark):
+    """When the ranking's head is pairwise-disjoint with strictly
+    descending weights, one round must accept several merges (the whole
+    point of batching) and still match the reference rule-for-rule."""
+    words = {"ab": 90, "cd": 80, "ef": 70, "gh": 60}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(words.items())],
+        "doc_id bigint, text string",
+    )
+    want_rules, _ = _ref_bpe(words, 4)
+    got_rules, _ = bpe.learn_merges(docs, 4, batch_size=8)
+    assert got_rules == want_rules and len(got_rules) == 4
+
+
+def test_safe_batch_unit_cases():
+    """_safe_batch edge semantics without a SparkSession: conflict stop,
+    strict-weight truncation, conservative window bound, p1 always kept."""
+    rows = lambda *t: [{"a": a, "b": b, "weight": w} for a, b, w in t]
+    # conflict at w=70 truncates the tied disjoint pair but keeps w>70
+    got = bpe._safe_batch(
+        rows(("a", "z", 100), ("m", "n", 70), ("z", "q", 70)), remaining=0
+    )
+    assert got == [("a", "z", 100)]
+    got = bpe._safe_batch(
+        rows(("a", "z", 100), ("m", "n", 80), ("z", "q", 70)), remaining=0
+    )
+    assert got == [("a", "z", 100), ("m", "n", 80)]
+    # no conflict, nothing beyond the window: accept everything
+    got = bpe._safe_batch(rows(("a", "b", 9), ("c", "d", 9)), remaining=0)
+    assert got == [("a", "b", 9), ("c", "d", 9)]
+    # no conflict but pairs exist beyond the window: last weight bounds
+    got = bpe._safe_batch(rows(("a", "b", 9), ("c", "d", 9)), remaining=1)
+    assert got == [("a", "b", 9)]
+    # p1 survives even when tied with its own conflict
+    got = bpe._safe_batch(rows(("a", "b", 9), ("b", "c", 9)), remaining=0)
+    assert got == [("a", "b", 9)]
+
+
 def test_learn_merges_deterministic(spark):
     docs = load_table(spark, SF, "documents").limit(80)
     a, _ = bpe.learn_merges(docs, 4)

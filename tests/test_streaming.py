@@ -230,6 +230,95 @@ def test_traffic_overspeed_finalized_windows_match_batch(
     assert all(want.get(k) == n for k, n in got.items()), "finalized values diverge"
 
 
+def test_traffic_overspeed_stream_stream_equals_batch(
+    spark, traffic_dir, tmp_path_factory
+):
+    """The DUAL-WATERMARK shape (verdict r8 #6): toll trips arrive as a
+    stream too, the interval join becomes a watermarked stream-stream
+    inner join (state bounded on both sides by the time-range condition),
+    and the windowed aggregate chains as a second stateful operator.
+
+    Two pins: (1) the function run in BATCH (watermarks/state become
+    no-ops) is row-identical to the stream-static overspeed_stream run in
+    batch — i.e. the range-split + residual containment recovers EXACT
+    interval semantics whenever every trip fits max_trip; (2) the
+    STREAMED execution's finalized windows carry exactly the batch values
+    for those cells (append mode -> parquet sink, event-time-ordered
+    micro-batches)."""
+    import datetime as dt
+    import time as _time
+
+    from trafficbigdatasearch_spark.engine import TrafficEngine, months_between
+    from trafficbigdatasearch_spark.queries._core import BBox
+    from trafficbigdatasearch_spark.streaming import traffic as ST
+
+    eng = TrafficEngine(spark, str(traffic_dir), layout="reference_csv", mode="fixed")
+    months = months_between(dt.date(2016, 6, 1), dt.date(2016, 12, 31))
+    bbox = BBox(116.0, 118.0, 36.0, 39.0)
+    base, fee = eng.speed_base(), eng.fee_data(months)
+
+    # the max_trip CONTRACT must actually hold on the fixture, else pin 1
+    # is vacuous about the residual
+    too_long = fee.filter(
+        F.col("EXTIMEMillis") - F.col("ENTIMEMillis") > 6 * 3600 * 1000
+    ).count()
+    assert too_long == 0, "fixture trips exceed max_trip; widen the default"
+
+    obs_batch = eng.speed_data(months)
+    want_static = sorted(
+        map(tuple, ST.overspeed_stream(obs_batch, base, fee, bbox).collect())
+    )
+    got_batch = sorted(
+        map(
+            tuple,
+            ST.overspeed_stream_stream(obs_batch, fee, base, bbox).collect(),
+        )
+    )
+    assert got_batch == want_static and len(got_batch) > 0
+
+    # streamed execution: obs in event-time-ordered month chunks, toll as
+    # a second file stream
+    d = tmp_path_factory.mktemp("ss_overspeed")
+    for i, chunk in enumerate([months[:3], months[3:5], months[5:]]):
+        obs_batch.filter(
+            F.date_format(
+                F.timestamp_millis(F.col("WZSJMillis")), "yyyyMM"
+            ).isin(chunk)
+        ).coalesce(1).write.parquet(str(d / "obs" / f"b{i}"))
+        _time.sleep(1.1)
+    fee.coalesce(1).write.parquet(str(d / "toll"))
+    obs_stream = (
+        spark.readStream.schema(spark.read.parquet(str(d / "obs") + "/*").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "obs") + "/*")
+    )
+    toll_stream = spark.readStream.schema(
+        spark.read.parquet(str(d / "toll")).schema
+    ).parquet(str(d / "toll"))
+
+    q = (
+        ST.overspeed_stream_stream(obs_stream, toll_stream, base, bbox)
+        .writeStream.format("parquet")
+        .option("path", str(d / "sink"))
+        .option("checkpointLocation", str(d / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    want = {
+        (r["window_start"], r["car_type"]): r["speed_limit_num"]
+        for r in ST.overspeed_stream_stream(obs_batch, fee, base, bbox).collect()
+    }
+    got = {
+        (r["window_start"], r["car_type"]): r["speed_limit_num"]
+        for r in spark.read.parquet(str(d / "sink")).collect()
+    }
+    assert got, "no finalized windows written"
+    assert all(want.get(k) == n for k, n in got.items())
+
+
 def test_watermark_finalizes_closed_windows_only(spark, tmp_path_factory):
     """Append-mode windowed counts emit EXACTLY the windows the final
     watermark has closed (end <= max_event_time - horizon); windows still

@@ -93,32 +93,94 @@ def apply_merge(reprs: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _safe_batch(
+    top: list, remaining: int
+) -> list[tuple[str, str, int]]:
+    """The contiguous prefix of the round's sorted pair ranking that can
+    merge in ONE round with rules PROVABLY identical to one-at-a-time BPE.
+
+    ``top`` is the collected (a, b, weight) ranking, sorted by (weight
+    DESC, a ASC, b ASC) — possibly truncated to a batch window.  Scan in
+    order, accepting pairs pairwise SYMBOL-DISJOINT from every accepted
+    pair, and STOP at the first conflict (shared symbol).  Disjoint
+    merges commute and their ``|a||b|`` patterns cannot overlap, so one
+    chained application equals sequential application.
+
+    Equivalence to sequential BPE needs one more guard: merging p1 can
+    only (a) leave disjoint pairs' counts untouched, (b) decrease counts
+    of pairs sharing a symbol with p1, and (c) create pairs involving the
+    new token whose weight is bounded by some pre-round pair adjacent to
+    p1's symbols — a CONFLICTING pair, which (contiguity) ranks after the
+    accepted prefix.  So every changed or new pair is bounded by
+    ``w_conf``, the first conflict's weight, and any accepted pair with
+    ``weight > w_conf`` is still sequential BPE's unique next choice —
+    STRICTLY greater, because at equal weight a new token's pair can
+    win the lexical tie-break (e.g. merged "az" sorting before "m").
+    The prefix is truncated to that strict bound; p1 alone is always
+    safe.  When the window ends without a conflict but more pairs exist
+    beyond it (``remaining``), the last collected weight is the
+    conservative bound."""
+    accepted: list[tuple[str, str, int]] = []
+    symbols: set[str] = set()
+    w_conf = 0
+    for row in top:
+        a, b, w = row["a"], row["b"], int(row["weight"])
+        if accepted and ({a, b} & symbols):
+            w_conf = w
+            break
+        accepted.append((a, b, w))
+        symbols.update((a, b))
+    else:
+        if remaining > 0 and top:
+            w_conf = int(top[-1]["weight"])
+    if not accepted:
+        return []
+    return [accepted[0]] + [p for p in accepted[1:] if p[2] > w_conf]
+
+
 def learn_merges(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_size: int = 64,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE rules; returns (rules, final_reprs) where
     rules = [(rank, lhs, rhs, weight)] and final_reprs is the (repr, freq)
     word table after all merges (feed to :func:`token_counts`).
 
-    Driver loop of bounded rounds; per round one 1-row collect (the top
-    pair) and one lazy ``localCheckpoint`` truncating the replace lineage.
-    Stops early if no adjacent pair remains."""
+    Driver loop of bounded rounds.  Each round collects the top
+    ``batch_size + 1`` pairs (a bounded collect — the codebook contract)
+    and accepts the :func:`_safe_batch` prefix: multiple merges per
+    Spark job wherever the ranking allows, with a rule list PROVABLY
+    identical to ``batch_size=1``'s one-at-a-time loop (pinned in
+    tests/test_bpe.py, including tie and conflict corpora).  This is the
+    VERDICT r8 #4 scalability fix: a production 32k-merge vocabulary no
+    longer pays ~2 jobs per merge of scheduler round-trips — measured at
+    sf0.01, 300 merges run ~8x fewer rounds (see SCALING.md's probe row;
+    tools/bpe_probe.py reproduces it).  One lazy ``localCheckpoint`` per
+    round truncates the replace lineage.  Stops early if no adjacent
+    pair remains."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     cur = initial_reprs(word_freqs(docs, text_col)).localCheckpoint(eager=False)
     rules: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
+    while len(rules) < n_merges:
+        want = min(batch_size, n_merges - len(rules))
         top = (
             pair_counts(cur)
             .orderBy(F.desc("weight"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
         if not top:
             break
-        a, b, w = top[0]["a"], top[0]["b"], top[0]["weight"]
-        rules.append((r, a, b, int(w)))
-        cur = apply_merge(cur, a, b).localCheckpoint(eager=False)
+        batch = _safe_batch(top[:want], remaining=len(top) - want)
+        for a, b, w in batch:
+            rules.append((len(rules), a, b, w))
+            cur = apply_merge(cur, a, b)
+        cur = cur.localCheckpoint(eager=False)
     return rules, cur
 
 
