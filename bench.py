@@ -285,6 +285,28 @@ def main() -> None:
                 continue
             sweep[name] = round(time.perf_counter() - t0, 3)
 
+    # Per-query tolerance bands (verdict r8 #3): flag anything slower
+    # than band x its BEST prior driver round — min-over-rounds is the
+    # anchor host variance can't inflate, so a flag is a real signal, not
+    # the cross-round eyeballing the r8 verdict called out.  The flag
+    # list rides the compact stdout line into BENCH_r{N}.json.
+    regression_flags: dict[str, dict] = {}
+    band = 2.5
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from bench_compare import best_prior_map, flag_regressions
+
+        best = best_prior_map(os.path.dirname(os.path.abspath(__file__)))
+        regression_flags = flag_regressions(
+            {**times, **{f"sweep:{k}": v for k, v in sweep.items()}},
+            best,
+            band,
+        )
+    except Exception as e:  # noqa: BLE001 — the bench record must survive
+        regression_flags = {"_error": {"msg": f"{type(e).__name__}: {e}"[:200]}}
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     full = {
@@ -301,6 +323,8 @@ def main() -> None:
         "sweep_total_sec": round(sum(sweep.values()), 3),
         "n_sweep": len(sweep),
         "sweep_errors": sweep_errors,
+        "regression_band": band,
+        "regression_flags": regression_flags,
     }
     # Full per-query record goes to a FILE: at 90+ queries the one-line
     # JSON exceeds the driver's 2000-char stdout tail and BENCH_r04.json
@@ -314,6 +338,18 @@ def main() -> None:
     compact["queries"] = {}
     del compact["cold_queries"]
     compact["queries_full"] = "BENCH_local.json"
+    # flags must survive the tail: keep the worst few, count the rest
+    if len(regression_flags) > 5:
+        worst5 = dict(
+            sorted(
+                regression_flags.items(),
+                key=lambda kv: -kv[1].get("ratio", 0),
+            )[:5]
+        )
+        compact["regression_flags"] = {
+            **worst5,
+            "_truncated": {"n_total": len(regression_flags)},
+        }
     for name in sorted(times, key=times.get, reverse=True):
         trial = dict(compact["queries"], **{name: times[name]})
         if len(json.dumps(dict(compact, queries=trial))) > 1800:

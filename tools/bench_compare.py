@@ -46,7 +46,68 @@ def _queries(path: str) -> dict[str, float]:
     }
 
 
+def best_prior_map(repo_dir: str) -> dict[str, float]:
+    """Per-query BEST (min) recorded seconds across every prior driver
+    bench (``BENCH_r*.json``) — the tolerance-band baseline (verdict r8
+    #3).  Min-over-rounds is the right anchor for a band: host variance
+    only ever inflates a round's number, so the min approaches the true
+    per-plan cost and a flag means 'worse than the best this host has
+    ever demonstrated by more than the band', which variance alone has
+    not produced (measured same-code spread: 2.4x — the 2.5 default band
+    in ``flag_regressions`` sits just above it)."""
+    import glob
+    import os
+
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            qs = _queries(path)
+        except Exception:
+            continue
+        for q, sec in qs.items():
+            if not isinstance(sec, (int, float)) or sec <= 0:
+                continue
+            if q not in best or sec < best[q]:
+                best[q] = float(sec)
+    return best
+
+
+def flag_regressions(
+    times: dict[str, float],
+    best: dict[str, float],
+    band: float = 2.5,
+) -> dict[str, dict]:
+    """Queries whose new time exceeds ``band`` x their best prior round.
+    Sub-0.2 s rows are exempt: at that magnitude scheduler jitter alone
+    crosses any band and a flag would be pure noise."""
+    flags: dict[str, dict] = {}
+    for q, sec in times.items():
+        b = best.get(q)
+        if b is None or max(sec, b) < 0.2:
+            continue
+        ratio = sec / b
+        if ratio > band:
+            flags[q] = {
+                "sec": round(sec, 3),
+                "best_prior": round(b, 3),
+                "ratio": round(ratio, 2),
+            }
+    return flags
+
+
 def main() -> int:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--flags":
+        # flag mode: compare NEW.json against the best prior driver round
+        # (the round-close gate's mechanism; bench.py runs this inline)
+        import os
+
+        new_path = sys.argv[2]
+        band = float(sys.argv[3]) if len(sys.argv) > 3 else 2.5
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        best = best_prior_map(repo)
+        flags = flag_regressions(_queries(new_path), best, band)
+        print(json.dumps({"band": band, "n_best_prior": len(best), "flags": flags}, indent=1))
+        return 1 if flags else 0
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
