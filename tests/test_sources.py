@@ -798,3 +798,42 @@ def test_minmax_sidecar_unselective_range_falls_back_to_dir(spark, tmp_path):
         spark, layout, sidecar, "o_orderdate", "1995-01-01", "1995-04-01"
     )
     assert 0 < len(narrow.inputFiles()) < 8
+    # r9 (verdict r8 #8): the BOUNDARY itself — with 8 range files, a
+    # predicate surviving exactly 7 (87.5% >= 80%) must take the
+    # directory fallback, while 6 (75% < 80%) must get the explicit
+    # 6-file list.  Cut points come from the sidecar's own per-file
+    # ranges so the test tracks any re-chunking.
+    stats = sorted(
+        sidecar.select("file", "min_o_orderdate", "max_o_orderdate").collect(),
+        key=lambda r: r["min_o_orderdate"],
+    )
+    assert len(stats) == 8
+
+    def survivors(hi):  # the reader's own closed='both' overlap count
+        return sum(
+            1
+            for r in stats
+            if str(r["min_o_orderdate"]) <= hi and str(r["max_o_orderdate"]) >= lo
+        )
+
+    def hi_for(n_files):  # a hi yielding exactly n surviving files
+        for r in stats:
+            cand = str(r["max_o_orderdate"])
+            if survivors(cand) == n_files:
+                return cand
+        raise AssertionError(f"no cut point yields {n_files} survivors")
+
+    seven = P.read_pruned_by_sidecar(
+        spark, layout, sidecar, "o_orderdate", lo, hi_for(7), closed="both"
+    )
+    assert len(seven.inputFiles()) == 8, "87.5% survivors must fall back"
+    hi6 = hi_for(6)
+    six = P.read_pruned_by_sidecar(
+        spark, layout, sidecar, "o_orderdate", lo, hi6, closed="both"
+    )
+    assert len(six.inputFiles()) == 6, "75% survivors must prune explicitly"
+    # rows stay correct on both sides of the boundary (residual re-filter)
+    want6 = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi6)
+    )
+    assert sorted(map(tuple, six.collect())) == sorted(map(tuple, want6.collect()))
