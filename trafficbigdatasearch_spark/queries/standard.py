@@ -7995,6 +7995,86 @@ def pipeline_mm_dedup_q(spark, sf):
 #   re-verified green via driver_sim post-refactor) and oldest-stale
 #   (the r3/r4-green exits in registration order).
 #
+# ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
+# stable 22 stay put):
+#   in  (the whole 18-query ROUND-9 QUEUE above — the last
+#        never-driver-checked rows; the registry reaches 184/184
+#        driver-verified when they land green.  The 6 post-freeze r8
+#        registrations lead the roster because a_drift_chi2 /
+#        sample_temperature / dedup_semantic_incremental / sim_dim_stats
+#        carry post-window code changes, and a_drift_chi2 /
+#        text_boilerplate_spans / pipeline_boilerplate_strip additionally
+#        changed THIS session: NULL-value exclusion in histogram_drift
+#        binning and the count_distinct DF denominator in
+#        boilerplate_spans, both mirrored in their oracles — ADVICE r8)
+#   in  (cycle-backs promised in the r8 closing state)
+#       s_zorder_skipping, ts_resample_ohlc, ts_interpolate,
+#       text_dup_spans
+#   in  (changed-code re-verification per the r6 amendment: learn_merges
+#        was rewritten THIS session to the provably-safe batched merge
+#        loop — text_bpe_merges certifies the rule list, text_bpe_encode
+#        the final reprs, pipeline_bpe the composed chain; text_bpe_apply
+#        stays out with its inference half untouched (apply_merges
+#        unchanged; rules-identity additionally pinned by tests +
+#        tools/bpe_probe.py's assertion).  text_collocations' unigram
+#        joins default to AQE sizing this session — same rows, new plan)
+#       text_bpe_merges, text_bpe_encode, pipeline_bpe, text_collocations
+#   in  (oldest-stale, last green r2, registration order)
+#       p_time_range_halfopen, p_segments_case
+#   out (-> in-window sibling covering the code path; every exit was
+#        green in the r8 driver window)
+#       ts_trend_incremental, stream_trend -> moments/finalize path pinned
+#                                bit-identical to ts_trend_per_key's
+#                                machinery (tests/test_timeseries.py);
+#                                streaming held by stable
+#                                stream_events_hourly + stream_dedup
+#                                (in-window)
+#       pipeline_lm_filter, stream_lm_gate -> lm scoring held by the
+#                                bigram goldens (tests/test_lm.py) and the
+#                                batch==stream gate pin; coverage join
+#                                machinery inside decontaminate (stable)
+#       text_doc_keywords     -> postings/vocabulary machinery in stable
+#                                text_phrase_indexed + text_collocations
+#                                (in-window, same unigram-context shape)
+#       rec_negatives, rec_item_cosine_capped -> interaction-matrix +
+#                                cap machinery pinned tests/test_recsys.py
+#                                + the skew probe; co-table path held by
+#                                stable pipeline rows
+#       sim_ivf_adc_topk, sim_pq_rerank_topk, sim_pq_trained_topk ->
+#                                ADC chain held by stable sim_pq_adc_topk
+#                                + sim_ivf_indexed
+#       graph_ppr, graph_link_pred -> bounded-fixpoint family held by
+#                                stable pipeline_dedup_corpus's CC;
+#                                tests/test_graph.py goldens
+#       dedup_semantic_ivf    -> dedup_semantic_incremental (in-window)
+#                                runs the same IVF-cell blocked GEMM with
+#                                the corpus-owned centroid chain
+#       q18_large_orders      -> TPC-H family held by stable
+#                                q3_shipping_priority
+#       decontaminate_fuzzy   -> decontaminate (stable) + the fuzzy band
+#                                residual machinery in j_range_keyless
+#                                (stable)
+#       a_impute_median       -> grouped-quantile machinery beside
+#                                a_winsorize (in-window)
+#       pipeline_mm_dedup     -> mm_phash_pairs (stable) + the CC keeper
+#                                inside stable pipeline_dedup_corpus
+#       table_merge_upsert, stream_merge_upsert -> merge machinery pinned
+#                                tests/test_streaming.py (upsert/replay/
+#                                time-travel suite); diff path in
+#                                tests/test_diff.py
+#       text_bpe_apply        -> pipeline_bpe (in-window) composes
+#                                apply_merges on the same rules
+#       s_orc_roundtrip       -> ORC read/write pinned tests/test_sources;
+#                                format family held by s_minmax_skipping +
+#                                s_zorder_skipping (in-window)
+#       eval_rec_hdcg         -> metric arithmetic pinned
+#                                tests/test_evalrank.py (incl. the new
+#                                k<=41 bound); join shape in stable
+#                                decontaminate
+#       ts_gapfill, stream_ohlc -> widened DECIMAL(38,0) ordering key held
+#                                by ts_resample_ohlc + ts_interpolate
+#                                (in-window, same _ord_key + closes stage)
+#
 # ROUND-7 rotation (executing the r7 queue + slot-priority policy):
 #   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
 #       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
@@ -8075,42 +8155,44 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 8: the 15-query r8 queue --------------------
-    "ts_trend_incremental",
-    "stream_trend",
-    "pipeline_lm_filter",
-    "text_doc_keywords",
-    "rec_negatives",
-    "sim_ivf_adc_topk",
-    "graph_ppr",
-    "dedup_semantic_ivf",
-    "q18_large_orders",
-    "text_collocations",
-    "stream_lm_gate",
-    "decontaminate_fuzzy",
-    "graph_link_pred",
-    "a_impute_median",
-    "pipeline_mm_dedup",
-    # --- rotating slots, round 8: changed-code re-verification (r7 PQ
-    # refactor amendment) ----------------------------------------------------
-    "sim_pq_rerank_topk",
-    "sim_pq_trained_topk",
-    # --- rotating slots, round 8: new query, first-round entry -------------
-    "rec_item_cosine_capped",
-    # --- rotating slots, round 8: promised cycle-backs ---------------------
-    "table_merge_upsert",
-    "stream_merge_upsert",
+    # --- rotating slots, round 9: the 18-query r9 queue (every
+    # never-driver-checked row — after this round the registry is 184/184
+    # driver-verified; the 6 post-freeze r8 registrations lead because 4
+    # of them carry code changed after the r8 window was collected) ---------
+    "a_drift_chi2",
+    "sample_temperature",
+    "dedup_semantic_incremental",
+    "sim_dim_stats",
+    "text_boilerplate_spans",
+    "pipeline_boilerplate_strip",
+    "a_attribution_touch",
+    "a_basket_pairs",
+    "a_event_transitions",
+    "a_histogram",
+    "a_winsorize",
+    "dedup_containment",
+    "j_bloom_anti",
+    "j_bloom_prefilter",
+    "quality_profile",
+    "quality_referential",
+    "s_minmax_skipping",
+    "stream_dedup",
+    # --- rotating slots, round 9: promised cycle-backs (r8 closing state) --
+    "s_zorder_skipping",
+    "ts_resample_ohlc",
+    "ts_interpolate",
+    "text_dup_spans",
+    # --- rotating slots, round 9: changed-code re-verification (the r6
+    # amendment: the batched BPE merge loop rewrote learn_merges, and
+    # collocations' unigram joins default to AQE sizing this session) --------
     "text_bpe_merges",
     "text_bpe_encode",
-    "text_bpe_apply",
     "pipeline_bpe",
-    "s_orc_roundtrip",
-    # --- rotating slots, round 8: new query, first-round entry -------------
-    "eval_rec_hdcg",
-    # --- rotating slots, round 8: changed-code re-verification (ordering
-    # key widened to DECIMAL(38,0), this round) ------------------------------
-    "ts_gapfill",
-    "stream_ohlc",
+    "text_collocations",
+    # --- rotating slots, round 9: oldest-stale (last green r2,
+    # registration order) ----------------------------------------------------
+    "p_time_range_halfopen",
+    "p_segments_case",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
