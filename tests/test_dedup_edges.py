@@ -64,6 +64,44 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
         assert len(out) == 1 and out[0]["val"] == "zbig"  # max struct wins
 
 
+def test_asof_join_tolerance(spark):
+    """r9 — merge_asof's max-gap contract: the NEAREST match nulls out
+    when it sits farther than `tolerance` from the left timestamp (a
+    farther in-tolerance row is never better, so this is a row-local
+    post-filter); no-match rows stay NULL; both directions honor it; no
+    tolerance keeps the old inclusive as-of behavior."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 12), (2, 50)], ["id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (2, 49, "b")], ["id", "rts", "val"]
+    )
+    base = {(r["id"], r["ts"]): r["val"] for r in
+            J.asof_join(left, right, ["id"], "ts", "rts").collect()}
+    assert base == {(1, 100): "a", (1, 12): "a", (2, 50): "b"}
+    tol = {(r["id"], r["ts"]): r["val"] for r in
+           J.asof_join(left, right, ["id"], "ts", "rts", tolerance=5).collect()}
+    # (1,100): nearest match at 10 is 90 away -> nulled; (1,12): 2 away OK
+    assert tol == {(1, 100): None, (1, 12): "a", (2, 50): "b"}
+    fwd = {(r["id"], r["ts"]): r["val"] for r in
+           J.asof_join(left.filter(F.col("ts") == 12), right.filter(F.col("id") == 1),
+                       ["id"], "ts", "rts", direction="forward",
+                       tolerance=5).collect()}
+    assert fwd == {(1, 12): None}  # forward nearest is... none after 12
+    # interval-string tolerance on real timestamps
+    lt = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], ["id", "ts"]
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    rt = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "x")], ["id", "rts", "val"]
+    ).select("id", F.col("rts").cast("timestamp").alias("rts"), "val")
+    hit = J.asof_join(lt, rt, ["id"], "ts", "rts",
+                      tolerance="INTERVAL 45 minutes").collect()
+    miss = J.asof_join(lt, rt, ["id"], "ts", "rts",
+                       tolerance="INTERVAL 15 minutes").collect()
+    assert hit[0]["val"] == "x" and miss[0]["val"] is None
+
+
 def test_minhash_lsh_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divisible"):

@@ -89,10 +89,19 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     right_cols: list[str] | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the single right row with the
     latest ``right_ts`` <= ``left_ts`` (direction="backward"; "forward" =
     earliest >= ) sharing the equi keys.
+
+    ``tolerance`` (r9 — the pandas ``merge_asof``/kdb max-gap contract):
+    when set, a match farther than ``tolerance`` from ``left_ts`` is
+    nulled out — the NEAREST row is still the only candidate (a farther
+    in-tolerance row is never "better", exactly merge_asof's rule), so
+    this is a row-local post-filter on the matched gap, zero extra
+    shuffles.  Pass a number for numeric time columns or an SQL interval
+    string (e.g. ``"INTERVAL 15 minutes"``) for timestamps.
 
     DataFrame-native formulation (no custom operator): tag both sides, union
     by a common schema, and carry the most recent right values forward with a
@@ -156,15 +165,32 @@ def asof_join(
         )
     carried = both.select(
         *[F.col(c) for c in left.columns],
+        F.col("_t"),
         "_side",
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
+        ).over(w).alias("_match_t"),
         *[
             F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
             for c in rcols
         ],
     )
+    if tolerance is None:
+        in_tol = F.lit(True)
+    else:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        gap = (
+            F.col("_t") - F.col("_match_t")
+            if direction == "backward"
+            else F.col("_match_t") - F.col("_t")
+        )
+        in_tol = F.col("_match_t").isNotNull() & (gap <= tol)
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"_r_{c}").alias(c) for c in rcols],
+        *[
+            F.when(in_tol, F.col(f"_r_{c}")).alias(c)
+            for c in rcols
+        ],
     )
 
 

@@ -339,6 +339,53 @@ def j_asof(spark, sf):
     ).select("purchase_id", "user_id", "signup_id")
 
 
+@register(
+    "j_asof_tolerance",
+    """WITH signups AS (
+         SELECT user_id, ts, max(event_id) AS signup_id
+         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+       ),
+       purchases AS (
+         SELECT event_id AS purchase_id, user_id, ts
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT p.purchase_id, p.user_id,
+              CASE WHEN s.ts IS NOT NULL
+                    AND p.ts - s.ts <= INTERVAL 3 DAY
+                   THEN s.signup_id END AS signup_id
+       FROM purchases p ASOF LEFT JOIN signups s
+         ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def j_asof_tolerance_q(spark, sf):
+    """As-of join with a MAX-GAP tolerance (r9; the pandas merge_asof /
+    kdb contract): latest signup at-or-before each purchase, NULLED when
+    it lies more than 3 days back — the nearest row is the only
+    candidate either way (a farther in-tolerance row is never better),
+    so tolerance is a row-local post-filter on the matched gap inside
+    the same single-shuffle union+window plan as j_asof, zero extra
+    exchanges.  At sf0.01 the 3-day horizon genuinely splits the
+    matches, so the oracle certifies the null-out semantics, not the
+    identity path.  Oracle: DuckDB native ASOF JOIN + the same interval
+    gap as a CASE."""
+    ev = load_table(spark, sf, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return joins.asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        tolerance="INTERVAL 3 DAYS",
+    ).select("purchase_id", "user_id", "signup_id")
+
+
 # =============================================================================
 # §2.4/2.5 — aggregations & set ops
 # =============================================================================
@@ -6910,6 +6957,75 @@ def pipeline_lm_filter_q(spark, sf):
 
 
 @register(
+    "pipeline_training_mix",
+    _LM_FILTER_ORACLE.replace(
+        """       SELECT qf.doc_id, qf.lang
+       FROM qf JOIN sc USING (doc_id)
+       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85""",
+        f""",
+       kept AS (SELECT qf.doc_id, d.source, d.text
+               FROM qf JOIN sc USING (doc_id)
+               JOIN documents d USING (doc_id)
+               WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85),
+       nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+              FROM kept GROUP BY 1),
+       mn AS (SELECT min(n_g) AS n_min FROM nd),
+       bal AS (SELECT k.doc_id, k.source, k.text
+               FROM kept k
+               JOIN nd ON k.source IS NOT DISTINCT FROM nd.source
+               CROSS JOIN mn
+               WHERE (('0x' || substr(md5('mix' ||
+                         CAST(k.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 10000)::HUGEINT
+                     * (('0x' || substr(md5('mix' ||
+                         CAST(k.doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % 10000)::HUGEINT
+                     * n_g::HUGEINT
+                     < 10000::HUGEINT * 10000::HUGEINT * n_min::HUGEINT),
+       t AS (SELECT doc_id, source,
+                    CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
+             FROM bal),
+       c AS (SELECT doc_id, source, n_tokens,
+                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS excl
+             FROM t)
+       SELECT doc_id, source, n_tokens,
+              CAST(excl // 1024 AS BIGINT) AS pack_id,
+              CAST(excl % 1024 AS BIGINT) AS pack_offset
+       FROM c""",
+    ),
+)
+def pipeline_training_mix_q(spark, sf):
+    """The COMPLETE training-data export, one oracle row (r9): quality
+    gate (token floor) -> LM fluency gate (CCNet arrangement: bigram
+    model on the trusted English slice, coverage >= 0.85 on everything)
+    -> temperature rebalance across sources (the XLM-R alpha=1/2 recipe,
+    exact integer membership) -> sequence packing onto 1024-token packs
+    (two-level distributed prefix sum, no global sort).  This is the row
+    a pretraining user actually runs end-to-end; the three stages are
+    individually oracle-verified (pipeline_lm_filter, sample_temperature,
+    pack_sequences) and this certifies their COMPOSITION — membership,
+    rebalance arithmetic, and every pack offset — in one hash.  The plan
+    stays fully declarative: gate filters fuse into the scan, the model
+    and rate tables broadcast, and only the packing's bucket summary adds
+    a (tiny) second exchange."""
+    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, sf, "documents")
+    p = CorpusPipeline(docs).quality_gate(min_tokens=5)
+    trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
+    kept = p.lm_gate(trusted, min_coverage=0.85, min_count=10).df
+    balanced = sampling.temperature_sample(
+        kept, "source", key_col="doc_id", alpha=(1, 2), salt="mix"
+    )
+    packed = packing.pack_sequences(balanced, budget=1024, bucket_size=256)
+    return packed.join(
+        balanced.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+
+
+@register(
     "text_doc_keywords",
     f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
        tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
@@ -7994,6 +8110,19 @@ def pipeline_mm_dedup_q(spark, sf):
 #   was factored into the shared _merge_doc_intervals this round,
 #   re-verified green via driver_sim post-refactor) and oldest-stale
 #   (the r3/r4-green exits in registration order).
+#
+# ROUND-10 ROTATION QUEUE (registered after the round-9 window was frozen
+# and rehearsed — never driver-checked; enters the r10 window FIRST per
+# the slot-priority rule, then oldest-stale rows):
+#       j_asof_tolerance      (merge_asof max-gap contract; tolerance
+#                              genuinely fires at sf0.01: 1390 matched /
+#                              591 nulled)
+#       pipeline_training_mix (quality gate -> LM gate -> temperature
+#                              rebalance -> sequence packing, the full
+#                              training-data export composed in one
+#                              oracle row)
+#   (each green under pytest + tools/driver_sim at sf0.01 in its
+#    registration session)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
