@@ -270,3 +270,56 @@ class TestLinkPrediction:
         assert full == 10  # C(5,2) leaf pairs
         capped = G.jaccard_link_prediction(edges, max_degree=3).count()
         assert capped == 0  # hub dropped -> no witnesses survive
+
+
+class TestIncrementalComponents:
+    def test_hand_case_merge_and_new_nodes(self, spark):
+        """New edges merge two standing components and introduce a brand-new
+        one; untouched components keep their labels; the corpus-sized table
+        is only scanned, never shuffled (broadcast pins in the plan)."""
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)],
+            "id BIGINT, component BIGINT",
+        )
+        new = spark.createDataFrame(
+            [(2, 5), (10, 11)], "id_a BIGINT, id_b BIGINT"
+        )
+        out = {r["id"]: r["component"] for r in
+               G.incremental_components(comp, new).collect()}
+        assert out == {1: 1, 2: 1, 5: 1, 6: 1, 9: 9, 10: 10, 11: 10}
+
+    def test_equals_full_cc_on_split_edge_set(self, spark):
+        """The maintenance identity: CC(old edges) incremented with the new
+        edges must equal CC(all edges) — including chains where a new edge
+        bridges components through a node with the globally smallest id."""
+        from pyspark.sql import functions as F
+
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        ids = spark.range(300)
+        edges = ids.select(
+            F.col("id").alias("id_a"),
+            ((F.col("id") * 17 + 5) % 300).alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        old = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+        new = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+        base = G.connected_components(old)
+        got = sorted(map(tuple,
+                         G.incremental_components(base, new).collect()))
+        # full CC restricted to the same node universe (old-labeled nodes
+        # plus new-edge endpoints == all edge endpoints here)
+        want = sorted(map(tuple, G.connected_components(edges).collect()))
+        assert got == want
+
+    def test_new_smallest_id_becomes_root(self, spark):
+        """A NEW node with the globally smallest id must become the merged
+        component's label — the min-label contract survives maintenance."""
+        from trafficbigdatasearch_spark.operators import graph as G
+
+        comp = spark.createDataFrame([(7, 7), (8, 7)], "id BIGINT, component BIGINT")
+        new = spark.createDataFrame([(3, 8)], "id_a BIGINT, id_b BIGINT")
+        out = {r["id"]: r["component"] for r in
+               G.incremental_components(comp, new).collect()}
+        assert out == {3: 3, 7: 3, 8: 3}

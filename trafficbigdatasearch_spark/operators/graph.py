@@ -217,6 +217,103 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    components: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "id",
+    comp_col: str = "component",
+    max_iterations: int = 25,
+    cast: str | None = "bigint",
+) -> DataFrame:
+    """MAINTAIN an existing :func:`connected_components` labeling under a
+    batch of NEW edges without touching the labeled corpus — the
+    label-side completion of the engine's incremental-dedup story
+    (``dedup_incremental`` / ``semantic_incremental_dedup`` find the new
+    PAIRS; this folds them into the standing cluster assignment).
+
+    Identity: because an existing label IS the min id of its component,
+    relabeling through the merged label graph reproduces EXACTLY what
+    :func:`connected_components` over the full edge set would produce —
+    min over merged components = min over (old component minima ∪ new
+    node ids) — so the oracle for the increment is simply the full
+    closure (pinned, and hash-verified in the registry).
+
+    Shape (the whole point at 100 TB): the corpus-sized ``components``
+    table participates in exactly TWO row-local passes — one broadcast
+    semi-style join labeling the new-edge ENDPOINTS (new edges are the
+    small side by assumption of incrementality) and one broadcast-map
+    relabel at the end.  The CC fixpoint itself runs on the LABEL GRAPH,
+    whose size is bounded by the new-edge count, never the corpus:
+    corpus bytes are scanned, never shuffled, and the fixpoint's
+    per-round driver sync costs are paid on a table thousands of times
+    smaller.  New nodes (endpoints absent from ``components``) label
+    themselves before merging, exactly like CC's ``nodes`` fallback.
+
+    Returns the updated (id, component) labeling covering every
+    previously-labeled id plus every new-edge endpoint."""
+    _id = (lambda c: F.col(c).cast(cast)) if cast else F.col
+    comp = components.select(
+        _id(id_col).alias(id_col), _id(comp_col).alias(comp_col)
+    )
+    edges = new_edges.select(
+        _id(id_a).alias("_ea"), _id(id_b).alias("_eb")
+    ).filter(F.col("_ea") != F.col("_eb"))
+    # endpoint -> current label (own id when previously unlabeled).  The
+    # endpoint set is new-edges-bounded; broadcasting it keeps the corpus
+    # join shuffle-free on the corpus side.
+    endpoints = (
+        edges.select(F.col("_ea").alias(id_col))
+        .union(edges.select(F.col("_eb").alias(id_col)))
+        .distinct()
+    )
+    ep_labels = (
+        F.broadcast(endpoints)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(comp_col), F.col(id_col)).alias("_lab"),
+        )
+    )
+    la = ep_labels.withColumnRenamed(id_col, "_ea").withColumnRenamed(
+        "_lab", "_la"
+    )
+    lb = ep_labels.withColumnRenamed(id_col, "_eb").withColumnRenamed(
+        "_lab", "_lb"
+    )
+    label_edges = (
+        edges.join(F.broadcast(la), "_ea")
+        .join(F.broadcast(lb), "_eb")
+        .select(F.col("_la").alias(id_a), F.col("_lb").alias(id_b))
+        .filter(F.col(id_a) != F.col(id_b))
+        .distinct()
+    )
+    merged = connected_components(
+        label_edges,
+        id_a=id_a,
+        id_b=id_b,
+        max_iterations=max_iterations,
+        cast=None,  # ids already cast above
+    ).select(F.col("id").alias("_old_lab"), F.col("component").alias("_root"))
+    # relabel: old rows through the (tiny) label->root map; endpoint rows
+    # through their (possibly merged) endpoint label — union covers new
+    # nodes, distinct collapses the overlap (labels agree by construction)
+    relabeled_old = comp.join(
+        F.broadcast(merged), comp[comp_col] == F.col("_old_lab"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("_root"), F.col(comp_col)).alias(comp_col),
+    )
+    relabeled_new = ep_labels.join(
+        F.broadcast(merged), F.col("_lab") == F.col("_old_lab"), "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("_root"), F.col("_lab")).alias(comp_col),
+    )
+    return relabeled_old.union(relabeled_new).distinct()
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

@@ -3785,6 +3785,49 @@ def graph_bfs_reach_q(spark, sf):
 
 
 @register(
+    "graph_cc_incremental",
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey AS u, (c_custkey*c_custkey) % 1500 + 1 AS v
+         FROM customer WHERE c_custkey <> (c_custkey*c_custkey) % 1500 + 1),
+       sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+       nds AS (SELECT DISTINCT u AS id FROM sym),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.lab
+       )
+       SELECT id, CAST(min(lab) AS BIGINT) AS component
+       FROM walk GROUP BY id""",
+)
+def graph_cc_incremental_q(spark, sf):
+    """INCREMENTAL connected-components maintenance (operators/graph.py::
+    incremental_components, r9): the standing labeling built from the
+    even-parity half of the quadratic-scatter edge set is folded forward
+    with the odd-parity half as the NEW batch — merges, bridges through
+    globally-minimal new ids, and brand-new components all land through a
+    label-graph fixpoint BOUNDED BY THE NEW EDGES while the labeled
+    corpus is scanned twice and shuffled never (two broadcast-map
+    passes).  The maintenance identity makes the oracle exact: an
+    existing label IS its component's min id, so incrementing equals the
+    full closure over ALL edges — which is what the recursive CTE
+    computes.  This completes the incremental-dedup story: the pair
+    finders (dedup_incremental / dedup_semantic_incremental) produce the
+    new edges; this keeps the cluster assignment current without
+    re-clustering the corpus."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        ((F.col("c_custkey") * F.col("c_custkey")) % 1500 + 1).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    old = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    new = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    base = G.connected_components(old)
+    return G.incremental_components(base, new)
+
+
+@register(
     "j_fuzzy_name",
     """WITH n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
                   FROM part GROUP BY p_name)
@@ -8127,6 +8170,10 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              rebalance -> sequence packing, the full
 #                              training-data export composed in one
 #                              oracle row)
+#       graph_cc_incremental  (incremental CC maintenance: fold new edges
+#                              into a standing labeling via a label-graph
+#                              fixpoint bounded by the new edges — the
+#                              corpus is scanned twice, shuffled never)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
