@@ -292,6 +292,11 @@ def phash_decoded(
                 pdf["asset_id"], pdf["payload"], pdf["media_type"]
             ):
                 grid = dec(bytes(p), m)
+                if not grid or not grid[0]:
+                    raise ValueError(
+                        f"decoder returned an empty pixel grid for asset "
+                        f"{aid} — decoders must yield a non-empty 2-D array"
+                    )
                 h, w = len(grid), len(grid[0])
                 cells = []
                 for bi in range(side):
