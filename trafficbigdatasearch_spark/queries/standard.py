@@ -8160,6 +8160,37 @@ def pipeline_mm_dedup_q(spark, sf):
 #   re-verified green via driver_sim post-refactor) and oldest-stale
 #   (the r3/r4-green exits in registration order).
 #
+# ROUND-9 CLOSING STATE (for the r10 rotation): the r9 window (positions
+# 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
+# 187-query registry swept green through tools/driver_sim (dtype-strict,
+# sf0.01) on shipping code — including the three r9 registrations and
+# both review-fix batches (NULL-excluded drift binning, count_distinct
+# boilerplate denominators, hdcg k<=41 bound, backtick term rejection).
+# pytest mid-session: 590 passed / 2 skipped / 0 failed (the close re-run
+# adds the incremental-CC and tolerance pins).  sf0.1 verification: all 7
+# r9-changed rows green (batched-BPE learn chain, AQE-default
+# collocations, drift/histogram NULL policy, boilerplate strip) plus both
+# sf0.1-verifiable new rows (j_asof_tolerance on 20 084 rows,
+# pipeline_training_mix on 4 991 packed docs).  Bench: 148 headline
+# 173.7 s warm / 237.2 s cold at sf0.1 (0.92x the r8 record on common
+# queries), 42-query sweep zero errors, and the NEW per-query
+# tolerance-band gate (flag at 2.5x best prior round, bench.py ->
+# BENCH_r{N}) reports ZERO flags.  The three r8 bench movers were
+# bracketed same-session and classified environmental (SCALING.md:
+# untouched anchor queries drift 1.11-1.33x identically; git proves the
+# operators byte-identical to the r7 bench commit).
+#   r10 slot guidance, in order:
+#   1. the ROUND-10 QUEUE below (3 never-driver-checked rows);
+#   2. changed-code cycle-backs: mm_phash_pairs is stable (covers the
+#      phash_pairs decoder-hook default path); eval_rec_hdcg cycles back
+#      for its k-bound guard if a slot frees;
+#   3. oldest-stale rows (last green r2, registration order after the
+#      two taken this round): a_distinct_count, f_json_extract,
+#      f_string_funcs, w_row_number, time_bucket_hourly, text_metrics,
+#      text_pii_scrub, text_fingerprint, text_rolling_fingerprint,
+#      text_top_ngrams, dedup_minhash_signatures, dedup_simhash,
+#      sim_brute_topk, sim_lsh_topk, then the r3-green batch.
+#
 # ROUND-10 ROTATION QUEUE (registered after the round-9 window was frozen
 # and rehearsed — never driver-checked; enters the r10 window FIRST per
 # the slot-priority rule, then oldest-stale rows):
