@@ -459,3 +459,62 @@ def test_boilerplate_spans_group_scoped(spark):
         doubled, group_col="source", k=5, min_df_pct=60, min_docs=2
     )
     assert {r["doc_id"] for r in spans_dup.collect()} == {1, 2, 3}
+
+
+def test_token_cosine_pairs_hand_case(spark):
+    """token_cosine_pairs (r9): integer dot/norms with the rational
+    cross-multiplied threshold; reordered token profiles hit cosine 1;
+    disjoint docs never pair; the closing cosine is the one IEEE chain."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a a b b"),
+            (3, "c d"),
+            (4, "b a a"),       # doc 1 reordered -> identical profile
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           dedup.token_cosine_pairs(docs, threshold=(4, 5)).collect()}
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    r = out[(1, 2)]
+    assert (r["dot"], r["norm_a"], r["norm_b"]) == (6, 5, 8)
+    assert r["cosine"] == 6.0 / (math.sqrt(5.0) * math.sqrt(8.0))
+    # the closing chain is deterministic IEEE, not symbolic: sqrt(5)^2
+    # lands at 4.999...8, so equality is against the same expression (and
+    # the INTEGER threshold filter is what keeps cutoffs exact)
+    assert out[(1, 4)]["cosine"] == 5.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    # tighter threshold drops the 0.9487 pair but keeps the identical one
+    tight = {(r["id_a"], r["id_b"]) for r in
+             dedup.token_cosine_pairs(docs, threshold=(99, 100)).collect()}
+    assert tight == {(1, 4)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rational"):
+        dedup.token_cosine_pairs(docs, threshold=(5, 4))
+    with _pytest.raises(ValueError, match="denominator"):
+        dedup.token_cosine_pairs(docs, threshold=(1, 101))
+
+
+def test_token_cosine_guard_verifies_exactly(spark):
+    """The max_term_df guard bounds candidate generation only: a pair
+    generated through a rare term still rescores against the FULL tf
+    vectors (hot terms included), so dot/norms/cosine are exact; a pair
+    overlapping ONLY in hot terms is not generated (documented recall
+    trade)."""
+    rows = [(i, "hot common filler") for i in range(10, 20)]
+    rows += [(1, "hot rareterm x"), (2, "hot rareterm y")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           dedup.token_cosine_pairs(
+               docs, threshold=(1, 2), max_term_df=5
+           ).collect()}
+    # (1,2) generated via 'rareterm' (df=2 <= 5); dot counts 'hot' too:
+    # dot = 1*1 (hot) + 1*1 (rareterm) = 2, norms = 3 -> cosine 2/3
+    assert (1, 2) in out
+    assert out[(1, 2)]["dot"] == 2 and out[(1, 2)]["norm_a"] == 3
+    # the 10..19 block overlaps only in hot terms (df=12 and 10) -> absent
+    assert all(a >= 10 or b >= 10 for (a, b) in out if (a, b) != (1, 2)) is True
+    assert not any(a >= 10 and b >= 10 for (a, b) in out)

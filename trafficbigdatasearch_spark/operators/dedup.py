@@ -193,6 +193,118 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", "size_a", "size_b")
 
 
+def token_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (4, 5),
+    max_term_df: int | None = 1000,
+) -> DataFrame:
+    """Sparse COSINE similarity join over token-count vectors — the
+    bag-of-words twin of :func:`ngram_jaccard_pairs`, catching
+    reorder/paraphrase-by-shuffling duplicates whose shingle sets
+    diverge while their term-frequency profiles stay near-parallel (and
+    the classic sparse all-pairs-similarity primitive, AllPairs/DIMSUM
+    family).  Returns (id_a, id_b, dot, norm_a, norm_b, cosine) with
+    id_a < id_b and ``cosine = dot / (sqrt(norm_a) * sqrt(norm_b)) >=
+    threshold``.
+
+    Determinism (the module contract): dot and both squared norms are
+    ORDER-INDEPENDENT integer sums of integer products, the threshold is
+    a RATIONAL (p, q) compared via the all-integer cross-multiplication
+
+        q² · dot²  >=  p² · norm_a · norm_b
+
+    evaluated in DECIMAL(38,0) (HUGEINT in the oracle) — no float enters
+    any filter — and the reported cosine is one closing IEEE chain
+    (sqrt is correctly rounded by IEEE-754, so the expression is
+    bit-identical in any engine).  Bound: with ≤ 1e4 tokens per doc,
+    norms ≤ 1e8, dot² ≤ 1e16, q ≤ 100 keeps q²·dot² inside 38 digits.
+
+    ``max_term_df`` is the same skew guard / generate-then-verify
+    arrangement as the Jaccard join: stopword-grade terms are excluded
+    from candidate GENERATION only (bounding per-term fan-out), then
+    candidates rescore against the FULL tf vectors so reported values
+    are always exact; the only approximation is recall on pairs whose
+    entire overlap is hot terms — by design not duplication evidence.
+    Shape: one tokenize pass -> one exchange on the term (shared by the
+    guard window and posting aggregation) -> pair generation bounded by
+    O(max_term_df²) per term -> pair-restricted exact rescore ->
+    broadcast-sized norm join."""
+    p, q = threshold
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")
+    if q > 100:
+        raise ValueError(
+            f"threshold denominator must be <= 100 (decimal-38 bound), got {q}"
+        )
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(T.tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("term", F.lower(F.col("term")))
+        .groupBy("_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    ).localCheckpoint(eager=False)  # feeds norms + candidates + verify
+    norms = tf.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nrm")
+    )
+    tfsh = tf.repartition(F.col("term"))
+    guard = F.count("*").over(Window.partitionBy("term"))
+    hot_ok = (F.col("_df") > 1) if max_term_df is None else (
+        (F.col("_df") > 1) & (F.col("_df") <= max_term_df)
+    )
+    posting = (
+        tfsh.withColumn("_df", guard)
+        .filter(hot_ok)
+        .groupBy("term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id").alias("i"), F.col("tf").alias("w")))
+            ).alias("ps")
+        )
+    )
+    ps = F.col("ps")
+    cand = (
+        posting.select(F.explode(ps).alias("a"), "ps")
+        .select("a", F.explode(ps).alias("b"))
+        .filter(F.col("a.i") < F.col("b.i"))
+        .groupBy(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_ncommon"))
+        .select("id_a", "id_b")
+    )
+    # exact rescore over the full tf vectors, pair-restricted
+    a = tf.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("_wa"))
+    b = tf.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("_wb"))
+    dot = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.withColumnRenamed("_id", "id_a").withColumnRenamed("nrm", "norm_a")
+    nb = norms.withColumnRenamed("_id", "id_b").withColumnRenamed("nrm", "norm_b")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    keep = d38(F.lit(q * q)) * d38(F.col("dot")) * d38(F.col("dot")) >= d38(
+        F.lit(p * p)
+    ) * d38(F.col("norm_a")) * d38(F.col("norm_b"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(keep)
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("norm_a").cast("double")) * F.sqrt(F.col("norm_b").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+
+
 def _rarity_prefix_rows(ex, threshold: float):
     """(prefix_rows, doc_sets) for the AllPairs cut — THE shared prefix
     construction of :func:`ngram_jaccard_pairs_prefix` and

@@ -7000,6 +7000,51 @@ def pipeline_lm_filter_q(spark, sf):
 
 
 @register(
+    "sim_token_cosine",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
+       p AS (SELECT doc_id, lower(unnest(t)) AS term FROM tt),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM p GROUP BY 1, 2),
+       nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nrm
+               FROM tf GROUP BY 1),
+       dotp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+                FROM tf a JOIN tf b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT id_a, id_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
+              CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+                AS cosine
+       FROM dotp
+       JOIN nrm na ON na.doc_id = id_a
+       JOIN nrm nb ON nb.doc_id = id_b
+       WHERE 100::HUGEINT * dot::HUGEINT * dot::HUGEINT
+             >= 81::HUGEINT * na.nrm::HUGEINT * nb.nrm::HUGEINT""",
+)
+def sim_token_cosine_q(spark, sf):
+    """Sparse cosine-similarity join over token-count vectors
+    (operators/dedup.py::token_cosine_pairs, r9) — the bag-of-words twin
+    of the Jaccard joins: pairs whose term-frequency profiles are
+    near-parallel (cosine >= 0.9) even when shingle sets diverge under
+    reordering.  The AllPairs/DIMSUM-family primitive with the module's
+    determinism treatment: dot and squared norms are order-independent
+    integer sums, the threshold is the rational 9/10 cross-multiplied
+    into a pure DECIMAL(38,0)/HUGEINT predicate (q²·dot² >= p²·na·nb —
+    no float touches the filter), and the reported cosine is one closing
+    IEEE chain (sqrt is correctly rounded, so it hash-compares).
+    Registered UNGUARDED so the row certifies the exact join; at corpus
+    scale ``max_term_df`` bounds per-term fan-out with the
+    generate-then-verify recall contract (pinned in tests)."""
+    return dedup.token_cosine_pairs(
+        load_table(spark, sf, "documents"),
+        threshold=(9, 10),
+        max_term_df=None,
+    )
+
+
+@register(
     "pipeline_training_mix",
     _LM_FILTER_ORACLE.replace(
         """       SELECT qf.doc_id, qf.lang
@@ -8205,6 +8250,11 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              into a standing labeling via a label-graph
 #                              fixpoint bounded by the new edges — the
 #                              corpus is scanned twice, shuffled never)
+#       sim_token_cosine      (sparse token-count cosine join, integer
+#                              cross-multiplied threshold — the
+#                              AllPairs/DIMSUM primitive; 42 pairs at
+#                              sf0.01 with the closing IEEE-chain cosine
+#                              hash-matching DuckDB)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
