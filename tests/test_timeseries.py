@@ -396,3 +396,43 @@ def test_ohlc_guard_survives_projection_of_close(spark):
     )
     with _pytest.raises(Exception, match="widen _ORD_SCALE"):
         out.collect()
+
+
+def test_cusum_per_key_hand_case(spark):
+    """cusum_per_key: exact integer numerators over the 100·n denominator;
+    a level shift drives |cusum| to its extremum at the shift point; the
+    final value is always exactly 0 (sum of deviations from the mean);
+    NULL values are excluded before indexing."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    rows = [
+        # key 'a': 1,1,1,5,5,5 -> mean 3; shift after idx 3
+        (1, "a", "2024-01-01 00:00:01", 1.0),
+        (2, "a", "2024-01-01 00:00:02", 1.0),
+        (3, "a", "2024-01-01 00:00:03", 1.0),
+        (4, "a", "2024-01-01 00:00:04", 5.0),
+        (5, "a", "2024-01-01 00:00:05", 5.0),
+        (6, "a", "2024-01-01 00:00:06", 5.0),
+        (7, "b", "2024-01-01 00:00:01", 2.0),
+        (8, "b", "2024-01-01 00:00:02", None),   # excluded
+        (9, "b", "2024-01-01 00:00:03", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts string, value double"
+    ).select(
+        "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "value",
+    )
+    out = {(r["key"], r["idx"]): r for r in
+           TS.cusum_per_key(ev).collect()}
+    # key a: n=6, s=1800 cents; prefix at idx 3 = 300 ->
+    # cusum_num = 6*300 - 3*1800 = -3600  (C_3 = -3600/600 = -6 cents*..)
+    assert int(out[("a", 3)]["cusum_num"]) == -3600
+    assert int(out[("a", 6)]["cusum_num"]) == 0    # always closes at 0
+    # extremum at the shift point (idx 3) for the two-sided statistic
+    mags = {i: abs(int(out[("a", i)]["cusum_num"])) for i in range(1, 7)}
+    assert max(mags, key=mags.get) == 3
+    # key b: NULL row excluded -> n=2, idx runs 1..2 over ids 7,9
+    assert {r for (k, r) in out if k == "b"} == {1, 2}
+    assert out[("b", 1)]["id"] == 7 and out[("b", 2)]["id"] == 9
+    assert int(out[("b", 2)]["cusum_num"]) == 0

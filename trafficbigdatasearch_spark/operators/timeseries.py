@@ -444,3 +444,73 @@ def trend_finalize(
             F.col("_n").cast("double") * F.lit(float(cents)),
         ).alias("mean_y"),
     )
+
+
+def cusum_per_key(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key CUSUM mean-shift screen (r9) — the SEQUENTIAL complement to
+    the snapshot chi-square drift monitor (validate.histogram_drift):
+    where the histogram compares two corpus snapshots bin-by-bin, the
+    cumulative sum of deviations from the key's own mean localizes WHEN
+    a level shift happened inside one stream (Page's CUSUM statistic,
+    two-sided, reported un-thresholded so the consumer picks its own h).
+
+    Exact-integer formulation (the module's determinism policy): with
+    cents ``c_j = round(100·x_j)`` and the key's totals ``n = count``,
+    ``s = Σ c_j``, the classic ``C_i = Σ_{j<=i} (x_j − mean)`` is scaled
+    by ``100·n`` into
+
+        cusum_num_i = n · prefix_i − i · s          (exact integer)
+
+    — order-independent inputs, one subtraction per row, no float
+    anywhere; ``C_i = cusum_num_i / (100·n)`` is one closing division
+    the consumer applies if it wants engineering units.  All arithmetic
+    runs in DECIMAL(38,0) so a 1e9-row key cannot overflow (int64 dies
+    near n·Σ|c| ≈ 9e18); the registered query casts the output to BIGINT
+    (loud ANSI overflow, generous at any tested SF).
+
+    NULL values are EXCLUDED before indexing (the r9 histogram_drift
+    policy): a NULL contributes neither to the mean nor to a position,
+    so `idx` counts observed values only.  Ordering is (ts, id) — total
+    and engine-portable.  Plan: ONE exchange on the key; the
+    whole-partition totals and the ordered prefix ride two window specs
+    over the same sort.  Returns (id, key, idx, cusum_num, n)."""
+    c = F.round(F.col(value_col) * 100).cast("decimal(20,0)")
+    e = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        c.alias("_c"),
+    )
+    whole = Window.partitionBy("key")
+    ordered = (
+        Window.partitionBy("key")
+        .orderBy(F.col("_ts").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")
+    t = e.select(
+        "id",
+        "key",
+        F.count(F.lit(1)).over(whole).cast("decimal(20,0)").alias("_n"),
+        F.sum("_c").over(whole).cast("decimal(38,0)").alias("_s"),
+        F.sum("_c").over(ordered).cast("decimal(38,0)").alias("_pfx"),
+        F.row_number()
+        .over(Window.partitionBy("key").orderBy(F.col("_ts").asc(), F.col("id").asc()))
+        .cast("decimal(20,0)")
+        .alias("_idx"),
+    )
+    return t.select(
+        "id",
+        "key",
+        F.col("_idx").cast("bigint").alias("idx"),
+        (d38(F.col("_n")) * F.col("_pfx") - d38(F.col("_idx")) * F.col("_s")).alias(
+            "cusum_num"
+        ),
+        F.col("_n").cast("bigint").alias("n"),
+    )

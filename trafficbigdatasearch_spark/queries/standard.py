@@ -5505,6 +5505,46 @@ def a_drift_chi2_q(spark, sf):
 
 
 @register(
+    "ts_cusum",
+    """WITH e AS (SELECT event_id, event_type, ts,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       g AS (SELECT event_id, event_type,
+                    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                    CAST(SUM(c) OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+                    CAST(row_number() OVER (PARTITION BY event_type
+                         ORDER BY ts, event_id) AS BIGINT) AS idx
+             FROM e)
+       SELECT event_id AS id, event_type AS key, idx,
+              CAST(n::HUGEINT * pfx::HUGEINT - idx::HUGEINT * s::HUGEINT
+                   AS BIGINT) AS cusum_num,
+              n
+       FROM g""",
+)
+def ts_cusum_q(spark, sf):
+    """Per-key CUSUM mean-shift screen (operators/timeseries.py::
+    cusum_per_key, r9): the cumulative sum of deviations from each
+    event_type's own mean, scaled by 100·n into EXACT INTEGER numerators
+    (n·prefix_i − i·s on the cents lattice) so every row hash-compares —
+    Page's sequential change statistic as the complement to
+    a_drift_chi2's snapshot comparison: the histogram says the
+    distributions differ, CUSUM localizes WHEN the level shifted.  NULL
+    values excluded before indexing (the r9 drift policy).  ONE exchange
+    on the key; totals and the ordered prefix ride two window specs over
+    the same sort; internal arithmetic DECIMAL(38,0) (overflow-free at
+    1e9-row keys), output cast to BIGINT (loud ANSI overflow, generous
+    at any tested SF)."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.cusum_per_key(load_table(spark, sf, "events")).select(
+        "id", "key", "idx", F.col("cusum_num").cast("bigint").alias("cusum_num"), "n"
+    )
+
+
+@register(
     "a_event_transitions",
     """WITH seq AS (
          SELECT user_id, event_type,
@@ -8255,6 +8295,10 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              AllPairs/DIMSUM primitive; 42 pairs at
 #                              sf0.01 with the closing IEEE-chain cosine
 #                              hash-matching DuckDB)
+#       ts_cusum              (per-key CUSUM mean-shift screen: exact
+#                              integer numerators n*prefix - i*s on the
+#                              cents lattice — the sequential complement
+#                              to a_drift_chi2's snapshot comparison)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
