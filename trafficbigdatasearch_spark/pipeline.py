@@ -41,6 +41,18 @@ class CorpusPipeline:
             self.df.filter(T.token_count(F.col(self.text_col)) >= min_tokens)
         )
 
+    def materialize(self) -> "CorpusPipeline":
+        """Pin the current frame to ONE evaluation (lazy localCheckpoint)
+        before fanning into multiple consumers — the recsys/graph
+        multi-consumer pattern as an explicit pipeline stage.  Use after a
+        gate whose output feeds a model-training slice AND the scoring
+        pass AND a closing semi join (the lm_gate arrangement): without
+        it each branch re-derives the whole upstream chain from the scan
+        (r9 scan-hygiene audit: 4 documents scans in pipeline_lm_filter,
+        2 after this stage).  Result-transparent; costs one executor-local
+        write of the current frame."""
+        return self._next(self.df.localCheckpoint(eager=False))
+
     def enforce(self, row_checks: dict) -> "CorpusPipeline":
         """FAIL the pipeline on the first row violating a constraint
         (operators/validate.py::enforce — row-local predicates fused into

@@ -7031,7 +7031,10 @@ def pipeline_lm_filter_q(spark, sf):
     from trafficbigdatasearch_spark.pipeline import CorpusPipeline
 
     docs = load_table(spark, sf, "documents")
-    p = CorpusPipeline(docs).quality_gate(min_tokens=5)
+    # materialize(): the gated frame feeds model training, scoring, and
+    # the closing semi join — one evaluation instead of three re-derived
+    # scans (r9 scan-hygiene audit)
+    p = CorpusPipeline(docs).quality_gate(min_tokens=5).materialize()
     trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
     return (
         p.lm_gate(trusted, min_coverage=0.85, min_count=10)
@@ -7146,7 +7149,7 @@ def pipeline_training_mix_q(spark, sf):
     from trafficbigdatasearch_spark.pipeline import CorpusPipeline
 
     docs = load_table(spark, sf, "documents")
-    p = CorpusPipeline(docs).quality_gate(min_tokens=5)
+    p = CorpusPipeline(docs).quality_gate(min_tokens=5).materialize()
     trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
     kept = p.lm_gate(trusted, min_coverage=0.85, min_count=10).df
     kept = kept.localCheckpoint(eager=False)
