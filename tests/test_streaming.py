@@ -878,3 +878,48 @@ def test_user_topk_gate_message(spark, event_stream_dir):
     stream = SE.read_event_stream(spark, event_stream_dir)
     with pytest.raises(ImportError, match="protobuf"):
         SE.user_topk_events(stream, k=3)
+
+
+def test_stream_stream_max_trip_contract(spark):
+    """overspeed_stream_stream's documented loss contract: observations
+    later than en + max_trip fall outside the state-bounding range and
+    are LOST even though the batch interval join would match them —
+    asserted here in batch mode on a synthetic over-long trip so the
+    contract is pinned, not just documented.  Observations within
+    max_trip keep exact containment semantics."""
+    import pyspark.sql.functions as F
+
+    from trafficbigdatasearch_spark.queries._core import BBox
+    from trafficbigdatasearch_spark.streaming import traffic as ST
+
+    base_ms = 1700000000000
+    hour = 3600 * 1000
+    # one station inside the bbox
+    speed_base = spark.createDataFrame(
+        [("g1", 117.0, 38.0)], "GDCSYBM string, LON double, LAT double"
+    )
+    # two observations of one plate: 1h and 8h into a 9-hour trip
+    obs = spark.createDataFrame(
+        [
+            ("g1", "P1", base_ms + 1 * hour, 130.0, 1),
+            ("g1", "P1", base_ms + 8 * hour, 130.0, 8),
+        ],
+        "SITE_GUID string, HPHM string, WZSJMillis long, CLSD double, "
+        "WZSJHourOfDay int",
+    )
+    toll = spark.createDataFrame(
+        [("P1", base_ms, base_ms + 9 * hour, "1", "0")],
+        "ENVEHPLATE string, ENTIMEMillis long, EXTIMEMillis long, "
+        "EXVEHCLASS string, EXTRUCKFLAG string",
+    )
+    bbox = BBox(116.0, 118.0, 36.0, 39.0)
+    out = ST.overspeed_stream_stream(
+        obs, toll, speed_base, bbox, max_trip="6 hours"
+    ).agg(F.sum("speed_limit_num")).collect()[0][0]
+    # the 8h observation exceeds max_trip=6h -> lost; only the 1h one counts
+    assert out == 1
+    # widening max_trip past the trip length restores full containment
+    full = ST.overspeed_stream_stream(
+        obs, toll, speed_base, bbox, max_trip="12 hours"
+    ).agg(F.sum("speed_limit_num")).collect()[0][0]
+    assert full == 2
