@@ -8264,23 +8264,30 @@ def pipeline_mm_dedup_q(spark, sf):
 #
 # ROUND-9 CLOSING STATE (for the r10 rotation): the r9 window (positions
 # 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
-# 187-query registry swept green through tools/driver_sim (dtype-strict,
-# sf0.01) on shipping code — including the three r9 registrations and
-# both review-fix batches (NULL-excluded drift binning, count_distinct
-# boilerplate denominators, hdcg k<=41 bound, backtick term rejection).
-# pytest mid-session: 590 passed / 2 skipped / 0 failed (the close re-run
-# adds the incremental-CC and tolerance pins).  sf0.1 verification: all 7
-# r9-changed rows green (batched-BPE learn chain, AQE-default
-# collocations, drift/histogram NULL policy, boilerplate strip) plus both
-# sf0.1-verifiable new rows (j_asof_tolerance on 20 084 rows,
-# pipeline_training_mix on 4 991 packed docs).  Bench: 148 headline
-# 173.7 s warm / 237.2 s cold at sf0.1 (0.92x the r8 record on common
-# queries), 42-query sweep zero errors, and the NEW per-query
-# tolerance-band gate (flag at 2.5x best prior round, bench.py ->
-# BENCH_r{N}) reports ZERO flags.  The three r8 bench movers were
+# registry swept green through tools/driver_sim (dtype-strict, sf0.01)
+# on shipping code — 187/187 after the review-fix batches (NULL-excluded
+# drift binning, count_distinct boilerplate denominators, hdcg k<=41
+# bound, backtick term rejection) and AGAIN at 189/189 at close,
+# certifying every post-freeze change (the five r10-queue registrations,
+# CorpusPipeline.materialize in the LM-gate pipelines, sim_token_cosine's
+# guarded re-registration).  pytest at close: 602 passed / 2 skipped / 0
+# failed, plus the post-run max_trip loss-contract pin green.  sf0.1
+# verification: all 7 r9-changed rows green (batched-BPE learn chain,
+# AQE-default collocations, drift/histogram NULL policy, boilerplate
+# strip) plus j_asof_tolerance (20 084 rows), pipeline_training_mix
+# (4 991 packed docs), ts_cusum (100 000 events), and sim_token_cosine
+# (guarded regime, mirrored oracle — the unguarded form measured 107 s at
+# sf0.1, the exact skew the guard exists for; guarded 2.1 s warm).
+# Bench: 148 headline 173.7 s warm / 237.2 s cold at sf0.1 (0.92x the r8
+# record on common queries), 42-query sweep zero errors, and the NEW
+# per-query tolerance-band gate (flag at 2.5x best prior round, bench.py
+# -> BENCH_r{N}) reports ZERO flags.  The three r8 bench movers were
 # bracketed same-session and classified environmental (SCALING.md:
 # untouched anchor queries drift 1.11-1.33x identically; git proves the
-# operators byte-identical to the r7 bench commit).
+# operators byte-identical to the r7 bench commit).  Measured probes
+# added: batched-BPE rounds (tools/bpe_probe.py) and incremental-CC
+# maintenance (tools/inc_cc_probe.py: increment FLAT at 3.4-3.9 s while
+# full re-clustering grows 18.7->47.5 s across a 16x node decade).
 #   r10 slot guidance, in order:
 #   1. the ROUND-10 QUEUE below (3 never-driver-checked rows);
 #   2. changed-code cycle-backs: mm_phash_pairs is stable (covers the
