@@ -216,3 +216,38 @@ def test_temperature_sample_null_group_is_its_own_group(spark):
     assert 20 < by["a"] < 90
     # schema passes through unchanged (no helper columns leak)
     assert kept.columns == df.columns
+
+
+def test_priority_sample_weighted_and_deterministic(spark):
+    """priority_sample (r9): exact-k weighted sample, deterministic under
+    repartitioning and salt-sensitive; heavier rows are preferred (a
+    1000x-weight block dominates the sample over uniform hashes);
+    zero/NULL weights are excluded; k validates."""
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = sampling.priority_sample(df, "w", k=40, key_col="doc_id")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 40
+    # the 50 heavy rows (5% of rows, ~99% of total weight) dominate
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 30
+    assert 2000 not in got and 2001 not in got
+    # deterministic under repartitioning
+    again = [r["doc_id"] for r in
+             sampling.priority_sample(df.repartition(13), "w", k=40,
+                                      key_col="doc_id").collect()]
+    assert got == again
+    # a different salt draws a different sample
+    other = [r["doc_id"] for r in
+             sampling.priority_sample(df, "w", k=40, key_col="doc_id",
+                                      salt="other").collect()]
+    assert got != other
+    # priorities published for downstream Horvitz-Thompson estimates
+    assert all(r["_priority"] > 0 for r in out.collect())
+    with _pytest.raises(ValueError, match="positive"):
+        sampling.priority_sample(df, "w", k=0)

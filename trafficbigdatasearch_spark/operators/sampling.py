@@ -321,3 +321,55 @@ def leakage_free_split(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
     return hash_split(lab, "component", fractions, salt=salt)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """WEIGHTED sampling without replacement by deterministic PRIORITY
+    (Duffield–Lund–Thorup priority sampling, JACM '07): each row draws
+    ``q_i = u_i / w_i`` with ``u_i`` the md5-uniform of its key and keeps
+    the k smallest — inclusion probability ≈ proportional to weight, the
+    principled scheme behind quality-weighted corpus subsampling
+    ("sample 1M documents, preferring high quality scores") where a
+    threshold filter would hard-cut and an independent Bernoulli
+    per-row sample cannot hit an exact k.
+
+    Determinism (the module contract): ``u_i`` is the 28-bit integer of
+    the md5 of ``salt || key`` — retry-, repartition-, and
+    engine-reproducible — and the priority is ONE IEEE division of that
+    integer by the weight, bit-identical in any engine, ordered with a
+    (priority, key) tie-break so the sample is a total function of the
+    data.  Zero-weight / NULL-weight rows are EXCLUDED up front (their
+    priority would be infinite/undefined; a weightless row has no
+    business in a weighted sample) — documented, not silent: the row
+    count of the exclusion is the caller's audit via a plain filter.
+
+    Plan: row-local priority expression -> ``orderBy().limit(k)`` =
+    TakeOrderedAndProject (per-partition heap + k-sized merge — no
+    global sort, no single-partition exchange), the same at-scale shape
+    as sort_topk.  Returns the sampled rows plus their ``_priority``
+    (consumers deriving Horvitz–Thompson estimates need it: with
+    threshold τ = the (k+1)-th priority, the weight estimator is
+    max(w_i, τ·u_i) — computed downstream from the published columns)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    prio = (u.cast("double") / w).alias("_priority")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .select("*", prio)
+        .orderBy(F.col("_priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

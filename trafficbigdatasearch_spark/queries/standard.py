@@ -2295,6 +2295,42 @@ def sample_temperature_q(spark, sf):
 
 
 @register(
+    "sample_priority",
+    f"""WITH w AS (SELECT doc_id, source,
+                       CAST({_TOKCOUNT_SQL} AS DOUBLE) AS w
+                FROM documents),
+       pr AS (SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('prio' ||
+                         CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS DOUBLE)
+                       / w AS _priority
+              FROM w WHERE w > 0)
+       SELECT doc_id, source, _priority FROM pr
+       ORDER BY _priority, doc_id LIMIT 100""",
+)
+def sample_priority_q(spark, sf):
+    """WEIGHTED sampling without replacement (operators/sampling.py::
+    priority_sample, r9 — Duffield-Lund-Thorup priority sampling):
+    exactly 100 documents drawn with inclusion probability ~ proportional
+    to token count (the 'sample K docs, preferring long/high-quality
+    ones' curation shape a Bernoulli sampler can't hit exactly and a
+    threshold would hard-cut).  Priority = md5-uniform / weight — ONE
+    IEEE division of a 28-bit integer, bit-identical in any engine, so
+    the whole sample (and the published priorities that feed
+    Horvitz-Thompson estimates downstream) hash-compares.  Plan:
+    row-local priority -> TakeOrderedAndProject (per-partition heap +
+    k-merge, no global sort)."""
+    docs = load_table(spark, sf, "documents")
+    from trafficbigdatasearch_spark.functions import text as T
+
+    weighted = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("w")
+    )
+    return sampling.priority_sample(
+        weighted, "w", k=100, key_col="doc_id"
+    ).select("doc_id", "source", "_priority")
+
+
+@register(
     "sample_group_topk",
     f"""WITH rk AS (SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang
@@ -8323,6 +8359,10 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              integer numerators n*prefix - i*s on the
 #                              cents lattice — the sequential complement
 #                              to a_drift_chi2's snapshot comparison)
+#       sample_priority       (Duffield-Lund-Thorup weighted sampling
+#                              without replacement: md5-uniform / weight
+#                              priorities, TakeOrdered top-k — the
+#                              quality/length-weighted curation draw)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
