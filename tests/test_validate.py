@@ -337,3 +337,29 @@ def test_histogram_drift_excludes_null_values(spark):
     # with NULLs excluded the distributions are identical -> zero drift
     assert out[0]["n_new"] == 2 and out[0]["chi2_term"] == 0.0
     assert out[1]["n_new"] == 1 and out[1]["chi2_term"] == 0.0
+
+
+def test_gopher_quality_flags_hand_cases(spark):
+    """Each Gopher rule trips on its designed offender and passes a clean
+    doc; the conjunction requires all five; thresholds are integer
+    cross-multiplies (no float comparisons to wobble)."""
+    from trafficbigdatasearch_spark.operators import validate
+
+    clean = "the quick brown fox jumps over the lazy dog and runs far " * 5
+    rows = [
+        (1, clean),                                     # passes all
+        (2, "short text only here"),                    # word-count floor
+        (3, "a b c d e " * 12 + "the and of to in"),    # mean word len < 3
+        (4, ("word " * 54) + "# " * 8),                 # symbol ratio > 0.1
+        (5, ("123 456 " * 30) + "the and is"),          # alpha words < 80%
+        (6, "lorem ipsum dolor sit amet " * 12),        # < 2 en stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           validate.gopher_quality_flags(docs, min_words=50).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_word_count"] and not out[2]["passes"]
+    assert not out[3]["ok_mean_word_len"] and not out[3]["passes"]
+    assert not out[4]["ok_symbol_ratio"] and not out[4]["passes"]
+    assert not out[5]["ok_alpha_words"] and not out[5]["passes"]
+    assert not out[6]["ok_stopwords"] and not out[6]["passes"]

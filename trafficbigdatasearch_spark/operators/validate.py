@@ -413,3 +413,75 @@ def histogram_drift(
         e.alias("expected"),
         term.alias("chi2_term"),
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, the published
+    heuristic set most pretraining pipelines start from), evaluated as
+    per-document BOOLEAN FLAGS plus the conjunction — report-style, so a
+    curation run can measure each rule's kill rate before committing to
+    the filter (the enforce-vs-gate split this module already draws).
+
+    Every rule is INTEGER counts against a RATIONAL threshold,
+    cross-multiplied so no float enters any comparison (the
+    sample_temperature / token-cosine discipline):
+
+    - ``ok_word_count``:   min_words <= n_words <= max_words
+    - ``ok_mean_word_len``: 3 <= word_chars/n_words <= 10, as
+      ``3·n_words <= word_chars AND word_chars <= 10·n_words``
+    - ``ok_symbol_ratio``: (#hashes + #ellipses) / n_words <= 0.1, as
+      ``10·(n_hash + n_ellipsis) <= n_words``
+    - ``ok_alpha_words``:  words containing a letter >= 80%, as
+      ``5·n_alpha >= 4·n_words``
+    - ``ok_stopwords``:    >= 2 English stopword hits (the 'actually
+      natural language' smell test)
+    - ``passes`` = AND of the five.
+
+    Row-local column expressions end to end (token split, two
+    replace-based occurrence counts, two higher-order ``filter`` lambdas
+    — all whole-stage-codegen'd, zero shuffles, zero Python), so the
+    battery runs at scan speed on any corpus size.  Empty/whitespace
+    docs: n_words = 0 fails the word-count floor; the mean-length rule
+    is vacuously true at 0 words (flags are independent by design)."""
+    from trafficbigdatasearch_spark.functions import text as T
+
+    t = F.trim(F.col(text_col))
+    toks = T.tokens(F.col(text_col))
+    n_words = F.size(toks).cast("bigint")
+    word_chars = F.length(F.regexp_replace(t, r"\s", "")).cast("bigint")
+    n_hash = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stops = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda x: F.array_contains(stops, F.lower(x)))
+    ).cast("bigint")
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (F.lit(3) * n_words <= word_chars) & (
+        word_chars <= F.lit(10) * n_words
+    )
+    ok_sym = F.lit(10) * (n_hash + n_ellipsis) <= n_words
+    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    ok_stop = n_stop >= 2
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )

