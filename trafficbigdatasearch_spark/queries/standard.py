@@ -8360,10 +8360,13 @@ def pipeline_mm_dedup_q(spark, sf):
 # on shipping code — 187/187 after the review-fix batches (NULL-excluded
 # drift binning, count_distinct boilerplate denominators, hdcg k<=41
 # bound, backtick term rejection) and AGAIN at 189/189 at close,
-# certifying every post-freeze change (the five r10-queue registrations,
-# CorpusPipeline.materialize in the LM-gate pipelines, sim_token_cosine's
-# guarded re-registration).  pytest at close: 602 passed / 2 skipped / 0
-# failed, plus the post-run max_trip loss-contract pin green.  sf0.1
+# certifying every post-freeze change, and a THIRD time at 191/191 after
+# the final registrations (the seven r10-queue rows including
+# sample_priority and quality_gopher, CorpusPipeline.materialize in the
+# LM-gate pipelines, sim_token_cosine's guarded re-registration) with the
+# registry-wide plan pins re-run green (34/34).  pytest at close: 607
+# passed / 2 skipped / 0 failed on the final code (incl. the max_trip,
+# priority-sample, and Gopher pins).  sf0.1
 # verification: all 7 r9-changed rows green (batched-BPE learn chain,
 # AQE-default collocations, drift/histogram NULL policy, boilerplate
 # strip) plus j_asof_tolerance (20 084 rows), pipeline_training_mix
