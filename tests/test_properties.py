@@ -435,3 +435,157 @@ def test_hdcg_bounded_and_perfect_head_is_one(spark, seed):
     for r in out.values():
         assert 0.0 <= r["hdcg"] <= 1.0
         assert 0 <= r["dcg_num"] <= r["idcg_num"]
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: cross-checks against independent reference implementations
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=2, max_value=12),
+)
+@PROP
+def test_token_cosine_matches_bruteforce(spark, seed, n_docs):
+    """token_cosine_pairs (unguarded) == a pure-Python brute-force cosine
+    over random small vocabulary-dense corpora (exactly the tie/overlap
+    regime the inverted-index plan must not miscount)."""
+    import itertools
+    import math
+    import random
+
+    from trafficbigdatasearch_spark.operators import dedup
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["norm_a"], r["norm_b"])
+        for r in dedup.token_cosine_pairs(
+            df, threshold=(4, 5), max_term_df=None
+        ).collect()
+    }
+    # brute force
+    tf = {}
+    for i, text in docs:
+        c = {}
+        for w in text.split():
+            c[w] = c.get(w, 0) + 1
+        tf[i] = c
+    want = {}
+    for a, b in itertools.combinations(sorted(tf), 2):
+        dot = sum(tf[a][t] * tf[b][t] for t in tf[a] if t in tf[b])
+        na = sum(v * v for v in tf[a].values())
+        nb = sum(v * v for v in tf[b].values())
+        if dot > 0 and 25 * dot * dot >= 16 * na * nb:
+            want[(a, b)] = (dot, na, nb)
+    assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=4, max_value=60),
+)
+@PROP
+def test_incremental_cc_matches_full_on_random_graphs(spark, seed, n_nodes):
+    """incremental_components == connected_components over a random edge
+    set randomly split into base and increment — the maintenance identity
+    under arbitrary merge topologies, not just the designed hand cases."""
+    import random
+
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(max(2, n_nodes))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if len(edges) < 2:
+        return
+    cut = rng.randint(1, len(edges) - 1)
+    df = lambda rows: spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+    base, inc = df(edges[:cut]), df(edges[cut:])
+    labels = G.connected_components(base)
+    got = sorted(map(tuple, G.incremental_components(labels, inc).collect()))
+    want = sorted(map(tuple, G.connected_components(df(edges)).collect()))
+    assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    tol=st.integers(min_value=0, max_value=30),
+)
+@PROP
+def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
+    """asof_join with tolerance == pandas.merge_asof (backward, inclusive)
+    on random integer time series — the canonical implementation as the
+    reference (right timestamps deduplicated first: merge_asof keeps the
+    LAST row at a duplicated key ts, while the engine's contract is the
+    max-struct winner; dedup makes both conventions vacuous)."""
+    import random
+
+    import pandas as pd
+
+    from trafficbigdatasearch_spark.operators import joins as J
+
+    rng = random.Random(seed)
+    left = sorted(
+        {(rng.randint(0, 2), rng.randint(0, 100)) for _ in range(20)}
+    )
+    right_keys = sorted(
+        {(rng.randint(0, 2), rng.randint(0, 100)) for _ in range(15)}
+    )
+    right = [(k, t, i) for i, (k, t) in enumerate(right_keys)]
+    ldf = spark.createDataFrame(left, "k bigint, ts bigint")
+    rdf = spark.createDataFrame(right, "k bigint, rts bigint, val bigint")
+    got = {
+        (r["k"], r["ts"]): r["val"]
+        for r in J.asof_join(
+            ldf, rdf, ["k"], "ts", "rts", tolerance=tol
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right, columns=["k", "rts", "val"]).sort_values("rts")
+    m = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k",
+        tolerance=tol, direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        (int(r.k), int(r.ts)): (None if pd.isna(r.val) else int(r.val))
+        for r in m.itertuples()
+    }
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_batched_bpe_matches_reference_on_random_corpora(spark, seed):
+    """Batched learn_merges == the pure-Python sequential reference on
+    random tie-dense corpora — the hypothesis-driven generalization of
+    the designed tie-trap case (small vocab + repeated freqs maximize
+    exact weight ties, the regime where an unsound batch would diverge)."""
+    import random
+
+    from tests.test_bpe import _ref_bpe
+
+    rng = random.Random(seed)
+    vocab = ["abc", "abd", "cab", "bca", "aab", "bba"]
+    words = {
+        w: rng.choice([10, 10, 20, 30])
+        for w in rng.sample(vocab, rng.randint(2, len(vocab)))
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(words.items())],
+        "doc_id bigint, text string",
+    )
+    from trafficbigdatasearch_spark.operators import bpe
+
+    want, _ = _ref_bpe(words, 6)
+    got, _ = bpe.learn_merges(docs, 6, batch_size=8)
+    assert got == want
