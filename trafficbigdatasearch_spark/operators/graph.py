@@ -260,22 +260,32 @@ def incremental_components(
     edges = new_edges.select(
         _id(id_a).alias("_ea"), _id(id_b).alias("_eb")
     ).filter(F.col("_ea") != F.col("_eb"))
-    # endpoint -> current label (own id when previously unlabeled).  The
-    # endpoint set is new-edges-bounded; broadcasting it keeps the corpus
-    # join shuffle-free on the corpus side.
+    # endpoint -> current label.  Scale shape (the documented contract):
+    # the corpus-sized table is only ever the STREAM side of a broadcast
+    # join — the endpoint set is new-edges-bounded, so the INNER probe
+    # below is one corpus scan with zero corpus shuffle at any scale (a
+    # left join keyed the other way would force the build side onto the
+    # corpus and degrade to a sort-merge shuffle past broadcast size).
+    # The labeled endpoints are batch-sized; lazily checkpointed because
+    # they feed both label-graph legs and the known/new split.
     endpoints = (
         edges.select(F.col("_ea").alias(id_col))
         .union(edges.select(F.col("_eb").alias(id_col)))
         .distinct()
     )
-    ep_labels = (
-        F.broadcast(endpoints)
-        .join(comp, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col(comp_col), F.col(id_col)).alias("_lab"),
-        )
+    ep_known = (
+        comp.join(F.broadcast(endpoints), id_col)
+        .select(id_col, F.col(comp_col).alias("_lab"))
+        .localCheckpoint(eager=False)
     )
+    # previously-unlabeled endpoints label themselves (CC's nodes
+    # fallback); both sides of this anti join are batch-sized
+    ep_new = (
+        endpoints.join(ep_known.select(id_col), id_col, "left_anti")
+        .select(id_col, F.col(id_col).alias("_lab"))
+        .localCheckpoint(eager=False)
+    )
+    ep_labels = ep_known.unionByName(ep_new)
     la = ep_labels.withColumnRenamed(id_col, "_ea").withColumnRenamed(
         "_lab", "_la"
     )
@@ -296,22 +306,25 @@ def incremental_components(
         max_iterations=max_iterations,
         cast=None,  # ids already cast above
     ).select(F.col("id").alias("_old_lab"), F.col("component").alias("_root"))
-    # relabel: old rows through the (tiny) label->root map; endpoint rows
-    # through their (possibly merged) endpoint label — union covers new
-    # nodes, distinct collapses the overlap (labels agree by construction)
+    # relabel: ALL old rows through the (tiny, broadcast) label->root map
+    # — this covers every previously-labeled node including known
+    # endpoints — plus the genuinely-new nodes through their own merged
+    # label.  The two sides are DISJOINT by construction, so the union
+    # needs no distinct: the corpus is never shuffled, only scanned
+    # (second and final scan).
     relabeled_old = comp.join(
         F.broadcast(merged), comp[comp_col] == F.col("_old_lab"), "left"
     ).select(
         id_col,
         F.coalesce(F.col("_root"), F.col(comp_col)).alias(comp_col),
     )
-    relabeled_new = ep_labels.join(
+    relabeled_new = ep_new.join(
         F.broadcast(merged), F.col("_lab") == F.col("_old_lab"), "left"
     ).select(
         id_col,
         F.coalesce(F.col("_root"), F.col("_lab")).alias(comp_col),
     )
-    return relabeled_old.union(relabeled_new).distinct()
+    return relabeled_old.unionByName(relabeled_new)
 
 
 def bfs_levels(
