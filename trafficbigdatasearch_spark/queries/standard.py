@@ -8366,7 +8366,15 @@ def pipeline_mm_dedup_q(spark, sf):
 # LM-gate pipelines, sim_token_cosine's guarded re-registration) with the
 # registry-wide plan pins re-run green (34/34).  pytest at close: 607
 # passed / 2 skipped / 0 failed on the final code (incl. the max_trip,
-# priority-sample, and Gopher pins).  sf0.1
+# priority-sample, and Gopher pins), plus four NEW hypothesis properties
+# cross-checking the r9 operators against independent references
+# (pandas merge_asof, pure-Python brute-force cosine, full-CC identity,
+# the sequential BPE reference).  One post-sweep change:
+# incremental_components was restructured so its zero-corpus-shuffle
+# claim holds past broadcast size (corpus only ever the stream side of
+# explicit broadcasts; no closing distinct) — re-verified green (oracle
+# row, hand cases, random-graph property) with the broadcast threshold
+# forced to 1KB to prove the plan shape.  sf0.1
 # verification: all 7 r9-changed rows green (batched-BPE learn chain,
 # AQE-default collocations, drift/histogram NULL policy, boilerplate
 # strip) plus j_asof_tolerance (20 084 rows), pipeline_training_mix
