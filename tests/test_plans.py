@@ -129,6 +129,33 @@ def test_incremental_dedup_streams_corpus_broadcasts_increment(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_incremental_cc_never_shuffles_corpus(spark):
+    """incremental_components' contract (r9): the corpus-sized label table
+    is only ever the STREAM side of explicit broadcasts and the closing
+    union has no distinct — pinned with the broadcast threshold forced to
+    1KB so AQE cannot rescue a wrong join direction at toy scale (the
+    shape that caught the original left-join formulation degrading to a
+    sort-merge shuffle past broadcast size)."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        comp = spark.range(50000).select(
+            F.col("id"), (F.col("id") - F.col("id") % 2).alias("component")
+        )
+        new = spark.range(40).select(
+            (F.col("id") * 3).alias("id_a"), (F.col("id") * 7 + 1).alias("id_b")
+        )
+        plan = X.formatted_plan(G.incremental_components(comp, new))
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """Runtime bloom-filter injection (the semi-join reduction for selective
     shuffle joins): a selective filter on orders must inject a bloom filter
