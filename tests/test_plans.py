@@ -156,6 +156,22 @@ def test_incremental_cc_never_shuffles_corpus(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_fuzzy_decontam_verify_broadcasts_candidates(spark):
+    """decontaminate_fuzzy's verify join back to the corpus shingle sets
+    must broadcast the contamination-bounded candidate side (BuildLeft
+    inner) — pinned at a 1KB threshold so AQE cannot mask a regression
+    to the sort-merge corpus shuffle the r9 audit caught."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        plan = X.formatted_plan(
+            standard.queries()["decontaminate_fuzzy"](spark, SF)
+        )
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_runtime_bloom_filter_semi_join_reduction(spark):
     """Runtime bloom-filter injection (the semi-join reduction for selective
     shuffle joins): a selective filter on orders must inject a bloom filter

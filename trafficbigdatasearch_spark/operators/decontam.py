@@ -136,8 +136,15 @@ def fuzzy_contamination_pairs(
     if exclude_same_id:
         cand = cand.filter(F.col("_id") != F.col("_bid"))
     cand = cand.select("_id", "_bid").distinct()
+    # the verify join back to the corpus shingle sets: cand is
+    # contamination-bounded (the operator's documented candidate bound),
+    # so it is the BROADCAST side — explicitly, because without the hint
+    # this inner join degrades to a sort-merge shuffle of the corpus
+    # shingle arrays past broadcast size (r9 broadcast-direction audit;
+    # BuildLeft is valid for inner joins), violating the corpus-never-
+    # shuffles contract the docstring states
     scored = (
-        cand.join(csets, "_id")
+        F.broadcast(cand).join(csets, "_id")
         .join(F.broadcast(bsets), "_bid")
         .select(
             F.col("_id").alias(id_col),
