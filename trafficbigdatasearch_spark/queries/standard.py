@@ -8393,9 +8393,13 @@ def pipeline_mm_dedup_q(spark, sf):
 # full re-clustering grows 18.7->47.5 s across a 16x node decade).
 #   r10 slot guidance, in order:
 #   1. the ROUND-10 QUEUE below (3 never-driver-checked rows);
-#   2. changed-code cycle-backs: mm_phash_pairs is stable (covers the
-#      phash_pairs decoder-hook default path); eval_rec_hdcg cycles back
-#      for its k-bound guard if a slot frees;
+#   2. changed-code cycle-backs: decontaminate_fuzzy (the r9 audit's
+#      broadcast fix rewrote its verify join AFTER its last driver row;
+#      re-verified green via driver_sim + the 1KB plan pin this session),
+#      pipeline_lm_filter (materialize() stage added post-window; swept
+#      green); mm_phash_pairs is stable (covers the phash_pairs
+#      decoder-hook default path); eval_rec_hdcg cycles back for its
+#      k-bound guard if a slot frees;
 #   3. oldest-stale rows (last green r2, registration order after the
 #      two taken this round): a_distinct_count, f_json_extract,
 #      f_string_funcs, w_row_number, time_bucket_hourly, text_metrics,
