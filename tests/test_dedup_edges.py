@@ -102,6 +102,41 @@ def test_asof_join_tolerance(spark):
     assert hit[0]["val"] == "x" and miss[0]["val"] is None
 
 
+def test_asof_join_null_value_in_matched_row_not_backfilled(spark):
+    """ADVICE r9: the matched right row is carried as ONE struct, so a
+    NULL value column in the NEAREST right row is emitted as NULL — never
+    back-filled from an OLDER right row (which may itself sit outside
+    tolerance).  merge_asof parity: the match is a row, not a per-column
+    scavenger hunt."""
+    left = spark.createDataFrame([(1, 100)], ["id", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 99, None)], "id bigint, rts bigint, val string"
+    )
+    # no tolerance: the nearest row (rts=99) matches; its val is NULL and
+    # must stay NULL, not borrow "old" from rts=10
+    out = J.asof_join(left, right, ["id"], "ts", "rts").collect()
+    assert len(out) == 1 and out[0]["val"] is None
+    # with tolerance=5 the nearest row is in tolerance (gap 1) — same NULL
+    tol = J.asof_join(left, right, ["id"], "ts", "rts", tolerance=5).collect()
+    assert tol[0]["val"] is None
+    # multi-column: one NULL, one set — both come from the matched row
+    right2 = spark.createDataFrame(
+        [(1, 10, "old", 7.0), (1, 99, None, 3.0)],
+        "id bigint, rts bigint, a string, b double",
+    )
+    row = J.asof_join(left, right2, ["id"], "ts", "rts", tolerance=5).collect()[0]
+    assert row["a"] is None and row["b"] == 3.0
+    # forward direction honors the same contract
+    fwd = J.asof_join(
+        left,
+        spark.createDataFrame(
+            [(1, 101, None), (1, 200, "far")], "id bigint, rts bigint, val string"
+        ),
+        ["id"], "ts", "rts", direction="forward", tolerance=5,
+    ).collect()
+    assert fwd[0]["val"] is None
+
+
 def test_minhash_lsh_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="divisible"):

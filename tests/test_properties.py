@@ -541,7 +541,12 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
     right_keys = sorted(
         {(rng.randint(0, 2), rng.randint(0, 100)) for _ in range(15)}
     )
-    right = [(k, t, i) for i, (k, t) in enumerate(right_keys)]
+    # ~1/4 NULL values (ADVICE r9): a NULL in the matched row must surface
+    # as NULL, never back-fill from an older right row
+    right = [
+        (k, t, None if rng.random() < 0.25 else i)
+        for i, (k, t) in enumerate(right_keys)
+    ]
     ldf = spark.createDataFrame(left, "k bigint, ts bigint")
     rdf = spark.createDataFrame(right, "k bigint, rts bigint, val bigint")
     got = {

@@ -251,3 +251,19 @@ def test_priority_sample_weighted_and_deterministic(spark):
     assert all(r["_priority"] > 0 for r in out.collect())
     with _pytest.raises(ValueError, match="positive"):
         sampling.priority_sample(df, "w", k=0)
+
+
+def test_priority_sample_excludes_nan_weights(spark):
+    """ADVICE r9: Spark orders NaN greater than any number, so ``w > 0``
+    alone ADMITS NaN weights; when fewer than k finite-weight rows exist
+    they'd silently enter the sample with a NaN priority.  NaN is excluded
+    like zero/NULL."""
+    from trafficbigdatasearch_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, float("nan")), (4, float("nan"))],
+        "doc_id bigint, w double",
+    )
+    got = sampling.priority_sample(df, "w", k=4, key_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
+    assert all(r["_priority"] == r["_priority"] for r in got)  # no NaN prio

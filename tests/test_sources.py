@@ -480,6 +480,15 @@ def test_phash_decoded_with_synthetic_decoder(spark):
          MM.phash_decoded(assets.limit(1), n_bits=64, decoder=msb).collect()}
     assert h[1] < 0  # top 32 bits set -> sign bit set, packed without overflow
 
+    # ADVICE r9: a ragged grid (later rows shorter than row 0) raises the
+    # operator's loud, named validation error — not an opaque IndexError
+    # from inside the executor's batch loop
+    def ragged(payload, media_type):
+        return [[1.0] * 8] * 4 + [[1.0] * 5] * 4
+
+    with pytest.raises(Exception, match="ragged"):
+        MM.phash_decoded(assets.limit(1), n_bits=16, decoder=ragged).collect()
+
 
 # ---------------------------------------------------------------------------
 # Min/max sidecar file skipping

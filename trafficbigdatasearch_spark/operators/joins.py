@@ -104,8 +104,10 @@ def asof_join(
     string (e.g. ``"INTERVAL 15 minutes"``) for timestamps.
 
     DataFrame-native formulation (no custom operator): tag both sides, union
-    by a common schema, and carry the most recent right values forward with a
-    ``last(ignorenulls)`` window per key ordered by time.  ONE shuffle
+    by a common schema, and carry the most recent right ROW forward — one
+    ``last(ignorenulls)`` of a (timestamp, values) struct per key ordered by
+    time, so tolerance and emitted values decide off the SAME row even when
+    that row has NULL value columns (merge_asof parity).  ONE shuffle
     (window partition by key) — strictly better than the join+row_number
     formulation which shuffles twice, and it never materializes the
     all-pairs-per-key blowup.
@@ -137,14 +139,12 @@ def asof_join(
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(tie_type).alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in left.columns],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in rcols]).alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
     )
     both = l_tag.unionByName(r_tag)
 
@@ -163,32 +163,39 @@ def asof_join(
             .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tie").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+    # The matched right row is carried as ONE struct (its timestamp + its
+    # value columns together), so the tolerance decision and the emitted
+    # values always come from the SAME right row.  (A per-column
+    # ``last(ignorenulls)`` carry would, on a matched row with a NULL in
+    # some column, back-fill that column from an OLDER right row — which
+    # may itself be outside tolerance, diverging from merge_asof.)
     carried = both.select(
         *[F.col(c) for c in left.columns],
         F.col("_t"),
         "_side",
         F.last(
-            F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True
-        ).over(w).alias("_match_t"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in rcols
-        ],
+            F.when(
+                F.col("_side") == 0,
+                F.struct(F.col("_t").alias("_mt"), F.col("_tie").alias("_v")),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("_match"),
     )
+    match_t = F.col("_match._mt")
     if tolerance is None:
         in_tol = F.lit(True)
     else:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
         gap = (
-            F.col("_t") - F.col("_match_t")
+            F.col("_t") - match_t
             if direction == "backward"
-            else F.col("_match_t") - F.col("_t")
+            else match_t - F.col("_t")
         )
-        in_tol = F.col("_match_t").isNotNull() & (gap <= tol)
+        in_tol = match_t.isNotNull() & (gap <= tol)
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],
         *[
-            F.when(in_tol, F.col(f"_r_{c}")).alias(c)
+            F.when(in_tol, F.col("_match")["_v"][c]).alias(c)
             for c in rcols
         ],
     )

@@ -298,6 +298,11 @@ def phash_decoded(
                         f"{aid} — decoders must yield a non-empty 2-D array"
                     )
                 h, w = len(grid), len(grid[0])
+                if any(len(row) != w for row in grid):
+                    raise ValueError(
+                        f"decoder returned a ragged pixel grid for asset "
+                        f"{aid} — every row must match row 0's length {w}"
+                    )
                 cells = []
                 for bi in range(side):
                     for bj in range(side):

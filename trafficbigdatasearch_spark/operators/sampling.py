@@ -367,8 +367,13 @@ def priority_sample(
         10,
     ).cast("bigint")
     prio = (u.cast("double") / w).alias("_priority")
+    # NaN weights must be excluded explicitly: Spark orders NaN GREATER
+    # than any number, so ``w > 0`` ADMITS NaN — and a NaN weight yields a
+    # NaN priority that silently enters the sample when fewer than k
+    # finite-weight rows exist (ADVICE r9).  Same exclusion policy as
+    # zero/NULL: a weightless row has no business in a weighted sample.
     return (
-        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        df.filter(F.col(weight_col).isNotNull() & (w > 0) & ~F.isnan(w))
         .select("*", prio)
         .orderBy(F.col("_priority").asc(), F.col(key_col).asc())
         .limit(k)
