@@ -245,6 +245,59 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """ivf_index_append (verdict r9 #6): build on the standing corpus, fold
+    in a held-out batch against the STORED centroids — the merged index
+    answers ivf_topk_indexed identically to a full rebuild over
+    corpus ∪ batch at the same fixed centroids, and the standing inverted
+    files are bit-untouched by the append (maintenance is O(|batch|), never
+    a rewrite)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    standing, batch = (
+        emb.filter(F.col("vec_id") % 10 != 7),
+        emb.filter(F.col("vec_id") % 10 == 7),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = standing.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+
+    inc = str(tmp_path / "inc")
+    similarity.build_ivf_index(standing, inc, centroids=cents)
+    before = {
+        (p, f)
+        for p, _, fs in os.walk(f"{inc}/inverted")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    similarity.ivf_index_append(spark, inc, batch)
+    after = {
+        (p, f)
+        for p, _, fs in os.walk(f"{inc}/inverted")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before < after  # appended new files, kept every standing one
+
+    full = str(tmp_path / "full")
+    similarity.build_ivf_index(emb, full, centroids=cents)
+    got = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, inc, queries, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk_indexed(spark, full, queries, k=5, nprobe=2).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_pq_adc_lands_in_own_cluster(spark):
     """PQ/ADC over the clustered corpus: the top-1 ADC neighbor of every
     probe must come from the probe's own cluster — the shortlist-quality

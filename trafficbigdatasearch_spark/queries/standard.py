@@ -2048,6 +2048,51 @@ def sim_ivf_indexed_q(spark, sf):
     ).withColumnRenamed("rank", "rnk")
 
 
+#: sim_ivf_append's oracle IS the full rebuild over corpus ∪ batch at the
+#: SAME fixed centroids (the standing corpus's stride sample): the append
+#: path must answer identically, which is exactly the index-maintenance
+#: contract (verdict r9 #6).  One textual delta from _IVF_ORACLE: the
+#: centroid CTE excludes the appended batch (vec_id % 10 = 7), matching the
+#: Spark side where centroids were sampled BEFORE the batch arrived.
+_IVF_APPEND_ORACLE = _IVF_ORACLE.replace(
+    "WHERE vec_id % 97 = 0", "WHERE vec_id % 97 = 0 AND vec_id % 10 <> 7"
+)
+assert _IVF_APPEND_ORACLE != _IVF_ORACLE
+
+#: Per-(sf dir) cache of the appended IVF index (standing build + one
+#: appended batch), mirroring _IVF_INDEX_CACHE's build-once contract.
+_IVF_APPEND_CACHE: dict[str, str] = {}
+
+
+@register("sim_ivf_append", _IVF_APPEND_ORACLE)
+def sim_ivf_append_q(spark, sf):
+    """IVF index MAINTENANCE (verdict r9 #6): build the persisted index on
+    the standing corpus (vec_id % 10 != 7), then ivf_index_append folds the
+    held-out batch in against the STORED centroids — the standing inverted
+    lists are never read or rewritten, maintenance is O(|batch|)
+    (operators/similarity.py::ivf_index_append).  The query then runs
+    ivf_topk_indexed over the merged index; the oracle computes the full
+    rebuild over corpus ∪ batch at the same fixed centroids, so a green row
+    proves merged-index ≡ full-rebuild equivalence end-to-end, including
+    queries whose neighbors live in appended files (vec_id 7 is itself a
+    query point)."""
+    import os
+
+    emb = load_table(spark, sf, "embeddings")
+    path = _IVF_APPEND_CACHE.get(sf)
+    if path is None:
+        path = os.path.join(_scratch("ivf_append", sf), "ivf")
+        batch_pred = F.col("vec_id") % 10 == 7
+        similarity.build_ivf_index(
+            emb.filter(~batch_pred), path, centroid_stride=97
+        )
+        similarity.ivf_index_append(spark, path, emb.filter(batch_pred))
+        _IVF_APPEND_CACHE[sf] = path
+    return similarity.ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+    ).withColumnRenamed("rank", "rnk")
+
+
 @register(
     "sim_kmeans_refine",
     f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
@@ -8601,44 +8646,54 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 9: the 18-query r9 queue (every
-    # never-driver-checked row — after this round the registry is 184/184
-    # driver-verified; the 6 post-freeze r8 registrations lead because 4
-    # of them carry code changed after the r8 window was collected) ---------
-    "a_drift_chi2",
-    "sample_temperature",
-    "dedup_semantic_incremental",
-    "sim_dim_stats",
-    "text_boilerplate_spans",
-    "pipeline_boilerplate_strip",
-    "a_attribution_touch",
-    "a_basket_pairs",
-    "a_event_transitions",
-    "a_histogram",
-    "a_winsorize",
-    "dedup_containment",
-    "j_bloom_anti",
-    "j_bloom_prefilter",
-    "quality_profile",
-    "quality_referential",
-    "s_minmax_skipping",
-    "stream_dedup",
-    # --- rotating slots, round 9: promised cycle-backs (r8 closing state) --
-    "s_zorder_skipping",
-    "ts_resample_ohlc",
-    "ts_interpolate",
-    "text_dup_spans",
-    # --- rotating slots, round 9: changed-code re-verification (the r6
-    # amendment: the batched BPE merge loop rewrote learn_merges, and
-    # collocations' unigram joins default to AQE sizing this session) --------
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "pipeline_bpe",
-    "text_collocations",
-    # --- rotating slots, round 9: oldest-stale (last green r2,
-    # registration order) ----------------------------------------------------
-    "p_time_range_halfopen",
-    "p_segments_case",
+    # --- rotating slots, round 10: the r10 queue — every remaining
+    # never-driver-checked row (the 7 post-freeze r9 registrations, judge-
+    # rehearsed 7/7 green) plus sim_ivf_append, registered THIS round
+    # (IVF index maintenance, verdict r9 #6: merged index ≡ full rebuild
+    # at fixed centroids; new queries enter in their first round) -----------
+    "j_asof_tolerance",
+    "pipeline_training_mix",
+    "graph_cc_incremental",
+    "sim_token_cosine",
+    "ts_cusum",
+    "sample_priority",
+    "quality_gopher",
+    "sim_ivf_append",
+    # --- rotating slots, round 10: changed-code cycle-backs promised in
+    # the r9 closing state (decontaminate_fuzzy's verify join was rewritten
+    # by the r9 broadcast audit AFTER its last driver row;
+    # pipeline_lm_filter gained the materialize() stage; eval_rec_hdcg
+    # carries the ADVICE-r8 k<=42 lcm guard).  j_asof_tolerance +
+    # sample_priority above double as THIS session's changed-code rows
+    # (ADVICE r9: struct-carried as-of match, NaN-weight exclusion);
+    # stable j_asof / mm_phash_pairs cover the other touched paths. --------
+    "decontaminate_fuzzy",
+    "pipeline_lm_filter",
+    "eval_rec_hdcg",
+    # --- rotating slots, round 10: dedup_keep_best — the heaviest
+    # non-pipeline query, A/B-bracketed this session (verdict r9 #3);
+    # its driver row refreshes alongside the recorded bracket -------------
+    "dedup_keep_best",
+    # --- rotating slots, round 10: oldest-stale (last green r2) — ALL 16
+    # remaining r2 rows fit, so the staleness floor moves to r3 next round
+    # (the 14 named in the r9 queue first, then the two whose code path a
+    # stable sibling already covers) ---------------------------------------
+    "a_distinct_count",
+    "f_json_extract",
+    "f_string_funcs",
+    "w_row_number",
+    "time_bucket_hourly",
+    "text_metrics",
+    "text_pii_scrub",
+    "text_fingerprint",
+    "text_rolling_fingerprint",
+    "text_top_ngrams",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "sim_brute_topk",
+    "sim_lsh_topk",
+    "j1_equi_join_dims",
+    "j3_or_key_union",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
