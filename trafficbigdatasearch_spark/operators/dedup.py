@@ -230,7 +230,15 @@ def token_cosine_pairs(
     Shape: one tokenize pass -> one exchange on the term (shared by the
     guard window and posting aggregation) -> pair generation bounded by
     O(max_term_df²) per term -> pair-restricted exact rescore ->
-    broadcast-sized norm join."""
+    broadcast-sized norm join.
+
+    The cap is MANDATORY at scale, not an optimization: unguarded
+    (``max_term_df=None``) per-term pair generation is C(df, 2) and a
+    single stopword-grade term (df ~ corpus size) is quadratic in the
+    corpus — measured 107 s vs 2.1 s guarded at sf0.1 on a toy
+    vocabulary, and unboundedly worse as the corpus grows.  Sizing rule
+    and cap-vs-recall/cost reasoning: SCALING.md's "Sparse token-cosine
+    join" row."""
     p, q = threshold
     if not (0 < p <= q):
         raise ValueError(f"threshold must be a rational in (0, 1], got {p}/{q}")

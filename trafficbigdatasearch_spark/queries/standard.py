@@ -7230,7 +7230,9 @@ def sim_token_cosine_q(spark, sf):
     registration measured 107 s at sf0.1 — the tiny synthetic
     vocabulary makes every term stopword-grade, the exact skew the
     guard exists for).  At sf0.01 every df <= 500, the guard never
-    fires, and the row equals the exact join."""
+    fires, and the row equals the exact join.  The cap is MANDATORY at
+    scale; the sizing rule (cap²/2 per-term pair bound, Zipf-head
+    recall reasoning) is SCALING.md's "Sparse token-cosine join" row."""
     return dedup.token_cosine_pairs(
         load_table(spark, sf, "documents"),
         threshold=(9, 10),
