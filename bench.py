@@ -223,9 +223,21 @@ def _bench_traffic(spark, times: dict, cold: dict) -> None:
             call()
             warm.append(time.perf_counter() - t0)
         times[name] = round(min(warm), 3)
+    return calls
+
+
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute host load — the coarse contention signal recorded
+    before and after the run (verdict r9 #2: a contended driver host must
+    be visible in the artifact, not inferred from flag patterns)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover — non-POSIX
+        return None
 
 
 def main() -> None:
+    load_start = _loadavg()
     spark = build_spark(app_name="tbds-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = standard.queries()
@@ -257,8 +269,9 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         times[name] = round(min(warm), 3)
 
+    traffic_calls = {}
     if run_traffic:
-        _bench_traffic(spark, times, cold)
+        traffic_calls = _bench_traffic(spark, times, cold)
 
     # Blind-spot sweep (verdict r7 #5): every registry query OUTSIDE the
     # headline roster gets one wall-time row per round, so a regression in
@@ -290,8 +303,19 @@ def main() -> None:
     # anchor host variance can't inflate, so a flag is a real signal, not
     # the cross-round eyeballing the r8 verdict called out.  The flag
     # list rides the compact stdout line into BENCH_r{N}.json.
+    #
+    # Self-triage (verdict r9 #2): a band violation alone is NOT a flag.
+    # The r9 driver session hit ~2x host contention and published 11
+    # flags (up to 19x) on code that re-timed at historical bests — an
+    # artifact indistinguishable from a real regression.  So every band
+    # violation is RE-RUN once at session end (after all measurement
+    # pressure has drained); only a reproduced violation stays in
+    # ``regression_flags``, the rest move to ``triaged_transient`` with
+    # both numbers recorded.  /proc/loadavg before/after brackets the
+    # session so a contended host is visible in the artifact itself.
     regression_flags: dict[str, dict] = {}
-    band = 2.5
+    triaged_transient: dict[str, dict] = {}
+    band = float(os.environ.get("SPARK_GRAFT_BENCH_BAND", "2.5"))
     try:
         sys.path.insert(
             0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
@@ -299,11 +323,34 @@ def main() -> None:
         from bench_compare import best_prior_map, flag_regressions
 
         best = best_prior_map(os.path.dirname(os.path.abspath(__file__)))
-        regression_flags = flag_regressions(
+        candidates = flag_regressions(
             {**times, **{f"sweep:{k}": v for k, v in sweep.items()}},
             best,
             band,
         )
+        for flagged, info in candidates.items():
+            qname = flagged.split(":", 1)[1] if flagged.startswith("sweep:") else flagged
+            try:
+                t0 = time.perf_counter()
+                if qname in traffic_calls:
+                    traffic_calls[qname]()
+                else:
+                    _force(qs[qname](spark, SF_DIR))
+                rerun = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — a rerun crash IS a flag
+                regression_flags[flagged] = {
+                    **info, "rerun_error": f"{type(e).__name__}: {e}"[:200]
+                }
+                continue
+            info = {
+                **info,
+                "rerun_sec": rerun,
+                "rerun_ratio": round(rerun / info["best_prior"], 2),
+            }
+            if info["rerun_ratio"] > band:
+                regression_flags[flagged] = info  # reproduced — real signal
+            else:
+                triaged_transient[flagged] = info  # contention — recorded, not flagged
     except Exception as e:  # noqa: BLE001 — the bench record must survive
         regression_flags = {"_error": {"msg": f"{type(e).__name__}: {e}"[:200]}}
 
@@ -325,6 +372,8 @@ def main() -> None:
         "sweep_errors": sweep_errors,
         "regression_band": band,
         "regression_flags": regression_flags,
+        "triaged_transient": triaged_transient,
+        "load_avg": {"start": load_start, "end": _loadavg()},
     }
     # Full per-query record goes to a FILE: at 90+ queries the one-line
     # JSON exceeds the driver's 2000-char stdout tail and BENCH_r04.json
@@ -338,6 +387,8 @@ def main() -> None:
     compact["queries"] = {}
     del compact["cold_queries"]
     compact["queries_full"] = "BENCH_local.json"
+    # triage detail lives in the file; the line carries only the count
+    compact["triaged_transient"] = {"n": len(triaged_transient)}
     # flags must survive the tail: keep the worst few, count the rest
     if len(regression_flags) > 5:
         worst5 = dict(
