@@ -159,39 +159,52 @@ def _pillow_available() -> bool:
     return importlib.util.find_spec("PIL") is not None
 
 
-def resize_stub(assets: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Image-resize stage: AUTO-DETECTS Pillow so deployment is a
-    zero-edit drop-in.  If ``PIL`` imports on the workers, image payloads
-    are decoded, resized to ``target`` (bilinear), and re-encoded as PNG —
-    the real kernel; otherwise the pixel path raises the documented
-    NotImplementedError (this container ships no image decoder) while the
-    Spark-side plumbing (schema, Arrow batching, partitioning) stays
-    identical and tested either way.  Non-image rows pass through
-    untouched in both modes."""
+def default_image_resizer(payload: bytes, target: tuple[int, int]) -> bytes:
+    """Default resize kernel hook: Pillow (decode -> bilinear resize ->
+    re-encode PNG) when the workers have it, else the module's documented
+    loud guard — same pluggable-hook contract as
+    :func:`default_image_decoder`."""
+    if not _pillow_available():
+        raise NotImplementedError(
+            "resize requires an image decoder (Pillow); not available "
+            "in this container — install Pillow, or inject any "
+            "resizer(payload, target) -> bytes via the `resizer=` hook"
+        )
+    import io
 
-    has_pillow = _pillow_available()
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize(target)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_stub(
+    assets: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    resizer=None,
+) -> DataFrame:
+    """Image-resize stage with a PLUGGABLE kernel (the phash_decoded
+    `decoder=` pattern): ``resizer`` is any callable
+    ``(payload_bytes, target) -> resized_payload_bytes`` invoked per image
+    row inside the Arrow batch loop; the default is
+    :func:`default_image_resizer` — Pillow when present, the documented
+    loud NotImplementedError otherwise — so deployment is a zero-edit
+    drop-in while the Spark-side plumbing (schema, Arrow batching,
+    partitioning, pass-through of non-image rows) stays identical and
+    tested either way."""
+
+    rz = resizer if resizer is not None else default_image_resizer
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not has_pillow:
-            raise NotImplementedError(
-                "resize requires an image decoder (Pillow); not available "
-                "in this container — install Pillow and the same operator "
-                "runs the real kernel"
-            )
-        import io
-
-        from PIL import Image
-
         for pdf in batches:
             out = []
             for p, m in zip(pdf["payload"], pdf["media_type"]):
                 if m != "image":
                     out.append(p)
                     continue
-                img = Image.open(io.BytesIO(bytes(p))).resize(target)
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                out.append(buf.getvalue())
+                out.append(rz(bytes(p), target))
             pdf = pdf.copy()
             pdf["payload"] = out
             yield pdf
