@@ -166,6 +166,50 @@ def test_bm25_indexed_equals_direct(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:2000]
 
 
+def test_text_index_append_equals_rebuild(spark, tmp_path):
+    """text_index_append (r10, the ivf_index_append twin): build on the
+    standing corpus, append a held-out batch — the merged index must answer
+    BOTH bm25_indexed and phrase_search_indexed identically to a full
+    rebuild over corpus ∪ batch, and the standing posting/stats files must
+    be bit-untouched by the append (additive maintenance, never a
+    rewrite)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    standing, batch = (
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+    )
+
+    def files(root):
+        return {
+            (p, f)
+            for p, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    inc = str(tmp_path / "inc")
+    search.build_text_index(standing, inc)
+    before = files(inc) | files(inc + "_stats")
+    search.text_index_append(batch, inc)
+    assert before < files(inc) | files(inc + "_stats")
+
+    full = str(tmp_path / "full")
+    search.build_text_index(docs, full)
+    for fn in (
+        lambda p: search.bm25_indexed(spark, p, ["join", "merge", "query"], k=10),
+        lambda p: search.phrase_search_indexed(spark, p, ["the", "data"]),
+    ):
+        got = sorted(map(tuple, fn(inc).collect()))
+        want = sorted(map(tuple, fn(full).collect()))
+        assert got == want and len(got) > 0
+
+
 def test_bm25_robertson_idf_rank_equivalent(spark):
     """idf='robertson' (textbook ln((N-df+.5)/(df+.5)+1)) must produce the
     SAME per-term ranking as the oracle-hashable raw-ratio default (idf is

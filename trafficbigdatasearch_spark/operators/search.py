@@ -179,6 +179,19 @@ def build_text_index(
     ``{path}_stats`` directory — the corpus statistics (dl, N, avgdl) that
     ranked retrieval (:func:`bm25_indexed`) needs without re-tokenizing
     the corpus at query time."""
+    _write_index_parts(docs, path, n_buckets, id_col, text_col, "overwrite")
+
+
+def _write_index_parts(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+    mode: str,
+) -> None:
+    """One posexplode pass -> bucket-partitioned postings + (doc, dl)
+    stats sidecar; shared by the build (overwrite) and append paths."""
     toks = T.tokens(F.lower(F.col(text_col)))
     base = docs.select(
         F.col(id_col),
@@ -191,15 +204,47 @@ def build_text_index(
     )
     (
         postings.repartition(F.col("bucket"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )
     (
         base.select(F.col(id_col), F.size("_t").cast("bigint").alias("dl"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path + "_stats")
     )
+
+
+def text_index_append(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new document batch into a persisted :func:`build_text_index`
+    WITHOUT a rebuild — the text-index maintenance twin of
+    ``similarity.ivf_index_append`` (and the r10 completion of the
+    build-once-query-forever story).
+
+    The inverted index is ADDITIVE by construction: postings for the new
+    batch land in the same md5-bucket partitions (one posexplode + one
+    bucket exchange over the batch alone), and the ``{path}_stats`` sidecar
+    gains the batch's (doc, dl) rows.  Every corpus statistic ranked
+    retrieval uses — N, avgdl from the sidecar; df from the matched
+    postings — is DERIVED AT QUERY TIME from the stored rows, so the merged
+    index answers :func:`bm25_indexed` and :func:`phrase_search_indexed`
+    IDENTICALLY to a full rebuild over corpus ∪ batch (oracle row
+    ``text_bm25_append``).  Standing index bytes are never read, shuffled,
+    or rewritten — maintenance cost is O(|batch|).
+
+    ``n_buckets`` MUST match the build: the bucket hash is the physical
+    layout contract that lets queries compute their partitions driver-side.
+    Deletions/updates are out of scope by design (immutable-corpus
+    contract); compaction after many small appends is
+    ``sources.parquet.compact_parquet_dir`` on the bucket directories.
+    """
+    _write_index_parts(docs, path, n_buckets, id_col, text_col, "append")
 
 
 def phrase_search_indexed(

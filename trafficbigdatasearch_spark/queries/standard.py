@@ -5125,6 +5125,40 @@ def text_bm25_indexed_q(spark, sf):
     return search.bm25_indexed(spark, path, ["join", "merge", "query"], k=10)
 
 
+#: Per-(sf dir) cache of the APPENDED text index (standing build + one
+#: appended batch) — the text twin of _IVF_APPEND_CACHE.
+_TEXT_APPEND_CACHE: dict[str, str] = {}
+
+
+@register("text_bm25_append", _REGISTRY["text_bm25_topk"][1])
+def text_bm25_append_q(spark, sf):
+    """Text-index MAINTENANCE (r10, the ivf_index_append twin): build the
+    persisted positional index on the standing corpus (doc_id % 10 != 7),
+    then text_index_append folds the held-out batch in — postings land in
+    the same md5-bucket partitions, the stats sidecar gains the batch's
+    (doc, dl) rows, and the standing index bytes are never read or
+    rewritten (operators/search.py::text_index_append).  Because every
+    corpus statistic BM25 uses (N, avgdl, df) is derived at query time
+    from the stored rows, the merged index answers bm25_indexed
+    IDENTICALLY to a full rebuild — which is why this row shares
+    text_bm25_topk's whole-corpus oracle verbatim: a green row proves
+    append ≡ rebuild end-to-end, including ranks that shift when the
+    appended docs beat standing ones."""
+    import os
+
+    from trafficbigdatasearch_spark.operators import search
+
+    path = _TEXT_APPEND_CACHE.get(sf)
+    if path is None:
+        path = os.path.join(_scratch("text_append", sf), "postings")
+        docs = load_table(spark, sf, "documents")
+        batch_pred = F.col("doc_id") % 10 == 7
+        search.build_text_index(docs.filter(~batch_pred), path)
+        search.text_index_append(docs.filter(batch_pred), path)
+        _TEXT_APPEND_CACHE[sf] = path
+    return search.bm25_indexed(spark, path, ["join", "merge", "query"], k=10)
+
+
 @register(
     "text_vocab_encode",
     f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
@@ -8676,10 +8710,18 @@ _WINDOW = [
     # non-pipeline query, A/B-bracketed this session (verdict r9 #3);
     # its driver row refreshes alongside the recorded bracket -------------
     "dedup_keep_best",
-    # --- rotating slots, round 10: oldest-stale (last green r2) — ALL 16
-    # remaining r2 rows fit, so the staleness floor moves to r3 next round
-    # (the 14 named in the r9 queue first, then the two whose code path a
-    # stable sibling already covers) ---------------------------------------
+    # --- rotating slots, round 10: text_bm25_append — registered mid-r10
+    # (the text-index maintenance twin of sim_ivf_append; new queries
+    # enter in their first round).  It takes the slot j3_or_key_union
+    # would have used: of the two stale rows whose code path the stable
+    # q3_shipping_priority slot already covers, j1 keeps the broadcast-dim
+    # seam visible and j3's union-of-equi-joins machinery is additionally
+    # benched every round (r9 exit mapping) --------------------------------
+    "text_bm25_append",
+    # --- rotating slots, round 10: oldest-stale (last green r2) — 15 of
+    # the 16 remaining r2 rows fit (j3_or_key_union yields per the note
+    # above and leads the r11 stale queue), so the staleness floor moves
+    # to r3+j3 next round (the 14 named in the r9 queue first) -------------
     "a_distinct_count",
     "f_json_extract",
     "f_string_funcs",
@@ -8695,7 +8737,6 @@ _WINDOW = [
     "sim_brute_topk",
     "sim_lsh_topk",
     "j1_equi_join_dims",
-    "j3_or_key_union",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
