@@ -506,3 +506,57 @@ def test_attribution_linear_exact_shares(spark):
         "search": (333333, 1),
     }
     assert sum(v[0] for v in out.values()) == 2_000_000  # 2 converting users
+
+
+def test_margin_bitext_hub_suppression(spark):
+    """margin_bitext_pairs (r10): a hub vector on side B that every side-A
+    vector retrieves as top-1 must score a LOWER margin than a genuine
+    isolated match — the whole point of margin scoring; k larger than the
+    candidate pool degrades to the worst available instead of dropping
+    rows; the blocks path restricts candidates to same-cell pairs; k < 1
+    validates."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # side A: two probes 90 degrees apart; side B: a hub at 45 degrees
+    # (cos ~0.71 to both probes) + a genuine match at 0 degrees for a1
+    # (cos 1.0) + spread fillers
+    rows = [
+        (1, unit(0), 0),       # a1
+        (2, unit(90), 0),      # a2
+        (10, unit(45), 1),     # hub: top-1 of a2, near-everything
+        (11, unit(2), 1),      # genuine match for a1
+        (12, unit(135), 1),
+        (13, unit(225), 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {r["id_a"]: r for r in similarity.margin_bitext_pairs(
+        emb, k=2, threshold=-10.0
+    ).collect()}
+    assert out[1]["id_b"] == 11          # genuine match wins over the hub
+    assert out[2]["id_b"] == 10          # a2's best IS the hub...
+    assert out[1]["score"] > out[2]["score"]  # ...and margin ranks it below
+    # k beyond pool size: every side-A row still emits (min over available)
+    big_k = similarity.margin_bitext_pairs(emb, k=50, threshold=-10.0)
+    assert big_k.count() == 2
+    # blocks: cells split {a1, 11} / {a2, hub, 12, 13} — candidates confined
+    blocks = spark.createDataFrame(
+        [(1, 0), (11, 0), (2, 1), (10, 1), (12, 1), (13, 1)],
+        "vec_id bigint, cell_id int",
+    )
+    blocked = {r["id_a"]: r["id_b"] for r in similarity.margin_bitext_pairs(
+        emb, k=2, threshold=-10.0, blocks=blocks
+    ).collect()}
+    assert blocked == {1: 11, 2: 10}
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.margin_bitext_pairs(emb, k=0)

@@ -1344,3 +1344,107 @@ def embedding_dim_stats(
             / F.lit(float(V.QUANT) * float(V.QUANT))
         ).alias("variance"),
     )
+
+
+def margin_bitext_pairs(
+    emb: DataFrame,
+    side_col: str = "label",
+    side_a=0,
+    side_b=1,
+    k: int = 4,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based bitext / translation-pair mining (r10): for every vector
+    on side A, its best cross-side match scored by the MARGIN over each
+    side's local neighborhood — the CCMatrix/LASER curation primitive that
+    separates "genuinely parallel pair" from "y is just a hub every x is
+    close to".
+
+    Margin variant chosen for engine-reproducibility: the k-th-neighbor
+    margin ``score = (2·cos(x,y) - kth_a(x)) - kth_b(y)`` where ``kth_a(x)``
+    is x's k-th best cross-side cosine (and symmetrically for y) — each term
+    is one closing IEEE chain over exact integer dot products, and the
+    combination is a fixed-order float expression, so results hash-compare
+    across engines.  (The textbook mean-of-k-NN margin needs a float SUM —
+    order-dependent, hence unusable under the module's determinism
+    contract; the k-th value is the same scale statistic without the sum.)
+    With fewer than k cross candidates the margin uses the worst available
+    (``min`` over the top-k window), so small pools degrade gracefully
+    instead of dropping rows.
+
+    Returns (id_a, id_b, cosine, kth_a, kth_b, score) for each side-A
+    vector's forward top-1 candidate with ``score >= threshold``; id ties
+    break ascending everywhere.
+
+    Plan: both sides quantize once; the cross-cosine relation S gets TWO
+    sort-exchanges (one per side's ranking window); the k-th-cosine tables
+    are side-sized and broadcast back onto the top-1 candidates.  S is
+    |A|×|B| in exact mode — the right shape for bounded mining pools (a
+    language-pair shard), quadratic beyond.  At scale pass ``blocks``
+    (id -> cell, e.g. ``ivf_cell_assignments`` against shared centroids):
+    S restricts to same-cell pairs, making candidate volume
+    sum-of-cell-products, and margins are then computed over the RETRIEVED
+    lists — exactly the approximation every production miner (CCMatrix)
+    makes when it swaps exhaustive k-NN for ANN retrieval.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = _with_quantized(
+        emb.filter(F.col(side_col) == side_a), vec_col, "av", "an"
+    ).select(F.col(id_col).alias("id_a"), "av", "an")
+    b = _with_quantized(
+        emb.filter(F.col(side_col) == side_b), vec_col, "bv", "bn"
+    ).select(F.col(id_col).alias("id_b"), "bv", "bn")
+    if blocks is not None:
+        blk = blocks.select(F.col(blocks.columns[0]).alias("_bid"),
+                            F.col(blocks.columns[1]).alias("_cell"))
+        a = a.join(blk, a["id_a"] == blk["_bid"]).drop("_bid")
+        b = b.join(blk, b["id_b"] == blk["_bid"]).drop("_bid")
+        s = a.join(b, "_cell").drop("_cell")
+    else:
+        s = a.crossJoin(b)
+    s = s.select(
+        "id_a",
+        "id_b",
+        V.cosine_from_parts(
+            V.dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
+        ).alias("cosine"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc()
+    )
+    ranked = s.withColumn("_ra", F.row_number().over(wa)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    kth_a = (
+        ranked.filter(F.col("_ra") <= k)
+        .groupBy("id_a")
+        .agg(F.min("cosine").alias("kth_a"))
+    )
+    kth_b = (
+        ranked.filter(F.col("_rb") <= k)
+        .groupBy("id_b")
+        .agg(F.min("cosine").alias("kth_b"))
+    )
+    cand = ranked.filter(F.col("_ra") == 1).select("id_a", "id_b", "cosine")
+    out = (
+        cand.join(F.broadcast(kth_a), "id_a")
+        .join(F.broadcast(kth_b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            "kth_a",
+            "kth_b",
+            (
+                F.lit(2.0) * F.col("cosine") - F.col("kth_a") - F.col("kth_b")
+            ).alias("score"),
+        )
+    )
+    return out.filter(F.col("score") >= threshold)

@@ -1891,6 +1891,52 @@ _COS = (
 )
 
 
+@register(
+    "sim_bitext_margin",
+    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
+       a AS (SELECT vec_id AS id_a, v FROM c WHERE label = 0),
+       b AS (SELECT vec_id AS id_b, v FROM c WHERE label = 1),
+       s AS (SELECT id_a, id_b,
+                    list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+             FROM a CROSS JOIN b),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS ra,
+                    row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) AS rb
+             FROM s),
+       ka AS (SELECT id_a, min(cosine) AS kth_a FROM r WHERE ra <= 4 GROUP BY id_a),
+       kb AS (SELECT id_b, min(cosine) AS kth_b FROM r WHERE rb <= 4 GROUP BY id_b),
+       cand AS (SELECT id_a, id_b, cosine FROM r WHERE ra = 1)
+       SELECT cand.id_a, cand.id_b, cosine, kth_a, kth_b,
+              (2 * cosine - kth_a) - kth_b AS score
+       FROM cand JOIN ka USING (id_a) JOIN kb USING (id_b)
+       WHERE (2 * cosine - kth_a) - kth_b >= 0.1""",
+)
+def sim_bitext_margin_q(spark, sf):
+    """Margin-based bitext mining (operators/similarity.py::
+    margin_bitext_pairs, r10) — the CCMatrix/LASER curation primitive:
+    each side-A vector's best cross-side match, scored by the margin over
+    both local neighborhoods so hub vectors (close to everything) don't
+    flood the mined set.  Engine-reproducible margin variant: the
+    k-th-neighbor margin (2·cos − kth_a) − kth_b, every term one closing
+    IEEE chain over integer dot products, no float SUM anywhere — which is
+    what makes the row hash-comparable (the textbook mean-of-k margin is
+    order-dependent and unusable under the determinism contract).  Sides
+    here are embedding labels 0/1 (the synthetic stand-in for a language
+    pair); k=4, threshold 0.1 keeps 34/38/119 of 56/50/199 candidates at
+    sf0.001/0.01/0.1 — non-vacuous at every SF.  Exact cross mode at
+    registered scale; the ``blocks`` parameter (ivf_cell_assignments) is
+    the documented ANN-retrieval regime at corpus scale."""
+    return similarity.margin_bitext_pairs(
+        load_table(spark, sf, "embeddings"),
+        side_col="label",
+        side_a=0,
+        side_b=1,
+        k=4,
+        threshold=0.1,
+    )
+
+
 #: Shared by ``sim_ivf_topk`` (inline assignment) and ``sim_ivf_indexed``
 #: (persisted index) — same deterministic centroids, so identical results.
 # Shared IVF CTE chain (through `scored`, plus the base `c` and query `q`
@@ -8710,18 +8756,21 @@ _WINDOW = [
     # non-pipeline query, A/B-bracketed this session (verdict r9 #3);
     # its driver row refreshes alongside the recorded bracket -------------
     "dedup_keep_best",
-    # --- rotating slots, round 10: text_bm25_append — registered mid-r10
-    # (the text-index maintenance twin of sim_ivf_append; new queries
-    # enter in their first round).  It takes the slot j3_or_key_union
-    # would have used: of the two stale rows whose code path the stable
-    # q3_shipping_priority slot already covers, j1 keeps the broadcast-dim
-    # seam visible and j3's union-of-equi-joins machinery is additionally
-    # benched every round (r9 exit mapping) --------------------------------
+    # --- rotating slots, round 10: the two mid-r10 registrations (new
+    # queries enter in their first round): text_bm25_append (the
+    # text-index maintenance twin of sim_ivf_append) and sim_bitext_margin
+    # (margin-based bitext mining).  They take the slots the two
+    # q3-covered stale rows would have used — j1_equi_join_dims /
+    # j3_or_key_union are the only r2 rows whose full code path a STABLE
+    # slot (q3_shipping_priority: equi joins + broadcast dims) already
+    # exercises, and j3's union machinery is additionally benched every
+    # round (r9 exit mapping) ----------------------------------------------
     "text_bm25_append",
-    # --- rotating slots, round 10: oldest-stale (last green r2) — 15 of
-    # the 16 remaining r2 rows fit (j3_or_key_union yields per the note
-    # above and leads the r11 stale queue), so the staleness floor moves
-    # to r3+j3 next round (the 14 named in the r9 queue first) -------------
+    "sim_bitext_margin",
+    # --- rotating slots, round 10: oldest-stale (last green r2) — 14 of
+    # the 16 remaining r2 rows fit (j1/j3 yield per the note above and
+    # lead the r11 stale queue), so the staleness floor moves to r3+{j1,j3}
+    # next round -----------------------------------------------------------
     "a_distinct_count",
     "f_json_extract",
     "f_string_funcs",
@@ -8736,7 +8785,6 @@ _WINDOW = [
     "dedup_simhash",
     "sim_brute_topk",
     "sim_lsh_topk",
-    "j1_equi_join_dims",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
