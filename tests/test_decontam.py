@@ -95,3 +95,32 @@ def test_fuzzy_pairs_and_drop(spark):
 
     kept = decontam.decontaminate_fuzzy(corpus, bench, threshold=0.5, n=5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_semantic_contamination_pairs_and_anti_join(spark):
+    """semantic_contamination_pairs (r10): identity and near-parallel
+    vectors flag, orthogonal ones don't; same-id pairs are KEPT (benchmark
+    rows physically in the corpus are literal contamination);
+    decontaminate_semantic anti-joins the flagged ids out; the benchmark
+    side is broadcast (no corpus exchange in the plan)."""
+    from trafficbigdatasearch_spark.operators import decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),          # == bench 100
+            (2, [0.95, 0.05, 0.0]),        # near bench 100
+            (3, [0.0, 1.0, 0.0]),          # orthogonal
+            (100, [1.0, 0.0, 0.0]),        # the bench row itself, in-corpus
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "bench_id bigint, embedding array<float>"
+    )
+    pairs = decontam.semantic_contamination_pairs(corpus, bench, threshold=0.9)
+    got = {(r["vec_id"], r["bench_id"]) for r in pairs.collect()}
+    assert got == {(1, 100), (2, 100), (100, 100)}
+    kept = decontam.decontaminate_semantic(corpus, bench, threshold=0.9)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [3]
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "Exchange hashpartitioning" not in plan, plan[:1500]

@@ -189,3 +189,71 @@ def decontaminate_fuzzy(
         exclude_same_id,
     ).select(id_col).distinct()
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination_pairs(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination (r10) — the embedding-space member of the
+    family: flag corpus items whose embedding is near ANY benchmark item's
+    at cosine >= ``threshold``, catching the paraphrased/reworded leakage
+    the n-gram members (:func:`contamination_scores` exact,
+    :func:`fuzzy_contamination_pairs` shingle-Jaccard) structurally miss —
+    the standard third rail of pre-training hygiene.
+
+    Same 100 TB shape as the rest of the module: the benchmark side is
+    tiny (eval suites), so its quantized vectors BROADCAST; the corpus is
+    scanned once and each row scores against the broadcast set map-side —
+    the corpus never shuffles and the result is a small exception list.
+    Per-pair cost is one integer dot + one closing IEEE chain (the
+    similarity module's determinism contract), so rows hash-compare across
+    engines.  Compute is O(|corpus|·|bench|) dots with zero exchanges —
+    the right trade while |bench| is thousands; past that, prefilter the
+    corpus side with IVF cells against bench-derived centroids (the
+    ``blocks`` pattern of ``margin_bitext_pairs``) before exact scoring.
+
+    Returns (id_col, bench_id_col, cosine).  Same-id pairs are NOT
+    excluded: benchmark rows physically present in the corpus are the
+    most literal contamination there is.
+    """
+    from trafficbigdatasearch_spark.operators.similarity import _with_quantized
+    from trafficbigdatasearch_spark.functions import vectors as V
+
+    c = _with_quantized(corpus_emb, vec_col, "cv", "cn").select(
+        F.col(id_col), "cv", "cn"
+    )
+    b = _with_quantized(bench_emb, vec_col, "bv", "bn").select(
+        F.col(bench_id_col), "bv", "bn"
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            id_col,
+            bench_id_col,
+            V.cosine_from_parts(
+                V.dot(F.col("cv"), F.col("bv")), F.col("cn"), F.col("bn")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def decontaminate_semantic(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop corpus rows semantically near ANY benchmark row — one anti
+    join on the ids flagged by :func:`semantic_contamination_pairs`."""
+    flagged = semantic_contamination_pairs(
+        corpus_emb, bench_emb, threshold, id_col, bench_id_col, vec_col
+    ).select(id_col).distinct()
+    return corpus_emb.join(flagged, id_col, "left_anti")

@@ -7928,6 +7928,41 @@ def decontaminate_fuzzy_q(spark, sf):
 
 
 @register(
+    "decontaminate_semantic",
+    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       b AS (SELECT vec_id AS bench_id, v AS bv FROM c WHERE vec_id % 50 = 3)
+       SELECT c.vec_id, bench_id,
+              list_dot_product(c.v, bv) /
+              (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(bv, bv))) AS cosine
+       FROM c CROSS JOIN b
+       WHERE list_dot_product(c.v, bv) /
+             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(bv, bv))) >= 0.4""",
+)
+def decontaminate_semantic_q(spark, sf):
+    """SEMANTIC decontamination (operators/decontam.py::
+    semantic_contamination_pairs, r10) — the family's third member after
+    exact n-gram hits and shingle-Jaccard: corpus items whose EMBEDDING
+    sits within cosine 0.4 of any benchmark item, the paraphrased/reworded
+    leakage both text-level members structurally miss.  Benchmark = every
+    50th embedding standing in for an eval suite; identity pairs are kept
+    on purpose (a benchmark row physically present in the corpus is the
+    most literal contamination), so the row is non-vacuous at every SF
+    (14/15/81 pairs).  Same scale shape as the whole module: the quantized
+    benchmark broadcasts, each corpus row scores map-side — the corpus
+    never shuffles, one integer dot + one closing IEEE chain per pair."""
+    from trafficbigdatasearch_spark.operators import decontam
+
+    emb = load_table(spark, sf, "embeddings")
+    return decontam.semantic_contamination_pairs(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 3).select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        ),
+        threshold=0.4,
+    )
+
+
+@register(
     "graph_link_pred",
     """WITH raw AS (SELECT range AS u, (range + 1) % 1500 AS v
                   FROM range(1500)
@@ -8756,21 +8791,24 @@ _WINDOW = [
     # non-pipeline query, A/B-bracketed this session (verdict r9 #3);
     # its driver row refreshes alongside the recorded bracket -------------
     "dedup_keep_best",
-    # --- rotating slots, round 10: the two mid-r10 registrations (new
+    # --- rotating slots, round 10: the mid-r10 registrations (new
     # queries enter in their first round): text_bm25_append (the
-    # text-index maintenance twin of sim_ivf_append) and sim_bitext_margin
-    # (margin-based bitext mining).  They take the slots the two
-    # q3-covered stale rows would have used — j1_equi_join_dims /
-    # j3_or_key_union are the only r2 rows whose full code path a STABLE
-    # slot (q3_shipping_priority: equi joins + broadcast dims) already
-    # exercises, and j3's union machinery is additionally benched every
-    # round (r9 exit mapping) ----------------------------------------------
+    # text-index maintenance twin of sim_ivf_append), sim_bitext_margin
+    # (margin-based bitext mining), decontaminate_semantic (the
+    # embedding-space decontamination member).  They take the slots of
+    # the stale rows with the strongest in-window coverage —
+    # j1_equi_join_dims / j3_or_key_union (the only r2 rows whose full
+    # code path a STABLE slot, q3_shipping_priority, already exercises;
+    # j3's union machinery is additionally benched every round) and
+    # sim_lsh_topk (its bucket fabric is sim_lsh_buckets' oracle, its
+    # rerank is shared with in-window sim_brute_topk) ----------------------
     "text_bm25_append",
     "sim_bitext_margin",
-    # --- rotating slots, round 10: oldest-stale (last green r2) — 14 of
-    # the 16 remaining r2 rows fit (j1/j3 yield per the note above and
-    # lead the r11 stale queue), so the staleness floor moves to r3+{j1,j3}
-    # next round -----------------------------------------------------------
+    "decontaminate_semantic",
+    # --- rotating slots, round 10: oldest-stale (last green r2) — 13 of
+    # the 16 remaining r2 rows fit (j1/j3/sim_lsh_topk yield per the note
+    # above and lead the r11 stale queue), so the staleness floor moves to
+    # r3 + {j1, j3, sim_lsh_topk} next round --------------------------------
     "a_distinct_count",
     "f_json_extract",
     "f_string_funcs",
@@ -8784,7 +8822,6 @@ _WINDOW = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "sim_brute_topk",
-    "sim_lsh_topk",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
