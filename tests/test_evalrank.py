@@ -424,3 +424,29 @@ def test_embedding_dim_stats_hand_case(spark):
     assert out[0]["sumsq_q"] == 10_000**2 + 30_000**2
     assert out[0]["mean"] == 2.0 and out[0]["variance"] == 1.0
     assert out[1]["mean"] == 0.0 and out[1]["variance"] == 0.0
+
+
+def test_cluster_purity_ties_and_null_labels(spark):
+    """cluster_purity (r10): majority ties break to the SMALLEST label,
+    NULL-label rows are excluded from both votes and membership, purity is
+    n_majority / n_members."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    assignments = spark.createDataFrame(
+        [(i, 100 if i < 6 else 200) for i in range(10)],
+        "vec_id bigint, cell_id bigint",
+    )
+    labels = spark.createDataFrame(
+        [
+            # cell 100: labels 3,3,7,7 -> tie, majority must be 3; +2 NULLs
+            (0, 3), (1, 3), (2, 7), (3, 7), (4, None), (5, None),
+            # cell 200: 5,5,5,9 -> purity 0.75
+            (6, 5), (7, 5), (8, 5), (9, 9),
+        ],
+        "vec_id bigint, label int",
+    )
+    out = {r["cell_id"]: r for r in
+           evalrank.cluster_purity(assignments, labels).collect()}
+    assert out[100]["n_members"] == 4 and out[100]["majority_label"] == 3
+    assert out[100]["n_majority"] == 2 and out[100]["purity"] == 0.5
+    assert out[200]["majority_label"] == 5 and out[200]["purity"] == 0.75

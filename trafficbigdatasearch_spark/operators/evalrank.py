@@ -327,3 +327,63 @@ def hdcg_at_k(
             F.col("dcg_num").cast("double") / F.col("idcg_num").cast("double"),
         )
     )
+
+
+def cluster_purity(
+    assignments: DataFrame,
+    labels: DataFrame,
+    cluster_col: str = "cell_id",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster PURITY of a clustering against ground-truth labels (r10)
+    — the measurement loop for the engine's blocking/clustering fabrics
+    (IVF cells, CC dedup components, k-means cells): how label-homogeneous
+    is each cluster the pipeline is about to treat as "one group"?
+
+    Returns one row per cluster: (cluster_col, n_members, majority_label,
+    n_majority, purity) with ``purity = n_majority / n_members``.  Module
+    determinism contract holds: counts are integers, purity is ONE closing
+    IEEE division, majority ties break to the SMALLEST label — the row set
+    hash-compares across engines.  Corpus-level purity is deliberately
+    left to the consumer (sum(n_majority)/sum(n_members) — exact integer
+    arithmetic — rather than a float mean of per-cluster rows).
+
+    Rows with NULL labels are excluded up front (an unlabeled member can
+    neither vote nor be scored), documented not silent — the exclusion
+    count is the caller's audit via a plain filter.
+
+    Plan: one equi join (id), then (cluster, label) counts and a
+    per-cluster max_by fold — two map-side-combined exchanges, output
+    one row per cluster regardless of corpus size.
+    """
+    lab = labels.select(F.col(id_col), F.col(label_col)).filter(
+        F.col(label_col).isNotNull()
+    )
+    by_label = (
+        assignments.select(id_col, cluster_col)
+        .join(lab, id_col)
+        .groupBy(cluster_col, label_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        by_label.groupBy(cluster_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_members"),
+            F.max_by(
+                F.col(label_col),
+                F.struct(F.col("cnt"), (-F.col(label_col)).alias("_neg")),
+            ).alias("majority_label"),
+            F.max("cnt").cast("bigint").alias("n_majority"),
+        )
+        .select(
+            cluster_col,
+            "n_members",
+            "majority_label",
+            "n_majority",
+            (
+                F.col("n_majority").cast("double")
+                / F.col("n_members").cast("double")
+            ).alias("purity"),
+        )
+    )

@@ -1892,6 +1892,48 @@ _COS = (
 
 
 @register(
+    "eval_cluster_purity",
+    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
+       asim AS (SELECT c.vec_id AS vid, label, cell_id,
+                       list_dot_product(v, mv) /
+                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv))) AS s
+                FROM c CROSS JOIN cent),
+       assign AS (SELECT vid, label, cell_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell_id ASC) AS r
+           FROM asim) t WHERE r = 1),
+       bl AS (SELECT cell_id, label, CAST(count(*) AS BIGINT) AS cnt
+              FROM assign WHERE label IS NOT NULL GROUP BY 1, 2),
+       top AS (SELECT cell_id, label AS majority_label, cnt AS n_majority,
+                      CAST(sum(cnt) OVER (PARTITION BY cell_id) AS BIGINT) AS n_members,
+                      row_number() OVER (PARTITION BY cell_id
+                                         ORDER BY cnt DESC, label ASC) AS r
+               FROM bl)
+       SELECT cell_id, n_members, majority_label,
+              CAST(n_majority AS BIGINT) AS n_majority,
+              CAST(n_majority AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
+       FROM top WHERE r = 1""",
+)
+def eval_cluster_purity_q(spark, sf):
+    """Clustering-quality measurement (operators/evalrank.py::
+    cluster_purity, r10): per-cluster label purity of the IVF cell
+    assignment over the labeled embeddings — the measurement loop for the
+    engine's blocking/clustering fabrics (the same cells semantic dedup
+    blocks on), completing the eval family alongside the ANN recall
+    ladder (eval_ivf_recall) and the recsys holdout rows.  Determinism:
+    integer counts, majority ties to the smallest label, purity is the
+    single closing IEEE division — hash-comparable.  Plan: one id join +
+    two map-side-combined exchanges; one output row per cell."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    emb = load_table(spark, sf, "embeddings")
+    return evalrank.cluster_purity(
+        similarity.ivf_cell_assignments(emb, centroid_stride=97),
+        emb,
+    )
+
+
+@register(
     "sim_bitext_margin",
     f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
        a AS (SELECT vec_id AS id_a, v FROM c WHERE label = 0),
@@ -8800,15 +8842,20 @@ _WINDOW = [
     # j1_equi_join_dims / j3_or_key_union (the only r2 rows whose full
     # code path a STABLE slot, q3_shipping_priority, already exercises;
     # j3's union machinery is additionally benched every round) and
-    # sim_lsh_topk (its bucket fabric is sim_lsh_buckets' oracle, its
-    # rerank is shared with in-window sim_brute_topk) ----------------------
+    # sim_lsh_topk / sim_brute_topk (their bucket fabric and exact-cosine
+    # rerank engine are exercised by in-window sim_bitext_margin +
+    # sim_ivf_* and benched as eval_ivf_recall's exact baseline) -----------
     "text_bm25_append",
     "sim_bitext_margin",
     "decontaminate_semantic",
-    # --- rotating slots, round 10: oldest-stale (last green r2) — 13 of
-    # the 16 remaining r2 rows fit (j1/j3/sim_lsh_topk yield per the note
-    # above and lead the r11 stale queue), so the staleness floor moves to
-    # r3 + {j1, j3, sim_lsh_topk} next round --------------------------------
+    "eval_cluster_purity",
+    # --- rotating slots, round 10: oldest-stale (last green r2) — 12 of
+    # the 16 remaining r2 rows fit (j1/j3/sim_lsh_topk/sim_brute_topk
+    # yield per the note above and lead the r11 stale queue); every one of
+    # the 16 is still continuously oracle-verified at sf0.001 by each
+    # pytest run (tests/test_entry_correctness.py parameterizes ALL
+    # registry rows), so yielding trades driver-row freshness, not
+    # verification coverage ------------------------------------------------
     "a_distinct_count",
     "f_json_extract",
     "f_string_funcs",
@@ -8821,7 +8868,6 @@ _WINDOW = [
     "text_top_ngrams",
     "dedup_minhash_signatures",
     "dedup_simhash",
-    "sim_brute_topk",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
