@@ -172,6 +172,20 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "a_drift_chi2",
     "sim_dim_stats",
+    # r9 post-freeze registrations (headline from r10 on)
+    "graph_cc_incremental",
+    "j_asof_tolerance",
+    "pipeline_training_mix",
+    "quality_gopher",
+    "sample_priority",
+    "sim_token_cosine",
+    "ts_cusum",
+    # r10 registrations
+    "sim_ivf_append",
+    "text_bm25_append",
+    "sim_bitext_margin",
+    "decontaminate_semantic",
+    "eval_cluster_purity",
 ]
 
 

@@ -1405,7 +1405,10 @@ def margin_bitext_pairs(
         b = b.join(blk, b["id_b"] == blk["_bid"]).drop("_bid")
         s = a.join(b, "_cell").drop("_cell")
     else:
-        s = a.crossJoin(b)
+        # exact mode: side B ships broadcast (bounded mining pools are the
+        # documented regime), so the cross is a broadcast nested loop —
+        # never a CartesianProduct exchange (plan-sweep contract)
+        s = a.crossJoin(F.broadcast(b))
     s = s.select(
         "id_a",
         "id_b",
