@@ -8645,6 +8645,83 @@ def pipeline_mm_dedup_q(spark, sf):
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session)
 #
+# ROUND-10 rotation (executing the r10 queue + slot-priority policy; the
+# stable 22 stay put):
+#   in  (the whole 7-query ROUND-10 QUEUE above — the last
+#        never-driver-checked r9 registrations; full window rehearsed
+#        50/50 green dtype-strict at sf0.01 BEFORE any r10 registration
+#        landed, then per-query re-rehearsed as the round's five new
+#        registrations entered)
+#   in  (r10 registrations, entering in their first round per policy)
+#       sim_ivf_append        (IVF index maintenance, verdict r9 #6:
+#                              append assigns the batch against the STORED
+#                              centroids and append-writes into the
+#                              cell-partitioned layout; oracle IS the full
+#                              rebuild at fixed centroids; measured probe
+#                              tools/index_append_probe.py — append FLAT
+#                              0.88-1.4 s while rebuild grows 2.8->10.4 s
+#                              across an 80k->320k base decade)
+#       text_bm25_append      (the text twin: postings land in the same
+#                              md5-bucket partitions, stats sidecar gains
+#                              (doc, dl) rows; N/avgdl/df derive at query
+#                              time so append is rebuild-exact — oracle is
+#                              text_bm25_topk's whole-corpus SQL verbatim;
+#                              probe: append FLAT ~2 s vs rebuild
+#                              2.9->5.7 s)
+#       sim_bitext_margin     (margin-based bitext mining, the
+#                              CCMatrix/LASER curation primitive with the
+#                              engine-reproducible k-th-neighbor margin —
+#                              no float SUM; hub suppression pytest-pinned;
+#                              34/38/119 pairs at sf0.001/0.01/0.1)
+#       decontaminate_semantic (the decontamination family's third member:
+#                              embedding-space leakage vs a broadcast
+#                              benchmark, corpus never shuffles; identity
+#                              pairs kept by design — 14/15/81 pairs)
+#       eval_cluster_purity   (per-cluster label purity of the IVF cell
+#                              assignment — the measurement loop for the
+#                              blocking/clustering fabrics; smallest-label
+#                              tie-break, one closing IEEE division)
+#   in  (changed-code cycle-backs promised in the r9 closing state)
+#       decontaminate_fuzzy, pipeline_lm_filter, eval_rec_hdcg
+#   in  (ADVICE-r9 changed-code rows, fixed THIS session: asof_join now
+#        carries the matched right row as ONE struct so tolerance and
+#        values decide off the same row; priority_sample excludes NaN
+#        weights; phash_decoded validates ragged grids — j_asof_tolerance
+#        and sample_priority are already in via the queue, stable j_asof /
+#        mm_phash_pairs cover the other touched paths)
+#   in  (dedup_keep_best — A/B-bracketed this session, verdict r9 #3:
+#        interleaved same-session A/B vs the r4-close commit measured
+#        1.00x, drift ruled host variance; SCALING.md records it)
+#   in  (oldest-stale, last green r2, 12 of 16)
+#       a_distinct_count, f_json_extract, f_string_funcs, w_row_number,
+#       time_bucket_hourly, text_metrics, text_pii_scrub, text_fingerprint,
+#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures,
+#       dedup_simhash
+#   out (-> new registrations per the slot-priority rule; every yielded
+#        row stays continuously oracle-verified at sf0.001 by pytest's
+#        parameterized registry sweep)
+#       j1_equi_join_dims, j3_or_key_union -> q3_shipping_priority (stable)
+#       sim_lsh_topk, sim_brute_topk -> sim_bitext_margin + sim_ivf_*
+#                              (exact-cosine rerank engine in-window;
+#                              brute is eval_ivf_recall's benched baseline)
+#
+#   r11 slot guidance, in order:
+#   1. changed-code cycle-back: text_bm25_indexed (build_text_index was
+#      refactored into the shared _write_index_parts this round; the path
+#      ran green in-window via text_bm25_append/text_phrase_indexed, but
+#      its own row should refresh);
+#   2. the four rows that yielded to r10 registrations (j1_equi_join_dims,
+#      j3_or_key_union, sim_lsh_topk, sim_brute_topk) lead the stale queue;
+#   3. then oldest-stale r3 rows in registration order (j2_interval_join,
+#      j_semi_anti, a_approx_sketches, a_rollup_reagg, w_lag_gap,
+#      dedup_exact, dedup_ngram_jaccard, dedup_simhash_pairs,
+#      dedup_minhash_lsh, pipeline_clean_corpus, sim_lsh_buckets,
+#      sim_kmeans_refine, mm_features, q14_promo_revenue, q5_local_supplier,
+#      sample_split_hash, sample_group_topk, sample_mixture, a_funnel_steps,
+#      text_search_terms, a_pivot_event_types, a_unpivot_doc_metrics,
+#      w_trailing_range, stream_sessions, sketch_segment_overlap,
+#      sim_pq_codes).
+#
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
 #   in  (the whole 18-query ROUND-9 QUEUE above — the last
