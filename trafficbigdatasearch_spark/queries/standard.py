@@ -7861,6 +7861,21 @@ def _stream_documents_source(spark, sf):
     return spark.readStream.schema(raw.schema).parquet(d)
 
 
+def _stream_embeddings_source(spark, sf):
+    """Bounded file-source STREAM over the embeddings table (the
+    _stream_documents_source arrangement)."""
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    d = _scratch("stream_embeddings", sf)
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.lexists(link):
+        os.symlink(
+            os.path.realpath(os.path.join(sf, "embeddings.parquet")), link
+        )
+    return spark.readStream.schema(raw.schema).parquet(d)
+
+
 @register("stream_lm_gate", _LM_FILTER_ORACLE)
 def stream_lm_gate_q(spark, sf):
     """The LM fluency gate ON A STREAM — the production arrangement of
@@ -8002,6 +8017,30 @@ def decontaminate_semantic_q(spark, sf):
         ),
         threshold=0.4,
     )
+
+
+@register("stream_semantic_gate", _REGISTRY["decontaminate_semantic"][1])
+def stream_semantic_gate_q(spark, sf):
+    """Semantic decontamination ON A STREAM — the production arrangement
+    of decontaminate_semantic (the stream_lm_gate pattern applied to the
+    embedding member): the quantized benchmark is STATIC and broadcast;
+    each arriving embedding scores against it map-side (one integer dot +
+    one closing IEEE chain per pair, stream-static broadcast join, no
+    state, no watermark — append mode) and contaminated arrivals emit as
+    (vec_id, bench_id, cosine) rows.  The batch operator runs UNCHANGED on
+    the streaming DataFrame — same code path, so one oracle pins the batch
+    row and this streaming twin to the same bits: gate forever, rescore
+    never."""
+    from trafficbigdatasearch_spark.operators import decontam
+
+    emb = load_table(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    pairs = decontam.semantic_contamination_pairs(
+        _stream_embeddings_source(spark, sf), bench, threshold=0.4
+    )
+    return _drain_to_memory(pairs, "stream_semantic_gate", "append")
 
 
 @register(
@@ -8692,11 +8731,14 @@ def pipeline_mm_dedup_q(spark, sf):
 #   in  (dedup_keep_best — A/B-bracketed this session, verdict r9 #3:
 #        interleaved same-session A/B vs the r4-close commit measured
 #        1.00x, drift ruled host variance; SCALING.md records it)
-#   in  (oldest-stale, last green r2, 12 of 16)
+#   in  (stream_semantic_gate — the sixth r10 registration: the batch
+#        semantic-decontam operator run UNCHANGED on a bounded embedding
+#        stream, stream-static broadcast, append mode, no state; same
+#        oracle as the batch row pins both twins to the same bits)
+#   in  (oldest-stale, last green r2, 11 of 16)
 #       a_distinct_count, f_json_extract, f_string_funcs, w_row_number,
 #       time_bucket_hourly, text_metrics, text_pii_scrub, text_fingerprint,
-#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures,
-#       dedup_simhash
+#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures
 #   out (-> new registrations per the slot-priority rule; every yielded
 #        row stays continuously oracle-verified at sf0.001 by pytest's
 #        parameterized registry sweep)
@@ -8704,14 +8746,17 @@ def pipeline_mm_dedup_q(spark, sf):
 #       sim_lsh_topk, sim_brute_topk -> sim_bitext_margin + sim_ivf_*
 #                              (exact-cosine rerank engine in-window;
 #                              brute is eval_ivf_recall's benched baseline)
+#       dedup_simhash -> mm_phash_pairs (in-window banded-Hamming engine)
+#                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
 #   1. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
 #      its own row should refresh);
-#   2. the four rows that yielded to r10 registrations (j1_equi_join_dims,
-#      j3_or_key_union, sim_lsh_topk, sim_brute_topk) lead the stale queue;
+#   2. the five rows that yielded to r10 registrations (j1_equi_join_dims,
+#      j3_or_key_union, sim_lsh_topk, sim_brute_topk, dedup_simhash) lead
+#      the stale queue;
 #   3. then oldest-stale r3 rows in registration order (j2_interval_join,
 #      j_semi_anti, a_approx_sketches, a_rollup_reagg, w_lag_gap,
 #      dedup_exact, dedup_ngram_jaccard, dedup_simhash_pairs,
@@ -8926,6 +8971,7 @@ _WINDOW = [
     "sim_bitext_margin",
     "decontaminate_semantic",
     "eval_cluster_purity",
+    "stream_semantic_gate",
     # --- rotating slots, round 10: oldest-stale (last green r2) — 12 of
     # the 16 remaining r2 rows fit (j1/j3/sim_lsh_topk/sim_brute_topk
     # yield per the note above and lead the r11 stale queue); every one of
@@ -8944,7 +8990,6 @@ _WINDOW = [
     "text_rolling_fingerprint",
     "text_top_ngrams",
     "dedup_minhash_signatures",
-    "dedup_simhash",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
