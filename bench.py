@@ -186,6 +186,7 @@ HEADLINE = [
     "sim_bitext_margin",
     "decontaminate_semantic",
     "eval_cluster_purity",
+    "stream_semantic_gate",
 ]
 
 

@@ -594,3 +594,116 @@ def test_batched_bpe_matches_reference_on_random_corpora(spark, seed):
     want, _ = _ref_bpe(words, 6)
     got, _ = bpe.learn_merges(docs, 6, batch_size=8)
     assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_margin_bitext_matches_pure_python(spark, seed):
+    """margin_bitext_pairs == a pure-Python reference (quantized cosine,
+    k-th-neighbor margin, smallest-id tie-breaks) on random vector pools —
+    the hypothesis generalization of the designed hub case."""
+    import math
+    import random
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rng = random.Random(seed)
+    dims, k = 4, 3
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)], i % 2)
+        for i in range(rng.randint(6, 18))
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.margin_bitext_pairs(
+            emb, k=k, threshold=-10.0
+        ).collect()
+    }
+
+    # pure-python reference over the SAME quantized values Spark computes
+    # (float32 payload -> round(x * 10000) integer lattice)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def quant(v):
+        return [round(f32(x) * 10000) for x in v]
+
+    a = [(i, quant(v)) for i, v, s in rows if s == 0]
+    b = [(i, quant(v)) for i, v, s in rows if s == 1]
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu, nv = sum(x * x for x in u), sum(y * y for y in v)
+        if nu == 0 or nv == 0:
+            return None
+        return d / (math.sqrt(nu) * math.sqrt(nv))
+
+    want = {}
+    if a and b:
+        kth_a = {}
+        for ia, va in a:
+            cs = sorted(
+                ((cos(va, vb), ib) for ib, vb in b),
+                key=lambda t: (-t[0], t[1]),
+            )
+            kth_a[ia] = cs[: min(k, len(cs))][-1][0]
+        kth_b = {}
+        for ib, vb in b:
+            cs = sorted(
+                ((cos(vb, va), ia) for ia, va in a),
+                key=lambda t: (-t[0], t[1]),
+            )
+            kth_b[ib] = cs[: min(k, len(cs))][-1][0]
+        for ia, va in a:
+            best = sorted(
+                ((cos(va, vb), ib) for ib, vb in b),
+                key=lambda t: (-t[0], t[1]),
+            )[0]
+            c, ib = best
+            want[(ia, ib)] = (2.0 * c - kth_a[ia]) - kth_b[ib]
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) <= 1e-12, key
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_cluster_purity_matches_pure_python(spark, seed):
+    """cluster_purity == a pure-Python reference on random assignments and
+    label tables (NULL labels excluded, smallest-label ties)."""
+    import random
+    from collections import Counter, defaultdict
+
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    rng = random.Random(seed)
+    n = rng.randint(5, 40)
+    assign = [(i, rng.randint(0, 4)) for i in range(n)]
+    labels = [
+        (i, None if rng.random() < 0.2 else rng.randint(0, 3))
+        for i in range(n)
+    ]
+    adf = spark.createDataFrame(assign, "vec_id bigint, cell_id bigint")
+    ldf = spark.createDataFrame(labels, "vec_id bigint, label int")
+    got = {
+        r["cell_id"]: (
+            r["n_members"], r["majority_label"], r["n_majority"], r["purity"]
+        )
+        for r in evalrank.cluster_purity(adf, ldf).collect()
+    }
+    by_cell = defaultdict(list)
+    lab = dict(labels)
+    for i, c in assign:
+        if lab[i] is not None:
+            by_cell[c].append(lab[i])
+    want = {}
+    for c, ls in by_cell.items():
+        cnt = Counter(ls)
+        best = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[0]
+        want[c] = (len(ls), best[0], best[1], best[1] / len(ls))
+    assert got == want
