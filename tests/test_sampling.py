@@ -267,3 +267,33 @@ def test_priority_sample_excludes_nan_weights(spark):
     got = sampling.priority_sample(df, "w", k=4, key_col="doc_id").collect()
     assert sorted(r["doc_id"] for r in got) == [1, 2]
     assert all(r["_priority"] == r["_priority"] for r in got)  # no NaN prio
+
+
+def test_priority_sample_grouped(spark):
+    """priority_sample_grouped (r10): exactly k per group where the group
+    has >= k eligible rows, heavier rows preferred within each group,
+    deterministic under repartitioning, zero/NULL/NaN weights excluded,
+    k validates."""
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    rows = [(i, "a", 1000.0 if i < 30 else 1.0) for i in range(300)]
+    rows += [(1000 + i, "b", 1.0) for i in range(3)]       # under-full group
+    rows += [(2000, "a", 0.0), (2001, "a", None), (2002, "a", float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, w double")
+    out = sampling.priority_sample_grouped(df, "g", "w", k=20, key_col="doc_id")
+    got = [(r["g"], r["doc_id"]) for r in out.collect()]
+    by_g = {}
+    for g, i in got:
+        by_g.setdefault(g, []).append(i)
+    assert len(by_g["a"]) == 20 and sorted(by_g["b"]) == [1000, 1001, 1002]
+    assert not any(i >= 2000 for i in by_g["a"])           # exclusions hold
+    heavy = sum(1 for i in by_g["a"] if i < 30)            # 10% of rows, ~99% of weight
+    assert heavy >= 15
+    again = [(r["g"], r["doc_id"]) for r in
+             sampling.priority_sample_grouped(df.repartition(13), "g", "w",
+                                              k=20, key_col="doc_id").collect()]
+    assert sorted(got) == sorted(again)
+    with _pytest.raises(ValueError, match="positive"):
+        sampling.priority_sample_grouped(df, "g", "w", k=0)

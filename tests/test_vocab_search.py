@@ -102,3 +102,29 @@ def test_pip_rejects_degenerate(spark):
         spatial.point_in_convex_polygon_join(pts, [(1, [(0, 0), (1, 1)])])
     with pytest.raises(ValueError, match="non-empty"):
         spatial.point_in_convex_polygon_join(pts, [])
+
+
+def test_oov_rates_per_group(spark):
+    """oov_rates (r10): per-group token totals and OOV counts against an
+    explicit vocabulary; a vocabulary built on the same corpus at
+    min_freq=1 and full size reports zero OOV everywhere."""
+    from trafficbigdatasearch_spark.operators import vocab as VB
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta alpha"),
+            (2, "en", "alpha gamma"),
+            (3, "de", "delta delta epsilon"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    v = spark.createDataFrame(
+        [("alpha", 0), ("beta", 1), ("delta", 2)], "token string, token_id int"
+    )
+    out = {r["lang"]: r for r in VB.oov_rates(docs, v).collect()}
+    assert (out["en"]["n_tokens"], out["en"]["n_oov"]) == (5, 1)   # gamma
+    assert out["en"]["oov_rate"] == 0.2
+    assert (out["de"]["n_tokens"], out["de"]["n_oov"]) == (3, 1)   # epsilon
+    full = VB.build_vocab(docs, vocab_size=100, min_freq=1)
+    zero = VB.oov_rates(docs, full).collect()
+    assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0 for r in zero)

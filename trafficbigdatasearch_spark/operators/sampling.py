@@ -287,6 +287,50 @@ def group_sample(
     )
 
 
+def priority_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """WEIGHTED fixed-size sample PER GROUP (r10): up to ``k`` rows per
+    group, drawn by the same Duffield–Lund–Thorup priorities as
+    :func:`priority_sample` — the weighted completion of the sampling
+    family's per-group corner ("k documents per language, preferring high
+    quality scores"), generalizing :func:`group_sample` (uniform per
+    group) and :func:`priority_sample` (weighted global).
+
+    Same determinism and exclusion contract as the global draw
+    (md5-uniform / weight priorities, (priority, key) total order;
+    zero/NULL/NaN weights excluded up front); the plan swaps the global
+    TakeOrderedAndProject for ONE window shuffle on the group key —
+    per-group state is the k-row rank frame, so no group ever
+    concentrates more than its own rows on a reducer.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_priority").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0) & ~F.isnan(w))
+        .select("*", (u.cast("double") / w).alias("_priority"))
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def leakage_free_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -100,3 +100,52 @@ def encode_docs(
             ),
         )
     )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocabulary: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rates against ``vocabulary`` (r10) —
+    the vocabulary-coverage report that drives tokenizer-prep decisions
+    (vocab size, language mixture): a language whose OOV rate is high is
+    under-served by the vocabulary and will fragment into unk/byte
+    fallbacks downstream.
+
+    Returns (group_col, n_tokens, n_oov, oov_rate) with the module's
+    determinism contract: two integer counts per group plus ONE closing
+    IEEE division.  Token normalization is identical to
+    :func:`build_vocab` (lowercased whitespace tokens, empties dropped),
+    so a vocabulary built here reports 0 OOV at min_freq=1 and full size.
+
+    Plan: one explode over the corpus, the V-row vocabulary broadcast
+    LEFT-joined map-side, one map-side-combined aggregate per group —
+    the corpus shuffles only group-level partials.
+    """
+    toks = docs.select(
+        F.col(group_col),
+        F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    v = F.broadcast(
+        vocabulary.select("token", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(v, "token", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

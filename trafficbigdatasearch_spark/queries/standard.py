@@ -2520,6 +2520,40 @@ def sample_priority_q(spark, sf):
 
 
 @register(
+    "sample_priority_grouped",
+    f"""WITH w AS (SELECT doc_id, lang,
+                       CAST({_TOKCOUNT_SQL} AS DOUBLE) AS w
+                FROM documents),
+       pr AS (SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('prio' ||
+                         CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS DOUBLE)
+                       / w AS _priority
+              FROM w WHERE w > 0),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY _priority, doc_id) AS rk FROM pr)
+       SELECT doc_id, lang, _priority FROM rk WHERE rk <= 20""",
+)
+def sample_priority_grouped_q(spark, sf):
+    """WEIGHTED per-group sampling (operators/sampling.py::
+    priority_sample_grouped, r10): exactly 20 documents PER LANGUAGE drawn
+    with inclusion ~ proportional to token count — the per-group corner of
+    the DLT priority scheme ("k docs per language, preferring long/high-
+    quality ones"), generalizing sample_group_topk's uniform draw and
+    sample_priority's global one.  Same md5-uniform/weight priority, same
+    published _priority column for downstream Horvitz-Thompson use; the
+    plan swaps TakeOrderedAndProject for ONE window shuffle on lang."""
+    docs = load_table(spark, sf, "documents")
+    from trafficbigdatasearch_spark.functions import text as T
+
+    weighted = docs.select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("w")
+    )
+    return sampling.priority_sample_grouped(
+        weighted, "lang", "w", k=20, key_col="doc_id"
+    ).select("doc_id", "lang", "_priority")
+
+
+@register(
     "sample_group_topk",
     f"""WITH rk AS (SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang
@@ -5281,6 +5315,40 @@ def text_vocab_encode_q(spark, sf):
     v = VB.build_vocab(docs, vocab_size=500, min_freq=2)
     sliced = docs.filter(F.col("doc_id") % 20 == 0)
     return VB.encode_docs(sliced, v)
+
+
+@register(
+    "text_vocab_oov",
+    f"""WITH toks AS (SELECT doc_id, lang, {_GUARDED_TOKS} AS t FROM documents),
+       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(t) AS term FROM toks)
+               WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
+       vocab AS (SELECT term,
+                        CAST(row_number() OVER (ORDER BY freq DESC, term)
+                             - 1 AS BIGINT) AS token_id
+                 FROM cnt QUALIFY token_id <= 499),
+       stream AS (SELECT lang, unnest(t) AS term FROM toks),
+       j AS (SELECT lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+             FROM stream s LEFT JOIN vocab v USING (term)
+             WHERE s.term <> '')
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(oov) AS BIGINT) AS n_oov,
+              CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+       FROM j GROUP BY lang""",
+)
+def text_vocab_oov_q(spark, sf):
+    """Per-language OOV rates against the same top-500/min_freq=2
+    vocabulary text_vocab_encode builds (operators/vocab.py::oov_rates,
+    r10) — the vocabulary-coverage report behind tokenizer-prep decisions:
+    a high-OOV language is under-served by the vocabulary and fragments
+    into unk/byte fallbacks downstream.  Two integer counts per language
+    plus one closing IEEE division; the V-row vocabulary broadcasts, the
+    corpus shuffles only per-language partials."""
+    from trafficbigdatasearch_spark.operators import vocab as VB
+
+    docs = load_table(spark, sf, "documents")
+    v = VB.build_vocab(docs, vocab_size=500, min_freq=2)
+    return VB.oov_rates(docs, v, group_col="lang")
 
 
 #: Convex CCW districts on the same deterministic (x, y) in [0, 1000)²
@@ -8750,14 +8818,15 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
-#   1. changed-code cycle-back: text_bm25_indexed (build_text_index was
+#   1. the ROUND-11 QUEUE below (2 post-freeze r10 registrations);
+#   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
 #      its own row should refresh);
-#   2. the five rows that yielded to r10 registrations (j1_equi_join_dims,
+#   3. the five rows that yielded to r10 registrations (j1_equi_join_dims,
 #      j3_or_key_union, sim_lsh_topk, sim_brute_topk, dedup_simhash) lead
 #      the stale queue;
-#   3. then oldest-stale r3 rows in registration order (j2_interval_join,
+#   4. then oldest-stale r3 rows in registration order (j2_interval_join,
 #      j_semi_anti, a_approx_sketches, a_rollup_reagg, w_lag_gap,
 #      dedup_exact, dedup_ngram_jaccard, dedup_simhash_pairs,
 #      dedup_minhash_lsh, pipeline_clean_corpus, sim_lsh_buckets,
@@ -8766,6 +8835,22 @@ def pipeline_mm_dedup_q(spark, sf):
 #      text_search_terms, a_pivot_event_types, a_unpivot_doc_metrics,
 #      w_trailing_range, stream_sessions, sketch_segment_overlap,
 #      sim_pq_codes).
+#
+# ROUND-11 ROTATION QUEUE (registered after the round-10 window was frozen
+# and rehearsed — never driver-checked; enters the r11 window FIRST per
+# the slot-priority rule):
+#       sample_priority_grouped (per-group DLT weighted sampling: exactly
+#                              k docs per language ~ token-count weights,
+#                              ONE window shuffle on the group key — the
+#                              weighted completion of group_sample;
+#                              100 rows at sf0.01)
+#       text_vocab_oov        (per-language OOV rates against the
+#                              text_vocab_encode vocabulary — integer
+#                              counts + one closing division; the
+#                              vocabulary-coverage report behind
+#                              tokenizer-prep decisions; 5 rows)
+#   (each green under pytest + tools/driver_sim at sf0.01 in its
+#    registration session; both ride the bench blind-spot sweep)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
