@@ -102,6 +102,39 @@ def test_asof_join_tolerance(spark):
     assert hit[0]["val"] == "x" and miss[0]["val"] is None
 
 
+def test_asof_join_nearest(spark):
+    """direction='nearest' (r10): the closer of the backward/forward
+    candidates wins, equidistant ties go to the BACKWARD row (pandas
+    merge_asof parity), one-sided cases degrade to that side, and
+    tolerance applies to the absolute gap of the CHOSEN row."""
+    left = spark.createDataFrame(
+        [(1, 10), (1, 100), (1, 7)], ["id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "b5"), (1, 12, "f12"), (1, 15, "f15")],
+        "id bigint, rts bigint, val string",
+    )
+    out = {r["ts"]: r["val"] for r in
+           J.asof_join(left, right, ["id"], "ts", "rts",
+                       direction="nearest").collect()}
+    # ts=10: backward 5 (gap 5) vs forward 12 (gap 2) -> forward
+    # ts=7:  backward 5 (gap 2) vs forward 12 (gap 5) -> backward
+    # ts=100: forward side empty -> backward 15
+    assert out == {10: "f12", 7: "b5", 100: "f15"}
+    # equidistant: ts=10 vs right {5, 15} -> backward (pandas rule)
+    tie = J.asof_join(
+        left.filter(F.col("ts") == 10),
+        right.filter(F.col("rts") != 12),
+        ["id"], "ts", "rts", direction="nearest",
+    ).collect()
+    assert tie[0]["val"] == "b5"
+    # tolerance on the chosen row's absolute gap
+    tol = {r["ts"]: r["val"] for r in
+           J.asof_join(left, right, ["id"], "ts", "rts",
+                       direction="nearest", tolerance=3).collect()}
+    assert tol == {10: "f12", 7: "b5", 100: None}
+
+
 def test_asof_join_null_value_in_matched_row_not_backfilled(spark):
     """ADVICE r9: the matched right row is carried as ONE struct, so a
     NULL value column in the NEAREST right row is emitted as NULL — never

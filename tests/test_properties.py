@@ -520,14 +520,16 @@ def test_incremental_cc_matches_full_on_random_graphs(spark, seed, n_nodes):
 @given(
     seed=st.integers(min_value=0, max_value=10_000),
     tol=st.integers(min_value=0, max_value=30),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 @PROP
-def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
-    """asof_join with tolerance == pandas.merge_asof (backward, inclusive)
-    on random integer time series — the canonical implementation as the
-    reference (right timestamps deduplicated first: merge_asof keeps the
-    LAST row at a duplicated key ts, while the engine's contract is the
-    max-struct winner; dedup makes both conventions vacuous)."""
+def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol, direction):
+    """asof_join with tolerance == pandas.merge_asof in ALL THREE
+    directions (backward / forward / nearest, inclusive) on random integer
+    time series — the canonical implementation as the reference (right
+    timestamps deduplicated first: merge_asof keeps the LAST row at a
+    duplicated key ts, while the engine's contract is the max-struct
+    winner; dedup makes both conventions vacuous)."""
     import random
 
     import pandas as pd
@@ -552,14 +554,14 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, seed, tol):
     got = {
         (r["k"], r["ts"]): r["val"]
         for r in J.asof_join(
-            ldf, rdf, ["k"], "ts", "rts", tolerance=tol
+            ldf, rdf, ["k"], "ts", "rts", direction=direction, tolerance=tol
         ).collect()
     }
     lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts")
     rp = pd.DataFrame(right, columns=["k", "rts", "val"]).sort_values("rts")
     m = pd.merge_asof(
         lp, rp, left_on="ts", right_on="rts", by="k",
-        tolerance=tol, direction="backward", allow_exact_matches=True,
+        tolerance=tol, direction=direction, allow_exact_matches=True,
     )
     want = {
         (int(r.k), int(r.ts)): (None if pd.isna(r.val) else int(r.val))

@@ -93,7 +93,9 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, attach the single right row with the
     latest ``right_ts`` <= ``left_ts`` (direction="backward"; "forward" =
-    earliest >= ) sharing the equi keys.
+    earliest >=; "nearest" = whichever of the two sits closer, equidistant
+    ties to the backward row — the full pandas ``merge_asof`` direction
+    contract) sharing the equi keys.
 
     ``tolerance`` (r9 — the pandas ``merge_asof``/kdb max-gap contract):
     when set, a match farther than ``tolerance`` from ``left_ts`` is
@@ -119,7 +121,7 @@ def asof_join(
     window-ordering key, no extra shuffle.  Right value columns must not
     collide with left column names (raises; alias before joining).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     rcols = right_cols or [c for c in right.columns if c not in on + [right_ts]]
     clash = sorted(set(rcols) & set(left.columns))
@@ -151,46 +153,66 @@ def asof_join(
     # _tie orders duplicate right rows at the same (_t) so ``last`` picks the
     # max struct deterministically; left rows carry a NULL tie (irrelevant —
     # each left row only reads the frame, never feeds _r_* values).
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tie").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").desc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
     # The matched right row is carried as ONE struct (its timestamp + its
     # value columns together), so the tolerance decision and the emitted
     # values always come from the SAME right row.  (A per-column
     # ``last(ignorenulls)`` carry would, on a matched row with a NULL in
     # some column, back-fill that column from an OLDER right row — which
     # may itself be outside tolerance, diverging from merge_asof.)
-    carried = both.select(
-        *[F.col(c) for c in left.columns],
-        F.col("_t"),
-        "_side",
-        F.last(
+    def _carry(w):
+        return F.last(
             F.when(
                 F.col("_side") == 0,
                 F.struct(F.col("_t").alias("_mt"), F.col("_tie").alias("_v")),
             ),
             ignorenulls=True,
-        ).over(w).alias("_match"),
+        ).over(w)
+
+    if direction == "backward":
+        match = _carry(wb)
+    elif direction == "forward":
+        match = _carry(wf)
+    else:
+        # nearest (r10): both carries share ONE hash exchange on the equi
+        # keys (same partitioning, two sorts); the closer candidate wins,
+        # equidistant ties to the BACKWARD row (merge_asof's rule,
+        # property-pinned vs pandas).  An exact match is the same row in
+        # both carries, so the choice is vacuous there.
+        mb, mf = _carry(wb), _carry(wf)
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when((mf["_mt"] - F.col("_t")) < (F.col("_t") - mb["_mt"]), mf)
+            .otherwise(mb)
+        )
+    carried = both.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_t"),
+        "_side",
+        match.alias("_match"),
     )
     match_t = F.col("_match._mt")
     if tolerance is None:
         in_tol = F.lit(True)
     else:
         tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
-        gap = (
-            F.col("_t") - match_t
-            if direction == "backward"
-            else match_t - F.col("_t")
-        )
+        if direction == "backward":
+            gap = F.col("_t") - match_t
+        elif direction == "forward":
+            gap = match_t - F.col("_t")
+        else:
+            gap = F.greatest(F.col("_t") - match_t, match_t - F.col("_t"))
         in_tol = match_t.isNotNull() & (gap <= tol)
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],

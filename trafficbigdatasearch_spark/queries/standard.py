@@ -386,6 +386,57 @@ def j_asof_tolerance_q(spark, sf):
     ).select("purchase_id", "user_id", "signup_id")
 
 
+@register(
+    "j_asof_nearest",
+    """WITH signups AS (
+         SELECT user_id, ts, max(event_id) AS signup_id
+         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+       ),
+       purchases AS (
+         SELECT event_id AS purchase_id, user_id, ts
+         FROM events WHERE event_type = 'purchase'
+       ),
+       b AS (SELECT p.purchase_id, p.user_id, p.ts, s.ts AS bt, s.signup_id AS bid
+             FROM purchases p ASOF LEFT JOIN signups s
+               ON p.user_id = s.user_id AND p.ts >= s.ts),
+       f AS (SELECT p.purchase_id, s.ts AS ft, s.signup_id AS fid
+             FROM purchases p ASOF LEFT JOIN signups s
+               ON p.user_id = s.user_id AND p.ts <= s.ts)
+       SELECT b.purchase_id, b.user_id,
+              CASE WHEN bt IS NULL THEN fid
+                   WHEN ft IS NULL THEN bid
+                   WHEN (ft - b.ts) < (b.ts - bt) THEN fid
+                   ELSE bid END AS signup_id
+       FROM b JOIN f USING (purchase_id)""",
+)
+def j_asof_nearest_q(spark, sf):
+    """As-of join, direction='nearest' (r10 — completing the pandas
+    merge_asof direction contract after backward and the r9 tolerance):
+    the signup CLOSEST in time to each purchase, either side, equidistant
+    ties to the earlier (backward) row.  Both directional carries share
+    ONE hash exchange on the equi key (same partitioning, two sorts), so
+    nearest costs the same single shuffle as the one-sided joins; the
+    whole direction matrix is property-pinned vs pandas merge_asof.
+    Oracle: two DuckDB ASOF joins (>= / <=) + the same closer-wins CASE."""
+    ev = load_table(spark, sf, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return joins.asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="nearest",
+    ).select("purchase_id", "user_id", "signup_id")
+
+
 # =============================================================================
 # §2.4/2.5 — aggregations & set ops
 # =============================================================================
@@ -8818,7 +8869,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
-#   1. the ROUND-11 QUEUE below (2 post-freeze r10 registrations);
+#   1. the ROUND-11 QUEUE below (3 post-freeze r10 registrations);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
@@ -8849,6 +8900,13 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              counts + one closing division; the
 #                              vocabulary-coverage report behind
 #                              tokenizer-prep decisions; 5 rows)
+#       j_asof_nearest        (direction='nearest' completes the pandas
+#                              merge_asof direction matrix: closer side
+#                              wins, equidistant ties backward; both
+#                              carries share ONE hash exchange; the full
+#                              3-direction matrix is property-pinned vs
+#                              pandas; oracle = two DuckDB ASOF joins +
+#                              the closer-wins CASE)
 #   (each green under pytest + tools/driver_sim at sf0.01 in its
 #    registration session; both ride the bench blind-spot sweep)
 #
