@@ -127,6 +127,35 @@ def test_stream_dedup(spark, event_stream_dir):
     assert got.distinct().count() == n
 
 
+def test_stream_dedup_under_rocksdb_provider(spark, event_stream_dir):
+    """The SCALING.md deployment profile prescribes the RocksDB state
+    store for the streaming operators at 100 TB key cardinalities; this
+    pins that the conf actually works in this Spark build — the dedup
+    stream drains under RocksDBStateStoreProvider with results identical
+    to the default provider (r10, closing the profile's untested-conf
+    gap)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SE.read_event_stream(spark, event_stream_dir)
+        doubled = stream.unionByName(stream)
+        got = _run(
+            spark, SE.dedup_stream(doubled).select("event_id"), "t_rocks", "append"
+        )
+        n = load_table(spark, SF, "events").count()
+        assert got.count() == n and got.distinct().count() == n
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
 def test_traffic_overspeed_stream_equals_batch(spark, traffic_dir, tmp_path_factory):
     """The streaming overspeed pipeline over the whole fixture stream must
     agree with the fixed-mode batch query: summing windowed counts by
