@@ -450,3 +450,22 @@ def test_cluster_purity_ties_and_null_labels(spark):
     assert out[100]["n_members"] == 4 and out[100]["majority_label"] == 3
     assert out[100]["n_majority"] == 2 and out[100]["purity"] == 0.5
     assert out[200]["majority_label"] == 5 and out[200]["purity"] == 0.75
+
+
+def test_score_calibration_buckets_and_rates(spark):
+    """score_calibration (r10): exact-quantile buckets over the score,
+    integer counts, NULL outcomes count negative, pos_rate = n_pos/n_docs."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    # scores 1..100; outcome true iff score > 50 -> a perfect step curve
+    rows = [(i, i, i > 50 if i % 7 else None) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint, y boolean")
+    out = {r["bucket"]: r for r in
+           evalrank.score_calibration(df, "score", "y", n_buckets=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(r["n_docs"] == 25 for r in out.values())
+    assert (out[1]["score_lo"], out[4]["score_hi"]) == (1, 100)
+    assert out[1]["n_pos"] == 0 and out[2]["n_pos"] == 0
+    # top half positive except the NULL outcomes (multiples of 7 -> None)
+    assert out[3]["n_pos"] == 25 - len([i for i in range(51, 76) if i % 7 == 0])
+    assert out[4]["pos_rate"] == out[4]["n_pos"] / 25

@@ -387,3 +387,49 @@ def cluster_purity(
             ).alias("purity"),
         )
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability curve of a quality SCORE against a binary OUTCOME (r10):
+    bucket the corpus into exact global score quantiles (the
+    ranks.global_quantile_buckets histogram-CDF machinery — zero corpus
+    shuffle beyond one map-side-combined histogram, no global sort), then
+    report the observed outcome rate per bucket — the standard calibration
+    artifact behind "does this quality signal actually predict the gate?"
+    decisions before a curation run commits to a threshold.
+
+    Returns one row per bucket: (bucket, n_docs, n_pos, score_lo,
+    score_hi, pos_rate).  Module determinism contract: integer counts and
+    exact min/max bounds, pos_rate the single closing IEEE division.
+    NULL outcomes count as negative (a doc that can't pass doesn't);
+    NULL scores are excluded by the bucketing (consistent with
+    global_quantile_buckets).
+    """
+    from trafficbigdatasearch_spark.operators import ranks
+
+    b = ranks.global_quantile_buckets(df, score_col, n_buckets)
+    pos = F.when(F.col(outcome_col), F.lit(1)).otherwise(F.lit(0))
+    return (
+        b.groupBy(F.col("g_bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(pos).cast("bigint").alias("n_pos"),
+            F.min(score_col).alias("score_lo"),
+            F.max(score_col).alias("score_hi"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pos",
+            "score_lo",
+            "score_hi",
+            (
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+            ).alias("pos_rate"),
+        )
+    )

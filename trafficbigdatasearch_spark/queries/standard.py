@@ -1985,6 +1985,51 @@ def eval_cluster_purity_q(spark, sf):
 
 
 @register(
+    "eval_score_calibration",
+    f"""WITH gop AS (SELECT doc_id, passes
+                   FROM ({_REGISTRY["quality_gopher"][1]}) t),
+       s AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS score, gop.passes
+             FROM documents d JOIN gop USING (doc_id)),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
+       h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY score),
+       b AS (SELECT score,
+                    CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum
+             FROM h)
+       SELECT CAST((10 * cum + nn - 1) // nn AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              CAST(min(score) AS BIGINT) AS score_lo,
+              CAST(max(score) AS BIGINT) AS score_hi,
+              CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) AS pos_rate
+       FROM s JOIN b USING (score) CROSS JOIN n
+       GROUP BY 1""",
+)
+def eval_score_calibration_q(spark, sf):
+    """Score-calibration report (operators/evalrank.py::score_calibration,
+    r10): document LENGTH deciles (exact histogram-CDF global quantiles —
+    the w_quality_deciles_global machinery, no global sort) against the
+    Gopher-battery pass flag — the reliability curve behind "does this
+    cheap signal predict the expensive gate?" threshold decisions.  Ties
+    three families together (ranks bucketing, the validate rule battery,
+    the eval family's integer-counts-plus-one-division contract); the
+    oracle embeds quality_gopher's full SQL as its outcome subquery, so
+    the calibration row re-certifies the gate end-to-end too."""
+    from trafficbigdatasearch_spark.operators import evalrank, validate
+
+    docs = load_table(spark, sf, "documents")
+    # min_words=30 matches the embedded quality_gopher oracle (its
+    # registration threshold for this corpus), not the operator default
+    gf = validate.gopher_quality_flags(docs, min_words=30).select(
+        "doc_id", "passes"
+    )
+    scored = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("score")
+    ).join(gf, "doc_id")
+    return evalrank.score_calibration(scored, "score", "passes", n_buckets=10)
+
+
+@register(
     "sim_bitext_margin",
     f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
        a AS (SELECT vec_id AS id_a, v FROM c WHERE label = 0),
@@ -8869,7 +8914,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
-#   1. the ROUND-11 QUEUE below (3 post-freeze r10 registrations);
+#   1. the ROUND-11 QUEUE below (4 post-freeze r10 registrations);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
@@ -8900,6 +8945,11 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              counts + one closing division; the
 #                              vocabulary-coverage report behind
 #                              tokenizer-prep decisions; 5 rows)
+#       eval_score_calibration (length-decile reliability curve against
+#                              the Gopher pass flag — exact histogram-CDF
+#                              quantiles, integer counts, one closing
+#                              division; the oracle embeds the full
+#                              quality_gopher SQL as its outcome leg)
 #       j_asof_nearest        (direction='nearest' completes the pandas
 #                              merge_asof direction matrix: closer side
 #                              wins, equidistant ties backward; both
