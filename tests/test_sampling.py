@@ -297,3 +297,40 @@ def test_priority_sample_grouped(spark):
     assert sorted(got) == sorted(again)
     with _pytest.raises(ValueError, match="positive"):
         sampling.priority_sample_grouped(df, "g", "w", k=0)
+
+
+def test_quota_split_exact_counts(spark):
+    """quota_split (r10): per-group split sizes are the EXACT
+    largest-remainder apportionment (not in-expectation), every row is
+    assigned, membership is deterministic under repartitioning, and
+    fractions validate."""
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    # group sizes chosen so floors don't sum to n: n=7 at (0.8,0.1,0.1)
+    # floors (5,0,0) rem 2 -> remainders (0.6,0.7,0.7): bonus to r2,r3
+    # (largest remainders, tie by order) -> (5,1,1)
+    rows = [(i, "a") for i in range(7)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string")
+    out = sampling.quota_split(
+        df, "g", {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    )
+    counts = {
+        (r["g"], r["split"]): r["n"]
+        for r in out.groupBy("g", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts[("a", "train")] == 5
+    assert counts[("a", "val")] == 1 and counts[("a", "test")] == 1
+    assert counts[("b", "train")] == 8
+    assert counts[("b", "val")] == 1 and counts[("b", "test")] == 1
+    assert out.count() == 17
+    again = sampling.quota_split(
+        df.repartition(13), "g", {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="doc_id",
+    )
+    assert out.exceptAll(again).isEmpty()
+    with _pytest.raises(ValueError, match="sum to 1.0"):
+        sampling.quota_split(df, "g", {"x": 0.5, "y": 0.4}, key_col="doc_id")
+    with _pytest.raises(ValueError, match="at least 2"):
+        sampling.quota_split(df, "g", {"x": 1.0}, key_col="doc_id")

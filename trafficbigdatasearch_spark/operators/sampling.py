@@ -287,6 +287,71 @@ def group_sample(
     )
 
 
+def quota_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "quota",
+) -> DataFrame:
+    """EXACT-count stratified split (r10): within each group, assign every
+    row to a named split so the per-group split sizes are the
+    largest-remainder (Hamilton) apportionment of the group's size over
+    ``fractions`` — "exactly 80/10/10 per language", not 80/10/10 in
+    expectation (:func:`hash_split`'s contract, whose binomial noise is
+    material for small strata and hard eval-budget guarantees).
+
+    Mechanics: rows hash-order within their group (md5 bucket, key — the
+    :func:`group_sample` total order, so membership is a pure function of
+    the data); per-group quotas are ``floor(f_i · n)`` plus one bonus unit
+    for the ``n - Σ floor`` splits with the largest fractional remainders
+    (ties by insertion order); the first ``q_1`` ranks take split 1, the
+    next ``q_2`` split 2, and so on.  Largest-remainder guarantees the
+    quotas sum to n exactly, so every row is assigned.  Quota arithmetic
+    is a fixed IEEE expression of the group size only, engine-reproducible.
+
+    ONE shuffle (the per-group ranking window; the group-size count rides
+    the same exchange).  Adds a ``split`` column; no rows dropped.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("quota_split needs at least 2 splits")
+    wrank = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    wall = Window.partitionBy(group_col)
+    n = F.count(F.lit(1)).over(wall).cast("bigint")
+    floors = {nm: F.floor(F.lit(fractions[nm]) * n) for nm in names}
+    rems = {nm: F.lit(fractions[nm]) * n - floors[nm] for nm in names}
+    r = n - sum(floors.values())
+    quotas = {}
+    for i, nm in enumerate(names):
+        rank_i = sum(
+            (
+                F.when(
+                    (rems[other] > rems[nm])
+                    | ((rems[other] == rems[nm]) & F.lit(j < i)),
+                    1,
+                ).otherwise(0)
+            )
+            for j, other in enumerate(names)
+            if other != nm
+        )
+        quotas[nm] = floors[nm] + F.when(rank_i < r, 1).otherwise(0)
+    rk = F.row_number().over(wrank).cast("bigint")
+    expr = None
+    cum = None
+    for nm in names[:-1]:
+        cum = quotas[nm] if cum is None else cum + quotas[nm]
+        cond = rk <= cum
+        expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
+    expr = expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
 def priority_sample_grouped(
     df: DataFrame,
     group_col: str,

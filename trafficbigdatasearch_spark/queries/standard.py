@@ -2650,6 +2650,58 @@ def sample_priority_grouped_q(spark, sf):
 
 
 @register(
+    "sample_quota_split",
+    f"""WITH base AS (SELECT doc_id, lang,
+                         {_BUCKET_SQL.format(salt='quota')} AS b
+                  FROM documents),
+       r AS (SELECT doc_id, lang,
+                    row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rk,
+                    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+             FROM base),
+       q AS (SELECT *,
+                    CAST(floor(0.8 * n) AS BIGINT) AS f1,
+                    CAST(floor(0.1 * n) AS BIGINT) AS f2,
+                    CAST(floor(0.1 * n) AS BIGINT) AS f3,
+                    0.8 * n - floor(0.8 * n) AS r1,
+                    0.1 * n - floor(0.1 * n) AS r2,
+                    0.1 * n - floor(0.1 * n) AS r3
+             FROM r),
+       qq AS (SELECT *, n - (f1 + f2 + f3) AS rem,
+                     (CASE WHEN r2 > r1 THEN 1 ELSE 0 END
+                    + CASE WHEN r3 > r1 THEN 1 ELSE 0 END) AS k1,
+                     (CASE WHEN r1 >= r2 THEN 1 ELSE 0 END
+                    + CASE WHEN r3 > r2 THEN 1 ELSE 0 END) AS k2,
+                     (CASE WHEN r1 >= r3 THEN 1 ELSE 0 END
+                    + CASE WHEN r2 >= r3 THEN 1 ELSE 0 END) AS k3
+              FROM q)
+       SELECT doc_id, lang,
+              CASE WHEN rk <= f1 + (CASE WHEN k1 < rem THEN 1 ELSE 0 END)
+                     THEN 'train'
+                   WHEN rk <= f1 + (CASE WHEN k1 < rem THEN 1 ELSE 0 END)
+                           + f2 + (CASE WHEN k2 < rem THEN 1 ELSE 0 END)
+                     THEN 'val'
+                   ELSE 'test' END AS split
+       FROM qq""",
+)
+def sample_quota_split_q(spark, sf):
+    """EXACT-count stratified split (operators/sampling.py::quota_split,
+    r10): every document assigned to train/val/test so the per-LANGUAGE
+    split sizes are the largest-remainder apportionment of each
+    language's count over (0.8, 0.1, 0.1) — exactly 80/10/10 per
+    stratum, not in expectation (hash_split's binomial noise is material
+    for small strata and hard eval-budget guarantees).  Rows hash-order
+    within their language (md5 bucket, doc_id), quotas are a fixed IEEE
+    expression of the group size only, and largest-remainder makes the
+    quotas sum to n exactly — one ranking-window shuffle, no rows
+    dropped.  The oracle replicates the apportionment with the same
+    remainder tie-break (insertion order)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.quota_split(
+        docs, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
+    ).select("doc_id", "lang", "split")
+
+
+@register(
     "sample_group_topk",
     f"""WITH rk AS (SELECT doc_id, lang,
                      row_number() OVER (PARTITION BY lang
@@ -8914,7 +8966,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
-#   1. the ROUND-11 QUEUE below (4 post-freeze r10 registrations);
+#   1. the ROUND-11 QUEUE below (5 post-freeze r10 registrations);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
@@ -8945,6 +8997,12 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              counts + one closing division; the
 #                              vocabulary-coverage report behind
 #                              tokenizer-prep decisions; 5 rows)
+#       sample_quota_split    (EXACT largest-remainder stratified split:
+#                              precisely 80/10/10 per language, not in
+#                              expectation — one ranking-window shuffle,
+#                              quota arithmetic a fixed IEEE expression of
+#                              the group size; apportionment tie-breaks
+#                              property-pinned in tests)
 #       eval_score_calibration (length-decile reliability curve against
 #                              the Gopher pass flag — exact histogram-CDF
 #                              quantiles, integer counts, one closing
