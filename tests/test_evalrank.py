@@ -469,3 +469,20 @@ def test_score_calibration_buckets_and_rates(spark):
     # top half positive except the NULL outcomes (multiples of 7 -> None)
     assert out[3]["n_pos"] == 25 - len([i for i in range(51, 76) if i % 7 == 0])
     assert out[4]["pos_rate"] == out[4]["n_pos"] / 25
+
+
+def test_pair_set_metrics_counts(spark):
+    """pair_set_metrics (r10): TP/FP/FN bookkeeping on designed pair sets,
+    duplicate candidate pairs (multi-band collisions) don't inflate
+    counts, precision/recall are the closing divisions."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    row = evalrank.pair_set_metrics(cand, truth).collect()[0]
+    assert (row["n_truth"], row["n_cand"], row["n_tp"]) == (3, 3, 2)
+    assert row["pair_precision"] == 2 / 3 and row["pair_recall"] == 2 / 3

@@ -433,3 +433,44 @@ def score_calibration(
             ).alias("pos_rate"),
         )
     )
+
+
+def pair_set_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Precision/recall of a candidate PAIR set against a ground-truth
+    pair set (r10) — the measurement loop for the candidate-generation
+    fabrics (LSH bands, SimHash buckets, IVF cells, prefix filters):
+    "what fraction of true near-dup pairs does this blocking scheme
+    surface, at what candidate overhead?"
+
+    One row: (n_truth, n_cand, n_tp, pair_precision, pair_recall).
+    Module contract: three integer counts, two closing IEEE divisions.
+    Both inputs dedupe on the id pair first, so multiplicity up-stream
+    (e.g. a pair colliding in several bands) cannot inflate any count.
+
+    Plan: one full-outer hash join of the two (already pair-sized,
+    corpus-independent) sets + a single-row aggregate.
+    """
+    ids = [id_a, id_b]
+    c = candidates.select(*ids).distinct().withColumn("_c", F.lit(1))
+    t = truth.select(*ids).distinct().withColumn("_t", F.lit(1))
+    j = c.join(t, ids, "full_outer")
+    return j.agg(
+        F.sum("_t").cast("bigint").alias("n_truth"),
+        F.sum("_c").cast("bigint").alias("n_cand"),
+        F.sum(F.col("_c") * F.col("_t")).cast("bigint").alias("n_tp"),
+    ).select(
+        "n_truth",
+        "n_cand",
+        "n_tp",
+        (
+            F.col("n_tp").cast("double") / F.col("n_cand").cast("double")
+        ).alias("pair_precision"),
+        (
+            F.col("n_tp").cast("double") / F.col("n_truth").cast("double")
+        ).alias("pair_recall"),
+    )

@@ -1575,6 +1575,53 @@ def _lsh_pairs_cte(src: str) -> str:
 
 
 @register(
+    "eval_lsh_recall",
+    f"""WITH {_lsh_pairs_cte('documents')},
+       toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ),
+       jac AS (SELECT id_a, id_b
+               FROM shared
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+       m AS (SELECT (SELECT count(*) FROM jac) AS n_truth,
+                    (SELECT count(*) FROM lsh_pairs) AS n_cand,
+                    (SELECT count(*) FROM lsh_pairs JOIN jac
+                       USING (id_a, id_b)) AS n_tp)
+       SELECT CAST(n_truth AS BIGINT) AS n_truth,
+              CAST(n_cand AS BIGINT) AS n_cand,
+              CAST(n_tp AS BIGINT) AS n_tp,
+              CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS pair_precision,
+              CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS pair_recall
+       FROM m""",
+)
+def eval_lsh_recall_q(spark, sf):
+    """Candidate-generation quality measured, not asserted (operators/
+    evalrank.py::pair_set_metrics, r10): precision/recall of the MinHash
+    band-bucket candidate pairs (k=8, 4×2 bands) against the EXACT
+    n-gram-Jaccard ≥ 0.2 pair set — the blocked-fabric twin of
+    eval_ivf_recall's ANN ladder, turning the LSH family's recall
+    contract from a docstring claim into an oracle-verified number at
+    every SF.  Three integer counts + two closing divisions; both pair
+    sets are corpus-independent sizes by construction."""
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    docs = load_table(spark, sf, "documents")
+    cand = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_shingle_freq=None
+    ).select("id_a", "id_b")
+    return evalrank.pair_set_metrics(cand, truth)
+
+
+@register(
     "dedup_minhash_lsh",
     f"WITH {_lsh_pairs_cte('documents')} SELECT id_a, id_b FROM lsh_pairs",
 )
@@ -8966,7 +9013,7 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order:
-#   1. the ROUND-11 QUEUE below (5 post-freeze r10 registrations);
+#   1. the ROUND-11 QUEUE below (6 post-freeze r10 registrations);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
@@ -8997,6 +9044,11 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              counts + one closing division; the
 #                              vocabulary-coverage report behind
 #                              tokenizer-prep decisions; 5 rows)
+#       eval_lsh_recall       (measured candidate-generation quality: the
+#                              MinHash band fabric's precision/recall vs
+#                              the exact Jaccard >= 0.2 pair set — the
+#                              blocked-fabric twin of eval_ivf_recall;
+#                              3 integer counts + 2 closing divisions)
 #       sample_quota_split    (EXACT largest-remainder stratified split:
 #                              precisely 80/10/10 per language, not in
 #                              expectation — one ranking-window shuffle,
