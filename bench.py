@@ -187,6 +187,12 @@ HEADLINE = [
     "decontaminate_semantic",
     "eval_cluster_purity",
     "stream_semantic_gate",
+    "sample_priority_grouped",
+    "text_vocab_oov",
+    "j_asof_nearest",
+    "eval_score_calibration",
+    "sample_quota_split",
+    "eval_lsh_recall",
 ]
 
 
