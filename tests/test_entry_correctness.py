@@ -560,3 +560,74 @@ def test_margin_bitext_hub_suppression(spark):
     assert blocked == {1: 11, 2: 10}
     with pytest.raises(ValueError, match="k must be"):
         similarity.margin_bitext_pairs(emb, k=0)
+
+
+def test_pq_distortion_properties(spark):
+    """pq_distortion: zero when the codebook IS the corpus, positive with a
+    sparse sampled codebook, strictly improved by training (the property
+    the operator exists to measure), and exact vs a brute-force python
+    fold on the quantized lattice."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = []
+    dims = 16
+    for cluster in range(10):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for member in range(8):
+            vec = [x + rng.gauss(0, 0.02) for x in center]
+            rows.append((cluster * 8 + member, vec))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    m = 2
+    # codebook == corpus -> every subvector matches itself exactly
+    self_cb = emb
+    zero = similarity.pq_distortion(emb, m=m, centroids=self_cb).collect()
+    assert len(zero) == m
+    assert all(r["sse"] == 0 and r["mse"] == 0.0 for r in zero)
+    assert all(r["n_vecs"] == 80 for r in zero)
+
+    # sparse sampled codebook -> positive distortion
+    sampled = similarity.pq_distortion(emb, m=m, centroid_stride=13)
+    sam = {r["subspace"]: r for r in sampled.collect()}
+    assert all(sam[j]["sse"] > 0 for j in range(m))
+
+    # trained codebook from the same sample count dominates the raw sample
+    trained = similarity.kmeans_refine(
+        emb, n_iter=2, centroid_stride=13, vec_col="embedding"
+    ).select(
+        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
+    )
+    tra = {
+        r["subspace"]: r
+        for r in similarity.pq_distortion(emb, m=m, centroids=trained).collect()
+    }
+    assert sum(tra[j]["sse"] for j in range(m)) <= sum(
+        sam[j]["sse"] for j in range(m)
+    )
+
+    # brute-force parity on the quantized lattice (round(x*10000) ints)
+    def quant(v):
+        return [round(float(x) * 10000) for x in v]
+
+    cents = [quant(v) for i, v in rows if i % 13 == 0]
+    sub = dims // m
+    exp = [0] * m
+    for _i, v in rows:
+        qv = quant(v)
+        for j in range(m):
+            seg = qv[j * sub:(j + 1) * sub]
+            exp[j] += min(
+                sum((a - b) ** 2 for a, b in zip(seg, c[j * sub:(j + 1) * sub]))
+                for c in cents
+            )
+    for j in range(m):
+        assert sam[j]["sse"] == exp[j]
+        assert sam[j]["mse"] == exp[j] / 80

@@ -323,3 +323,118 @@ class TestIncrementalComponents:
         out = {r["id"]: r["component"] for r in
                G.incremental_components(comp, new).collect()}
         assert out == {3: 3, 7: 3, 8: 3}
+
+
+# ---------------------------------------------------------------------------
+# local_clustering / modularity_by_community
+# ---------------------------------------------------------------------------
+
+
+def _lcc_rows(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    n = (
+        spark.createDataFrame([(i,) for i in nodes], "id: bigint")
+        if nodes is not None
+        else None
+    )
+    return {
+        r["id"]: r.asDict()
+        for r in graph.local_clustering(e, nodes=n).collect()
+    }
+
+
+def test_lcc_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 4 hanging off 1
+    rows = _lcc_rows(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+    assert rows[2]["degree"] == 2 and rows[2]["n_triangles"] == 1
+    assert rows[2]["lcc"] == 1.0
+    # node 1: degree 3, one triangle among its 3 neighbor pairs -> 1/3
+    assert rows[1]["degree"] == 3 and rows[1]["lcc_num"] == 2
+    assert rows[1]["lcc_den"] == 6 and abs(rows[1]["lcc"] - 1 / 3) < 1e-15
+    # pendant: degree 1 -> undefined
+    assert rows[4]["lcc"] is None and rows[4]["lcc_den"] == 0
+
+
+def test_lcc_square_has_no_triangles(spark):
+    rows = _lcc_rows(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    assert all(r["n_triangles"] == 0 and r["lcc"] == 0.0 for r in rows.values())
+
+
+def test_lcc_complete_graph_is_one(spark):
+    k = 5
+    edges = [(i, j) for i in range(1, k + 1) for j in range(i + 1, k + 1)]
+    rows = _lcc_rows(spark, edges)
+    assert all(r["lcc"] == 1.0 and r["degree"] == k - 1 for r in rows.values())
+    assert all(r["n_triangles"] == (k - 1) * (k - 2) // 2 for r in rows.values())
+
+
+def test_lcc_matches_bruteforce_on_random_graph(spark):
+    rnd = random.Random(7)
+    nodes = list(range(20))
+    edges = sorted(
+        {(a, b) for _ in range(60)
+         for a, b in [sorted(rnd.sample(nodes, 2))]}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = _lcc_rows(spark, edges, nodes=nodes)
+    for n in nodes:
+        d = len(adj[n])
+        tri = sum(
+            1
+            for x in adj[n]
+            for y in adj[n]
+            if x < y and y in adj[x]
+        )
+        assert rows[n]["degree"] == d
+        assert rows[n]["n_triangles"] == tri
+        if d >= 2:
+            assert abs(rows[n]["lcc"] - 2 * tri / (d * (d - 1))) < 1e-12
+        else:
+            assert rows[n]["lcc"] is None
+
+
+def _modularity_rows(spark, edges, assign):
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    a = spark.createDataFrame(
+        [(k, v) for k, v in assign.items()], "id: bigint, community: bigint"
+    )
+    return {
+        r["community"]: r.asDict()
+        for r in graph.modularity_by_community(e, a).collect()
+    }
+
+
+def test_modularity_two_cliques_bridge(spark):
+    # two triangles joined by one bridge edge; communities = the triangles
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    assign = {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+    rows = _modularity_rows(spark, edges, assign)
+    m = 7
+    for c in (0, 1):
+        assert rows[c]["m"] == m and rows[c]["e_in"] == 3
+        assert rows[c]["deg_c"] == 7  # 2*3 internal + 1 bridge end
+        assert rows[c]["q_num"] == 4 * m * 3 - 49
+        assert rows[c]["q_den"] == 4 * m * m
+        assert abs(rows[c]["q_term"] - (3 / 7 - (7 / 14) ** 2)) < 1e-12
+    # Q = sum of q_terms: 2*(3/7 - 1/4) = 5/14
+    q = sum(r["q_term"] for r in rows.values())
+    assert abs(q - 5 / 14) < 1e-12
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = e_in/m - 1 = 0 when all edges internal
+    edges = [(1, 2), (2, 3), (1, 3)]
+    rows = _modularity_rows(spark, edges, {1: 0, 2: 0, 3: 0})
+    assert abs(rows[0]["q_term"]) < 1e-15
+    assert rows[0]["q_num"] == 0
+
+
+def test_modularity_empty_community_has_zero_terms(spark):
+    # a community with members but no edge ends (isolated assignment rows)
+    edges = [(1, 2)]
+    rows = _modularity_rows(spark, edges, {1: 0, 2: 0, 9: 1})
+    assert rows[1]["e_in"] == 0 and rows[1]["deg_c"] == 0
+    assert rows[1]["q_num"] == 0 and rows[1]["q_term"] == 0.0

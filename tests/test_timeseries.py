@@ -436,3 +436,57 @@ def test_cusum_per_key_hand_case(spark):
     assert {r for (k, r) in out if k == "b"} == {1, 2}
     assert out[("b", 1)]["id"] == 7 and out[("b", 2)]["id"] == 9
     assert int(out[("b", 2)]["cusum_num"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# hopping_window_agg
+# ---------------------------------------------------------------------------
+
+
+def test_hopping_window_fanout_and_alignment(spark):
+    from datetime import datetime
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    # one event at 10:37 -> four 1h windows sliding by 15min:
+    # starts 09:45, 10:00, 10:15, 10:30
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 37), "a", 2.5)],
+        "ts: timestamp, event_type: string, value: double",
+    )
+    rows = sorted(
+        (r["win_start"].strftime("%H:%M"), r["n"], r["sum_cents"])
+        for r in TS.hopping_window_agg(df).collect()
+    )
+    assert rows == [
+        ("09:45", 1, 250), ("10:00", 1, 250),
+        ("10:15", 1, 250), ("10:30", 1, 250),
+    ]
+
+
+def test_hopping_window_counts_and_null_policy(spark):
+    from datetime import datetime
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 10, 5), "a", 1.0),
+            (datetime(2024, 1, 1, 10, 20), "a", 2.0),
+            (datetime(2024, 1, 1, 10, 5), "a", None),  # excluded
+            (datetime(2024, 1, 1, 10, 5), "b", 4.0),
+        ],
+        "ts: timestamp, event_type: string, value: double",
+    )
+    out = TS.hopping_window_agg(df).collect()
+    # window starting 10:00 holds both 'a' events
+    both = [
+        r for r in out
+        if r["key"] == "a" and r["win_start"].minute == 0
+        and r["win_start"].hour == 10
+    ]
+    assert len(both) == 1 and both[0]["n"] == 2 and both[0]["sum_cents"] == 300
+    # every window is exactly 1 hour
+    assert all((r["win_end"] - r["win_start"]).seconds == 3600 for r in out)
+    # the NULL-value event contributes to no window
+    assert sum(r["n"] for r in out if r["key"] == "a") == 8  # 2 events x 4

@@ -363,3 +363,47 @@ def test_gopher_quality_flags_hand_cases(spark):
     assert not out[4]["ok_symbol_ratio"] and not out[4]["passes"]
     assert not out[5]["ok_alpha_words"] and not out[5]["passes"]
     assert not out[6]["ok_stopwords"] and not out[6]["passes"]
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    # 10 keys: nine singletons + one hot key with 91 rows
+    rows = [(f"k{i}",) for i in range(9)] + [("hot",)] * 91
+    df = spark.createDataFrame(rows, "k: string")
+    out = validate.key_skew_profile(df, "k").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_keys"] == 10 and r["n_rows"] == 100 and r["max_size"] == 91
+    # ceil thresholds: p50 -> 5th key, p90 -> 9th key (both size 1),
+    # p99 -> ceil(9.9)=10th key (the hot one)
+    assert r["p50_size"] == 1 and r["p90_size"] == 1 and r["p99_size"] == 91
+    assert r["max_share_ppm"] == 910000
+
+
+def test_key_skew_profile_uniform(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    df = spark.createDataFrame(
+        [(i % 5,) for i in range(25)], "k: bigint"
+    )
+    r = validate.key_skew_profile(df, "k").collect()[0].asDict()
+    assert r["n_keys"] == 5 and r["max_size"] == 5
+    assert r["p50_size"] == r["p99_size"] == 5
+    assert r["max_share_ppm"] == 200000
+
+
+def test_key_skew_profile_percentile_boundaries(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    # sizes 1..4 over 4 keys: ceil(.5*4)=2nd -> 2, ceil(.9*4)=4th -> 4
+    rows = [(k,) for k, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+            for _ in range(n)]
+    df = spark.createDataFrame(rows, "k: string")
+    r = validate.key_skew_profile(df, "k").collect()[0].asDict()
+    assert r["p50_size"] == 2 and r["p90_size"] == 4 and r["p99_size"] == 4

@@ -926,3 +926,190 @@ def jaccard_link_prediction(
             ).alias("score"),
         )
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT over an undirected edge list —
+    the triangle-counts engine (degree-ordered wedge join, see
+    ``triangle_counts``) extended with the degree denominator:
+
+        lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))
+
+    Both sides of the ratio are exact BIGINTs (``lcc_num = 2 * triangles``,
+    ``lcc_den = d * (d - 1)``) and the coefficient itself is ONE closing
+    IEEE division, NULL for degree < 2 (the undefined case — isolated nodes
+    and leaves), so the output hash-compares across engines.
+
+    Cost over ``triangle_counts``: the degree aggregate the orientation
+    already computes is reused for the denominator — one extra hash join of
+    two (node, bigint) tables partitioned on the node key.  Same skew
+    posture as the triangle engine: orientation bounds per-node out-degree
+    by O(sqrt(|E|)), so a 100 TB hub cannot explode the wedge join; the
+    closing join is node-partitioned and never collects.
+
+    Returns (id, degree, n_triangles, lcc_num, lcc_den, lcc) for every node
+    in ``nodes`` (or every edge endpoint), zeros/NULLs included.
+    """
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    canon = (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        # consumed by the degree count, both orientation joins and the
+        # closing-edge join — checkpoint the deduped edge set once
+        .localCheckpoint(eager=False)
+    )
+    ends = canon.select(F.col("u").alias("n")).union(
+        canon.select(F.col("v").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    rank = deg.select("n", (F.col("d") * F.lit(1 << 31) + F.col("n")).alias("rnk"))
+    ranked = (
+        canon.join(rank.select(F.col("n").alias("u"), F.col("rnk").alias("ru")), "u")
+        .join(rank.select(F.col("n").alias("v"), F.col("rnk").alias("rv")), "v")
+    )
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u").alias("w"), F.col("v").alias("a"))
+    o2 = oriented.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wedges = o1.join(o2, "w").filter(F.col("a") < F.col("b"))
+    closing = oriented.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    )
+    triangles = wedges.join(closing, ["a", "b"])
+    corners = (
+        triangles.select(F.col("w").alias("id"))
+        .union(triangles.select(F.col("a").alias("id")))
+        .union(triangles.select(F.col("b").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    base = (
+        nodes.select(F.col(id_col).cast("bigint").alias("id")).distinct()
+        if nodes is not None
+        else ends.select(F.col("n").alias("id")).distinct()
+    )
+    out = (
+        base.join(counts, "id", "left")
+        .join(deg.select(F.col("n").alias("id"), "d"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )
+    num = (F.lit(2) * F.col("n_triangles")).cast("bigint")
+    den = (F.col("degree") * (F.col("degree") - F.lit(1))).cast("bigint")
+    return out.select(
+        "id",
+        "degree",
+        "n_triangles",
+        num.alias("lcc_num"),
+        den.alias("lcc_den"),
+        F.when(
+            F.col("degree") >= 2, num.cast("double") / den.cast("double")
+        ).alias("lcc"),
+    )
+
+
+def modularity_by_community(
+    edges: DataFrame,
+    assign: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman MODULARITY of a given community assignment — the quality
+    measurement for whatever produced the labels (connected components,
+    label propagation, an external clustering): per community c,
+
+        Q_c = e_in(c)/m - (deg(c) / (2m))^2
+            = (4*m*e_in(c) - deg(c)^2) / (4*m^2)
+
+    with e_in = edges internal to c, deg(c) = total degree of c's members,
+    m = total undirected edge count.  The operator ships the EXACT INTEGER
+    pieces (n_nodes, e_in, deg_c, m, and the cross-multiplied numerator
+    ``q_num = 4*m*e_in - deg_c^2`` against denominator ``q_den = 4*m^2``)
+    plus the per-community term as ONE closing IEEE division, so rows
+    hash-compare and the corpus-level fold (sum of q_term = Q) is left to
+    the consumer per the no-float-SUM rule.  Internal products run on
+    DECIMAL(38,0) so a 10^9-edge graph cannot overflow the 4*m*e_in cross
+    term; outputs cast back to BIGINT (loud ANSI overflow far beyond any
+    tested SF).
+
+    Scale shape: edges dedup once, then TWO label joins (node-partitioned;
+    the assignment table is (node, label) and shuffles, the edge set
+    streams through), one grouped count per side, and the global m rides a
+    broadcast single-row aggregate.  Nothing iterates, nothing collects —
+    this is the measurement loop you run after every community-detection
+    round at 100 TB, so it must stay one pass.
+    """
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    canon = (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = assign.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(community_col).cast("bigint").alias("community"),
+    )
+    labeled = (
+        canon.join(a.select(F.col("id").alias("u"), F.col("community").alias("cu")), "u")
+        .join(a.select(F.col("id").alias("v"), F.col("community").alias("cv")), "v")
+    )
+    e_in = (
+        labeled.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    ends = canon.select(F.col("u").alias("id")).union(
+        canon.select(F.col("v").alias("id"))
+    )
+    deg_c = (
+        ends.join(a, "id")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg_c"))
+    )
+    n_nodes = a.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    m_df = canon.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    dec = "decimal(38,0)"
+    q_num = (
+        F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("e_in").cast(dec)
+        - F.col("deg_c").cast(dec) * F.col("deg_c").cast(dec)
+    )
+    q_den = F.lit(4).cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec)
+    return (
+        n_nodes.join(deg_c, "community", "left")
+        .join(e_in, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("deg_c", F.lit(0)).cast("bigint").alias("deg_c"),
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+        )
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            "deg_c",
+            "e_in",
+            "m",
+            q_num.cast("bigint").alias("q_num"),
+            q_den.cast("bigint").alias("q_den"),
+            (q_num.cast("double") / q_den.cast("double")).alias("q_term"),
+        )
+    )

@@ -1451,3 +1451,86 @@ def margin_bitext_pairs(
         )
     )
     return out.filter(F.col("score") >= threshold)
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    m: int = 8,
+    centroid_stride: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """PQ QUANTIZATION DISTORTION per subspace — the measurement loop for
+    the codebook itself (the missing eval twin beside recall: recall says
+    whether the ANN stack finds the right neighbors, distortion says how
+    much geometry the compression threw away and WHICH subspace is
+    responsible, which is what you re-train or re-split on).
+
+    For every vector, each of the ``m`` subvectors is scored against its
+    NEAREST codebook entry (the same assignment :func:`pq_codes` encodes —
+    per-subspace independent argmin), and the squared L2 residual on the
+    exact integer lattice folds per subspace:
+
+        (subspace, n_vecs, sse, mse)
+
+    ``sse`` is an exact BIGINT (integer subvector distances, no float
+    anywhere), ``mse = sse / n_vecs`` is ONE closing IEEE division —
+    hash-exact across engines.  A trained codebook (``centroids`` seam)
+    should strictly dominate the sampled one per subspace; that comparison
+    is this operator run twice.
+
+    Scale shape: one broadcast codebook, ONE corpus scan (the same
+    cross-join + per-subspace min as encoding — no extra pass over the
+    vectors), then an m-row unpivot per vector into a map-side-combined
+    aggregate whose output is m rows total.  At 100 TB this piggybacks on
+    the encode job: shuffle bytes are m rows per executor partition.
+    """
+    cent = centroids if centroids is not None else corpus.filter(
+        (F.col(id_col) % centroid_stride) == 0
+    )
+    cq = _pq_codebook(cent, id_col, vec_col)
+    c = _with_quantized(corpus, vec_col, "v").select(F.col(id_col), "v")
+    dim_expr = F.size(F.col("v"))
+    paired = c.join(F.broadcast(cq), how="cross")
+    d_cols = []
+    for j in range(m):
+        sub = F.slice(F.col("v"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                      (dim_expr / m).cast("int"))
+        csub = F.slice(F.col("cv"), (F.lit(j) * (dim_expr / m).cast("int")) + 1,
+                       (dim_expr / m).cast("int"))
+        d = F.aggregate(
+            F.zip_with(sub, csub, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        d_cols.append(d.alias(f"_d{j}"))
+    mins = paired.select(id_col, *d_cols).groupBy(id_col).agg(
+        *[F.min(f"_d{j}").cast("bigint").alias(f"_m{j}") for j in range(m)]
+    )
+    long = mins.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("subspace"),
+                        F.col(f"_m{j}").alias("md"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x")
+    ).select("x.subspace", "x.md")
+    return (
+        long.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("md").cast("bigint").alias("sse"),
+        )
+        .select(
+            "subspace",
+            "n_vecs",
+            "sse",
+            (F.col("sse").cast("double") / F.col("n_vecs")).alias("mse"),
+        )
+    )

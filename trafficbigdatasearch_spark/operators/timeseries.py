@@ -514,3 +514,54 @@ def cusum_per_key(
         ),
         F.col("_n").cast("bigint").alias("n"),
     )
+
+
+def hopping_window_agg(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """HOPPING (sliding) window aggregate — the overlapping-window twin of
+    ``time_bucket``'s tumbling grid: every event lands in window/slide
+    overlapping windows (4 for 1h/15min), via Spark's NATIVE ``F.window``
+    with a slideDuration — the exact construct Structured Streaming reuses,
+    so this batch operator and a streaming deployment share one plan shape.
+
+    Emits (key, win_start, win_end, n, sum_cents): counts are BIGINTs and
+    the value folds on the exact cents lattice (round(value*100) BIGINT sum
+    — no float SUM), so every row hash-compares.  Windows are epoch-aligned
+    (Spark's documented 1970-01-01 alignment), start-inclusive /
+    end-exclusive.
+
+    Scale shape: the window expansion is a row-local generator (each input
+    row fans out to its window/slide assignments BEFORE the exchange), then
+    ONE map-side-combined aggregate on (key, window) — shuffle bytes are
+    bounded by |keys| x |windows touched|, not by input rows.  The
+    overlap factor is the one knob: a 1h/15min hop writes each row 4x into
+    the partial-agg hash map, which is why the slide should divide the
+    window and stay coarse at 100 TB (or move to the tumbling grid +
+    consumer-side rolling sum when the overlap factor exceeds ~8).
+    NULL values are excluded up front (the r9 drift policy: greatest/least
+    and cents-rounding would silently fold NULL mass into zeros).
+    """
+    e = df.filter(F.col(value_col).isNotNull())
+    w = F.window(F.col(ts_col), window, slide)
+    return (
+        e.groupBy(F.col(key_col).alias("key"), w.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "key",
+            F.col("_w.start").alias("win_start"),
+            F.col("_w.end").alias("win_end"),
+            "n",
+            "sum_cents",
+        )
+    )

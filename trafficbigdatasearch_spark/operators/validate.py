@@ -485,3 +485,68 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Partition-key SKEW diagnostic — the one-row report you run on a
+    candidate shuffle key BEFORE committing a 100 TB join/aggregate to it
+    (the measurement behind this repo's salting / AQE-skew decisions):
+
+      n_keys, n_rows, max_size, p{50,90,99}_size (exact group-size
+      percentiles), and ``max_share_ppm`` — the heaviest key's share of all
+      rows in parts-per-million (exact integer: ``1e6 * max_size // n_rows``,
+      no float anywhere).
+
+    Percentile definition (exact, engine-portable): the smallest group size
+    s where the number of keys with size <= s reaches ceil(pct * n_keys /
+    100) — integer threshold arithmetic ``(pct * n_keys + 99) div 100``, no
+    interpolation, no float rank.
+
+    Scale shape: ONE shuffle (the per-key count — map-side combined, so each
+    executor ships one row per key it saw), then the size HISTOGRAM
+    (groupBy size — at most |distinct sizes| rows, thousands even for a
+    billion keys) folds through one tiny window + one-row reduce.  The
+    profile never sorts rows, never collects keys, and is O(|keys|) shuffle
+    bytes — safe to run on every candidate key of a 100 TB table.
+    """
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "sz", F.sum("n").over(w).cast("bigint").alias("cum")
+    )
+    tot = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max("sz").cast("bigint").alias("max_size"),
+    )
+    cur = cum.crossJoin(F.broadcast(tot))
+    pct_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= (F.lit(p) * F.col("n_keys") + 99)
+                - (F.lit(p) * F.col("n_keys") + 99) % 100,
+                F.col("sz"),
+            )
+        )
+        .cast("bigint")
+        .alias(f"p{p}_size")
+        for p in pcts
+    ]
+    return cur.groupBy("n_keys", "n_rows", "max_size").agg(*pct_aggs).select(
+        "n_keys",
+        "n_rows",
+        "max_size",
+        *[f"p{p}_size" for p in pcts],
+        F.expr("1000000 * max_size div n_rows").cast("bigint").alias(
+            "max_share_ppm"
+        ),
+    )

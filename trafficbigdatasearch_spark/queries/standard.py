@@ -8843,6 +8843,317 @@ def pipeline_mm_dedup_q(spark, sf):
 #       set_intersect, set_except -> set-op rewrite pinned
 #                                tests/test_plans.py + pytest goldens
 #
+# =============================================================================
+# Post-r10-freeze registrations (this session): graph eval metrics
+# (clustering coefficient, modularity), PQ distortion, hopping windows,
+# key-skew diagnostics, and the Gopher gate on a stream.  Each enters the
+# ROUND-11 ROTATION QUEUE below per the slot-priority rule.
+# =============================================================================
+
+
+_LCC_GRAPH_SQL = """n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       raw AS (
+         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey * c_custkey) % n.n) + 1
+         FROM customer, n),
+       e AS (
+         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         FROM raw WHERE u <> v)"""
+
+
+@register(
+    "graph_clustering_coeff",
+    f"""WITH {_LCC_GRAPH_SQL},
+       adj AS (SELECT a AS nd, b AS m FROM e UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT nd AS id, CAST(count(*) AS BIGINT) AS d
+               FROM adj GROUP BY 1),
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1
+         JOIN e e2 ON e2.a = e1.b
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       corners AS (
+         SELECT x AS id FROM tri
+         UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri),
+       cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+               FROM corners GROUP BY id)
+       SELECT c.c_custkey AS id,
+              COALESCE(d.d, 0) AS degree,
+              COALESCE(cnt.n_triangles, 0) AS n_triangles,
+              CAST(2 * COALESCE(cnt.n_triangles, 0) AS BIGINT) AS lcc_num,
+              CAST(COALESCE(d.d, 0) * (COALESCE(d.d, 0) - 1) AS BIGINT)
+                AS lcc_den,
+              CASE WHEN COALESCE(d.d, 0) >= 2
+                   THEN CAST(2 * COALESCE(cnt.n_triangles, 0) AS DOUBLE) /
+                        CAST(COALESCE(d.d, 0) * (COALESCE(d.d, 0) - 1)
+                             AS DOUBLE)
+              END AS lcc
+       FROM customer c
+       LEFT JOIN deg d ON d.id = c.c_custkey
+       LEFT JOIN cnt ON cnt.id = c.c_custkey""",
+)
+def graph_clustering_coeff_q(spark, sf):
+    """Per-node LOCAL CLUSTERING COEFFICIENT (operators/graph.py::
+    local_clustering) — the triangle engine's ratio form, lcc = 2*tri /
+    (d*(d-1)), over an IRREGULAR test graph (the C_N{1,2} ring for
+    guaranteed triangles plus a quadratic chord u -> u² mod N whose
+    in-degree varies 0..4+, so degrees — and the coefficient — actually
+    spread, unlike the vertex-transitive circulant where every node ties).
+    Numerator and denominator ship as exact BIGINTs beside ONE closing
+    IEEE division (NULL below degree 2), the degree-ordered wedge join
+    bounds per-node out-degree by O(sqrt(|E|)) against hub skew, and the
+    degree aggregate the orientation already computes is reused for the
+    denominator — one extra node-partitioned join over triangle_counts,
+    nothing collected."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") * F.col("id")) % n) + 1)
+    )
+    return G.local_clustering(edges, nodes=cust)
+
+
+@register(
+    "graph_modularity",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       raw AS (
+         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 2) % n.n) + 1 FROM customer, n),
+       e AS (
+         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         FROM raw WHERE u <> v),
+       asg AS (SELECT c_custkey AS id,
+                      CAST(((c_custkey - 1) * 8) // n.n AS BIGINT)
+                        AS community
+               FROM customer, n),
+       lab AS (SELECT ea.community AS cu, eb.community AS cv
+               FROM e
+               JOIN asg ea ON ea.id = e.a
+               JOIN asg eb ON eb.id = e.b),
+       ein AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS e_in
+               FROM lab WHERE cu = cv GROUP BY 1),
+       ends AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
+       degc AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_c
+                FROM ends JOIN asg USING (id) GROUP BY 1),
+       nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+              FROM asg GROUP BY 1),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+       SELECT nn.community, nn.n_nodes,
+              COALESCE(degc.deg_c, 0) AS deg_c,
+              COALESCE(ein.e_in, 0) AS e_in,
+              mm.m,
+              CAST(4::HUGEINT * mm.m * COALESCE(ein.e_in, 0)
+                   - COALESCE(degc.deg_c, 0)::HUGEINT
+                     * COALESCE(degc.deg_c, 0) AS BIGINT) AS q_num,
+              CAST(4::HUGEINT * mm.m * mm.m AS BIGINT) AS q_den,
+              CAST(4::HUGEINT * mm.m * COALESCE(ein.e_in, 0)
+                   - COALESCE(degc.deg_c, 0)::HUGEINT
+                     * COALESCE(degc.deg_c, 0) AS DOUBLE) /
+                CAST(4::HUGEINT * mm.m * mm.m AS DOUBLE) AS q_term
+       FROM nn
+       LEFT JOIN degc USING (community)
+       LEFT JOIN ein USING (community)
+       CROSS JOIN mm""",
+)
+def graph_modularity_q(spark, sf):
+    """Newman MODULARITY of a community assignment (operators/graph.py::
+    modularity_by_community) — the graph family's missing EVAL member
+    (the measurement you run after every community-detection round, the
+    way eval_cluster_purity scores the IVF cells): per community,
+    Q_c = e_in/m − (deg_c/2m)², shipped as exact integer pieces (n_nodes,
+    e_in, deg_c, m, the cross-multiplied q_num = 4·m·e_in − deg_c²
+    against q_den = 4·m²) plus ONE closing IEEE division per row; the
+    corpus-level Q = Σ q_term fold is left to the consumer per the
+    no-float-SUM rule.  Exercised on the circulant C_N{1,2,3} under 8
+    contiguous blocks — a deliberately GOOD partition (blocks cut only
+    boundary edges), so the terms are non-degenerate at every SF.
+    Internal products run on DECIMAL(38,0) (a 10⁹-edge graph cannot
+    overflow the 4·m·e_in cross term); edges dedup once, two
+    node-partitioned label joins, the global m broadcast from a
+    single-row aggregate — one pass, nothing iterates, nothing
+    collects."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 2) % n) + 1)
+    )
+    assign = cust.select(
+        "id", F.expr(f"((id - 1) * 8) div {n}").cast("bigint").alias("community")
+    )
+    return G.modularity_by_community(edges, assign)
+
+
+def _pq_distortion_oracle() -> str:
+    ds = ",\n              ".join(f"{_pq_d(j)} AS d{j}" for j in range(_PQ_M))
+    ms = ", ".join(f"min(d{j}) AS m{j}" for j in range(_PQ_M))
+    unp = "\n         UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS subspace, m{j} AS md FROM mins"
+        for j in range(_PQ_M)
+    )
+    return f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
+       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cell_id, v AS cv
+                FROM c WHERE vec_id % 97 = 0),
+       p AS (SELECT c.vec_id,
+              {ds}
+             FROM c CROSS JOIN cent),
+       mins AS (SELECT vec_id, {ms} FROM p GROUP BY vec_id),
+       l AS ({unp})
+       SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(SUM(md) AS BIGINT) AS sse,
+              CAST(CAST(SUM(md) AS BIGINT) AS DOUBLE) / count(*) AS mse
+       FROM l GROUP BY subspace"""
+
+
+@register("eval_pq_distortion", _pq_distortion_oracle())
+def eval_pq_distortion_q(spark, sf):
+    """PQ quantization DISTORTION per subspace (operators/similarity.py::
+    pq_distortion) — the codebook's own quality metric beside the stack's
+    recall rows (eval_ivf_recall / eval_lsh_recall measure WHERE the ANN
+    fabric loses neighbors; this measures how much GEOMETRY the
+    compression threw away and which subspace is responsible — the number
+    you watch when choosing m or deciding to re-train).  Per vector, each
+    of the 8 subvectors scores against its nearest codebook entry — the
+    SAME per-subspace integer-lattice argmin pq_codes encodes, so this is
+    the encode job's distances re-folded, not a new pass — and the
+    squared residuals aggregate to (subspace, n_vecs, sse BIGINT, mse =
+    one closing IEEE division).  One broadcast codebook, one corpus scan,
+    m output rows: at 100 TB the distortion report piggybacks on encoding
+    for free."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_distortion(emb, m=_PQ_M, centroid_stride=97)
+
+
+@register(
+    "a_hopping_window",
+    """WITH e AS (SELECT event_type, ts,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       x AS (SELECT event_type,
+                    make_timestamp(((epoch_us(ts) // 900000000) - r.j)
+                                   * 900000000) AS win_start,
+                    c
+             FROM e CROSS JOIN range(4) r(j))
+       SELECT event_type AS key, win_start,
+              win_start + INTERVAL 1 HOUR AS win_end,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS sum_cents
+       FROM x GROUP BY 1, 2""",
+)
+def a_hopping_window_q(spark, sf):
+    """HOPPING (sliding) windows (operators/timeseries.py::
+    hopping_window_agg): every event lands in the four overlapping
+    1-hour/15-minute windows via Spark's NATIVE ``F.window(ts, '1 hour',
+    '15 minutes')`` — the same construct Structured Streaming executes, so
+    this batch row pins the exact window assignment a streaming deployment
+    of the tumbling rows (stream_events_hourly) would use with a slide.
+    Counts are BIGINTs, values fold on the exact cents lattice (no float
+    SUM), windows are epoch-aligned start-inclusive/end-exclusive; the
+    oracle reproduces the assignment with integer epoch-microsecond
+    arithmetic.  Scale: the fan-out is row-local BEFORE the exchange and
+    the aggregate map-side combines, so shuffle bytes are |keys| x
+    |windows|, not 4x the input — with the overlap factor (window/slide)
+    as the documented knob to keep coarse at 100 TB."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.hopping_window_agg(
+        load_table(spark, sf, "events"),
+        key_col="event_type", ts_col="ts", value_col="value",
+        window="1 hour", slide="15 minutes",
+    )
+
+
+@register(
+    "quality_key_skew",
+    """WITH sizes AS (SELECT user_id, CAST(count(*) AS BIGINT) AS sz
+                    FROM events GROUP BY 1),
+       hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n
+                FROM sizes GROUP BY 1),
+       cum AS (SELECT sz, CAST(SUM(n) OVER (ORDER BY sz
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM hist),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(SUM(sz) AS BIGINT) AS n_rows,
+                      CAST(max(sz) AS BIGINT) AS max_size
+               FROM sizes)
+       SELECT t.n_keys, t.n_rows, t.max_size,
+              CAST(min(CASE WHEN c.cum * 100 >=
+                     (50 * t.n_keys + 99) - ((50 * t.n_keys + 99) % 100)
+                   THEN c.sz END) AS BIGINT) AS p50_size,
+              CAST(min(CASE WHEN c.cum * 100 >=
+                     (90 * t.n_keys + 99) - ((90 * t.n_keys + 99) % 100)
+                   THEN c.sz END) AS BIGINT) AS p90_size,
+              CAST(min(CASE WHEN c.cum * 100 >=
+                     (99 * t.n_keys + 99) - ((99 * t.n_keys + 99) % 100)
+                   THEN c.sz END) AS BIGINT) AS p99_size,
+              CAST(1000000 * t.max_size // t.n_rows AS BIGINT)
+                AS max_share_ppm
+       FROM cum c CROSS JOIN tot t
+       GROUP BY t.n_keys, t.n_rows, t.max_size""",
+)
+def quality_key_skew_q(spark, sf):
+    """Partition-key SKEW profile (operators/validate.py::
+    key_skew_profile) — the one-row diagnostic behind this repo's own
+    salting / AQE-skew decisions, promoted to an operator: before
+    committing a 100 TB join or aggregate to a key, measure it.  Emits
+    n_keys, n_rows, max group size, EXACT p50/p90/p99 group-size
+    percentiles (smallest size whose cumulative key count reaches
+    ceil(pct·n_keys/100) — pure integer threshold arithmetic, no
+    interpolation, no float rank) and the heaviest key's row share in
+    parts-per-million (integer div).  ONE map-side-combined shuffle (the
+    per-key count); the size HISTOGRAM that follows is |distinct sizes|
+    rows — thousands even at a billion keys — folding through one tiny
+    window and a one-row reduce.  Never sorts rows, never collects keys:
+    O(|keys|) shuffle bytes, safe to run on every candidate key."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    return V.key_skew_profile(load_table(spark, sf, "events"), "user_id")
+
+
+@register("stream_gopher_gate", _REGISTRY["quality_gopher"][1])
+def stream_gopher_gate_q(spark, sf):
+    """The Gopher quality battery ON A STREAM — the production arrangement
+    of quality_gopher (the stream_semantic_gate pattern applied to the
+    text-quality member): the battery is row-local codegen'd expressions
+    end to end (token split, replace-occurrence counts, higher-order
+    filter lambdas — zero shuffles, zero state, zero watermark), so the
+    batch operator runs UNCHANGED on the document stream in append mode
+    and every arriving document emits its per-rule flags immediately.
+    One oracle pins the batch row and this streaming twin to the same
+    bits: gate at ingest forever, rescore never — the shape that matters
+    when the corpus is a firehose and quality filtering must not add a
+    shuffle."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    flags = V.gopher_quality_flags(
+        _stream_documents_source(spark, sf), min_words=30
+    )
+    return _drain_to_memory(flags, "stream_gopher_gate", "append")
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9067,8 +9378,34 @@ def pipeline_mm_dedup_q(spark, sf):
 #                              3-direction matrix is property-pinned vs
 #                              pandas; oracle = two DuckDB ASOF joins +
 #                              the closer-wins CASE)
-#   (each green under pytest + tools/driver_sim at sf0.01 in its
-#    registration session; both ride the bench blind-spot sweep)
+#   plus the six registered later the same round (the graph-eval /
+#   window / diagnostics batch — each green under pytest + a 6/6
+#   tools/driver_sim rehearsal at sf0.01 in its registration session):
+#       graph_clustering_coeff (per-node lcc = 2*tri/(d*(d-1)) on the
+#                              irregular quadratic-chord graph — exact
+#                              BIGINT num/den + ONE closing division;
+#                              wedge join stays degree-ordered)
+#       graph_modularity      (the graph family's EVAL member: Newman Q
+#                              per community as exact integer pieces
+#                              q_num = 4*m*e_in - deg_c^2 over q_den =
+#                              4*m^2, one closing division per row;
+#                              DECIMAL(38,0) internal products)
+#       eval_pq_distortion    (per-subspace PQ quantization SSE/MSE on
+#                              the integer lattice — the codebook's own
+#                              quality metric beside the recall rows;
+#                              trained-dominates-sampled pinned in
+#                              tests/test_entry_correctness.py)
+#       a_hopping_window      (native F.window(1h, 15min) sliding
+#                              aggregate, cents-lattice sums; oracle =
+#                              integer epoch-us window arithmetic)
+#       quality_key_skew      (the shuffle-key skew diagnostic: exact
+#                              p50/p90/p99 group sizes + max-share ppm
+#                              from ONE map-side-combined count + a
+#                              |distinct sizes| histogram fold)
+#       stream_gopher_gate    (the Gopher battery on a document stream —
+#                              row-local battery unchanged in append
+#                              mode, stateless; same oracle as
+#                              quality_gopher pins both twins)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
