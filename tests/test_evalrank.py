@@ -486,3 +486,20 @@ def test_pair_set_metrics_counts(spark):
     row = evalrank.pair_set_metrics(cand, truth).collect()[0]
     assert (row["n_truth"], row["n_cand"], row["n_tp"]) == (3, 3, 2)
     assert row["pair_precision"] == 2 / 3 and row["pair_recall"] == 2 / 3
+
+
+def test_recommendation_coverage_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    # catalog of 4 items; recs cover 2 of them; item 1 takes 3 of 4 slots
+    recs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (3, 1)], "user_id: bigint, item_id: bigint"
+    )
+    catalog = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "item_id: bigint"
+    )
+    r = evalrank.recommendation_coverage(recs, catalog).collect()[0].asDict()
+    assert r["n_users"] == 3 and r["n_slots"] == 4
+    assert r["n_rec_items"] == 2 and r["n_catalog"] == 4
+    assert r["coverage"] == 0.5
+    assert r["max_item_share_ppm"] == 750000

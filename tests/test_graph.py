@@ -438,3 +438,54 @@ def test_modularity_empty_community_has_zero_terms(spark):
     rows = _modularity_rows(spark, edges, {1: 0, 2: 0, 9: 1})
     assert rows[1]["e_in"] == 0 and rows[1]["deg_c"] == 0
     assert rows[1]["q_num"] == 0 and rows[1]["q_term"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def _assort(spark, edges):
+    e = spark.createDataFrame(edges, "u: bigint, v: bigint")
+    return graph.degree_assortativity(e).collect()[0].asDict()
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # a star is maximally disassortative: r = -1 exactly
+    r = _assort(spark, [(0, i) for i in range(1, 6)])
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+    assert r["n"] == 10  # 2m
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # a cycle is degree-regular -> zero variance -> NULL, not NaN/crash
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    r = _assort(spark, cyc)
+    assert r["assortativity"] is None
+    assert r["sum_xx"] * r["n"] == r["sum_x"] ** 2
+
+
+def test_assortativity_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(3)
+    edges = sorted(
+        {(a, b) for _ in range(40)
+         for a, b in [sorted(rnd.sample(range(15), 2))]}
+    )
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    expect = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    r = _assort(spark, edges)
+    assert r["n"] == n and r["sum_x"] == sx
+    assert r["sum_xx"] == sxx and r["sum_xy"] == sxy
+    assert abs(r["assortativity"] - expect) < 1e-12

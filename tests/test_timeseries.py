@@ -490,3 +490,46 @@ def test_hopping_window_counts_and_null_policy(spark):
     assert all((r["win_end"] - r["win_start"]).seconds == 3600 for r in out)
     # the NULL-value event contributes to no window
     assert sum(r["n"] for r in out if r["key"] == "a") == 8  # 2 events x 4
+
+
+def test_seasonal_profile_hand_case(spark):
+    from datetime import datetime
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    # key 'a': hour 10 -> values 2.0, 4.0 (mean 300c); hour 22 -> 1.0 (100c)
+    # all-day mean = 700/3 cents; ratios 300/(700/3)=9/7 and 100/(700/3)=3/7
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 10, 5), "a", 2.0),
+            (datetime(2024, 1, 2, 10, 40), "a", 4.0),
+            (datetime(2024, 1, 1, 22, 0), "a", 1.0),
+            (datetime(2024, 1, 1, 9, 0), "a", None),  # excluded
+        ],
+        "ts: timestamp, event_type: string, value: double",
+    )
+    rows = {r["hod"]: r.asDict() for r in TS.seasonal_profile(df).collect()}
+    assert set(rows) == {10, 22}
+    assert rows[10]["n"] == 2 and rows[10]["sum_cents"] == 600
+    assert rows[10]["mean_cents"] == 300.0
+    assert rows[10]["ratio_num"] == 600 * 3 and rows[10]["ratio_den"] == 2 * 700
+    assert abs(rows[10]["seasonal_ratio"] - 9 / 7) < 1e-15
+    assert abs(rows[22]["seasonal_ratio"] - 3 / 7) < 1e-15
+
+
+def test_seasonal_profile_zero_total_guard(spark):
+    from datetime import datetime
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    # +1 and -1 cancel: sum_key = 0 -> ratio NULL, integer pieces intact
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 10, 0), "z", 1.0),
+            (datetime(2024, 1, 1, 11, 0), "z", -1.0),
+        ],
+        "ts: timestamp, event_type: string, value: double",
+    )
+    rows = {r["hod"]: r.asDict() for r in TS.seasonal_profile(df).collect()}
+    assert rows[10]["seasonal_ratio"] is None
+    assert rows[10]["ratio_den"] == 0 and rows[10]["ratio_num"] == 200

@@ -474,3 +474,57 @@ def pair_set_metrics(
             F.col("n_tp").cast("double") / F.col("n_truth").cast("double")
         ).alias("pair_recall"),
     )
+
+
+def recommendation_coverage(
+    recs: DataFrame,
+    catalog: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Catalog COVERAGE + exposure concentration of a recommendation run —
+    the aggregate health metrics beside the per-user quality rows
+    (hdcg/ndcg say whether each list is good; this says whether the system
+    recommends the CATALOG or just its head, the popularity-bias smell
+    test every item-based recommender needs).
+
+    One row: n_users (users served), n_slots (total list positions),
+    n_rec_items (distinct items recommended), n_catalog (distinct items in
+    the catalog), ``coverage`` = n_rec_items / n_catalog as ONE closing
+    IEEE division, and ``max_item_share_ppm`` — the single most-exposed
+    item's share of all slots in parts-per-million (exact integer div).
+
+    Scale shape: one map-side-combined count per item (shuffle rows =
+    |recommended items|), folded to a one-row reduce; the catalog side is
+    its own tiny distinct-count; nothing joins on users, nothing sorts,
+    nothing collects.  Runs after every recommend_topn batch for free.
+    """
+    per_item = recs.groupBy(F.col(item_col).alias("_it")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slots")
+    )
+    stats = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rec_items"),
+        F.sum("n_slots").cast("bigint").alias("n_slots"),
+        F.max("n_slots").cast("bigint").alias("max_item_slots"),
+    )
+    users = recs.agg(
+        F.count_distinct(F.col(user_col)).cast("bigint").alias("n_users")
+    )
+    cat = catalog.select(F.col(item_col)).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_catalog")
+    )
+    return (
+        users.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_users",
+            "n_slots",
+            "n_rec_items",
+            "n_catalog",
+            (F.col("n_rec_items").cast("double") / F.col("n_catalog"))
+            .alias("coverage"),
+            F.expr("1000000 * max_item_slots div n_slots")
+            .cast("bigint")
+            .alias("max_item_share_ppm"),
+        )
+    )

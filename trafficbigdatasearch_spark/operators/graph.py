@@ -1113,3 +1113,78 @@ def modularity_by_community(
             (q_num.cast("double") / q_den.cast("double")).alias("q_term"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman's r) of an undirected graph — do
+    high-degree nodes attach to other high-degree nodes (r > 0, social
+    networks) or to leaves (r < 0, hub-and-spoke / star topologies)?  The
+    one-number structural fingerprint used to sanity-check a generated or
+    ingested graph before running the heavy machinery on it.
+
+    r is the Pearson correlation of endpoint degrees over the DIRECTED
+    edge multiset (each undirected edge counted in both orientations —
+    Newman 2002's definition, which makes Σx = Σy by symmetry).  The
+    operator ships the exact integer sufficient statistics (n = 2m, Σx,
+    Σx², Σxy — a_corr_stats' mergeable-statistic shape specialized to the
+    symmetric case) and derives r with one FIXED IEEE op sequence from the
+    cross-multiplied DECIMAL(38,0) pieces, NULL on a degree-regular graph
+    (zero variance — the 0/0 case).  One row out.
+
+    Scale shape: edge dedup once, the degree aggregate, TWO node-keyed
+    joins to attach (deg_u, deg_v), and one map-side-combined one-row
+    reduce.  Nothing iterates, nothing collects; the join skew ceiling is
+    a hub's edge list, which is the same row count every per-edge operator
+    here already touches.
+    """
+    e = edges.select(
+        F.col(u_col).cast("bigint").alias("u"), F.col(v_col).cast("bigint").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    canon = (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ends = canon.select(F.col("u").alias("n")).union(
+        canon.select(F.col("v").alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    paired = (
+        canon.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # both orientations, folded without materializing the 2m-row union:
+    # per canon edge contribute x-sums (du+dv), xx-sums (du^2+dv^2) and
+    # xy-sums 2*du*dv; n = 2m
+    s = paired.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("n"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("sum_x"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("bigint")
+        .alias("sum_xx"),
+        F.sum(F.lit(2) * F.col("du") * F.col("dv"))
+        .cast("bigint")
+        .alias("sum_xy"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("sum_xy").cast(dec)
+        - F.col("sum_x").cast(dec) * F.col("sum_x").cast(dec)
+    )
+    den = (
+        F.col("n").cast(dec) * F.col("sum_xx").cast(dec)
+        - F.col("sum_x").cast(dec) * F.col("sum_x").cast(dec)
+    )
+    return s.select(
+        "n",
+        "sum_x",
+        "sum_xx",
+        "sum_xy",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )

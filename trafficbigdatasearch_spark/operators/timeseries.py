@@ -565,3 +565,64 @@ def hopping_window_agg(
             "sum_cents",
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """HOUR-OF-DAY seasonal profile per key — the diurnal-shape report
+    behind capacity planning and seasonal-naive forecasting (and the
+    generalization of the reference's avg-speed-by-time_period query to a
+    first-class operator): for every (key, hour-of-day),
+
+        n, sum_cents, mean_cents = sum/n,
+        seasonal_ratio = mean(key, hod) / mean(key)
+                       = (sum_hod * n_key) / (n_hod * sum_key)
+
+    — the hour's load relative to the key's own all-day mean, >1 for peak
+    hours.  Both ratio legs are exact integers on the cents lattice
+    (cross-multiplied on DECIMAL(38,0) so a 10^9-row key cannot overflow),
+    shipped as ``ratio_num``/``ratio_den`` BIGINTs beside ONE closing IEEE
+    division each for ``mean_cents`` and ``seasonal_ratio`` (NULL when the
+    key's total is zero — the guard both engines share).  NULL values are
+    excluded up front (the r9 drift policy).
+
+    Scale shape: ONE map-side-combined aggregate to (key, hod) — 24 rows
+    per key — then the per-key totals are a reaggregation OF THOSE PARTIALS
+    (never a second corpus scan) joined back small-on-small.  Shuffle bytes
+    are 24x|keys| regardless of input size.
+    """
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.hour(F.col(ts_col)).cast("int").alias("hod"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("c"),
+    )
+    hod = e.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+    )
+    # per-key totals re-aggregate the 24-row-per-key partials, not the data
+    hod = hod.localCheckpoint(eager=False)
+    tot = hod.groupBy("key").agg(
+        F.sum("n").cast("bigint").alias("n_key"),
+        F.sum("sum_cents").cast("bigint").alias("sum_key"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("sum_cents").cast(dec) * F.col("n_key").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sum_key").cast(dec)
+    return hod.join(tot, "key").select(
+        "key",
+        "hod",
+        "n",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n")).alias("mean_cents"),
+        num.cast("bigint").alias("ratio_num"),
+        den.cast("bigint").alias("ratio_den"),
+        F.when(
+            F.col("sum_key") != 0, num.cast("double") / den.cast("double")
+        ).alias("seasonal_ratio"),
+    )

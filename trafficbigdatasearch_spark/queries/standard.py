@@ -9154,6 +9154,175 @@ def stream_gopher_gate_q(spark, sf):
     return _drain_to_memory(flags, "stream_gopher_gate", "append")
 
 
+@register(
+    "ts_seasonality",
+    """WITH e AS (SELECT event_type AS key, CAST(hour(ts) AS INTEGER) AS hod,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       hodt AS (SELECT key, hod, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS sum_cents
+                FROM e GROUP BY 1, 2),
+       tot AS (SELECT key, CAST(SUM(n) AS BIGINT) AS n_key,
+                      CAST(SUM(sum_cents) AS BIGINT) AS sum_key
+               FROM hodt GROUP BY 1)
+       SELECT h.key, h.hod, h.n, h.sum_cents,
+              CAST(h.sum_cents AS DOUBLE) / h.n AS mean_cents,
+              CAST(h.sum_cents::HUGEINT * t.n_key AS BIGINT) AS ratio_num,
+              CAST(h.n::HUGEINT * t.sum_key AS BIGINT) AS ratio_den,
+              CASE WHEN t.sum_key <> 0
+                   THEN CAST(h.sum_cents::HUGEINT * t.n_key AS DOUBLE) /
+                        CAST(h.n::HUGEINT * t.sum_key AS DOUBLE)
+              END AS seasonal_ratio
+       FROM hodt h JOIN tot t USING (key)""",
+)
+def ts_seasonality_q(spark, sf):
+    """HOUR-OF-DAY seasonal profile per key (operators/timeseries.py::
+    seasonal_profile) — the diurnal-shape report behind capacity planning
+    and seasonal-naive forecasting, and the generalization of the
+    reference's avg-speed-by-time_period query
+    (src/AvgSpeedCal.scala's hourly buckets) to a first-class operator:
+    per (event_type, hour), n / cents-lattice sum / mean, plus
+    seasonal_ratio = hour mean over the key's all-day mean as
+    cross-multiplied exact integers (ratio_num = sum_hod·n_key, ratio_den
+    = n_hod·sum_key on DECIMAL(38,0)) with ONE closing IEEE division
+    (NULL-guarded on a zero key total in both engines).  ONE
+    map-side-combined aggregate to 24 rows per key; the per-key totals
+    REAGGREGATE those partials — the corpus is scanned once, and shuffle
+    bytes are 24x|keys| at any SF."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.seasonal_profile(load_table(spark, sf, "events"))
+
+
+@register("stream_hopping", _REGISTRY["a_hopping_window"][1])
+def stream_hopping_q(spark, sf):
+    """Hopping windows ON A STREAM — the sliding-window twin of
+    stream_events_hourly's tumbling grid, and the streaming arrangement of
+    a_hopping_window: the SAME batch operator (native ``F.window(ts, '1
+    hour', '15 minutes')`` + cents-lattice sums) runs unchanged on the
+    bounded event stream in complete mode, because a complete-mode
+    windowed aggregate over a fully-drained bounded stream is exactly the
+    batch groupBy.  One oracle pins the batch row and this twin to the
+    same bits, certifying the micro-batch planner/state-store/sink path
+    for OVERLAPPING window assignment — at scale the identical plan runs
+    unbounded with a watermark + append sink, where each event still
+    fans out row-locally to its 4 windows before the exchange."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    agg = TS.hopping_window_agg(
+        _stream_events_source(spark, sf),
+        key_col="event_type", ts_col="ts", value_col="value",
+        window="1 hour", slide="15 minutes",
+    )
+    return _drain_to_memory(agg, "stream_hopping")
+
+
+@register(
+    "graph_assortativity",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+       raw AS (
+         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
+         UNION ALL
+         SELECT c_custkey, ((c_custkey * c_custkey) % n.n) + 1
+         FROM customer, n),
+       e AS (
+         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+         FROM raw WHERE u <> v),
+       adj AS (SELECT a AS nd, b AS m FROM e UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT nd AS id, CAST(count(*) AS BIGINT) AS d
+               FROM adj GROUP BY 1),
+       p AS (SELECT da.d AS du, db.d AS dv
+             FROM e
+             JOIN deg da ON da.id = e.a
+             JOIN deg db ON db.id = e.b),
+       s AS (SELECT CAST(2 * count(*) AS BIGINT) AS n,
+                    CAST(SUM(du + dv) AS BIGINT) AS sum_x,
+                    CAST(SUM(du * du + dv * dv) AS BIGINT) AS sum_xx,
+                    CAST(SUM(2 * du * dv) AS BIGINT) AS sum_xy
+             FROM p)
+       SELECT n, sum_x, sum_xx, sum_xy,
+              CASE WHEN n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x <> 0
+                   THEN CAST(n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_x
+                             AS DOUBLE) /
+                        CAST(n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x
+                             AS DOUBLE)
+              END AS assortativity
+       FROM s""",
+)
+def graph_assortativity_q(spark, sf):
+    """DEGREE ASSORTATIVITY (operators/graph.py::degree_assortativity) —
+    Newman's r over the irregular quadratic-chord graph (the
+    clustering-coefficient row's graph: a degree-regular circulant would
+    hit the 0/0 zero-variance case this operator NULL-guards): the Pearson
+    correlation of endpoint degrees across both edge orientations, shipped
+    as exact integer sufficient statistics (n = 2m, Σx, Σx², Σxy — the
+    a_corr_stats mergeable shape specialized to symmetry, folded per canon
+    edge WITHOUT materializing the 2m-row union) and ONE closing IEEE
+    division from DECIMAL(38,0) cross-multiplies.  The third graph-eval
+    member beside lcc (local cohesion) and modularity (partition quality):
+    a one-number structural fingerprint, one pass, one row out."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    n = cust.count()
+    edges = cust.select(
+        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
+    ).union(
+        cust.select(F.col("id"), ((F.col("id") * F.col("id")) % n) + 1)
+    )
+    return G.degree_assortativity(edges)
+
+
+@register(
+    "eval_rec_coverage",
+    f"""WITH recs AS ({_REGISTRY["rec_user_topn"][1]}),
+       cat AS (SELECT CAST(count(DISTINCT TRY_CAST(
+                      json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS n_catalog
+               FROM events
+               WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NOT NULL),
+       per AS (SELECT item_id, CAST(count(*) AS BIGINT) AS ns
+               FROM recs GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
+                     CAST(SUM(ns) AS BIGINT) AS n_slots,
+                     CAST(max(ns) AS BIGINT) AS mx
+              FROM per),
+       us AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM recs)
+       SELECT n_users, n_slots, n_rec_items, n_catalog,
+              CAST(n_rec_items AS DOUBLE) / n_catalog AS coverage,
+              CAST(1000000 * mx // n_slots AS BIGINT) AS max_item_share_ppm
+       FROM us CROSS JOIN st CROSS JOIN cat""",
+)
+def eval_rec_coverage_q(spark, sf):
+    """Recommendation CATALOG COVERAGE + exposure concentration
+    (operators/evalrank.py::recommendation_coverage) — the recsys family's
+    aggregate eval beside the per-user quality rows (eval_rec_hdcg scores
+    each list; this says whether the recommender serves the catalog or
+    just its popular head): one row of n_users / n_slots / distinct
+    recommended items / catalog size, coverage as ONE closing IEEE
+    division, and the most-exposed item's slot share in ppm (exact integer
+    div).  Runs over the registered rec_user_topn configuration (its
+    oracle embeds verbatim as the recs CTE, so this row also re-certifies
+    that chain end-to-end).  One map-side-combined per-item count folded
+    to a one-row reduce — no user join, no sort, no collect: the
+    popularity-bias smell test you run after every recommendation batch
+    at any scale."""
+    from trafficbigdatasearch_spark.operators import evalrank as EV
+    from trafficbigdatasearch_spark.operators import recsys
+
+    ui = recsys.user_item(load_table(spark, sf, "events"))
+    recs = recsys.recommend_topn(ui, n=5, min_co=2)
+    return EV.recommendation_coverage(recs, ui)
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9406,6 +9575,26 @@ def stream_gopher_gate_q(spark, sf):
 #                              row-local battery unchanged in append
 #                              mode, stateless; same oracle as
 #                              quality_gopher pins both twins)
+#   and the four from the same session's second batch (4/4 driver_sim
+#   rehearsal green at sf0.01):
+#       ts_seasonality        (hour-of-day profile per key: 24 rows/key
+#                              from ONE map-side-combined aggregate;
+#                              seasonal_ratio as cross-multiplied exact
+#                              integers + one closing division; the
+#                              reference's avgspeed-by-hour generalized)
+#       stream_hopping        (a_hopping_window's operator unchanged on
+#                              the bounded event stream, complete mode —
+#                              same oracle pins both twins' OVERLAPPING
+#                              window assignment)
+#       graph_assortativity   (Newman's r as exact sufficient stats
+#                              n/Σx/Σx²/Σxy folded per canon edge, one
+#                              closing division, NULL on degree-regular
+#                              zero variance — the third graph-eval
+#                              member)
+#       eval_rec_coverage     (catalog coverage + max item exposure ppm
+#                              over the registered rec_user_topn chain —
+#                              its oracle embeds verbatim as the recs
+#                              CTE; the popularity-bias smell test)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
