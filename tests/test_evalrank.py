@@ -503,3 +503,44 @@ def test_recommendation_coverage_hand_case(spark):
     assert r["n_rec_items"] == 2 and r["n_catalog"] == 4
     assert r["coverage"] == 0.5
     assert r["max_item_share_ppm"] == 750000
+
+
+def test_minhash_estimate_error_bruteforce_parity(spark):
+    """est/exact legs match a pure-python recomputation on a tiny corpus
+    with known near-dups; error is bounded by 1 and zero for identical
+    texts (signatures must agree component-wise)."""
+    from trafficbigdatasearch_spark.operators import dedup as D
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "the quick brown fox leaps over the lazy dog tonight"),
+            (4, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in evalrank.minhash_estimate_error(
+            docs, k=8, n=3, threshold=0.2
+        ).collect()
+    }
+    # identical docs: exact = 1, every signature component matches
+    assert out[(1, 2)]["exact_jaccard"] == 1.0
+    assert out[(1, 2)]["n_match"] == 8 and out[(1, 2)]["abs_err"] == 0.0
+    # near-dup pair present; unrelated doc 4 pairs with nothing
+    assert (1, 3) in out and not any(4 in p for p in out)
+    # exact legs agree with python shingle sets
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    s1, s3 = shingles("the quick brown fox jumps over the lazy dog tonight"), \
+        shingles("the quick brown fox leaps over the lazy dog tonight")
+    assert out[(1, 3)]["shared"] == len(s1 & s3)
+    assert out[(1, 3)]["union_size"] == len(s1 | s3)
+    for r in out.values():
+        assert 0 <= r["est_jaccard"] <= 1 and 0 <= r["abs_err"] <= 1
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])

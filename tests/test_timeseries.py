@@ -533,3 +533,60 @@ def test_seasonal_profile_zero_total_guard(spark):
     rows = {r["hod"]: r.asDict() for r in TS.seasonal_profile(df).collect()}
     assert rows[10]["seasonal_ratio"] is None
     assert rows[10]["ratio_den"] == 0 and rows[10]["ratio_num"] == 200
+
+
+def test_acf_hand_cases(spark):
+    from datetime import datetime, timedelta
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # key 'alt': perfectly alternating 1, -1 -> lag-1 acf = -1
+    for i, v in enumerate([1.0, -1.0] * 8):
+        rows.append((base + timedelta(minutes=i), i, "alt", v))
+    # key 'const': constant series -> zero variance -> NULL
+    for i in range(10):
+        rows.append((base + timedelta(minutes=i), 100 + i, "const", 5.0))
+    # key 'ramp': linear ramp -> lag-1 acf = +1 is wrong (finite-sample);
+    # compute brute force below instead
+    for i in range(12):
+        rows.append((base + timedelta(minutes=i), 200 + i, "ramp", float(i)))
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, event_id: bigint, event_type: string, value: double"
+    )
+    out = {r["key"]: r.asDict() for r in TS.acf_per_key(df, lag=1).collect()}
+    assert abs(out["alt"]["acf"] - (-1.0)) < 1e-12
+    assert out["const"]["acf"] is None
+    # brute force for the ramp on the cents lattice
+    xs = [i * 100 for i in range(12)]
+    pairs = list(zip(xs, xs[1:]))
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    import math
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert out["ramp"]["n_pairs"] == n and out["ramp"]["sum_xy"] == sxy
+    assert abs(out["ramp"]["acf"] - expect) < 1e-12
+
+
+def test_acf_lag_two_skips_one(spark):
+    from datetime import datetime, timedelta
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    base = datetime(2024, 1, 1)
+    # period-2 alternation is perfectly correlated at lag 2
+    rows = [
+        (base + timedelta(minutes=i), i, "alt", float(1 if i % 2 else -1))
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, event_id: bigint, event_type: string, value: double"
+    )
+    out = TS.acf_per_key(df, lag=2).collect()[0].asDict()
+    assert out["lag"] == 2 and out["n_pairs"] == 14
+    assert abs(out["acf"] - 1.0) < 1e-12

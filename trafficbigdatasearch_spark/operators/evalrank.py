@@ -528,3 +528,74 @@ def recommendation_coverage(
             .alias("max_item_share_ppm"),
         )
     )
+
+
+def minhash_estimate_error(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """MinHash ESTIMATION ERROR per pair — the accuracy half of the MinHash
+    eval story (eval_lsh_recall measures whether the BAND fabric surfaces
+    the right candidate pairs; this measures how well the SIGNATURES
+    estimate Jaccard itself, the number that sizes k): for every exact
+    Jaccard >= threshold pair,
+
+        est_jaccard   = n_match / k        (matching signature components)
+        exact_jaccard = shared / union     (true shingle-set Jaccard)
+        abs_err       = |est - exact|
+
+    All legs ship as exact integers (n_match, k, shared, union_size) beside
+    the two closing IEEE divisions and their fixed-order difference —
+    hash-exact across engines.  E[est] = exact and Var = J(1-J)/k, so the
+    observed error distribution against 1/sqrt(k) is the direct check that
+    k is big enough for the LSH threshold in use.
+
+    Scale shape: the pair set is the inverted-index join's output (never
+    all-pairs), the signature table is k rows per doc, and the match count
+    is a pair-restricted join (pairs x k rows) folded map-side.  Runs
+    beside the dedup job it audits at any corpus size.
+    """
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    sigs = D.minhash_signatures(docs, id_col, text_col, k=k, n=n)
+    sa = sigs.select(
+        F.col("id").alias("id_a"), "h_idx", F.col("minhash").alias("_ma")
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), "h_idx", F.col("minhash").alias("_mb")
+    )
+    m = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "h_idx"])
+        .groupBy("id_a", "id_b", "shared", "size_a", "size_b")
+        .agg(
+            F.count_if(F.col("_ma") == F.col("_mb"))
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    union_size = (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    ).cast("bigint")
+    est = F.col("n_match").cast("double") / F.lit(k)
+    exact = F.col("shared").cast("double") / union_size
+    return m.select(
+        "id_a",
+        "id_b",
+        F.lit(k).cast("bigint").alias("k"),
+        "n_match",
+        F.col("shared").cast("bigint").alias("shared"),
+        union_size.alias("union_size"),
+        est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.abs(est - exact).alias("abs_err"),
+    )

@@ -626,3 +626,81 @@ def seasonal_profile(
             F.col("sum_key") != 0, num.cast("double") / den.cast("double")
         ).alias("seasonal_ratio"),
     )
+
+
+def acf_per_key(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-``lag`` AUTOCORRELATION per key — the seasonality/persistence
+    detector beside cusum_per_key (CUSUM localizes a level shift; the ACF
+    says whether the series is self-correlated at a given lag at all, the
+    pre-check for any forecasting or gap-interpolation choice).
+
+    Each key's series is ordered by the deterministic (ts, id) key and
+    paired with itself ``lag`` steps ahead via ONE ``lead`` window; the
+    Pearson correlation over those (x_i, x_{i+lag}) pairs ships as exact
+    integer sufficient statistics on the cents lattice (n, Σx, Σy, Σx²,
+    Σy², Σxy — the a_corr_stats mergeable shape) and ONE closing IEEE
+    chain from DECIMAL(38,0) cross-multiplies, NULL-guarded on zero
+    variance of either margin (constant series).  NULL values are excluded
+    before pairing (the r9 drift policy: a NULL would silently break the
+    lag alignment).
+
+    Scale shape: ONE exchange on the key (the window sort), then a
+    map-side-combined per-key aggregate — the same single-exchange posture
+    as cusum_per_key; a 10⁹-row key stays inside int64 for the sums and
+    DECIMAL(38,0) for the cross terms.
+    """
+    from pyspark.sql import Window
+
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("key").orderBy("_ts", "_id")
+    paired = e.select(
+        "key", "x", F.lead("x", lag).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = paired.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_yy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n_pairs").cast(dec) * F.col("sum_xy").cast(dec)
+        - F.col("sum_x").cast(dec) * F.col("sum_y").cast(dec)
+    )
+    den_x = (
+        F.col("n_pairs").cast(dec) * F.col("sum_xx").cast(dec)
+        - F.col("sum_x").cast(dec) * F.col("sum_x").cast(dec)
+    )
+    den_y = (
+        F.col("n_pairs").cast(dec) * F.col("sum_yy").cast(dec)
+        - F.col("sum_y").cast(dec) * F.col("sum_y").cast(dec)
+    )
+    return s.select(
+        "key",
+        F.lit(lag).cast("int").alias("lag"),
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_yy",
+        "sum_xy",
+        F.when(
+            (den_x != 0) & (den_y != 0),
+            num.cast("double")
+            / F.sqrt(den_x.cast("double") * den_y.cast("double")),
+        ).alias("acf"),
+    )

@@ -9323,6 +9323,122 @@ def eval_rec_coverage_q(spark, sf):
     return EV.recommendation_coverage(recs, ui)
 
 
+@register(
+    "eval_minhash_error",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 3], ' ') AS s
+              FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv
+             FROM sh),
+       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
+       sig AS (SELECT doc_id AS id, h_idx,
+                      min((a * hv + b) % 2147483647) AS minhash
+               FROM h CROSS JOIN params GROUP BY doc_id, h_idx),
+       m AS (SELECT p.id_a, p.id_b, p.shared, p.size_a, p.size_b,
+                    CAST(count_if(sa.minhash = sb.minhash) AS BIGINT)
+                      AS n_match
+             FROM pairs p
+             JOIN sig sa ON sa.id = p.id_a
+             JOIN sig sb ON sb.id = p.id_b AND sb.h_idx = sa.h_idx
+             GROUP BY 1, 2, 3, 4, 5)
+       SELECT id_a, id_b, CAST({_MINHASH_K} AS BIGINT) AS k, n_match,
+              CAST(shared AS BIGINT) AS shared,
+              CAST(size_a + size_b - shared AS BIGINT) AS union_size,
+              CAST(n_match AS DOUBLE) / {_MINHASH_K} AS est_jaccard,
+              CAST(shared AS DOUBLE) / (size_a + size_b - shared)
+                AS exact_jaccard,
+              abs(CAST(n_match AS DOUBLE) / {_MINHASH_K} -
+                  CAST(shared AS DOUBLE) / (size_a + size_b - shared))
+                AS abs_err
+       FROM m""",
+)
+def eval_minhash_error_q(spark, sf):
+    """MinHash ESTIMATION ERROR per near-dup pair (operators/evalrank.py::
+    minhash_estimate_error) — the accuracy half of the MinHash eval story,
+    completing the fabric's measurement loop: eval_lsh_recall scores the
+    BAND fabric's candidate generation, this scores the SIGNATURES as a
+    Jaccard estimator (E[est] = J, Var = J(1-J)/k — the k-sizing law made
+    measurable).  For every exact-Jaccard >= 0.2 pair: n_match of the k=8
+    registered signature components, the exact shingle-set legs
+    (shared/union), both closing IEEE divisions and their fixed-order
+    |difference| — integers beside them, hash-exact.  The pair set is the
+    registered inverted-index join (never all-pairs), signatures are the
+    registered k-row-per-doc layout, and the match count is a
+    pair-restricted join folded map-side — the audit runs beside the
+    dedup job at any corpus size."""
+    from trafficbigdatasearch_spark.operators import evalrank as EV
+
+    return EV.minhash_estimate_error(
+        load_table(spark, sf, "documents"),
+        k=_MINHASH_K, n=3, threshold=0.2, max_shingle_freq=None,
+    )
+
+
+@register(
+    "ts_acf",
+    """WITH e AS (SELECT event_type AS key, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS x
+                  FROM events WHERE value IS NOT NULL),
+       p AS (SELECT key, x,
+                    lead(x, 1) OVER (PARTITION BY key
+                                     ORDER BY ts, event_id) AS y
+             FROM e),
+       s AS (SELECT key,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(SUM(x) AS BIGINT) AS sum_x,
+                    CAST(SUM(y) AS BIGINT) AS sum_y,
+                    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                    CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+                    CAST(SUM(x * y) AS BIGINT) AS sum_xy
+             FROM p WHERE y IS NOT NULL GROUP BY key)
+       SELECT key, CAST(1 AS INTEGER) AS lag, n_pairs,
+              sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+              CASE WHEN n_pairs::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x
+                        <> 0
+                    AND n_pairs::HUGEINT * sum_yy - sum_y::HUGEINT * sum_y
+                        <> 0
+                   THEN CAST(n_pairs::HUGEINT * sum_xy
+                             - sum_x::HUGEINT * sum_y AS DOUBLE) /
+                        sqrt(CAST(n_pairs::HUGEINT * sum_xx
+                                  - sum_x::HUGEINT * sum_x AS DOUBLE) *
+                             CAST(n_pairs::HUGEINT * sum_yy
+                                  - sum_y::HUGEINT * sum_y AS DOUBLE))
+              END AS acf
+       FROM s""",
+)
+def ts_acf_q(spark, sf):
+    """Lag-1 AUTOCORRELATION per key (operators/timeseries.py::
+    acf_per_key) — the persistence detector completing the time-series
+    monitoring trio: a_drift_chi2 says the distribution changed, ts_cusum
+    says WHEN the level shifted, the ACF says whether the series is
+    self-correlated at all (the pre-check for forecasting and for
+    ts_interpolate's gap-fill choice).  Each key's series pairs with
+    itself one step ahead via ONE lead window over the deterministic
+    (ts, event_id) order; Pearson r over the pairs ships as exact integer
+    sufficient statistics on the cents lattice with ONE closing IEEE
+    chain from DECIMAL(38,0) cross-multiplies, NULL-guarded on constant
+    series.  Single exchange on the key (the window), map-side-combined
+    aggregate after — cusum_per_key's posture."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.acf_per_key(load_table(spark, sf, "events"), lag=1)
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9595,6 +9711,16 @@ def eval_rec_coverage_q(spark, sf):
 #                              over the registered rec_user_topn chain —
 #                              its oracle embeds verbatim as the recs
 #                              CTE; the popularity-bias smell test)
+#   and the third batch (2/2 driver_sim rehearsal green at sf0.01):
+#       eval_minhash_error    (per-pair |est - exact| Jaccard of the k=8
+#                              signatures over the exact >= 0.2 pair set —
+#                              the k-sizing law E[est]=J, Var=J(1-J)/k
+#                              made measurable; pair-restricted join)
+#       ts_acf                (lag-1 autocorrelation per key: one lead
+#                              window + exact integer sufficient stats,
+#                              closing chain NULL-guarded on constant
+#                              series — completes the drift/CUSUM/ACF
+#                              monitoring trio)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
