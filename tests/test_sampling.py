@@ -334,3 +334,63 @@ def test_quota_split_exact_counts(spark):
         sampling.quota_split(df, "g", {"x": 0.5, "y": 0.4}, key_col="doc_id")
     with _pytest.raises(ValueError, match="at least 2"):
         sampling.quota_split(df, "g", {"x": 1.0}, key_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_positions_are_a_permutation(spark):
+    from trafficbigdatasearch_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "x " * (i % 17 + 1)) for i in range(200)],
+        "doc_id: bigint, text: string",
+    )
+    out = sampling.curriculum_order(docs).collect()
+    positions = sorted(r["position"] for r in out)
+    assert positions == list(range(200))
+
+
+def test_curriculum_matches_naive_global_sort(spark):
+    import hashlib
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    rows = [(i, "w " * ((i * 7) % 31 + 1)) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    out = {r["doc_id"]: r.asDict()
+           for r in sampling.curriculum_order(docs).collect()}
+    # naive reference: phase from exact ceil-CDF deciles, then
+    # (phase, md5, id) order
+    n_chars = {i: len("w " * ((i * 7) % 31 + 1)) for i, _ in rows}
+    nn = len(rows)
+    sorted_vals = sorted(n_chars.values())
+    import bisect
+    def phase(v):
+        cum = bisect.bisect_right(sorted_vals, v)
+        return (10 * cum + nn - 1) // nn
+    order = sorted(
+        n_chars,
+        key=lambda i: (phase(n_chars[i]),
+                       hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    for pos, i in enumerate(order):
+        assert out[i]["position"] == pos, (i, out[i], pos)
+        assert out[i]["phase"] == phase(n_chars[i])
+
+
+def test_curriculum_phases_are_monotone_in_position(spark):
+    from trafficbigdatasearch_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "a" * (i + 1)) for i in range(50)],
+        "doc_id: bigint, text: string",
+    )
+    out = sorted(
+        sampling.curriculum_order(docs).collect(),
+        key=lambda r: r["position"],
+    )
+    phases = [r["phase"] for r in out]
+    assert phases == sorted(phases)  # easy phases never follow hard ones

@@ -487,3 +487,73 @@ def priority_sample(
         .orderBy(F.col("_priority").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_phases: int = 10,
+) -> DataFrame:
+    """CURRICULUM ordering export — assign every document a deterministic
+    global training position: short/easy documents first (corpus-wide
+    length deciles as phases — the classic curriculum-learning schedule),
+    uniformly shuffled WITHIN each phase (md5 of the id — the repo's
+    deterministic-shuffle primitive, so reruns and engines agree), with a
+    0-based ``position`` over the total order (phase, md5, id).
+
+    The position is computed WITHOUT a global sort — the textbook
+    running-total scale-killer (one task owns the corpus).  Same two-level
+    construction as packing.pack_sequences, keyed on the curriculum order:
+
+    1. phases come from ranks.global_quantile_buckets' exact histogram-CDF
+       (zero corpus shuffle, broadcast bucket map);
+    2. each doc lands in one of 256 md5-PREFIX buckets per phase — two hex
+       chars, so cross-bucket lexicographic prefix order agrees with the
+       full md5 order by construction;
+    3. per-(phase, bucket) counts aggregate map-side; the exclusive cumsum
+       runs over that n_phases x 256-row SUMMARY only;
+    4. position = broadcast bucket offset + the within-bucket rank (a
+       window partitioned by (phase, bucket) — ~1/256th of a phase each).
+
+    Returns (id, n_chars, phase, position).  The single-partition work is
+    the summary cumsum; every corpus-sized stage is partition-parallel —
+    the export you hand a sequential trainer at 100 TB.
+    """
+    from trafficbigdatasearch_spark.operators import ranks
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )
+    bucketed = ranks.global_quantile_buckets(
+        d, "n_chars", n_buckets=n_phases, out_prefix="g_"
+    )
+    ranked = bucketed.select(
+        "id",
+        "n_chars",
+        F.col("g_bucket").cast("bigint").alias("phase"),
+        F.md5(F.col("id").cast("string")).alias("_mh"),
+    ).withColumn("_hb", F.substring("_mh", 1, 2))
+    counts = ranked.groupBy("phase", "_hb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    # exclusive cumsum over the (n_phases x 256)-row summary ONLY
+    ws = Window.orderBy("phase", "_hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "phase", "_hb", F.coalesce(F.sum("_c").over(ws), F.lit(0)).alias("_off")
+    )
+    wr = Window.partitionBy("phase", "_hb").orderBy("_mh", "id")
+    return (
+        ranked.join(F.broadcast(offsets), ["phase", "_hb"])
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars",
+            "phase",
+            (F.col("_off") + F.row_number().over(wr) - 1)
+            .cast("bigint")
+            .alias("position"),
+        )
+    )

@@ -9439,6 +9439,46 @@ def ts_acf_q(spark, sf):
     return TS.acf_per_key(load_table(spark, sf, "events"), lag=1)
 
 
+@register(
+    "pipeline_curriculum",
+    """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+                  FROM documents),
+       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
+       h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM s
+             GROUP BY n_chars),
+       b AS (SELECT n_chars,
+                    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+             FROM h),
+       ph AS (SELECT doc_id, s.n_chars,
+                     CAST((10 * cum + nn - 1) // nn AS BIGINT) AS phase,
+                     md5(CAST(doc_id AS VARCHAR)) AS mh
+              FROM s JOIN b USING (n_chars) CROSS JOIN n)
+       SELECT doc_id, n_chars, phase,
+              CAST(row_number() OVER (ORDER BY phase, mh, doc_id) - 1
+                   AS BIGINT) AS position
+       FROM ph""",
+)
+def pipeline_curriculum_q(spark, sf):
+    """CURRICULUM ordering export (operators/sampling.py::
+    curriculum_order) — the data-ORDERING member of the training-data
+    pipeline family (training_mix decides WHAT goes in, pack_sequences
+    how it is laid out in packs; this decides WHEN each document is seen):
+    corpus-wide length deciles as phases, short/easy first, md5-shuffled
+    within each phase, and a deterministic 0-based global ``position``
+    over (phase, md5, id).  The oracle is the naive global row_number; the
+    Spark plan NEVER sorts the corpus into one task — phases ride the
+    exact histogram-CDF broadcast (w_quality_deciles_global's machinery),
+    positions ride pack_sequences' two-level prefix construction keyed on
+    256 md5-prefix buckets per phase (cross-bucket prefix order agrees
+    with the full md5 order by construction; the only single-partition
+    window is the n_phases x 256-row summary).  Every corpus-sized stage
+    is partition-parallel — the export a sequential trainer consumes at
+    100 TB."""
+    from trafficbigdatasearch_spark.operators import sampling
+
+    return sampling.curriculum_order(load_table(spark, sf, "documents"))
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9721,6 +9761,13 @@ def ts_acf_q(spark, sf):
 #                              closing chain NULL-guarded on constant
 #                              series — completes the drift/CUSUM/ACF
 #                              monitoring trio)
+#       pipeline_curriculum   (the data-ORDERING pipeline member: length-
+#                              decile phases easy-first, md5-shuffled
+#                              within phase, global position WITHOUT a
+#                              global sort — histogram-CDF phases +
+#                              pack_sequences' two-level prefix over 256
+#                              md5-prefix buckets/phase; oracle is the
+#                              naive global row_number)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
