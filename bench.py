@@ -193,6 +193,20 @@ HEADLINE = [
     "eval_score_calibration",
     "sample_quota_split",
     "eval_lsh_recall",
+    # r10 late-session registrations (graph eval / windows / diagnostics)
+    "graph_clustering_coeff",
+    "graph_modularity",
+    "graph_assortativity",
+    "eval_pq_distortion",
+    "eval_minhash_error",
+    "eval_rec_coverage",
+    "a_hopping_window",
+    "stream_hopping",
+    "quality_key_skew",
+    "ts_seasonality",
+    "ts_acf",
+    "stream_gopher_gate",
+    "pipeline_curriculum",
 ]
 
 

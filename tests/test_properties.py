@@ -709,3 +709,35 @@ def test_cluster_purity_matches_pure_python(spark, seed):
         best = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[0]
         want[c] = (len(ls), best[0], best[1], best[1] / len(ls))
     assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_key_skew_profile_matches_reference(spark, seed):
+    """key_skew_profile's exact percentiles/shares vs a pure-python
+    reference on Zipf-ish random key distributions (the operator's target
+    shape: few hot keys, long singleton tail)."""
+    import random
+
+    from trafficbigdatasearch_spark.operators import validate
+
+    rnd = random.Random(seed)
+    n_keys = rnd.randint(3, 40)
+    sizes = [rnd.choice([1, 1, 1, 2, 3, rnd.randint(1, 200)])
+             for _ in range(n_keys)]
+    rows = [(f"k{i}",) for i, s in enumerate(sizes) for _ in range(s)]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "k: string")
+    got = validate.key_skew_profile(df, "k").collect()[0].asDict()
+
+    srt = sorted(sizes)
+    def pct(p):
+        thresh = -(-p * n_keys // 100)  # ceil
+        return srt[thresh - 1]
+
+    assert got["n_keys"] == n_keys and got["n_rows"] == sum(sizes)
+    assert got["max_size"] == max(sizes)
+    assert got["p50_size"] == pct(50)
+    assert got["p90_size"] == pct(90)
+    assert got["p99_size"] == pct(99)
+    assert got["max_share_ppm"] == 1_000_000 * max(sizes) // sum(sizes)

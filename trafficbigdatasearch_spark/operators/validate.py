@@ -518,6 +518,9 @@ def key_skew_profile(
     sizes = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
+    # sizes feeds BOTH the histogram and the totals — checkpoint the per-key
+    # counts once so the corpus aggregate runs once, not per consumer
+    sizes = sizes.localCheckpoint(eager=False)
     hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
