@@ -162,3 +162,51 @@ def test_polygon_join_rejects_concave(spark):
     concave = [(4, [(0, 0), (10, 0), (5, 3), (10, 10), (0, 10)])]
     with pytest.raises(ValueError, match="concave"):
         spatial.point_in_convex_polygon_join(pts, concave)
+
+
+# ---------------------------------------------------------------------------
+# knn_within_radius
+# ---------------------------------------------------------------------------
+
+
+def test_knn_within_radius_bruteforce_parity(spark):
+    import random
+
+    from trafficbigdatasearch_spark.operators import spatial
+
+    rnd = random.Random(5)
+    pts = [(i, rnd.randrange(0, 60), rnd.randrange(0, 60)) for i in range(40)]
+    df = spark.createDataFrame(pts, "id: bigint, x: bigint, y: bigint")
+    k, radius = 3, 12
+    got = {}
+    for r in spatial.knn_within_radius(df, "id", "x", "y", radius, k).collect():
+        got.setdefault(r["id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dist2"])
+        )
+    for i, xi, yi in pts:
+        cands = sorted(
+            (
+                ((xi - xj) ** 2 + (yi - yj) ** 2, j)
+                for j, xj, yj in pts
+                if j != i and (xi - xj) ** 2 + (yi - yj) ** 2 <= radius * radius
+            )
+        )[:k]
+        expect = [(rk + 1, j, d2) for rk, (d2, j) in enumerate(cands)]
+        assert sorted(got.get(i, [])) == expect, (i, got.get(i), expect)
+
+
+def test_knn_isolated_point_absent_and_rank_contract(spark):
+    from trafficbigdatasearch_spark.operators import spatial
+
+    # cluster of 3 mutually-near points + one far isolate
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (3, 0, 1), (9, 500, 500)],
+        "id: bigint, x: bigint, y: bigint",
+    )
+    out = spatial.knn_within_radius(df, "id", "x", "y", radius=5, k=5).collect()
+    ids = {r["id"] for r in out}
+    assert 9 not in ids and ids == {1, 2, 3}
+    # fewer than k neighbors -> return what exists, ranks dense from 1
+    for i in (1, 2, 3):
+        ranks = sorted(r["rank"] for r in out if r["id"] == i)
+        assert ranks == [1, 2]

@@ -407,3 +407,29 @@ def test_key_skew_profile_percentile_boundaries(spark):
     df = spark.createDataFrame(rows, "k: string")
     r = validate.key_skew_profile(df, "k").collect()[0].asDict()
     assert r["p50_size"] == 2 and r["p90_size"] == 4 and r["p99_size"] == 4
+
+
+def test_profile_drift_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "b")], "v: bigint, s: string"
+    )
+    new = spark.createDataFrame(
+        [(None, "a"), (None, "c"), (6, "c"), (7, "c"), (8, None)],
+        "v: bigint, s: string",
+    )
+    rows = {
+        r["column_name"]: r.asDict()
+        for r in validate.profile_drift(old, new, ["v", "s"]).collect()
+    }
+    v = rows["v"]
+    assert v["n_rows_old"] == 4 and v["n_nulls_old"] == 0
+    assert v["n_rows_new"] == 5 and v["n_nulls_new"] == 2
+    # delta = 2/5 - 0/4 = 0.4; num = 2*4 - 0*5 = 8, den = 20
+    assert v["null_delta_num"] == 8 and v["null_delta_den"] == 20
+    assert abs(v["null_rate_delta"] - 0.4) < 1e-15
+    s = rows["s"]
+    assert s["n_distinct_old"] == 2 and s["n_distinct_new"] == 2
+    # delta = 1/5 - 1/4 = -0.05
+    assert abs(s["null_rate_delta"] - (-0.05)) < 1e-15

@@ -30,7 +30,7 @@ split handles moderate hotspots without either.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -288,4 +288,51 @@ def point_in_convex_polygon_join(
         points.select(F.col(id_col), px.alias("_x"), py.alias("_y"),
                       matched.alias("_m"))
         .select(id_col, F.explode("_m").alias("polygon_id"))
+    )
+
+
+def knn_within_radius(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    k: int = 5,
+) -> DataFrame:
+    """k-NEAREST-NEIGHBOR join, bounded by ``radius`` — for every point,
+    its k nearest neighbors among those within the radius, exact:
+    (id, neighbor_id, dist2, rank) with integer squared distances and the
+    deterministic (dist2, neighbor_id) tie order.
+
+    The radius bound is the honest scale formulation of a spatial kNN
+    join: UNBOUNDED exact kNN needs data-dependent grid-ring expansion for
+    isolated points (per-point iteration — a fixpoint), while virtually
+    every production use ("k nearest stations/accidents/pickups") carries
+    a natural relevance horizon anyway.  Points with fewer than k
+    neighbors in range return what exists; isolated points return nothing
+    (LEFT-join the output against the point set if absence must be
+    visible — the spatial_density convention).
+
+    Cost over :func:`radius_pairs`: the pair set symmetrizes (2 rows per
+    pair, row-local) and ONE window partitioned by the source point ranks
+    candidates — |pairs within radius| rows through one extra exchange,
+    never an all-pairs relation.  Same skew posture as the grid join it
+    rides: a dense cell bounds fan-out, and radius is the knob.
+    """
+    pairs = radius_pairs(points, id_col, x_col, y_col, radius)
+    sym = pairs.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("neighbor_id"),
+        "dist2",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("neighbor_id"),
+            "dist2",
+        )
+    )
+    w = Window.partitionBy("id").orderBy("dist2", "neighbor_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
     )

@@ -553,3 +553,61 @@ def key_skew_profile(
             "max_share_ppm"
         ),
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """PROFILE DRIFT between two snapshots — the schema-health monitor
+    beside histogram_drift's value-distribution comparison: per column,
+    both snapshots' null/distinct counts plus the NULL-RATE delta as
+    cross-multiplied exact integers,
+
+        delta_num = n_nulls_new * n_rows_old - n_nulls_old * n_rows_new
+        delta_den = n_rows_new * n_rows_old
+
+    with ONE closing IEEE division (positive = the feed got nullier — the
+    classic silently-broken-upstream-join smell).  Distinct-count drift
+    ships as the raw integers (a ratio of distincts is not meaningful
+    across differently-sized snapshots; the consumer knows its
+    cardinality contract).
+
+    Scale shape: each snapshot is ONE aggregate over one scan (the
+    profile() posture — never one job per column), the join is
+    |cols| x |cols| rows.  DECIMAL(38,0) cross products survive 10^9-row
+    snapshots; outputs cast to BIGINT.
+    """
+    po = profile(old, cols).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("n_nulls_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    pn = profile(new, cols).select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("n_nulls_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n_nulls_new").cast(dec) * F.col("n_rows_old").cast(dec)
+        - F.col("n_nulls_old").cast(dec) * F.col("n_rows_new").cast(dec)
+    )
+    den = F.col("n_rows_new").cast(dec) * F.col("n_rows_old").cast(dec)
+    return po.join(pn, "column_name").select(
+        "column_name",
+        "n_rows_old",
+        "n_nulls_old",
+        "n_distinct_old",
+        "n_rows_new",
+        "n_nulls_new",
+        "n_distinct_new",
+        num.cast("bigint").alias("null_delta_num"),
+        den.cast("bigint").alias("null_delta_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "null_rate_delta"
+        ),
+    )

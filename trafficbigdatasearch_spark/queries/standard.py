@@ -9479,6 +9479,120 @@ def pipeline_curriculum_q(spark, sf):
     return sampling.curriculum_order(load_table(spark, sf, "documents"))
 
 
+@register(
+    "j_spatial_knn",
+    """WITH pts AS (SELECT c_custkey AS id,
+                           ((c_custkey * 48271) % 99991) % 1000 AS x,
+                           ((c_custkey * 16807) % 104729) % 1000 AS y
+                    FROM customer),
+       pairs AS (
+         SELECT a.id AS ia, b.id AS ib,
+                (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         FROM pts a JOIN pts b
+           ON a.id < b.id
+          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
+       sym AS (SELECT ia AS id, ib AS neighbor_id, d2 FROM pairs
+               UNION ALL
+               SELECT ib, ia, d2 FROM pairs)
+       SELECT id, neighbor_id, CAST(d2 AS BIGINT) AS dist2,
+              CAST(row_number() OVER (PARTITION BY id
+                     ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+       FROM sym QUALIFY rank <= 3""",
+)
+def j_spatial_knn_q(spark, sf):
+    """Spatial kNN JOIN bounded by a radius (operators/spatial.py::
+    knn_within_radius) — "the 3 nearest neighbors within distance 15" over
+    the deterministic integer point cloud the spatial family shares: the
+    grid-blocked radius join generates candidates (one 9-cell explode +
+    one equi-join on the cell key — never all-pairs), the pair set
+    symmetrizes row-locally, and ONE window per source point ranks by the
+    exact integer squared distance with the (dist2, neighbor_id) tie
+    order.  The radius bound is the honest scale formulation (unbounded
+    exact kNN needs per-point grid-ring fixpoints; production "k nearest
+    stations/accidents" queries carry a relevance horizon anyway —
+    documented in the operator with the isolated-point contract)."""
+    from trafficbigdatasearch_spark.operators import spatial
+
+    pts = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
+        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
+    )
+    return spatial.knn_within_radius(pts, "id", "x", "y", radius=15, k=3)
+
+
+@register(
+    "quality_profile_drift",
+    """WITH o AS (SELECT * FROM events WHERE day(ts) <= 15),
+       nw AS (SELECT * FROM events WHERE day(ts) > 15),
+       a AS (SELECT COUNT(*) AS n,
+                    COUNT(value) AS nn1, COUNT(DISTINCT value) AS nd1,
+                    COUNT(props) AS nn2, COUNT(DISTINCT props) AS nd2,
+                    COUNT(event_type) AS nn3,
+                    COUNT(DISTINCT event_type) AS nd3
+             FROM o),
+       b AS (SELECT COUNT(*) AS n,
+                    COUNT(value) AS nn1, COUNT(DISTINCT value) AS nd1,
+                    COUNT(props) AS nn2, COUNT(DISTINCT props) AS nd2,
+                    COUNT(event_type) AS nn3,
+                    COUNT(DISTINCT event_type) AS nd3
+             FROM nw),
+       po AS (
+         SELECT 'value' AS column_name, CAST(n AS BIGINT) AS n_rows_old,
+                CAST(n - nn1 AS BIGINT) AS n_nulls_old,
+                CAST(nd1 AS BIGINT) AS n_distinct_old FROM a
+         UNION ALL
+         SELECT 'props', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+                CAST(nd2 AS BIGINT) FROM a
+         UNION ALL
+         SELECT 'event_type', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+                CAST(nd3 AS BIGINT) FROM a),
+       pn AS (
+         SELECT 'value' AS column_name, CAST(n AS BIGINT) AS n_rows_new,
+                CAST(n - nn1 AS BIGINT) AS n_nulls_new,
+                CAST(nd1 AS BIGINT) AS n_distinct_new FROM b
+         UNION ALL
+         SELECT 'props', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
+                CAST(nd2 AS BIGINT) FROM b
+         UNION ALL
+         SELECT 'event_type', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
+                CAST(nd3 AS BIGINT) FROM b)
+       SELECT column_name, n_rows_old, n_nulls_old, n_distinct_old,
+              n_rows_new, n_nulls_new, n_distinct_new,
+              CAST(n_nulls_new::HUGEINT * n_rows_old
+                   - n_nulls_old::HUGEINT * n_rows_new AS BIGINT)
+                AS null_delta_num,
+              CAST(n_rows_new::HUGEINT * n_rows_old AS BIGINT)
+                AS null_delta_den,
+              CASE WHEN n_rows_new::HUGEINT * n_rows_old <> 0
+                   THEN CAST(n_nulls_new::HUGEINT * n_rows_old
+                             - n_nulls_old::HUGEINT * n_rows_new AS DOUBLE) /
+                        CAST(n_rows_new::HUGEINT * n_rows_old AS DOUBLE)
+              END AS null_rate_delta
+       FROM po JOIN pn USING (column_name)""",
+)
+def quality_profile_drift_q(spark, sf):
+    """PROFILE DRIFT between two snapshots (operators/validate.py::
+    profile_drift) — the schema-health monitor completing the drift pair:
+    a_drift_chi2 compares VALUE distributions, this compares the
+    PROFILES (null rates, distinct cardinalities) on the same
+    first-half/second-half snapshot split, per column.  The null-rate
+    delta ships as cross-multiplied exact integers on DECIMAL(38,0)
+    (positive = the feed got nullier, the silently-broken-upstream-join
+    smell) with ONE closing IEEE division; distinct drift ships as raw
+    integers.  Each snapshot is ONE aggregate over one scan (the
+    profile() posture — never a job per column); the join is
+    |cols| x |cols| rows."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    ev = load_table(spark, sf, "events")
+    return V.profile_drift(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        ["value", "props", "event_type"],
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9768,6 +9882,14 @@ def pipeline_curriculum_q(spark, sf):
 #                              pack_sequences' two-level prefix over 256
 #                              md5-prefix buckets/phase; oracle is the
 #                              naive global row_number)
+#       j_spatial_knn         (radius-bounded exact kNN join: grid-blocked
+#                              candidates, row-local symmetrize, ONE
+#                              ranking window per source point — the
+#                              honest scale form of spatial kNN)
+#       quality_profile_drift (per-column null/distinct drift between two
+#                              snapshots: cross-multiplied exact null-rate
+#                              delta, one aggregate per snapshot — the
+#                              schema half of the drift pair)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
