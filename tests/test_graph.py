@@ -489,3 +489,18 @@ def test_assortativity_matches_bruteforce(spark):
     assert r["n"] == n and r["sum_x"] == sx
     assert r["sum_xx"] == sxx and r["sum_xy"] == sxy
     assert abs(r["assortativity"] - expect) < 1e-12
+
+
+def test_component_size_stats_hand_case(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (9, 9)],
+        "id: bigint, component: bigint",
+    )
+    rows = {
+        r["component"]: r.asDict()
+        for r in graph.component_size_stats(labels).collect()
+    }
+    assert rows[1]["size"] == 3 and rows[4]["size"] == 2 and rows[9]["size"] == 1
+    assert all(r["n_clustered"] == 6 for r in rows.values())
+    assert rows[1]["share_ppm"] == 500000
+    assert rows[9]["share_ppm"] == 166666  # integer div, floor

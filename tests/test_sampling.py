@@ -394,3 +394,64 @@ def test_curriculum_phases_are_monotone_in_position(spark):
     )
     phases = [r["phase"] for r in out]
     assert phases == sorted(phases)  # easy phases never follow hard ones
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets
+# ---------------------------------------------------------------------------
+
+
+def test_triplets_contract(spark):
+    from trafficbigdatasearch_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 0
+            (3, "totally different words about spark physical plans"),
+            (4, "more unrelated text regarding query optimizers"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["anchor_id"]: r.asDict()
+           for r in sampling.contrastive_triplets(docs).collect()}
+    # docs 0,1,2 are anchors (near-dups of each other); 3,4 are not
+    assert set(out) == {0, 1, 2}
+    # 0's best positive is its exact dup 2 (jaccard 1), not 1
+    assert out[0]["positive_id"] == 2
+    assert out[2]["positive_id"] == 0
+    for r in out.values():
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+        assert 0 <= r["negative_id"] < 5
+        assert isinstance(r["neg_is_known_dup"], bool)
+
+
+def test_triplets_known_dup_flag(spark):
+    from trafficbigdatasearch_spark.operators import sampling
+
+    # 3 docs, ALL near-dups of each other -> any negative the hash picks
+    # is a known dup and must be flagged
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight"),
+            (1, "one two three four five six seven nine"),
+            (2, "one two three four five six seven ten"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = sampling.contrastive_triplets(docs).collect()
+    assert len(out) == 3
+    assert all(r["neg_is_known_dup"] for r in out)
+
+
+def test_triplets_raises_below_three_docs(spark):
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "doc_id: bigint, text: string"
+    )
+    with _pytest.raises(ValueError, match="3 documents"):
+        sampling.contrastive_triplets(docs)

@@ -1188,3 +1188,37 @@ def degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def component_size_stats(labels: DataFrame) -> DataFrame:
+    """Component-SIZE distribution of a labeling — the giant-component
+    diagnostic you run on every dedup/entity-resolution graph BEFORE
+    trusting its survivors: near-dup fabrics fail by percolation (one
+    boilerplate band chains half the corpus into a single cluster and the
+    keep-min survivor silently deletes it), and the failure is visible
+    only in the size distribution, not in any per-pair score.
+
+    Input: (id, component) rows (connected_components' output).  Output:
+    one row per component — (component, size, n_clustered, share_ppm)
+    with share_ppm = the component's share of all clustered docs in
+    parts-per-million (exact integer div).  A share_ppm in the hundreds
+    of thousands IS the percolation alarm.
+
+    Scale shape: ONE map-side-combined count on the label (shuffle rows =
+    |components|), totals from a reaggregation of those partials
+    broadcast back — the corpus-sized labeling is scanned once, nothing
+    sorts, nothing collects.
+    """
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    sizes = sizes.localCheckpoint(eager=False)
+    tot = sizes.agg(F.sum("size").cast("bigint").alias("n_clustered"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "component",
+        "size",
+        "n_clustered",
+        F.expr("1000000 * size div n_clustered").cast("bigint").alias(
+            "share_ppm"
+        ),
+    )

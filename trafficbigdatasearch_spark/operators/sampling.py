@@ -557,3 +557,109 @@ def curriculum_order(
             .alias("position"),
         )
     )
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """CONTRASTIVE TRIPLET mining — (anchor, positive, negative) training
+    examples for embedding/retrieval models, built from the corpus's own
+    near-duplicate structure (the standard self-supervised curation step:
+    positives are near-dups, negatives are random documents):
+
+    - every document that has at least one exact-Jaccard >= ``threshold``
+      partner becomes an ANCHOR; its POSITIVE is the highest-Jaccard
+      partner (deterministic: score desc, partner id asc — both engines
+      compute the identical IEEE ratio);
+    - the NEGATIVE is a deterministic pseudo-random document (Knuth
+      multiplicative hash of the anchor id modulo the corpus size — dense
+      0..N-1 ids assumed, validated), stepping past collisions with the
+      anchor/positive through a fixed 3-candidate CASE chain so reruns and
+      engines agree;
+    - random negatives can collide with true near-dups (the classic
+      false-negative caveat of in-batch/random negative sampling);
+      ``neg_is_known_dup`` flags triplets whose negative appears in the
+      anchor's own pair set, so the trainer can drop or down-weight them
+      instead of silently learning from a mislabeled pair.
+
+    Returns (anchor_id, positive_id, negative_id, pos_shared, pos_union,
+    neg_is_known_dup).
+
+    Scale shape: the pair set is the inverted-index join (never
+    all-pairs); positive selection is ONE window over the symmetrized
+    pairs (2 rows per pair); the negative is a row-local expression plus
+    one pair-restricted anti-join-shaped flag lookup.  No corpus-sized
+    sort, nothing collected — the export runs beside the dedup job.
+    """
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    n_docs = docs.select(id_col).distinct().count()
+    if n_docs < 3:
+        raise ValueError(f"need >= 3 documents for triplets, got {n_docs}")
+    pairs = D.ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("cand_id"),
+        "shared",
+        (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        .cast("bigint")
+        .alias("pos_union"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("cand_id"),
+            "shared",
+            (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            .cast("bigint")
+            .alias("pos_union"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        (F.col("shared").cast("double") / F.col("pos_union")).desc(),
+        F.col("cand_id").asc(),
+    )
+    best = (
+        sym.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("shared").cast("bigint").alias("pos_shared"),
+            "pos_union",
+        )
+    )
+    c0 = (F.col("anchor_id") * F.lit(2654435761)) % n_docs
+    c1 = (c0 + 1) % n_docs
+    c2 = (c0 + 2) % n_docs
+    neg = (
+        F.when(
+            (c0 != F.col("anchor_id")) & (c0 != F.col("positive_id")), c0
+        )
+        .when((c1 != F.col("anchor_id")) & (c1 != F.col("positive_id")), c1)
+        .otherwise(c2)
+        .cast("bigint")
+    )
+    trip = best.withColumn("negative_id", neg)
+    known = sym.select(
+        "anchor_id", F.col("cand_id").alias("negative_id"),
+        F.lit(True).alias("neg_is_known_dup"),
+    ).distinct()
+    return trip.join(known, ["anchor_id", "negative_id"], "left").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_shared",
+        "pos_union",
+        F.coalesce("neg_is_known_dup", F.lit(False)).alias(
+            "neg_is_known_dup"
+        ),
+    )

@@ -9593,6 +9593,124 @@ def quality_profile_drift_q(spark, sf):
     )
 
 
+@register(
+    "graph_component_stats",
+    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       labels AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
+                  FROM walk GROUP BY id),
+       sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+                 FROM labels GROUP BY 1),
+       tot AS (SELECT CAST(SUM(size) AS BIGINT) AS n_clustered FROM sizes)
+       SELECT component, size, n_clustered,
+              CAST(1000000 * size // n_clustered AS BIGINT) AS share_ppm
+       FROM sizes CROSS JOIN tot""",
+)
+def graph_component_stats_q(spark, sf):
+    """Component-SIZE distribution of the dedup graph (operators/graph.py::
+    component_size_stats) — the giant-component / percolation alarm you
+    check BEFORE trusting any cluster survivor: near-dup fabrics fail by
+    one boilerplate band chaining half the corpus into a single cluster,
+    and that failure is visible only in the size distribution, never in
+    per-pair scores.  Runs over the registered LSH fabric's components
+    (dedup_clusters' exact pair set and labeling — the oracle reuses its
+    recursive closure verbatim), emitting per-component size and its share
+    of clustered docs in exact ppm.  ONE map-side-combined count on the
+    label + a broadcast one-row total; the labeling is scanned once."""
+    from trafficbigdatasearch_spark.operators import graph as G
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
+    )
+    labels = G.connected_components(pairs, "id_a", "id_b")
+    return G.component_size_stats(labels)
+
+
+@register(
+    "sample_triplets",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+       idx AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 3], ' ') AS s
+              FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+       sym AS (
+         SELECT id_a AS anchor_id, id_b AS cand_id, shared,
+                size_a + size_b - shared AS pos_union FROM pairs
+         UNION ALL
+         SELECT id_b, id_a, shared, size_a + size_b - shared FROM pairs),
+       best AS (
+         SELECT anchor_id, cand_id AS positive_id,
+                CAST(shared AS BIGINT) AS pos_shared,
+                CAST(pos_union AS BIGINT) AS pos_union
+         FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY CAST(shared AS DOUBLE) / pos_union DESC,
+                          cand_id ASC) AS r
+               FROM sym) t
+         WHERE r = 1),
+       nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+              FROM documents),
+       trip AS (
+         SELECT anchor_id, positive_id, pos_shared, pos_union,
+                CASE WHEN c0 <> anchor_id AND c0 <> positive_id THEN c0
+                     WHEN c1 <> anchor_id AND c1 <> positive_id THEN c1
+                     ELSE c2 END AS negative_id
+         FROM (SELECT b.*,
+                      (anchor_id * 2654435761) % nn.n AS c0,
+                      ((anchor_id * 2654435761) % nn.n + 1) % nn.n AS c1,
+                      ((anchor_id * 2654435761) % nn.n + 2) % nn.n AS c2
+               FROM best b CROSS JOIN nn) x),
+       known AS (SELECT DISTINCT anchor_id, cand_id FROM sym)
+       SELECT t.anchor_id, t.positive_id,
+              CAST(t.negative_id AS BIGINT) AS negative_id,
+              t.pos_shared, t.pos_union,
+              (k.cand_id IS NOT NULL) AS neg_is_known_dup
+       FROM trip t
+       LEFT JOIN known k
+         ON k.anchor_id = t.anchor_id AND k.cand_id = t.negative_id""",
+)
+def sample_triplets_q(spark, sf):
+    """CONTRASTIVE TRIPLET mining (operators/sampling.py::
+    contrastive_triplets) — (anchor, positive, negative) training examples
+    from the corpus's own near-dup structure, the standard self-supervised
+    curation step for embedding/retrieval models: positives are each
+    anchor's highest-Jaccard partner from the registered exact >= 0.2 pair
+    set (deterministic score-desc/id-asc pick), negatives a Knuth-hash
+    pseudo-random document stepping past anchor/positive collisions
+    through a fixed 3-candidate CASE chain, and ``neg_is_known_dup`` flags
+    the classic random-negative false-negative collision via a
+    pair-restricted lookup so the trainer can drop or down-weight those
+    rows.  Pair generation is the inverted-index join (never all-pairs);
+    positive selection is ONE window over the symmetrized pairs; the
+    negative is row-local — the export runs beside the dedup job at any
+    corpus size."""
+    from trafficbigdatasearch_spark.operators import sampling
+
+    return sampling.contrastive_triplets(
+        load_table(spark, sf, "documents"),
+        n=3, threshold=0.2, max_shingle_freq=None,
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -9890,6 +10008,15 @@ def quality_profile_drift_q(spark, sf):
 #                              snapshots: cross-multiplied exact null-rate
 #                              delta, one aggregate per snapshot — the
 #                              schema half of the drift pair)
+##       graph_component_stats (component-size distribution of the LSH
+#                              dedup graph — the giant-component /
+#                              percolation alarm; oracle reuses
+#                              dedup_clusters' recursive closure)
+#       sample_triplets       (contrastive (anchor, positive, negative)
+#                              mining from the exact >= 0.2 pair set;
+#                              Knuth-hash negatives with a deterministic
+#                              collision-step chain and the
+#                              neg_is_known_dup false-negative flag)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
