@@ -586,3 +586,48 @@ def test_token_cosine_guard_verifies_exactly(spark):
     # the 10..19 block overlaps only in hot terms (df=12 and 10) -> absent
     assert all(a >= 10 or b >= 10 for (a, b) in out if (a, b) != (1, 2)) is True
     assert not any(a >= 10 and b >= 10 for (a, b) in out)
+
+
+# ---------------------------------------------------------------------------
+# hamming_pairs_incremental
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_incremental_matches_bruteforce(spark):
+    import random
+
+    from trafficbigdatasearch_spark.operators import dedup
+
+    rnd = random.Random(9)
+    corpus = [(i, rnd.getrandbits(16)) for i in range(60)]
+    new = [(100 + i, rnd.getrandbits(16)) for i in range(12)]
+    # plant one exact and one 2-bit neighbor
+    new[0] = (100, corpus[7][1])
+    new[1] = (101, corpus[8][1] ^ 0b101)
+    c = spark.createDataFrame(corpus, "id: bigint, simhash: bigint")
+    n = spark.createDataFrame(new, "id: bigint, simhash: bigint")
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in dedup.hamming_pairs_incremental(c, n).collect()
+    )
+    expect = sorted(
+        (ni, ci, bin(nh ^ ch).count("1"))
+        for ni, nh in new
+        for ci, ch in corpus
+        if bin(nh ^ ch).count("1") <= 3
+    )
+    assert got == expect
+    assert (100, corpus[7][0], 0) in got and (101, corpus[8][0], 2) in got
+    # cross pairs only: no new x new, no corpus x corpus ids mixed up
+    assert all(ni >= 100 and ci < 100 for ni, ci, _ in got)
+
+
+def test_hamming_incremental_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, 3)], "id: bigint, simhash: bigint")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.hamming_pairs_incremental(df, df, n_bits=16, band_bits=8,
+                                        max_hamming=3)

@@ -590,3 +590,52 @@ def test_acf_lag_two_skips_one(spark):
     out = TS.acf_per_key(df, lag=2).collect()[0].asDict()
     assert out["lag"] == 2 and out["n_pairs"] == 14
     assert abs(out["acf"] - 1.0) < 1e-12
+
+
+def test_streaks_formulations_agree(spark):
+    """The single-exchange lag+cumsum streak formulation (the registered
+    w_streaks Spark side) equals a brute-force python islands pass."""
+    import random
+    from datetime import datetime, timedelta
+
+    from trafficbigdatasearch_spark.queries import standard
+
+    rnd = random.Random(4)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(minutes=i), i, rnd.choice([1, 1, 2]),
+         rnd.choice("ab"))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, event_id: bigint, user_id: bigint, event_type: string"
+    )
+    # reuse the registered query fn against a temp parquet dir
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {
+        (r["user_id"], r["event_type"]): (r["n_streaks"], r["max_len"])
+        for r in standard.queries()["w_streaks"](spark, d).collect()
+    }
+    # python islands
+    per_user: dict[int, list[str]] = {}
+    for ts, eid, u, t in sorted(rows):
+        per_user.setdefault(u, []).append(t)
+    expect: dict[tuple, list[int]] = {}
+    for u, seq in per_user.items():
+        run, cur = 1, seq[0]
+        runs: list[tuple[str, int]] = []
+        for t in seq[1:]:
+            if t == cur:
+                run += 1
+            else:
+                runs.append((cur, run))
+                cur, run = t, 1
+        runs.append((cur, run))
+        for t, length in runs:
+            expect.setdefault((u, t), []).append(length)
+    for key, lens in expect.items():
+        assert out[key] == (len(lens), max(lens)), (key, out[key], lens)
+    assert set(out) == set(expect)

@@ -1099,3 +1099,83 @@ def ngram_containment_pairs(
     )
     cont = F.col("shared").cast("double") / F.least("size_a", "size_b")
     return pairs.filter(cont >= threshold)
+
+
+def hamming_pairs_incremental(
+    corpus_fps: DataFrame,
+    new_fps: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Banded Hamming near-dup of a NEW fingerprint batch against an
+    EXISTING corpus — the incremental twin of :func:`hamming_pairs` for
+    bit-fingerprint families (text SimHash, media pHash), completing the
+    incremental story (text shingles: :func:`incremental_dedup`;
+    embeddings: similarity.incremental_semantic_dedup; bits: this).
+
+    Returns (new_id, corpus_id, hamming) for every cross pair within
+    ``max_hamming`` — COMPLETE by the same pigeonhole bound as the batch
+    operator (max_hamming < n_bands, validated), and cross-pairs only
+    (new x new is the next batch-level job, corpus x corpus was last
+    delivery's).
+
+    Join directions follow the 100 TB asymmetry (the incremental_dedup
+    posture): the corpus fingerprints STREAM through their band expansion
+    while the increment's banded rows BROADCAST onto them — the corpus is
+    scanned once and never shuffled, and with the corpus band expansion
+    persisted (a (band, val, id, hash) table) the probe is an index scan,
+    not a recompute.  Verify is the row-local bit_count on candidate
+    pairs only.
+    """
+    n_bands = n_bits // band_bits
+    if n_bits % band_bits != 0:
+        raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: pigeonhole "
+            f"completeness requires max_hamming < n_bands"
+        )
+    mask = (1 << band_bits) - 1
+
+    def banded(fps, id_alias, hash_alias):
+        f = fps
+        if hash_col != "simhash":
+            f = f.withColumnRenamed(hash_col, "simhash")
+        b = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b")
+        return f.select(
+            F.col("id").alias(id_alias),
+            F.col("simhash").alias(hash_alias),
+            b,
+        ).select(
+            id_alias, hash_alias,
+            F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+        )
+
+    c = banded(corpus_fps, "corpus_id", "_ch")
+    nw = banded(new_fps, "new_id", "_nh")
+    return (
+        c.join(F.broadcast(nw), ["band", "val"])
+        .select(
+            "new_id",
+            "corpus_id",
+            F.bit_count(F.col("_nh").bitwiseXOR(F.col("_ch")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -9711,6 +9711,101 @@ def sample_triplets_q(spark, sf):
     )
 
 
+@register(
+    "mm_phash_incremental",
+    """WITH fp AS (SELECT doc_id AS id,
+                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) AS h
+            FROM documents),
+       c AS (SELECT * FROM fp WHERE id % 11 <> 5),
+       nw AS (SELECT * FROM fp WHERE id % 11 = 5)
+       SELECT nw.id AS new_id, c.id AS corpus_id,
+              CAST(bit_count(xor(nw.h, c.h)) AS BIGINT) AS hamming
+       FROM nw JOIN c ON bit_count(xor(nw.h, c.h)) <= 3""",
+)
+def mm_phash_incremental_q(spark, sf):
+    """INCREMENTAL multimodal near-dup (operators/dedup.py::
+    hamming_pairs_incremental): a new asset batch (every 11th document's
+    payload) screened against the standing corpus's perceptual hashes —
+    the daily-delivery shape for the bit-fingerprint families, completing
+    the incremental story across all three representations (shingles:
+    dedup_incremental; embeddings: dedup_semantic_incremental; bits:
+    this).  Cross pairs only, COMPLETE by the same pigeonhole bound as
+    the batch engine; join directions follow the 100 TB asymmetry — the
+    corpus band expansion streams (or persists as an index) while the
+    increment's banded rows broadcast onto it, so corpus bytes never
+    shuffle.  Verify is the row-local bit_count on candidates; the
+    oracle is the all-cross-pairs filter the banding provably equals."""
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    fps = multimodal.phash_stub(assets).select(
+        F.col("asset_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    return dedup.hamming_pairs_incremental(
+        fps.filter(F.col("id") % 11 != 5),
+        fps.filter(F.col("id") % 11 == 5),
+        n_bits=16, band_bits=4, max_hamming=3,
+    )
+
+
+@register(
+    "w_streaks",
+    """WITH seq AS (
+         SELECT user_id, event_type, ts, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rt
+         FROM events),
+       isl AS (SELECT user_id, event_type, rn - rt AS island,
+                      CAST(count(*) AS BIGINT) AS len
+               FROM seq GROUP BY 1, 2, 3)
+       SELECT user_id, event_type,
+              CAST(count(*) AS BIGINT) AS n_streaks,
+              CAST(max(len) AS BIGINT) AS max_len
+       FROM isl GROUP BY 1, 2""",
+)
+def w_streaks_q(spark, sf):
+    """STREAK LENGTHS (gaps-and-islands): per (user, event_type), how many
+    maximal runs of consecutive same-type events and the longest run —
+    the classic sessionless behavioral feature (retry storms, binge
+    patterns, sensor flatlines).  The Spark side uses the single-exchange
+    formulation: ONE window partitioning on user_id carries both the lag
+    change detector and the running island id (two specs, same sort),
+    then two map-side-combined aggregates — never the two-partitioning
+    row_number-difference form, whose second exchange on (user, type) the
+    oracle happily pays because DuckDB's sort is free at oracle scale.
+    Deterministic (ts, event_id) order end to end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.coalesce(
+        F.col("event_type") != F.lag("event_type").over(w), F.lit(True)
+    ).cast("int")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id", chg.alias("_chg")
+    ).select(
+        "user_id",
+        "event_type",
+        F.sum("_chg")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_island"),
+    )
+    isl = seq.groupBy("user_id", "event_type", "_island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_len")
+    )
+    return isl.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("max_len"),
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10017,6 +10112,14 @@ def sample_triplets_q(spark, sf):
 #                              Knuth-hash negatives with a deterministic
 #                              collision-step chain and the
 #                              neg_is_known_dup false-negative flag)
+##       mm_phash_incremental  (new asset batch vs standing corpus pHashes
+#                              — bit-fingerprint incremental dedup, the
+#                              third incremental representation; corpus
+#                              streams, increment broadcasts)
+#       w_streaks             (gaps-and-islands streak lengths per
+#                              (user, type): single-exchange lag+cumsum
+#                              formulation vs the oracle's two-window
+#                              row_number difference)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
