@@ -207,6 +207,12 @@ HEADLINE = [
     "ts_acf",
     "stream_gopher_gate",
     "pipeline_curriculum",
+    "j_spatial_knn",
+    "quality_profile_drift",
+    "graph_component_stats",
+    "sample_triplets",
+    "mm_phash_incremental",
+    "w_streaks",
 ]
 
 
