@@ -213,6 +213,8 @@ HEADLINE = [
     "sample_triplets",
     "mm_phash_incremental",
     "w_streaks",
+    "q6_forecast_revenue",
+    "q10_returned_items",
 ]
 
 

@@ -9806,6 +9806,96 @@ def w_streaks_q(spark, sf):
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_e4,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                / 10000 AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1996-01-01'
+         AND l_shipdate < DATE '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q6_forecast_revenue_q(spark, sf):
+    """TPC-H Q6 (forecast revenue change): the pure scan-bound query — every
+    predicate pushes to the parquet scan (date range, discount band,
+    quantity cap), the aggregate is one map-side-combined fold, and the
+    revenue product runs EXACTLY on the integer lattice (cents x
+    discount-percent = 1e-4 units summed as BIGINT, one closing division
+    to money) so the double hash-compares.  The canonical measure of raw
+    scan throughput: at 100 TB this is the query whose cost IS the
+    column-pruned, predicate-pushed IO — any plan regression here is a
+    storage/pushdown regression, pinned by the bench row."""
+    li = load_table(spark, sf, "lineitem")
+    pe4 = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(pe4).cast("bigint").alias("revenue_e4"),
+        (F.sum(pe4).cast("double") / 10000).alias("revenue"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       WHERE o.o_orderdate >= DATE '1996-10-01'
+         AND o.o_orderdate < DATE '1997-01-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue_cents DESC, c.c_custkey ASC
+       LIMIT 20""",
+)
+def q10_returned_items_q(spark, sf):
+    """TPC-H Q10 (returned-item losses): the 4-table join + grouped revenue
+    + top-20 composition — lineitem filters on the return flag at the
+    scan, orders prunes to one quarter, the 25-row nation dim always
+    broadcasts while customer — which GROWS with SF — is deliberately
+    left unhinted (AQE broadcasts it at small SF, hash-joins at scale),
+    revenue folds on exact cents, and the top-20 is a TakeOrderedAndProject with the
+    deterministic (revenue desc, custkey) tie order — no global sort.
+    Together with Q3/Q5/Q14/Q18/Q19 this pins the join-ordering and
+    broadcast-selection behavior Catalyst must keep exhibiting as the
+    fact tables scale."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    # customer GROWS with SF (150k x SF rows) — never hint it broadcast;
+    # AQE picks broadcast at small SF and hash at scale.  nation is a
+    # 25-row constant dim: always broadcast.
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("bigint")
+             .alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10120,6 +10210,14 @@ def w_streaks_q(spark, sf):
 #                              (user, type): single-exchange lag+cumsum
 #                              formulation vs the oracle's two-window
 #                              row_number difference)
+##       q6_forecast_revenue   (TPC-H Q6 — the scan-throughput canary:
+#                              every predicate pushed, exact 1e-4-lattice
+#                              revenue product; dates shifted into the
+#                              synthetic corpus's 1996 span)
+#       q10_returned_items    (TPC-H Q10 — 4-table join + grouped cents
+#                              revenue + deterministic top-20; customer
+#                              deliberately UNhinted (grows with SF),
+#                              nation broadcast)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
