@@ -10065,8 +10065,24 @@ def q10_returned_items_q(spark, sf):
 #       dedup_simhash -> mm_phash_pairs (in-window banded-Hamming engine)
 #                              + the benched dedup_simhash_pairs sibling
 #
-#   r11 slot guidance, in order:
-#   1. the ROUND-11 QUEUE below (6 post-freeze r10 registrations);
+#   r11 slot guidance, in order (AMENDED by the r10 continuation session:
+#   the queue grew from 6 to 27 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 21 continuation registrations
+#   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
+#   text_bm25_indexed cycle-back fill 28 of the 28 rotating slots, so
+#   items 3-4 DEFER to r12; their lists stay below for that round):
+#   1. the ROUND-11 QUEUE below (27 never-driver-checked rows: the 6
+#      post-freeze registrations first — they have waited a full round —
+#      then the 21 continuation registrations in registration order:
+#      graph_clustering_coeff, graph_modularity, eval_pq_distortion,
+#      a_hopping_window, quality_key_skew, stream_gopher_gate,
+#      ts_seasonality, stream_hopping, graph_assortativity,
+#      eval_rec_coverage, eval_minhash_error, ts_acf, pipeline_curriculum,
+#      j_spatial_knn, quality_profile_drift, graph_component_stats,
+#      sample_triplets, mm_phash_incremental, w_streaks,
+#      q6_forecast_revenue, q10_returned_items — every one green under a
+#      same-session tools/driver_sim rehearsal at sf0.01 and continuously
+#      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
 #      refactored into the shared _write_index_parts this round; the path
 #      ran green in-window via text_bm25_append/text_phrase_indexed, but
