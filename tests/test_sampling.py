@@ -455,3 +455,49 @@ def test_triplets_raises_below_three_docs(spark):
     )
     with _pytest.raises(ValueError, match="3 documents"):
         sampling.contrastive_triplets(docs)
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_matches_python_reference(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    rows = [(i, (i * 3) % 7 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id: bigint, v: bigint")
+    out = {
+        r["replicate"]: (r["n_rows_resampled"], r["value_resampled"])
+        for r in sampling.poisson_bootstrap(
+            df, "id", F.col("v"), n_replicates=4
+        ).collect()
+    }
+    cdf = sampling._POISSON1_CDF_BUCKETS
+    for rep in range(4):
+        n = t = 0
+        for i, v in rows:
+            b = int(hashlib.md5(f"boot{rep}{i}".encode()).hexdigest()[:7], 16) % 10000
+            k = next((j for j, thr in enumerate(cdf) if b < thr), len(cdf))
+            n += k
+            t += k * v
+        assert out[rep] == (n, t), (rep, out[rep], (n, t))
+
+
+def test_poisson_bootstrap_replicate_means_center_on_total(spark):
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import sampling
+
+    df = spark.range(2000).select(F.col("id"), F.lit(1).alias("v"))
+    out = sampling.poisson_bootstrap(df, "id", F.col("v"), n_replicates=10)
+    ns = [r["n_rows_resampled"] for r in out.collect()]
+    assert len(ns) == 10
+    # E[n] = 2000, sd ~ sqrt(2000) ~ 45; all replicates well within 5 sd
+    assert all(abs(n - 2000) < 250 for n in ns)
+    # replicates differ (distinct salts actually vary the draws)
+    assert len(set(ns)) > 1

@@ -433,3 +433,28 @@ def test_profile_drift_hand_case(spark):
     assert s["n_distinct_old"] == 2 and s["n_distinct_new"] == 2
     # delta = 1/5 - 1/4 = -0.05
     assert abs(s["null_rate_delta"] - (-0.05)) < 1e-15
+
+
+def test_dedup_report_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world", "a"),
+            (2, "hello, WORLD!!", "a"),   # same fingerprint as 1
+            (3, "something else entirely", "a"),
+            (4, "unique text here", "b"),
+        ],
+        "doc_id: bigint, text: string, source: string",
+    )
+    rows = {
+        r["source"]: r.asDict()
+        for r in validate.dedup_report(docs).collect()
+    }
+    a = rows["a"]
+    assert a["n_docs"] == 3 and a["n_unique"] == 2 and a["surplus_docs"] == 1
+    # keeper of the dup group is doc 1 (min id, 2 tokens); doc 2's 2 tokens
+    # are the surplus
+    assert a["surplus_tokens"] == 2
+    b = rows["b"]
+    assert b["n_docs"] == 1 and b["surplus_docs"] == 0 and b["surplus_tokens"] == 0

@@ -663,3 +663,73 @@ def contrastive_triplets(
             "neg_is_known_dup"
         ),
     )
+
+
+#: Poisson(1) CDF quantized to the BUCKETS=10000 lattice: a draw b in
+#: [0, 10000) maps to the count of copies k with P(k) matching the Poisson
+#: probabilities to < 1e-4 per bucket.  Integer thresholds make membership
+#: exact and oracle-reproducible (the importance_sample rate-quantization
+#: policy applied to a distribution).
+_POISSON1_CDF_BUCKETS = (3679, 7358, 9197, 9810, 9963, 9994)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+    n_replicates: int = 10,
+) -> DataFrame:
+    """POISSON BOOTSTRAP — the distributed bootstrap (Chamandy et al.,
+    Google 2012): instead of resampling n rows WITH replacement (which
+    needs a global n and a global shuffle per replicate), every row
+    independently contributes k ~ Poisson(1) copies to each replicate —
+    row-local, no coordination, and the replicate totals converge to the
+    classical bootstrap distribution.  THE way to put a confidence
+    interval on a corpus statistic at 100 TB.
+
+    Each replicate draws its copies from the md5-uniform lattice
+    (``hash_bucket`` with a per-replicate salt — deterministic, so
+    retries/reruns/engines agree) through the integer-quantized
+    Poisson(1) CDF (< 1e-4 per-bucket distortion, the documented rate
+    lattice).  Returns one row per replicate:
+    (replicate, n_rows_resampled, value_resampled) — e.g. the bootstrap
+    distribution of the corpus token count, from which the consumer reads
+    the CI.
+
+    Scale shape: the replicate fan-out is a row-local array explode
+    (n_replicates structs per row — the hopping-window posture) into ONE
+    map-side-combined aggregate with n_replicates output rows.  No global
+    n, no per-replicate pass, no shuffle beyond the k-row reduce.
+    """
+    if n_replicates < 1:
+        raise ValueError(f"n_replicates must be >= 1, got {n_replicates}")
+
+    def copies(bucket: Column) -> Column:
+        expr = F.lit(len(_POISSON1_CDF_BUCKETS))
+        for k in range(len(_POISSON1_CDF_BUCKETS) - 1, -1, -1):
+            expr = F.when(
+                bucket < _POISSON1_CDF_BUCKETS[k], F.lit(k)
+            ).otherwise(expr)
+        return expr.cast("bigint")
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("replicate"),
+                copies(hash_bucket(F.col(key_col), f"boot{r}")).alias("k"),
+            )
+            for r in range(n_replicates)
+        ]
+    )
+    e = df.select(
+        F.col(key_col), value.cast("bigint").alias("_v"), F.explode(arr).alias("x")
+    )
+    return (
+        e.groupBy(F.col("x.replicate").alias("replicate"))
+        .agg(
+            F.sum("x.k").cast("bigint").alias("n_rows_resampled"),
+            F.sum(F.col("x.k") * F.col("_v")).cast("bigint").alias(
+                "value_resampled"
+            ),
+        )
+    )

@@ -611,3 +611,49 @@ def profile_drift(
             "null_rate_delta"
         ),
     )
+
+
+def dedup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """EXACT-DEDUP impact report per source — the measurement you publish
+    with every corpus delivery (which feeds are copy-paste heavy, how many
+    tokens does dedup actually save) BEFORE running the expensive near-dup
+    fabrics: per ``group_col``,
+
+        n_docs, n_unique (distinct content fingerprints),
+        surplus_docs = n_docs - n_unique,
+        surplus_tokens = tokens carried by non-keeper duplicates
+        (keeper = min id per fingerprint group, the dedup_exact survivor
+        convention; its token count via one arg-min, so the report matches
+        what the dedup job would actually delete).
+
+    Scale shape: ONE fingerprint pass -> ONE map-side-combined aggregate
+    on (group, fingerprint) -> a reaggregation of those partials to one
+    row per group.  The corpus is scanned once; shuffle rows are bounded
+    by distinct (group, fingerprint) pairs.
+    """
+    from trafficbigdatasearch_spark.functions import text as T
+
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        T.fingerprint(F.col(text_col)).alias("_f"),
+        T.token_count(F.col(text_col)).cast("bigint").alias("_t"),
+    )
+    per_fp = base.groupBy("grp", "_f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_t").cast("bigint").alias("sum_t"),
+        F.min_by("_t", "_id").cast("bigint").alias("keeper_t"),
+    )
+    return per_fp.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("surplus_docs"),
+        F.sum(F.col("sum_t") - F.col("keeper_t")).cast("bigint").alias(
+            "surplus_tokens"
+        ),
+    )

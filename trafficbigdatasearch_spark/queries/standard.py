@@ -9896,6 +9896,84 @@ def q10_returned_items_q(spark, sf):
     )
 
 
+@register(
+    "sample_poisson_bootstrap",
+    f"""WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS v
+                  FROM documents),
+       x AS (SELECT doc_id, v, CAST(r.j AS INTEGER) AS replicate,
+                    ('0x' || substr(md5('boot' || CAST(r.j AS VARCHAR)
+                                        || CAST(doc_id AS VARCHAR)), 1, 7)
+                    )::BIGINT % 10000 AS b
+             FROM t CROSS JOIN range(10) r(j)),
+       c AS (SELECT replicate, v,
+                    CASE WHEN b < 3679 THEN 0
+                         WHEN b < 7358 THEN 1
+                         WHEN b < 9197 THEN 2
+                         WHEN b < 9810 THEN 3
+                         WHEN b < 9963 THEN 4
+                         WHEN b < 9994 THEN 5
+                         ELSE 6 END AS k
+             FROM x)
+       SELECT replicate, CAST(SUM(k) AS BIGINT) AS n_rows_resampled,
+              CAST(SUM(k * v) AS BIGINT) AS value_resampled
+       FROM c GROUP BY 1""",
+)
+def sample_poisson_bootstrap_q(spark, sf):
+    """POISSON BOOTSTRAP of the corpus token count (operators/sampling.py::
+    poisson_bootstrap) — the distributed bootstrap (Chamandy et al. 2012):
+    each document contributes k ~ Poisson(1) copies to each of 10
+    replicates, row-locally and with no global n, so the replicate totals
+    ARE the bootstrap distribution a consumer reads a confidence interval
+    from — the only coordination is a 10-row reduce.  Draws come from the
+    md5-uniform lattice with per-replicate salts through the
+    integer-quantized Poisson(1) CDF (< 1e-4 per-bucket distortion, the
+    importance_sample rate-lattice policy), so membership is exact,
+    retry/rerun-stable, and oracle-reproducible.  The replicate fan-out is
+    a row-local array explode into ONE map-side-combined aggregate — the
+    hopping-window posture: shuffle bytes are replicates x partials, not
+    10x the corpus."""
+    from trafficbigdatasearch_spark.functions import text as T
+    from trafficbigdatasearch_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.poisson_bootstrap(
+        docs, "doc_id", T.token_count(F.col("text")), n_replicates=10
+    )
+
+
+@register(
+    "quality_dedup_report",
+    f"""WITH b AS (SELECT source AS grp, doc_id,
+                       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                         AS f,
+                       CAST({_TOKCOUNT_SQL} AS BIGINT) AS t
+                FROM documents),
+       p AS (SELECT grp, f, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(t) AS BIGINT) AS sum_t,
+                    arg_min(t, doc_id) AS keeper_t
+             FROM b GROUP BY 1, 2)
+       SELECT grp AS source, CAST(SUM(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              CAST(SUM(n) - count(*) AS BIGINT) AS surplus_docs,
+              CAST(SUM(sum_t - keeper_t) AS BIGINT) AS surplus_tokens
+       FROM p GROUP BY 1""",
+)
+def quality_dedup_report_q(spark, sf):
+    """EXACT-DEDUP impact report per source (operators/validate.py::
+    dedup_report) — the per-feed copy-paste audit published with every
+    corpus delivery before the expensive near-dup fabrics run: distinct
+    content fingerprints vs raw docs, and the token mass carried by
+    non-keeper duplicates (keeper = min id per fingerprint group — the
+    dedup_exact survivor convention, its token count via one arg-min, so
+    the report states exactly what the dedup job would delete).  ONE
+    fingerprint pass, one map-side-combined (source, fingerprint)
+    aggregate, totals from a reaggregation of those partials — the corpus
+    scans once at any SF."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    return V.dedup_report(load_table(spark, sf, "documents"))
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10066,12 +10144,14 @@ def q10_returned_items_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 27 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 21 continuation registrations
+#   the queue grew from 6 to 29 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 23 continuation registrations
 #   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
-#   text_bm25_indexed cycle-back fill 28 of the 28 rotating slots, so
-#   items 3-4 DEFER to r12; their lists stay below for that round):
-#   1. the ROUND-11 QUEUE below (27 never-driver-checked rows: the 6
+#   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
+#   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
+#   lead the r12 queue instead; items 3-4 also defer to r12):
+#   1. the ROUND-11 QUEUE below (29 never-driver-checked rows, of which
+#      the first 27 fit r11's rotating slots: the 6
 #      post-freeze registrations first — they have waited a full round —
 #      then the 21 continuation registrations in registration order:
 #      graph_clustering_coeff, graph_modularity, eval_pq_distortion,
@@ -10080,7 +10160,8 @@ def q10_returned_items_q(spark, sf):
 #      eval_rec_coverage, eval_minhash_error, ts_acf, pipeline_curriculum,
 #      j_spatial_knn, quality_profile_drift, graph_component_stats,
 #      sample_triplets, mm_phash_incremental, w_streaks,
-#      q6_forecast_revenue, q10_returned_items — every one green under a
+#      q6_forecast_revenue, q10_returned_items, then (r12-first)
+#      sample_poisson_bootstrap, quality_dedup_report — every one green under a
 #      same-session tools/driver_sim rehearsal at sf0.01 and continuously
 #      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
@@ -10234,6 +10315,15 @@ def q10_returned_items_q(spark, sf):
 #                              revenue + deterministic top-20; customer
 #                              deliberately UNhinted (grows with SF),
 #                              nation broadcast)
+##       sample_poisson_bootstrap (the distributed bootstrap: k~Poisson(1)
+#                              copies per row per replicate from the
+#                              md5-uniform lattice through an integer-
+#                              quantized CDF — CI on a corpus statistic
+#                              with a 10-row reduce, no global n)
+#       quality_dedup_report  (per-source exact-dedup impact: distinct
+#                              fingerprints vs docs + non-keeper token
+#                              mass via one arg-min — the per-delivery
+#                              copy-paste audit)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
