@@ -215,6 +215,12 @@ HEADLINE = [
     "w_streaks",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "sample_poisson_bootstrap",
+    "quality_dedup_report",
+    "text_vocab_curve",
+    "quality_syndication",
+    "eval_jaccard_histogram",
+    "ts_peaks",
 ]
 
 

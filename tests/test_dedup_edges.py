@@ -631,3 +631,24 @@ def test_hamming_incremental_pigeonhole_guard(spark):
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.hamming_pairs_incremental(df, df, n_bits=16, band_bits=8,
                                         max_hamming=3)
+
+
+def test_syndication_matrix_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six", "alpha"),
+            (2, "one two three four five seven", "beta"),   # near-dup of 1
+            (3, "one two three four five eight", "alpha"),  # near-dup of 1, SAME src
+            (4, "totally different content entirely here now", "gamma"),
+        ],
+        "doc_id: bigint, text: string, source: string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.syndication_matrix(docs, threshold=0.2).collect()
+    }
+    # cross-source pairs: (1,2) alpha-beta and (2,3) alpha-beta;
+    # the same-source (1,3) pair is excluded
+    assert out == {("alpha", "beta"): 2}

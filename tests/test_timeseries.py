@@ -639,3 +639,22 @@ def test_streaks_formulations_agree(spark):
     for key, lens in expect.items():
         assert out[key] == (len(lens), max(lens)), (key, out[key], lens)
     assert set(out) == set(expect)
+
+
+def test_local_peaks_hand_case(spark):
+    from datetime import datetime, timedelta
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    base = datetime(2024, 1, 1)
+    vals = [1.0, 3.0, 2.0, 2.0, 5.0, 4.0, 6.0]  # peaks at idx 1 and 4
+    rows = [
+        (base + timedelta(minutes=i), i, "k", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, event_id: bigint, event_type: string, value: double"
+    )
+    got = sorted(r["id"] for r in TS.local_peaks(df).collect())
+    # idx 1 (3 > 1, 3 > 2) and idx 4 (5 > 2, 5 > 4); idx 6 is an endpoint;
+    # the 2,2 plateau is not a peak
+    assert got == [1, 4]

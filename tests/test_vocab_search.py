@@ -128,3 +128,35 @@ def test_oov_rates_per_group(spark):
     full = VB.build_vocab(docs, vocab_size=100, min_freq=1)
     zero = VB.oov_rates(docs, full).collect()
     assert all(r["n_oov"] == 0 and r["oov_rate"] == 0.0 for r in zero)
+
+
+def test_vocab_coverage_curve_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import vocab
+
+    # tokens: a x6, b x3, c x1 -> total 10; top-1 covers 0.6, top-2 0.9
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b b c")], "doc_id: bigint, text: string"
+    )
+    rows = {
+        r["v"]: r.asDict()
+        for r in vocab.coverage_curve(docs, checkpoints=(1, 2, 3, 100)).collect()
+    }
+    assert rows[1]["covered_tokens"] == 6 and rows[1]["coverage"] == 0.6
+    assert rows[2]["covered_tokens"] == 9 and rows[2]["coverage"] == 0.9
+    assert rows[3]["covered_tokens"] == 10 and rows[3]["coverage"] == 1.0
+    # checkpoint beyond vocab size saturates at 1.0
+    assert rows[100]["coverage"] == 1.0
+    assert all(r["total_tokens"] == 10 for r in rows.values())
+
+
+def test_vocab_coverage_curve_monotone(spark, sf_dir):
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        vocab.coverage_curve(docs).collect(), key=lambda r: r["v"]
+    )
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)  # monotone non-decreasing in v
+    assert all(0 < c <= 1 for c in covs)

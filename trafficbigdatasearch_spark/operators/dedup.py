@@ -1179,3 +1179,54 @@ def hamming_pairs_incremental(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def syndication_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """CROSS-SOURCE near-duplication matrix — which feeds syndicate each
+    other: the exact-Jaccard pair set restricted to pairs whose documents
+    come from DIFFERENT sources, counted per unordered source pair.  The
+    curation question behind per-feed dedup budgets and crawl blocklists
+    (a feed pair with a heavy cell is one content wire republished twice —
+    drop one side at ingest instead of paying pair-level dedup forever).
+
+    Returns (source_a, source_b, n_pairs) with source_a < source_b.
+
+    Scale shape: rides the inverted-index pair generator (never
+    all-pairs); the source lookup is two joins against the (id, source)
+    projection — at 100 TB that projection is kilobytes-per-million-docs
+    and broadcastable; the closing count is map-side combined with output
+    bounded by |sources|².
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    src = docs.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_src")
+    )
+    labeled = (
+        pairs.join(
+            src.select(F.col("_id").alias("id_a"), F.col("_src").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("_id").alias("id_b"), F.col("_src").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        labeled.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

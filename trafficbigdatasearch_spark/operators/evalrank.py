@@ -599,3 +599,41 @@ def minhash_estimate_error(
         exact.alias("exact_jaccard"),
         F.abs(est - exact).alias("abs_err"),
     )
+
+
+def jaccard_pair_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """SIMILARITY HISTOGRAM of the near-dup pair set — pair counts per
+    exact-Jaccard decile above ``threshold``: the threshold-tuning report
+    (where does the corpus's similarity mass sit? is 0.8 cutting through
+    a cluster or through noise?) that turns the dedup threshold from a
+    guess into a measured choice.
+
+    Buckets are EXACT integers — ``bucket = (10 * shared) div union`` (a
+    pair at Jaccard 0.73 lands in bucket 7; bucket 10 = exact duplicates)
+    — so no float ever enters the binning and rows hash-compare.
+
+    Scale shape: rides the inverted-index pair generator at the LOWER
+    exploratory threshold (candidate volume is the documented cost knob —
+    at 100 TB run it on a hash-sampled doc slice, the histogram shape is
+    what matters); the fold is one map-side-combined count, 11 rows out.
+    """
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+    bucket = F.expr(
+        "(10 * shared) div (size_a + size_b - shared)"
+    ).cast("int")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

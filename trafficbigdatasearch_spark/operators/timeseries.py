@@ -704,3 +704,44 @@ def acf_per_key(
             / F.sqrt(den_x.cast("double") * den_y.cast("double")),
         ).alias("acf"),
     )
+
+
+def local_peaks(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """LOCAL PEAK detection per key — the rows strictly greater than BOTH
+    ordered neighbors on the exact cents lattice (strict on both sides:
+    plateaus are not peaks, and endpoints have no two neighbors — the
+    deterministic contract; a smoothed/prominence variant composes this
+    with resample_ohlc's buckets upstream).  The load-spike / congestion
+    marker feeding ts_cusum's "when did the level shift" with "where are
+    the spikes".
+
+    ONE exchange on the key (lag and lead share the (ts, id) window sort),
+    then a row-local three-way integer comparison — no aggregation, output
+    ∝ peaks.  NULL values excluded up front (the r9 drift policy).
+    """
+    from pyspark.sql import Window
+
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy("ts", "id")
+    x = e.select(
+        "key", "ts", "id", "cents",
+        F.lag("cents").over(w).alias("_p"),
+        F.lead("cents").over(w).alias("_n"),
+    )
+    return x.filter(
+        F.col("_p").isNotNull()
+        & F.col("_n").isNotNull()
+        & (F.col("cents") > F.col("_p"))
+        & (F.col("cents") > F.col("_n"))
+    ).select("key", "id", "cents")

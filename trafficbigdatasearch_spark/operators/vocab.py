@@ -149,3 +149,72 @@ def oov_rates(
             ).alias("oov_rate"),
         )
     )
+
+
+def coverage_curve(
+    docs: DataFrame,
+    checkpoints: tuple[int, ...] = (100, 250, 500, 1000, 2000),
+    text_col: str = "text",
+) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — cumulative token share captured by the
+    top-V vocabulary at each checkpoint V: the "how big must V be" report
+    behind every build_vocab / BPE-size decision (the Zipf head's weight,
+    measured instead of assumed).
+
+    One row per checkpoint: (v, covered_tokens, total_tokens, coverage)
+    with covered/total exact BIGINTs and coverage ONE closing IEEE
+    division.  Ranking is the vocabulary's own deterministic (freq DESC,
+    token ASC) order, so the curve describes exactly what build_vocab(V)
+    would capture.
+
+    Scale shape: ONE explode + map-side-combined frequency aggregate (the
+    pass every vocab/text op already pays), then the rank window and the
+    checkpoint conditional sums run over the FREQUENCY TABLE only
+    (|distinct tokens| rows — the vocab.py bounded-window pattern), output
+    = |checkpoints| rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.explode(T.tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("token").asc()))
+        .alias("rnk"),
+    )
+    agg = ranked.agg(
+        F.sum("freq").cast("bigint").alias("_total"),
+        *[
+            F.sum(F.when(F.col("rnk") <= v, F.col("freq")))
+            .cast("bigint")
+            .alias(f"_c{v}")
+            for v in checkpoints
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(v).cast("bigint").alias("v"),
+                F.coalesce(F.col(f"_c{v}"), F.lit(0)).alias("covered_tokens"),
+            )
+            for v in checkpoints
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"), F.col("_total"))
+        .select(
+            F.col("r.v").alias("v"),
+            F.col("r.covered_tokens").alias("covered_tokens"),
+            F.col("_total").alias("total_tokens"),
+            (F.col("r.covered_tokens").cast("double") / F.col("_total")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -9974,6 +9974,163 @@ def quality_dedup_report_q(spark, sf):
     return V.dedup_report(load_table(spark, sf, "documents"))
 
 
+_JACCARD_PAIRS_SQL = """toks AS (SELECT doc_id, {toks} AS t FROM documents),
+       idx AS (SELECT doc_id, t,
+                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 3], ' ') AS s
+              FROM idx),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)
+               >= {threshold})"""
+
+
+@register(
+    "text_vocab_curve",
+    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
+       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(t) AS term FROM toks)
+               WHERE term <> '' GROUP BY term),
+       ranked AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, term) AS rnk
+                  FROM cnt),
+       agg AS (SELECT CAST(SUM(freq) AS BIGINT) AS total,
+                      CAST(COALESCE(SUM(CASE WHEN rnk <= 100 THEN freq END),
+                                    0) AS BIGINT) AS c100,
+                      CAST(COALESCE(SUM(CASE WHEN rnk <= 250 THEN freq END),
+                                    0) AS BIGINT) AS c250,
+                      CAST(COALESCE(SUM(CASE WHEN rnk <= 500 THEN freq END),
+                                    0) AS BIGINT) AS c500,
+                      CAST(COALESCE(SUM(CASE WHEN rnk <= 1000 THEN freq END),
+                                    0) AS BIGINT) AS c1000,
+                      CAST(COALESCE(SUM(CASE WHEN rnk <= 2000 THEN freq END),
+                                    0) AS BIGINT) AS c2000
+               FROM ranked)
+       SELECT CAST(100 AS BIGINT) AS v, c100 AS covered_tokens,
+              total AS total_tokens,
+              CAST(c100 AS DOUBLE) / total AS coverage FROM agg
+       UNION ALL SELECT 250, c250, total, CAST(c250 AS DOUBLE) / total FROM agg
+       UNION ALL SELECT 500, c500, total, CAST(c500 AS DOUBLE) / total FROM agg
+       UNION ALL SELECT 1000, c1000, total,
+                 CAST(c1000 AS DOUBLE) / total FROM agg
+       UNION ALL SELECT 2000, c2000, total,
+                 CAST(c2000 AS DOUBLE) / total FROM agg""",
+)
+def text_vocab_curve_q(spark, sf):
+    """VOCABULARY COVERAGE CURVE (operators/vocab.py::coverage_curve) —
+    cumulative token share captured by the top-V vocabulary at V in
+    {{100, 250, 500, 1000, 2000}}: the measured Zipf head behind every
+    build_vocab / BPE-size decision, in the vocabulary's own
+    deterministic (freq DESC, token ASC) order so the curve states
+    exactly what build_vocab(V) captures.  Exact BIGINT covered/total
+    legs + one closing division per row.  The frequency pass is the one
+    every text op already pays; the rank window and checkpoint sums run
+    over the FREQUENCY TABLE only (the vocab.py bounded-window pattern)
+    — 5 rows out at any SF."""
+    from trafficbigdatasearch_spark.operators import vocab
+
+    return vocab.coverage_curve(load_table(spark, sf, "documents"))
+
+
+@register(
+    "quality_syndication",
+    f"""WITH {_JACCARD_PAIRS_SQL.format(toks=_TOKS, threshold=0.2)},
+       src AS (SELECT doc_id, source FROM documents),
+       lab AS (SELECT least(a.source, b.source) AS source_a,
+                      greatest(a.source, b.source) AS source_b
+               FROM pairs
+               JOIN src a ON a.doc_id = pairs.id_a
+               JOIN src b ON b.doc_id = pairs.id_b
+               WHERE a.source <> b.source)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM lab GROUP BY 1, 2""",
+)
+def quality_syndication_q(spark, sf):
+    """CROSS-SOURCE syndication matrix (operators/dedup.py::
+    syndication_matrix) — which feeds republish each other: the exact
+    >= 0.2 near-dup pair set restricted to pairs straddling two sources,
+    counted per unordered source pair.  The curation decision it feeds:
+    a heavy cell is one content wire ingested twice — drop a feed at the
+    source instead of paying pair-level dedup forever.  Rides the
+    inverted-index pair generator (never all-pairs); the (id, source)
+    projection joins are broadcast-scale at any corpus size; output is
+    bounded by |sources|²."""
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    return D.syndication_matrix(
+        load_table(spark, sf, "documents"), threshold=0.2,
+        max_shingle_freq=None,
+    )
+
+
+@register(
+    "eval_jaccard_histogram",
+    f"""WITH {_JACCARD_PAIRS_SQL.format(toks=_TOKS, threshold=0.0)}
+       SELECT CAST((10 * shared) // (size_a + size_b - shared) AS INTEGER)
+                AS bucket,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM pairs GROUP BY 1""",
+)
+def eval_jaccard_histogram_q(spark, sf):
+    """SIMILARITY HISTOGRAM of the near-dup pair set (operators/
+    evalrank.py::jaccard_pair_histogram) — pair counts per exact-Jaccard
+    decile over the FULL candidate relation (floor 0: every
+    shingle-sharing pair): the threshold-TUNING report that turns the
+    dedup cutoff from a guess into a measured choice — on this corpus it
+    exhibits the clean bimodal split (noise mass in decile 0, true
+    near-dups in decile 9) that justifies the registered 0.2+ cutoffs.
+    Buckets are exact integers — (10·shared) div union, bucket 10 =
+    exact duplicates — so no float enters the binning.  Candidate volume
+    at the lower threshold is the documented cost knob: at 100 TB this
+    runs on a hash-sampled doc slice, the histogram SHAPE being the
+    deliverable; 11 rows out."""
+    from trafficbigdatasearch_spark.operators import evalrank as EV
+
+    return EV.jaccard_pair_histogram(
+        load_table(spark, sf, "documents"), threshold=0.0,
+        max_shingle_freq=None,
+    )
+
+
+@register(
+    "ts_peaks",
+    """WITH e AS (SELECT event_type AS key, ts, event_id AS id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       x AS (SELECT key, id, cents,
+                    lag(cents) OVER (PARTITION BY key
+                                     ORDER BY ts, id) AS p,
+                    lead(cents) OVER (PARTITION BY key
+                                      ORDER BY ts, id) AS nx
+             FROM e)
+       SELECT key, id, cents FROM x
+       WHERE p IS NOT NULL AND nx IS NOT NULL
+         AND cents > p AND cents > nx""",
+)
+def ts_peaks_q(spark, sf):
+    """LOCAL PEAK detection per key (operators/timeseries.py::
+    local_peaks): rows strictly greater than BOTH ordered neighbors on
+    the exact cents lattice — strict on both sides (plateaus are not
+    peaks, endpoints excluded), the deterministic contract that makes
+    spike marking retry/engine-stable.  The congestion/load-spike marker
+    beside ts_cusum's level-shift localizer.  ONE exchange on the key
+    (lag and lead share the (ts, id) sort), then a row-local three-way
+    integer comparison — no aggregation, output ∝ peaks."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    return TS.local_peaks(load_table(spark, sf, "events"))
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10144,13 +10301,13 @@ def quality_dedup_report_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 29 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 23 continuation registrations
+#   the queue grew from 6 to 33 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 27 continuation registrations
 #   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
 #   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
 #   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
 #   lead the r12 queue instead; items 3-4 also defer to r12):
-#   1. the ROUND-11 QUEUE below (29 never-driver-checked rows, of which
+#   1. the ROUND-11 QUEUE below (33 never-driver-checked rows, of which
 #      the first 27 fit r11's rotating slots: the 6
 #      post-freeze registrations first — they have waited a full round —
 #      then the 21 continuation registrations in registration order:
@@ -10161,7 +10318,8 @@ def quality_dedup_report_q(spark, sf):
 #      j_spatial_knn, quality_profile_drift, graph_component_stats,
 #      sample_triplets, mm_phash_incremental, w_streaks,
 #      q6_forecast_revenue, q10_returned_items, then (r12-first)
-#      sample_poisson_bootstrap, quality_dedup_report — every one green under a
+#      sample_poisson_bootstrap, quality_dedup_report, text_vocab_curve,
+#      quality_syndication, eval_jaccard_histogram, ts_peaks — every one green under a
 #      same-session tools/driver_sim rehearsal at sf0.01 and continuously
 #      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
@@ -10324,6 +10482,21 @@ def quality_dedup_report_q(spark, sf):
 #                              fingerprints vs docs + non-keeper token
 #                              mass via one arg-min — the per-delivery
 #                              copy-paste audit)
+##       text_vocab_curve      (cumulative coverage vs vocab size at 5
+#                              checkpoints — the measured Zipf head
+#                              behind vocab/BPE sizing; rank window over
+#                              the frequency table only)
+#       quality_syndication   (cross-source near-dup matrix: which feeds
+#                              republish each other — the drop-a-feed-at-
+#                              ingest decision)
+#       eval_jaccard_histogram (pair counts per exact-Jaccard decile over
+#                              the full candidate relation — integer
+#                              (10*shared) div union binning; exhibits
+#                              the corpus's bimodal split justifying the
+#                              0.2+ cutoffs)
+#       ts_peaks              (strict local maxima per key on the cents
+#                              lattice — lag/lead share one sort; the
+#                              spike marker beside ts_cusum)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
