@@ -221,6 +221,8 @@ HEADLINE = [
     "quality_syndication",
     "eval_jaccard_histogram",
     "ts_peaks",
+    "mm_scene_changes",
+    "eval_langid_confusion",
 ]
 
 

@@ -878,3 +878,34 @@ def test_minmax_sidecar_unselective_range_falls_back_to_dir(spark, tmp_path):
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi6)
     )
     assert sorted(map(tuple, six.collect())) == sorted(map(tuple, want6.collect()))
+
+
+def test_scene_changes_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    # frames of 4 chars: 'aaaa'|'aaaa'|'bbbb' -> transition 0->1 identical
+    # (hamming 0, not a boundary), 1->2 different (boundary w.h.p.)
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"aaaaaaaabbbb"), "{}")],
+        "asset_id: bigint, media_type: string, payload: binary, meta: string",
+    )
+    out = {
+        r["frame_idx"]: r.asDict()
+        for r in multimodal.scene_changes(
+            assets, frame_chars=4, threshold=0
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["hamming"] == 0 and out[1]["is_boundary"] is False
+    assert out[2]["hamming"] > 0 and out[2]["is_boundary"] is True
+
+
+def test_scene_changes_single_frame_asset_emits_nothing(spark):
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"tiny"), "{}"),
+         (2, "video", bytearray(b""), "{}")],
+        "asset_id: bigint, media_type: string, payload: binary, meta: string",
+    )
+    assert multimodal.scene_changes(assets, frame_chars=100).count() == 0

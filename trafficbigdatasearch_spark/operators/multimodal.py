@@ -395,3 +395,75 @@ def phash_pairs(
     return dedup.hamming_pairs(
         fps, n_bits=n_bits, band_bits=band_bits, max_hamming=max_hamming
     )
+
+
+def scene_changes(
+    assets: DataFrame,
+    frame_chars: int = 200,
+    threshold: int = 4,
+    n_bits: int = 16,
+) -> DataFrame:
+    """SCENE-CHANGE detection over video-like assets: fingerprint
+    consecutive frames and mark transitions whose perceptual-hash Hamming
+    distance exceeds ``threshold`` — the shot-boundary primitive behind
+    keyframe extraction and per-scene dedup budgets.
+
+    The decode/frame stage follows the module's stub policy (no codecs in
+    this container): frames are deterministic fixed-width payload windows
+    and the per-frame hash is the md5 stub, so the whole chain — framing,
+    hashing, the lag comparison — is oracle-reproducible while a real
+    deployment swaps ONE stage (decoder-backed frame hashes via the
+    ``phash_decoded`` hook) and keeps the boundary logic unchanged.
+
+    Returns one row per frame TRANSITION: (asset_id, frame_idx, hamming,
+    is_boundary) for frame_idx >= 1.  Empty payloads are excluded.
+
+    Scale shape: the frame fan-out is a row-local sequence+explode
+    (ceil(len/frame_chars) rows per asset — the format's own density), the
+    hash is one md5 per frame at scan speed, and the ONLY exchange is the
+    per-asset window for the lag — frames of one asset are a single
+    partition's worth by construction (videos are bounded; a pathological
+    asset is bounded by its own length / frame_chars).
+    """
+    n_nibs = (n_bits + 3) // 4
+    framed = (
+        assets.filter(F.length("payload") > 0)
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.length("payload") - 1) / frame_chars).cast("bigint"),
+                )
+            ).alias("frame_idx"),
+            F.col("payload"),
+        )
+        .select(
+            "asset_id",
+            "frame_idx",
+            F.expr(
+                f"substring(CAST(payload AS STRING), "
+                f"CAST(frame_idx * {frame_chars} + 1 AS INT), {frame_chars})"
+            ).alias("_fr"),
+        )
+    )
+    hashed = framed.select(
+        "asset_id",
+        "frame_idx",
+        F.conv(F.substring(F.md5(F.col("_fr")), 1, n_nibs), 16, 10)
+        .cast("bigint")
+        .alias("_ph"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    x = hashed.select(
+        "asset_id", "frame_idx", "_ph", F.lag("_ph").over(w).alias("_prev")
+    ).filter(F.col("_prev").isNotNull())
+    ham = F.bit_count(F.col("_ph").bitwiseXOR(F.col("_prev"))).cast("bigint")
+    return x.select(
+        "asset_id",
+        "frame_idx",
+        ham.alias("hamming"),
+        (ham > threshold).alias("is_boundary"),
+    )

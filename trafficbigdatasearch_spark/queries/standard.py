@@ -10131,6 +10131,76 @@ def ts_peaks_q(spark, sf):
     return TS.local_peaks(load_table(spark, sf, "events"))
 
 
+@register(
+    "mm_scene_changes",
+    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents
+                  WHERE doc_id % 3 = 2 AND length(text) > 0),
+       f AS (SELECT asset_id, text,
+                    CAST(unnest(range(0, ((length(text) - 1) // 200) + 1))
+                         AS BIGINT) AS frame_idx
+             FROM a),
+       fr AS (SELECT asset_id, frame_idx,
+                     substr(text, CAST(frame_idx * 200 + 1 AS INT), 200) AS fr
+              FROM f),
+       h AS (SELECT asset_id, frame_idx,
+                    ('0x' || substr(md5(fr), 1, 4))::BIGINT AS ph
+             FROM fr),
+       x AS (SELECT asset_id, frame_idx, ph,
+                    lag(ph) OVER (PARTITION BY asset_id
+                                  ORDER BY frame_idx) AS prev
+             FROM h)
+       SELECT asset_id, frame_idx,
+              CAST(bit_count(xor(ph, prev)) AS BIGINT) AS hamming,
+              bit_count(xor(ph, prev)) > 4 AS is_boundary
+       FROM x WHERE prev IS NOT NULL""",
+)
+def mm_scene_changes_q(spark, sf):
+    """SCENE-CHANGE detection over the video assets (operators/
+    multimodal.py::scene_changes) — the shot-boundary primitive behind
+    keyframe extraction and per-scene dedup budgets: consecutive frames
+    fingerprinted, transitions marked where the perceptual-hash Hamming
+    distance exceeds the threshold.  Frames follow the module's stub
+    policy (fixed-width payload windows + the md5 pHash stub — no codecs
+    in this container), so the WHOLE chain is oracle-reproducible while a
+    real deployment swaps exactly one stage (decoder-backed frame hashes
+    via the phash_decoded hook) and keeps the framing/lag/boundary logic
+    unchanged.  Row-local frame fan-out; the only exchange is the
+    per-asset lag window, bounded by each asset's own length."""
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    docs = load_table(spark, sf, "documents")
+    assets = multimodal.assets_from_documents(docs).filter(
+        F.col("media_type") == "video"
+    )
+    return multimodal.scene_changes(assets, frame_chars=200, threshold=4)
+
+
+@register(
+    "eval_langid_confusion",
+    f"""WITH p AS ({_REGISTRY["text_lang_id"][1]})
+       SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2""",
+)
+def eval_langid_confusion_q(spark, sf):
+    """Language-ID CONFUSION MATRIX (the text_lang_id chain's own eval,
+    closing the measurement loop the way eval_ivf_recall does for the ANN
+    stack): predicted vs labeled language counts per cell, over the
+    registered lang-id configuration verbatim (its oracle embeds as the
+    CTE, so this row also re-certifies the prediction chain end to end).
+    The matrix is what a curation run reads before trusting per-language
+    mixture/sampling decisions downstream — off-diagonal mass on a
+    language pair means the stopword tables confuse them and the
+    per-language temperature/quota math inherits that bias.  One
+    map-side-combined count, |langs|² rows out."""
+    from trafficbigdatasearch_spark.functions import text as T
+
+    d = load_table(spark, sf, "documents")
+    pred = T.lang_id_table(d).join(d.select("doc_id", "lang"), "doc_id")
+    return pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10301,13 +10371,13 @@ def ts_peaks_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 33 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 27 continuation registrations
+#   the queue grew from 6 to 35 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 29 continuation registrations
 #   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
 #   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
 #   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
 #   lead the r12 queue instead; items 3-4 also defer to r12):
-#   1. the ROUND-11 QUEUE below (33 never-driver-checked rows, of which
+#   1. the ROUND-11 QUEUE below (35 never-driver-checked rows, of which
 #      the first 27 fit r11's rotating slots: the 6
 #      post-freeze registrations first — they have waited a full round —
 #      then the 21 continuation registrations in registration order:
@@ -10319,7 +10389,8 @@ def ts_peaks_q(spark, sf):
 #      sample_triplets, mm_phash_incremental, w_streaks,
 #      q6_forecast_revenue, q10_returned_items, then (r12-first)
 #      sample_poisson_bootstrap, quality_dedup_report, text_vocab_curve,
-#      quality_syndication, eval_jaccard_histogram, ts_peaks — every one green under a
+#      quality_syndication, eval_jaccard_histogram, ts_peaks,
+#      mm_scene_changes, eval_langid_confusion — every one green under a
 #      same-session tools/driver_sim rehearsal at sf0.01 and continuously
 #      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
@@ -10497,6 +10568,13 @@ def ts_peaks_q(spark, sf):
 #       ts_peaks              (strict local maxima per key on the cents
 #                              lattice — lag/lead share one sort; the
 #                              spike marker beside ts_cusum)
+##       mm_scene_changes      (shot boundaries over video assets: stub
+#                              frame windows + md5 pHash + lag hamming —
+#                              one decoder-hook swap upgrades to real
+#                              pixels, boundary logic unchanged)
+#       eval_langid_confusion (predicted-vs-labeled language matrix over
+#                              the registered lang-id chain — the bias
+#                              audit feeding per-language mixture math)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
