@@ -223,6 +223,8 @@ HEADLINE = [
     "ts_peaks",
     "mm_scene_changes",
     "eval_langid_confusion",
+    "quality_gopher_rates",
+    "eval_split_leakage",
 ]
 
 

@@ -544,3 +544,29 @@ def test_minhash_estimate_error_bruteforce_parity(spark):
     for r in out.values():
         assert 0 <= r["est_jaccard"] <= 1 and 0 <= r["abs_err"] <= 1
         assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
+
+
+def test_split_leakage_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import evalrank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a: bigint, id_b: bigint"
+    )
+    # method A: 1,3,5 train / 2,4,6 test -> every pair straddles
+    a = spark.createDataFrame(
+        [(i, "train" if i % 2 else "test") for i in range(1, 7)],
+        "doc_id: bigint, split: string",
+    )
+    # method B: pairs co-assigned -> zero leakage
+    b = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "test"),
+         (5, "train"), (6, "train")],
+        "doc_id: bigint, split: string",
+    )
+    rows = {
+        r["method"]: r.asDict()
+        for r in evalrank.split_leakage(pairs, {"A": a, "B": b}).collect()
+    }
+    assert rows["A"]["n_straddling"] == 3 and rows["A"]["leak_ppm"] == 1000000
+    assert rows["B"]["n_straddling"] == 0 and rows["B"]["leak_ppm"] == 0
+    assert all(r["n_pairs"] == 3 for r in rows.values())

@@ -458,3 +458,29 @@ def test_dedup_report_hand_case(spark):
     assert a["surplus_tokens"] == 2
     b = rows["b"]
     assert b["n_docs"] == 1 and b["surplus_docs"] == 0 and b["surplus_tokens"] == 0
+
+
+def test_gopher_rule_rates_hand_case(spark):
+    from trafficbigdatasearch_spark.operators import validate
+
+    flags = spark.createDataFrame(
+        [(True, True), (True, False), (False, False), (True, True)],
+        "rule_a: boolean, rule_b: boolean",
+    )
+    rows = {
+        r["rule"]: r.asDict()
+        for r in validate.gopher_rule_rates(flags).collect()
+    }
+    assert rows["rule_a"]["n_pass"] == 3 and rows["rule_a"]["pass_ppm"] == 750000
+    assert rows["rule_b"]["n_pass"] == 2 and rows["rule_b"]["pass_ppm"] == 500000
+    assert all(r["n_docs"] == 4 for r in rows.values())
+
+
+def test_gopher_rule_rates_requires_flags(spark):
+    import pytest as _pytest
+
+    from trafficbigdatasearch_spark.operators import validate
+
+    df = spark.createDataFrame([(1,)], "x: bigint")
+    with _pytest.raises(ValueError, match="boolean"):
+        validate.gopher_rule_rates(df)

@@ -637,3 +637,64 @@ def jaccard_pair_histogram(
         pairs.groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def split_leakage(
+    pairs: DataFrame,
+    splits_by_method: dict[str, DataFrame],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """SPLIT LEAKAGE audit — for each split strategy, how many near-dup
+    pairs STRADDLE the train/test boundary: the measurement that justifies
+    leakage-free (cluster-keyed) splitting, and the regression alarm that
+    catches a split-key change silently re-introducing contamination.
+    One row per method: (method, n_pairs, n_straddling, leak_ppm) with
+    leak_ppm an exact integer — the leakage-free strategy's row reading 0
+    is its guarantee MEASURED, not asserted.
+
+    Scale shape: per method, the pair set joins the (id, split) membership
+    twice on the pair ids (membership projections are two thin columns —
+    broadcastable at any corpus size) and folds map-side to one row; the
+    pair set itself is whatever generator produced it (never all-pairs
+    here).
+    """
+    if not splits_by_method:
+        raise ValueError("split_leakage: need at least one split method")
+    outs = []
+    for method, splits in splits_by_method.items():
+        s = splits.select(
+            F.col(id_col).alias("_id"), F.col(split_col).alias("_s")
+        )
+        j = (
+            pairs.join(
+                s.select(F.col("_id").alias(id_a), F.col("_s").alias("_sa")),
+                id_a,
+            )
+            .join(
+                s.select(F.col("_id").alias(id_b), F.col("_s").alias("_sb")),
+                id_b,
+            )
+        )
+        outs.append(
+            j.agg(
+                F.lit(method).alias("method"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.count_if(F.col("_sa") != F.col("_sb"))
+                .cast("bigint")
+                .alias("n_straddling"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "method",
+        "n_pairs",
+        "n_straddling",
+        F.expr("1000000 * n_straddling div n_pairs").cast("bigint").alias(
+            "leak_ppm"
+        ),
+    )

@@ -657,3 +657,39 @@ def dedup_report(
             "surplus_tokens"
         ),
     )
+
+
+def gopher_rule_rates(flags: DataFrame) -> DataFrame:
+    """Per-rule PASS RATES of a quality-flag battery — the aggregation the
+    gopher_quality_flags docstring promises a curation run performs before
+    committing to the filter, shipped as an operator: one row per boolean
+    flag column with (rule, n_docs, n_pass, pass_ppm) — pass_ppm an exact
+    integer, so the kill-rate report hash-compares.
+
+    Works over ANY frame whose boolean columns are rule flags (every
+    non-boolean column is ignored), so it composes with custom batteries,
+    not just the Gopher set.  ONE aggregate pass with one conditional
+    count per rule, unpivoted from the single wide row — the report()
+    posture: never a job per rule.
+    """
+    rules = [c for c, t in flags.dtypes if t == "boolean"]
+    if not rules:
+        raise ValueError("gopher_rule_rates: no boolean flag columns found")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        *[F.count_if(F.col(c)).cast("bigint").alias(f"_p_{c}") for c in rules],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("rule"), F.col(f"_p_{c}").alias("n_pass")
+            )
+            for c in rules
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r"), F.col("_n")).select(
+        F.col("r.rule").alias("rule"),
+        F.col("_n").alias("n_docs"),
+        F.col("r.n_pass").alias("n_pass"),
+        F.expr("1000000 * r.n_pass div _n").cast("bigint").alias("pass_ppm"),
+    )

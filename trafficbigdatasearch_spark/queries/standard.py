@@ -10201,6 +10201,115 @@ def eval_langid_confusion_q(spark, sf):
     )
 
 
+_GOPHER_RULES = [
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_alpha_words", "ok_stopwords", "passes",
+]
+
+_GOPHER_RATE_LEGS = "\n       UNION ALL ".join(
+    f"""SELECT '{r}' AS rule, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count_if({r}) AS BIGINT) AS n_pass,
+              CAST(1000000 * count_if({r}) // count(*) AS BIGINT) AS pass_ppm
+       FROM g"""
+    for r in _GOPHER_RULES
+)
+
+
+@register(
+    "quality_gopher_rates",
+    f"""WITH g AS ({{gopher}})
+       {_GOPHER_RATE_LEGS}""".format(gopher=_REGISTRY["quality_gopher"][1]),
+)
+def quality_gopher_rates_q(spark, sf):
+    """Per-rule PASS RATES of the Gopher battery (operators/validate.py::
+    gopher_rule_rates) — the aggregation quality_gopher's own docstring
+    promises ("measure every rule's kill rate before committing to the
+    filter"), now a first-class measured row instead of a consumer
+    exercise: one row per rule plus the conjunction, with exact-ppm pass
+    rates over the registered battery verbatim (its oracle embeds as the
+    CTE).  The operator works over ANY boolean-flag frame, so custom
+    batteries get the same report.  ONE aggregate pass, one conditional
+    count per rule, unpivoted from the single wide row — never a job per
+    rule."""
+    from trafficbigdatasearch_spark.operators import validate as V
+
+    flags = V.gopher_quality_flags(
+        load_table(spark, sf, "documents"), min_words=30
+    )
+    return V.gopher_rule_rates(flags.drop("doc_id", "n_words"))
+
+
+@register(
+    "eval_split_leakage",
+    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
+       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
+               UNION SELECT id_b, id_a FROM lsh_pairs),
+       nds AS (SELECT DISTINCT u AS id FROM eds),
+       walk(id, lab) AS (
+         SELECT id, id FROM nds
+         UNION
+         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
+       ),
+       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
+                FROM walk GROUP BY id),
+       labl AS (SELECT d.doc_id,
+                       COALESCE(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       naive AS (SELECT doc_id,
+                        CASE WHEN {_BUCKET_SQL.format(salt='split')} < 9000
+                             THEN 'train' ELSE 'test' END AS split
+                 FROM documents),
+       safe AS (SELECT doc_id,
+                       CASE WHEN ('0x' || substr(md5('split' ||
+                                  CAST(component AS VARCHAR)), 1, 7))::BIGINT
+                                 % {sampling.BUCKETS} < 9000
+                            THEN 'train' ELSE 'test' END AS split
+                FROM labl),
+       m AS (
+         SELECT 'naive_hash' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count_if(a.split <> b.split) AS BIGINT) AS n_straddling
+         FROM lsh_pairs p
+         JOIN naive a ON a.doc_id = p.id_a
+         JOIN naive b ON b.doc_id = p.id_b
+         UNION ALL
+         SELECT 'leakage_free', CAST(count(*) AS BIGINT),
+                CAST(count_if(a.split <> b.split) AS BIGINT)
+         FROM lsh_pairs p
+         JOIN safe a ON a.doc_id = p.id_a
+         JOIN safe b ON b.doc_id = p.id_b)
+       SELECT method, n_pairs, n_straddling,
+              CAST(1000000 * n_straddling // n_pairs AS BIGINT) AS leak_ppm
+       FROM m""",
+)
+def eval_split_leakage_q(spark, sf):
+    """SPLIT LEAKAGE audit (operators/evalrank.py::split_leakage) — the
+    measurement that JUSTIFIES sample_split_leakage_free: for the
+    registered LSH near-dup pair set, how many pairs straddle the
+    train/test boundary under (a) the naive per-document hash split and
+    (b) the cluster-keyed leakage-free split.  The leakage-free row
+    reading n_straddling = 0 is that operator's guarantee MEASURED in the
+    driver's own artifact (by construction both members of a pair share a
+    component, hence a split); the naive row's nonzero straddle count
+    (E = 2·p·(1−p) ≈ 18% of pairs for a 90/10 split; the small sf0.01
+    pair set realizes 1/30) is the contamination a per-doc split
+    silently ships to eval.  Per
+    method: two thin membership joins on the pair ids + one map-side
+    fold; exact-ppm output, 2 rows."""
+    from trafficbigdatasearch_spark.operators import evalrank as EV
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
+    naive = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    safe = sampling.leakage_free_split(
+        docs, pairs, {"train": 0.9, "test": 0.1}
+    )
+    return EV.split_leakage(
+        pairs,
+        {"naive_hash": naive.select("doc_id", "split"),
+         "leakage_free": safe.select("doc_id", "split")},
+    )
+
+
 # ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
 # order — enters the r9 window FIRST per the slot-priority rule):
 #   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
@@ -10371,13 +10480,13 @@ def eval_langid_confusion_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 35 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 29 continuation registrations
+#   the queue grew from 6 to 37 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 31 continuation registrations
 #   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
 #   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
 #   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
 #   lead the r12 queue instead; items 3-4 also defer to r12):
-#   1. the ROUND-11 QUEUE below (35 never-driver-checked rows, of which
+#   1. the ROUND-11 QUEUE below (37 never-driver-checked rows, of which
 #      the first 27 fit r11's rotating slots: the 6
 #      post-freeze registrations first — they have waited a full round —
 #      then the 21 continuation registrations in registration order:
@@ -10390,7 +10499,8 @@ def eval_langid_confusion_q(spark, sf):
 #      q6_forecast_revenue, q10_returned_items, then (r12-first)
 #      sample_poisson_bootstrap, quality_dedup_report, text_vocab_curve,
 #      quality_syndication, eval_jaccard_histogram, ts_peaks,
-#      mm_scene_changes, eval_langid_confusion — every one green under a
+#      mm_scene_changes, eval_langid_confusion, quality_gopher_rates,
+#      eval_split_leakage — every one green under a
 #      same-session tools/driver_sim rehearsal at sf0.01 and continuously
 #      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
@@ -10575,6 +10685,14 @@ def eval_langid_confusion_q(spark, sf):
 #       eval_langid_confusion (predicted-vs-labeled language matrix over
 #                              the registered lang-id chain — the bias
 #                              audit feeding per-language mixture math)
+##       quality_gopher_rates  (per-rule pass rates of the registered
+#                              battery in exact ppm — the kill-rate
+#                              report the battery's docstring promises;
+#                              works over any boolean-flag frame)
+#       eval_split_leakage    (near-dup pairs straddling train/test under
+#                              naive vs cluster-keyed splits — the
+#                              leakage-free guarantee MEASURED: its row
+#                              reads 0 straddling)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
