@@ -1201,9 +1201,11 @@ def syndication_matrix(
 
     Scale shape: rides the inverted-index pair generator (never
     all-pairs); the source lookup is two joins against the (id, source)
-    projection — at 100 TB that projection is kilobytes-per-million-docs
-    and broadcastable; the closing count is map-side combined with output
-    bounded by |sources|².
+    projection — thin but CORPUS-SIZED, so at scale they hash-join on the
+    pair ids (shuffle bounded by pair volume + the two-column projection;
+    AQE broadcasts it only while it fits — the 1KB audit shape); the
+    closing count is map-side combined with output bounded by
+    |sources|².
     """
     pairs = ngram_jaccard_pairs(
         docs, id_col, text_col, n=n, threshold=threshold,

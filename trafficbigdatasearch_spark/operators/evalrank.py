@@ -656,10 +656,14 @@ def split_leakage(
     is its guarantee MEASURED, not asserted.
 
     Scale shape: per method, the pair set joins the (id, split) membership
-    twice on the pair ids (membership projections are two thin columns —
-    broadcastable at any corpus size) and folds map-side to one row; the
-    pair set itself is whatever generator produced it (never all-pairs
-    here).
+    twice on the pair ids and folds map-side to one row.  The membership
+    projection is thin but CORPUS-SIZED (one row per doc), so at scale
+    these are hash/sort-merge joins shuffling on the ids — bounded by
+    pair volume plus the two-column projection, never by corpus width;
+    the 1KB broadcast audit confirms the plan degrades to exactly that
+    shape (AQE broadcasting at toy scale is the rescue, not the design).
+    The pair set itself is whatever generator produced it (never
+    all-pairs here).
     """
     if not splits_by_method:
         raise ValueError("split_leakage: need at least one split method")
