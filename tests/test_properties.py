@@ -741,3 +741,84 @@ def test_key_skew_profile_matches_reference(spark, seed):
     assert got["p90_size"] == pct(90)
     assert got["p99_size"] == pct(99)
     assert got["max_share_ppm"] == 1_000_000 * max(sizes) // sum(sizes)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_hopping_window_matches_reference(spark, seed):
+    """hopping_window_agg's window assignment + cents sums vs a pure-python
+    fold on random event sets (epoch-aligned 1h/15min windows)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+
+    rnd = random.Random(seed)
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [
+        (
+            (base + timedelta(minutes=rnd.randrange(0, 600),
+                              seconds=rnd.randrange(60))).replace(tzinfo=None),
+            rnd.choice("ab"),
+            rnd.choice([None, round(rnd.uniform(-5, 5), 2)]),
+        )
+        for _ in range(rnd.randint(1, 60))
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, event_type: string, value: double"
+    )
+    got = {
+        (r["key"], r["win_start"]): (r["n"], r["sum_cents"])
+        for r in TS.hopping_window_agg(df).collect()
+    }
+    expect: dict = {}
+    for ts, k, v in rows:
+        if v is None:
+            continue
+        epoch = int(ts.replace(tzinfo=timezone.utc).timestamp())
+        base15 = epoch - epoch % 900
+        for j in range(4):
+            ws = datetime.utcfromtimestamp(base15 - j * 900)
+            n, c = expect.get((k, ws), (0, 0))
+            expect[(k, ws)] = (n + 1, c + round(v * 100))
+    assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@PROP
+def test_scene_changes_matches_reference(spark, seed):
+    """scene_changes framing/hashing/boundary logic vs a pure-python
+    recomputation on random ASCII payloads."""
+    import hashlib
+    import random
+
+    from trafficbigdatasearch_spark.operators import multimodal
+
+    rnd = random.Random(seed)
+    W = rnd.choice([3, 5, 8])
+    assets = []
+    for aid in range(rnd.randint(1, 5)):
+        n = rnd.randrange(0, 40)
+        payload = "".join(rnd.choice("abc") for _ in range(n))
+        assets.append((aid, "video", bytearray(payload.encode()), "{}"))
+    df = spark.createDataFrame(
+        assets,
+        "asset_id: bigint, media_type: string, payload: binary, meta: string",
+    )
+    got = {
+        (r["asset_id"], r["frame_idx"]): (r["hamming"], r["is_boundary"])
+        for r in multimodal.scene_changes(df, frame_chars=W, threshold=2).collect()
+    }
+    expect: dict = {}
+    for aid, _m, payload, _meta in assets:
+        text = bytes(payload).decode()
+        if not text:
+            continue
+        frames = [text[i:i + W] for i in range(0, len(text), W)]
+        phs = [
+            int(hashlib.md5(f.encode()).hexdigest()[:4], 16) for f in frames
+        ]
+        for i in range(1, len(phs)):
+            h = bin(phs[i] ^ phs[i - 1]).count("1")
+            expect[(aid, i)] = (h, h > 2)
+    assert got == expect
