@@ -952,3 +952,36 @@ def test_stream_stream_max_trip_contract(spark):
         obs, toll, speed_base, bbox, max_trip="12 hours"
     ).agg(F.sum("speed_limit_num")).collect()[0][0]
     assert full == 2
+
+
+def test_stream_hopping_under_rocksdb_provider(spark, sf_dir):
+    """The overlapping-window state path under the prescribed RocksDB
+    provider: the hopping aggregate drains with results identical to the
+    batch operator — extends the provider pin from dedup state to the
+    multi-window-per-event aggregation state (r10 continuation)."""
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+    from trafficbigdatasearch_spark.queries import standard as SQ
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = TS.hopping_window_agg(
+            SQ._stream_events_source(spark, sf_dir)
+        )
+        got = SQ._drain_to_memory(agg, "t_hop_rocks", "complete")
+        batch = TS.hopping_window_agg(
+            load_table(spark, sf_dir, "events")
+        )
+        g = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert g == b and len(g) > 0
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
