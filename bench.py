@@ -225,6 +225,7 @@ HEADLINE = [
     "eval_langid_confusion",
     "quality_gopher_rates",
     "eval_split_leakage",
+    "dedup_cross_corpus",
 ]
 
 

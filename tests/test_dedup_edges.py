@@ -652,3 +652,53 @@ def test_syndication_matrix_hand_case(spark):
     # cross-source pairs: (1,2) alpha-beta and (2,3) alpha-beta;
     # the same-source (1,3) pair is excluded
     assert out == {("alpha", "beta"): 2}
+
+
+def test_cross_corpus_pairs_cross_only_and_complete(spark):
+    from trafficbigdatasearch_spark.operators import dedup
+
+    a = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (2, "completely different text about spark planners here"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),  # dup of 0
+            (3, "unrelated musings on parquet footers and stripes"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.cross_corpus_pairs(a, b).collect()}
+    # the exact dup must surface; every pair is (A-side, B-side)
+    assert (0, 1) in got
+    assert all(x in (0, 2) and y in (1, 3) for x, y in got)
+
+
+def test_cross_corpus_matches_full_lsh_cross_subset(spark, sf_dir):
+    """cross_corpus_pairs over an even/odd split equals the full LSH pair
+    set restricted to cross pairs (same fabric, same candidates)."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.catalog import load_table
+    from trafficbigdatasearch_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup.minhash_lsh_pairs(docs, k=8, bands=4, n=3)
+    cross_full = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 2 == 0 else (r["id_b"], r["id_a"])
+        for r in full.collect()
+        if r["id_a"] % 2 != r["id_b"] % 2
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cross_corpus_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            k=8, bands=4, n=3,
+        ).collect()
+    }
+    assert got == cross_full

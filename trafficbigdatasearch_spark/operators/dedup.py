@@ -1232,3 +1232,55 @@ def syndication_matrix(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def cross_corpus_pairs(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """SYMMETRIC cross-corpus near-dup candidates — the corpus-MERGER
+    shape (unify two crawls, absorb an acquired dataset): both sides are
+    LARGE, so neither the incremental operator's broadcast-the-increment
+    posture nor decontamination's broadcast-the-benchmark posture applies.
+    Instead both corpora band independently and meet in ONE equi-join on
+    the (band, bucket) key — the only plan that scales when both sides are
+    data-sized, and exactly the shape a persisted band index on either
+    side slots into (join the other side's banding against the index).
+
+    Returns (id_a, id_b) with id_a from A and id_b from B, distinct —
+    cross pairs ONLY (within-corpus dedup is each side's own batch job).
+    Feed the pairs to a verify stage (``ngram_jaccard_pairs``-style exact
+    rescore) or directly to connected components for merge survivorship.
+
+    Skew guard: the bucket cap bounds each (band, bucket) cell's fan-out
+    ON EACH SIDE before the join (window count over each side's own
+    banding exchange — the hamming_pairs guard applied per corpus), so a
+    boilerplate band value cannot explode the cross product; candidates
+    lost to the cap are the usual noise-bucket recall trade, documented at
+    the cap row in SCALING.md.
+    """
+    ba = minhash_band_buckets(corpus_a, id_col, text_col, k, bands, n).select(
+        F.col("id").alias("id_a"), "band", "bucket"
+    )
+    bb = minhash_band_buckets(corpus_b, id_col, text_col, k, bands, n).select(
+        F.col("id").alias("id_b"), "band", "bucket"
+    )
+    if max_bucket_size is not None:
+        wa = Window.partitionBy("band", "bucket")
+        ba = (
+            ba.withColumn("_n", F.count("*").over(wa))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+        bb = (
+            bb.withColumn("_n", F.count("*").over(wa))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    return ba.join(bb, ["band", "bucket"]).select("id_a", "id_b").distinct()

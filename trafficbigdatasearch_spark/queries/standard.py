@@ -10480,13 +10480,13 @@ def eval_split_leakage_q(spark, sf):
 #                              + the benched dedup_simhash_pairs sibling
 #
 #   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 37 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 31 continuation registrations
+#   the queue grew from 6 to 38 never-driver-checked rows — the 6 original
+#   post-freeze registrations plus the 32 continuation registrations
 #   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
 #   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
 #   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
 #   lead the r12 queue instead; items 3-4 also defer to r12):
-#   1. the ROUND-11 QUEUE below (37 never-driver-checked rows, of which
+#   1. the ROUND-11 QUEUE below (38 never-driver-checked rows, of which
 #      the first 27 fit r11's rotating slots: the 6
 #      post-freeze registrations first — they have waited a full round —
 #      then the 21 continuation registrations in registration order:
@@ -10500,7 +10500,7 @@ def eval_split_leakage_q(spark, sf):
 #      sample_poisson_bootstrap, quality_dedup_report, text_vocab_curve,
 #      quality_syndication, eval_jaccard_histogram, ts_peaks,
 #      mm_scene_changes, eval_langid_confusion, quality_gopher_rates,
-#      eval_split_leakage — every one green under a
+#      eval_split_leakage, dedup_cross_corpus — every one green under a
 #      same-session tools/driver_sim rehearsal at sf0.01 and continuously
 #      oracle-verified at sf0.001 by the parameterized pytest sweep);
 #   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
@@ -10520,6 +10520,36 @@ def eval_split_leakage_q(spark, sf):
 #      w_trailing_range, stream_sessions, sketch_segment_overlap,
 #      sim_pq_codes).
 #
+@register(
+    "dedup_cross_corpus",
+    f"""WITH {_band_cte('documents', 'X')},
+       ca AS (SELECT * FROM bandX WHERE doc_id % 2 = 0),
+       cb AS (SELECT * FROM bandX WHERE doc_id % 2 = 1)
+       SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
+       FROM ca JOIN cb
+         ON ca.band = cb.band AND ca.bucket = cb.bucket""",
+)
+def dedup_cross_corpus_q(spark, sf):
+    """SYMMETRIC cross-corpus near-dup candidates (operators/dedup.py::
+    cross_corpus_pairs) — the corpus-MERGER shape completing the dedup
+    deployment matrix: within-corpus (dedup_minhash_lsh), small-increment
+    vs corpus (dedup_incremental, increment broadcasts), corpus vs small
+    benchmark (decontaminate, benchmark broadcasts), and now LARGE vs
+    LARGE, where no side fits a broadcast and the only scaling plan is
+    both sides banding independently and meeting in ONE equi-join on the
+    (band, bucket) key.  Even/odd doc ids stand in for the two crawls;
+    cross pairs only (each side's internal dedup is its own batch job);
+    the per-side bucket cap bounds any boilerplate band value's fan-out
+    BEFORE the join.  Same candidate semantics as the registered LSH
+    fabric, so the oracle is the band chain restricted to cross pairs."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.cross_corpus_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=_MINHASH_K, bands=4, n=3,
+    )
+
+
 # =============================================================================
 # ROUND-10 CONTINUATION CLOSING STATE (the second r10 session, after the
 # round's first definitive close at 203 rows): 33 new registrations landed
@@ -10716,6 +10746,11 @@ def eval_split_leakage_q(spark, sf):
 #                              naive vs cluster-keyed splits — the
 #                              leakage-free guarantee MEASURED: its row
 #                              reads 0 straddling)
+##       dedup_cross_corpus    (LARGE-vs-LARGE corpus-merger dedup: both
+#                              sides band independently, ONE equi-join on
+#                              (band, bucket), per-side bucket caps —
+#                              completes the dedup deployment matrix's
+#                              fourth quadrant)
 #
 # ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
 # stable 22 stay put):
