@@ -10552,26 +10552,33 @@ def dedup_cross_corpus_q(spark, sf):
 
 # =============================================================================
 # ROUND-10 CONTINUATION CLOSING STATE (the second r10 session, after the
-# round's first definitive close at 203 rows): 33 new registrations landed
-# (203 -> 234 individually-rehearsed oracle rows), every one green under a
+# round's first definitive close at 203 rows): 34 new registrations landed
+# (203 -> 235 individually-rehearsed oracle rows), every one green under a
 # same-session tools/driver_sim rehearsal at sf0.01 (dtype-strict) in its
-# registration batch, and the FULL registry swept 232/232 green mid-session
-# (the last two rows, quality_gopher_rates / eval_split_leakage, rehearsed
-# 2/2 + parameterized-pytest green post-sweep).  Suite: 716 passed /
-# 2 skipped (from 642 at session start; +74 tests incl. brute-force
-# parity, hypothesis properties, and hand-case goldens for every new
-# operator).  Bench: quiet-host close at 198 headline queries, 222.7 s
-# warm / 297.2 s cold, ZERO band flags and ZERO transient triages
-# (BENCH_local.json; loadavg bracketed in-artifact).  Scale evidence:
+# registration batch; the FULL registry swept 232/232 green mid-session and
+# the three post-sweep rows (quality_gopher_rates, eval_split_leakage,
+# dedup_cross_corpus) rehearsed green individually and again under the
+# final suite's parameterized sweep.  Suite at close: 727 passed /
+# 2 skipped (from 642 at session start; +85 tests incl. brute-force
+# parity, hypothesis properties, hand-case goldens, and a RocksDB
+# state-store pin for the hopping streaming aggregate).  Bench: the
+# cleanest close ran 198 headline queries at 222.7 s warm / 297.2 s cold
+# with ZERO band flags and ZERO transient triages; the final 199-query
+# artifact (BENCH_local.json) recorded 272.6 s with ZERO reproduced flags
+# — its six roster-leading first-run ratios all self-triaged transient
+# (reruns 1.5-2.3x best-prior, the warmup class), the r10 self-triage
+# mechanism doing exactly its job.  Scale evidence added this session:
 # tools/curriculum_probe.py (two-level prefix 3.7/7.6/19.3 s vs naive
 # global row_number 3.1/12.6/51.1 s at 0.8M/3.2M/12.8M docs, positions
-# asserted identical) and a full-registry tools/broadcast_audit.py re-run
-# whose triage corrected two over-broad docstring broadcast claims
-# (split_leakage membership join, syndication source lookup) to the
-# shuffle-on-pair-ids posture the 1KB replan shows — no plan changes
-# needed, the plans were already right.  The five /verify surfaces
-# (facade, driver contract, streaming, bench, oracle rehearsal) were all
-# driven this session.
+# asserted identical), tools/phash_inc_probe.py (increment FLAT
+# 1.68/1.74/3.25 s vs full re-dedup 6.7/10.8/179.6 s across a 100k ->
+# 1.6M decade, cross pairs asserted identical), and a full-registry
+# tools/broadcast_audit.py re-run whose triage corrected two over-broad
+# docstring broadcast claims (split_leakage membership join, syndication
+# source lookup) to the shuffle-on-pair-ids posture the 1KB replan shows
+# — no plan changes needed, the plans were already right.  The five
+# /verify surfaces (facade, driver contract, streaming, bench, oracle
+# rehearsal) were all driven this session.
 # =============================================================================
 # ROUND-11 ROTATION QUEUE (registered after the round-10 window was frozen
 # and rehearsed — never driver-checked; enters the r11 window FIRST per
