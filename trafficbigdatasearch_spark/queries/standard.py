@@ -10562,12 +10562,12 @@ def dedup_cross_corpus_q(spark, sf):
 # 2 skipped (from 642 at session start; +85 tests incl. brute-force
 # parity, hypothesis properties, hand-case goldens, and a RocksDB
 # state-store pin for the hopping streaming aggregate).  Bench: the
-# cleanest close ran 198 headline queries at 222.7 s warm / 297.2 s cold
-# with ZERO band flags and ZERO transient triages; the final 199-query
-# artifact (BENCH_local.json) recorded 272.6 s with ZERO reproduced flags
-# — its six roster-leading first-run ratios all self-triaged transient
-# (reruns 1.5-2.3x best-prior, the warmup class), the r10 self-triage
-# mechanism doing exactly its job.  Scale evidence added this session:
+# definitive close (BENCH_local.json) ran the full 199-query headline at
+# 222.3 s warm / 290.1 s cold with ZERO band flags and ZERO transient
+# triages; an intermediate contended run (272.6 s) had its six
+# roster-leading warmup ratios all self-triage transient with zero
+# reproduced flags — the r10 self-triage mechanism doing exactly its
+# job both ways.  Scale evidence added this session:
 # tools/curriculum_probe.py (two-level prefix 3.7/7.6/19.3 s vs naive
 # global row_number 3.1/12.6/51.1 s at 0.8M/3.2M/12.8M docs, positions
 # asserted identical), tools/phash_inc_probe.py (increment FLAT
