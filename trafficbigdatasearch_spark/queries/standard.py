@@ -10555,10 +10555,12 @@ def dedup_cross_corpus_q(spark, sf):
 # round's first definitive close at 203 rows): 34 new registrations landed
 # (203 -> 235 individually-rehearsed oracle rows), every one green under a
 # same-session tools/driver_sim rehearsal at sf0.01 (dtype-strict) in its
-# registration batch; the FULL registry swept 232/232 green mid-session and
+# registration batch; the FULL registry swept 232/232 green mid-session,
 # the three post-sweep rows (quality_gopher_rates, eval_split_leakage,
-# dedup_cross_corpus) rehearsed green individually and again under the
-# final suite's parameterized sweep.  Suite at close: 727 passed /
+# dedup_cross_corpus) rehearsed green individually and under the final
+# suite's parameterized sweep, and the closing full tools/driver_sim
+# sweep on shipping code is 235/235 green (dtype-strict, sf0.01, zero
+# errors).  Suite at close: 727 passed /
 # 2 skipped (from 642 at session start; +85 tests incl. brute-force
 # parity, hypothesis properties, hand-case goldens, and a RocksDB
 # state-store pin for the hopping streaming aggregate).  Bench: the
