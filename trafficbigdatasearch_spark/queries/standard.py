@@ -8474,6 +8474,31 @@ def pipeline_mm_dedup_q(spark, sf):
 #     every session by pytest + the dtype-strict tools/driver_sim rehearsal
 #     (94/94 at sf0.01).
 #
+# STALENESS BOUND, REVISED (round 11, per VERDICT r10 #8): the original
+# "~2 rounds" bound was written for a ~100-row registry; at 235 rows with
+# 28 rotating slots the arithmetic is 28 x 2 = 56 < 185 non-stable rows,
+# so it cannot hold and is retired.  The revised contract:
+#   (a) NEVER-CHECKED FIRST is unchanged and absolute — a query's first
+#       driver row converts its whole capability family, so the
+#       never-checked queue always outranks staleness refresh.  With ~28
+#       slots/round the queue drains in ceil(backlog/28) rounds; r11 takes
+#       27 of the 38-row backlog, r12 takes the remaining 11 plus any r11
+#       registrations.
+#   (b) CHANGED-CODE CYCLE-BACKS outrank stale refresh: any row whose code
+#       path changed since its last driver row re-enters the next window.
+#   (c) Stale refresh is BEST-EFFORT with leftover slots, oldest-first.
+#       The staleness guarantee for rotated-out rows is no longer a driver
+#       row every ~2 rounds; it is the continuous gate that has always
+#       been the real backstop: EVERY registered row is oracle-verified at
+#       sf0.001 by each pytest run (tests/test_entry_correctness.py
+#       parameterizes the full registry) and at sf0.01 by each session's
+#       tools/driver_sim sweep (235/235 in r10).  Driver rows re-verify
+#       what those gates already hold green; they never substitute for it.
+#   (d) REGISTRATION PACING: new rows enter the QUEUE (not the window) in
+#       registration order when the queue is longer than one round's
+#       rotating capacity; "new queries enter in their first round"
+#       applies only while the queue fits one window.
+#
 # Round-4 rotation (r3 swaps are in git history at this comment's previous
 # version):
 #   in  (the 8 entries that had never had a driver row in rounds 1-3)
@@ -10895,10 +10920,53 @@ def dedup_cross_corpus_q(spark, sf):
 #                               predicate family)
 #       j1_equi_join_dims, j3_or_key_union -> q3_shipping_priority (stable
 #                               TPC-H equi-join + broadcast dims)
+#
+# Round-11 rotation (per VERDICT r10 #1 and the r11 slot guidance above):
+#   in  27 of the 38-row never-checked queue (the 6 post-freeze r10
+#       registrations + the 21 continuation registrations, in the exact
+#       queue order) + the text_bm25_indexed changed-code cycle-back.
+#       The remaining 11 queue rows (sample_poisson_bootstrap,
+#       quality_dedup_report, text_vocab_curve, quality_syndication,
+#       eval_jaccard_histogram, ts_peaks, mm_scene_changes,
+#       eval_langid_confusion, quality_gopher_rates, eval_split_leakage,
+#       dedup_cross_corpus) lead the ROUND-12 QUEUE.
+#   out (all 28 r10 rotating rows went GREEN in CORRECTNESS_r10 and yield
+#        per policy; in-window siblings):
+#       j_asof_tolerance, sample_priority -> j_asof / sample_* queue rows
+#                               (j_asof_nearest, sample_priority_grouped
+#                               exercise the same changed code paths)
+#       pipeline_training_mix, dedup_keep_best -> pipeline_dedup_corpus
+#                               (stable) + pipeline_curriculum (in)
+#       graph_cc_incremental -> dedup_incremental (stable) +
+#                               graph_component_stats (in, CC machinery)
+#       sim_token_cosine, sim_ivf_append -> sim_ivf_indexed / sim_pq_adc_
+#                               topk (stable ANN fabric)
+#       ts_cusum             -> ts_seasonality / ts_acf (in, same module)
+#       quality_gopher       -> quality_report (stable) + stream_gopher_
+#                               gate (in, same gate expressions)
+#       decontaminate_fuzzy, decontaminate_semantic, stream_semantic_gate
+#                            -> decontaminate (stable family flagship)
+#       pipeline_lm_filter   -> text_lang_id + quality_report (stable)
+#       eval_rec_hdcg        -> eval_rec_coverage (in, same rec fabric)
+#       text_bm25_append     -> text_phrase_indexed (stable) +
+#                               text_bm25_indexed (cycle-back, in)
+#       sim_bitext_margin    -> sim_embedding_near_dup (stable exact-cosine
+#                               rerank engine)
+#       eval_cluster_purity  -> eval_pq_distortion (in, same IVF-cell
+#                               measurement loop)
+#       a_distinct_count, f_json_extract, f_string_funcs, w_row_number,
+#       time_bucket_hourly, text_metrics, text_pii_scrub, text_fingerprint,
+#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures
+#                            -> refreshed green in r10; scalar-function /
+#                               window / fingerprint machinery held by
+#                               stable w_sessionize, text_chunk_docs,
+#                               text_lang_id, sketch_distinct_rollup,
+#                               dedup_incremental (signature stage)
 # =============================================================================
 
 _WINDOW = [
-    # --- stable flagship slots (22) --------------------------------------
+    # --- stable flagship slots (22, unchanged from r10: one flagship per
+    # capability family; every round re-verifies the load-bearing paths) --
     "p_bbox_filter",
     "j_asof",
     "w_sessionize",
@@ -10921,69 +10989,43 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 10: the r10 queue — every remaining
-    # never-driver-checked row (the 7 post-freeze r9 registrations, judge-
-    # rehearsed 7/7 green) plus sim_ivf_append, registered THIS round
-    # (IVF index maintenance, verdict r9 #6: merged index ≡ full rebuild
-    # at fixed centroids; new queries enter in their first round) -----------
-    "j_asof_tolerance",
-    "pipeline_training_mix",
-    "graph_cc_incremental",
-    "sim_token_cosine",
-    "ts_cusum",
-    "sample_priority",
-    "quality_gopher",
-    "sim_ivf_append",
-    # --- rotating slots, round 10: changed-code cycle-backs promised in
-    # the r9 closing state (decontaminate_fuzzy's verify join was rewritten
-    # by the r9 broadcast audit AFTER its last driver row;
-    # pipeline_lm_filter gained the materialize() stage; eval_rec_hdcg
-    # carries the ADVICE-r8 k<=42 lcm guard).  j_asof_tolerance +
-    # sample_priority above double as THIS session's changed-code rows
-    # (ADVICE r9: struct-carried as-of match, NaN-weight exclusion);
-    # stable j_asof / mm_phash_pairs cover the other touched paths. --------
-    "decontaminate_fuzzy",
-    "pipeline_lm_filter",
-    "eval_rec_hdcg",
-    # --- rotating slots, round 10: dedup_keep_best — the heaviest
-    # non-pipeline query, A/B-bracketed this session (verdict r9 #3);
-    # its driver row refreshes alongside the recorded bracket -------------
-    "dedup_keep_best",
-    # --- rotating slots, round 10: the mid-r10 registrations (new
-    # queries enter in their first round): text_bm25_append (the
-    # text-index maintenance twin of sim_ivf_append), sim_bitext_margin
-    # (margin-based bitext mining), decontaminate_semantic (the
-    # embedding-space decontamination member).  They take the slots of
-    # the stale rows with the strongest in-window coverage —
-    # j1_equi_join_dims / j3_or_key_union (the only r2 rows whose full
-    # code path a STABLE slot, q3_shipping_priority, already exercises;
-    # j3's union machinery is additionally benched every round) and
-    # sim_lsh_topk / sim_brute_topk (their bucket fabric and exact-cosine
-    # rerank engine are exercised by in-window sim_bitext_margin +
-    # sim_ivf_* and benched as eval_ivf_recall's exact baseline) -----------
-    "text_bm25_append",
-    "sim_bitext_margin",
-    "decontaminate_semantic",
-    "eval_cluster_purity",
-    "stream_semantic_gate",
-    # --- rotating slots, round 10: oldest-stale (last green r2) — 12 of
-    # the 16 remaining r2 rows fit (j1/j3/sim_lsh_topk/sim_brute_topk
-    # yield per the note above and lead the r11 stale queue); every one of
-    # the 16 is still continuously oracle-verified at sf0.001 by each
-    # pytest run (tests/test_entry_correctness.py parameterizes ALL
-    # registry rows), so yielding trades driver-row freshness, not
-    # verification coverage ------------------------------------------------
-    "a_distinct_count",
-    "f_json_extract",
-    "f_string_funcs",
-    "w_row_number",
-    "time_bucket_hourly",
-    "text_metrics",
-    "text_pii_scrub",
-    "text_fingerprint",
-    "text_rolling_fingerprint",
-    "text_top_ngrams",
-    "dedup_minhash_signatures",
+    # --- rotating slots, round 11 (28): the ROUND-11 QUEUE head, exactly
+    # as the r10 close and VERDICT r10 #1 ordered it.  First the 6
+    # post-freeze r10 registrations (they have waited a full round) -------
+    "j_asof_nearest",
+    "eval_lsh_recall",
+    "eval_score_calibration",
+    "sample_priority_grouped",
+    "sample_quota_split",
+    "text_vocab_oov",
+    # --- then the 21 continuation registrations in registration order ----
+    "graph_clustering_coeff",
+    "graph_modularity",
+    "eval_pq_distortion",
+    "a_hopping_window",
+    "quality_key_skew",
+    "stream_gopher_gate",
+    "ts_seasonality",
+    "stream_hopping",
+    "graph_assortativity",
+    "eval_rec_coverage",
+    "eval_minhash_error",
+    "ts_acf",
+    "pipeline_curriculum",
+    "j_spatial_knn",
+    "quality_profile_drift",
+    "graph_component_stats",
+    "sample_triplets",
+    "mm_phash_incremental",
+    "w_streaks",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # --- changed-code cycle-back promised in the r10 closing state:
+    # build_text_index was refactored into the shared _write_index_parts
+    # in r10 AFTER text_bm25_indexed's last driver row (the path ran green
+    # in-window via text_bm25_append/text_phrase_indexed, but its own row
+    # refreshes here) ------------------------------------------------------
+    "text_bm25_indexed",
 ]
 
 assert len(_WINDOW) == 50, len(_WINDOW)
