@@ -18,10951 +18,52 @@ values):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from trafficbigdatasearch_spark.catalog import load_table
-from trafficbigdatasearch_spark.functions import text as T
-from trafficbigdatasearch_spark.functions import vectors as V
-from trafficbigdatasearch_spark.operators import (
-    dedup,
-    graph,
-    joins,
-    multimodal,
-    packing,
-    sampling,
-    similarity,
-)
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn: QueryFn):
-        _REGISTRY[name] = (fn, sql)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
-
-
-def _cents(col):
-    """x (2-decimal money as double) -> exact integer cents."""
-    return F.round(col * 100).cast("bigint")
-
-
-def _dsum(col):
-    """Exact money sum: integer-cent sum (order-independent, overflow-free in
-    int64 at any realistic SF) cast to double, /100.  Bit-identical to the
-    oracle's ``CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100``."""
-    return F.sum(_cents(col)).cast("double") / 100
-
-
-# =============================================================================
-# §2.1/2.2 — scans, projections, filters, predicates
-# =============================================================================
-
-
-@register(
-    "s_scan_project",
-    """SELECT l_orderkey AS okey, l_linenumber AS lineno, l_returnflag AS rflag
-       FROM lineitem WHERE l_linenumber = 1""",
-)
-def s_scan_project(spark, sf):
-    """S1-S8/P5/P6: schema-ful scan + projection + aliasing.  Catalyst prunes
-    the parquet read to 3 columns and pushes the filter to the scan."""
-    return (
-        load_table(spark, sf, "lineitem")
-        .filter(F.col("l_linenumber") == 1)
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("l_linenumber").alias("lineno"),
-            F.col("l_returnflag").alias("rflag"),
-        )
-    )
-
-
-@register(
-    "p_bbox_filter",
-    """SELECT event_id, user_id, value FROM events
-       WHERE value BETWEEN 50.0 AND 150.0 AND user_id BETWEEN 10 AND 40""",
-)
-def p_bbox_filter(spark, sf):
-    """P1: the 2-D closed-interval predicate (bbox analog on value×user_id)."""
-    ev = load_table(spark, sf, "events")
-    return ev.filter(
-        F.col("value").between(50.0, 150.0) & F.col("user_id").between(10, 40)
-    ).select("event_id", "user_id", "value")
-
-
-@register(
-    "p_time_range_closed",
-    """SELECT CAST(hour(ts) AS INTEGER) AS time_period, COUNT(*) AS n
-       FROM events
-       WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
-       GROUP BY 1""",
-)
-def p_time_range_closed(spark, sf):
-    """P2+A1: closed temporal range + group-by-hour count — the accident
-    query's shape on the events table."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-12 00:00:00"))
-        .groupBy(F.hour("ts").cast("int").alias("time_period"))
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "p_time_range_halfopen",
-    """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day, COUNT(*) AS n
-       FROM lineitem
-       WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-         AND l_shipdate <  TIMESTAMP '1998-07-01 00:00:00'
-       GROUP BY 1""",
-)
-def p_time_range_halfopen(spark, sf):
-    """P3: half-open range (the AverageSpeed form) + daily bucketing."""
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-07-01")
-        )
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"))
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "p_calendar_eq",
-    """SELECT event_type, COUNT(*) AS n FROM events
-       WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY event_type""",
-)
-def p_calendar_eq(spark, sf):
-    """P4: calendar-equality predicate (the "today" slice)."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "p_segments_case",
-    """SELECT seg AS car_type, COUNT(*) AS n,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
-       FROM (
-         SELECT o_totalprice,
-                CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN '01'
-                     WHEN o_orderpriority = '1-URGENT' THEN '02'
-                     WHEN o_orderstatus = 'F' THEN '03'
-                     ELSE '04' END AS seg
-         FROM orders) s
-       WHERE o_totalprice > (CASE WHEN seg = '04' THEN 100000.0 ELSE 150000.0 END)
-       GROUP BY seg""",
-)
-def p_segments_case(spark, sf):
-    """P7/P8/A1: the reference's 4-scan segment family (car_type × threshold,
-    src/OverSpeedCount.scala:133-136) fused into ONE CASE WHEN pass."""
-    o = load_table(spark, sf, "orders")
-    seg = (
-        F.when(
-            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"),
-            "01",
-        )
-        .when(F.col("o_orderpriority") == "1-URGENT", "02")
-        .when(F.col("o_orderstatus") == "F", "03")
-        .otherwise("04")
-    )
-    thr = F.when(F.col("car_type") == "04", 100000.0).otherwise(150000.0)
-    return (
-        o.withColumn("car_type", seg)
-        .filter(F.col("o_totalprice") > thr)
-        .groupBy("car_type")
-        .agg(
-            F.count("*").alias("n"),
-            _dsum(F.col("o_totalprice")).alias("total"),
-        )
-    )
-
-
-# =============================================================================
-# §2.3 — joins
-# =============================================================================
-
-
-@register(
-    "j1_equi_join_dims",
-    """SELECT r_name, n_name, COUNT(*) AS n_orders,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
-       FROM orders
-       JOIN customer ON o_custkey = c_custkey
-       JOIN nation ON c_nationkey = n_nationkey
-       JOIN region ON n_regionkey = r_regionkey
-       GROUP BY r_name, n_name""",
-)
-def j1_equi_join_dims(spark, sf):
-    """J1: fact ⋈ small dims — dims broadcast (no fact shuffle for the joins;
-    the only exchange is the final aggregation)."""
-    o = load_table(spark, sf, "orders")
-    c = load_table(spark, sf, "customer")
-    n = load_table(spark, sf, "nation")
-    r = load_table(spark, sf, "region")
-    return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count("*").alias("n_orders"),
-            _dsum(F.col("o_totalprice")).alias("revenue"),
-        )
-    )
-
-
-@register(
-    "j2_interval_join",
-    """SELECT e1.event_id AS anchor_id, COUNT(*) AS follows
-       FROM events e1 JOIN events e2
-         ON e1.user_id = e2.user_id
-        AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 1 HOUR
-        AND e2.event_id <> e1.event_id
-       WHERE e1.event_type = 'signup'
-       GROUP BY e1.event_id""",
-)
-def j2_interval_join(spark, sf):
-    """J2: equi + band interval join (the toll-containment shape,
-    src/OverSpeedCount.scala:123): events within 1h after each signup by the
-    same user.  Equi key user_id -> hash join, band as residual."""
-    ev = load_table(spark, sf, "events")
-    left = ev.select("event_id", "user_id", "ts")
-    anchors = ev.filter(F.col("event_type") == "signup").select(
-        F.col("event_id").alias("anchor_id"),
-        "user_id",
-        F.col("ts").alias("t0"),
-        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
-    )
-    j = joins.interval_join(
-        left, anchors, on=["user_id"], left_ts="ts", right_lo="t0", right_hi="t1"
-    )
-    return (
-        j.filter(F.col("event_id") != F.col("anchor_id"))
-        .groupBy("anchor_id")
-        .agg(F.count("*").alias("follows"))
-    )
-
-
-@register(
-    "j3_or_key_union",
-    """SELECT n_name, COUNT(*) AS n FROM customer JOIN nation
-         ON c_nationkey = n_nationkey OR c_custkey % 25 = n_nationkey
-       GROUP BY n_name""",
-)
-def j3_or_key_union(spark, sf):
-    """J3 "fixed" form: the reference abandoned its OR-key join because Spark
-    plans it as a nested loop (src/OverSpeedCount.scala:122); the scalable
-    rewrite is two hash joins unioned with NULL-safe overlap removal —
-    via the shared ``union_of_joins_on_either_key`` helper so the
-    coalesce-guard (a NULL first key must not drop second-key matches)
-    lives once."""
-    c = load_table(spark, sf, "customer").withColumn(
-        "c_altkey", F.col("c_custkey") % 25
-    )
-    n = load_table(spark, sf, "nation")
-    out = joins.union_of_joins_on_either_key(
-        n, c, "n_nationkey", ("c_nationkey", "c_altkey")
-    )
-    return out.groupBy("n_name").agg(F.count("*").alias("n"))
-
-
-@register(
-    "j_semi_anti",
-    """SELECT c_custkey FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                         AND o_orderdate >= DATE '1995-01-01'
-                         AND o_orderdate < DATE '1996-01-01')""",
-)
-def j_semi_anti(spark, sf):
-    """Anti join (beyond reference): customers with no 1995 orders.  The
-    date restriction guarantees genuine misses at every test SF (every
-    customer in the generated data has SOME order, which made the unfiltered
-    form a vacuous 0=0 oracle match — round-1 finding)."""
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-    )
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
-
-
-@register(
-    "j_asof",
-    """WITH signups AS (
-         SELECT user_id, ts, max(event_id) AS signup_id
-         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
-       ),
-       purchases AS (
-         SELECT event_id AS purchase_id, user_id, ts
-         FROM events WHERE event_type = 'purchase'
-       )
-       SELECT p.purchase_id, p.user_id, s.signup_id
-       FROM purchases p ASOF LEFT JOIN signups s
-         ON p.user_id = s.user_id AND p.ts >= s.ts""",
-)
-def j_asof(spark, sf):
-    """As-of join (beyond reference, §2.3 note): latest signup at-or-before
-    each purchase, per user.  Single-shuffle union+window formulation
-    (operators/joins.py); oracle uses DuckDB's native ASOF JOIN."""
-    ev = load_table(spark, sf, "events")
-    signups = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("signup_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
-    )
-    return joins.asof_join(
-        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts"
-    ).select("purchase_id", "user_id", "signup_id")
-
-
-@register(
-    "j_asof_tolerance",
-    """WITH signups AS (
-         SELECT user_id, ts, max(event_id) AS signup_id
-         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
-       ),
-       purchases AS (
-         SELECT event_id AS purchase_id, user_id, ts
-         FROM events WHERE event_type = 'purchase'
-       )
-       SELECT p.purchase_id, p.user_id,
-              CASE WHEN s.ts IS NOT NULL
-                    AND p.ts - s.ts <= INTERVAL 3 DAY
-                   THEN s.signup_id END AS signup_id
-       FROM purchases p ASOF LEFT JOIN signups s
-         ON p.user_id = s.user_id AND p.ts >= s.ts""",
-)
-def j_asof_tolerance_q(spark, sf):
-    """As-of join with a MAX-GAP tolerance (r9; the pandas merge_asof /
-    kdb contract): latest signup at-or-before each purchase, NULLED when
-    it lies more than 3 days back — the nearest row is the only
-    candidate either way (a farther in-tolerance row is never better),
-    so tolerance is a row-local post-filter on the matched gap inside
-    the same single-shuffle union+window plan as j_asof, zero extra
-    exchanges.  At sf0.01 the 3-day horizon genuinely splits the
-    matches, so the oracle certifies the null-out semantics, not the
-    identity path.  Oracle: DuckDB native ASOF JOIN + the same interval
-    gap as a CASE."""
-    ev = load_table(spark, sf, "events")
-    signups = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("signup_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
-    )
-    return joins.asof_join(
-        purchases,
-        signups,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        tolerance="INTERVAL 3 DAYS",
-    ).select("purchase_id", "user_id", "signup_id")
-
-
-@register(
-    "j_asof_nearest",
-    """WITH signups AS (
-         SELECT user_id, ts, max(event_id) AS signup_id
-         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
-       ),
-       purchases AS (
-         SELECT event_id AS purchase_id, user_id, ts
-         FROM events WHERE event_type = 'purchase'
-       ),
-       b AS (SELECT p.purchase_id, p.user_id, p.ts, s.ts AS bt, s.signup_id AS bid
-             FROM purchases p ASOF LEFT JOIN signups s
-               ON p.user_id = s.user_id AND p.ts >= s.ts),
-       f AS (SELECT p.purchase_id, s.ts AS ft, s.signup_id AS fid
-             FROM purchases p ASOF LEFT JOIN signups s
-               ON p.user_id = s.user_id AND p.ts <= s.ts)
-       SELECT b.purchase_id, b.user_id,
-              CASE WHEN bt IS NULL THEN fid
-                   WHEN ft IS NULL THEN bid
-                   WHEN (ft - b.ts) < (b.ts - bt) THEN fid
-                   ELSE bid END AS signup_id
-       FROM b JOIN f USING (purchase_id)""",
-)
-def j_asof_nearest_q(spark, sf):
-    """As-of join, direction='nearest' (r10 — completing the pandas
-    merge_asof direction contract after backward and the r9 tolerance):
-    the signup CLOSEST in time to each purchase, either side, equidistant
-    ties to the earlier (backward) row.  Both directional carries share
-    ONE hash exchange on the equi key (same partitioning, two sorts), so
-    nearest costs the same single shuffle as the one-sided joins; the
-    whole direction matrix is property-pinned vs pandas merge_asof.
-    Oracle: two DuckDB ASOF joins (>= / <=) + the same closer-wins CASE."""
-    ev = load_table(spark, sf, "events")
-    signups = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("signup_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
-    )
-    return joins.asof_join(
-        purchases,
-        signups,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        direction="nearest",
-    ).select("purchase_id", "user_id", "signup_id")
-
-
-# =============================================================================
-# §2.4/2.5 — aggregations & set ops
-# =============================================================================
-
-
-@register(
-    "a_group_avg",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
-              COUNT(*) AS n
-       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-)
-def a_group_avg(spark, sf):
-    """A2: grouped AVG — computed as exact-decimal sum / count so the double
-    result is bit-identical across engines."""
-    li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
-        F.count("*").alias("n"),
-    )
-
-
-@register(
-    "a_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS sum_disc_price,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000 AS sum_charge,
-              COUNT(*) AS count_order
-       FROM lineitem
-       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-       GROUP BY l_returnflag, l_linestatus""",
-)
-def a_pricing_summary(spark, sf):
-    """TPC-H Q1 shape (the canonical scan+agg benchmark): partial aggregation
-    map-side, one shuffle on the 2-key group."""
-    li = load_table(spark, sf, "lineitem")
-    ext_c = _cents(F.col("l_extendedprice"))
-    disc_u = ext_c * (100 - _cents(F.col("l_discount")))
-    charge_u = disc_u * (100 + _cents(F.col("l_tax")))
-    return (
-        li.filter(F.col("l_shipdate") <= "2000-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            (F.sum(disc_u).cast("double") / 10000).alias("sum_disc_price"),
-            (F.sum(charge_u).cast("double") / 1000000).alias("sum_charge"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-@register(
-    "a_distinct_count",
-    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
-              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
-       FROM events GROUP BY event_type""",
-)
-def a_distinct_count(spark, sf):
-    """Distinct aggregation + min/max (beyond reference §2.4 note)."""
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("users"),
-        F.min("value").alias("min_v"),
-        F.max("value").alias("max_v"),
-    )
-
-
-@register(
-    "a_rollup",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
-       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-)
-def a_rollup(spark, sf):
-    """Grouping sets / rollup (beyond reference)."""
-    li = load_table(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
-    )
-
-
-@register(
-    "a_cube",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
-)
-def a_cube(spark, sf):
-    """Full grouping-set lattice (beyond reference)."""
-    li = load_table(spark, sf, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
-
-
-def approx_sketches_raw(spark, sf):
-    """Approximate aggregates — the 100 TB substitutes for exact distinct
-    counts and exact percentiles (HLL++ and GK-quantile sketches, one pass,
-    fixed memory, mergeable across partitions).  Not in the registry: sketch
-    estimates are engine-specific by construction, so there is no cross-engine
-    oracle; accuracy vs the exact answers is pinned in
-    tests/test_entry_correctness.py instead."""
-    li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx(F.col("l_quantity"), [0.5, 0.95], 10000).alias(
-            "qty_quantiles"
-        ),
-    )
-
-
-@register(
-    "a_approx_sketches",
-    """WITH ranked AS (
-         SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
-                ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-                COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-         FROM lineitem
-       ), q AS (
-         SELECT l_returnflag,
-                MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN qty END) AS q50,
-                MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN qty END) AS q95
-         FROM ranked GROUP BY l_returnflag
-       ), d AS (
-         SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
-         FROM lineitem GROUP BY l_returnflag
-       )
-       SELECT d.l_returnflag, d.exact_orders, q.q50, q.q95
-       FROM d JOIN q USING (l_returnflag)""",
-)
-def a_approx_sketches(spark, sf):
-    """The deterministic twin of :func:`approx_sketches_raw`: exact distinct
-    count + exact DISCRETE quantiles (value at rank ``ceil(p*n)`` of the
-    sorted group — an actual data element, so cross-engine hash-stable; both
-    engines evaluate the same IEEE ``ceil(p*n)``).  Scalar ``q50``/``q95``
-    columns, not an array — the driver canonicalizer sorts pandas columns and
-    arrays are unhashable.  At 100 TB you'd run the sketch twin; this
-    registered form proves the pipeline shape (group, rank, select-at-rank)
-    against the oracle."""
-    from pyspark.sql import Window
-
-    li = load_table(spark, sf, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        F.col("l_quantity").cast("double").alias("qty"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    quants = (
-        ranked.filter(
-            (F.col("rn") == F.ceil(F.col("n") * 0.5))
-            | (F.col("rn") == F.ceil(F.col("n") * 0.95))
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("qty"))
-            ).alias("q50"),
-            F.max(
-                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("qty"))
-            ).alias("q95"),
-        )
-    )
-    distinct = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("exact_orders")
-    )
-    return distinct.join(F.broadcast(quants), "l_returnflag").select(
-        "l_returnflag", "exact_orders", "q50", "q95"
-    )
-
-
-@register(
-    "a_rollup_reagg",
-    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_start, event_type,
-              COUNT(*) AS n,
-              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
-       FROM events GROUP BY 1, 2""",
-)
-def a_rollup_reagg(spark, sf):
-    """Continuous-aggregate pattern: the DAILY answer computed FROM the
-    hourly rollup (operators/rollup.py) — the oracle computes it directly
-    from raw events, so the match proves the rollup is exactly
-    re-aggregatable (integer-cent sums associate; min/max combine)."""
-    ev = load_table(spark, sf, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-        "event_type",
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(_cents(F.col("value"))).alias("sum_cents"),
-        F.min("value").alias("min_v"),
-        F.max("value").alias("max_v"),
-    )
-    return (
-        hourly.groupBy(
-            F.date_format(
-                F.date_trunc("day", F.col("hour_start")), "yyyy-MM-dd"
-            ).alias("day_start"),
-            "event_type",
-        )
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_cents").alias("sum_cents"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-        )
-        .select("day_start", "event_type", "n", "sum_cents", "min_v", "max_v")
-    )
-
-
-@register(
-    "u_union_distinct",
-    """SELECT l_returnflag, COUNT(*) AS n FROM (
-         SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
-         UNION
-         SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-       ) u GROUP BY l_returnflag""",
-)
-def u_union_distinct(spark, sf):
-    """U1: the reference's monthly UNION (DISTINCT — quirk §2.10.1) over
-    overlapping slices; the June overlap is deduplicated exactly once."""
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
-    )
-    h1 = li.filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
-    )
-    h2 = li.filter(
-        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1997-01-01")
-    )
-    u = (
-        h1.drop("l_shipdate")
-        .unionByName(h2.drop("l_shipdate"))
-        .distinct()
-    )
-    return u.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-
-
-@register(
-    "set_intersect",
-    """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-       INTERSECT
-       SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'""",
-)
-def set_intersect(spark, sf):
-    o = load_table(spark, sf, "orders")
-    y97 = o.filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    ).select(F.col("o_custkey").alias("custkey"))
-    y98 = o.filter(
-        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select(F.col("o_custkey").alias("custkey"))
-    return y97.intersect(y98)
-
-
-@register(
-    "set_except",
-    """SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-       EXCEPT
-       SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'""",
-)
-def set_except(spark, sf):
-    o = load_table(spark, sf, "orders")
-    y97 = o.filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    ).select(F.col("o_custkey").alias("custkey"))
-    y98 = o.filter(
-        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01")
-    ).select(F.col("o_custkey").alias("custkey"))
-    return y97.subtract(y98)
-
-
-# =============================================================================
-# §2.6 — scalar functions
-# =============================================================================
-
-
-@register(
-    "f_date_arith",
-    """SELECT strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m') AS ship_month,
-              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_floor,
-              COUNT(*) AS n
-       FROM orders GROUP BY 1, 2""",
-)
-def f_date_arith(spark, sf):
-    """F1-F4: date parse/arithmetic/truncation as grouping keys."""
-    o = load_table(spark, sf, "orders")
-    return o.groupBy(
-        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM").alias("ship_month"),
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
-            "month_floor"
-        ),
-    ).agg(F.count("*").alias("n"))
-
-
-@register(
-    "f_json_extract",
-    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-              COUNT(*) AS n
-       FROM events GROUP BY 1""",
-)
-def f_json_extract(spark, sf):
-    """JSON props parsing (new-engine type surface, SURVEY §1.3)."""
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy(
-        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
-    ).agg(F.count("*").alias("n"))
-
-
-@register(
-    "f_string_funcs",
-    """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS name8,
-              CAST(length(c_name) AS BIGINT) AS name_len,
-              concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key
-       FROM customer""",
-)
-def f_string_funcs(spark, sf):
-    """F6: string ops as column expressions."""
-    c = load_table(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.upper(F.substring("c_name", 1, 8)).alias("name8"),
-        F.length("c_name").cast("bigint").alias("name_len"),
-        F.concat(
-            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
-        ).alias("seg_key"),
-    )
-
-
-@register(
-    "f_lenient_cast",
-    """SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_val,
-              COUNT(*) AS n
-       FROM events GROUP BY 1""",
-)
-def f_lenient_cast(spark, sf):
-    """F5: the lenient 0-default cast family (src/AccidentStatistics.scala:37-51)
-    applied to a string source column."""
-    ev = load_table(spark, sf, "events")
-    k = F.coalesce(
-        F.get_json_object("props", "$.k").try_cast("int"), F.lit(0)
-    ).alias("k_val")
-    return ev.groupBy(k).agg(F.count("*").alias("n"))
-
-
-# =============================================================================
-# §2.7/2.8 — sort/limit/top-k, windows, time buckets
-# =============================================================================
-
-
-@register(
-    "sort_topk",
-    """SELECT o_custkey AS custkey,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
-       FROM orders GROUP BY o_custkey
-       ORDER BY revenue DESC, custkey ASC LIMIT 10""",
-)
-def sort_topk(spark, sf):
-    """§2.7: top-k = orderBy + limit (ties broken by key for determinism).
-    Spark plans TakeOrderedAndProject — no global sort materialization."""
-    o = load_table(spark, sf, "orders")
-    return (
-        o.groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
-        .limit(10)
-    )
-
-
-@register(
-    "w_row_number",
-    """SELECT o_orderkey, o_custkey, rn FROM (
-         SELECT o_orderkey, o_custkey,
-                CAST(row_number() OVER (PARTITION BY o_custkey
-                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
-         FROM orders) t WHERE rn <= 3""",
-)
-def w_row_number(spark, sf):
-    """§2.8: ranking window — top-3 orders per customer."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderkey", "o_custkey", "rn")
-    )
-
-
-@register(
-    "w_lag_gap",
-    """SELECT event_id,
-              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
-       FROM events""",
-)
-def w_lag_gap(spark, sf):
-    """§2.8: analytic window (lag) — inter-event gap per user in millis."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    return ev.select("event_id", (ms - F.lag(ms).over(w)).alias("gap_ms"))
-
-
-@register(
-    "w_sessionize",
-    """WITH g AS (
-         SELECT user_id, ts, event_id,
-                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
-                     THEN 1 ELSE 0 END AS new_s
-         FROM events),
-       s AS (
-         SELECT user_id, ts,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
-         FROM g)
-       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-              COUNT(*) AS n_events,
-              CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
-       FROM s GROUP BY user_id, session_id""",
-)
-def w_sessionize(spark, sf):
-    """Batch sessionization (the batch twin of streaming session_window):
-    lag-gap flags session starts, a running sum assigns session ids, one
-    aggregate summarizes — two window passes over the SAME (user, ts)
-    ordering, so Catalyst plans a single sort+exchange reused by both."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
-    new_s = F.when(ms - F.lag(ms).over(w) > 30 * 60 * 1000, 1).otherwise(0)
-    g = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
-    sess = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        g.select("user_id", "ts", sess.alias("session_id"))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
-                "duration_ms"
-            ),
-        )
-    )
-
-
-@register(
-    "time_bucket_hourly",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
-              COUNT(*) AS n,
-              CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
-       FROM events GROUP BY 1""",
-)
-def time_bucket_hourly(spark, sf):
-    """Tumbling time window via ``F.window`` (the batch analog of the
-    reference's group-by-hour; identical to the Structured Streaming window
-    in streaming/events.py)."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count("*").alias("n"),
-            F.min("value").alias("min_v"),
-            F.max("value").alias("max_v"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
-            "n",
-            "min_v",
-            "max_v",
-        )
-    )
-
-
-# =============================================================================
-# Beyond-parity: dedup / text analysis / similarity / multimodal
-# =============================================================================
-
-_MINHASH_K = 8
-_MINHASH_VALUES = ", ".join(
-    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_params(_MINHASH_K))
-)
-
-_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
-
-
-@register(
-    "dedup_exact",
-    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
-              min(doc_id) AS keep_id, COUNT(*) AS dup_count
-       FROM documents GROUP BY 1""",
-)
-def dedup_exact_q(spark, sf):
-    """Exact dedup groups by content fingerprint (operators/dedup.py)."""
-    return dedup.exact_duplicates(load_table(spark, sf, "documents"))
-
-
-@register(
-    "dedup_minhash_signatures",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh),
-       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES})
-       SELECT doc_id AS id, h_idx,
-              min((a * hv + b) % 2147483647) AS minhash
-       FROM h CROSS JOIN params GROUP BY doc_id, h_idx""",
-)
-def dedup_minhash_signatures_q(spark, sf):
-    """MinHash signatures (k=8, word 3-gram shingles) — the building block of
-    MinHash-LSH near-dedup; expression-only, zero shuffles."""
-    return dedup.minhash_signatures(
-        load_table(spark, sf, "documents"), k=_MINHASH_K, n=3
-    )
-
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       )
-       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-       FROM shared
-       JOIN sizes sa ON sa.doc_id = id_a
-       JOIN sizes sb ON sb.doc_id = id_b
-       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2""",
-)
-def dedup_ngram_jaccard_q(spark, sf):
-    """n-gram Jaccard near-dup pairs via shingle-inverted-index blocking
-    (never a cross join).  Threshold 0.2 so the synthetic corpus yields
-    a non-trivial result set."""
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), threshold=0.2, max_shingle_freq=None
-    )
-
-
-@register(
-    "dedup_jaccard_prefix",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       )
-       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-       FROM shared
-       JOIN sizes sa ON sa.doc_id = id_a
-       JOIN sizes sb ON sb.doc_id = id_b
-       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8""",
-)
-def dedup_jaccard_prefix_q(spark, sf):
-    """AllPairs/PPJoin prefix-filtered exact Jaccard pairs — LOSSLESS at
-    the threshold where the plain operator's hot-shingle guard trades
-    recall: candidate generation indexes only each doc's rarity-ordered
-    prefix (rarest shingles first), shrinking candidate volume to 34/9.7/
-    3.8 % of the plain inverted index at t=0.5/0.8/0.9 (sf0.1, SCALING.md).
-    Registered at t=0.8 — the operator's DESIGN regime (near-dup
-    thresholds, short prefixes).  Honest toy-scale posture: the synthetic
-    corpus's tiny shingle vocabulary makes every shingle common, so
-    prefixes stay unselective HERE and the plain exact-count operator is
-    ~2× faster at sf0.1 — the variant's value is the measured candidate
-    cut on heavy-tailed real vocabularies (SCALING.md row), the same
-    constant-vs-asymptote trade as the bloom joins.  Oracle is the SAME
-    naive all-pairs SQL as dedup_ngram_jaccard — the whole point is that
-    the optimized plan is output-identical."""
-    return dedup.ngram_jaccard_pairs_prefix(
-        load_table(spark, sf, "documents"), threshold=0.8
-    )
-
-
-@register(
-    "text_dup_spans",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS i FROM toks),
-       shp AS (SELECT doc_id, i AS start, array_to_string(t[i + 1 : i + 8], ' ') AS s FROM idx),
-       hot AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS d
-                              FROM shp GROUP BY s) q WHERE d >= 2),
-       pos AS (SELECT doc_id, start, start + 8 AS fin FROM shp
-               WHERE s IN (SELECT s FROM hot)),
-       m AS (SELECT doc_id, start, fin,
-                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING) AS pm
-             FROM pos),
-       g AS (SELECT doc_id, start, fin,
-                    SUM(CASE WHEN pm IS NULL OR start > pm
-                             THEN 1 ELSE 0 END)
-                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
-             FROM m)
-       SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
-              CAST(MAX(fin) AS INT) AS span_end,
-              CAST(MAX(fin) - MIN(start) AS BIGINT) AS n_tokens
-       FROM g GROUP BY doc_id, gid""",
-)
-def text_dup_spans_q(spark, sf):
-    """SUBSTRING-level dedup (the training-data literature's exact
-    substring deduplication, production-shaped): maximal per-doc token
-    spans whose every 8-token window recurs in >= 2 documents —
-    boilerplate/quote regions doc-level dedup can't see, located for
-    surgical removal (operators/dedup.py::strip_duplicated_spans).  One
-    shingle exchange for corpus-wide window frequencies + one per-doc
-    two-window interval merge; output bounded by duplicated regions."""
-    return dedup.duplicated_spans(
-        load_table(spark, sf, "documents"), k=8, min_docs=2
-    )
-
-
-@register(
-    "text_boilerplate_spans",
-    f"""WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, source, t,
-                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM toks),
-       shp AS (SELECT doc_id, source, i AS start,
-                      array_to_string(t[i + 1 : i + 3], ' ') AS s
-               FROM idx),
-       nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
-             FROM documents GROUP BY 1),
-       hot AS (SELECT q.source, q.s
-               FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
-                     FROM shp GROUP BY 1, 2) q
-               JOIN nd ON nd.source = q.source
-               WHERE d >= 2 AND d * 100 >= 10 * n_docs),
-       pos AS (SELECT shp.doc_id, shp.start, shp.start + 3 AS fin
-               FROM shp JOIN hot
-                 ON hot.source = shp.source AND hot.s = shp.s),
-       m AS (SELECT doc_id, start, fin,
-                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING) AS pm
-             FROM pos),
-       g AS (SELECT doc_id, start, fin,
-                    SUM(CASE WHEN pm IS NULL OR start > pm
-                             THEN 1 ELSE 0 END)
-                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
-             FROM m)
-       SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
-              CAST(MAX(fin) AS INT) AS span_end,
-              CAST(MAX(fin) - MIN(start) AS BIGINT) AS n_tokens
-       FROM g GROUP BY doc_id, gid""",
-)
-def text_boilerplate_spans_q(spark, sf):
-    """Per-SOURCE boilerplate detection (operators/dedup.py::
-    boilerplate_spans) — the C4/RefinedWeb template-text signal: maximal
-    per-doc token spans whose every 3-token window recurs in >= 2 docs
-    AND >= 10 % of the SAME source's documents.  Group-scoped document
-    frequency is what separates host chrome (cookie banners, nav,
-    footers) from legitimate cross-site quotation — the global
-    text_dup_spans threshold underweights the former on big corpora and
-    flags the latter.  The DF ratio is an integer cross-multiplication
-    (d*100 >= pct*n_docs), the per-source doc totals ride a broadcast
-    join, and the spans land on the same token stream
-    strip_duplicated_spans consumes — the strip half is shared."""
-    return dedup.boilerplate_spans(
-        load_table(spark, sf, "documents"),
-        group_col="source",
-        k=3,
-        min_df_pct=10,
-        min_docs=2,
-    )
-
-
-@register(
-    "pipeline_boilerplate_strip",
-    f"""WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, source, t,
-                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM toks),
-       shp AS (SELECT doc_id, source, i AS start,
-                      array_to_string(t[i + 1 : i + 3], ' ') AS s
-               FROM idx),
-       nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
-             FROM documents GROUP BY 1),
-       hot AS (SELECT q.source, q.s
-               FROM (SELECT source, s, COUNT(DISTINCT doc_id) AS d
-                     FROM shp GROUP BY 1, 2) q
-               JOIN nd ON nd.source = q.source
-               WHERE d >= 2 AND d * 100 >= 10 * n_docs),
-       pos AS (SELECT shp.doc_id, shp.start, shp.start + 3 AS fin
-               FROM shp JOIN hot
-                 ON hot.source = shp.source AND hot.s = shp.s),
-       m AS (SELECT doc_id, start, fin,
-                    MAX(fin) OVER (PARTITION BY doc_id ORDER BY start, fin
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING) AS pm
-             FROM pos),
-       g AS (SELECT doc_id, start, fin,
-                    SUM(CASE WHEN pm IS NULL OR start > pm
-                             THEN 1 ELSE 0 END)
-                      OVER (PARTITION BY doc_id ORDER BY start, fin) AS gid
-             FROM m),
-       spans AS (SELECT doc_id, MIN(start) AS span_start,
-                        MAX(fin) AS span_end
-                 FROM g GROUP BY doc_id, gid),
-       tok AS (SELECT doc_id, t[i + 1] AS tok, i AS pos
-               FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
-                     FROM toks)),
-       marked AS (SELECT tok.doc_id, tok.pos, tok.tok,
-                         MAX(CASE WHEN s.doc_id IS NOT NULL
-                                   AND tok.pos >= s.span_start
-                                   AND tok.pos < s.span_end
-                                  THEN 1 ELSE 0 END) AS in_bp
-                  FROM tok LEFT JOIN spans s ON s.doc_id = tok.doc_id
-                  GROUP BY 1, 2, 3),
-       rebuilt AS (SELECT doc_id,
-                          string_agg(tok, ' ' ORDER BY pos) AS text
-                   FROM marked WHERE in_bp = 0 GROUP BY doc_id)
-       SELECT d.doc_id, COALESCE(r.text, '') AS text
-       FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""",
-)
-def pipeline_boilerplate_strip_q(spark, sf):
-    """Boilerplate removal end-to-end: per-source span detection
-    (text_boilerplate_spans' configuration) -> surgical token removal
-    (operators/dedup.py::strip_duplicated_spans, shared with the global
-    dup-span family) -> every document returned with its cleaned text —
-    100 %-boilerplate docs come back EMPTY, never silently dropped (the
-    strip contract).  The output hash covers the full rebuilt text of
-    every document, so this row certifies detection + interval merge +
-    positional strip + deterministic re-assembly (array_sort over (pos,
-    token) structs, not a collect_list ordering assumption) in one
-    oracle comparison."""
-    docs = load_table(spark, sf, "documents")
-    spans = dedup.boilerplate_spans(
-        docs, group_col="source", k=3, min_df_pct=10, min_docs=2
-    )
-    return dedup.strip_duplicated_spans(docs, spans)
-
-
-@register(
-    "dedup_containment",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       )
-       SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-       FROM shared
-       JOIN sizes sa ON sa.doc_id = id_a
-       JOIN sizes sb ON sb.doc_id = id_b
-       WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.3""",
-)
-def dedup_containment_q(spark, sf):
-    """Asymmetric containment near-dup (operators/dedup.py
-    ngram_containment_pairs): pairs where the smaller doc's shingles are
-    >= 30 % contained in the other — the quote/excerpt/boilerplate-wrapper
-    duplication symmetric Jaccard under-scores (tiny union-normalized
-    score, high containment).  Same single-exchange inverted-index plan as
-    dedup_ngram_jaccard; only the final score differs."""
-    return dedup.ngram_containment_pairs(
-        load_table(spark, sf, "documents"), threshold=0.3, max_shingle_freq=None
-    )
-
-
-#: BPE training rounds for the registry pair (enough to learn multi-char
-#: subwords on the synthetic corpus; the oracle chains one CTE stage per
-#: round, so keep it small).
-_BPE_ROUNDS = 6
-
-
-def _bpe_oracle_ctes() -> str:
-    """The k-round BPE chain as DuckDB CTEs (kcore-style generated SQL;
-    MATERIALIZED is load-bearing — each round references the previous 2-3
-    times).  Mirrors operators/bpe.py exactly: wrapped-token string repr,
-    literal-replace merges, (weight DESC, a, b) top-pair tie-break."""
-    parts = [
-        r"""wf AS MATERIALIZED (
-           SELECT word, COUNT(*) AS freq FROM (
-             SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
-             FROM documents) t
-           WHERE regexp_matches(word, '^[a-z0-9]+$')
-           GROUP BY word)""",
-        r"""r0 AS MATERIALIZED (
-           SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS repr, freq FROM wf)""",
-    ]
-    for r in range(1, _BPE_ROUNDS + 1):
-        parts.append(
-            f"""tk{r} AS MATERIALIZED (
-           SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t,
-                  freq, repr
-           FROM r{r - 1})"""
-        )
-        parts.append(
-            f"""pc{r} AS MATERIALIZED (
-           SELECT t[i] AS a, t[i + 1] AS b, SUM(freq) AS w
-           FROM (SELECT t, freq, unnest(range(1, len(t))) AS i FROM tk{r}) u{r}
-           GROUP BY 1, 2)"""
-        )
-        parts.append(
-            f"""tp{r} AS MATERIALIZED (
-           SELECT a, b, w FROM pc{r} ORDER BY w DESC, a ASC, b ASC LIMIT 1)"""
-        )
-        parts.append(
-            f"""r{r} AS MATERIALIZED (
-           SELECT replace(repr,
-                          '|' || (SELECT a FROM tp{r}) || '||' ||
-                                 (SELECT b FROM tp{r}) || '|',
-                          '|' || (SELECT a FROM tp{r}) ||
-                                 (SELECT b FROM tp{r}) || '|') AS repr, freq
-           FROM r{r - 1})"""
-        )
-    return ",\n       ".join(parts)
-
-
-def _bpe_merges_oracle() -> str:
-    rows = "\n       UNION ALL\n       ".join(
-        f"SELECT CAST({r - 1} AS INTEGER) AS rank, a AS lhs, b AS rhs, "
-        f"CAST(w AS BIGINT) AS weight FROM tp{r}"
-        for r in range(1, _BPE_ROUNDS + 1)
-    )
-    return f"WITH {_bpe_oracle_ctes()}\n       {rows}"
-
-
-def _bpe_encode_oracle() -> str:
-    return f"""WITH {_bpe_oracle_ctes()},
-       final_tk AS (
-         SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t, freq
-         FROM r{_BPE_ROUNDS}),
-       tok AS (SELECT unnest(t) AS token, freq FROM final_tk)
-       SELECT token, CAST(SUM(freq) AS BIGINT) AS n
-       FROM tok GROUP BY token
-       ORDER BY n DESC, token ASC LIMIT 20"""
-
-
-@register("text_bpe_merges", _bpe_merges_oracle())
-def text_bpe_merges_q(spark, sf):
-    """BPE merge-rule LEARNING (operators/bpe.py learn_merges): 6 rounds of
-    frequency-weighted adjacent-pair counting over the distinct-word table,
-    each round's top pair (weight DESC, lexicographic tie-break) applied as
-    one literal string replace whose left-to-right scan IS greedy-leftmost
-    BPE pairing.  The corpus collapses once to (word, freq); every round is
-    one explode + one map-side-combined sum + a 1-row collect — the
-    bounded-fixpoint family (CC, k-means) applied to tokenizer TRAINING.
-    The identical delimited-string formulation runs in DuckDB, so all six
-    learned rules hash-match end-to-end."""
-    from trafficbigdatasearch_spark.operators import bpe
-
-    rules, _ = bpe.learn_merges(load_table(spark, sf, "documents"), _BPE_ROUNDS)
-    return spark.createDataFrame(
-        rules, "rank int, lhs string, rhs string, weight bigint"
-    )
-
-
-@register("text_bpe_encode", _bpe_encode_oracle())
-def text_bpe_encode_q(spark, sf):
-    """The learned subword inventory in action: corpus token frequencies
-    AFTER the 6 merges (top-20, deterministic tie-break) — the token
-    stream that feeds text_vocab_encode / pack_sequences once rules are
-    trained.  Same chain as text_bpe_merges plus one final explode+sum."""
-    from trafficbigdatasearch_spark.operators import bpe
-
-    _, reprs = bpe.learn_merges(load_table(spark, sf, "documents"), _BPE_ROUNDS)
-    return (
-        bpe.token_counts(reprs)
-        .orderBy(F.desc("n"), F.asc("token"))
-        .limit(20)
-    )
-
-
-def _bpe_apply_ctes() -> str:
-    """Held-out documents (doc_id % 10 = 3) folded through the learned
-    merges — the APPLY chain as CTEs ending in ``w{_BPE_ROUNDS}``.
-    Positions come from the pre-filter whitespace token stream (matching
-    apply_merges' posexplode-then-filter order)."""
-    parts = [
-        r"""toks2 AS (SELECT doc_id,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-           FROM documents WHERE doc_id % 10 = 3)""",
-        """idx2 AS (SELECT doc_id, i AS pos, t[i + 1] AS word
-           FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS i
-                 FROM toks2) u)""",
-        r"""w0 AS (SELECT doc_id, pos, word,
-                  regexp_replace(word, '(.)', '|\1|', 'g') AS repr
-           FROM idx2 WHERE regexp_matches(word, '^[a-z0-9]+$'))""",
-    ]
-    for r in range(1, _BPE_ROUNDS + 1):
-        parts.append(
-            f"""w{r} AS (SELECT doc_id, pos, word, replace(repr,
-                          '|' || (SELECT a FROM tp{r}) || '||' ||
-                                 (SELECT b FROM tp{r}) || '|',
-                          '|' || (SELECT a FROM tp{r}) ||
-                                 (SELECT b FROM tp{r}) || '|') AS repr
-           FROM w{r - 1})"""
-        )
-    return ",\n       ".join(parts)
-
-
-def _bpe_apply_oracle() -> str:
-    return f"""WITH {_bpe_oracle_ctes()},
-       {_bpe_apply_ctes()}
-       SELECT doc_id, CAST(pos AS INT) AS pos, word,
-              replace(substring(repr, 2, length(repr) - 2), '||', ' ')
-                AS encoded
-       FROM w{_BPE_ROUNDS}"""
-
-
-@register("text_bpe_apply", _bpe_apply_oracle())
-def text_bpe_apply_q(spark, sf):
-    """Tokenizer INFERENCE (operators/bpe.py apply_merges): rules learned
-    on the full corpus, applied to the held-out doc_id % 10 = 3 slice —
-    the train→apply story a production tokenizer runs (learn once, encode
-    every new shard).  The apply side is ZERO-shuffle: posexplode + k
-    row-local literal replaces in rank order, identical greedy-leftmost
-    semantics to training, OOV words degrading to character sequences."""
-    from trafficbigdatasearch_spark.operators import bpe
-
-    docs = load_table(spark, sf, "documents")
-    rules, _ = bpe.learn_merges(docs, _BPE_ROUNDS)
-    return bpe.apply_merges(docs.filter(F.col("doc_id") % 10 == 3), rules)
-
-
-def _pipeline_bpe_oracle() -> str:
-    return f"""WITH {_bpe_oracle_ctes()},
-       {_bpe_apply_ctes()},
-       final_tk2 AS (
-         SELECT str_split(substring(repr, 2, length(repr) - 2), '||') AS t,
-                freq
-         FROM r{_BPE_ROUNDS}),
-       inv AS (SELECT token, SUM(freq) AS n
-               FROM (SELECT unnest(t) AS token, freq FROM final_tk2) x
-               GROUP BY token),
-       vocab AS (SELECT token FROM inv ORDER BY n DESC, token ASC LIMIT 30),
-       enc_tok AS (
-         SELECT doc_id,
-                unnest(str_split(substring(repr, 2, length(repr) - 2), '||'))
-                  AS token
-         FROM w{_BPE_ROUNDS}),
-       tok_stats AS (
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_known
-         FROM enc_tok GROUP BY doc_id),
-       word_stats AS (
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-                CAST(SUM(length(word)) AS BIGINT) AS n_chars
-         FROM w{_BPE_ROUNDS} GROUP BY doc_id)
-       SELECT doc_id, n_words, n_chars, n_tokens, n_known
-       FROM word_stats JOIN tok_stats USING (doc_id)"""
-
-
-@register("pipeline_bpe", _pipeline_bpe_oracle())
-def pipeline_bpe_q(spark, sf):
-    """The composed tokenizer pipeline — learn → apply → vocab → per-doc
-    stats in ONE plan (the composition flagship for the BPE family,
-    mirroring pipeline_dedup_corpus's role for dedup): merge rules learned
-    on the full corpus, applied to the held-out slice, the top-30 subword
-    inventory taken from the TRAINING token frequencies (vocab.py's top-V
-    TakeOrdered shape), and each held-out doc summarized as (n_words,
-    n_chars, n_tokens, n_known) — chars-per-token and vocab coverage are
-    the two numbers a tokenizer ablation reads.  Vocab membership is a
-    broadcast join; both aggregates are map-side-combined on doc_id."""
-    from trafficbigdatasearch_spark.operators import bpe
-
-    docs = load_table(spark, sf, "documents")
-    rules, reprs = bpe.learn_merges(docs, _BPE_ROUNDS)
-    enc = bpe.apply_merges(docs.filter(F.col("doc_id") % 10 == 3), rules)
-    vocab = (
-        bpe.token_counts(reprs)
-        .orderBy(F.desc("n"), F.asc("token"))
-        .limit(30)
-        .select("token")
-        .withColumn("_known", F.lit(1))
-    )
-    toks = enc.select(
-        "doc_id", F.explode(F.split("encoded", " ")).alias("token")
-    )
-    tok_stats = (
-        toks.join(F.broadcast(vocab), "token", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.coalesce(F.sum("_known"), F.lit(0))
-            .cast("bigint")
-            .alias("n_known"),
-        )
-    )
-    word_stats = enc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
-    )
-    return word_stats.join(tok_stats, "doc_id").select(
-        "doc_id", "n_words", "n_chars", "n_tokens", "n_known"
-    )
-
-
-@register(
-    "text_top_ngrams",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 2, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT array_to_string(t[i + 1 : i + 2], ' ') AS ngram FROM idx)
-       SELECT ngram, COUNT(*) AS n FROM sh GROUP BY ngram
-       ORDER BY n DESC, ngram ASC LIMIT 20""",
-)
-def text_top_ngrams_q(spark, sf):
-    """Corpus-level vocabulary statistics: top-20 word bigrams by occurrence
-    (non-distinct — term frequency, not document frequency).  One explode ->
-    map-side-combined count -> top-k; ties broken by the ngram itself for
-    determinism."""
-    d = load_table(spark, sf, "documents")
-    return (
-        d.select(F.explode(T.word_shingles(F.col("text"), 2)).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("ngram").asc())
-        .limit(20)
-    )
-
-
-_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE_SQL = "\\d[\\d\\-\\. ]{5,}\\d"
-
-
-@register(
-    "text_pii_scrub",
-    f"""SELECT doc_id,
-              md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
-                                 '{_PII_PHONE_SQL}', '<PHONE>', 'g')) AS scrubbed_md5,
-              CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) +
-                   len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
-                                          '{_PII_PHONE_SQL}')) AS BIGINT) AS n_redactions
-       FROM documents""",
-)
-def text_pii_scrub_q(spark, sf):
-    """PII scrubbing for training corpora: email/phone-shaped spans replaced
-    by placeholders, with an audit count per document.  Regex-only (full
-    scan speed); the md5 of the scrubbed text proves byte-identical
-    redaction across engines."""
-    d = load_table(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(T.pii_redact(F.col("text"))).alias("scrubbed_md5"),
-        T.pii_count(F.col("text")).alias("n_redactions"),
-    )
-
-
-_GUARDED_TOKS = (
-    r"CASE WHEN length(trim(text)) = 0 THEN [] "
-    r"ELSE regexp_split_to_array(lower(trim(text)), '\s+') END"
-)
-
-_SIMHASH_BITS = 32
-_SIMHASH_SUMS = ", ".join(
-    f"sum(CASE WHEN (('0x' || substr(m, {b // 4 + 1}, 1))::INT & {1 << (b % 4)}) > 0"
-    f" THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(_SIMHASH_BITS)
-)
-_SIMHASH_FP = " + ".join(
-    f"CASE WHEN COALESCE(s{b}, 0) >= 0 THEN {1 << b} ELSE 0 END"
-    for b in range(_SIMHASH_BITS)
-)
-_SIMHASH_CTE = f"""tok AS (SELECT doc_id, unnest({_GUARDED_TOKS}) AS tk FROM documents),
-       n AS (SELECT doc_id, md5(tk) AS m FROM tok),
-       s AS (SELECT doc_id, {_SIMHASH_SUMS} FROM n GROUP BY doc_id),
-       fp AS (SELECT d.doc_id AS id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash
-              FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)"""
-
-
-@register("dedup_simhash", f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM fp")
-def dedup_simhash_q(spark, sf):
-    """32-bit SimHash fingerprints: per-bit signed sums over token-md5 bits,
-    one explode + one hash aggregate (operators/dedup.py)."""
-    return dedup.simhash_fingerprints(
-        load_table(spark, sf, "documents"), n_bits=_SIMHASH_BITS
-    )
-
-
-@register(
-    "dedup_simhash_pairs",
-    f"""WITH {_SIMHASH_CTE},
-       band AS (SELECT id, simhash, bd.band, (simhash >> (bd.band * 8)) & 255 AS val
-                FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bd)
-       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       FROM band a JOIN band b
-         ON a.band = b.band AND a.val = b.val AND a.id < b.id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-)
-def dedup_simhash_pairs_q(spark, sf):
-    """SimHash near-dup pairs: pigeonhole band blocking + exact
-    bit_count(xor) Hamming filter — no quadratic comparison."""
-    return dedup.simhash_pairs(
-        load_table(spark, sf, "documents"),
-        n_bits=_SIMHASH_BITS,
-        band_bits=8,
-        max_hamming=3,
-    )
-
-
-def _band_cte(src: str, sfx: str) -> str:
-    """MinHash band-bucket CTE chain (k=8, bands=4x2) over relation ``src``,
-    ending in ``band{sfx}(doc_id, band, bucket)`` — the SQL twin of
-    operators/dedup.py::minhash_band_buckets.  The suffix keeps CTE names
-    unique so one query can bucket two relations (incremental dedup)."""
-    return f"""toks{sfx} AS (SELECT doc_id, {_TOKS} AS t FROM {src}),
-       idx{sfx} AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks{sfx}),
-       sh{sfx} AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx{sfx}),
-       h{sfx} AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv FROM sh{sfx}),
-       params{sfx}(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
-       sig{sfx} AS (SELECT doc_id, h_idx, min((a * hv + b) % 2147483647) AS minhash
-               FROM h{sfx} CROSS JOIN params{sfx} GROUP BY doc_id, h_idx),
-       band{sfx} AS (SELECT doc_id, h_idx // 2 AS band,
-                       string_agg(minhash::VARCHAR, '_' ORDER BY h_idx) AS bucket
-                FROM sig{sfx} GROUP BY doc_id, h_idx // 2)"""
-
-
-def _lsh_pairs_cte(src: str) -> str:
-    """Candidate-pair CTE chain over ``src``, ending in
-    ``lsh_pairs(id_a, id_b)`` — shared by the standalone query and the
-    composed cleaning pipelines."""
-    return f"""{_band_cte(src, 'L')},
-       lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM bandL a JOIN bandL b
-                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
-
-
-@register(
-    "eval_lsh_recall",
-    f"""WITH {_lsh_pairs_cte('documents')},
-       toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       sh AS (SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       ),
-       jac AS (SELECT id_a, id_b
-               FROM shared
-               JOIN sizes sa ON sa.doc_id = id_a
-               JOIN sizes sb ON sb.doc_id = id_b
-               WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
-       m AS (SELECT (SELECT count(*) FROM jac) AS n_truth,
-                    (SELECT count(*) FROM lsh_pairs) AS n_cand,
-                    (SELECT count(*) FROM lsh_pairs JOIN jac
-                       USING (id_a, id_b)) AS n_tp)
-       SELECT CAST(n_truth AS BIGINT) AS n_truth,
-              CAST(n_cand AS BIGINT) AS n_cand,
-              CAST(n_tp AS BIGINT) AS n_tp,
-              CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE) AS pair_precision,
-              CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS pair_recall
-       FROM m""",
-)
-def eval_lsh_recall_q(spark, sf):
-    """Candidate-generation quality measured, not asserted (operators/
-    evalrank.py::pair_set_metrics, r10): precision/recall of the MinHash
-    band-bucket candidate pairs (k=8, 4×2 bands) against the EXACT
-    n-gram-Jaccard ≥ 0.2 pair set — the blocked-fabric twin of
-    eval_ivf_recall's ANN ladder, turning the LSH family's recall
-    contract from a docstring claim into an oracle-verified number at
-    every SF.  Three integer counts + two closing divisions; both pair
-    sets are corpus-independent sizes by construction."""
-    from trafficbigdatasearch_spark.operators import evalrank
-
-    docs = load_table(spark, sf, "documents")
-    cand = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
-    truth = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.2, max_shingle_freq=None
-    ).select("id_a", "id_b")
-    return evalrank.pair_set_metrics(cand, truth)
-
-
-@register(
-    "dedup_minhash_lsh",
-    f"WITH {_lsh_pairs_cte('documents')} SELECT id_a, id_b FROM lsh_pairs",
-)
-def dedup_minhash_lsh_q(spark, sf):
-    """MinHash-LSH candidate pairs: k=8 signatures banded 4×2; documents
-    sharing any band bucket collide.  The band-bucket equi join is the
-    web-scale near-dedup fabric (uniform high-entropy key, no cross join)."""
-    return dedup.minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
-    )
-
-
-@register(
-    "dedup_clusters",
-    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       )
-       SELECT id, CAST(min(lab) AS BIGINT) AS component,
-              (id = min(lab)) AS is_keeper
-       FROM walk GROUP BY id""",
-)
-def dedup_clusters_q(spark, sf):
-    """Near-dup CLUSTERS: LSH candidate pairs resolved into connected
-    components via alternating large-star/small-star (operators/graph.py) —
-    component = min doc id, the canonical survivor.  The oracle computes the
-    same labels via a recursive reachability closure; min-label components
-    are engine-independent, so the two agree exactly."""
-    pairs = dedup.minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
-    )
-    return graph.dedup_clusters(pairs)
-
-
-_TOKCOUNT_SQL = (
-    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
-    r"ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END"
-)
-
-
-@register(
-    "pipeline_clean_corpus",
-    f"""WITH qf AS (SELECT doc_id, text FROM documents WHERE {_TOKCOUNT_SQL} >= 5),
-       fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f FROM qf),
-       keepx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY f),
-       d1 AS (SELECT qf.doc_id, qf.text FROM qf JOIN keepx USING (doc_id)),
-       {_lsh_pairs_cte('d1')},
-       dropx AS (SELECT DISTINCT id_b AS doc_id FROM lsh_pairs)
-       SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)""",
-)
-def pipeline_clean_corpus_q(spark, sf):
-    """The operators COMPOSED as a real training-data cleaning pass:
-    quality gate (token count) -> exact dedup (min-id survivor per
-    fingerprint) -> MinHash-LSH near-dedup (drop the id_b side of every
-    candidate pair).  One declarative plan end-to-end; each stage is the
-    already-oracle-verified operator, and the composition itself is verified
-    here against the same chain in SQL."""
-    docs = load_table(spark, sf, "documents")
-    qf = docs.filter(T.token_count(F.col("text")) >= 5).select("doc_id", "text")
-    d1 = dedup.dedup_exact(qf)
-    pairs = dedup.minhash_lsh_pairs(d1, k=_MINHASH_K, bands=4, n=3)
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return d1.join(drop, "doc_id", "left_anti").select("doc_id")
-
-
-@register(
-    "pipeline_dedup_corpus",
-    f"""WITH RECURSIVE qf AS (SELECT doc_id, text FROM documents WHERE {_TOKCOUNT_SQL} >= 5),
-       fpx AS (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f FROM qf),
-       keepx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY f),
-       d1 AS (SELECT qf.doc_id, qf.text FROM qf JOIN keepx USING (doc_id)),
-       {_lsh_pairs_cte('d1')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       dropx AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> min(lab))
-       SELECT doc_id FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)""",
-)
-def pipeline_dedup_corpus_q(spark, sf):
-    """The cleaning pipeline with CLUSTER-correct near-dedup: quality gate ->
-    exact dedup -> LSH candidate pairs -> connected components -> keep only
-    each component's min-id representative.  Unlike pipeline_clean_corpus
-    (which drops the id_b side of every pair — pairwise, order-biased), the
-    transitive closure keeps exactly ONE document per near-dup cluster even
-    when the pair graph is a chain a-b-c with no (a, c) edge."""
-    docs = load_table(spark, sf, "documents")
-    qf = docs.filter(T.token_count(F.col("text")) >= 5).select("doc_id", "text")
-    d1 = dedup.dedup_exact(qf)
-    pairs = dedup.minhash_lsh_pairs(d1, k=_MINHASH_K, bands=4, n=3)
-    drop = (
-        graph.dedup_clusters(pairs)
-        .filter(~F.col("is_keeper"))
-        .select(F.col("id").alias("doc_id"))
-    )
-    return d1.join(drop, "doc_id", "left_anti").select("doc_id")
-
-
-_ROLL_POWS = ", ".join(
-    f"({i + 1}, {p})" for i, p in enumerate(T._roll_powers())
-)
-
-
-@register(
-    "text_rolling_fingerprint",
-    f"""WITH toks AS (SELECT doc_id, ({_GUARDED_TOKS})[1:{T.ROLL_MAX}] AS t FROM documents),
-       tok AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM toks),
-       pw(i, p) AS (VALUES {_ROLL_POWS}),
-       term AS (SELECT doc_id, (('0x' || substr(md5(tk), 1, 7))::BIGINT * p) % {T.ROLL_M} AS term
-                FROM tok JOIN pw ON pw.i = tok.i),
-       s AS (SELECT doc_id, sum(term) % {T.ROLL_M} AS fp FROM term GROUP BY doc_id)
-       SELECT d.doc_id, CAST(COALESCE(s.fp, 0) AS BIGINT) AS fingerprint
-       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""",
-)
-def text_rolling_fingerprint_q(spark, sf):
-    """Rabin-Karp rolling-hash document fingerprint in closed form over a
-    precomputed powers table (functions/text.py)."""
-    d = load_table(spark, sf, "documents")
-    return d.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
-
-
-@register(
-    "text_metrics",
-    r"""SELECT doc_id,
-              CAST(length(text) AS BIGINT) AS n_chars,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tokens,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                       x -> list_contains(['the','and','of','to','in','is','that','for','with','as'], x))) END AS n_stopwords_en,
-              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-              len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpeish
-       FROM documents""",
-)
-def text_metrics_q(spark, sf):
-    """Quality-scoring counters per document (functions/text.py) — the
-    integer inputs to length/punct/stopword-ratio filters."""
-    d = load_table(spark, sf, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        *T.quality_metrics(t),
-        T.bpe_ish_token_count(t).alias("n_bpeish"),
-    )
-
-
-@register(
-    "quality_gopher",
-    r"""WITH b AS (SELECT doc_id, trim(text) AS t,
-                       CASE WHEN length(trim(text)) = 0 THEN []
-                            ELSE regexp_split_to_array(trim(text), '\s+')
-                       END AS toks
-               FROM documents),
-       m AS (SELECT doc_id,
-                    CAST(len(toks) AS BIGINT) AS n_words,
-                    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
-                      AS wc,
-                    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
-                      AS n_hash,
-                    CAST((length(t) - length(replace(t, '...', ''))) // 3
-                         AS BIGINT) AS n_ell,
-                    CAST(len(list_filter(toks,
-                         x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-                      AS n_alpha,
-                    CAST(len(list_filter(toks,
-                         x -> list_contains(['the','and','of','to','in',
-                                             'is','that','for','with','as'],
-                                            lower(x)))) AS BIGINT) AS n_stop
-             FROM b)
-       SELECT doc_id, n_words,
-              n_words >= 30 AND n_words <= 100000 AS ok_word_count,
-              3 * n_words <= wc AND wc <= 10 * n_words AS ok_mean_word_len,
-              10 * (n_hash + n_ell) <= n_words AS ok_symbol_ratio,
-              5 * n_alpha >= 4 * n_words AS ok_alpha_words,
-              n_stop >= 2 AS ok_stopwords,
-              (n_words >= 30 AND n_words <= 100000)
-                AND (3 * n_words <= wc AND wc <= 10 * n_words)
-                AND (10 * (n_hash + n_ell) <= n_words)
-                AND (5 * n_alpha >= 4 * n_words)
-                AND (n_stop >= 2) AS passes
-       FROM m""",
-)
-def quality_gopher_q(spark, sf):
-    """The Gopher quality-rule battery (operators/validate.py::
-    gopher_quality_flags, r9 — Rae et al. 2021's published heuristic
-    set, the starting filter of most pretraining pipelines): word-count
-    bounds, mean word length in [3, 10], symbol-to-word ratio <= 0.1,
-    >= 80% alphabetic words, >= 2 English stopwords — each reported as
-    an independent per-document FLAG plus the conjunction, so a curation
-    run measures every rule's kill rate before committing.  All
-    thresholds are integer cross-multiplies (no float comparison
-    anywhere), the whole battery is row-local codegen'd expressions
-    (token split + two replace-occurrence counts + two higher-order
-    filter lambdas — zero shuffles, zero Python), and the oracle
-    recomputes the identical arithmetic."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    return V.gopher_quality_flags(
-        load_table(spark, sf, "documents"), min_words=30
-    )
-
-
-def _lang_score_sql(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
-    return (
-        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(list_filter("
-        f"regexp_split_to_array(lower(trim(text)), '\\s+'), "
-        f"x -> list_contains([{words}], x))) END"
-    )
-
-
-@register(
-    "text_lang_id",
-    f"""WITH s AS (SELECT doc_id, lang,
-              {_lang_score_sql('en')} AS s_en, {_lang_score_sql('es')} AS s_es,
-              {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('de')} AS s_de,
-              {_lang_score_sql('zh')} AS s_zh
-       FROM documents)
-       SELECT doc_id, lang,
-              CASE WHEN s_en = m AND m > 0 THEN 'en'
-                   WHEN s_es = m AND m > 0 THEN 'es'
-                   WHEN s_fr = m AND m > 0 THEN 'fr'
-                   WHEN s_de = m AND m > 0 THEN 'de'
-                   WHEN s_zh = m AND m > 0 THEN 'zh'
-                   ELSE 'und' END AS pred_lang
-       FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM s) t""",
-)
-def text_lang_id_q(spark, sf):
-    """Language-ID heuristic: argmax of per-language stopword hits —
-    explode + conditional-sum shape (T.lang_id_table), ~3x the per-row
-    interpreted-fold formulation."""
-    d = load_table(spark, sf, "documents")
-    return T.lang_id_table(d).join(
-        d.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "pred_lang")
-
-
-@register(
-    "text_fingerprint",
-    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
-       FROM documents""",
-)
-def text_fingerprint_q(spark, sf):
-    """Content-defined document fingerprint."""
-    d = load_table(spark, sf, "documents")
-    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
-
-
-_QVEC = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000))"
-
-
-@register(
-    "sim_brute_topk",
-    f"""WITH q AS (SELECT vec_id AS query_id, {_QVEC} AS qv FROM embeddings WHERE vec_id < 10),
-       c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-       s AS (SELECT query_id, neighbor_id,
-                    list_dot_product(qv, cv) /
-                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
-             FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
-       SELECT query_id, neighbor_id, rnk, score FROM (
-         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
-         FROM s) r
-       WHERE rnk <= 5""",
-)
-def sim_brute_topk_q(spark, sf):
-    """Exact cosine top-5 for probe vectors vec_id<10 over the full corpus
-    (operators/similarity.py — quantized arithmetic for cross-engine bits)."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
-    ).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "sim_lsh_buckets",
-    f"""WITH c AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-       e AS (SELECT vec_id, unnest(qv) AS comp, generate_subscripts(qv, 1) AS d FROM c),
-       proj AS (
-         SELECT vec_id, p,
-                sum(comp * ((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 7))::BIGINT % 2001) - 1000)) AS pr
-         FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) planes
-         GROUP BY vec_id, p)
-       SELECT vec_id AS id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-       FROM proj GROUP BY vec_id""",
-)
-def sim_lsh_buckets_q(spark, sf):
-    """Random-hyperplane LSH bucket assignment — the ANN/blocking fabric;
-    md5-derived hyperplanes make it reproducible in any engine."""
-    return similarity.bucket_assignments(load_table(spark, sf, "embeddings"), 8)
-
-
-_LSH_BUCKET_CTE = f"""cv AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       e AS (SELECT vec_id, unnest(v) AS comp, generate_subscripts(v, 1) AS d FROM cv),
-       proj AS (
-         SELECT vec_id, p,
-                sum(comp * ((('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 7))::BIGINT % 2001) - 1000)) AS pr
-         FROM e CROSS JOIN (SELECT unnest(range(8)) AS p) planes
-         GROUP BY vec_id, p),
-       bk AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-              FROM proj GROUP BY vec_id)"""
-
-
-@register(
-    "sim_lsh_topk",
-    f"""WITH {_LSH_BUCKET_CTE},
-       q AS (SELECT c.vec_id AS query_id, v AS qv, bucket
-             FROM cv c JOIN bk USING (vec_id) WHERE c.vec_id < 10),
-       cand AS (SELECT c.vec_id AS neighbor_id, v AS nv, bucket
-                FROM cv c JOIN bk USING (vec_id)),
-       s AS (SELECT query_id, neighbor_id,
-                    list_dot_product(qv, nv) /
-                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS score
-             FROM q JOIN cand USING (bucket)
-             WHERE neighbor_id <> query_id)
-       SELECT query_id, neighbor_id, rnk, score FROM (
-         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
-         FROM s) r
-       WHERE rnk <= 5""",
-)
-def sim_lsh_topk_q(spark, sf):
-    """LSH-bucketed approximate top-5: candidates restricted to the query's
-    hyperplane bucket, exact cosine rerank inside — completes the similarity
-    family's query surface (brute / LSH / IVF), all oracle-matched."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.lsh_bucketed_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8
-    ).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "sim_embedding_near_dup",
-    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings)
-       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              list_dot_product(a.qv, b.qv) /
-              (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS score
-       FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE list_dot_product(a.qv, b.qv) /
-             (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) >= 0.4""",
-)
-def sim_embedding_near_dup_q(spark, sf):
-    """Embedding-cosine near-dup pairs with label blocking.  Threshold 0.4:
-    the synthetic embeddings top out near cosine 0.5, so 0.7 matched on
-    empty sets at every SF (vacuous 0=0 oracle — round-1 finding); 0.4
-    yields 5/5/86 pairs at sf0.001/0.01/0.1."""
-    return similarity.embedding_near_dup_pairs(
-        load_table(spark, sf, "embeddings"), threshold=0.4, block_col="label"
-    )
-
-
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
-
-@register(
-    "eval_cluster_purity",
-    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
-       asim AS (SELECT c.vec_id AS vid, label, cell_id,
-                       list_dot_product(v, mv) /
-                       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv))) AS s
-                FROM c CROSS JOIN cent),
-       assign AS (SELECT vid, label, cell_id FROM (
-           SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell_id ASC) AS r
-           FROM asim) t WHERE r = 1),
-       bl AS (SELECT cell_id, label, CAST(count(*) AS BIGINT) AS cnt
-              FROM assign WHERE label IS NOT NULL GROUP BY 1, 2),
-       top AS (SELECT cell_id, label AS majority_label, cnt AS n_majority,
-                      CAST(sum(cnt) OVER (PARTITION BY cell_id) AS BIGINT) AS n_members,
-                      row_number() OVER (PARTITION BY cell_id
-                                         ORDER BY cnt DESC, label ASC) AS r
-               FROM bl)
-       SELECT cell_id, n_members, majority_label,
-              CAST(n_majority AS BIGINT) AS n_majority,
-              CAST(n_majority AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
-       FROM top WHERE r = 1""",
-)
-def eval_cluster_purity_q(spark, sf):
-    """Clustering-quality measurement (operators/evalrank.py::
-    cluster_purity, r10): per-cluster label purity of the IVF cell
-    assignment over the labeled embeddings — the measurement loop for the
-    engine's blocking/clustering fabrics (the same cells semantic dedup
-    blocks on), completing the eval family alongside the ANN recall
-    ladder (eval_ivf_recall) and the recsys holdout rows.  Determinism:
-    integer counts, majority ties to the smallest label, purity is the
-    single closing IEEE division — hash-comparable.  Plan: one id join +
-    two map-side-combined exchanges; one output row per cell."""
-    from trafficbigdatasearch_spark.operators import evalrank
-
-    emb = load_table(spark, sf, "embeddings")
-    return evalrank.cluster_purity(
-        similarity.ivf_cell_assignments(emb, centroid_stride=97),
-        emb,
-    )
-
-
-@register(
-    "eval_score_calibration",
-    f"""WITH gop AS (SELECT doc_id, passes
-                   FROM ({_REGISTRY["quality_gopher"][1]}) t),
-       s AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS score, gop.passes
-             FROM documents d JOIN gop USING (doc_id)),
-       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
-       h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY score),
-       b AS (SELECT score,
-                    CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum
-             FROM h)
-       SELECT CAST((10 * cum + nn - 1) // nn AS BIGINT) AS bucket,
-              CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-              CAST(min(score) AS BIGINT) AS score_lo,
-              CAST(max(score) AS BIGINT) AS score_hi,
-              CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
-                / count(*) AS pos_rate
-       FROM s JOIN b USING (score) CROSS JOIN n
-       GROUP BY 1""",
-)
-def eval_score_calibration_q(spark, sf):
-    """Score-calibration report (operators/evalrank.py::score_calibration,
-    r10): document LENGTH deciles (exact histogram-CDF global quantiles —
-    the w_quality_deciles_global machinery, no global sort) against the
-    Gopher-battery pass flag — the reliability curve behind "does this
-    cheap signal predict the expensive gate?" threshold decisions.  Ties
-    three families together (ranks bucketing, the validate rule battery,
-    the eval family's integer-counts-plus-one-division contract); the
-    oracle embeds quality_gopher's full SQL as its outcome subquery, so
-    the calibration row re-certifies the gate end-to-end too."""
-    from trafficbigdatasearch_spark.operators import evalrank, validate
-
-    docs = load_table(spark, sf, "documents")
-    # min_words=30 matches the embedded quality_gopher oracle (its
-    # registration threshold for this corpus), not the operator default
-    gf = validate.gopher_quality_flags(docs, min_words=30).select(
-        "doc_id", "passes"
-    )
-    scored = docs.select(
-        "doc_id", F.col("n_chars").cast("bigint").alias("score")
-    ).join(gf, "doc_id")
-    return evalrank.score_calibration(scored, "score", "passes", n_buckets=10)
-
-
-@register(
-    "sim_bitext_margin",
-    f"""WITH c AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings),
-       a AS (SELECT vec_id AS id_a, v FROM c WHERE label = 0),
-       b AS (SELECT vec_id AS id_b, v FROM c WHERE label = 1),
-       s AS (SELECT id_a, id_b,
-                    list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
-             FROM a CROSS JOIN b),
-       r AS (SELECT *,
-                    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS ra,
-                    row_number() OVER (PARTITION BY id_b ORDER BY cosine DESC, id_a) AS rb
-             FROM s),
-       ka AS (SELECT id_a, min(cosine) AS kth_a FROM r WHERE ra <= 4 GROUP BY id_a),
-       kb AS (SELECT id_b, min(cosine) AS kth_b FROM r WHERE rb <= 4 GROUP BY id_b),
-       cand AS (SELECT id_a, id_b, cosine FROM r WHERE ra = 1)
-       SELECT cand.id_a, cand.id_b, cosine, kth_a, kth_b,
-              (2 * cosine - kth_a) - kth_b AS score
-       FROM cand JOIN ka USING (id_a) JOIN kb USING (id_b)
-       WHERE (2 * cosine - kth_a) - kth_b >= 0.1""",
-)
-def sim_bitext_margin_q(spark, sf):
-    """Margin-based bitext mining (operators/similarity.py::
-    margin_bitext_pairs, r10) — the CCMatrix/LASER curation primitive:
-    each side-A vector's best cross-side match, scored by the margin over
-    both local neighborhoods so hub vectors (close to everything) don't
-    flood the mined set.  Engine-reproducible margin variant: the
-    k-th-neighbor margin (2·cos − kth_a) − kth_b, every term one closing
-    IEEE chain over integer dot products, no float SUM anywhere — which is
-    what makes the row hash-comparable (the textbook mean-of-k margin is
-    order-dependent and unusable under the determinism contract).  Sides
-    here are embedding labels 0/1 (the synthetic stand-in for a language
-    pair); k=4, threshold 0.1 keeps 34/38/119 of 56/50/199 candidates at
-    sf0.001/0.01/0.1 — non-vacuous at every SF.  Exact cross mode at
-    registered scale; the ``blocks`` parameter (ivf_cell_assignments) is
-    the documented ANN-retrieval regime at corpus scale."""
-    return similarity.margin_bitext_pairs(
-        load_table(spark, sf, "embeddings"),
-        side_col="label",
-        side_a=0,
-        side_b=1,
-        k=4,
-        threshold=0.1,
-    )
-
-
-#: Shared by ``sim_ivf_topk`` (inline assignment) and ``sim_ivf_indexed``
-#: (persisted index) — same deterministic centroids, so identical results.
-# Shared IVF CTE chain (through `scored`, plus the base `c` and query `q`
-# sets) — consumed by the sim_ivf_* oracles below AND composed with an
-# exact-cosine leg by eval_ivf_recall's oracle in the round-7 section.
-_IVF_CTES = f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
-       asim AS (SELECT c.vec_id AS nid, cell_id,
-                       {_COS.format(a='v', b='mv')} AS s
-                FROM c CROSS JOIN cent),
-       assign AS (SELECT nid, cell_id FROM (
-           SELECT *, row_number() OVER (PARTITION BY nid ORDER BY s DESC, cell_id ASC) AS r
-           FROM asim) t WHERE r = 1),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
-       psim AS (SELECT query_id, cell_id, qv,
-                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cell_id ASC) AS r
-                FROM (SELECT query_id, cell_id, qv, {_COS.format(a='qv', b='mv')} AS s
-                      FROM q CROSS JOIN cent) t),
-       probes AS (SELECT query_id, cell_id, qv FROM psim WHERE r <= 2),
-       scored AS (SELECT query_id, assign.nid AS neighbor_id,
-                         {_COS.format(a='qv', b='v')} AS score
-                  FROM probes JOIN assign USING (cell_id)
-                  JOIN c ON c.vec_id = assign.nid
-                  WHERE assign.nid <> query_id)"""
-
-_IVF_ORACLE = f"""WITH {_IVF_CTES}
-       SELECT query_id, neighbor_id, rnk, score FROM (
-         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
-         FROM scored) r
-       WHERE rnk <= 5"""
-
-
-@register("sim_ivf_topk", _IVF_ORACLE)
-def sim_ivf_topk_q(spark, sf):
-    """IVF-style ANN: deterministic centroid sample, broadcast argmin cell
-    assignment, nprobe=2 probe join, exact rerank (operators/similarity.py)."""
-    emb = load_table(spark, sf, "embeddings")
-    # validate=True at the registered layer (ADVICE r2): the fail-fast
-    # isEmpty job is cheap here, and a mis-sized stride must not ship a
-    # silently-empty ANN result to the driver
-    return similarity.ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        k=5,
-        nprobe=2,
-        centroid_stride=97,
-        validate=True,
-    ).withColumnRenamed("rank", "rnk")
-
-
-# ---------------------------------------------------------------------------
-# Process-lifetime scratch: ONE tempdir root for every on-disk artifact a
-# registered query materializes (IVF index, text index, streaming source
-# symlink dirs), keyed by (artifact, sf).  Repeated driver / bench
-# invocations reuse the same subdirectory — O(1) tempdirs per process — and
-# the whole root is removed at interpreter exit.
-# ---------------------------------------------------------------------------
-
-_SCRATCH_ROOT: str | None = None
-
-
-def _scratch(artifact: str, sf: str) -> str:
-    """Stable scratch directory for one (artifact, sf-dir) pair."""
-    global _SCRATCH_ROOT
-    import hashlib
-    import os
-
-    if _SCRATCH_ROOT is None:
-        import atexit
-        import shutil
-        import tempfile
-
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="tbds_scratch_")
-        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    key = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:8]
-    d = os.path.join(_SCRATCH_ROOT, f"{artifact}-{key}")
-    os.makedirs(d, exist_ok=True)
-    return d
-
-
-def _stream_events_source(spark, sf):
-    """Bounded file-source STREAM over the events table, ts normalized the
-    same way catalog.load_table does it.  The file stream source wants a
-    DIRECTORY base; testdata tables are single files, so stream from a
-    symlink inside the per-(artifact, sf) scratch dir — no copy, created
-    once per process and cleaned at exit."""
-    import os
-
-    # load_table pins the nanos/UTC confs on the caller's session (result
-    # unused — the streaming read below needs those confs in place)
-    load_table(spark, sf, "events")
-    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    d = _scratch("stream_events", sf)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(os.path.realpath(os.path.join(sf, "events.parquet")), link)
-    src = spark.readStream.schema(raw.schema).parquet(d)
-    _ts_type = dict(src.dtypes).get("ts")
-    if _ts_type == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif _ts_type == "timestamp_ntz":
-        # timestamp[us] file reads as NTZ; wall-clock identity cast under
-        # the UTC session zone (same normalization as catalog.load_table)
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    return src
-
-
-def _drain_to_memory(agg, name_prefix: str, output_mode: str = "complete"):
-    """Run a bounded stream to completion (availableNow) into a memory sink
-    and return the sink table.  Memory-sink verification shape ONLY — result
-    sets here are small aggregates; the production path is watermark +
-    append to a real sink (pinned in tests/test_streaming.py)."""
-    import uuid
-
-    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(f"{name_prefix}: stream did not drain in 300s")
-    return agg.sparkSession.table(name)
-
-
-#: Per-(sf dir) cache of a built on-disk IVF index, so repeated driver /
-#: bench calls exercise the READ path (build once, query forever).
-_IVF_INDEX_CACHE: dict[str, str] = {}
-
-
-@register("sim_ivf_indexed", _IVF_ORACLE)
-def sim_ivf_indexed_q(spark, sf):
-    """The persisted-index ANN path: build_ivf_index writes the inverted
-    lists PARTITIONED by cell_id, then ivf_topk_indexed's broadcast probe
-    join dynamic-partition-prunes the scan to ~nprobe/n_cells of the corpus
-    bytes (operators/similarity.py:277,333).  Same deterministic centroids
-    as sim_ivf_topk, hence the same oracle — the green row proves the full
-    build -> partitioned write -> pruned read -> rerank seam.  The index
-    build on first call is an eager write (to the process-lifetime scratch
-    dir, cleaned at exit); every later call is pure pruned reads."""
-    import os
-
-    emb = load_table(spark, sf, "embeddings")
-    path = _IVF_INDEX_CACHE.get(sf)
-    if path is None:
-        path = os.path.join(_scratch("ivf_index", sf), "ivf")
-        similarity.build_ivf_index(emb, path, centroid_stride=97)
-        _IVF_INDEX_CACHE[sf] = path
-    return similarity.ivf_topk_indexed(
-        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
-    ).withColumnRenamed("rank", "rnk")
-
-
-#: sim_ivf_append's oracle IS the full rebuild over corpus ∪ batch at the
-#: SAME fixed centroids (the standing corpus's stride sample): the append
-#: path must answer identically, which is exactly the index-maintenance
-#: contract (verdict r9 #6).  One textual delta from _IVF_ORACLE: the
-#: centroid CTE excludes the appended batch (vec_id % 10 = 7), matching the
-#: Spark side where centroids were sampled BEFORE the batch arrived.
-_IVF_APPEND_ORACLE = _IVF_ORACLE.replace(
-    "WHERE vec_id % 97 = 0", "WHERE vec_id % 97 = 0 AND vec_id % 10 <> 7"
-)
-assert _IVF_APPEND_ORACLE != _IVF_ORACLE
-
-#: Per-(sf dir) cache of the appended IVF index (standing build + one
-#: appended batch), mirroring _IVF_INDEX_CACHE's build-once contract.
-_IVF_APPEND_CACHE: dict[str, str] = {}
-
-
-@register("sim_ivf_append", _IVF_APPEND_ORACLE)
-def sim_ivf_append_q(spark, sf):
-    """IVF index MAINTENANCE (verdict r9 #6): build the persisted index on
-    the standing corpus (vec_id % 10 != 7), then ivf_index_append folds the
-    held-out batch in against the STORED centroids — the standing inverted
-    lists are never read or rewritten, maintenance is O(|batch|)
-    (operators/similarity.py::ivf_index_append).  The query then runs
-    ivf_topk_indexed over the merged index; the oracle computes the full
-    rebuild over corpus ∪ batch at the same fixed centroids, so a green row
-    proves merged-index ≡ full-rebuild equivalence end-to-end, including
-    queries whose neighbors live in appended files (vec_id 7 is itself a
-    query point)."""
-    import os
-
-    emb = load_table(spark, sf, "embeddings")
-    path = _IVF_APPEND_CACHE.get(sf)
-    if path is None:
-        path = os.path.join(_scratch("ivf_append", sf), "ivf")
-        batch_pred = F.col("vec_id") % 10 == 7
-        similarity.build_ivf_index(
-            emb.filter(~batch_pred), path, centroid_stride=97
-        )
-        similarity.ivf_index_append(spark, path, emb.filter(batch_pred))
-        _IVF_APPEND_CACHE[sf] = path
-    return similarity.ivf_topk_indexed(
-        spark, path, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
-    ).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "sim_kmeans_refine",
-    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c WHERE vec_id % 97 = 0),
-       asim AS (SELECT c.vec_id AS vid, cell_id,
-                       {_COS.format(a='v', b='mv')} AS s
-                FROM c CROSS JOIN cent),
-       assign AS (SELECT vid, cell_id, s FROM (
-           SELECT *, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell_id ASC) AS r
-           FROM asim) t WHERE r = 1)
-       SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-              CAST(SUM(CAST(round(s * 1e9) AS BIGINT)) AS DOUBLE) / (1e9 * COUNT(*)) AS avg_sim
-       FROM assign GROUP BY cell_id""",
-)
-def sim_kmeans_refine_q(spark, sf):
-    """Spherical k-means refinement of the IVF centroids (one Lloyd
-    iteration) — the iterative assignment/re-estimation loop as DataFrame
-    ops.  With n_iter=1 the returned stats ARE the first assignment pass
-    (the re-estimated centroids feed iteration 2+ / the centroid column),
-    so one Lloyd step is exactly SQL-expressible: broadcast-argmin
-    assignment + grouped count/avg, with avg_sim quantized to 1e-9 for
-    cross-engine determinism (operators/similarity.py).  Multi-iteration
-    objective monotonicity is pinned in tests/test_entry_correctness.py."""
-    return similarity.kmeans_refine(
-        load_table(spark, sf, "embeddings"), n_iter=1, validate=True
-    ).select("cell_id", "n_members", "avg_sim")
-
-
-@register(
-    "mm_features",
-    """SELECT doc_id AS asset_id,
-              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
-              CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f1,
-              CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) AS f2,
-              CAST(list_sum(list_transform(regexp_extract_all(text, '.'), c -> ascii(c))) % 997 AS DOUBLE) AS f3
-       FROM documents""",
-)
-def mm_features_q(spark, sf):
-    """Multimodal plumbing: binary payload column -> Arrow-batched
-    ``mapInPandas`` feature extraction (operators/multimodal.py).  The decode
-    kernel is a deterministic stub (no media libs in container); the oracle
-    reproduces its formula.  Corpus is ASCII, so first/last byte == ascii()."""
-    docs = load_table(spark, sf, "documents")
-    feats = multimodal.extract_features(multimodal.assets_from_documents(docs))
-    return feats.select(
-        "asset_id",
-        "media_type",
-        "n_bytes",
-        F.col("features")[0].alias("f0"),
-        F.col("features")[1].alias("f1"),
-        F.col("features")[2].alias("f2"),
-        F.col("features")[3].alias("f3"),
-    )
-
-
-@register(
-    "mm_frame_sample",
-    """SELECT doc_id AS asset_id,
-              unnest(range(0, octet_length(encode(text)) // 3000 + 1)) AS frame_idx,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-       FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2""",
-)
-def mm_frame_sample_q(spark, sf):
-    """Video frame-sampling plumbing: Python-side row fan-out per asset."""
-    docs = load_table(spark, sf, "documents")
-    return multimodal.frame_sample_stub(
-        multimodal.assets_from_documents(docs), every_n=30
-    )
-
-
-# =============================================================================
-# TPC-H-style headline joins (bench + correctness)
-# =============================================================================
-
-
-@register(
-    "q3_shipping_priority",
-    """SELECT l_orderkey,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
-              strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
-       FROM customer JOIN orders ON c_custkey = o_custkey
-       JOIN lineitem ON l_orderkey = o_orderkey
-       WHERE c_mktsegment = 'BUILDING'
-         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-       GROUP BY l_orderkey, o_orderdate, o_orderpriority
-       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
-)
-def q3_shipping_priority(spark, sf):
-    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k."""
-    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
-    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
-        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-@register(
-    "q14_promo_revenue",
-    """SELECT 100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
-                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                 ELSE 0 END) /
-              SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS promo_pct
-       FROM lineitem JOIN part ON l_partkey = p_partkey
-       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'""",
-)
-def q14_promo_revenue(spark, sf):
-    """TPC-H Q14 shape: fact ⋈ broadcast dim + conditional aggregate ratio —
-    one pass, two exact integer-cent sums, one final double division."""
-    li = load_table(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
-    )
-    p = load_table(spark, sf, "part")
-    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy()
-        .agg(
-            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
-                "promo_pct"
-            )
-        )
-    )
-
-
-@register(
-    "q5_local_supplier",
-    """SELECT n_name,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
-       FROM customer
-       JOIN orders ON c_custkey = o_custkey
-       JOIN lineitem ON l_orderkey = o_orderkey
-       JOIN supplier ON l_suppkey = s_suppkey
-       JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
-       JOIN region ON n_regionkey = r_regionkey
-       WHERE r_name = 'ASIA'
-         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-       GROUP BY n_name""",
-)
-def q5_local_supplier(spark, sf):
-    """TPC-H Q5 shape: 6-table join with same-nation constraint."""
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = load_table(spark, sf, "lineitem")
-    s = load_table(spark, sf, "supplier")
-    n = load_table(spark, sf, "nation")
-    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(
-            F.broadcast(n),
-            (c["c_nationkey"] == n["n_nationkey"])
-            & (s["s_nationkey"] == n["n_nationkey"]),
-        )
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
-    )
-
-
-# =============================================================================
-# beyond-parity: deterministic sampling (operators/sampling.py)
-# =============================================================================
-
-_BUCKET_SQL = (
-    "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
-    f" % {sampling.BUCKETS}"
-)
-
-
-@register(
-    "sample_split_hash",
-    f"""SELECT doc_id,
-              CASE WHEN {_BUCKET_SQL.format(salt='split')} < 9000 THEN 'train'
-                   ELSE 'test' END AS split
-       FROM documents""",
-)
-def sample_split_hash_q(spark, sf):
-    """Reproducible 90/10 train/test split: membership = md5 hash range of
-    the doc id — identical under retries, repartitioning, and in any other
-    engine (the oracle recomputes it), unlike ``rand()``.  Row-local
-    expression; zero shuffles."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.hash_split(
-        docs, "doc_id", {"train": 0.9, "test": 0.1}
-    ).select("doc_id", "split")
-
-
-@register(
-    "sample_split_leakage_free",
-    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
-                FROM walk GROUP BY id),
-       labl AS (SELECT d.doc_id,
-                       COALESCE(c.component, d.doc_id) AS component
-                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-       SELECT doc_id, component,
-              CASE WHEN ('0x' || substr(md5('split' ||
-                         CAST(component AS VARCHAR)), 1, 7))::BIGINT
-                        % {sampling.BUCKETS} < 9000
-                   THEN 'train' ELSE 'test' END AS split
-       FROM labl""",
-)
-def sample_split_leakage_free_q(spark, sf):
-    """LEAKAGE-FREE train/test split: the hash-split key is the document's
-    near-dup CLUSTER (LSH pairs -> connected components), not the document
-    id, so near-duplicates can never straddle the split boundary and
-    contaminate evaluation (operators/sampling.py::leakage_free_split).
-    The composition every serious corpus pipeline runs before eval-set
-    carving; singleton documents key by their own id.  Oracle = the
-    recursive reachability closure (same as dedup_clusters) + the identical
-    md5 bucket arithmetic on the component id."""
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
-    return sampling.leakage_free_split(
-        docs, pairs, {"train": 0.9, "test": 0.1}
-    ).select("doc_id", "component", "split")
-
-
-@register(
-    "sample_stratified",
-    f"""SELECT doc_id, lang FROM documents
-       WHERE {_BUCKET_SQL.format(salt='strata')} <
-             CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1000 END""",
-)
-def sample_stratified_q(spark, sf):
-    """Per-language downsampling (en 50%, zh 25%, rest 10%) — the
-    source/language rebalancing pass of a corpus pipeline, as a pure
-    row-local hash filter (scan speed, no shuffle, no rand())."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.stratified_sample(
-        docs, "lang", {"en": 0.5, "zh": 0.25}, key_col="doc_id", default_rate=0.1
-    ).select("doc_id", "lang")
-
-
-@register(
-    "sample_temperature",
-    """WITH nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
-               FROM documents GROUP BY 1),
-       mn AS (SELECT min(n_g) AS n_min FROM nd),
-       b AS (SELECT d.source, d.doc_id,
-                    ('0x' || substr(md5('temp' ||
-                        CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
-                      % 10000 AS bkt,
-                    nd.n_g, mn.n_min
-             FROM documents d
-             JOIN nd ON d.source IS NOT DISTINCT FROM nd.source
-             CROSS JOIN mn)
-       SELECT source, doc_id FROM b
-       WHERE bkt::HUGEINT * bkt::HUGEINT * n_g::HUGEINT
-             < 10000::HUGEINT * 10000::HUGEINT * n_min::HUGEINT""",
-)
-def sample_temperature_q(spark, sf):
-    """Temperature-balanced source rebalancing (operators/sampling.py::
-    temperature_sample, the XLM-R/mT5 exponent-smoothing recipe at
-    alpha = 1/2): each source's kept size targets sqrt(n_min * n_g) —
-    the smallest source is kept whole and larger sources are
-    hash-downsampled toward it, flattening the domain distribution
-    without hand-tuned target weights (mixture_sample's contract when
-    you KNOW the mixture; this one when you only know the exponent).
-    Membership is EXACT integer arithmetic: the rational alpha
-    cross-multiplies into bucket^2 * n_g < BUCKETS^2 * n_min evaluated
-    in DECIMAL(38,0)/HUGEINT — no platform pow whose one-ULP wobble
-    could flip a boundary bucket between engines.  The output is the
-    full kept (source, doc_id) membership, so the hash certifies every
-    individual keep/drop decision, not just the counts."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.temperature_sample(
-        docs, "source", key_col="doc_id", alpha=(1, 2)
-    ).select("source", "doc_id")
-
-
-@register(
-    "sample_priority",
-    f"""WITH w AS (SELECT doc_id, source,
-                       CAST({_TOKCOUNT_SQL} AS DOUBLE) AS w
-                FROM documents),
-       pr AS (SELECT doc_id, source,
-                     CAST(('0x' || substr(md5('prio' ||
-                         CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS DOUBLE)
-                       / w AS _priority
-              FROM w WHERE w > 0)
-       SELECT doc_id, source, _priority FROM pr
-       ORDER BY _priority, doc_id LIMIT 100""",
-)
-def sample_priority_q(spark, sf):
-    """WEIGHTED sampling without replacement (operators/sampling.py::
-    priority_sample, r9 — Duffield-Lund-Thorup priority sampling):
-    exactly 100 documents drawn with inclusion probability ~ proportional
-    to token count (the 'sample K docs, preferring long/high-quality
-    ones' curation shape a Bernoulli sampler can't hit exactly and a
-    threshold would hard-cut).  Priority = md5-uniform / weight — ONE
-    IEEE division of a 28-bit integer, bit-identical in any engine, so
-    the whole sample (and the published priorities that feed
-    Horvitz-Thompson estimates downstream) hash-compares.  Plan:
-    row-local priority -> TakeOrderedAndProject (per-partition heap +
-    k-merge, no global sort)."""
-    docs = load_table(spark, sf, "documents")
-    from trafficbigdatasearch_spark.functions import text as T
-
-    weighted = docs.select(
-        "doc_id", "source", T.token_count(F.col("text")).alias("w")
-    )
-    return sampling.priority_sample(
-        weighted, "w", k=100, key_col="doc_id"
-    ).select("doc_id", "source", "_priority")
-
-
-@register(
-    "sample_priority_grouped",
-    f"""WITH w AS (SELECT doc_id, lang,
-                       CAST({_TOKCOUNT_SQL} AS DOUBLE) AS w
-                FROM documents),
-       pr AS (SELECT doc_id, lang,
-                     CAST(('0x' || substr(md5('prio' ||
-                         CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS DOUBLE)
-                       / w AS _priority
-              FROM w WHERE w > 0),
-       rk AS (SELECT *, row_number() OVER (PARTITION BY lang
-                        ORDER BY _priority, doc_id) AS rk FROM pr)
-       SELECT doc_id, lang, _priority FROM rk WHERE rk <= 20""",
-)
-def sample_priority_grouped_q(spark, sf):
-    """WEIGHTED per-group sampling (operators/sampling.py::
-    priority_sample_grouped, r10): exactly 20 documents PER LANGUAGE drawn
-    with inclusion ~ proportional to token count — the per-group corner of
-    the DLT priority scheme ("k docs per language, preferring long/high-
-    quality ones"), generalizing sample_group_topk's uniform draw and
-    sample_priority's global one.  Same md5-uniform/weight priority, same
-    published _priority column for downstream Horvitz-Thompson use; the
-    plan swaps TakeOrderedAndProject for ONE window shuffle on lang."""
-    docs = load_table(spark, sf, "documents")
-    from trafficbigdatasearch_spark.functions import text as T
-
-    weighted = docs.select(
-        "doc_id", "lang", T.token_count(F.col("text")).alias("w")
-    )
-    return sampling.priority_sample_grouped(
-        weighted, "lang", "w", k=20, key_col="doc_id"
-    ).select("doc_id", "lang", "_priority")
-
-
-@register(
-    "sample_quota_split",
-    f"""WITH base AS (SELECT doc_id, lang,
-                         {_BUCKET_SQL.format(salt='quota')} AS b
-                  FROM documents),
-       r AS (SELECT doc_id, lang,
-                    row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rk,
-                    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
-             FROM base),
-       q AS (SELECT *,
-                    CAST(floor(0.8 * n) AS BIGINT) AS f1,
-                    CAST(floor(0.1 * n) AS BIGINT) AS f2,
-                    CAST(floor(0.1 * n) AS BIGINT) AS f3,
-                    0.8 * n - floor(0.8 * n) AS r1,
-                    0.1 * n - floor(0.1 * n) AS r2,
-                    0.1 * n - floor(0.1 * n) AS r3
-             FROM r),
-       qq AS (SELECT *, n - (f1 + f2 + f3) AS rem,
-                     (CASE WHEN r2 > r1 THEN 1 ELSE 0 END
-                    + CASE WHEN r3 > r1 THEN 1 ELSE 0 END) AS k1,
-                     (CASE WHEN r1 >= r2 THEN 1 ELSE 0 END
-                    + CASE WHEN r3 > r2 THEN 1 ELSE 0 END) AS k2,
-                     (CASE WHEN r1 >= r3 THEN 1 ELSE 0 END
-                    + CASE WHEN r2 >= r3 THEN 1 ELSE 0 END) AS k3
-              FROM q)
-       SELECT doc_id, lang,
-              CASE WHEN rk <= f1 + (CASE WHEN k1 < rem THEN 1 ELSE 0 END)
-                     THEN 'train'
-                   WHEN rk <= f1 + (CASE WHEN k1 < rem THEN 1 ELSE 0 END)
-                           + f2 + (CASE WHEN k2 < rem THEN 1 ELSE 0 END)
-                     THEN 'val'
-                   ELSE 'test' END AS split
-       FROM qq""",
-)
-def sample_quota_split_q(spark, sf):
-    """EXACT-count stratified split (operators/sampling.py::quota_split,
-    r10): every document assigned to train/val/test so the per-LANGUAGE
-    split sizes are the largest-remainder apportionment of each
-    language's count over (0.8, 0.1, 0.1) — exactly 80/10/10 per
-    stratum, not in expectation (hash_split's binomial noise is material
-    for small strata and hard eval-budget guarantees).  Rows hash-order
-    within their language (md5 bucket, doc_id), quotas are a fixed IEEE
-    expression of the group size only, and largest-remainder makes the
-    quotas sum to n exactly — one ranking-window shuffle, no rows
-    dropped.  The oracle replicates the apportionment with the same
-    remainder tie-break (insertion order)."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.quota_split(
-        docs, "lang", {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id"
-    ).select("doc_id", "lang", "split")
-
-
-@register(
-    "sample_group_topk",
-    f"""WITH rk AS (SELECT doc_id, lang,
-                     row_number() OVER (PARTITION BY lang
-                       ORDER BY {_BUCKET_SQL.format(salt='group')}, doc_id) AS rk
-              FROM documents)
-       SELECT doc_id, lang FROM rk WHERE rk <= 5""",
-)
-def sample_group_topk_q(spark, sf):
-    """Deterministic fixed-size per-group sample (5 docs per language) via
-    hash-ordered row_number — the engine-portable reservoir-sampling
-    equivalent.  One shuffle on the group key."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.group_sample(docs, "lang", 5, key_col="doc_id").select(
-        "doc_id", "lang"
-    )
-
-
-@register(
-    "sample_mixture",
-    f"""WITH cw AS (
-         SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt,
-                CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
-                          WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
-                          WHEN 'es' THEN CAST(0.2 AS DOUBLE)
-                          WHEN 'de' THEN CAST(0.1 AS DOUBLE)
-                          WHEN 'fr' THEN CAST(0.1 AS DOUBLE) END AS wt
-         FROM documents WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')
-         GROUP BY lang),
-       k AS (SELECT min(cnt / wt) AS scale FROM cw),
-       r AS (SELECT lang, CAST(floor(scale * wt / cnt * {sampling.BUCKETS})
-                                AS BIGINT) AS thresh
-             FROM cw, k)
-       SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-       WHERE {_BUCKET_SQL.format(salt='mixture')} < thresh""",
-)
-def sample_mixture_q(spark, sf):
-    """Target-mixture downsampling: keep the LARGEST sub-corpus whose
-    language proportions are exactly (en 40, zh 20, es 20, de 10, fr 10)% —
-    the data-mixing step of a pretraining pipeline.  The limiting language
-    is kept whole; the rest are deterministically hash-downsampled to
-    match; the corpus itself never shuffles (count agg + broadcast
-    thresholds)."""
-    docs = load_table(spark, sf, "documents")
-    return sampling.mixture_sample(
-        docs,
-        "lang",
-        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
-        key_col="doc_id",
-    ).select("doc_id", "lang")
-
-
-@register(
-    "text_chunk_docs",
-    r"""WITH toks AS (
-         SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN []
-                     ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-         FROM documents),
-       nz AS (SELECT * FROM toks WHERE len(t) > 0),
-       st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM nz)
-       SELECT doc_id,
-              CAST(s / 48 AS BIGINT) AS chunk_id,
-              array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
-              CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
-       FROM st""",
-)
-def text_chunk_docs_q(spark, sf):
-    """Fixed-token-budget document chunking (64-token chunks, 16-token
-    overlap -> stride 48): the context-window preprocessing step upstream
-    of pack_sequences.  Pure projection + posexplode — scan speed, zero
-    shuffles, tokenless docs dropped."""
-    from trafficbigdatasearch_spark.operators import chunking
-
-    docs = load_table(spark, sf, "documents")
-    return chunking.chunk_documents(docs, chunk_tokens=64, overlap=16)
-
-
-@register(
-    "decontaminate",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t,
-                      unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS i
-               FROM toks),
-       sh AS (SELECT DISTINCT doc_id,
-                     array_to_string(t[i + 1 : i + 5], ' ') AS s
-              FROM idx),
-       bench AS (SELECT DISTINCT s FROM sh
-                 WHERE doc_id % 37 = 0 AND s <> '')
-       SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-       FROM sh JOIN bench USING (s)
-       GROUP BY sh.doc_id""",
-)
-def decontaminate_q(spark, sf):
-    """Test-set decontamination scores: distinct 5-gram overlap between
-    every corpus document and a benchmark set (here: every 37th doc,
-    standing in for an eval suite).  The benchmark shingle set is
-    broadcast, so the corpus never shuffles its text — the only exchanges
-    are benchmark-side distinct + the small per-doc hit aggregate."""
-    from trafficbigdatasearch_spark.operators import decontam
-
-    docs = load_table(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 37 == 0)
-    return decontam.contamination_scores(docs, bench, n=5)
-
-
-@register(
-    "a_funnel_steps",
-    """WITH pu AS (
-         SELECT user_id,
-                min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
-                min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
-                min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purch
-         FROM events GROUP BY user_id)
-       SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
-              CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
-              CAST(SUM(CASE WHEN t_click > t_view AND t_purch > t_click
-                            THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
-       FROM pu""",
-)
-def a_funnel_steps_q(spark, sf):
-    """Ordered funnel analysis (view -> click -> purchase): per-user
-    conditional-min timestamps, then one global conjunction count — the
-    event-sequence query a product-analytics engine answers constantly.
-    One shuffle on user_id (map-side combined), then a scalar aggregate;
-    NULL comparisons drop users missing a step, exactly as the oracle's
-    CASE does."""
-    ev = load_table(spark, sf, "events")
-    ms = F.unix_millis("ts")
-
-    def step(t):
-        return F.min(F.when(F.col("event_type") == t, ms)).alias(f"t_{t}")
-
-    pu = ev.groupBy("user_id").agg(step("view"), step("click"), step("purchase"))
-    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    return pu.agg(
-        flag(F.col("t_view").isNotNull()).alias("step_view"),
-        flag(F.col("t_click") > F.col("t_view")).alias("step_click"),
-        flag(
-            (F.col("t_click") > F.col("t_view"))
-            & (F.col("t_purchase") > F.col("t_click"))
-        ).alias("step_purchase"),
-    )
-
-
-@register(
-    "a_cohort_retention",
-    """WITH fu AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
-       j AS (SELECT e.user_id,
-                    strftime(date_trunc('week', fu.first_ts), '%Y-%m-%d') AS cohort_week,
-                    (epoch_ms(e.ts) - epoch_ms(fu.first_ts)) // 604800000 AS week_offset
-             FROM events e JOIN fu USING (user_id))
-       SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
-              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-       FROM j GROUP BY cohort_week, week_offset""",
-)
-def a_cohort_retention_q(spark, sf):
-    """Cohort retention: users grouped by first-seen ISO week, counted per
-    whole-week offset of each later event — the activity matrix behind
-    every retention curve.  Week offsets are exact integer ms division
-    (no float), cohort labels Monday-truncated dates; two shuffles (per-
-    user min, then the cohort/offset distinct-count), both map-side
-    combined."""
-    ev = load_table(spark, sf, "events")
-    fu = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    j = ev.join(fu, "user_id").select(
-        "user_id",
-        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
-            "cohort_week"
-        ),
-        (
-            (F.unix_millis("ts") - F.unix_millis("first_ts"))
-        ).alias("_ms_diff"),
-    )
-    return (
-        j.select(
-            "user_id",
-            "cohort_week",
-            F.expr("_ms_diff div 604800000").alias("week_offset"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_users"))
-    )
-
-
-@register(
-    "text_search_terms",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
-       SELECT doc_id,
-              CAST(CAST(list_contains(t, 'dup') AS INT)
-                   + CAST(list_contains(t, 'bloom') AS INT)
-                   + CAST(list_contains(t, 'query') AS INT) AS BIGINT) AS n_terms_hit
-       FROM toks
-       WHERE list_contains(t, 'dup') OR list_contains(t, 'bloom')
-          OR list_contains(t, 'query')""",
-)
-def text_search_terms_q(spark, sf):
-    """Keyword search (ANY-semantics) over the corpus: row-local token
-    containment, zero shuffles, returning each hit with its matched-term
-    count.  The interactive retrieval primitive of a 'big data search'
-    engine, generalized from the reference's bbox/time predicates to
-    text."""
-    from trafficbigdatasearch_spark.operators import search
-
-    docs = load_table(spark, sf, "documents")
-    return search.keyword_search(docs, ["dup", "bloom", "query"], mode="any")
-
-
-@register(
-    "text_tfidf_topk",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       p AS (SELECT doc_id, unnest(t) AS term FROM toks),
-       tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
-              FROM p WHERE term IN ('join', 'merge', 'query') GROUP BY 1, 2),
-       dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-       s AS (SELECT term, doc_id, tf, df, tf * n / df AS score
-             FROM tf JOIN dfq USING (term), n)
-       SELECT term, doc_id, tf, df, score,
-              CAST(row_number() OVER (PARTITION BY term
-                     ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 10""",
-)
-def text_tfidf_topk_q(spark, sf):
-    """Per-term top-10 documents by tf * (N/df): the relevance-ranking
-    primitive.  The token array is pre-filtered to the query terms BEFORE
-    exploding, so the posting set is O(matches); df and N broadcast; one
-    small (term, doc) shuffle + a per-term top-k window.  Raw-ratio idf
-    (not log) keeps the score an exact IEEE op sequence in any engine."""
-    from trafficbigdatasearch_spark.operators import search
-
-    docs = load_table(spark, sf, "documents")
-    return search.tfidf_topk(docs, ["join", "merge", "query"], k=10)
-
-
-@register(
-    "j_skew_salted",
-    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       WHERE l_shipdate >= o_orderdate
-         AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
-       GROUP BY l_returnflag""",
-)
-def j_skew_salted_q(spark, sf):
-    """Salted equi join with a band residual (operators/joins.py
-    salted_equi_join) proven oracle-identical to the PLAIN join it
-    physically rewrites — the skew-mitigation shape for hot keys that
-    exceed one task even after AQE splitting (SURVEY §7 "what's hard" (d);
-    the hot-plate behavior itself is pinned in tests/test_skew.py)."""
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate"
-    )
-    o = load_table(spark, sf, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
-    )
-    band = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
-        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    )
-    j = joins.salted_equi_join(li, o, ["l_orderkey"], n_salts=8, residual=band)
-    return j.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
-    )
-
-
-@register(
-    "stream_events_hourly",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
-              event_type,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-       FROM events GROUP BY 1, 2""",
-)
-def stream_events_hourly_q(spark, sf):
-    """Structured Streaming under the driver's FULL oracle gate: the events
-    table consumed as a bounded file-source STREAM (availableNow), tumbling
-    1-hour windows aggregated in complete mode into a memory sink.  A
-    complete-mode windowed aggregate over a fully-consumed bounded stream is
-    exactly the batch groupBy (EliminateEventTimeWatermark semantics run in
-    reverse), so the ordinary SQL oracle applies — this pins the streaming
-    EXECUTION path (micro-batch planner, state store, sink commit), not a
-    reimplementation of the window logic, with hash-level correctness.
-    Streaming twins of the traffic queries live in streaming/traffic.py with
-    batch-parity pytest pins; this entry gives the streaming engine surface
-    a driver row.  At scale the same plan runs unbounded with a watermark +
-    append sink (tests/test_streaming.py pins that finalization contract).
-    """
-    src = _stream_events_source(spark, sf)
-    agg = (
-        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(_cents(F.col("value"))).alias("sum_cents"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
-            "event_type",
-            "n",
-            "sum_cents",
-        )
-    )
-    return _drain_to_memory(agg, "stream_events_hourly")
-
-
-@register(
-    "a_pivot_event_types",
-    """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
-              CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-              CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-              CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-              CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-              CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-       FROM events GROUP BY 1""",
-)
-def a_pivot_event_types_q(spark, sf):
-    """Pivot (long -> wide): per-cohort event-type counts via
-    ``groupBy().pivot(values).count()``.  The explicit value list matters
-    twice over: Catalyst plans a single-pass pivot aggregate (no extra job
-    to discover the domain — on 100 TB, domain discovery is a full scan),
-    and the output schema is stable for the driver's hash compare."""
-    ev = load_table(spark, sf, "events")
-    return (
-        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
-        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .count()
-        .select(
-            "cohort",
-            *[
-                F.coalesce(F.col(c), F.lit(0)).alias(c)
-                for c in ("click", "error", "purchase", "signup", "view")
-            ],
-        )
-    )
-
-
-@register(
-    "a_unpivot_doc_metrics",
-    """SELECT doc_id, 'n_chars' AS metric, CAST(length(text) AS BIGINT) AS v
-       FROM documents
-       UNION ALL
-       SELECT doc_id, 'n_punct', CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
-       FROM documents
-       UNION ALL
-       SELECT doc_id, 'n_digits', CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
-       FROM documents""",
-)
-def a_unpivot_doc_metrics_q(spark, sf):
-    """Unpivot (wide -> long, melt): per-document metric columns rotated
-    into (doc_id, metric, v) rows with ``DataFrame.unpivot`` — one
-    Generate(Expand) over the scan, no shuffle, vs the oracle's 3-scan
-    UNION ALL formulation (Spark reads the parquet once)."""
-    d = load_table(spark, sf, "documents")
-    t = F.col("text")
-    wide = d.select(
-        "doc_id",
-        F.length(t).cast("bigint").alias("n_chars"),
-        T.punct_count(t).cast("bigint").alias("n_punct"),
-        T.digit_count(t).cast("bigint").alias("n_digits"),
-    )
-    return wide.unpivot(
-        ["doc_id"], ["n_chars", "n_punct", "n_digits"], "metric", "v"
-    )
-
-
-@register(
-    "w_trailing_range",
-    """SELECT event_id, user_id,
-              CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
-                    PARTITION BY user_id ORDER BY epoch_ms(ts)
-                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
-              ) AS BIGINT) AS trail_cents,
-              CAST(COUNT(*) OVER (
-                    PARTITION BY user_id ORDER BY epoch_ms(ts)
-                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
-              ) AS BIGINT) AS trail_n
-       FROM events""",
-)
-def w_trailing_range_q(spark, sf):
-    """Trailing time-RANGE window frame (the per-event sliding aggregate):
-    each event's 1-hour-trailing sum/count per user.  RANGE frames bound by
-    a time interval are the event-level twin of the streaming sliding
-    window; one sort-exchange on (user_id, ts) serves both window
-    functions.  Both engines order by epoch MILLISECONDS (the events table
-    carries sub-second timestamps, so an interval-typed frame over
-    second-truncated ordering would drift at frame boundaries).  Ties are
-    safe: a RANGE frame includes ALL peer rows of the current ordering
-    value, so the result is order-independent — this is why the frame is
-    RANGE, not ROWS, which would be nondeterministic under equal
-    timestamps."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_millis(F.col("ts")))
-        .rangeBetween(-3600000, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(_cents(F.col("value"))).over(w).alias("trail_cents"),
-        F.count("*").over(w).alias("trail_n"),
-    )
-
-
-@register(
-    "pack_sequences",
-    f"""WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
-                  FROM documents),
-       c AS (SELECT doc_id, n_tokens,
-                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
-             FROM t)
-       SELECT doc_id, n_tokens,
-              CAST(excl // 2048 AS BIGINT) AS pack_id,
-              CAST(excl % 2048 AS BIGINT) AS pack_offset
-       FROM c""",
-)
-def pack_sequences_q(spark, sf):
-    """Sequence packing onto 2048-token packs via a deterministic two-level
-    distributed prefix sum (operators/packing.py) — per-bucket sums, a
-    cumsum over the tiny bucket summary, within-bucket windows.  The oracle
-    is the naive global-window formulation; the Spark plan never sorts the
-    corpus into one partition."""
-    return packing.pack_sequences(
-        load_table(spark, sf, "documents"), budget=2048, bucket_size=256
-    )
-
-
-@register(
-    "stream_sessions",
-    """WITH g AS (
-         SELECT user_id, ts, event_id,
-                CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_id
-                     ) >= 1800000 THEN 1 ELSE 0 END AS new_s
-         FROM events),
-       s AS (
-         SELECT user_id, ts,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sid
-         FROM g)
-       SELECT user_id,
-              CAST(min(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
-              CAST(COUNT(*) AS BIGINT) AS n_events
-       FROM s GROUP BY user_id, sid""",
-)
-def stream_sessions_q(spark, sf):
-    """Native ``session_window`` sessionization ON A STREAM (30-minute gap,
-    complete mode over the bounded events stream), hash-matched against the
-    lag+cumsum gap-sessionization SQL — one oracle pins BOTH that Spark's
-    merging session windows implement gap semantics and that the streaming
-    state store merges them correctly.  Boundary case encoded in the
-    oracle: Spark session windows are half-open [start, start+gap), so an
-    event exactly ``gap`` after its predecessor starts a NEW session —
-    hence ``>= 1800000``, where the batch w_sessionize convention is
-    ``>``."""
-    src = _stream_events_source(spark, sf)
-    agg = (
-        src.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
-        )
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            "n_events",
-        )
-    )
-    return _drain_to_memory(agg, "stream_sessions")
-
-
-@register(
-    "stream_attribution",
-    """WITH v AS (SELECT user_id, ts, event_id FROM events
-                  WHERE event_type = 'view'),
-       p AS (SELECT user_id, ts, event_id, value FROM events
-             WHERE event_type = 'purchase')
-       SELECT v.user_id,
-              v.event_id AS view_id,
-              p.event_id AS purchase_id,
-              epoch_ms(v.ts) AS view_ms,
-              epoch_ms(p.ts) AS purchase_ms,
-              CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
-       FROM v JOIN p ON v.user_id = p.user_id
-         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
-)
-def stream_attribution_q(spark, sf):
-    """STREAM-STREAM watermarked attribution join under the driver's full
-    oracle gate: views and purchases consumed as two branches of the bounded
-    events stream, inner-joined on user with purchase time bounded to
-    [view_ts, view_ts + 1h] (streaming/events.py::attribution_join).  An
-    inner stream-stream join emits each match as soon as both sides arrive —
-    the watermark only bounds STATE (a view older than watermark + horizon
-    can never match and is evicted) — so draining the bounded stream in
-    append mode yields exactly the batch interval join, and the ordinary SQL
-    oracle applies.  This pins the two-sided-watermark execution path
-    (symmetric hash join state store) with hash-level correctness; batch
-    parity is separately pinned in tests/test_streaming.py."""
-    src = _stream_events_source(spark, sf)
-    from trafficbigdatasearch_spark.streaming import events as SE
-
-    out = SE.attribution_join(
-        src.filter(F.col("event_type") == "view"),
-        src.filter(F.col("event_type") == "purchase"),
-        horizon="1 hour",
-        watermark="2 hours",
-    ).select(
-        "user_id",
-        "view_id",
-        "purchase_id",
-        F.unix_millis("view_ts").alias("view_ms"),
-        F.unix_millis("purchase_ts").alias("purchase_ms"),
-        _cents(F.col("purchase_value")).alias("purchase_cents"),
-    )
-    return _drain_to_memory(out, "stream_attribution", output_mode="append")
-
-
-_FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
-
-
-@register(
-    "dedup_incremental",
-    f"""WITH corpusI AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 < 3),
-       newI AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3),
-       {_band_cte('corpusI', 'C')},
-       {_band_cte('newI', 'N')},
-       fpc AS (SELECT DISTINCT {_FP_SQL} AS f FROM corpusI),
-       fpn AS (SELECT doc_id, {_FP_SQL} AS f FROM newI),
-       nearhit AS (SELECT DISTINCT n.doc_id FROM bandN n
-                   JOIN bandC c ON n.band = c.band AND n.bucket = c.bucket),
-       exacthit AS (SELECT DISTINCT n.doc_id FROM fpn n JOIN fpc ON n.f = fpc.f)
-       SELECT n.doc_id,
-              CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
-                   WHEN h.doc_id IS NOT NULL THEN 'near'
-                   ELSE 'keep' END AS verdict
-       FROM newI n
-       LEFT JOIN exacthit e ON e.doc_id = n.doc_id
-       LEFT JOIN nearhit h ON h.doc_id = n.doc_id""",
-)
-def dedup_incremental_q(spark, sf):
-    """Incremental dedup: a NEW batch (doc_id % 4 = 3) deduped against the
-    EXISTING corpus (doc_id % 4 < 3) — exact fingerprint hits, then
-    MinHash-LSH band-bucket near hits, verdict per new document
-    (operators/dedup.py::incremental_dedup).  The daily-delivery shape at
-    100 TB: the corpus side streams (its band index is persistable via
-    minhash_band_buckets), the small increment broadcasts, no corpus
-    shuffle."""
-    d = load_table(spark, sf, "documents")
-    return dedup.incremental_dedup(
-        d.filter(F.col("doc_id") % 4 == 3),
-        d.filter(F.col("doc_id") % 4 < 3),
-        k=_MINHASH_K,
-        bands=4,
-        n=3,
-    )
-
-
-@register(
-    "text_repetition",
-    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-       e AS (SELECT doc_id, w, len(w) AS nw FROM t WHERE len(w) >= 3),
-       bg AS (SELECT doc_id,
-                     unnest(list_transform(range(1, nw),
-                                           x -> w[x] || ' ' || w[x + 1])) AS g
-              FROM e),
-       c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM bg GROUP BY 1, 2),
-       top AS (SELECT doc_id, g, cnt,
-                      row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY cnt DESC, g) AS rn
-               FROM c),
-       tri AS (SELECT doc_id,
-                      CAST(nw - 2 AS BIGINT) AS n_trigrams,
-                      CAST(len(list_distinct(
-                          list_transform(range(1, nw - 1),
-                              x -> w[x] || ' ' || w[x+1] || ' ' || w[x+2])))
-                        AS BIGINT) AS d_tri
-               FROM e)
-       SELECT e.doc_id, top.g AS top_bigram, top.cnt AS top_bigram_n,
-              CAST(e.nw - 1 AS BIGINT) AS n_bigrams,
-              tri.n_trigrams - tri.d_tri AS dup_trigram_n,
-              tri.n_trigrams
-       FROM e JOIN top USING (doc_id) JOIN tri USING (doc_id)
-       WHERE top.rn = 1""",
-)
-def text_repetition_q(spark, sf):
-    """Intra-document repetition metrics (the Gopher/MassiveText quality
-    rules): most-frequent word bigram with its count, plus duplicate-trigram
-    counts, per document.  The Spark side is ENTIRELY row-local — n-grams by
-    index arithmetic, the bigram mode as a sorted-array run-length fold
-    (functions/text.py::top_ngram), trigram dups via array_distinct — zero
-    shuffles at any corpus size, where the oracle's unnest->GROUP BY
-    formulation shuffles the full gram stream.  All outputs are integers or
-    strings; ties break to the lexicographically smallest gram in both
-    engines."""
-    docs = load_table(spark, sf, "documents")
-    toks = T.tokens(F.lower(F.col("text")))
-    base = docs.select("doc_id", toks.alias("w")).filter(F.size("w") >= 3)
-    bi = T.word_ngrams(F.col("w"), 2)
-    tri = T.word_ngrams(F.col("w"), 3)
-    top = T.top_ngram(bi)
-    return base.select(
-        "doc_id",
-        top["gram"].alias("top_bigram"),
-        top["n"].alias("top_bigram_n"),
-        F.size(bi).cast("bigint").alias("n_bigrams"),
-        (F.size(tri) - F.size(F.array_distinct(tri)))
-        .cast("bigint")
-        .alias("dup_trigram_n"),
-        F.size(tri).cast("bigint").alias("n_trigrams"),
-    )
-
-
-@register(
-    "a_anomaly_zscore",
-    """WITH c AS (SELECT event_id, user_id,
-                         CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events),
-       s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-                    CAST(SUM(cents) AS BIGINT) AS s,
-                    CAST(SUM(cents * cents) AS BIGINT) AS ssq
-             FROM c GROUP BY user_id)
-       SELECT c.event_id, c.user_id, c.cents
-       FROM c JOIN s USING (user_id)
-       WHERE s.n >= 2
-         AND (s.n * CAST(c.cents AS HUGEINT) - s.s)
-             * (s.n * CAST(c.cents AS HUGEINT) - s.s) * (s.n - 1)
-             > 9 * s.n * (s.n * CAST(s.ssq AS HUGEINT) - CAST(s.s AS HUGEINT) * s.s)""",
-)
-def a_anomaly_zscore_q(spark, sf):
-    """Per-user outlier detection: events whose value is more than 3 sample
-    standard deviations from the user's mean.  |x - mean| > 3*sigma is
-    cross-multiplied into PURE INTEGER arithmetic on cents —
-    (n*x - s)^2 * (n-1) > 9 * n * (n*ssq - s^2) — so both engines decide
-    every boundary case identically (no float variance ordering issues).
-    One map-side-combined shuffle for the per-user moments, then a hash join
-    back to the events.  The cross-multiplied products grow as n^3 * cents^2,
-    which blows int64 near ~1.5k events/user (ANSI mode would throw), so the
-    COMPARISON runs in 128-bit arithmetic on both engines — DECIMAL(38,0)
-    here, HUGEINT in the oracle — safe to ~3e9 events/user at these
-    magnitudes; the per-user moments themselves stay comfortably in int64."""
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "user_id", _cents(F.col("value")).alias("cents")
-    )
-    s = ev.groupBy("user_id").agg(
-        F.count("*").alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
-    )
-    j = ev.join(s, "user_id")
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    dev = dec("n") * dec("cents") - dec("s")
-    var_n = dec("n") * dec("ssq") - dec("s") * dec("s")
-    return j.filter(
-        (F.col("n") >= 2)
-        & (dev * dev * (dec("n") - 1) > 9 * dec("n") * var_n)
-    ).select("event_id", "user_id", "cents")
-
-
-@register(
-    "sketch_distinct_rollup",
-    """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-              CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
-       FROM events""",
-)
-def sketch_distinct_rollup_q(spark, sf):
-    """Mergeable HLL distinct cube: one ~16 KiB sketch per DAY of events,
-    merged to the global distinct-user count without touching raw ids again
-    (operators/sketches.py).  This is the pre-aggregation shape that answers
-    any coarser distinct rollup at 100 TB from kilobytes; the oracle compares
-    against the exact answer, valid because the cardinality sits in HLL's
-    exact sparse phase (the >>2^lg_k degradation bound is pinned in
-    tests/test_sketches.py)."""
-    from trafficbigdatasearch_spark.operators import sketches
-
-    ev = load_table(spark, sf, "events").withColumn("d", F.to_date("ts"))
-    parts = sketches.distinct_sketch_rollup(ev, ["d"], "user_id")
-    return parts.agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
-        sketches.merged_distinct(parts).alias("distinct_users"),
-    )
-
-
-@register(
-    "sketch_segment_overlap",
-    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
-            b AS (SELECT DISTINCT user_id FROM events
-                  WHERE event_type = 'error' AND value > 200)
-       SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
-              CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
-              CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
-                AS n_intersect,
-              CAST((SELECT COUNT(*) FROM a
-                    WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT)
-                AS n_a_only""",
-)
-def sketch_segment_overlap_q(spark, sf):
-    """Distinct-set algebra across segments in ONE scan via Theta sketches:
-    |A|, |B|, |A∩B|, |A\\B| of high-value users vs high-value-error users
-    (operators/sketches.py::segment_overlap).  The exact plan is 2 distinct
-    aggregates + intersect + except = 4 shuffles of raw ids; the sketch plan
-    is one conditional-aggregate scan and set algebra on two kilobyte
-    summaries.  Exact below Theta's k=4096 retention (oracle enforces it);
-    graceful estimate beyond."""
-    from trafficbigdatasearch_spark.operators import sketches
-
-    ev = load_table(spark, sf, "events")
-    return sketches.segment_overlap(
-        ev,
-        F.col("value") > 300,
-        (F.col("event_type") == "error") & (F.col("value") > 200),
-        "user_id",
-    )
-
-
-@register(
-    "sketch_top_items",
-    """SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
-       FROM events GROUP BY event_type""",
-)
-def sketch_top_items_q(spark, sf):
-    """Mergeable frequent-items cube: one approx_top_k state per DAY of
-    events, combined to the global top event types without touching raw
-    rows again (operators/sketches.py::top_items_rollup) — the third leg of
-    the sketch fabric (HLL = distinct, KLL = quantiles, frequent-items =
-    heavy hitters).  Exact here because every day's distinct event-type
-    count sits far inside maxItemsTracked (no eviction, counts add across
-    merges) and k >= the distinct-type count, so no tie-cutoff
-    nondeterminism — the same exact-phase argument the HLL/Theta rows use;
-    degradation bounds pinned in tests/test_sketches.py."""
-    from trafficbigdatasearch_spark.operators import sketches
-
-    ev = load_table(spark, sf, "events").withColumn("d", F.to_date("ts"))
-    parts = sketches.top_items_rollup(ev, ["d"], "event_type")
-    return sketches.merged_top_items(parts, k=5)
-
-
-@register(
-    "j_range_keyless",
-    """WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS s FROM events),
-       w2 AS (SELECT strftime(s, '%Y-%m-%d') AS w_id,
-                     epoch_ms(s) AS lo,
-                     epoch_ms(s + INTERVAL 36 HOUR) AS hi
-              FROM w),
-       e AS (SELECT epoch_ms(ts) AS t, user_id FROM events)
-       SELECT w_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-       FROM e JOIN w2 ON e.t >= w2.lo AND e.t <= w2.hi
-       GROUP BY w_id""",
-)
-def j_range_keyless_q(spark, sf):
-    """KEYLESS range join at scale: events against overlapping 36-hour
-    windows with NO equi key — the join class Spark would otherwise plan as
-    a nested loop (fine only while one side broadcasts).
-    operators/joins.py::bucketed_interval_join explodes each window into the
-    6-hour buckets it overlaps and equi-joins on the bucket with the exact
-    band as residual, turning O(n*m) into a hash join partitioned on time —
-    the standard range-join bin trick.  Overlapping windows are the point:
-    each event matches 1-2 windows and must appear once per window, which
-    the bucket equi-join preserves exactly (events carry ONE bucket each).
-    Plan gates: no CartesianProduct (global sweep) and no
-    BroadcastNestedLoopJoin (tests/test_plans.py)."""
-    ev = load_table(spark, sf, "events")
-    e = ev.select(F.unix_millis("ts").alias("t"), "user_id")
-    w = (
-        ev.select(F.date_trunc("day", "ts").alias("s"))
-        .distinct()
-        .select(
-            F.date_format("s", "yyyy-MM-dd").alias("w_id"),
-            F.unix_millis(F.col("s")).alias("lo"),
-            F.unix_millis(F.col("s") + F.expr("INTERVAL 36 HOURS")).alias("hi"),
-        )
-    )
-    j = joins.bucketed_interval_join(e, w, "t", "lo", "hi", 6 * 3600 * 1000)
-    return j.groupBy("w_id").agg(
-        F.count("*").alias("n_events"),
-        F.count_distinct("user_id").alias("n_users"),
-    )
-
-
-@register(
-    "text_phrase_search",
-    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-       h AS (SELECT doc_id,
-                    CAST(list_sum(list_transform(range(1, len(w)),
-                        x -> CASE WHEN w[x] = 'query' AND w[x + 1] = 'key'
-                             THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits
-             FROM t WHERE len(w) >= 2)
-       SELECT doc_id, n_hits FROM h WHERE n_hits > 0""",
-)
-def text_phrase_search_q(spark, sf):
-    """Exact phrase search ("query key" as consecutive tokens) via the
-    positional-posting join (operators/search.py::phrase_search): postings
-    filtered to the phrase terms BEFORE joining, then chained on
-    (doc, pos + offset) — the inverted-index-with-positions shape, k-1 hash
-    joins over O(matches) posting lists at any corpus size.  The oracle is
-    the naive per-document sliding window."""
-    from trafficbigdatasearch_spark.operators import search
-
-    docs = load_table(spark, sf, "documents")
-    return search.phrase_search(docs, ["query", "key"])
-
-
-@register(
-    "w_quality_deciles",
-    """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-            FROM documents)
-       SELECT doc_id, lang, n_chars,
-              CAST(ntile(10) OVER ord AS BIGINT) AS decile,
-              percent_rank() OVER ord AS pct_rank,
-              cume_dist() OVER ord AS cdist
-       FROM s WINDOW ord AS (PARTITION BY lang ORDER BY n_chars, doc_id)""",
-)
-def w_quality_deciles_q(spark, sf):
-    """Distribution-rank windows (ntile / percent_rank / cume_dist): each
-    document's quality-score decile and exact percentile WITHIN ITS
-    LANGUAGE — the normalize-then-threshold step of per-language corpus
-    filtering.  Partitioned ranking is the scalable form (one shuffle on
-    lang, skew bounded by the largest language; a GLOBAL ntile would funnel
-    the corpus through one task — at scale that variant uses broadcast
-    approx-quantile cutpoints instead).  The (n_chars, doc_id) order is a
-    total order, so ranks have no peer groups and percent_rank/cume_dist
-    are exact integer ratios — bit-identical IEEE doubles in both
-    engines."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return (
-        docs.select(
-            "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            F.ntile(10).over(w).cast("bigint").alias("decile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cdist"),
-        )
-    )
-
-
-@register(
-    "w_quality_deciles_global",
-    """WITH s AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
-            FROM documents),
-       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
-       h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM s
-             GROUP BY n_chars),
-       b AS (SELECT n_chars,
-                    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
-             FROM h)
-       SELECT doc_id, lang, s.n_chars,
-              CAST((10 * cum + nn - 1) // nn AS BIGINT) AS g_bucket,
-              CAST(cum AS DOUBLE) / nn AS g_cdist
-       FROM s JOIN b USING (n_chars) CROSS JOIN n""",
-)
-def w_quality_deciles_global_q(spark, sf):
-    """CORPUS-WIDE decile — the promised scale variant of
-    w_quality_deciles (whose docstring and SCALING.md's window row cite
-    broadcast cutpoints as the global-rank mitigation).  A global
-    ``ntile``/``cume_dist`` funnels every row through ONE task; this
-    operator (operators/ranks.py::global_quantile_buckets) instead builds
-    the exact value histogram with one map-side-combined cube() scan, turns
-    it into a CDF with a window over the HISTOGRAM only (|distinct
-    lengths| rows, bounded like vocab.py's top-V window), and broadcasts
-    the bucket map back — zero corpus shuffle, zero global sort, exact
-    ties-share-a-bucket semantics.  bucket = ceil(10·cum/N) in pure
-    integer arithmetic; cdist = one IEEE divide of exact integers — both
-    bit-identical cross-engine.  The ``method='approx'`` companion
-    (approxQuantile cutpoints, for continuous high-cardinality scores) is
-    pinned by pytest in tests/test_ranks.py."""
-    from trafficbigdatasearch_spark.operators import ranks
-
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
-    )
-    out = ranks.global_quantile_buckets(docs, "n_chars", 10)
-    # the equi join surfaces the join key first; match the oracle's order
-    return out.select("doc_id", "lang", "n_chars", "g_bucket", "g_cdist")
-
-
-@register(
-    "w_scd2_intervals",
-    """SELECT user_id, event_id,
-              CAST(round(value * 100) AS BIGINT) AS cents,
-              epoch_ms(ts) AS valid_from_ms,
-              epoch_ms(lead(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)) AS valid_to_ms
-       FROM events WHERE event_type = 'signup'""",
-)
-def w_scd2_intervals_q(spark, sf):
-    """Slowly-changing-dimension (type 2) interval construction: each
-    per-user state change becomes a [valid_from, valid_to) row, valid_to =
-    the next change's timestamp (NULL = current) via ``lead`` — how a
-    feature store turns an event log into a point-in-time-joinable temporal
-    table (the as-of join j_asof is its query-side twin).  One shuffle on
-    user_id; (ts, event_id) ordering makes the intervals deterministic
-    under timestamp ties; money as exact cents."""
-    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        _cents(F.col("value")).alias("cents"),
-        F.unix_millis("ts").alias("valid_from_ms"),
-        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
-    )
-
-
-@register(
-    "mm_phash_pairs",
-    """WITH fp AS (SELECT doc_id AS id,
-                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) AS h
-            FROM documents)
-       SELECT a.id AS id_a, b.id AS id_b,
-              CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-       FROM fp a JOIN fp b ON a.id < b.id
-       WHERE bit_count(xor(a.h, b.h)) <= 3""",
-)
-def mm_phash_pairs_q(spark, sf):
-    """Multimodal near-dup: perceptual-hash pairs over media assets through
-    the SAME banded-Hamming engine as text SimHash
-    (operators/multimodal.py::phash_pairs -> dedup.hamming_pairs).  The
-    pigeonhole bound makes the banded result EQUAL to the oracle's
-    all-pairs bit_count(xor) filter, so the blocking path gets hash-level
-    verification; the pHash itself is the documented md5 stub (payload =
-    utf-8 text bytes, so DuckDB's md5(text) reproduces it)."""
-    from trafficbigdatasearch_spark.operators import multimodal
-
-    docs = load_table(spark, sf, "documents")
-    assets = multimodal.assets_from_documents(docs)
-    return multimodal.phash_pairs(assets)
-
-
-@register(
-    "a_grouping_sets",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-              CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                AS sum_cents
-       FROM lineitem
-       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
-)
-def a_grouping_sets_q(spark, sf):
-    """Arbitrary GROUPING SETS — the general form of which a_rollup/a_cube
-    are the prefix/powerset specializations: per-returnflag totals,
-    per-linestatus totals, and the grand total in ONE pass (Expand + one
-    grouped aggregate = one shuffle, vs three scans unioned).
-    ``grouping()`` flags disambiguate a real NULL key from a superaggregate
-    row — the contract every BI layer depends on."""
-    li = load_table(spark, sf, "lineitem")
-    return (
-        li.groupingSets(
-            [["l_returnflag"], ["l_linestatus"], []],
-            "l_returnflag",
-            "l_linestatus",
-        )
-        .agg(
-            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
-            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
-            F.count("*").alias("n"),
-            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_cents"),
-        )
-        .select(
-            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_cents"
-        )
-    )
-
-
-_TEXT_INDEX_CACHE: dict[str, str] = {}
-
-
-@register(
-    "text_phrase_indexed",
-    rf"""WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-       h AS (SELECT doc_id,
-                    CAST(list_sum(list_transform(range(1, len(w)),
-                        x -> CASE WHEN w[x] = 'query' AND w[x + 1] = 'key'
-                             THEN 1 ELSE 0 END)) AS BIGINT) AS n_hits
-             FROM t WHERE len(w) >= 2)
-       SELECT doc_id, n_hits FROM h WHERE n_hits > 0""",
-)
-def text_phrase_indexed_q(spark, sf):
-    """Phrase search over a PERSISTED positional inverted index
-    (operators/search.py::build_text_index / phrase_search_indexed): same
-    answer as text_phrase_search, but the scan reads only the phrase terms'
-    md5-bucket partitions (static partition pruning, pinned in
-    tests/test_plans.py) — the repeated-query retrieval path, mirroring the
-    persisted IVF index for vectors.  Index builds once per process into the
-    scratch dir (cleaned at exit); every later call is pruned posting-list
-    reads."""
-    import os
-
-    from trafficbigdatasearch_spark.operators import search
-
-    path = _TEXT_INDEX_CACHE.get(sf)
-    if path is None:
-        path = os.path.join(_scratch("text_index", sf), "postings")
-        search.build_text_index(load_table(spark, sf, "documents"), path)
-        _TEXT_INDEX_CACHE[sf] = path
-    return search.phrase_search_indexed(spark, path, ["query", "key"])
-
-
-_PQ_M = 8
-_PQ_SUB = 8  # 64 dims / 8 subspaces
-_PQ_PACK = 1 << 20
-
-
-def _pq_d(j: int, a: str = "c.v", b: str = "cent.cv") -> str:
-    lo = j * _PQ_SUB + 1
-    return (
-        f"list_sum(list_transform(range({lo}, {lo + _PQ_SUB}), "
-        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-    )
-
-
-def _pq_codes_cte(cent_sql: str | None = None, pre: str = "") -> str:
-    """WITH-body c/cent/p/codes.  ``cent_sql`` overrides the codebook CTE
-    body (default: dense-ranked stride-97 sample); ``pre`` injects extra
-    CTEs (e.g. the k-means training chain) between c and cent."""
-    if cent_sql is None:
-        cent_sql = (
-            "SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
-            "AS cell_id, v AS cv FROM c WHERE vec_id % 97 = 0"
-        )
-    ds = ",\n              ".join(f"{_pq_d(j)} AS d{j}" for j in range(_PQ_M))
-    cs = ",\n              ".join(
-        f"CAST(CAST(min(d{j} * {_PQ_PACK} + cell_id) AS BIGINT) % {_PQ_PACK} "
-        f"AS BIGINT) AS code_{j}"
-        for j in range(_PQ_M)
-    )
-    return f"""c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       {pre}cent AS ({cent_sql}),
-       p AS (SELECT c.vec_id, cent.cell_id,
-              {ds}
-             FROM c CROSS JOIN cent),
-       codes AS (SELECT vec_id,
-              {cs}
-             FROM p GROUP BY vec_id)"""
-
-
-def _pq_adc_cte() -> str:
-    """CTEs codes_l/q/lut_w/lut/adc — the ADC scoring chain over ``codes``
-    and ``cent`` (appended after :func:`_pq_codes_cte`)."""
-    codes_l = " UNION ALL ".join(
-        f"SELECT vec_id AS neighbor_id, {j} AS j, code_{j} AS cell_id FROM codes"
-        for j in range(_PQ_M)
-    )
-    lut_cols = ", ".join(
-        _pq_d(j, "q.qv", "cent.cv") + f" AS l{j}" for j in range(_PQ_M)
-    )
-    lut = " UNION ALL ".join(
-        f"SELECT query_id, cell_id, {j} AS j, l{j} AS ld FROM lut_w"
-        for j in range(_PQ_M)
-    )
-    return f"""codes_l AS ({codes_l}),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
-       lut_w AS (SELECT query_id, cell_id,
-              {lut_cols}
-             FROM q CROSS JOIN cent),
-       lut AS ({lut}),
-       adc AS (SELECT query_id, neighbor_id,
-                      CAST(SUM(ld) AS BIGINT) AS adc_dist
-               FROM codes_l JOIN lut USING (j, cell_id)
-               GROUP BY query_id, neighbor_id)"""
-
-
-def _pq_train_ctes(n_iter: int = 2) -> str:
-    """The lattice-exact k-means training chain (mirrors
-    operators/similarity.py::pq_train_codebook step for step): u = the
-    unit-lattice members, cb0 = the dense-ranked seed sample, then per
-    iteration assignment (max cosine, ties to smaller cell) and the
-    integer re-estimation round(sum/ count) per dimension.  Every partial
-    sum is exact below 2^53 and every non-integer step is one
-    correctly-rounded IEEE op, so the chain is bit-identical to Spark's."""
-    un = (
-        "list_transform(v, x -> CAST(round(x * 10000 / "
-        "sqrt(CAST(list_dot_product(v, v) AS DOUBLE))) AS BIGINT))"
-    )
-    cos = (
-        "CAST(list_dot_product(uv, mv) AS DOUBLE) / "
-        "(sqrt(CAST(list_dot_product(uv, uv) AS DOUBLE)) * "
-        "sqrt(CAST(list_dot_product(mv, mv) AS DOUBLE)))"
-    )
-    parts = [
-        f"u AS (SELECT vec_id, {un} AS uv FROM c)",
-        """cb0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-                         AS cell,
-                       list_transform(v, x -> CAST(x AS BIGINT)) AS mv
-                FROM c WHERE vec_id % 97 = 0)""",
-    ]
-    for i in range(1, n_iter + 1):
-        prev = f"cb{i - 1}"
-        parts.append(
-            f"""s{i} AS (SELECT u.vec_id, {prev}.cell, {cos} AS s
-             FROM u CROSS JOIN {prev})"""
-        )
-        parts.append(
-            f"""a{i} AS (SELECT vec_id, cell FROM (
-               SELECT *, row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY s DESC, cell ASC) AS r
-               FROM s{i}) t WHERE r = 1)"""
-        )
-        parts.append(
-            f"""m{i} AS (SELECT a{i}.cell, r.i AS dim,
-                      CAST(round(CAST(SUM(uv[r.i]) AS DOUBLE) / COUNT(*))
-                           AS BIGINT) AS m
-               FROM a{i} JOIN u USING (vec_id) CROSS JOIN range(1, 65) r(i)
-               GROUP BY a{i}.cell, r.i)"""
-        )
-        parts.append(
-            f"cb{i} AS (SELECT cell, list(m ORDER BY dim) AS mv "
-            f"FROM m{i} GROUP BY cell)"
-        )
-    return ",\n       ".join(parts) + ",\n       "
-
-
-@register(
-    "sim_pq_codes",
-    f"""WITH {_pq_codes_cte()}
-       SELECT * FROM codes""",
-)
-def sim_pq_codes_q(spark, sf):
-    """Product-quantization encoding: every embedding compressed to 8
-    subspace codes (operators/similarity.py::pq_codes) — the memory half of
-    the IVF+PQ ANN stack (IVF prunes where to look, PQ shrinks each kept
-    vector from 64 floats to 8 small ints).  Exact integer subspace
-    distances on the quantized lattice with a packed argmin
-    (min(d*2^20 + cell) % 2^20), so the oracle hash-matches the full
-    codebook assignment; codes are DENSE codebook ranks (row_number over
-    the sample, identically ordered in both engines — raw corpus ids could
-    exceed 2^20 and corrupt the packing); one broadcast codebook, one
-    corpus scan."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.pq_codes(emb, m=_PQ_M, centroid_stride=97, kernel="gemm")
-
-
-_PQ_ADC_TOPK_TAIL = """,
-       r AS (SELECT query_id, neighbor_id, adc_dist,
-                    row_number() OVER (PARTITION BY query_id
-                                       ORDER BY adc_dist, neighbor_id) AS rn
-             FROM adc)
-       SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, adc_dist
-       FROM r WHERE rn <= 5"""
-
-
-@register(
-    "sim_pq_adc_topk",
-    f"""WITH {_pq_codes_cte()},
-       {_pq_adc_cte()}{_PQ_ADC_TOPK_TAIL}""",
-)
-def sim_pq_adc_topk_q(spark, sf):
-    """Asymmetric-distance (ADC) top-k over PQ codes: queries keep exact
-    subvectors, corpus vectors are represented ONLY by their 8 codes, and
-    distance = 8 lookup-table reads summed — the corpus embeddings are
-    read once (to encode) and never touched at query time
-    (operators/similarity.py::pq_adc_topk).  Integer-exact distances make
-    the ranking deterministic and the oracle hash-exact.  Retrieval
-    quality: with sampled codebooks ADC is a SHORTLIST generator (top-1
-    lands in the query's own cluster on clustered data — pinned in
-    tests/test_entry_correctness.py); production recall comes from
-    trained codebooks (the ``centroids`` seam) + exact rerank of the ADC
-    shortlist, the standard IVF+PQ arrangement."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.pq_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, m=_PQ_M, centroid_stride=97,
-        kernel="gemm",
-    ).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "sim_pq_rerank_topk",
-    f"""WITH {_pq_codes_cte()},
-       {_pq_adc_cte()},
-       sl AS (SELECT query_id, neighbor_id FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                                             ORDER BY adc_dist, neighbor_id) AS rn
-                FROM adc) t
-              WHERE rn <= 100),
-       ex AS (SELECT sl.query_id, sl.neighbor_id,
-                     list_dot_product(qc.v, cc.v) /
-                     (sqrt(list_dot_product(qc.v, qc.v)) *
-                      sqrt(list_dot_product(cc.v, cc.v))) AS score
-              FROM sl
-              JOIN c cc ON cc.vec_id = sl.neighbor_id
-              JOIN c qc ON qc.vec_id = sl.query_id)
-       SELECT query_id, neighbor_id, rnk, score FROM (
-         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rnk
-         FROM ex) r
-       WHERE rnk <= 5""",
-)
-def sim_pq_rerank_topk_q(spark, sf):
-    """The production PQ arrangement end-to-end: ADC top-100 SHORTLIST from
-    compressed codes, exact quantized-cosine rerank of only those 100
-    candidates, top-5 out (operators/similarity.py::pq_adc_rerank_topk).
-    Raw embeddings are touched once to encode and then only for
-    |queries| x 100 shortlisted rows via broadcast joins — never shuffled
-    at query time.  Recall@5 vs the brute-force baseline is pinned in
-    tests/test_entry_correctness.py; the driver row pins the composition's
-    exact ranking (same tie-break contract as sim_brute_topk)."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.pq_adc_rerank_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        k=5,
-        shortlist=100,
-        m=_PQ_M,
-        centroid_stride=97,
-        kernel="gemm",
-    ).withColumnRenamed("rank", "rnk")
-
-
-_PQ_TRAINED_CENT = (
-    "SELECT CAST(row_number() OVER (ORDER BY cell) - 1 AS BIGINT) AS cell_id, "
-    "mv AS cv FROM cb2"
-)
-
-
-@register(
-    "sim_pq_trained_topk",
-    f"""WITH {_pq_codes_cte(cent_sql=_PQ_TRAINED_CENT, pre=_pq_train_ctes(2))}
-       ,
-       {_pq_adc_cte()}{_PQ_ADC_TOPK_TAIL}""",
-)
-def sim_pq_trained_topk_q(spark, sf):
-    """TRAINED-codebook ANN end-to-end: two lattice-exact spherical k-means
-    iterations refine the stride-97 seed codebook
-    (operators/similarity.py::pq_train_codebook), the refined centroids feed
-    PQ encoding and the ADC LUT through the same ``centroids`` seam the
-    stock pipeline uses, and the driver row hash-pins the full
-    train -> encode -> search chain.  Trained cells cut within-cell
-    quantization error, so ADC top-k recall vs brute improves over the
-    sampled codebook (pinned in tests/test_entry_correctness.py).  The
-    trainer is deliberately the DETERMINISTIC sibling of kmeans_refine:
-    integer sums + single correctly-rounded ops only, so the oracle
-    reproduces the codebook bit-for-bit — float avg() accumulation would
-    be partitioning-dependent and unhashable."""
-    emb = load_table(spark, sf, "embeddings")
-    trained = similarity.pq_train_codebook(
-        emb, n_iter=2, centroid_stride=97, kernel="gemm"
-    )
-    # the trained codebook feeds BOTH the encode pass and the ADC LUT; a
-    # LAZY localCheckpoint (zero jobs at build — the builder contract)
-    # materializes the ~n_cells-row training chain once on first action
-    # instead of replaying two k-means iterations per consumer
-    cents = trained.select(
-        F.col("cell_id").alias("vec_id"), F.col("centroid").alias("embedding")
-    ).localCheckpoint(eager=False)
-    return similarity.pq_adc_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 10),
-        k=5,
-        m=_PQ_M,
-        centroids=cents,
-        kernel="gemm",
-    ).withColumnRenamed("rank", "rnk")
-
-
-@register(
-    "quality_report",
-    """WITH a AS (
-         SELECT CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
-                  AS c_orderkey_not_null,
-                CAST(COUNT(CASE WHEN l_quantity IS NOT NULL
-                                 AND l_quantity NOT BETWEEN 1 AND 50
-                                THEN 1 END) AS BIGINT) AS c_quantity_range,
-                CAST(COUNT(CASE WHEN l_discount IS NOT NULL
-                                 AND l_discount NOT BETWEEN 0.0 AND 0.1
-                                THEN 1 END) AS BIGINT) AS c_discount_range,
-                CAST(COUNT(CASE WHEN l_returnflag IS NOT NULL
-                                 AND l_returnflag NOT IN ('A', 'N', 'R')
-                                THEN 1 END) AS BIGINT) AS c_returnflag_domain,
-                CAST(COUNT(l_partkey) - COUNT(DISTINCT l_partkey) AS BIGINT)
-                  AS c_partkey_unique
-         FROM lineitem)
-       SELECT 'orderkey_not_null' AS check, c_orderkey_not_null AS violations,
-              c_orderkey_not_null = 0 AS ok FROM a
-       UNION ALL SELECT 'quantity_range', c_quantity_range,
-              c_quantity_range = 0 FROM a
-       UNION ALL SELECT 'discount_range', c_discount_range,
-              c_discount_range = 0 FROM a
-       UNION ALL SELECT 'returnflag_domain', c_returnflag_domain,
-              c_returnflag_domain = 0 FROM a
-       UNION ALL SELECT 'partkey_unique', c_partkey_unique,
-              c_partkey_unique = 0 FROM a""",
-)
-def quality_report_q(spark, sf):
-    """Declarative data-quality expectations over lineitem — nulls, value
-    ranges, domain membership, key uniqueness — ALL evaluated in one
-    aggregate pass (operators/validate.py): one scan and one tiny reduce no
-    matter how many checks, where the naive expectations-runner re-reads a
-    100 TB table once per check.  partkey_unique is expected to FAIL
-    (parts repeat across line items) — the report carries violation COUNTS,
-    not just booleans, so a gate can threshold."""
-    from trafficbigdatasearch_spark.operators import validate as VA
-
-    li = load_table(spark, sf, "lineitem")
-    return VA.report(
-        li,
-        {
-            "orderkey_not_null": VA.not_null("l_orderkey"),
-            "quantity_range": VA.in_range("l_quantity", 1, 50),
-            "discount_range": VA.in_range("l_discount", 0.0, 0.1),
-            "returnflag_domain": VA.member_of("l_returnflag", ["A", "N", "R"]),
-            "partkey_unique": VA.unique_key("l_partkey"),
-        },
-    )
-
-
-# =============================================================================
-# Round-4 additions — spatial join, reconciliation, incremental maintenance,
-# frontier graph traversal, fuzzy join, higher-order-function surface
-# =============================================================================
-
-
-@register(
-    "j_spatial_grid",
-    """WITH pts AS (SELECT c_custkey AS id,
-                           ((c_custkey * 48271) % 99991) % 1000 AS x,
-                           ((c_custkey * 16807) % 104729) % 1000 AS y
-                    FROM customer)
-       SELECT a.id AS id_a, b.id AS id_b,
-              CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
-       FROM pts a JOIN pts b
-         ON a.id < b.id
-        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225""",
-)
-def j_spatial_grid_q(spark, sf):
-    """SPATIAL RADIUS JOIN — the join form of the reference's bbox predicate
-    (P1, src/AccidentStatistics.scala:102): all point pairs within distance
-    r, via the uniform-grid bucketing of operators/spatial.py::radius_pairs.
-    Cell pitch = r, left side explodes to its 3x3 neighborhood, right side
-    keeps its home cell, so every qualifying pair matches on exactly ONE
-    cell key: one equi-join shuffle, no dedup, exact integer dist² residual
-    on candidates only.  The ORACLE is the O(n²) cross join — quadratic
-    lives only on the DuckDB side, as with every dedup/ANN row.  Points are
-    a deterministic integer scatter of the customer keys (prime-modulus
-    LCG mixing), so the query runs at any SF."""
-    from trafficbigdatasearch_spark.operators import spatial
-
-    pts = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
-        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
-    )
-    return spatial.radius_pairs(pts, "id", "x", "y", radius=15)
-
-
-@register(
-    "table_diff_orders",
-    """WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
-                    FROM orders WHERE o_orderkey % 10 <> 3),
-            new AS (SELECT o_orderkey,
-                           CASE WHEN o_orderkey % 5 = 0
-                                THEN o_totalprice + 10.0
-                                ELSE o_totalprice END AS o_totalprice,
-                           o_orderstatus
-                    FROM orders WHERE o_orderkey % 10 <> 7)
-       SELECT o_orderkey, diff_status FROM (
-         SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
-                CASE WHEN old.o_orderkey IS NULL THEN 'added'
-                     WHEN new.o_orderkey IS NULL THEN 'removed'
-                     WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
-                       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
-                          THEN 'changed'
-                     ELSE 'unchanged' END AS diff_status
-         FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
-       WHERE diff_status <> 'unchanged'""",
-)
-def table_diff_orders_q(spark, sf):
-    """SNAPSHOT RECONCILIATION (operators/diff.py::snapshot_diff): which
-    keys were added / removed / changed between two versions of a table —
-    the daily question behind incremental reprocessing and
-    pipeline-rewrite regression gates.  One full-outer hash join on the
-    key; unchanged rows (the dominant class) are dropped before leaving
-    the join, so output ∝ churn.  This row uses the exact column-compare
-    mode (engine-portable null-safe equality); production at 100 TB uses
-    fingerprint=True — map-side xxhash64 collapses any table width to a
-    16-byte shuffle row (tests/test_diff.py pins both modes agree).  The
-    two snapshots are deterministic slices of orders (drop keys %10=3 vs
-    %10=7, perturb prices of keys %5=0)."""
-    from trafficbigdatasearch_spark.operators import diff
-
-    orders = load_table(spark, sf, "orders")
-    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
-        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-        "o_orderstatus",
-    )
-    return diff.snapshot_diff(
-        old,
-        new,
-        keys=["o_orderkey"],
-        compare_cols=["o_totalprice", "o_orderstatus"],
-        fingerprint=False,
-    )
-
-
-@register(
-    "a_incremental_merge",
-    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total,
-              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*)
-                AS avg_value,
-              CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
-                AS min_value,
-              CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
-                AS max_value
-       FROM events GROUP BY event_type""",
-)
-def a_incremental_merge_q(spark, sf):
-    """INCREMENTAL AGGREGATE MAINTENANCE (operators/incremental.py): the
-    events table is split into a history slice and a delta slice, each
-    collapsed independently to mergeable integer partials (count / sum /
-    min / max cents), then MERGED and finalized — and the result is
-    bit-identical to the oracle's full rescan.  This is the exact-measure
-    sibling of the sketch rollups: at 100 TB the history partials are
-    computed once when each day lands and stored (kilobytes/key); a query
-    over any horizon merges partials instead of rescanning history, and a
-    late backfill is one more partial in the union.  The reference
-    re-parses every month's CSV per query — this row is the structural
-    fix."""
-    from trafficbigdatasearch_spark.operators import incremental as I
-
-    ev = load_table(spark, sf, "events")
-    cut = F.lit("2024-01-15").cast("timestamp")
-    base = ev.filter(F.col("ts") < cut)
-    delta = ev.filter(F.col("ts") >= cut)
-    parts = [
-        I.partial_aggregate(base, ["event_type"], _cents(F.col("value"))),
-        I.partial_aggregate(delta, ["event_type"], _cents(F.col("value"))),
-    ]
-    return I.finalize(I.merge_partials(parts, ["event_type"]), ["event_type"])
-
-
-@register(
-    "graph_bfs_reach",
-    """WITH RECURSIVE e AS (
-         SELECT c_custkey AS u, (c_custkey*c_custkey) % 1500 + 1 AS v
-         FROM customer),
-       sym AS (SELECT u, v FROM e WHERE u <> v
-               UNION SELECT v, u FROM e WHERE u <> v),
-       bfs(id, level) AS (
-         SELECT c_custkey, 0 FROM customer WHERE c_custkey <= 5
-         UNION
-         SELECT s.v, b.level + 1 FROM bfs b JOIN sym s ON s.u = b.id
-         WHERE b.level < 4)
-       SELECT id, CAST(MIN(level) AS INTEGER) AS level FROM bfs GROUP BY id""",
-)
-def graph_bfs_reach_q(spark, sf):
-    """BOUNDED BFS from a seed set (operators/graph.py::bfs_levels) — the
-    frontier-expansion sibling of connected_components: k-hop reachability
-    with shortest-hop levels, the shape behind decontamination blast-radius
-    ("every doc within 4 near-dup hops of a benchmark doc") and crawl
-    seed-set expansion.  Fixed round count → NO per-round driver sync or
-    convergence job (unlike the CC fixpoint); each round is one hash join
-    on the frontier + anti-join against visited, all node-id-partitioned.
-    The graph is a deterministic quadratic-residue scatter over customer
-    keys (branching ~3x/level); the oracle is DuckDB's recursive CTE with
-    MIN(level) — level-synchronous BFS and shortest-path closure agree by
-    definition."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer")
-    edges = cust.select(
-        F.col("c_custkey").alias("u"),
-        ((F.col("c_custkey") * F.col("c_custkey")) % 1500 + 1).alias("v"),
-    )
-    seeds = cust.filter(F.col("c_custkey") <= 5).select(
-        F.col("c_custkey").alias("id")
-    )
-    return G.bfs_levels(edges, seeds, max_depth=4)
-
-
-@register(
-    "graph_cc_incremental",
-    """WITH RECURSIVE e AS (
-         SELECT c_custkey AS u, (c_custkey*c_custkey) % 1500 + 1 AS v
-         FROM customer WHERE c_custkey <> (c_custkey*c_custkey) % 1500 + 1),
-       sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-       nds AS (SELECT DISTINCT u AS id FROM sym),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, s.v FROM walk w JOIN sym s ON s.u = w.lab
-       )
-       SELECT id, CAST(min(lab) AS BIGINT) AS component
-       FROM walk GROUP BY id""",
-)
-def graph_cc_incremental_q(spark, sf):
-    """INCREMENTAL connected-components maintenance (operators/graph.py::
-    incremental_components, r9): the standing labeling built from the
-    even-parity half of the quadratic-scatter edge set is folded forward
-    with the odd-parity half as the NEW batch — merges, bridges through
-    globally-minimal new ids, and brand-new components all land through a
-    label-graph fixpoint BOUNDED BY THE NEW EDGES while the labeled
-    corpus is scanned twice and shuffled never (two broadcast-map
-    passes).  The maintenance identity makes the oracle exact: an
-    existing label IS its component's min id, so incrementing equals the
-    full closure over ALL edges — which is what the recursive CTE
-    computes.  This completes the incremental-dedup story: the pair
-    finders (dedup_incremental / dedup_semantic_incremental) produce the
-    new edges; this keeps the cluster assignment current without
-    re-clustering the corpus."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer")
-    edges = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        ((F.col("c_custkey") * F.col("c_custkey")) % 1500 + 1).alias("id_b"),
-    ).filter(F.col("id_a") != F.col("id_b"))
-    old = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
-    new = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
-    base = G.connected_components(old)
-    return G.incremental_components(base, new)
-
-
-@register(
-    "j_fuzzy_name",
-    """WITH n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
-                  FROM part GROUP BY p_name)
-       SELECT a.p_name AS name_a, b.p_name AS name_b,
-              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance,
-              CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
-       FROM n a JOIN n b
-         ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
-        AND a.p_name < b.p_name
-        AND levenshtein(a.p_name, b.p_name) <= 2""",
-)
-def j_fuzzy_name_q(spark, sf):
-    """FUZZY (edit-distance) JOIN via blocking
-    (operators/joins.py::blocked_levenshtein_join) — entity resolution for
-    short keys: near-identical part names, blocked on the head noun so
-    Levenshtein runs only inside blocks (one equi join on the block key)
-    instead of over all name pairs — the short-string sibling of the dedup
-    module's LSH banding, with the same recall contract (pairs sharing no
-    block are unseen; add blocking passes and union for recall).  Names
-    are first collapsed to distinct (name, count); n_pairs = cnt_a*cnt_b
-    scores how many raw part pairs each name pair represents."""
-    names = (
-        load_table(spark, sf, "part")
-        .groupBy("p_name")
-        .agg(F.count("*").alias("cnt"))
-    )
-    a = names.select(F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"))
-    b = names.select(F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"))
-    out = joins.blocked_levenshtein_join(
-        a,
-        b,
-        "name_a",
-        "name_b",
-        F.split(F.col("name_a"), " ")[1],
-        F.split(F.col("name_b"), " ")[1],
-        max_distance=2,
-    )
-    return out.filter(F.col("name_a") < F.col("name_b")).select(
-        "name_a",
-        "name_b",
-        "edit_distance",
-        (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
-    )
-
-
-@register(
-    "f_higher_order",
-    """WITH q AS (SELECT vec_id,
-              list_transform(embedding,
-                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
-            FROM embeddings)
-       SELECT vec_id,
-              CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS l1,
-              CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
-              CAST(list_dot_product(v[1:32], v[33:64]) AS BIGINT) AS half_dot,
-              CAST(len(list_filter(v, x -> abs(x) > 2500)) AS INTEGER)
-                AS n_extreme
-       FROM q""",
-)
-def f_higher_order_q(spark, sf):
-    """HIGHER-ORDER ARRAY FUNCTION surface (§2.6 beyond the reference,
-    which has no array types at all): transform / filter / aggregate /
-    zip_with / slice composed over the embedding arrays, all JVM-side
-    Catalyst lambda expressions — zero Python, zero explode (the naive
-    relational form explodes 64 rows/vector through a shuffle; the lambda
-    form is a row-local fold at scan speed).  Quantized to the registry's
-    1e-4 integer lattice so every measure is integer-exact and
-    hash-comparable: L1 norm, positive-component count, first-half x
-    second-half dot product, extreme-component count."""
-    emb = load_table(spark, sf, "embeddings")
-    v = V.quantize(F.col("embedding"))
-    q = emb.select("vec_id", v.alias("v"))
-    return q.select(
-        "vec_id",
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: F.abs(x)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("l1"),
-        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_pos"),
-        F.aggregate(
-            F.zip_with(
-                F.slice(F.col("v"), 1, 32),
-                F.slice(F.col("v"), 33, 32),
-                lambda x, y: x * y,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("half_dot"),
-        F.size(F.filter(F.col("v"), lambda x: F.abs(x) > 2500)).alias(
-            "n_extreme"
-        ),
-    )
-
-
-@register(
-    "stream_partial_maintenance",
-    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS total,
-              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*)
-                AS avg_value,
-              CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
-                AS min_value,
-              CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100
-                AS max_value
-       FROM events GROUP BY event_type""",
-)
-def stream_partial_maintenance_q(spark, sf):
-    """STREAMING-MAINTAINED incremental aggregates — a_incremental_merge's
-    batch-split partials, maintained continuously instead: the bounded
-    event stream runs through streaming/sink.py::foreach_batch_merge_partials
-    (each micro-batch collapsed to mergeable integer partials, upserted
-    under its batch id — replay-idempotent), then query time merges the
-    partial table and finalizes.  Same oracle as the batch row: the
-    streamed partial state must equal a full rescan bit-for-bit.  This is
-    the no-state-store maintenance path — per-key state lives in parquet
-    partials, not the streaming state store, so there is no watermark
-    eviction pressure and the history horizon is unbounded."""
-    import os
-    import uuid
-
-    from trafficbigdatasearch_spark.operators import incremental as I
-    from trafficbigdatasearch_spark.streaming import sink as SK
-
-    src = _stream_events_source(spark, sf).withColumn(
-        "v_cents", _cents(F.col("value"))
-    )
-    d = _scratch("stream_partials", sf)
-    out = os.path.join(d, "partials")
-    q = (
-        src.writeStream.foreachBatch(
-            SK.foreach_batch_merge_partials(out, ["event_type"], "v_cents")
-        )
-        .option("checkpointLocation", os.path.join(d, "cp-" + uuid.uuid4().hex[:8]))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_partial_maintenance: did not drain in 300s")
-    partials = spark.read.parquet(out).drop("_batch_id")
-    return I.finalize(
-        I.merge_partials([partials], ["event_type"]), ["event_type"]
-    )
-
-
-@register(
-    "q4_priority_exists",
-    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-       FROM orders
-       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-         AND o_orderdate < TIMESTAMP '1997-01-01'
-         AND EXISTS (SELECT 1 FROM lineitem
-                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-       GROUP BY o_orderpriority""",
-)
-def q4_priority_exists_q(spark, sf):
-    """TPC-H Q4 shape — correlated EXISTS subquery, counted by priority
-    (adapted to the testdata's columns: "has a returned line" instead of
-    commit<receipt, which the generator lacks).  Registered through
-    ``spark.sql`` EXISTS on purpose: it pins Catalyst's subquery
-    DECORRELATION — the optimizer must rewrite the per-row EXISTS probe
-    into one left-semi hash join (RewritePredicateSubquery), the only
-    shape that scales; a row-at-a-time subquery evaluation would be
-    O(|orders| × probe).  Semi-join plan pinned in tests/test_plans.py."""
-    load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
-    load_table(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """SELECT o_orderpriority, COUNT(*) AS order_count
-           FROM v_orders
-           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-             AND o_orderdate < TIMESTAMP '1997-01-01'
-             AND EXISTS (SELECT 1 FROM v_lineitem
-                         WHERE l_orderkey = o_orderkey
-                           AND l_returnflag = 'R')
-           GROUP BY o_orderpriority"""
-    )
-
-
-@register(
-    "a_exact_percentiles",
-    """SELECT event_type,
-              quantile_cont(CAST(round(value*100) AS BIGINT), 0.50) AS p50_cents,
-              quantile_cont(CAST(round(value*100) AS BIGINT), 0.90) AS p90_cents,
-              quantile_cont(CAST(round(value*100) AS BIGINT), 0.99) AS p99_cents
-       FROM events GROUP BY event_type""",
-)
-def a_exact_percentiles_q(spark, sf):
-    """EXACT percentiles per group (vs the mergeable KLL approximation in
-    the sketch family): Spark's ``percentile`` sorts within each hash
-    partition group — one shuffle, no global sort.  Cross-engine
-    determinism: computed over integer CENTS so both engines interpolate
-    ``lo + (hi - lo) * frac`` between exact integers with one IEEE
-    multiply-add — bit-identical doubles (percentile over raw doubles
-    would compare two engines' float sums).  At 100 TB exact per-group
-    percentiles are the spill risk (a group's values must co-locate);
-    the KLL sketch rollup is the bounded-memory alternative and this row
-    is its audit baseline."""
-    ev = load_table(spark, sf, "events")
-    cents = _cents(F.col("value"))
-    return ev.groupBy("event_type").agg(
-        F.percentile(cents, F.lit(0.50)).alias("p50_cents"),
-        F.percentile(cents, F.lit(0.90)).alias("p90_cents"),
-        F.percentile(cents, F.lit(0.99)).alias("p99_cents"),
-    )
-
-
-@register(
-    "f_variant_extract",
-    """SELECT event_id,
-              CAST(props->>'$.k' AS INTEGER) AS k_val,
-              CAST(CASE WHEN json_extract(props, '$.missing') IS NULL
-                   THEN 0 ELSE 1 END AS INTEGER) AS has_missing
-       FROM events WHERE event_id < 2000""",
-)
-def f_variant_extract_q(spark, sf):
-    """Semi-structured VARIANT surface (Spark 4's open-schema JSON type,
-    beyond the fixed-schema ``from_json`` used in f_json_extract):
-    ``parse_json`` ingests the props column ONCE into the binary variant
-    encoding; ``try_variant_get`` then extracts typed paths without
-    re-parsing text per access — the pattern for 100 TB event-property
-    columns where fields vary by event type and a declared struct schema
-    would either drop fields or explode column count.  Missing paths
-    yield NULL (mapped to a 0/1 flag so the oracle compare is
-    dtype-stable)."""
-    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
-    v = F.parse_json(F.col("props"))
-    return ev.select(
-        "event_id",
-        F.try_variant_get(v, "$.k", "int").alias("k_val"),
-        F.when(
-            F.try_variant_get(v, "$.missing", "string").isNull(), F.lit(0)
-        ).otherwise(F.lit(1)).alias("has_missing"),
-    )
-
-
-@register(
-    "pipeline_entity_resolution",
-    """WITH RECURSIVE n AS (
-         SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part
-         GROUP BY p_name),
-       pairs AS (
-         SELECT a.p_name AS na, b.p_name AS nb
-         FROM n a JOIN n b
-           ON split_part(a.p_name,' ',2) = split_part(b.p_name,' ',2)
-          AND a.p_name < b.p_name
-          AND levenshtein(a.p_name, b.p_name) <= 2),
-       sym AS (SELECT na, nb FROM pairs UNION SELECT nb, na FROM pairs),
-       reach(a, b) AS (
-         SELECT na, nb FROM sym
-         UNION
-         SELECT r.a, s.nb FROM reach r JOIN sym s ON s.na = r.b
-         WHERE s.nb <> r.a),
-       canon AS (
-         SELECT n.p_name AS name, n.cnt,
-                COALESCE(LEAST(n.p_name, m.mn), n.p_name) AS canonical_name
-         FROM n LEFT JOIN (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
-           ON m.a = n.p_name)
-       SELECT canonical_name,
-              CAST(COUNT(*) AS BIGINT) AS n_variants,
-              CAST(SUM(cnt) AS BIGINT) AS n_parts
-       FROM canon GROUP BY canonical_name""",
-)
-def pipeline_entity_resolution_q(spark, sf):
-    """ENTITY RESOLUTION end-to-end — the composition the fuzzy join and
-    connected components exist for: near-identical part names are blocked
-    + matched (blocked_levenshtein_join, d<=2), the match pairs resolve
-    into entity clusters via the SAME alternating-star CC engine the dedup
-    pipeline uses (``cast=None``: the algorithm needs only a total order,
-    so string keys cluster directly — no surrogate-id round trip), and
-    each cluster elects its lexicographic-min name as the golden record.
-    Transitivity is the point: 'cold bolt'-'old bolt'-'red bolt'-'new
-    bolt' chain into ONE entity even though the ends are distance 4
-    apart.  Oracle = recursive-CTE reachability closure over the identical
-    pair set."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    names = (
-        load_table(spark, sf, "part")
-        .groupBy("p_name")
-        .agg(F.count("*").alias("cnt"))
-    )
-    a = names.select(F.col("p_name").alias("na"))
-    b = names.select(F.col("p_name").alias("nb"))
-    pairs = joins.blocked_levenshtein_join(
-        a, b, "na", "nb",
-        F.split(F.col("na"), " ")[1], F.split(F.col("nb"), " ")[1],
-        max_distance=2,
-    ).filter(F.col("na") < F.col("nb"))
-    cc = G.connected_components(
-        pairs, "na", "nb",
-        nodes=names.select(F.col("p_name").alias("id")),
-        cast=None,
-    )
-    return (
-        names.join(cc, names["p_name"] == cc["id"])
-        .groupBy(F.col("component").alias("canonical_name"))
-        .agg(
-            F.count("*").alias("n_variants"),
-            F.sum("cnt").alias("n_parts"),
-        )
-    )
-
-
-@register(
-    "pipeline_incremental_refresh",
-    """WITH new AS (SELECT o_orderkey, o_orderstatus,
-                           CASE WHEN o_orderkey % 5 = 0
-                                THEN o_totalprice + 10.0
-                                ELSE o_totalprice END AS o_totalprice
-                    FROM orders WHERE o_orderkey % 10 <> 7)
-       SELECT o_orderstatus,
-              CAST(COUNT(*) AS BIGINT) AS n_rows,
-              CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
-                AS total,
-              CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100
-                /COUNT(*) AS avg_value
-       FROM new GROUP BY o_orderstatus""",
-)
-def pipeline_incremental_refresh_q(spark, sf):
-    """INCREMENTAL VIEW MAINTENANCE — diff-driven aggregate refresh, the
-    composition of snapshot_diff and the additive delta algebra
-    (operators/incremental.py::additive_partial/apply_delta): starting
-    from the OLD snapshot's aggregate, the new aggregate is produced by
-    applying signed partials over only the CHANGED rows — inserts
-    positive, deletes negative, updates as delete+insert — and the result
-    must equal the oracle's direct rescan of the new snapshot
-    bit-for-bit.  Count/sum form a group (invertible), which is exactly
-    why the maintained measures here exclude min/max (monoid-only; a
-    removed minimum needs a per-group rescan).  At 100 TB: the refresh
-    touches O(churn), never O(table)."""
-    from trafficbigdatasearch_spark.operators import incremental as I
-
-    orders = load_table(spark, sf, "orders")
-    keys = ["o_orderstatus"]
-    price_new = F.when(
-        F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
-    ).otherwise(F.col("o_totalprice"))
-    old = orders.filter(F.col("o_orderkey") % 10 != 3).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    new = orders.filter(F.col("o_orderkey") % 10 != 7).select(
-        "o_orderkey", "o_orderstatus", price_new.alias("o_totalprice")
-    )
-    base = I.additive_partial(old, keys, _cents(F.col("o_totalprice")))
-    added = new.join(old.select("o_orderkey"), "o_orderkey", "left_anti")
-    removed = old.join(new.select("o_orderkey"), "o_orderkey", "left_anti")
-    # updates: both present, value differs — retract old row, insert new
-    both = old.alias("o").join(new.alias("n"), "o_orderkey").filter(
-        ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
-        | ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
-    )
-    upd_old = both.select(
-        F.col("o.o_orderstatus").alias("o_orderstatus"),
-        F.col("o.o_totalprice").alias("o_totalprice"),
-    )
-    upd_new = both.select(
-        F.col("n.o_orderstatus").alias("o_orderstatus"),
-        F.col("n.o_totalprice").alias("o_totalprice"),
-    )
-    cents = _cents(F.col("o_totalprice"))
-    deltas = [
-        I.additive_partial(added, keys, cents),
-        I.additive_partial(removed, keys, cents, sign=-1),
-        I.additive_partial(upd_old, keys, cents, sign=-1),
-        I.additive_partial(upd_new, keys, cents),
-    ]
-    return I.finalize_additive(I.apply_delta(base, deltas, keys), keys)
-
-
-@register(
-    "j_interval_overlap",
-    """WITH spans AS (
-         SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
-                epoch_ms(MIN(ts)) AS lo, epoch_ms(MAX(ts)) AS hi
-         FROM events GROUP BY 1, 2),
-       w AS (SELECT DISTINCT date_trunc('day', ts) AS s FROM events),
-       w2 AS (SELECT strftime(s, '%Y-%m-%d') AS w_id,
-                     epoch_ms(s) AS wlo,
-                     epoch_ms(s + INTERVAL 36 HOUR) AS whi
-              FROM w)
-       SELECT user_id, d, w_id,
-              CAST(LEAST(hi, whi) - GREATEST(lo, wlo) AS BIGINT) AS overlap_ms
-       FROM spans JOIN w2 ON lo <= whi AND wlo <= hi""",
-)
-def j_interval_overlap_q(spark, sf):
-    """INTERVAL × INTERVAL overlap join (operators/joins.py::
-    interval_overlap_join) — the range-vs-range member of the range-join
-    family (j2 = keyed point-in-interval, j_range_keyless = keyless
-    point-in-interval): per-user daily activity spans against overlapping
-    36-hour maintenance windows, overlap duration in exact millis.  Both
-    interval sets explode into 6-hour buckets and equi-join on the
-    bucket; each overlapping pair CLAIMS exactly one bucket (the first
-    bucket of the intersection), so the output is exactly-once with NO
-    dedup exchange.  Oracle = the quadratic overlap join."""
-    ev = load_table(spark, sf, "events")
-    spans = ev.groupBy(
-        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
-    ).agg(
-        F.unix_millis(F.min("ts")).alias("lo"),
-        F.unix_millis(F.max("ts")).alias("hi"),
-    )
-    w = (
-        ev.select(F.date_trunc("day", "ts").alias("s"))
-        .distinct()
-        .select(
-            F.date_format("s", "yyyy-MM-dd").alias("w_id"),
-            F.unix_millis(F.col("s")).alias("wlo"),
-            F.unix_millis(F.col("s") + F.expr("INTERVAL 36 HOURS")).alias("whi"),
-        )
-    )
-    j = joins.interval_overlap_join(
-        spans, w, "lo", "hi", "wlo", "whi", bucket_width=6 * 3600 * 1000
-    )
-    return j.select(
-        "user_id",
-        "d",
-        "w_id",
-        (F.least(F.col("hi"), F.col("whi")) - F.greatest(F.col("lo"), F.col("wlo")))
-        .cast("bigint")
-        .alias("overlap_ms"),
-    )
-
-
-@register(
-    "w_pattern_sequence",
-    """WITH seqs AS (
-         SELECT user_id,
-                string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
-                CAST(COUNT(*) AS BIGINT) AS n_events
-         FROM events GROUP BY user_id)
-       SELECT user_id, n_events,
-              CAST(CASE WHEN regexp_matches(seq, 'signup.*purchase')
-                   THEN 1 ELSE 0 END AS INTEGER) AS converted,
-              CAST(CASE WHEN regexp_matches(seq, 'error,error,error')
-                   THEN 1 ELSE 0 END AS INTEGER) AS rage_errors
-       FROM seqs""",
-)
-def w_pattern_sequence_q(spark, sf):
-    """SEQUENCE PATTERN MATCHING over per-user event streams (the
-    MATCH_RECOGNIZE-class question, composed from primitives): each
-    user's events are ordered into one comma-joined type sequence
-    (deterministic tiebreak ts, event_id) and regex-scanned — 'did a
-    signup ever lead to a purchase' (conversion with any gap) and 'three
-    errors back-to-back' (exact adjacency — the comma-join makes
-    adjacency expressible, unlike the funnel's step-min formulation).
-    ONE shuffle (groupBy user); the per-user sequence is the documented
-    memory bound — at 100 TB, sessionize first (w_sessionize) so
-    sequences are per-session, or cap with slice(array, 1, K).  Plan
-    note: collect_list+array_sort is a row-local fold after the
-    exchange; no window, no second shuffle."""
-    ev = load_table(spark, sf, "events")
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type").alias("et")))
-            ),
-            lambda x: x["et"],
-        ),
-        ",",
-    )
-    g = ev.groupBy("user_id").agg(
-        seq.alias("seq"), F.count("*").alias("n_events")
-    )
-    return g.select(
-        "user_id",
-        "n_events",
-        F.when(F.col("seq").rlike("signup.*purchase"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("converted"),
-        F.when(F.col("seq").rlike("error,error,error"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("rage_errors"),
-    )
-
-
-@register(
-    "pipeline_semantic_dedup",
-    f"""WITH RECURSIVE c AS (SELECT vec_id, label, {_QVEC} AS qv FROM embeddings),
-       pairs AS (
-         SELECT a.vec_id AS ia, b.vec_id AS ib
-         FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE list_dot_product(a.qv, b.qv) /
-               (sqrt(list_dot_product(a.qv, a.qv)) *
-                sqrt(list_dot_product(b.qv, b.qv))) >= 0.4),
-       sym AS (SELECT ia, ib FROM pairs UNION SELECT ib, ia FROM pairs),
-       reach(a, b) AS (
-         SELECT ia, ib FROM sym
-         UNION
-         SELECT r.a, s.ib FROM reach r JOIN sym s ON s.ia = r.b
-         WHERE s.ib <> r.a),
-       comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component
-                FROM reach GROUP BY a)
-       SELECT e.vec_id,
-              COALESCE(comp.component, e.vec_id) AS component,
-              CAST(CASE WHEN COALESCE(comp.component, e.vec_id) = e.vec_id
-                   THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
-       FROM (SELECT vec_id FROM embeddings) e
-       LEFT JOIN comp ON comp.vec_id = e.vec_id""",
-)
-def pipeline_semantic_dedup_q(spark, sf):
-    """SEMANTIC (embedding-space) DEDUP end-to-end — the third dedup
-    pipeline alongside the lexical one (pipeline_dedup_corpus: shingles)
-    and the perceptual one (mm_phash_pairs: pHash): cosine near-dup pairs
-    (label-blocked, quantized-exact scores) resolve through the shared CC
-    engine into semantic clusters, min-id keeper per cluster, isolated
-    vectors keep themselves.  This is the text-paraphrase/near-translation
-    dedup shape that lexical shingles cannot see.  Oracle = recursive
-    closure over the identical pair SQL."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    emb = load_table(spark, sf, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.4, block_col="label"
-    )
-    cc = G.connected_components(
-        pairs, "id_a", "id_b", nodes=emb.select(F.col("vec_id").alias("id"))
-    )
-    return cc.select(
-        F.col("id").alias("vec_id"),
-        "component",
-        F.when(F.col("id") == F.col("component"), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("is_keeper"),
-    )
-
-
-@register(
-    "spatial_density",
-    """WITH pts AS (SELECT c_custkey AS id,
-                           ((c_custkey * 48271) % 99991) % 1000 AS x,
-                           ((c_custkey * 16807) % 104729) % 1000 AS y
-                    FROM customer),
-       pairs AS (
-         SELECT a.id AS ia, b.id AS ib
-         FROM pts a JOIN pts b
-           ON a.id < b.id
-          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
-       sides AS (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs),
-       cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sides GROUP BY id)
-       SELECT pts.id, COALESCE(cnt.n, 0) AS n_neighbors
-       FROM pts LEFT JOIN cnt ON cnt.id = pts.id""",
-)
-def spatial_density_q(spark, sf):
-    """Per-point neighbor DENSITY within radius r (operators/spatial.py::
-    radius_join_counts) — the hotspot score over the same grid join as
-    j_spatial_grid: symmetric counts from the one-shot pair set, isolated
-    points report 0.  This is the accident-hotspot / station-coverage
-    question asked as a per-entity measure instead of a pair list; at
-    scale it is the density stage of DBSCAN-style clustering (core-point
-    test = n_neighbors >= minPts)."""
-    from trafficbigdatasearch_spark.operators import spatial
-
-    pts = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
-        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
-    )
-    return spatial.radius_join_counts(pts, "id", "x", "y", radius=15)
-
-
-@register(
-    "pipeline_dbscan",
-    """WITH RECURSIVE pts AS (
-         SELECT c_custkey AS id,
-                ((c_custkey * 48271) % 99991) % 1000 AS x,
-                ((c_custkey * 16807) % 104729) % 1000 AS y
-         FROM customer),
-       pairs AS (
-         SELECT a.id AS ia, b.id AS ib
-         FROM pts a JOIN pts b
-           ON a.id < b.id
-          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
-       sides AS (SELECT ia AS id FROM pairs UNION ALL SELECT ib FROM pairs),
-       cnt AS (SELECT id, COUNT(*) AS n FROM sides GROUP BY id),
-       core AS (SELECT id FROM cnt WHERE n >= 3),
-       cp AS (SELECT ia, ib FROM pairs
-              WHERE ia IN (SELECT id FROM core)
-                AND ib IN (SELECT id FROM core)),
-       csym AS (SELECT ia, ib FROM cp UNION SELECT ib, ia FROM cp),
-       reach(a, b) AS (
-         SELECT ia, ib FROM csym
-         UNION
-         SELECT r.a, s.ib FROM reach r JOIN csym s ON s.ia = r.b
-         WHERE s.ib <> r.a),
-       comp AS (
-         SELECT core.id,
-                COALESCE(LEAST(core.id, m.mn), core.id) AS component
-         FROM core LEFT JOIN
-              (SELECT a, MIN(b) AS mn FROM reach GROUP BY a) m
-           ON m.a = core.id),
-       asym AS (SELECT ia, ib FROM pairs
-                UNION ALL SELECT ib, ia FROM pairs),
-       border AS (
-         SELECT asym.ib AS id, MIN(comp.component) AS cluster
-         FROM asym JOIN comp ON comp.id = asym.ia
-         WHERE asym.ib NOT IN (SELECT id FROM core)
-         GROUP BY asym.ib)
-       SELECT id, CAST(cluster AS BIGINT) AS cluster, role FROM (
-         SELECT id, component AS cluster, 'core' AS role FROM comp
-         UNION ALL
-         SELECT id, cluster, 'border' FROM border
-         UNION ALL
-         SELECT pts.id, -1, 'noise' FROM pts
-         WHERE pts.id NOT IN (SELECT id FROM comp)
-           AND pts.id NOT IN (SELECT id FROM border))""",
-)
-def pipeline_dbscan_q(spark, sf):
-    """DISTRIBUTED DBSCAN (operators/spatial.py::dbscan) — density
-    clustering composed entirely from verified pieces: grid radius join
-    (eps-neighborhoods) -> pair counts (core test, minPts=3) -> connected
-    components over the core-core subgraph (flood fill replaced by the
-    O(log² n) alternating-star fixpoint) -> border points adopt the min
-    cluster among their core neighbors; the rest is noise.  Min-id labels
-    make the output deterministic under any partitioning — textbook
-    DBSCAN's border assignment is scan-order-dependent, which cannot
-    exist at 100 TB.  Oracle = the same construction over the quadratic
-    pair join with a recursive-CTE closure."""
-    from trafficbigdatasearch_spark.operators import spatial
-
-    pts = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
-        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
-    )
-    return spatial.dbscan(pts, "id", "x", "y", radius=15, min_pts=3)
-
-
-@register(
-    "sample_importance",
-    f"""SELECT doc_id, n_chars
-       FROM documents
-       WHERE {_BUCKET_SQL.format(salt='importance')} <
-             CAST(floor(LEAST(GREATEST(n_chars / 1000.0, 0.0), 1.0)
-                        * {sampling.BUCKETS}) AS BIGINT)""",
-)
-def sample_importance_q(spark, sf):
-    """IMPORTANCE (weighted Bernoulli) sampling
-    (operators/sampling.py::importance_sample): each document's keep
-    probability is its own quality proxy (length-based here: n_chars/1000
-    clamped to [0,1]), and the accept test is the md5-uniform draw under
-    that per-row rate — quality-weighted data mixing with zero shuffle,
-    zero RNG state.  A row's fate depends only on (key, weight): reruns,
-    retries, repartitions, and corpus growth never flip it — the
-    stability that daily-rebuilt training mixes need.  Oracle recomputes
-    the identical md5 threshold test."""
-    docs = load_table(spark, sf, "documents")
-    w = F.col("n_chars") / 1000.0
-    return sampling.importance_sample(docs, "doc_id", w).select(
-        "doc_id", "n_chars"
-    )
-
-
-_PR_SCALE = 10**12
-_PR_N = 1500
-_PR_BASE = (3 * _PR_SCALE) // (20 * _PR_N)
-
-
-def _pr_oracle() -> str:
-    parts = [
-        f"e AS (SELECT range AS u, (range*range) % {_PR_N} AS v "
-        f"FROM range({_PR_N}))",
-        "nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)",
-        "deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u)",
-        f"r0 AS (SELECT id, CAST({_PR_SCALE // _PR_N} AS BIGINT) AS rank "
-        "FROM nodes)",
-    ]
-    for k in range(1, 4):
-        parts.append(
-            f"s{k} AS (SELECT e.v, SUM(r{k-1}.rank // deg.d) AS s "
-            f"FROM e JOIN r{k-1} ON r{k-1}.id = e.u "
-            "JOIN deg ON deg.u = e.u GROUP BY e.v)"
-        )
-        parts.append(
-            f"r{k} AS (SELECT nodes.id, "
-            f"CAST({_PR_BASE} + (17 * COALESCE(s{k}.s, 0)) // 20 AS BIGINT) "
-            f"AS rank FROM nodes LEFT JOIN s{k} ON s{k}.v = nodes.id)"
-        )
-    return "WITH " + ",\n       ".join(parts) + "\n       SELECT id, rank FROM r3"
-
-
-_KC_N = 1500
-_KC_K = 3
-_KC_ROUNDS = 10  # peel converges at 8 on this graph (1489-node true 3-core)
-
-
-def _kcore_oracle() -> str:
-    # MATERIALIZED is load-bearing: each CTE is referenced 2-3x per round;
-    # DuckDB's default inlining would re-evaluate the whole chain per
-    # reference — exponential in round count (measured: 6 plain rounds
-    # time out, 16 materialized rounds run in 60 ms)
-    parts = [
-        f"""raw AS MATERIALIZED (
-           SELECT range AS u, (range + 1) % {_KC_N} AS v FROM range({_KC_N})
-           UNION ALL
-           SELECT range, (range + 2) % {_KC_N} FROM range({_KC_N})
-           WHERE range < 900
-           UNION ALL
-           SELECT range, (range*range + 1) % {_KC_N} FROM range({_KC_N}))""",
-        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, "
-        "greatest(u, v) AS v FROM raw WHERE u <> v)",
-        f"nodes AS (SELECT range AS id FROM range({_KC_N}))",
-    ]
-    # one extra d/s stage past the last edge deletion — membership is the
-    # FINAL degree pass over e{ROUNDS}, matching kcore_membership's
-    # "n complete peels" semantics
-    for r in range(1, _KC_ROUNDS + 2):
-        parts.append(
-            f"d{r} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM "
-            f"(SELECT u AS n FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) t{r} "
-            "GROUP BY n)"
-        )
-        parts.append(
-            f"s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KC_K})"
-        )
-        if r <= _KC_ROUNDS:
-            parts.append(
-                f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
-                f"JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v)"
-            )
-    last = f"s{_KC_ROUNDS + 1}"
-    return (
-        "WITH "
-        + ",\n       ".join(parts)
-        + f"\n       SELECT nodes.id, CAST(CASE WHEN {last}.n IS NOT NULL "
-        "THEN 1 ELSE 0 END AS INTEGER) AS in_kcore "
-        f"FROM nodes LEFT JOIN {last} ON {last}.n = nodes.id"
-    )
-
-
-@register("graph_kcore", _kcore_oracle())
-def graph_kcore_q(spark, sf):
-    """Bounded k-CORE peeling (operators/graph.py::kcore_membership): 10
-    rounds of drop-degree-below-3 over a 1500-node graph mixing a dense
-    chord band (cycle + partial chords — the surviving community) with
-    quadratic-functional tendrils (what peels away) — the cohesion filter
-    separating dense communities from tendrils (spam farms vs organic
-    clusters, template families vs genuinely interlinked docs).  The peel
-    converges at round 8 here, so the row verifies the TRUE 3-core (1489
-    in, 11 out); fixed round count keeps the operator a pure function of
-    (edges, k, rounds) — no driver convergence sync, retry-deterministic,
-    and the oracle is the same peel unrolled as materialized CTE stages.
-    Per round: one map-side-combined degree aggregate + two semi joins,
-    lineage checkpointed."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(_KC_N)
-    edges = (
-        ids.select(F.col("id").alias("u"), ((F.col("id") + 1) % _KC_N).alias("v"))
-        .union(
-            ids.filter(F.col("id") < 900).select(
-                F.col("id"), (F.col("id") + 2) % _KC_N
-            )
-        )
-        .union(
-            ids.select(F.col("id"), (F.col("id") * F.col("id") + 1) % _KC_N)
-        )
-    )
-    return G.kcore_membership(
-        edges, k=_KC_K, n_rounds=_KC_ROUNDS, nodes=ids
-    )
-
-
-_LPA_ROUNDS = 4
-
-
-def _lpa_oracle() -> str:
-    parts = [
-        f"""raw AS MATERIALIZED (
-           SELECT range AS u, (range + 1) % {_KC_N} AS v FROM range({_KC_N})
-           UNION ALL
-           SELECT range, (range + 2) % {_KC_N} FROM range({_KC_N})
-           WHERE range < 900
-           UNION ALL
-           SELECT range, (range*range + 1) % {_KC_N} FROM range({_KC_N}))""",
-        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u, "
-        "greatest(u, v) AS v FROM raw WHERE u <> v)",
-        "sym AS MATERIALIZED (SELECT u, v FROM e0 "
-        "UNION ALL SELECT v, u FROM e0)",
-        f"nodes AS MATERIALIZED (SELECT range AS id FROM range({_KC_N}))",
-        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)",
-    ]
-    for r in range(1, _LPA_ROUNDS + 1):
-        parts.append(
-            f"nb{r} AS MATERIALIZED (SELECT id, lab, COUNT(*) AS c FROM "
-            f"(SELECT s.v AS id, l.lab FROM sym s JOIN l{r-1} l ON l.id = s.u "
-            f"UNION ALL SELECT id, lab FROM l{r-1}) t{r} "
-            "GROUP BY id, lab)"
-        )
-        parts.append(
-            f"l{r} AS MATERIALIZED (SELECT id, "
-            f"arg_max(lab, c * 2147483648 - lab) AS lab "
-            f"FROM nb{r} GROUP BY id)"
-        )
-    return (
-        "WITH "
-        + ",\n       ".join(parts)
-        + f"\n       SELECT id, lab AS community FROM l{_LPA_ROUNDS}"
-    )
-
-
-@register("graph_label_prop", _lpa_oracle())
-def graph_label_prop_q(spark, sf):
-    """Deterministic label-propagation COMMUNITIES (operators/graph.py::
-    label_propagation), 4 synchronous rounds over the same chord-band +
-    tendril graph as graph_kcore — the detector that splits one CONNECTED
-    graph into densely-linked groups, which connected components cannot
-    (CC gives a single label here).  Textbook LPA is scan-order- and
-    tie-random — impossible at 100 TB where retries and speculation would
-    flap; this formulation packs (count, label) into ONE composite argmax
-    (counts dominate, smaller label breaks ties), adds a self-vote (kills
-    the two-node swap oscillation), and fixes the round count,
-    making the result a pure function of the graph and the oracle the
-    same rounds unrolled as materialized CTEs."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(_KC_N)
-    edges = (
-        ids.select(F.col("id").alias("u"), ((F.col("id") + 1) % _KC_N).alias("v"))
-        .union(
-            ids.filter(F.col("id") < 900).select(
-                F.col("id"), (F.col("id") + 2) % _KC_N
-            )
-        )
-        .union(
-            ids.select(F.col("id"), (F.col("id") * F.col("id") + 1) % _KC_N)
-        )
-    )
-    return G.label_propagation(edges, n_rounds=_LPA_ROUNDS, nodes=ids)
-
-
-_SSSP_ROUNDS = 8
-
-
-def _sssp_oracle() -> str:
-    parts = [
-        f"""e AS MATERIALIZED (
-           SELECT range AS u, (range * 7 + 3) % {_KC_N} AS v,
-                  (range % 10) + 1 AS w FROM range({_KC_N})
-           UNION ALL
-           SELECT range, (range + 1) % {_KC_N}, (range % 5) + 1
-           FROM range({_KC_N}))""",
-        f"nodes AS (SELECT range AS id FROM range({_KC_N}))",
-        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, "
-        "CAST(0 AS BIGINT) AS dist)",
-    ]
-    for r in range(1, _SSSP_ROUNDS + 1):
-        parts.append(
-            f"d{r} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM "
-            f"(SELECT id, dist FROM d{r-1} "
-            f"UNION ALL "
-            f"SELECT e.v AS id, d.dist + e.w FROM e "
-            f"JOIN d{r-1} d ON d.id = e.u) t{r} GROUP BY id)"
-        )
-    last = f"d{_SSSP_ROUNDS}"
-    return (
-        "WITH "
-        + ",\n       ".join(parts)
-        + f"\n       SELECT nodes.id, COALESCE({last}.dist, -1) AS dist "
-        f"FROM nodes LEFT JOIN {last} ON {last}.id = nodes.id"
-    )
-
-
-@register("graph_sssp", _sssp_oracle())
-def graph_sssp_q(spark, sf):
-    """Bounded weighted SHORTEST PATHS (operators/graph.py::sssp_bounded):
-    8 synchronous Bellman-Ford relaxations from node 0 over a directed
-    two-out-edge graph with integer weights — routing distance / weighted
-    influence radius, where graph_bfs_reach counts unweighted hops.
-    Result is exact for every node whose shortest path uses <= 8 edges
-    (here the expander-style (7x+3) jumps reach all 1500 nodes well
-    within 8), -1 for the unreached; fixed rounds keep it a pure function
-    of (edges, seeds, rounds) — no convergence sync, integer distances
-    bit-identical to the oracle's unrolled materialized-CTE relaxations."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(_KC_N)
-    edges = ids.select(
-        F.col("id").alias("u"),
-        ((F.col("id") * 7 + 3) % _KC_N).alias("v"),
-        ((F.col("id") % 10) + 1).alias("w"),
-    ).union(
-        ids.select(
-            F.col("id"), (F.col("id") + 1) % _KC_N, (F.col("id") % 5) + 1
-        )
-    )
-    seeds = spark.range(1).select(F.col("id"))
-    dist = G.sssp_bounded(edges, seeds, n_rounds=_SSSP_ROUNDS)
-    return ids.join(dist, "id", "left").select(
-        "id", F.coalesce("dist", F.lit(-1)).alias("dist")
-    )
-
-
-@register("graph_pagerank", _pr_oracle())
-def graph_pagerank_q(spark, sf):
-    """Integer-exact PageRank (operators/graph.py::pagerank_integer), 3
-    iterations at damping 17/20 over the deterministic quadratic-residue
-    functional graph on 1500 nodes (every node has out-degree 1 — no
-    dangling mass, so the oracle needs no redistribution term).  Scaled-
-    bigint ranks with integer floor-division make the whole chain
-    bit-identical to the oracle's unrolled CTE iterations — the float
-    formulation could not be hash-compared across engines.  Each round is
-    one hash join + one map-side-combined aggregate; fixed iteration
-    count -> no driver convergence sync (same argument as
-    graph_bfs_reach)."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(_PR_N)
-    edges = ids.select(
-        F.col("id").alias("u"), ((F.col("id") * F.col("id")) % _PR_N).alias("v")
-    )
-    return G.pagerank_integer(edges, n_iter=3, scale=_PR_SCALE)
-
-
-@register(
-    "ts_resample_ohlc",
-    """SELECT user_id, date_trunc('hour', ts) AS bucket,
-              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
-              max(value) AS high,
-              min(value) AS low,
-              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
-              CAST(count(*) AS BIGINT) AS volume
-       FROM events GROUP BY user_id, date_trunc('hour', ts)""",
-)
-def ts_resample_ohlc_q(spark, sf):
-    """Time-series RESAMPLE (operators/timeseries.py::resample_ohlc): the
-    irregular per-user event stream bucketed to an hourly OHLC grid —
-    open/close are min_by/max_by over ONE bigint (epoch_ms, event_id)
-    ordering key (deterministic tie-break, no window, no sort), high/low/
-    volume ride the same map-side-combined aggregate.  Values pass through
-    with no float arithmetic, so doubles hash-compare exactly.  This is the
-    hypertable/continuous-aggregate rollup shape: ONE shuffle total, and at
-    100 TB the partial aggregation means each executor ships one row per
-    (user, hour) it saw, not its raw events."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    ev = load_table(spark, sf, "events")
-    return TS.resample_ohlc(
-        ev, key_col="user_id", ts_col="ts", value_col="value",
-        id_col="event_id", bucket="hour",
-    )
-
-
-@register(
-    "ts_gapfill",
-    """WITH closes AS (
-         SELECT user_id, date_trunc('hour', ts) AS bucket,
-                arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS _close
-         FROM events GROUP BY user_id, date_trunc('hour', ts)),
-       spine AS (
-         SELECT user_id,
-                unnest(generate_series(min(bucket), max(bucket),
-                                       INTERVAL 1 HOUR)) AS bucket
-         FROM closes GROUP BY user_id)
-       SELECT s.user_id, s.bucket,
-              last_value(c._close IGNORE NULLS) OVER (
-                PARTITION BY s.user_id ORDER BY s.bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-              CAST(CASE WHEN c._close IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
-                AS is_observed
-       FROM spine s LEFT JOIN closes c
-         ON c.user_id = s.user_id AND c.bucket = s.bucket""",
-)
-def ts_gapfill_q(spark, sf):
-    """GAP-FILL + forward-fill (operators/timeseries.py::gapfill_ffill):
-    densify each user's hourly grid from its OWN [min, max] span
-    (``sequence`` + ``explode`` — row-local spine, no driver calendar, no
-    global cross join) and carry the last hourly close forward with one
-    ``last(ignorenulls)`` running window.  Two shuffles on user_id total
-    (aggregate + window); a key dark for a year inflates only its own
-    partition.  This is the sensor-downtime / traffic-station-outage
-    completion the reference's per-month scans cannot express."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    ev = load_table(spark, sf, "events")
-    return TS.gapfill_ffill(
-        ev, key_col="user_id", ts_col="ts", value_col="value",
-        id_col="event_id", bucket="hour",
-    )
-
-
-@register(
-    "graph_triangles",
-    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
-       raw AS (
-         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 2) % n.n) + 1 FROM customer, n),
-       e AS (
-         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
-         FROM raw WHERE u <> v),
-       tri AS (
-         SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         FROM e e1
-         JOIN e e2 ON e2.a = e1.b
-         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-       corners AS (
-         SELECT x AS id FROM tri
-         UNION ALL SELECT y FROM tri
-         UNION ALL SELECT z FROM tri),
-       cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
-               FROM corners GROUP BY id)
-       SELECT c.c_custkey AS id, COALESCE(cnt.n_triangles, 0) AS n_triangles
-       FROM customer c LEFT JOIN cnt ON cnt.id = c.c_custkey""",
-)
-def graph_triangles_q(spark, sf):
-    """Per-node TRIANGLE COUNTS (operators/graph.py::triangle_counts) over
-    the circulant graph C_N{1,2,3} on the customer ids — the local
-    clustering-coefficient numerator, the classic cohesion feature for
-    community/spam detection over near-dup and link graphs.  The Spark side
-    is the degree-ordered wedge join (Suri & Vassilvitskii, WWW'11): orient
-    edges small->large by (degree, id) so per-node out-degree is
-    O(sqrt(|E|)) and the hub-skew wedge explosion of the naive self-join
-    cannot happen; the oracle counts the same triangles declaratively with
-    an a<b<c three-way join."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id")
-    )
-    n = cust.count()
-    edges = cust.select(
-        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 2) % n) + 1)
-    )
-    return G.triangle_counts(edges, nodes=cust)
-
-
-@register(
-    "a_corr_stats",
-    """WITH t AS (
-         SELECT l_returnflag AS rflag,
-                CAST(round(l_quantity) AS BIGINT) AS x,
-                CAST(round(l_discount * 100) AS BIGINT) AS y
-         FROM lineitem),
-       s AS (
-         SELECT rflag,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(x) AS BIGINT) AS sum_x,
-                CAST(SUM(y) AS BIGINT) AS sum_y,
-                CAST(SUM(x * x) AS BIGINT) AS sum_xx,
-                CAST(SUM(y * y) AS BIGINT) AS sum_yy,
-                CAST(SUM(x * y) AS BIGINT) AS sum_xy
-         FROM t GROUP BY rflag)
-       SELECT rflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
-              CAST(n * sum_xy - sum_x * sum_y AS DOUBLE) /
-                sqrt(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE) *
-                     CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)) AS corr_xy
-       FROM s""",
-)
-def a_corr_stats_q(spark, sf):
-    """Distributed Pearson CORRELATION via exact integer sufficient
-    statistics: per group, ONE map-side-combined aggregate ships six
-    bigints (n, Σx, Σy, Σx², Σy², Σxy) — the mergeable-statistic shape that
-    pre-aggregates at the executor and composes across partitions/days,
-    unlike a naive two-pass mean-then-deviation formulation.  The
-    correlation itself is derived from the integers with one FIXED double
-    op sequence, bit-identical across engines.  int64 headroom: per-group
-    n·Σxy ≤ n²·x_max·y_max — safe to ~10⁸ rows/group at these value ranges;
-    the 100 TB variant casts the moment products to DECIMAL(38,0)."""
-    li = load_table(spark, sf, "lineitem")
-    x = F.round(F.col("l_quantity")).cast("bigint")
-    y = F.round(F.col("l_discount") * 100).cast("bigint")
-    s = (
-        li.select(F.col("l_returnflag").alias("rflag"), x.alias("x"), y.alias("y"))
-        .groupBy("rflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sum_x"),
-            F.sum("y").alias("sum_y"),
-            F.sum(F.col("x") * F.col("x")).alias("sum_xx"),
-            F.sum(F.col("y") * F.col("y")).alias("sum_yy"),
-            F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
-        )
-    )
-    num = (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast(
-        "double"
-    )
-    den_x = (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")).cast(
-        "double"
-    )
-    den_y = (F.col("n") * F.col("sum_yy") - F.col("sum_y") * F.col("sum_y")).cast(
-        "double"
-    )
-    return s.select(
-        "rflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
-        (num / F.sqrt(den_x * den_y)).alias("corr_xy"),
-    )
-
-
-@register(
-    "text_bm25_topk",
-    f"""WITH d AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d),
-       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
-                 FROM dd),
-       p AS (SELECT doc_id, dl, unnest(t) AS term FROM dd),
-       tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
-                     CAST(min(dl) AS BIGINT) AS dl
-              FROM p WHERE term IN ('join', 'merge', 'query')
-              GROUP BY term, doc_id),
-       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-       s AS (SELECT term, doc_id, tf, dl, df,
-                    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
-                      (tf + CAST(1.2 AS DOUBLE) *
-                        ((1 - CAST(0.75 AS DOUBLE)) +
-                         CAST(0.75 AS DOUBLE) * dl / avgdl)) *
-                      (n / df) AS score
-             FROM tf JOIN dfq USING (term), stats)
-       SELECT term, doc_id, tf, dl, df, score,
-              CAST(row_number() OVER (PARTITION BY term
-                     ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 10""",
-)
-def text_bm25_topk_q(spark, sf):
-    """BM25 ranking (operators/search.py::bm25_topk) — TF-IDF's production
-    successor: saturation (k1=1.2) caps keyword-stuffed term counts,
-    length normalization (b=0.75) stops short docs free-riding.  Same
-    O(matches) plan as tfidf_topk (pre-filtered postings, broadcast
-    df/N/avgdl, one (term, doc) shuffle + per-term top-k window); the one
-    new input, per-doc token length, is a row-local size() on the scan.
-    Raw-ratio idf keeps the score a fixed IEEE op sequence — oracle-
-    hashable to the last bit."""
-    from trafficbigdatasearch_spark.operators import search
-
-    docs = load_table(spark, sf, "documents")
-    return search.bm25_topk(docs, ["join", "merge", "query"], k=10)
-
-
-@register("text_bm25_indexed", _REGISTRY["text_bm25_topk"][1])
-def text_bm25_indexed_q(spark, sf):
-    """BM25 over the PERSISTED positional index (operators/search.py::
-    bm25_indexed): identical scores to text_bm25_topk (same oracle SQL),
-    but tf comes from partition-pruned posting reads and dl/N/avgdl from
-    the doc-stats sidecar the index build writes alongside — ranked
-    retrieval without re-tokenizing the corpus at query time, completing
-    the indexed-search story (phrase: text_phrase_indexed; ranked: this).
-    Shares the per-process index cache with text_phrase_indexed, so the
-    build cost is paid once for both."""
-    import os
-
-    from trafficbigdatasearch_spark.operators import search
-
-    path = _TEXT_INDEX_CACHE.get(sf)
-    if path is None:
-        path = os.path.join(_scratch("text_index", sf), "postings")
-        search.build_text_index(load_table(spark, sf, "documents"), path)
-        _TEXT_INDEX_CACHE[sf] = path
-    return search.bm25_indexed(spark, path, ["join", "merge", "query"], k=10)
-
-
-#: Per-(sf dir) cache of the APPENDED text index (standing build + one
-#: appended batch) — the text twin of _IVF_APPEND_CACHE.
-_TEXT_APPEND_CACHE: dict[str, str] = {}
-
-
-@register("text_bm25_append", _REGISTRY["text_bm25_topk"][1])
-def text_bm25_append_q(spark, sf):
-    """Text-index MAINTENANCE (r10, the ivf_index_append twin): build the
-    persisted positional index on the standing corpus (doc_id % 10 != 7),
-    then text_index_append folds the held-out batch in — postings land in
-    the same md5-bucket partitions, the stats sidecar gains the batch's
-    (doc, dl) rows, and the standing index bytes are never read or
-    rewritten (operators/search.py::text_index_append).  Because every
-    corpus statistic BM25 uses (N, avgdl, df) is derived at query time
-    from the stored rows, the merged index answers bm25_indexed
-    IDENTICALLY to a full rebuild — which is why this row shares
-    text_bm25_topk's whole-corpus oracle verbatim: a green row proves
-    append ≡ rebuild end-to-end, including ranks that shift when the
-    appended docs beat standing ones."""
-    import os
-
-    from trafficbigdatasearch_spark.operators import search
-
-    path = _TEXT_APPEND_CACHE.get(sf)
-    if path is None:
-        path = os.path.join(_scratch("text_append", sf), "postings")
-        docs = load_table(spark, sf, "documents")
-        batch_pred = F.col("doc_id") % 10 == 7
-        search.build_text_index(docs.filter(~batch_pred), path)
-        search.text_index_append(docs.filter(batch_pred), path)
-        _TEXT_APPEND_CACHE[sf] = path
-    return search.bm25_indexed(spark, path, ["join", "merge", "query"], k=10)
-
-
-@register(
-    "text_vocab_encode",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
-               FROM (SELECT unnest(t) AS term FROM toks)
-               WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
-       vocab AS (SELECT term,
-                        CAST(row_number() OVER (ORDER BY freq DESC, term)
-                             - 1 AS BIGINT) AS token_id
-                 FROM cnt QUALIFY token_id <= 499),
-       pos AS (SELECT doc_id, unnest(t) AS term,
-                      generate_subscripts(t, 1) - 1 AS pos
-               FROM toks WHERE doc_id % 20 = 0)
-       SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
-              COALESCE(v.token_id, -1) AS token_id
-       FROM pos p LEFT JOIN vocab v USING (term)
-       WHERE p.term <> ''""",
-)
-def text_vocab_encode_q(spark, sf):
-    """Tokenizer-prep VOCABULARY build + corpus ENCODE (operators/
-    vocab.py): frequency-ranked top-500 token vocabulary (min_freq=2,
-    deterministic (freq DESC, token ASC) ids) over the WHOLE corpus, then
-    a 1-in-20 doc slice encoded as a (doc_id, pos, token_id) stream with
-    OOV as -1 — the id-ification step between raw text and sequence
-    packing (pack_sequences consumes exactly these lengths).  Vocab build
-    = one count + distributed TakeOrdered top-V; the dense-id window runs
-    over the V surviving rows only; encode broadcasts the vocabulary so
-    the corpus stream never shuffles."""
-    from trafficbigdatasearch_spark.operators import vocab as VB
-
-    docs = load_table(spark, sf, "documents")
-    v = VB.build_vocab(docs, vocab_size=500, min_freq=2)
-    sliced = docs.filter(F.col("doc_id") % 20 == 0)
-    return VB.encode_docs(sliced, v)
-
-
-@register(
-    "text_vocab_oov",
-    f"""WITH toks AS (SELECT doc_id, lang, {_GUARDED_TOKS} AS t FROM documents),
-       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
-               FROM (SELECT unnest(t) AS term FROM toks)
-               WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
-       vocab AS (SELECT term,
-                        CAST(row_number() OVER (ORDER BY freq DESC, term)
-                             - 1 AS BIGINT) AS token_id
-                 FROM cnt QUALIFY token_id <= 499),
-       stream AS (SELECT lang, unnest(t) AS term FROM toks),
-       j AS (SELECT lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
-             FROM stream s LEFT JOIN vocab v USING (term)
-             WHERE s.term <> '')
-       SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
-              CAST(sum(oov) AS BIGINT) AS n_oov,
-              CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
-       FROM j GROUP BY lang""",
-)
-def text_vocab_oov_q(spark, sf):
-    """Per-language OOV rates against the same top-500/min_freq=2
-    vocabulary text_vocab_encode builds (operators/vocab.py::oov_rates,
-    r10) — the vocabulary-coverage report behind tokenizer-prep decisions:
-    a high-OOV language is under-served by the vocabulary and fragments
-    into unk/byte fallbacks downstream.  Two integer counts per language
-    plus one closing IEEE division; the V-row vocabulary broadcasts, the
-    corpus shuffles only per-language partials."""
-    from trafficbigdatasearch_spark.operators import vocab as VB
-
-    docs = load_table(spark, sf, "documents")
-    v = VB.build_vocab(docs, vocab_size=500, min_freq=2)
-    return VB.oov_rates(docs, v, group_col="lang")
-
-
-#: Convex CCW districts on the same deterministic (x, y) in [0, 1000)²
-#: lattice as the spatial_density points — a triangle, a square, and a
-#: pentagon, overlapping so some points land in two zones.
-_ZONES = [
-    (1, [(0, 0), (500, 0), (250, 450)]),
-    (2, [(300, 200), (800, 200), (800, 700), (300, 700)]),
-    (3, [(550, 500), (950, 550), (990, 900), (700, 990), (500, 800)]),
-]
-
-
-def _zone_edges_sql() -> str:
-    rows = []
-    for pid, verts in _ZONES:
-        for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1]):
-            rows.append(f"({pid}, {ax}, {ay}, {bx}, {by})")
-    return ", ".join(rows)
-
-
-@register(
-    "j_point_in_polygon",
-    f"""WITH pts AS (SELECT c_custkey AS id,
-                            ((c_custkey * 48271) % 99991) % 1000 AS x,
-                            ((c_custkey * 16807) % 104729) % 1000 AS y
-                     FROM customer),
-       edges(pid, ax, ay, bx, by) AS (VALUES {_zone_edges_sql()}),
-       tests AS (
-         SELECT p.id, e.pid,
-                (e.bx - e.ax) * (p.y - e.ay)
-                  - (e.by - e.ay) * (p.x - e.ax) >= 0 AS inside_edge
-         FROM pts p CROSS JOIN edges e)
-       SELECT id, CAST(pid AS BIGINT) AS polygon_id
-       FROM tests GROUP BY id, pid HAVING bool_and(inside_edge)""",
-)
-def j_point_in_polygon_q(spark, sf):
-    """Point-in-convex-polygon GEOFENCE join (operators/spatial.py::
-    point_in_convex_polygon_join): three literal CCW districts
-    (triangle/square/pentagon, deliberately overlapping) against the
-    deterministic customer lattice — the zone-assignment join the bbox
-    predicate cannot express.  All-integer half-plane tests compiled to
-    row-local codegen expressions: ZERO shuffle, the polygon "dim side"
-    rides in the instruction stream.  The oracle factors the same edges
-    into a VALUES table and bool_and's the half-plane tests."""
-    from trafficbigdatasearch_spark.operators import spatial
-
-    pts = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
-        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
-    )
-    return spatial.point_in_convex_polygon_join(pts, _ZONES)
-
-
-@register(
-    "ts_interpolate",
-    """WITH closes AS (
-         SELECT user_id, date_trunc('hour', ts) AS bucket,
-                arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS _close
-         FROM events GROUP BY user_id, date_trunc('hour', ts)),
-       spine AS (
-         SELECT user_id,
-                unnest(generate_series(min(bucket), max(bucket),
-                                       INTERVAL 1 HOUR)) AS bucket
-         FROM closes GROUP BY user_id),
-       j AS (SELECT s.user_id, s.bucket, c._close
-             FROM spine s LEFT JOIN closes c
-               ON c.user_id = s.user_id AND c.bucket = s.bucket),
-       w AS (SELECT user_id, bucket, _close,
-               last_value(_close IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
-               last_value(CASE WHEN _close IS NOT NULL
-                               THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
-               first_value(_close IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY bucket
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
-               first_value(CASE WHEN _close IS NOT NULL
-                                THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY bucket
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
-             FROM j)
-       SELECT user_id, bucket,
-              CASE WHEN _close IS NOT NULL THEN _close
-                   WHEN t1 IS NULL THEN v0
-                   ELSE v0 + (v1 - v0) *
-                        ((epoch_ms(bucket) - t0) / (t1 - t0)) END AS value,
-              CAST(CASE WHEN _close IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
-                AS is_observed
-       FROM w""",
-)
-def ts_interpolate_q(spark, sf):
-    """LINEAR-interpolated gap-fill (operators/timeseries.py::
-    gapfill_interpolate) — the continuous-signal completion where ffill's
-    step function is wrong.  Bracketing observations come from two window
-    passes (last/first ignorenulls) over ONE (key, bucket) sort that
-    Catalyst plans with a single exchange; the interpolation itself is a
-    fixed IEEE op sequence over epoch-millis bigints, hash-identical
-    across engines.  Same two-shuffles-per-key cost as ts_gapfill."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    ev = load_table(spark, sf, "events")
-    return TS.gapfill_interpolate(
-        ev, key_col="user_id", ts_col="ts", value_col="value",
-        id_col="event_id", bucket="hour",
-    )
-
-
-@register(
-    "q19_disjunctive_join",
-    """SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                        AS BIGINT)) AS DOUBLE) / 100 AS revenue,
-              CAST(COUNT(*) AS BIGINT) AS n_lines
-       FROM lineitem JOIN part ON p_partkey = l_partkey
-       WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
-              AND l_quantity BETWEEN 1 AND 21)
-          OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 30
-              AND l_quantity BETWEEN 10 AND 30)
-          OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 45
-              AND l_quantity BETWEEN 20 AND 40)""",
-)
-def q19_disjunctive_join_q(spark, sf):
-    """TPC-H Q19's shape — a join whose predicate is an OR of conjunctive
-    clauses spanning BOTH sides.  The Catalyst showcase: the optimizer
-    factors side-local implications of the disjunction out of the join
-    condition (every branch constrains p_brand/p_size and l_quantity), so
-    both scans are pre-filtered BEFORE the equi join on partkey and the
-    residual OR runs on the survivors — the reference's J3 workaround
-    (union of per-branch joins, src/AverageSpeed.scala:139-160) is what
-    this replaces with ONE join.  Exact cent arithmetic for the revenue
-    sum."""
-    li = load_table(spark, sf, "lineitem")
-    p = load_table(spark, sf, "part")
-    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-    clause = (
-        (F.col("p_brand") == "Brand#2")
-        & F.col("p_size").between(1, 15)
-        & F.col("l_quantity").between(1, 21)
-    ) | (
-        (F.col("p_brand") == "Brand#17")
-        & F.col("p_size").between(1, 30)
-        & F.col("l_quantity").between(10, 30)
-    ) | (
-        (F.col("p_brand") == "Brand#4")
-        & F.col("p_size").between(1, 45)
-        & F.col("l_quantity").between(20, 40)
-    )
-    rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("bigint")
-    return j.filter(clause).agg(
-        (F.sum(rev_cents).cast("double") / 100).alias("revenue"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-
-
-@register(
-    "dedup_keep_best",
-    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       comp AS (SELECT id, min(lab) AS component FROM walk GROUP BY id),
-       allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-       q AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS quality
-             FROM documents),
-       best AS (SELECT component,
-                       arg_max(a.doc_id, quality * 2147483648 - a.doc_id)
-                         AS keep_id
-                FROM allc a JOIN q USING (doc_id) GROUP BY component)
-       SELECT a.doc_id, CAST(a.component AS BIGINT) AS component,
-              CAST(b.keep_id AS BIGINT) AS keep_id,
-              CAST(CASE WHEN a.doc_id = b.keep_id THEN 1 ELSE 0 END AS INTEGER)
-                AS is_keeper
-       FROM allc a JOIN best b USING (component)""",
-)
-def dedup_keep_best_q(spark, sf):
-    """Quality-aware near-dup survivor selection — the CURATION refinement
-    of dedup_clusters: instead of the min-id convention, each cluster keeps
-    its highest-QUALITY member (token count here; any scalar score plugs
-    in), ties to the smaller id via one composite max_by ordering key —
-    still a total function of the corpus, no scan-order dependence.
-    Isolated docs form singleton clusters and keep themselves.  Cost over
-    dedup_clusters: one broadcast-size quality join + one map-side-combined
-    arg-max per component — the keep-the-best policy every production
-    dedup actually wants (drop the boilerplate copy, keep the full
-    article)."""
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
-    cc = graph.connected_components(pairs)
-    quality = docs.select(
-        "doc_id", T.token_count(F.col("text")).alias("quality")
-    )
-    allc = (
-        docs.select("doc_id")
-        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-        )
-    )
-    best = (
-        allc.join(quality, "doc_id")
-        .groupBy("component")
-        .agg(
-            # bounds (quality < 2^32, doc_id < 2^31) enforced via the
-            # amortized group-level guard — see graph._ARGMAX_PACK
-            F.max_by(
-                "doc_id",
-                graph.quality_argmax_key(F.col("quality"), F.col("doc_id")),
-            ).alias("_keep0"),
-            graph.quality_argmax_bounds_ok(
-                F.col("quality"), F.col("doc_id")
-            ).alias("_ok"),
-        )
-        .select(
-            "component",
-            graph.quality_argmax_guard(F.col("_ok"), F.col("_keep0")).alias(
-                "keep_id"
-            ),
-        )
-    )
-    return allc.join(best, "component").select(
-        "doc_id",
-        "component",
-        "keep_id",
-        (F.col("doc_id") == F.col("keep_id")).cast("int").alias("is_keeper"),
-    )
-
-
-@register(
-    "stream_ohlc",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
-              user_id,
-              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
-              max(value) AS high,
-              min(value) AS low,
-              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
-              CAST(count(*) AS BIGINT) AS volume
-       FROM events GROUP BY 1, 2""",
-)
-def stream_ohlc_q(spark, sf):
-    """STREAMING OHLC — ts_resample_ohlc's continuous twin: the same
-    min_by/max_by-over-composite-key aggregate as a watermarkable windowed
-    STREAMING aggregation (micro-batch planner + state store + sink
-    commit), drained from a bounded file stream in complete mode so the
-    batch SQL oracle applies hash-exactly (the stream_events_hourly
-    verification shape).  This pins that ordered-argmin/argmax state —
-    the continuous-rollup core of a live tick/sensor hypertable — survives
-    the streaming aggregate path, not just the batch one.  At scale the
-    identical plan runs unbounded with a watermark + append sink.
-    Ordering key = the wide DECIMAL(38,0) pack (timeseries._ord_key's
-    contract, HUGEINT in the oracle) — injective for event_id < 1e10 at
-    every SF; the old bigint ×1e6 pack collided at sf >= 1."""
-    src = _stream_events_source(spark, sf)
-    ord_key = (
-        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
-        * F.lit(10_000_000_000).cast("decimal(11,0)")
-        + F.col("event_id").cast("decimal(20,0)")
-    )
-    agg = (
-        src.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
-        .agg(
-            F.min_by(F.col("value"), ord_key).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by(F.col("value"), ord_key).alias("close"),
-            F.count(F.lit(1)).alias("volume"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("bucket"),
-            "user_id",
-            "open",
-            "high",
-            "low",
-            "close",
-            "volume",
-        )
-    )
-    return _drain_to_memory(agg, "stream_ohlc")
-
-
-@register(
-    "a_anomaly_mad",
-    """WITH c AS (SELECT event_type,
-                         CAST(round(value * 100) AS BIGINT) AS cents
-              FROM events),
-       med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
-               FROM c GROUP BY event_type),
-       dev AS (SELECT c.event_type, c.cents, med.med,
-                      abs(c.cents - med.med) AS d
-               FROM c JOIN med USING (event_type)),
-       mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
-               FROM dev GROUP BY event_type)
-       SELECT dev.event_type,
-              CAST(max(dev.med) AS DOUBLE) AS med_cents,
-              CAST(max(mad.mad) AS DOUBLE) AS mad_cents,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_outliers
-       FROM dev JOIN mad ON mad.event_type = dev.event_type
-       GROUP BY dev.event_type""",
-)
-def a_anomaly_mad_q(spark, sf):
-    """ROBUST anomaly detection via median absolute deviation — the
-    outlier-resistant twin of a_anomaly_zscore (one extreme value drags a
-    mean/stddev gate; it cannot drag the median).  Composition of the
-    exact-percentile machinery: per-group median (one grouped sort-agg),
-    BROADCAST the K group medians back (no row explosion — the fact
-    stream is touched twice, shuffled on the same group key both times),
-    per-group MAD (second percentile pass), then a 3-MAD outlier count.
-    All arithmetic over integer cents with the same lo+(hi-lo)*frac
-    interpolation both engines apply — bit-identical doubles.  At 100 TB
-    this is the audit baseline for the KLL-sketch quantile gate (same
-    argument as a_exact_percentiles)."""
-    ev = load_table(spark, sf, "events")
-    c = ev.select("event_type", _cents(F.col("value")).alias("cents"))
-    med = c.groupBy("event_type").agg(
-        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
-    )
-    dev = c.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "med",
-        F.abs(F.col("cents") - F.col("med")).alias("d"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("d"), F.lit(0.5)).alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("med").alias("med_cents"),
-            F.max("mad").alias("mad_cents"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
-            ).cast("bigint").alias("n_outliers"),
-        )
-    )
-
-
-@register(
-    "quality_profile",
-    """WITH a AS (SELECT COUNT(*) AS n,
-                         COUNT(o_custkey) AS nn1,
-                         COUNT(DISTINCT o_custkey) AS nd1,
-                         COUNT(o_orderstatus) AS nn2,
-                         COUNT(DISTINCT o_orderstatus) AS nd2,
-                         COUNT(o_orderpriority) AS nn3,
-                         COUNT(DISTINCT o_orderpriority) AS nd3
-                  FROM orders)
-       SELECT 'o_custkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
-              CAST(n - nn1 AS BIGINT) AS n_nulls,
-              CAST(nd1 AS BIGINT) AS n_distinct FROM a
-       UNION ALL
-       SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
-              CAST(nd2 AS BIGINT) FROM a
-       UNION ALL
-       SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
-              CAST(nd3 AS BIGINT) FROM a""",
-)
-def quality_profile_q(spark, sf):
-    """Data profiling (operators/validate.py profile): per-column
-    null/distinct counts for an ingest, computed in ONE aggregate over one
-    scan and unpivoted with stack() into the per-column report.  Exact
-    count_distinct for the oracle hash; the 100 TB variant swaps in
-    approx_count_distinct (mergeable HLL partials, one Expand-free pass) —
-    documented in the operator."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    orders = load_table(spark, sf, "orders")
-    return V.profile(orders, ["o_custkey", "o_orderstatus", "o_orderpriority"])
-
-
-# =============================================================================
-# Classic OLAP additions: histogram, sequence transitions, winsorized stats
-# =============================================================================
-
-
-@register(
-    "a_histogram",
-    """SELECT event_type,
-              CAST(least(19, greatest(0, CAST(floor(value / 10) AS BIGINT)))
-                   AS BIGINT) AS bucket,
-              CAST(COUNT(*) AS BIGINT) AS n
-       FROM events
-       WHERE value IS NOT NULL
-       GROUP BY 1, 2""",
-)
-def a_histogram_q(spark, sf):
-    """Fixed-width histogram / binned aggregation: value binned into 20
-    clamped width-10 buckets per event_type — one map-side-combined
-    shuffle carrying at most |types| x 20 rows per executor.  Binning is
-    pure integer arithmetic (floor of a double divide, clamped), identical
-    in both engines — no width_bucket dependency.  The at-scale
-    distribution-profiling primitive (the exact sibling of the KLL sketch
-    histogram).  NULL values excluded before binning (same policy as
-    a_drift_chi2: Spark's greatest/least skip NULLs and would fold NULL
-    mass into bucket 0 where DuckDB yields a NULL bucket)."""
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
-    bucket = F.least(
-        F.lit(19),
-        F.greatest(F.lit(0), F.floor(F.col("value") / 10).cast("bigint")),
-    ).cast("bigint")
-    return (
-        ev.groupBy("event_type", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "a_drift_chi2",
-    """WITH o AS (SELECT event_type,
-                       CAST(least(19, greatest(0,
-                            CAST(floor(value / 10) AS BIGINT)))
-                            AS BIGINT) AS bucket,
-                       CAST(COUNT(*) AS BIGINT) AS n_old
-               FROM events WHERE day(ts) <= 15 AND value IS NOT NULL
-               GROUP BY 1, 2),
-       n AS (SELECT event_type,
-                    CAST(least(19, greatest(0,
-                         CAST(floor(value / 10) AS BIGINT)))
-                         AS BIGINT) AS bucket,
-                    CAST(COUNT(*) AS BIGINT) AS n_new
-             FROM events WHERE day(ts) > 15 AND value IS NOT NULL
-             GROUP BY 1, 2),
-       j AS (SELECT COALESCE(o.event_type, n.event_type) AS event_type,
-                    COALESCE(o.bucket, n.bucket) AS bucket,
-                    CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
-                    CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
-             FROM o FULL OUTER JOIN n
-               ON o.event_type = n.event_type AND o.bucket = n.bucket),
-       t AS (SELECT o.event_type, SUM(n_old) AS _to FROM o GROUP BY 1),
-       u AS (SELECT n.event_type, SUM(n_new) AS _tn FROM n GROUP BY 1),
-       e AS (SELECT j.*,
-                    CAST(COALESCE(u._tn, 0) AS DOUBLE) *
-                    CAST(j.n_old AS DOUBLE) /
-                    CAST(t._to AS DOUBLE) AS expected
-             FROM j LEFT JOIN t ON t.event_type = j.event_type
-                    LEFT JOIN u ON u.event_type = j.event_type)
-       SELECT event_type, bucket, n_old, n_new, expected,
-              CASE WHEN expected = 0 OR expected IS NULL THEN NULL
-                   ELSE (CAST(n_new AS DOUBLE) - expected) *
-                        (CAST(n_new AS DOUBLE) - expected) / expected
-              END AS chi2_term
-       FROM e""",
-)
-def a_drift_chi2_q(spark, sf):
-    """Distribution drift between two corpus snapshots
-    (operators/validate.py::histogram_drift): the month's first half
-    plays the OLD snapshot, the rest the NEW feed, per-event_type
-    fixed-width value histograms compared bin-by-bin via the chi-square
-    contribution against the old distribution's expectation — the
-    ingestion monitor of a continuously-fed pipeline.  Chi-square, not
-    PSI: PSI's per-bin ln is platform math (the lm.logprob/NDCG policy
-    line) while these terms are exact integer counts through one fixed
-    IEEE multiply/divide sequence, hash-exact per bin; the corpus-level
-    fold is left to the consumer per the no-float-SUM rule.  New-only
-    bins surface with NULL terms (infinite-drift signal) instead of
-    divide-by-zero.  NULL values are excluded before binning on both
-    engines (ADVICE r8: Spark's greatest/least skip NULLs and would
-    silently fold NULL mass into bucket 0; NULL-rate monitoring is
-    quality_profile's job)."""
-    from trafficbigdatasearch_spark.operators import validate
-
-    ev = load_table(spark, sf, "events")
-    old = ev.filter(F.dayofmonth("ts") <= 15)
-    new = ev.filter(F.dayofmonth("ts") > 15)
-    return validate.histogram_drift(
-        old, new, "value", n_bins=20, bin_width=10.0, group_col="event_type"
-    )
-
-
-@register(
-    "ts_cusum",
-    """WITH e AS (SELECT event_id, event_type, ts,
-                         CAST(round(value * 100) AS BIGINT) AS c
-                  FROM events WHERE value IS NOT NULL),
-       g AS (SELECT event_id, event_type,
-                    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-                    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
-                    CAST(SUM(c) OVER (PARTITION BY event_type
-                         ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
-                    CAST(row_number() OVER (PARTITION BY event_type
-                         ORDER BY ts, event_id) AS BIGINT) AS idx
-             FROM e)
-       SELECT event_id AS id, event_type AS key, idx,
-              CAST(n::HUGEINT * pfx::HUGEINT - idx::HUGEINT * s::HUGEINT
-                   AS BIGINT) AS cusum_num,
-              n
-       FROM g""",
-)
-def ts_cusum_q(spark, sf):
-    """Per-key CUSUM mean-shift screen (operators/timeseries.py::
-    cusum_per_key, r9): the cumulative sum of deviations from each
-    event_type's own mean, scaled by 100·n into EXACT INTEGER numerators
-    (n·prefix_i − i·s on the cents lattice) so every row hash-compares —
-    Page's sequential change statistic as the complement to
-    a_drift_chi2's snapshot comparison: the histogram says the
-    distributions differ, CUSUM localizes WHEN the level shifted.  NULL
-    values excluded before indexing (the r9 drift policy).  ONE exchange
-    on the key; totals and the ordered prefix ride two window specs over
-    the same sort; internal arithmetic DECIMAL(38,0) (overflow-free at
-    1e9-row keys), output cast to BIGINT (loud ANSI overflow, generous
-    at any tested SF)."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.cusum_per_key(load_table(spark, sf, "events")).select(
-        "id", "key", "idx", F.col("cusum_num").cast("bigint").alias("cusum_num"), "n"
-    )
-
-
-@register(
-    "a_event_transitions",
-    """WITH seq AS (
-         SELECT user_id, event_type,
-                lag(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS prev_type
-         FROM events)
-       SELECT prev_type, event_type,
-              CAST(COUNT(*) AS BIGINT) AS n
-       FROM seq
-       WHERE prev_type IS NOT NULL
-       GROUP BY prev_type, event_type""",
-)
-def a_event_transitions_q(spark, sf):
-    """First-order event-sequence transition counts (the Markov-chain /
-    user-journey matrix): per-user lag over (ts, event_id) — event_id
-    breaks timestamp ties deterministically — then a grouped count of
-    (prev, next) pairs.  One shuffle for the window (user-partitioned,
-    the natural key) + one map-side-combined count bounded by |types|².
-    Feeds funnel design and next-event prediction baselines."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    return (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "a_basket_pairs",
-    """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
-       SELECT a.event_type AS type_a, b.event_type AS type_b,
-              CAST(COUNT(*) AS BIGINT) AS n_users
-       FROM d a JOIN d b
-         ON a.user_id = b.user_id AND a.event_type < b.event_type
-       GROUP BY 1, 2""",
-)
-def a_basket_pairs_q(spark, sf):
-    """Co-occurrence / market-basket pairs: how many users exhibit each
-    PAIR of event types — the association-mining support table.  Distinct
-    (user, type) first (collapses the fact stream to <= users x types
-    rows), then an ordered self-join per user and one map-side-combined
-    count bounded by |types|² rows.  The distinct is the guard: the
-    self-join runs on the collapsed set, never on raw events, so per-user
-    fan-out is at most types-choose-2 — at 100 TB the classic a-priori
-    first step without a single wide shuffle."""
-    ev = load_table(spark, sf, "events")
-    d = ev.select("user_id", "event_type").distinct()
-    a = d.alias("a")
-    b = d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@register(
-    "a_attribution_touch",
-    """WITH e AS (SELECT user_id, event_type,
-                         epoch_ms(ts)::HUGEINT * 10000000000 + event_id AS ord
-                  FROM events),
-       p AS (SELECT user_id, MIN(ord) AS fp FROM e
-             WHERE event_type = 'purchase' GROUP BY user_id),
-       pre AS (SELECT e.user_id, e.event_type, e.ord
-               FROM e JOIN p USING (user_id)
-               WHERE e.event_type <> 'purchase' AND e.ord < p.fp),
-       t AS (SELECT user_id,
-                    arg_min(event_type, ord) AS first_touch,
-                    arg_max(event_type, ord) AS last_touch
-             FROM pre GROUP BY user_id)
-       SELECT first_touch, last_touch,
-              CAST(COUNT(*) AS BIGINT) AS n_users
-       FROM t GROUP BY 1, 2""",
-)
-def a_attribution_touch_q(spark, sf):
-    """BATCH first-touch / last-touch attribution: for each converting
-    user, the first and last non-purchase event before their FIRST
-    purchase, rolled up into the (first_touch, last_touch) matrix —
-    the batch twin of stream_attribution's within-horizon join.  Ordering
-    key is (epoch_ms x 1e10 + event_id) packed WIDE — DECIMAL(38,0) on the
-    Spark side, HUGEINT in the oracle — so it stays injective for any
-    event_id < 1e10 at EVERY scale factor (the old bigint x1e6 pack
-    collided once ids passed 1e6, i.e. at sf >= 1), and min_by/max_by and
-    the oracle's arg_min/arg_max agree exactly.  Three map-side-combined
-    aggregates shuffled on user_id, one broadcast-scale conversion row per
-    user."""
-    ev = load_table(spark, sf, "events")
-    ordk = (
-        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
-        * F.lit(10000000000).cast("decimal(11,0)")
-        + F.col("event_id").cast("decimal(20,0)")
-    )
-    e = ev.select("user_id", "event_type", ordk.alias("ord"))
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ord").alias("fp"))
-    )
-    pre = (
-        e.filter(F.col("event_type") != "purchase")
-        .join(p, "user_id")
-        .filter(F.col("ord") < F.col("fp"))
-    )
-    t = pre.groupBy("user_id").agg(
-        F.min_by("event_type", "ord").alias("first_touch"),
-        F.max_by("event_type", "ord").alias("last_touch"),
-    )
-    return t.groupBy("first_touch", "last_touch").agg(
-        F.count(F.lit(1)).alias("n_users")
-    )
-
-
-@register(
-    "a_attribution_linear",
-    """WITH e AS (SELECT user_id, event_type,
-                         epoch_ms(ts)::HUGEINT * 10000000000 + event_id AS ord
-                  FROM events),
-       p AS (SELECT user_id, MIN(ord) AS fp FROM e
-             WHERE event_type = 'purchase' GROUP BY user_id),
-       pre AS (SELECT e.user_id, e.event_type, e.ord
-               FROM e JOIN p USING (user_id)
-               WHERE e.event_type <> 'purchase' AND e.ord < p.fp),
-       t AS (SELECT user_id, event_type,
-                    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
-                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ord) AS rn
-             FROM pre)
-       SELECT event_type,
-              CAST(SUM(CASE WHEN rn = 1
-                            THEN 1000000 - (n - 1) * (1000000 // n)
-                            ELSE 1000000 // n END) AS BIGINT) AS credit_ppm,
-              CAST(COUNT(*) AS BIGINT) AS n_touches
-       FROM t GROUP BY event_type""",
-)
-def a_attribution_linear_q(spark, sf):
-    """LINEAR multi-touch attribution — every pre-conversion touch shares
-    the conversion credit equally, completing the attribution family
-    (first/last batch matrix + the streaming within-horizon join).
-    Credit is EXACT INTEGER parts-per-million: each touch gets
-    floor(1e6 / n) and the FIRST touch absorbs the division remainder, so
-    every converting user's credit sums to exactly 1 000 000 and the
-    rollup is order/partition/retry-independent — the integer-cents
-    discipline applied to a fractional-allocation problem (floats here
-    would make the per-channel sums accumulation-order-dependent).  Same
-    injective DECIMAL/HUGEINT ordering key as a_attribution_touch; two
-    windows over one per-user sort + one map-side-combined rollup."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    ordk = (
-        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
-        * F.lit(10000000000).cast("decimal(11,0)")
-        + F.col("event_id").cast("decimal(20,0)")
-    )
-    e = ev.select("user_id", "event_type", ordk.alias("ord"))
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ord").alias("fp"))
-    )
-    pre = (
-        e.filter(F.col("event_type") != "purchase")
-        .join(p, "user_id")
-        .filter(F.col("ord") < F.col("fp"))
-    )
-    w = Window.partitionBy("user_id")
-    t = pre.select(
-        "user_id",
-        "event_type",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.row_number().over(w.orderBy("ord")).alias("rn"),
-    )
-    share = F.expr("1000000 div n")  # integer floor div, no float path
-    credit = F.when(
-        F.col("rn") == 1,
-        F.lit(1000000) - (F.col("n") - 1) * share,
-    ).otherwise(share)
-    return t.groupBy("event_type").agg(
-        F.sum(credit).cast("bigint").alias("credit_ppm"),
-        F.count(F.lit(1)).alias("n_touches"),
-    )
-
-
-@register(
-    "a_winsorize",
-    """WITH c AS (SELECT event_type,
-                         CAST(round(value * 100) AS BIGINT) AS cents
-                  FROM events),
-       cuts AS (SELECT event_type,
-                       CAST(ceil(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
-                       CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
-                FROM c GROUP BY event_type)
-       SELECT c.event_type,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CASE WHEN c.cents < cuts.lo THEN cuts.lo
-                            WHEN c.cents > cuts.hi THEN cuts.hi
-                            ELSE c.cents END) AS BIGINT) AS winsorized_cents,
-              CAST(SUM(CASE WHEN c.cents < cuts.lo OR c.cents > cuts.hi
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-       FROM c JOIN cuts ON cuts.event_type = c.event_type
-       GROUP BY c.event_type""",
-)
-def a_winsorize_q(spark, sf):
-    """Winsorized robust statistics: per-group exact P5/P95 cut points
-    (integer-cent percentiles, ceil/floor-rounded to integers so every
-    downstream sum stays in exact int64 arithmetic — order-independent,
-    hash-stable), values clamped to the cuts, clipped-row count alongside.
-    The outlier-resistant aggregate for quality-score distributions where
-    a_anomaly_* flags rows and this one bounds their influence.  Two
-    passes over the fact stream shuffled on the same group key, cut
-    points broadcast back — same shape as a_anomaly_mad."""
-    ev = load_table(spark, sf, "events")
-    c = ev.select("event_type", _cents(F.col("value")).alias("cents"))
-    cuts = c.groupBy("event_type").agg(
-        F.ceil(F.percentile(F.col("cents"), F.lit(0.05))).cast("bigint").alias("lo"),
-        F.floor(F.percentile(F.col("cents"), F.lit(0.95))).cast("bigint").alias("hi"),
-    )
-    j = c.join(F.broadcast(cuts), "event_type")
-    clamped = F.when(F.col("cents") < F.col("lo"), F.col("lo")).when(
-        F.col("cents") > F.col("hi"), F.col("hi")
-    ).otherwise(F.col("cents"))
-    clipped = F.when(
-        (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
-    ).otherwise(0)
-    return j.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(clamped).cast("bigint").alias("winsorized_cents"),
-        F.sum(clipped).cast("bigint").alias("n_clipped"),
-    )
-
-
-# =============================================================================
-# Runtime row-level filtering: bloom-bitmap prefiltered joins
-# =============================================================================
-
-#: Per-(sf dir) cache of the supplier-key bloom bitmap: build once per
-#: key-set version, probe forever — the repeated-query arrangement (same
-#: contract as _IVF_INDEX_CACHE), which keeps the two-job build constant
-#: out of every probe call.
-_BLOOM_WORDS_CACHE: dict[str, list[int]] = {}
-
-
-def _nation_supp_keys(spark, sf):
-    su = load_table(spark, sf, "supplier")
-    na = load_table(spark, sf, "nation").filter(
-        F.col("n_name").isin("NATION_13", "NATION_9")
-    )
-    return (
-        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
-        .select(F.col("s_suppkey").alias("l_suppkey"))
-    )
-
-
-def _nation_supp_bitmap(spark, sf):
-    if sf not in _BLOOM_WORDS_CACHE:
-        _BLOOM_WORDS_CACHE[sf] = joins.bloom_bitmap(
-            _nation_supp_keys(spark, sf).distinct(), "l_suppkey"
-        )
-    return _BLOOM_WORDS_CACHE[sf]
-
-
-@register(
-    "j_bloom_prefilter",
-    """SELECT l_suppkey,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                   AS DOUBLE) / 100 AS revenue
-       FROM lineitem
-       WHERE l_suppkey IN (SELECT s_suppkey
-                           FROM supplier JOIN nation
-                             ON s_nationkey = n_nationkey
-                           WHERE n_name IN ('NATION_13', 'NATION_9'))
-       GROUP BY l_suppkey""",
-)
-def j_bloom_prefilter_q(spark, sf):
-    """Bloom-prefiltered EXACT semi join (operators/joins.py
-    bloom_semi_join): revenue per supplier restricted to one nation's
-    suppliers.  The key set aggregates into a 2^20-bit bitmap whose collect
-    is bounded by n_bits/64 rows BY CONSTRUCTION (the PQ-codebook
-    contract); probing is integer arithmetic against one array literal at
-    the scan, so the exchange feeding the exact left_semi join moves
-    ~selectivity x |lineitem| rows.  Spark's own runtime bloom filter
-    (spark.sql.optimizer.runtime.bloomFilter) injects this shape
-    automatically for some shuffle joins; the explicit operator keeps it
-    deterministic and reusable across consumers.  The reference has no
-    runtime filtering at all — every month's CSV is re-read in full
-    (src/OverSpeedCount.scala:66-105).  The bitmap is built once per
-    process (_BLOOM_WORDS_CACHE) so repeated calls bench the PROBE path —
-    the repeated-query arrangement the words= parameter exists for."""
-    li = load_table(spark, sf, "lineitem")
-    hits = joins.bloom_semi_join(
-        li,
-        _nation_supp_keys(spark, sf),
-        "l_suppkey",
-        words=_nation_supp_bitmap(spark, sf),
-    )
-    return hits.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("l_extendedprice")).alias("revenue"),
-    )
-
-
-@register(
-    "j_bloom_anti",
-    """SELECT l_returnflag,
-              CAST(COUNT(*) AS BIGINT) AS n
-       FROM lineitem
-       WHERE l_suppkey NOT IN (SELECT s_suppkey
-                               FROM supplier JOIN nation
-                                 ON s_nationkey = n_nationkey
-                               WHERE n_name IN ('NATION_13', 'NATION_9'))
-       GROUP BY l_returnflag""",
-)
-def j_bloom_anti_q(spark, sf):
-    """Bloom-BYPASS exact anti join (operators/joins.py bloom_anti_join):
-    lineitem rows from every supplier OUTSIDE one nation.  A bloom miss
-    proves non-membership, so ~all non-matching rows skip the anti join's
-    exchange entirely and only might-contain candidates (true members +
-    false positives) flow through the exact left_anti — the
-    blocklist/decontamination shape at 100 TB, where the anti join's
-    shuffle is the bottleneck.  Result is row-identical to the plain anti
-    join (pinned in tests/test_joins.py).  Shares the once-per-process
-    bitmap with j_bloom_prefilter (probe-path benching, words= reuse)."""
-    li = load_table(spark, sf, "lineitem")
-    kept = joins.bloom_anti_join(
-        li,
-        _nation_supp_keys(spark, sf),
-        "l_suppkey",
-        words=_nation_supp_bitmap(spark, sf),
-    )
-    return kept.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-
-
-# =============================================================================
-# Streaming exactly-once ingest: at-least-once source -> deduped table
-# =============================================================================
-
-
-@register(
-    "stream_dedup",
-    """SELECT event_id, user_id, event_type, value FROM events""",
-)
-def stream_dedup_q(spark, sf):
-    """Exactly-once ingest from an at-least-once source: the events file
-    is exposed to the file-stream source TWICE (two symlinks in the scratch
-    dir — a simulated replayed/duplicated delivery), and
-    ``dropDuplicatesWithinWatermark`` on the event key collapses the replay
-    back to exactly the original table.  State is bounded by the watermark
-    horizon, not stream length — the production shape for CDC/queue ingest
-    where upstream retries duplicate events.  Both copies MUST arrive in
-    one availableNow micro-batch or the 24h watermark could classify the
-    replayed copy as late and leak a duplicate — that one-batch assumption
-    is pinned explicitly (``maxFilesPerTrigger`` on the readStream) rather
-    than inherited from the file source's default of 1000.  Oracle: the
-    events table itself — dedup must be EXACTLY inverse to the doubling."""
-    import os
-
-    load_table(spark, sf, "events")  # pins session tz/nanos confs
-    raw = spark.read.parquet(os.path.join(sf, "events.parquet"))
-    d = _scratch("stream_dedup_src", sf)
-    src_file = os.path.realpath(os.path.join(sf, "events.parquet"))
-    for name in ("replay_a.parquet", "replay_b.parquet"):
-        link = os.path.join(d, name)
-        if not os.path.lexists(link):
-            os.symlink(src_file, link)
-    src = (
-        spark.readStream.schema(raw.schema)
-        # enforce the single-micro-batch assumption: both replica files
-        # (each a symlink to one parquet file) must land in batch 0, else
-        # the watermark could classify the replayed copy as late
-        .option("maxFilesPerTrigger", 1000)
-        .parquet(d)
-    )
-    _ts_type = dict(src.dtypes).get("ts")
-    if _ts_type == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif _ts_type == "timestamp_ntz":
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    deduped = (
-        src.withWatermark("ts", "24 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id", "event_type", "value")
-    )
-    return _drain_to_memory(deduped, "stream_dedup", output_mode="append")
-
-
-# =============================================================================
-# Pipeline data-quality: cross-table referential integrity
-# =============================================================================
-
-#: Per-(sf dir, FK edge) cache of the parent-key bloom bitmap — see
-#: _orphans_fact: the audit's probe-forever arrangement.  Sound here
-#: because the sf-dir fixtures are immutable; a LIVE deployment must key
-#: the cache by the parent's version (snapshot id / ingest watermark) and
-#: rebuild when the parent GAINS keys — a bitmap missing a current parent
-#: key routes that key's child rows around the anti join as "definite
-#: orphans" and OVERCOUNTS violations.  (A parent that lost keys leaves
-#: the bitmap a superset, which only sends extra candidates to the exact
-#: join — sound.)
-_FK_BLOOM_CACHE: dict[tuple, list] = {}
-
-
-def _parse_size_conf(v: str) -> int:
-    """Spark size-conf string -> bytes: handles '-1', '10485760',
-    '10485760b', '10m', '10MB', '1g', … (the documented human forms, not
-    just the internally-rendered '<n>b')."""
-    s = v.strip().lower()
-    for suf, mult in (
-        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
-        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
-        ("b", 1),
-    ):
-        if s.endswith(suf):
-            return int(s[: -len(suf)]) * mult
-    return int(s)
-
-
-@register(
-    "quality_referential",
-    """SELECT 'orders_customer_fk' AS check_name,
-              CAST((SELECT COUNT(*) FROM orders o
-                    WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                      WHERE c.c_custkey = o.o_custkey))
-                   AS BIGINT) AS violations
-       UNION ALL
-       SELECT 'lineitem_orders_fk',
-              CAST((SELECT COUNT(*) FROM lineitem l
-                    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                      WHERE o.o_orderkey = l.l_orderkey))
-                   AS BIGINT)
-       UNION ALL
-       SELECT 'lineitem_supplier_fk',
-              CAST((SELECT COUNT(*) FROM lineitem l
-                    WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                                      WHERE s.s_suppkey = l.l_suppkey))
-                   AS BIGINT)
-       UNION ALL
-       SELECT 'customer_nation_fk',
-              CAST((SELECT COUNT(*) FROM customer c
-                    WHERE NOT EXISTS (SELECT 1 FROM nation n
-                                      WHERE n.n_nationkey = c.c_nationkey))
-                   AS BIGINT)
-       UNION ALL
-       SELECT 'orders_pk_unique',
-              CAST((SELECT COALESCE(SUM(cnt - 1), 0)
-                    FROM (SELECT COUNT(*) AS cnt FROM orders
-                          GROUP BY o_orderkey) g
-                    WHERE cnt > 1) AS BIGINT)""",
-)
-def quality_referential_q(spark, sf):
-    """Cross-table referential-integrity audit — the validation pass a
-    training-data pipeline runs after every ingest/join stage: four FK
-    orphan counts (anti join per FK edge) plus a PK uniqueness check
-    (duplicate-surplus count).  Dimension key sets broadcast; the one
-    fact×fact edge (lineitem→orders) takes the SCALE path: the child side
-    always pre-aggregates to (key, row_count) — one map-side-combined
-    shuffle that collapses ~4 lineitems/order to distinct keys — and when
-    the parent's estimated size exceeds the broadcast threshold (the
-    planner's own regime signal) the key-level anti join runs through
-    ``bloom_anti_join`` (operators/joins.py): definite-orphan keys (bloom
-    misses against the orders bitmap) bypass the join exchange entirely
-    and only maybe-member keys reach the exact anti join.  Violations =
-    sum of orphan keys' row counts — identical to the row-level anti-join
-    count in both regimes (plan-pinned in tests/test_joins.py).  All five
-    checks assemble with unionByName into one plan.  Complements
-    quality_report (single-table expectations via observe())."""
-    from trafficbigdatasearch_spark.operators import joins as J
-
-    orders = load_table(spark, sf, "orders")
-    customer = load_table(spark, sf, "customer")
-    lineitem = load_table(spark, sf, "lineitem")
-    supplier = load_table(spark, sf, "supplier")
-    nation = load_table(spark, sf, "nation")
-
-    def _orphans(name, child, child_key, parent, parent_key):
-        return (
-            child.join(
-                parent.select(F.col(parent_key).alias(child_key)),
-                child_key,
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).alias("violations"))
-            .select(F.lit(name).alias("check_name"), "violations")
-        )
-
-    def _orphans_fact(name, child, child_key, parent, parent_key):
-        # Pre-agg is UNCONDITIONAL (measured free even at sf0.1 — 0.47 s
-        # vs 0.49 s plain row-level — and a 4× exchange cut at scale).
-        counts = child.groupBy(child_key).agg(
-            F.count(F.lit(1)).alias("_cnt")
-        )
-        pkeys = parent.select(F.col(parent_key).alias(child_key))
-        # The bloom bypass only has value in the SHUFFLE regime: when the
-        # parent broadcasts, the plain anti join is one scan with no
-        # exchange to shrink, while the bypass union still costs two extra
-        # stages (~1.1 s constant, measured).  Gate on the same signal
-        # Spark's own planner uses — the parent's estimated plan size vs
-        # the broadcast threshold — so toy scale takes the broadcast path
-        # and a 100 TB parent takes the bloom bypass.  Plan-level decision,
-        # zero extra jobs; pinned both ways in tests/test_joins.py.
-        threshold = _parse_size_conf(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")
-        )
-        psize = int(
-            str(pkeys._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        )
-        if 0 <= threshold >= psize:
-            orphan_keys = counts.join(pkeys, child_key, "left_anti")
-        else:
-            # Bitmap cached per (sf, edge) — build-once-probe-forever: a
-            # daily audit probes the slowly-changing parent's bitmap,
-            # rebuilt whenever the parent GAINS keys (see _FK_BLOOM_CACHE's
-            # soundness note — missing keys overcount violations; lost
-            # keys only leave a sound superset).
-            ck = (sf, name)
-            if ck not in _FK_BLOOM_CACHE:
-                _FK_BLOOM_CACHE[ck] = J.bloom_bitmap(
-                    pkeys.distinct(), child_key, 1 << 20, 3
-                )
-            orphan_keys = J.bloom_anti_join(
-                counts, pkeys, child_key, words=_FK_BLOOM_CACHE[ck]
-            )
-        return (
-            orphan_keys.agg(
-                F.coalesce(F.sum("_cnt"), F.lit(0))
-                .cast("bigint")
-                .alias("violations")
-            )
-            .select(F.lit(name).alias("check_name"), "violations")
-        )
-
-    dup_surplus = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("violations"))
-        .select(F.lit("orders_pk_unique").alias("check_name"), "violations")
-    )
-    checks = [
-        _orphans("orders_customer_fk", orders, "o_custkey", customer, "c_custkey"),
-        _orphans_fact(
-            "lineitem_orders_fk", lineitem, "l_orderkey", orders, "o_orderkey"
-        ),
-        _orphans("lineitem_supplier_fk", lineitem, "l_suppkey", supplier, "s_suppkey"),
-        _orphans("customer_nation_fk", customer, "c_nationkey", nation, "n_nationkey"),
-        dup_surplus,
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
-
-
-# =============================================================================
-# ORC interop: round-trip through the second columnar format
-# =============================================================================
-
-#: Per-(sf dir) cache of the ORC copy of lineitem, so repeated calls bench
-#: the READ path.
-_ORC_LAYOUT_CACHE: dict[str, str] = {}
-
-
-@register(
-    "s_orc_roundtrip",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
-                   AS DOUBLE) / 100 AS sum_qty
-       FROM lineitem
-       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-       GROUP BY l_returnflag, l_linestatus""",
-)
-def s_orc_roundtrip_q(spark, sf):
-    """Format interop (sources/orc.py): lineitem converted once per process
-    to ORC, then the pricing-summary shape computed from the ORC copy —
-    scan-layer results must be identical whichever columnar format holds
-    the bytes.  The ship-date filter pushes down to the vectorized ORC
-    reader just as with parquet (pinned in tests/test_sources.py); the
-    oracle reads the original parquet, so the hash-match proves the
-    round-trip lossless."""
-    import os
-
-    from trafficbigdatasearch_spark.sources import orc as O
-
-    if sf not in _ORC_LAYOUT_CACHE:
-        d = _scratch("orc_layout", sf)
-        path = os.path.join(d, "lineitem_orc")
-        O.write_orc(load_table(spark, sf, "lineitem"), path)
-        _ORC_LAYOUT_CACHE[sf] = path
-    li = O.read_orc(spark, _ORC_LAYOUT_CACHE[sf])
-    return (
-        li.filter(F.col("l_shipdate") >= "1995-01-01")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-        )
-    )
-
-
-# =============================================================================
-# CDC apply: MERGE a changeset into a keyed snapshot
-# =============================================================================
-
-
-def _orders_changeset(snap):
-    """The deterministic CDC changeset both merge rows share: updates on
-    keys %7, deletes on %11 (minus the updates), inserts at key+10M on
-    %13."""
-    upd = (
-        snap.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
-        .withColumn("op", F.lit("U"))
-    )
-    dele = (
-        snap.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0))
-        .withColumn("op", F.lit("D"))
-    )
-    ins = (
-        snap.filter(F.col("o_orderkey") % 13 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10000000))
-        .withColumn("o_orderstatus", F.lit("N"))
-        .withColumn("op", F.lit("I"))
-    )
-    return upd.unionByName(dele).unionByName(ins)
-
-
-def _merged_cents(merged):
-    return merged.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        _cents(F.col("o_totalprice")).alias("totalprice_cents"),
-    )
-
-
-@register(
-    "table_merge_upsert",
-    """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-                     FROM orders),
-       changes AS (
-         SELECT o_orderkey, o_custkey, o_orderstatus,
-                o_totalprice + 1.0 AS o_totalprice, 'U' AS op
-         FROM snap WHERE o_orderkey % 7 = 0
-         UNION ALL
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D'
-         FROM snap WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
-         UNION ALL
-         SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, 'I'
-         FROM snap WHERE o_orderkey % 13 = 0
-       ),
-       merged AS (
-         SELECT s.* FROM snap s
-         WHERE NOT EXISTS (SELECT 1 FROM changes c
-                           WHERE c.o_orderkey = s.o_orderkey)
-         UNION ALL
-         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM changes WHERE op <> 'D'
-       )
-       SELECT o_orderkey, o_custkey, o_orderstatus,
-              CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
-       FROM merged""",
-)
-def table_merge_upsert_q(spark, sf):
-    """Row-level MERGE (operators/diff.py merge_upsert — Delta/Iceberg
-    MERGE INTO semantics without a table format): a deterministic CDC
-    changeset derived from orders itself (updates on keys %7, deletes on
-    %11, inserts at key+10M on %13) applied to the snapshot — upserts
-    replace-or-insert, deletes remove, untouched rows pass through.  One
-    anti join + union, no full-outer compare; at 100 TB the untouched bulk
-    routes around the exchange via the bloom-bypass anti join.  The full
-    merged table is the result — every row's survival/replacement is
-    hash-checked, not a summary."""
-    from trafficbigdatasearch_spark.operators import diff as D
-
-    snap = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    merged = D.merge_upsert(snap, _orders_changeset(snap), ["o_orderkey"])
-    return _merged_cents(merged)
-
-
-@register("stream_merge_upsert", _REGISTRY["table_merge_upsert"][1])
-def stream_merge_upsert_q(spark, sf):
-    """STREAMING CDC apply (streaming/sink.py foreach_batch_merge_upsert):
-    the same changeset as table_merge_upsert, but delivered as a change
-    STREAM applied by foreachBatch MERGE into a versioned copy-on-write
-    parquet snapshot with an atomically-swapped _CURRENT pointer — the
-    continuously-maintained dimension-table shape.  Batch replay is
-    idempotent because merge_upsert is (pinned in tests/test_streaming.py).
-    Identical oracle to table_merge_upsert: the streamed merge must land
-    byte-identical to the batch merge."""
-    import os
-
-    from trafficbigdatasearch_spark.streaming import sink as SK
-
-    snap = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    d = _scratch("stream_merge", sf)
-    snap_dir = os.path.join(d, "snap")
-    changes_dir = os.path.join(d, "changes")
-    pointer = os.path.join(snap_dir, "_CURRENT")
-    if not os.path.exists(pointer):
-        os.makedirs(snap_dir, exist_ok=True)
-        snap.write.mode("overwrite").parquet(os.path.join(snap_dir, "vseed"))
-        with open(pointer, "w") as f:
-            f.write("vseed")
-        _orders_changeset(snap).write.mode("overwrite").parquet(changes_dir)
-    schema = spark.read.parquet(changes_dir).schema
-    stream = spark.readStream.schema(schema).parquet(changes_dir)
-    q = (
-        stream.writeStream.foreachBatch(
-            SK.foreach_batch_merge_upsert(snap_dir, ["o_orderkey"])
-        )
-        .option("checkpointLocation", os.path.join(d, "cp"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_merge_upsert: stream did not drain in 300s")
-    return _merged_cents(SK.read_merge_snapshot(spark, snap_dir))
-
-
-# =============================================================================
-# Planning-time file skipping: min/max sidecar over a range-clustered layout
-# =============================================================================
-
-#: Per-(sf dir) cache of the range-clustered orders layout + its sidecar,
-#: so repeated driver / bench calls exercise the PRUNED-READ path.
-_SKIP_LAYOUT_CACHE: dict[str, tuple[str, object]] = {}
-
-
-@register(
-    "s_minmax_skipping",
-    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-                   AS DOUBLE) / 100 AS revenue
-       FROM orders
-       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-         AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
-       GROUP BY 1""",
-)
-def s_minmax_skipping_q(spark, sf):
-    """Manifest-style data skipping (sources/parquet.py
-    build_minmax_sidecar / read_pruned_by_sidecar): orders rewritten once
-    per process into a date-range-clustered layout (write_sized
-    range_by=o_orderdate — non-overlapping file bounds), a per-file
-    min/max sidecar built over it, then a quarter's revenue read through
-    PLANNING-TIME file pruning — only sidecar-selected files are listed or
-    opened, the exact range re-applied as residual.  Parquet row-group
-    stats skip data only after every footer is fetched; at 100 TB /
-    millions of object-store files the footer round-trips are the
-    planning bottleneck the sidecar removes (the Delta/Iceberg file-stats
-    idea without a table format).  Row-identical to the unpruned scan —
-    the oracle is the plain filtered aggregate; pruning-actually-skips is
-    pinned in tests/test_sources.py."""
-    import os
-
-    from trafficbigdatasearch_spark.sources import parquet as P
-
-    if sf not in _SKIP_LAYOUT_CACHE:
-        d = _scratch("skip_layout", sf)
-        layout = os.path.join(d, "orders_by_date")
-        P.write_sized(
-            load_table(spark, sf, "orders"),
-            layout,
-            rows_per_file=1 << 30,
-            range_by=["o_orderdate"],
-            n_files=12,
-        )
-        sidecar = P.build_minmax_sidecar(spark, layout, ["o_orderdate"])
-        sidecar_path = os.path.join(d, "sidecar")
-        sidecar.write.mode("overwrite").parquet(sidecar_path)
-        _SKIP_LAYOUT_CACHE[sf] = (layout, sidecar_path)
-    layout, sidecar_path = _SKIP_LAYOUT_CACHE[sf]
-    pruned = P.read_pruned_by_sidecar(
-        spark,
-        layout,
-        spark.read.parquet(sidecar_path),
-        "o_orderdate",
-        "1995-01-01",
-        "1995-04-01",
-    )
-    return pruned.groupBy(
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
-            "month"
-        )
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("o_totalprice")).alias("revenue"),
-    )
-
-
-# =============================================================================
-# §ROUND-7 — hybrid retrieval, LM quality scoring, collaborative filtering
-# =============================================================================
-
-
-@register(
-    "text_hybrid_rrf",
-    f"""WITH d AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       dd AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d),
-       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
-                 FROM dd),
-       p AS (SELECT doc_id, dl, unnest(t) AS term FROM dd),
-       tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
-                     CAST(min(dl) AS BIGINT) AS dl
-              FROM p WHERE term IN ('join', 'merge', 'query')
-              GROUP BY term, doc_id),
-       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-       s AS (SELECT term, doc_id,
-                    (tf * (CAST(1.2 AS DOUBLE) + 1)) /
-                      (tf + CAST(1.2 AS DOUBLE) *
-                        ((1 - CAST(0.75 AS DOUBLE)) +
-                         CAST(0.75 AS DOUBLE) * dl / avgdl)) *
-                      (n / df) AS score
-             FROM tf JOIN dfq USING (term), stats),
-       lexsc AS (SELECT doc_id,
-                    CAST(0.0 AS DOUBLE)
-                  + COALESCE(MAX(CASE WHEN term = 'join' THEN score END),
-                             CAST(0.0 AS DOUBLE))
-                  + COALESCE(MAX(CASE WHEN term = 'merge' THEN score END),
-                             CAST(0.0 AS DOUBLE))
-                  + COALESCE(MAX(CASE WHEN term = 'query' THEN score END),
-                             CAST(0.0 AS DOUBLE)) AS score
-                 FROM s GROUP BY doc_id),
-       lex AS (SELECT doc_id, CAST(row_number() OVER (
-                        ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
-               FROM lexsc QUALIFY rank_lex <= 50),
-       q AS (SELECT {_QVEC} AS qv FROM embeddings WHERE vec_id = 0),
-       c AS (SELECT vec_id AS neighbor_id, {_QVEC} AS cv FROM embeddings),
-       vs AS (SELECT neighbor_id,
-                     list_dot_product(qv, cv) /
-                     (sqrt(list_dot_product(qv, qv)) *
-                      sqrt(list_dot_product(cv, cv))) AS score
-              FROM c CROSS JOIN q WHERE neighbor_id <> 0),
-       vec AS (SELECT neighbor_id AS doc_id, CAST(row_number() OVER (
-                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank_vec
-               FROM vs QUALIFY rank_vec <= 50),
-       fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-                        lex.rank_lex, vec.rank_vec,
-                        CAST(0.0 AS DOUBLE)
-                      + COALESCE(CAST(1.0 AS DOUBLE) /
-                                 (CAST(60 AS DOUBLE) + rank_lex),
-                                 CAST(0.0 AS DOUBLE))
-                      + COALESCE(CAST(1.0 AS DOUBLE) /
-                                 (CAST(60 AS DOUBLE) + rank_vec),
-                                 CAST(0.0 AS DOUBLE)) AS rrf_score
-                 FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
-       SELECT doc_id, rank_lex, rank_vec, rrf_score,
-              CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
-                   AS BIGINT) AS rank
-       FROM fused QUALIFY rank <= 20""",
-)
-def text_hybrid_rrf_q(spark, sf):
-    """Hybrid retrieval (operators/fusion.py): a BM25 bag-of-terms lexical
-    leg over documents + an exact-cosine vector leg over embeddings
-    (query = stored vector 0, doc ids linked by equality), fused with
-    reciprocal-rank fusion (k0=60) and cut to the top 20 — the modern
-    two-leg search shape over this package's own retrieval stack.  Every
-    float in the chain is a FIXED-ORDER op sequence (pivoted per-term
-    adds, per-leg coalesce-adds — never a float SUM aggregate), which is
-    what lets a rank-fusion query hash-match across engines at all.  The
-    legs are k-sized before fusion, so the fuse join is O(k) regardless
-    of corpus size; at 100 TB the legs swap to their indexed siblings
-    (bm25_indexed, ivf_topk_indexed) with identical fusion semantics."""
-    from trafficbigdatasearch_spark.operators import fusion
-
-    docs = load_table(spark, sf, "documents")
-    emb = load_table(spark, sf, "embeddings")
-    return fusion.hybrid_topk(
-        docs, emb, ["join", "merge", "query"], query_vec_id=0,
-        k=20, leg_k=50,
-    )
-
-
-@register(
-    "text_lm_coverage",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
-       pos AS (SELECT doc_id, unnest(t) AS term,
-                      generate_subscripts(t, 1) AS p FROM tt),
-       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
-              FROM pos a JOIN pos b
-                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
-       lm AS (SELECT w1, w2 FROM bg WHERE doc_id % 4 = 0
-              GROUP BY w1, w2 HAVING count(*) >= 3),
-       sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
-                     CAST(SUM(CASE WHEN lm.w1 IS NOT NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS nk
-              FROM bg LEFT JOIN lm USING (w1, w2) GROUP BY bg.doc_id)
-       SELECT d.doc_id,
-              COALESCE(sc.nb, 0) AS n_bigrams,
-              COALESCE(sc.nk, 0) AS n_known,
-              CASE WHEN COALESCE(sc.nb, 0) = 0 THEN NULL
-                   ELSE CAST(COALESCE(sc.nk, 0) AS DOUBLE) /
-                        CAST(COALESCE(sc.nb, 0) AS DOUBLE) END AS coverage
-       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
-)
-def text_lm_coverage_q(spark, sf):
-    """LM quality scoring (operators/lm.py), the CCNet/KenLM curation
-    stage: train bigram counts on a quarter of the corpus (doc_id % 4 = 0,
-    min_count=3 — the held-in "trusted" slice), then score EVERY document
-    by known-bigram coverage.  Training is one map-side-combined shuffle
-    bounded by distinct-bigram vocabulary; scoring is a broadcast join at
-    scan speed; both counts are integer sums and the single closing
-    division is one IEEE op — the oracle-hashable half of the LM story
-    (the ln-based perplexity variant is pytest-pinned, same policy as
-    BM25's robertson idf)."""
-    from trafficbigdatasearch_spark.operators import lm
-
-    docs = load_table(spark, sf, "documents")
-    model = lm.bigram_lm(
-        docs.filter(F.col("doc_id") % 4 == 0), min_count=3
-    )
-    return lm.coverage_scores(docs, model)
-
-
-_REC_UI_CTE = """ui AS (SELECT DISTINCT user_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     AS item_id
-            FROM events
-            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL),
-       n AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_users
-             FROM ui GROUP BY item_id),
-       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
-                     CAST(count(*) AS BIGINT) AS n_co
-              FROM ui a JOIN ui b
-                ON a.user_id = b.user_id AND a.item_id < b.item_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
-       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
-               UNION ALL SELECT item_b, item_a, n_co FROM co)"""
-
-
-@register(
-    "rec_item_cosine",
-    f"""WITH {_REC_UI_CTE},
-       s AS (SELECT sym.item_id, sym.neighbor_id, sym.n_co,
-                    CAST(sym.n_co AS DOUBLE) /
-                    (sqrt(CAST(na.n_users AS DOUBLE)) *
-                     sqrt(CAST(nb.n_users AS DOUBLE))) AS score
-             FROM sym
-             JOIN n na ON sym.item_id = na.item_id
-             JOIN n nb ON sym.neighbor_id = nb.item_id)
-       SELECT item_id, neighbor_id, n_co, score,
-              CAST(row_number() OVER (PARTITION BY item_id
-                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 10""",
-)
-def rec_item_cosine_q(spark, sf):
-    """Item-item collaborative similarity (operators/recsys.py, Sarwar
-    et al. WWW'01): distinct (user, item) matrix from the event stream
-    (item = the props.k field), ordered co-occurrence counts with support
-    >= 2, cosine normalization by each item's user-set size, per-item
-    top-10 neighbor list.  The distinct-first collapse is the a_basket_
-    pairs guard (pair fan-out bounded by items-per-user, never events);
-    the co-table is support-bounded; the cosine is one fixed IEEE op
-    sequence over integer counts — hash-stable across engines."""
-    from trafficbigdatasearch_spark.operators import recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    return recsys.item_cosine_neighbors(ui, n=10, min_co=2)
-
-
-@register(
-    "rec_item_cosine_capped",
-    """WITH ui0 AS (SELECT DISTINCT user_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     AS item_id
-            FROM events
-            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL),
-       ui AS (SELECT * FROM ui0
-              WHERE user_id NOT IN (SELECT user_id FROM ui0
-                                    GROUP BY user_id
-                                    HAVING count(*) > 55)),
-       n AS (SELECT item_id, CAST(count(*) AS BIGINT) AS n_users
-             FROM ui GROUP BY item_id),
-       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
-                     CAST(count(*) AS BIGINT) AS n_co
-              FROM ui a JOIN ui b
-                ON a.user_id = b.user_id AND a.item_id < b.item_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
-       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
-               UNION ALL SELECT item_b, item_a, n_co FROM co),
-       s AS (SELECT sym.item_id, sym.neighbor_id, sym.n_co,
-                    CAST(sym.n_co AS DOUBLE) /
-                    (sqrt(CAST(na.n_users AS DOUBLE)) *
-                     sqrt(CAST(nb.n_users AS DOUBLE))) AS score
-             FROM sym
-             JOIN n na ON sym.item_id = na.item_id
-             JOIN n nb ON sym.neighbor_id = nb.item_id)
-       SELECT item_id, neighbor_id, n_co, score,
-              CAST(row_number() OVER (PARTITION BY item_id
-                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 10""",
-)
-def rec_item_cosine_capped_q(spark, sf):
-    """rec_item_cosine under the HOT-USER CAP (recsys.cap_hot_users,
-    max_user_items=55): users with more than 55 distinct items are
-    dropped BEFORE the pair self-join — the pre-explosion skew guard
-    mirroring jaccard_link_prediction's max_degree hub contract.  At
-    sf0.01 the cap genuinely fires (~10% of users exceed it), so this
-    row certifies the cap SEMANTICS against the oracle — both the
-    whole-user drop and the requirement that the n_users cosine
-    denominators shrink consistently with the co-counts — not just the
-    identity path.  The quadratic stage's per-key fan-out is now
-    bounded by 55²/2 pairs per user regardless of corpus skew."""
-    from trafficbigdatasearch_spark.operators import recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    return recsys.item_cosine_neighbors(
-        ui, n=10, min_co=2, max_user_items=55
-    )
-
-
-@register(
-    "rec_user_topn",
-    f"""WITH {_REC_UI_CTE},
-       cand AS (SELECT ui.user_id, sym.neighbor_id AS item_id,
-                       CAST(SUM(sym.n_co) AS BIGINT) AS score
-                FROM ui JOIN sym ON ui.item_id = sym.item_id
-                GROUP BY 1, 2),
-       unseen AS (SELECT c.user_id, c.item_id, c.score
-                  FROM cand c LEFT JOIN ui
-                    ON c.user_id = ui.user_id AND c.item_id = ui.item_id
-                  WHERE ui.user_id IS NULL)
-       SELECT user_id, item_id, score,
-              CAST(row_number() OVER (PARTITION BY user_id
-                     ORDER BY score DESC, item_id) AS BIGINT) AS rank
-       FROM unseen QUALIFY rank <= 5""",
-)
-def rec_user_topn_q(spark, sf):
-    """Per-user top-5 unseen-item recommendations (operators/recsys.py):
-    each user's items vote for co-occurring candidates with INTEGER
-    co-count weights (order-independent sum — the oracle-hashable scoring;
-    a float-weighted variant would need fusion.py's fixed-order-add
-    treatment), seen items removed by an anti join on the interaction
-    matrix, per-user top-5 window partitioned by user.  The co-table
-    ships broadcast (support-bounded); the candidate aggregate is
-    map-side combined."""
-    from trafficbigdatasearch_spark.operators import recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    return recsys.recommend_topn(ui, n=5, min_co=2)
-
-
-@register(
-    "eval_ivf_recall",
-    f"""WITH {_IVF_CTES},
-       ivf AS (SELECT query_id, neighbor_id FROM (
-         SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS rnk
-         FROM scored) r WHERE rnk <= 5),
-       bsc AS (SELECT query_id, c.vec_id AS neighbor_id,
-                      {_COS.format(a='qv', b='v')} AS score
-               FROM c CROSS JOIN q WHERE c.vec_id <> query_id),
-       exact AS (SELECT query_id, neighbor_id FROM (
-         SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY score DESC, neighbor_id ASC) AS rnk
-         FROM bsc) r WHERE rnk <= 5),
-       hit AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
-               FROM ivf JOIN exact USING (query_id, neighbor_id)
-               GROUP BY query_id)
-       SELECT eq.query_id,
-              CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
-              CAST(COALESCE(n_overlap, 0) AS DOUBLE) /
-                CAST(5.0 AS DOUBLE) AS recall
-       FROM (SELECT DISTINCT query_id FROM exact) eq
-       LEFT JOIN hit USING (query_id)""",
-)
-def eval_ivf_recall_q(spark, sf):
-    """Recall@5 of the IVF index against the exact brute-force baseline,
-    PER QUERY (operators/evalrank.py::topk_overlap) — the recall ladder
-    the ANN family's docstrings promise, now a first-class measured
-    result instead of a pytest assertion.  Both legs are the registered
-    sim_ivf_topk / sim_brute_topk configurations (same centroid stride,
-    nprobe, tie-break contract), so this row certifies the accuracy of
-    exactly the plans the registry ships.  The overlap join is k-sized
-    per query — O(n_queries * k) whatever the corpus size; per-query
-    rows are integer counts + one division (no float mean), per the
-    evaluation module's determinism policy."""
-    from trafficbigdatasearch_spark.operators import evalrank
-
-    emb = load_table(spark, sf, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 10)
-    ivf = similarity.ivf_topk(
-        emb, qs, k=5, nprobe=2, centroid_stride=97, validate=True
-    )
-    exact = similarity.brute_force_topk(emb, qs, k=5)
-    return evalrank.topk_overlap(ivf, exact, k=5)
-
-
-@register(
-    "rec_eval_holdout",
-    """WITH ui AS (SELECT DISTINCT user_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     AS item_id
-            FROM events
-            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL),
-       b AS (SELECT user_id, item_id,
-                    ('0x' || substr(md5('eval' ||
-                        CAST(user_id AS VARCHAR) || ':' ||
-                        CAST(item_id AS VARCHAR)), 1, 7))::BIGINT
-                      % 10000 AS bkt
-             FROM ui),
-       train AS (SELECT user_id, item_id FROM b WHERE bkt < 8000),
-       test AS (SELECT user_id, item_id FROM b WHERE bkt >= 8000),
-       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
-                     CAST(count(*) AS BIGINT) AS n_co
-              FROM train a JOIN train b
-                ON a.user_id = b.user_id AND a.item_id < b.item_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
-       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
-               UNION ALL SELECT item_b, item_a, n_co FROM co),
-       cand AS (SELECT t.user_id, sym.neighbor_id AS item_id,
-                       CAST(SUM(sym.n_co) AS BIGINT) AS score
-                FROM train t JOIN sym ON t.item_id = sym.item_id
-                GROUP BY 1, 2),
-       unseen AS (SELECT c.user_id, c.item_id, c.score
-                  FROM cand c LEFT JOIN train tr
-                    ON c.user_id = tr.user_id AND c.item_id = tr.item_id
-                  WHERE tr.user_id IS NULL),
-       recs AS (SELECT user_id, item_id,
-                       CAST(row_number() OVER (PARTITION BY user_id
-                              ORDER BY score DESC, item_id) AS BIGINT) AS rank
-                FROM unseen QUALIFY rank <= 10),
-       rel AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_relevant
-               FROM test GROUP BY user_id),
-       hits AS (SELECT r.user_id, CAST(min(r.rank) AS BIGINT) AS hit_rank
-                FROM recs r JOIN test
-                  ON r.user_id = test.user_id AND r.item_id = test.item_id
-                GROUP BY r.user_id)
-       SELECT rel.user_id, rel.n_relevant, hits.hit_rank,
-              COALESCE(CAST(1.0 AS DOUBLE) / hit_rank,
-                       CAST(0.0 AS DOUBLE)) AS rr
-       FROM rel LEFT JOIN hits ON rel.user_id = hits.user_id""",
-)
-def rec_eval_holdout_q(spark, sf):
-    """Leave-out evaluation of the item-based recommender: split the
-    distinct interaction matrix 80/20 by md5 of the (user, item) PAIR
-    (operators/evalrank.py::holdout_split — row-local, engine-portable
-    membership), train co-occurrence on the 80 %, recommend top-10 per
-    user, and report each holdout user's first-hit rank and reciprocal
-    rank (rr = MRR's per-user term, left un-averaged — integer counts +
-    one division per row is what hash-compares across engines; a float
-    MEAN over unordered rows does not).  Users the trained model cannot
-    reach (cold in the train split) are reported as misses with NULL
-    hit_rank, not dropped — the honest-evaluation contract of
-    evalrank.first_hit_rank.  This closes the recsys loop the round-7
-    modules opened: train (rec_item_cosine) -> serve (rec_user_topn)
-    -> measure (this row)."""
-    from trafficbigdatasearch_spark.operators import evalrank, recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    train, test = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
-    recs = recsys.recommend_topn(train, n=10, min_co=2)
-    return evalrank.first_hit_rank(recs, test)
-
-
-@register(
-    "eval_rec_hdcg",
-    """WITH ui AS (SELECT DISTINCT user_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     AS item_id
-            FROM events
-            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL),
-       b AS (SELECT user_id, item_id,
-                    ('0x' || substr(md5('eval' ||
-                        CAST(user_id AS VARCHAR) || ':' ||
-                        CAST(item_id AS VARCHAR)), 1, 7))::BIGINT
-                      % 10000 AS bkt
-             FROM ui),
-       train AS (SELECT user_id, item_id FROM b WHERE bkt < 8000),
-       test AS (SELECT user_id, item_id FROM b WHERE bkt >= 8000),
-       co AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
-                     CAST(count(*) AS BIGINT) AS n_co
-              FROM train a JOIN train b
-                ON a.user_id = b.user_id AND a.item_id < b.item_id
-              GROUP BY 1, 2 HAVING count(*) >= 2),
-       sym AS (SELECT item_a AS item_id, item_b AS neighbor_id, n_co FROM co
-               UNION ALL SELECT item_b, item_a, n_co FROM co),
-       cand AS (SELECT t.user_id, sym.neighbor_id AS item_id,
-                       CAST(SUM(sym.n_co) AS BIGINT) AS score
-                FROM train t JOIN sym ON t.item_id = sym.item_id
-                GROUP BY 1, 2),
-       unseen AS (SELECT c.user_id, c.item_id, c.score
-                  FROM cand c LEFT JOIN train tr
-                    ON c.user_id = tr.user_id AND c.item_id = tr.item_id
-                  WHERE tr.user_id IS NULL),
-       recs AS (SELECT user_id, item_id,
-                       CAST(row_number() OVER (PARTITION BY user_id
-                              ORDER BY score DESC, item_id) AS BIGINT) AS rank
-                FROM unseen QUALIFY rank <= 10),
-       rel AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_relevant
-               FROM test GROUP BY user_id),
-       dcg AS (SELECT r.user_id,
-                      CAST(SUM(27720 // (1 + r.rank)) AS BIGINT) AS dcg_num
-               FROM recs r JOIN test
-                 ON r.user_id = test.user_id AND r.item_id = test.item_id
-               GROUP BY r.user_id),
-       ideal AS (SELECT rel.user_id,
-                        CAST(SUM(27720 // (1 + g.range)) AS BIGINT)
-                          AS idcg_num
-                 FROM rel, range(1, 11) AS g
-                 WHERE g.range <= least(rel.n_relevant, 10)
-                 GROUP BY rel.user_id)
-       SELECT rel.user_id, rel.n_relevant,
-              CAST(COALESCE(dcg.dcg_num, 0) AS BIGINT) AS dcg_num,
-              ideal.idcg_num,
-              CAST(COALESCE(dcg.dcg_num, 0) AS DOUBLE) / idcg_num AS hdcg
-       FROM rel
-       JOIN ideal ON rel.user_id = ideal.user_id
-       LEFT JOIN dcg ON rel.user_id = dcg.user_id""",
-)
-def eval_rec_hdcg_q(spark, sf):
-    """Position-sensitive holdout evaluation, ORACLE-HASHED (evalrank.
-    hdcg_at_k, closing verdict r7 #8): harmonic-discount cumulative gain
-    over the same 80/20 md5 holdout and top-10 recommendations as
-    rec_eval_holdout.  The discount 1/(1+rank) is RATIONAL, so with
-    D = lcm(2..11) = 27720 every gain term is an exact integer and the
-    per-user dcg/idcg are order-independent INTEGER sums — where NDCG's
-    1/log2(1+rank) is platform math and stays pytest-pinned.  hdcg =
-    dcg_num/idcg_num is one closing IEEE division of two exact integers,
-    bit-identical across engines; the evaluation family is now 100%
-    oracle-verifiable (MRR term via rec_eval_holdout, recall@k via
-    eval_ivf_recall, position-sensitive gain via this row)."""
-    from trafficbigdatasearch_spark.operators import evalrank, recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    train, test = evalrank.holdout_split(ui, test_frac=0.2, salt="eval")
-    recs = recsys.recommend_topn(train, n=10, min_co=2)
-    return evalrank.hdcg_at_k(recs, test, k=10)
-
-
-@register(
-    "s_zorder_skipping",
-    """SELECT event_id, user_id,
-              CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
-       FROM events
-       WHERE user_id >= 2 AND user_id < 10
-         AND epoch_ms(ts) >= 1704672000000
-         AND epoch_ms(ts) <  1705276800000""",
-)
-def s_zorder_skipping_q(spark, sf):
-    """Multi-dimensional data skipping (sources/parquet.py write_zordered +
-    read_pruned_box): events rewritten once per process into a Z-ordered
-    layout on (user_id, ts_ms) — every file covers a compact TILE in both
-    dimensions — then a 2-D box (a user band x one week) read through
-    planning-time sidecar pruning with per-dimension overlap tests.  A 1-D
-    clustering makes only its own column's bounds tight: a 2-D box still
-    opens every file in the matching 1-D slab, which at 100 TB is the
-    difference between opening a few tiles and scanning a whole
-    user-range stripe.  Row-identical to the unpruned scan — the oracle
-    is the plain box filter; tiles-actually-skip is pinned in
-    tests/test_sources.py."""
-    import os
-
-    from trafficbigdatasearch_spark.sources import parquet as P
-
-    key = ("zorder", sf)
-    if key not in _SKIP_LAYOUT_CACHE:
-        d = _scratch("zorder_layout", sf)
-        layout = os.path.join(d, "events_zordered")
-        ev = load_table(spark, sf, "events").select(
-            "event_id",
-            "user_id",
-            F.unix_millis(F.col("ts")).alias("ts_ms"),
-        )
-        # ~10 tiles at sf0.01 (and 1 plain file at sf0.001 — pruning is an
-        # optimization, row-identity holds at any file count)
-        P.write_zordered(
-            ev, layout, ["user_id", "ts_ms"], rows_per_file=1024
-        )
-        sidecar = P.build_minmax_sidecar(spark, layout, ["user_id", "ts_ms"])
-        sidecar_path = os.path.join(d, "sidecar")
-        sidecar.write.mode("overwrite").parquet(sidecar_path)
-        _SKIP_LAYOUT_CACHE[key] = (layout, sidecar_path)
-    layout, sidecar_path = _SKIP_LAYOUT_CACHE[key]
-    return P.read_pruned_box(
-        spark,
-        layout,
-        spark.read.parquet(sidecar_path),
-        [
-            ("user_id", 2, 10),
-            ("ts_ms", 1704672000000, 1705276800000),
-        ],
-    ).select("event_id", "user_id", "ts_ms")
-
-
-_TREND_ORACLE = """WITH t AS (SELECT event_type,
-                  CAST(epoch_ms(ts) // 1000 - 1704067200 AS HUGEINT) AS x,
-                  CAST(round(value * 100) AS HUGEINT) AS y
-           FROM events),
-       a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                    SUM(x) AS sx, SUM(y) AS sy,
-                    SUM(x * y) AS sxy, SUM(x * x) AS sxx
-             FROM t GROUP BY event_type)
-       SELECT event_type, n,
-              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-              NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope,
-              CAST(sy AS DOUBLE) /
-              (CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE)) AS mean_y
-       FROM a"""
-
-
-@register("ts_trend_per_key", _TREND_ORACLE)
-def ts_trend_per_key_q(spark, sf):
-    """Per-key least-squares trend of the event value stream
-    (operators/timeseries.py::trend_per_key) — the drift-screening pass
-    run before any heavier modeling: slope in cent-units/second + mean
-    level per event_type.  The five sufficient statistics are EXACT
-    decimal integer sums (x = seconds since 2024-01-01 resolved as UTC
-    driver-side, y = cent-quantized value — the cent-sum policy extended
-    to second moments), so one map-side-combined shuffle computes them
-    order-independently at any parallelism; only the closing slope
-    algebra runs in double as a fixed IEEE cast/multiply/divide sequence
-    the oracle mirrors term-for-term."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.trend_per_key(load_table(spark, sf, "events"))
-
-
-@register(
-    "a_ab_conversion",
-    """WITH u AS (SELECT user_id,
-                    CAST(max(CASE WHEN event_type = 'purchase'
-                             AND value >= 90 THEN 1 ELSE 0 END)
-                         AS BIGINT) AS conv
-             FROM events GROUP BY user_id),
-       lab AS (SELECT *,
-                 CASE WHEN ('0x' || substr(md5('exp' ||
-                           CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
-                           % 10000 < 5000
-                      THEN 'control' ELSE 'treatment' END AS arm
-               FROM u),
-       s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
-                    CAST(SUM(conv) AS BIGINT) AS n_converted
-             FROM lab GROUP BY arm),
-       one AS (SELECT
-                 SUM(CASE WHEN arm = 'control' THEN n_users END) AS n_a,
-                 SUM(CASE WHEN arm = 'control' THEN n_converted END) AS conv_a,
-                 SUM(CASE WHEN arm = 'treatment' THEN n_users END) AS n_b,
-                 SUM(CASE WHEN arm = 'treatment' THEN n_converted END) AS conv_b
-               FROM s)
-       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
-              CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-              CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-              CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-              (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-               - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
-              NULLIF(sqrt(
-                (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-                * (CAST(1.0 AS DOUBLE)
-                   - CAST(conv_a + conv_b AS DOUBLE)
-                     / CAST(n_a + n_b AS DOUBLE))
-                * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
-                   + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 0) AS z
-       FROM one""",
-)
-def a_ab_conversion_q(spark, sf):
-    """Deterministic A/B experiment read-out (operators/abtest.py): users
-    assigned 50/50 to arms by md5 range of the user id (sticky, engine-
-    portable — never rand()), conversion = >= 1 HIGH-VALUE purchase per
-    USER (value >= 90 — the plain any-purchase event saturates at 100 %
-    conversion in this corpus, which would make every z degenerate)
-    (the distinct-user collapse guarding against heavy-user bias), folded
-    into one row with the pooled two-proportion z statistic.  The z is a
-    fixed IEEE op chain over four integer counts, mirrored term-for-term
-    in the oracle; degenerate designs give NULL z via try_divide.  Plan:
-    one user-collapse shuffle + one 2-row fold — nothing data-sized
-    reaches the driver."""
-    from trafficbigdatasearch_spark.operators import abtest
-
-    summary = abtest.conversion_by_arm(
-        load_table(spark, sf, "events"),
-        (F.col("event_type") == "purchase") & (F.col("value") >= 90),
-        {"control": 0.5, "treatment": 0.5},
-        salt="exp",
-    )
-    return abtest.two_proportion_z(summary, "control", "treatment")
-
-
-@register("ts_trend_incremental", _TREND_ORACLE)
-def ts_trend_incremental_q(spark, sf):
-    """The INCREMENTAL arrangement of ts_trend_per_key, proven through the
-    driver: the month is sliced into three disjoint epoch ranges (UTC
-    second cuts, zone-independent), each slice collapses to its five-moment
-    trend state (timeseries.trend_partial), the states merge
-    (trend_merge), and the closing algebra runs on kilobytes
-    (trend_finalize).  Because the moments are exact integer sums, the
-    sliced-merged result is BIT-IDENTICAL to the single-pass query — the
-    oracle is literally ts_trend_per_key's, which is the whole point: at
-    100 TB history collapses to state once, and each new day costs one
-    partial + one kilobyte merge (the operators/incremental.py posture,
-    extended from first to second moments)."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    ev = load_table(spark, sf, "events")
-    us = F.unix_seconds(F.col("ts"))
-    c1, c2 = 1704931200, 1705795200  # 2024-01-11, 2024-01-21 UTC
-    parts = [
-        TS.trend_partial(ev.filter(us < c1)),
-        TS.trend_partial(ev.filter((us >= c1) & (us < c2))),
-        TS.trend_partial(ev.filter(us >= c2)),
-    ]
-    return TS.trend_finalize(TS.trend_merge(parts))
-
-
-@register("stream_trend", _TREND_ORACLE)
-def stream_trend_q(spark, sf):
-    """The STREAMING arrangement of ts_trend_per_key: the same five-moment
-    state lives in the streaming aggregation's state store (decimal sums
-    are associative+commutative, exactly what streaming state needs),
-    drained complete over the bounded events stream, finalized on the
-    drained kilobytes.  One oracle pins all three arrangements — batch,
-    incremental-merge, streaming — to the same bits, which is the payoff
-    of sufficient-statistics design: the 100 TB deployment keeps the
-    trend LIVE per key at O(keys) state with no recompute."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    src = _stream_events_source(spark, sf)
-    drained = _drain_to_memory(TS.trend_partial(src), "stream_trend")
-    return TS.trend_finalize(drained)
-
-
-_LM_FILTER_ORACLE = f"""WITH qf AS (SELECT doc_id, lang, text FROM documents
-                  WHERE {_TOKCOUNT_SQL} >= 5),
-       toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM qf),
-       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
-       pos AS (SELECT doc_id, unnest(t) AS term,
-                      generate_subscripts(t, 1) AS p FROM tt),
-       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
-              FROM pos a JOIN pos b
-                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
-       lm AS (SELECT bg.w1, bg.w2 FROM bg JOIN qf USING (doc_id)
-              WHERE qf.lang = 'en'
-              GROUP BY 1, 2 HAVING count(*) >= 10),
-       sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nb,
-                     CAST(SUM(CASE WHEN lm.w1 IS NOT NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS nk
-              FROM bg LEFT JOIN lm
-                ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
-              GROUP BY bg.doc_id)
-       SELECT qf.doc_id, qf.lang
-       FROM qf JOIN sc USING (doc_id)
-       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85"""
-
-
-@register("pipeline_lm_filter", _LM_FILTER_ORACLE)
-def pipeline_lm_filter_q(spark, sf):
-    """The LM fluency gate COMPOSED as a curation pass
-    (CorpusPipeline.quality_gate -> lm_gate): token floor first, then a
-    bigram model trained on the gated ENGLISH slice (min_count=10 — high
-    enough that only genuinely frequent constructions count as "known",
-    giving the coverage score real spread) gates every document at
-    coverage >= 0.85 — the CCNet arrangement: trusted-corpus model,
-    whole-corpus scoring, threshold keep.  One declarative plan: gate
-    filter fused into the scan, bounded model shuffle, broadcast-scored
-    pass, semi-join keep.  Both stages are already-oracle-verified
-    operators; this row verifies their composition, like
-    pipeline_clean_corpus does for the dedup chain."""
-    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
-
-    docs = load_table(spark, sf, "documents")
-    # materialize(): the gated frame feeds model training, scoring, and
-    # the closing semi join — one evaluation instead of three re-derived
-    # scans (r9 scan-hygiene audit)
-    p = CorpusPipeline(docs).quality_gate(min_tokens=5).materialize()
-    trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
-    return (
-        p.lm_gate(trusted, min_coverage=0.85, min_count=10)
-        .df.select("doc_id", "lang")
-    )
-
-
-@register(
-    "sim_token_cosine",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
-       p AS (SELECT doc_id, lower(unnest(t)) AS term FROM tt),
-       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-              FROM p GROUP BY 1, 2),
-       nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nrm
-               FROM tf GROUP BY 1),
-       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM tf a
-                JOIN dfq ON dfq.term = a.term
-                            AND dfq.df BETWEEN 2 AND 600
-                JOIN tf b ON b.term = a.term AND a.doc_id < b.doc_id),
-       dotp AS (SELECT c.id_a, c.id_b,
-                       CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-                FROM cand c
-                JOIN tf a ON a.doc_id = c.id_a
-                JOIN tf b ON b.doc_id = c.id_b AND b.term = a.term
-                GROUP BY 1, 2)
-       SELECT id_a, id_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b,
-              CAST(dot AS DOUBLE) /
-                (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
-                AS cosine
-       FROM dotp
-       JOIN nrm na ON na.doc_id = id_a
-       JOIN nrm nb ON nb.doc_id = id_b
-       WHERE 100::HUGEINT * dot::HUGEINT * dot::HUGEINT
-             >= 81::HUGEINT * na.nrm::HUGEINT * nb.nrm::HUGEINT""",
-)
-def sim_token_cosine_q(spark, sf):
-    """Sparse cosine-similarity join over token-count vectors
-    (operators/dedup.py::token_cosine_pairs, r9) — the bag-of-words twin
-    of the Jaccard joins: pairs whose term-frequency profiles are
-    near-parallel (cosine >= 0.9) even when shingle sets diverge under
-    reordering.  The AllPairs/DIMSUM-family primitive with the module's
-    determinism treatment: dot and squared norms are order-independent
-    integer sums, the threshold is the rational 9/10 cross-multiplied
-    into a pure DECIMAL(38,0)/HUGEINT predicate (q²·dot² >= p²·na·nb —
-    no float touches the filter), and the reported cosine is one closing
-    IEEE chain (sqrt is correctly rounded, so it hash-compares).
-    Registered AT ITS DESIGN REGIME with max_term_df=600 — the guard
-    that bounds per-term pair fan-out at corpus scale — and the ORACLE
-    MIRRORS the generate-then-verify arrangement exactly (candidates
-    from shared rare terms, dot over the full vectors), so the row
-    certifies the guard's recall contract at every SF, not just the
-    identity path (the rec_item_cosine_capped precedent; an unguarded
-    registration measured 107 s at sf0.1 — the tiny synthetic
-    vocabulary makes every term stopword-grade, the exact skew the
-    guard exists for).  At sf0.01 every df <= 500, the guard never
-    fires, and the row equals the exact join.  The cap is MANDATORY at
-    scale; the sizing rule (cap²/2 per-term pair bound, Zipf-head
-    recall reasoning) is SCALING.md's "Sparse token-cosine join" row."""
-    return dedup.token_cosine_pairs(
-        load_table(spark, sf, "documents"),
-        threshold=(9, 10),
-        max_term_df=600,
-    )
-
-
-@register(
-    "pipeline_training_mix",
-    _LM_FILTER_ORACLE.replace(
-        """       SELECT qf.doc_id, qf.lang
-       FROM qf JOIN sc USING (doc_id)
-       WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85""",
-        f""",
-       kept AS (SELECT qf.doc_id, d.source, d.text
-               FROM qf JOIN sc USING (doc_id)
-               JOIN documents d USING (doc_id)
-               WHERE CAST(nk AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.85),
-       nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
-              FROM kept GROUP BY 1),
-       mn AS (SELECT min(n_g) AS n_min FROM nd),
-       bal AS (SELECT k.doc_id, k.source, k.text
-               FROM kept k
-               JOIN nd ON k.source IS NOT DISTINCT FROM nd.source
-               CROSS JOIN mn
-               WHERE (('0x' || substr(md5('mix' ||
-                         CAST(k.doc_id AS VARCHAR)), 1, 7))::BIGINT
-                       % 10000)::HUGEINT
-                     * (('0x' || substr(md5('mix' ||
-                         CAST(k.doc_id AS VARCHAR)), 1, 7))::BIGINT
-                       % 10000)::HUGEINT
-                     * n_g::HUGEINT
-                     < 10000::HUGEINT * 10000::HUGEINT * n_min::HUGEINT),
-       t AS (SELECT doc_id, source,
-                    CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
-             FROM bal),
-       c AS (SELECT doc_id, source, n_tokens,
-                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS excl
-             FROM t)
-       SELECT doc_id, source, n_tokens,
-              CAST(excl // 1024 AS BIGINT) AS pack_id,
-              CAST(excl % 1024 AS BIGINT) AS pack_offset
-       FROM c""",
-    ),
-)
-def pipeline_training_mix_q(spark, sf):
-    """The COMPLETE training-data export, one oracle row (r9): quality
-    gate (token floor) -> LM fluency gate (CCNet arrangement: bigram
-    model on the trusted English slice, coverage >= 0.85 on everything)
-    -> temperature rebalance across sources (the XLM-R alpha=1/2 recipe,
-    exact integer membership) -> sequence packing onto 1024-token packs
-    (two-level distributed prefix sum, no global sort).  This is the row
-    a pretraining user actually runs end-to-end; the three stages are
-    individually oracle-verified (pipeline_lm_filter, sample_temperature,
-    pack_sequences) and this certifies their COMPOSITION — membership,
-    rebalance arithmetic, and every pack offset — in one hash.  The plan
-    stays fully declarative: gate filters fuse into the scan, the model
-    and rate tables broadcast, and only the packing's bucket summary adds
-    a (tiny) second exchange.  The two multi-consumer stage boundaries
-    (kept feeds the rate counts + the rebalance join; balanced feeds the
-    packing's two prefix-sum branches + the closing source join) are
-    lazily localCheckpointed — the recsys pattern — pinning each stage
-    to ONE evaluation instead of re-deriving the whole upstream chain
-    per branch (24 -> ~5 corpus scans measured at registration)."""
-    from trafficbigdatasearch_spark.pipeline import CorpusPipeline
-
-    docs = load_table(spark, sf, "documents")
-    p = CorpusPipeline(docs).quality_gate(min_tokens=5).materialize()
-    trusted = p.df.filter(F.col("lang") == "en").select("doc_id", "text")
-    kept = p.lm_gate(trusted, min_coverage=0.85, min_count=10).df
-    kept = kept.localCheckpoint(eager=False)
-    balanced = sampling.temperature_sample(
-        kept, "source", key_col="doc_id", alpha=(1, 2), salt="mix"
-    ).localCheckpoint(eager=False)
-    packed = packing.pack_sequences(balanced, budget=1024, bucket_size=256)
-    return packed.join(
-        balanced.select("doc_id", "source"), "doc_id"
-    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
-
-
-@register(
-    "text_doc_keywords",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
-       p AS (SELECT doc_id, unnest(t) AS term FROM tt),
-       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-              FROM p GROUP BY 1, 2),
-       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-               FROM tf GROUP BY term),
-       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       s AS (SELECT doc_id, term, tf, df,
-                    CAST(tf * n AS DOUBLE) / df AS score
-             FROM tf JOIN dfq USING (term), nn)
-       SELECT doc_id, term, tf, df, score,
-              CAST(row_number() OVER (PARTITION BY doc_id
-                     ORDER BY score DESC, term) AS BIGINT) AS rank
-       FROM s QUALIFY rank <= 3""",
-)
-def text_doc_keywords_q(spark, sf):
-    """Per-document keyword extraction (operators/search.py::doc_keywords):
-    every doc's top-3 characteristic terms by tf x (N/df) — the inversion
-    of tfidf_topk's per-term ranking, labeling the whole corpus in one
-    declarative plan.  The df table is the WHOLE vocabulary (not a query's
-    terms), so the tf<-df join runs AQE-sized on the term rather than
-    broadcast — the honest at-scale default the operator documents.  Raw-
-    ratio idf and row_number ties on the term keep rows hash-stable."""
-    from trafficbigdatasearch_spark.operators import search
-
-    return search.doc_keywords(load_table(spark, sf, "documents"), k=3)
-
-
-@register(
-    "rec_negatives",
-    """WITH ui AS (SELECT DISTINCT user_id,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     AS item_id
-            FROM events
-            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                  IS NOT NULL),
-       cat AS (SELECT item_id,
-                      CAST(row_number() OVER (ORDER BY item_id) - 1
-                           AS BIGINT) AS _idx
-               FROM (SELECT DISTINCT item_id FROM ui)),
-       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM cat),
-       slots AS (SELECT unnest(range(4)) AS slot),
-       cand AS (SELECT ui.user_id, ui.item_id AS pos_item_id,
-                       CAST(slot AS BIGINT) AS slot,
-                       ('0x' || substr(md5('neg' ||
-                           CAST(ui.user_id AS VARCHAR) || ':' ||
-                           CAST(ui.item_id AS VARCHAR) || ':' ||
-                           CAST(slot AS VARCHAR)), 1, 7))::BIGINT
-                         % n_items AS _idx
-                FROM ui CROSS JOIN slots CROSS JOIN nn),
-       wi AS (SELECT c.user_id, c.pos_item_id, c.slot,
-                     cat.item_id AS neg_item_id
-              FROM cand c JOIN cat USING (_idx))
-       SELECT w.user_id, w.pos_item_id, w.slot, w.neg_item_id
-       FROM wi w LEFT JOIN ui p
-         ON w.user_id = p.user_id AND w.neg_item_id = p.item_id
-       WHERE p.user_id IS NULL""",
-)
-def rec_negatives_q(spark, sf):
-    """Deterministic negative sampling for contrastive recommender
-    training (operators/recsys.py::sample_negatives): 4 md5-drawn catalog
-    negatives per positive interaction, collisions with the user's own
-    positives dropped by one anti join.  The draw is a row-local md5
-    expression over (salt, user:item:slot) — identical under retries,
-    repartitioning, and in the oracle; the catalog's dense index is ONE
-    bounded global window (items, never events — the vocab top-V
-    posture) shipped broadcast to the slot-exploded positives.  Completes
-    the training-data side of the recsys story: interactions ->
-    positives + sampled negatives -> holdout evaluation."""
-    from trafficbigdatasearch_spark.operators import recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    return recsys.sample_negatives(ui, k=4, salt="neg")
-
-
-@register(
-    "sim_ivf_adc_topk",
-    f"""WITH {_pq_codes_cte()},
-       {_pq_adc_cte()},
-       coarse AS (SELECT vec_id AS ccell, v AS cmv FROM c
-                  WHERE vec_id % 97 = 0),
-       casim AS (SELECT c.vec_id AS nid, ccell,
-                        {_COS.format(a='v', b='cmv')} AS s
-                 FROM c CROSS JOIN coarse),
-       cassign AS (SELECT nid, ccell FROM (
-           SELECT *, row_number() OVER (PARTITION BY nid
-                        ORDER BY s DESC, ccell ASC) AS cr
-           FROM casim) t WHERE cr = 1),
-       cprobe AS (SELECT query_id, ccell FROM (
-           SELECT q.query_id, ccell, {_COS.format(a='qv', b='cmv')} AS s,
-                  row_number() OVER (PARTITION BY query_id
-                        ORDER BY s DESC, ccell ASC) AS pr
-           FROM q CROSS JOIN coarse) t2 WHERE pr <= 2),
-       cand AS (SELECT cprobe.query_id, cassign.nid AS neighbor_id
-                FROM cprobe JOIN cassign USING (ccell)
-                WHERE cassign.nid <> cprobe.query_id),
-       fine AS (SELECT adc.query_id, adc.neighbor_id, adc.adc_dist
-                FROM adc JOIN cand USING (query_id, neighbor_id)),
-       fr AS (SELECT query_id, neighbor_id, adc_dist,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY adc_dist, neighbor_id) AS rn
-              FROM fine)
-       SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk, adc_dist
-       FROM fr WHERE rn <= 5""",
-)
-def sim_ivf_adc_topk_q(spark, sf):
-    """IVFADC (operators/similarity.py::ivf_adc_topk — Jégou et al., PAMI
-    2011), THE production ANN arrangement, composed from the registry's
-    two proven halves: the IVF coarse quantizer prunes each query to
-    nprobe=2 cells, and PQ asymmetric distance ranks ONLY the candidates
-    inside them — the corpus is touched as m=8 integer codes per vector,
-    never as vectors, and only ~nprobe/n_cells of it per query.  Both
-    quantizers are deterministic stride samples and every distance is an
-    exact integer on the quantized lattice, so the whole composition
-    hash-compares against the composed oracle (coarse CTEs x the shared
-    PQ codes/ADC CTEs).  nprobe buys candidate coverage, m buys ranking
-    fidelity — the two independent recall knobs of a deployed ANN tier."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.ivf_adc_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2, m=8,
-        centroid_stride=97,
-    ).withColumnRenamed("rank", "rnk")
-
-
-def _ppr_oracle() -> str:
-    base = ((20 - 17) * _PR_SCALE) // (20 * 10)
-    parts = [
-        f"e AS (SELECT range AS u, (range*range) % {_PR_N} AS v "
-        f"FROM range({_PR_N}))",
-        "nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)",
-        "deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u)",
-        f"r0 AS (SELECT id, CAST(CASE WHEN id < 10 THEN {_PR_SCALE // 10} "
-        "ELSE 0 END AS BIGINT) AS rank FROM nodes)",
-    ]
-    for k in range(1, 4):
-        parts.append(
-            f"s{k} AS (SELECT e.v, SUM(r{k-1}.rank // deg.d) AS s "
-            f"FROM e JOIN r{k-1} ON r{k-1}.id = e.u "
-            "JOIN deg ON deg.u = e.u GROUP BY e.v)"
-        )
-        parts.append(
-            f"r{k} AS (SELECT nodes.id, "
-            f"CAST((CASE WHEN nodes.id < 10 THEN {base} ELSE 0 END) "
-            f"+ (17 * COALESCE(s{k}.s, 0)) // 20 AS BIGINT) "
-            f"AS rank FROM nodes LEFT JOIN s{k} ON s{k}.v = nodes.id)"
-        )
-    return "WITH " + ",\n       ".join(parts) + "\n       SELECT id, rank FROM r3"
-
-
-@register("graph_ppr", _ppr_oracle())
-def graph_ppr_q(spark, sf):
-    """PERSONALIZED PageRank (operators/graph.py::
-    personalized_pagerank_integer): teleport mass returns to the 10-node
-    seed set instead of all nodes, so ranks measure proximity to the
-    seeds — the related-items / local-relevance query global PageRank
-    cannot answer.  Same integer-exact arithmetic (scaled bigints,
-    rational damping, floor division) and per-round shape (one hash join
-    + one map-side-combined aggregate, lazy checkpoint) as
-    graph_pagerank, so the 3-step power iteration is bit-identical to
-    the unrolled CTE oracle; seeds ship broadcast — a query parameter,
-    not data."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(_PR_N)
-    edges = ids.select(
-        F.col("id").alias("u"), ((F.col("id") * F.col("id")) % _PR_N).alias("v")
-    )
-    return G.personalized_pagerank_integer(
-        edges, ids.filter(F.col("id") < 10), n_iter=3, scale=_PR_SCALE
-    )
-
-
-@register(
-    "dedup_semantic_ivf",
-    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT vec_id AS cell_id, v AS mv FROM c
-                WHERE vec_id % 97 = 0),
-       asim AS (SELECT c.vec_id AS nid, cell_id,
-                       {_COS.format(a='v', b='mv')} AS s
-                FROM c CROSS JOIN cent),
-       assign AS (SELECT nid, cell_id FROM (
-           SELECT *, row_number() OVER (PARTITION BY nid
-                        ORDER BY s DESC, cell_id ASC) AS r
-           FROM asim) t WHERE r = 1),
-       pairs AS (SELECT a.nid AS id_a, b.nid AS id_b,
-                        {_COS.format(a='ca.v', b='cb.v')} AS score
-                 FROM assign a JOIN assign b
-                   ON a.cell_id = b.cell_id AND a.nid < b.nid
-                 JOIN c ca ON ca.vec_id = a.nid
-                 JOIN c cb ON cb.vec_id = b.nid)
-       SELECT id_a, id_b, score FROM pairs WHERE score >= 0.4""",
-)
-def dedup_semantic_ivf_q(spark, sf):
-    """Semantic near-dup pairs blocked by IVF CELL membership
-    (similarity.ivf_cell_assignments + embedding_near_dup_pairs): the
-    at-scale arrangement where the blocking fabric itself is
-    similarity-aware — cells group cosine-similar vectors, so within-cell
-    pair generation FINDS MORE true near-dups than arbitrary metadata
-    blocking (measured on this corpus: 24 pairs at the established 0.4
-    threshold vs label blocking's 5) while still never going all-pairs.
-    Assignment is one broadcast argmin pass; scoring is the shared
-    Arrow-batched GEMM kernel, chunked per block.  Same threshold
-    rationale as sim_embedding_near_dup (round-1 finding: this synthetic
-    corpus tops out near cosine 0.5)."""
-    emb = load_table(spark, sf, "embeddings")
-    cells = similarity.ivf_cell_assignments(emb)
-    return similarity.embedding_near_dup_pairs(
-        emb.join(cells, "vec_id"), threshold=0.4, block_col="cell_id"
-    )
-
-
-@register(
-    "dedup_semantic_incremental",
-    f"""WITH corp AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings
-                    WHERE vec_id % 5 <> 0),
-       nw AS (SELECT vec_id, label, {_QVEC} AS v FROM embeddings
-              WHERE vec_id % 5 = 0),
-       cent AS (SELECT vec_id AS cell_id, v AS mv FROM corp
-                WHERE vec_id % 97 = 0),
-       casgn AS (SELECT nid AS cid, cell_id FROM (
-           SELECT corp.vec_id AS nid, cell_id,
-                  row_number() OVER (PARTITION BY corp.vec_id
-                    ORDER BY {_COS.format(a='corp.v', b='cent.mv')} DESC,
-                             cell_id ASC) AS r
-           FROM corp CROSS JOIN cent) t WHERE r = 1),
-       nasgn AS (SELECT nid, cell_id FROM (
-           SELECT nw.vec_id AS nid, cell_id,
-                  row_number() OVER (PARTITION BY nw.vec_id
-                    ORDER BY {_COS.format(a='nw.v', b='cent.mv')} DESC,
-                             cell_id ASC) AS r
-           FROM nw CROSS JOIN cent) t WHERE r <= 2),
-       flagged AS (SELECT DISTINCT na.nid
-                   FROM nasgn na
-                   JOIN casgn ca ON ca.cell_id = na.cell_id
-                   JOIN nw ON nw.vec_id = na.nid
-                   JOIN corp ON corp.vec_id = ca.cid
-                   WHERE {_COS.format(a='nw.v', b='corp.v')} >= 0.4)
-       SELECT vec_id, label FROM nw
-       WHERE vec_id NOT IN (SELECT nid FROM flagged)""",
-)
-def dedup_semantic_incremental_q(spark, sf):
-    """INCREMENTAL semantic dedup (similarity.semantic_incremental_dedup):
-    every 5th embedding plays the NEW ingestion batch, the rest the
-    indexed corpus; new vectors with a cosine >= 0.4 near-duplicate in
-    the corpus (candidates restricted to the new vector's 2 best IVF
-    cells under the CORPUS-derived stride quantizer, nprobe=2 — the
-    persisted-index posture) are dropped, the remainder kept.  Completes
-    the dedup matrix: within-corpus semantic (dedup_semantic_ivf) x
-    incremental text (dedup_incremental) -> incremental semantic.  Both
-    assignments are broadcast passes; the only data-sized join is keyed
-    on cell_id; same 0.4 threshold rationale as the rest of the
-    embedding family (this synthetic corpus tops out near cosine 0.5).
-    Measured recall of the flag set vs exhaustive brute force at sf0.1:
-    nprobe 1/2/4 -> 0.30/0.46/0.64 — low-by-construction on these
-    near-uniform synthetic embeddings (the IVFADC grid's standing
-    caveat); nprobe is the documented recall/cost dial, and the oracle
-    certifies the nprobe=2 semantics exactly."""
-    emb = load_table(spark, sf, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 5 != 0)
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    return similarity.semantic_incremental_dedup(
-        corpus, new, threshold=0.4, nprobe=2
-    ).select("vec_id", "label")
-
-
-@register(
-    "sim_dim_stats",
-    f"""WITH q AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                        list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 10000)
-                                    AS BIGINT)) AS v
-              FROM embeddings),
-       ex AS (SELECT i AS dim, v[i + 1] AS val
-              FROM (SELECT v, unnest(range(0, len(v))) AS i FROM q)),
-       a AS (SELECT CAST(dim AS BIGINT) AS dim,
-                    CAST(count(*) AS BIGINT) AS n,
-                    CAST(sum(val) AS BIGINT) AS sum_q,
-                    CAST(sum(val * val) AS BIGINT) AS sumsq_q
-             FROM ex GROUP BY 1)
-       SELECT dim, n, sum_q, sumsq_q,
-              CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
-              (CAST(sumsq_q AS DOUBLE)
-               - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
-                 / CAST(n AS DOUBLE))
-              / CAST(n AS DOUBLE) / 100000000.0 AS variance
-       FROM a""",
-)
-def sim_dim_stats_q(spark, sf):
-    """Per-dimension embedding moments (similarity.embedding_dim_stats):
-    the feature-normalization statistics computed before indexing or
-    quantizer training — mean-centering offsets, variance scales,
-    dead-dimension detection.  Components quantize to the 1e-4 integer
-    lattice first, so the per-dim sum and sum-of-squares are EXACT
-    integer aggregates (order/partition/retry-independent) and mean /
-    population variance are fixed IEEE op sequences over exact integers
-    — bit-identical in DuckDB, where a float SUM over raw components
-    would not hash.  One posexplode + one map-side-combined (dim)
-    aggregate; shuffle rows = dims x partials, output = one row per
-    dimension."""
-    return similarity.embedding_dim_stats(
-        load_table(spark, sf, "embeddings")
-    )
-
-
-@register(
-    "q18_large_orders",
-    """WITH big AS (SELECT l_orderkey FROM lineitem
-                  GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 200),
-       q AS (SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-                    o.o_totalprice,
-                    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
-                      AS sum_qty
-             FROM customer c
-             JOIN orders o ON c.c_custkey = o.o_custkey
-             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-             WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
-             GROUP BY 1, 2, 3, 4, 5)
-       SELECT * FROM q
-       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
-)
-def q18_large_orders_q(spark, sf):
-    """TPC-H Q18 (large-volume orders): a HAVING-on-aggregate subquery
-    becomes an aggregate -> LEFT SEMI join on the fact key — the
-    decorrelated shape (same treatment as q4's EXISTS) — then customer
-    broadcasts onto the surviving orders and the per-order quantity
-    re-aggregates.  Quantities cast to BIGINT before summing (integral
-    by data contract; a double SUM would be order-dependent and
-    un-hashable), and the top-100 cut is a deterministic
-    TakeOrderedAndProject on (totalprice DESC, date, orderkey) — never a
-    global sort.  The semi join's build side is the HAVING survivors
-    (~6 % of orders at threshold 200), exactly the selective-filter
-    regime runtime bloom pruning targets at scale."""
-    li = load_table(spark, sf, "lineitem")
-    orders = load_table(spark, sf, "orders")
-    cust = load_table(spark, sf, "customer")
-    qty = F.col("l_quantity").cast("bigint")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("_q"))
-        .filter(F.col("_q") > 200)
-        .select("l_orderkey")
-    )
-    surviving = orders.join(
-        big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
-    )
-    return (
-        surviving.join(
-            F.broadcast(cust),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-        )
-        .agg(F.sum(qty).cast("bigint").alias("sum_qty"))
-        .orderBy(
-            F.col("o_totalprice").desc(),
-            F.col("o_orderdate").asc(),
-            F.col("o_orderkey").asc(),
-        )
-        .limit(100)
-    )
-
-
-@register(
-    "text_collocations",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       tt AS (SELECT doc_id, list_filter(t, x -> x <> '') AS t FROM toks),
-       pos AS (SELECT doc_id, unnest(t) AS term,
-                      generate_subscripts(t, 1) AS p FROM tt),
-       bg AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
-              FROM pos a JOIN pos b
-                ON a.doc_id = b.doc_id AND b.p = a.p + 1),
-       pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
-                 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
-       l AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_w1
-             FROM bg GROUP BY 1),
-       r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_w2
-             FROM bg GROUP BY 1),
-       t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg),
-       s AS (SELECT w1, w2, n_pair, n_w1, n_w2,
-                    CAST(n_total AS DOUBLE) * CAST(n_pair AS DOUBLE) /
-                    (CAST(n_w1 AS DOUBLE) * CAST(n_w2 AS DOUBLE)) AS lift
-             FROM pairs JOIN l USING (w1) JOIN r USING (w2), t)
-       SELECT w1, w2, n_pair, n_w1, n_w2, lift
-       FROM s ORDER BY lift DESC, w1, w2 LIMIT 20""",
-)
-def text_collocations_q(spark, sf):
-    """Collocation mining (operators/lm.py::collocations): the corpus's
-    top-20 bigrams by LIFT = N·c(w1,w2)/(c(w1·)·c(·w2)) — PMI's
-    exponential twin (same ranking, log is monotone) expressed as a pure
-    integer-count ratio so rows hash-compare across engines; min support 5
-    floors the hapax-pair noise where lift saturates at N.  The phrase-
-    mining pass that feeds tokenizer vocabularies and index phrase
-    dictionaries.  ONE bigram explode (materialized once — it feeds four
-    counts) -> three map-side-combined aggregates, unigram contexts
-    joined back under the at-scale-safe hint="auto" default (AQE picks
-    broadcast when the vocabulary fits, as it does here), TakeOrdered
-    top-20."""
-    from trafficbigdatasearch_spark.operators import lm
-
-    return lm.collocations(
-        load_table(spark, sf, "documents"), k=20, min_count=5
-    )
-
-
-def _stream_documents_source(spark, sf):
-    """Bounded file-source STREAM over the documents table (the
-    _stream_events_source arrangement, no ts normalization needed)."""
-    import os
-
-    raw = spark.read.parquet(os.path.join(sf, "documents.parquet"))
-    d = _scratch("stream_documents", sf)
-    link = os.path.join(d, "documents.parquet")
-    if not os.path.lexists(link):
-        os.symlink(
-            os.path.realpath(os.path.join(sf, "documents.parquet")), link
-        )
-    return spark.readStream.schema(raw.schema).parquet(d)
-
-
-def _stream_embeddings_source(spark, sf):
-    """Bounded file-source STREAM over the embeddings table (the
-    _stream_documents_source arrangement)."""
-    import os
-
-    raw = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
-    d = _scratch("stream_embeddings", sf)
-    link = os.path.join(d, "embeddings.parquet")
-    if not os.path.lexists(link):
-        os.symlink(
-            os.path.realpath(os.path.join(sf, "embeddings.parquet")), link
-        )
-    return spark.readStream.schema(raw.schema).parquet(d)
-
-
-@register("stream_lm_gate", _LM_FILTER_ORACLE)
-def stream_lm_gate_q(spark, sf):
-    """The LM fluency gate ON A STREAM — the production arrangement of
-    pipeline_lm_filter: the bigram model trains OFFLINE on the static
-    gated English slice (batch lm.bigram_lm, min_count=10), then gates
-    arriving documents with a stream-static broadcast join + one
-    streaming (doc, lang) aggregation, keeping docs at coverage >= 0.85
-    (no-bigram docs produce no aggregate row and drop — the gate
-    semantics, identical to the batch row).  One oracle pins the batch
-    pipeline and this streaming twin to the same bits, the
-    trend/merge-upsert pattern applied to corpus curation: train once,
-    gate forever, no recompute on the stream."""
-    from trafficbigdatasearch_spark.operators import lm
-
-    docs = load_table(spark, sf, "documents")
-    gated_static = docs.filter(T.token_count(F.col("text")) >= 5)
-    model = lm.bigram_lm(
-        gated_static.filter(F.col("lang") == "en").select("doc_id", "text"),
-        min_count=10,
-    ).select("w1", "w2", F.lit(True).alias("_known"))
-
-    src = _stream_documents_source(spark, sf)
-    gated = src.filter(T.token_count(F.col("text")) >= 5)
-    toks = F.filter(
-        T.tokens(F.lower(F.col("text"))), lambda t: t != F.lit("")
-    )
-    n = F.size(toks)
-    bigrams = F.zip_with(
-        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bg = gated.select(
-        "doc_id", "lang", F.explode(bigrams).alias("bgp")
-    ).select(
-        "doc_id", "lang",
-        F.col("bgp.w1").alias("w1"), F.col("bgp.w2").alias("w2"),
-    )
-    agg = (
-        bg.join(F.broadcast(model), ["w1", "w2"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("_nb"),
-            F.sum(
-                F.when(F.col("_known"), F.lit(1)).otherwise(F.lit(0))
-            ).alias("_nk"),
-        )
-    )
-    drained = _drain_to_memory(agg, "stream_lm_gate")
-    return drained.filter(
-        F.col("_nk").cast("double") / F.col("_nb").cast("double") >= 0.85
-    ).select("doc_id", "lang")
-
-
-@register(
-    "decontaminate_fuzzy",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t,
-                      unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS i
-               FROM toks),
-       sh AS (SELECT DISTINCT doc_id,
-                     array_to_string(t[i + 1 : i + 5], ' ') AS s
-              FROM idx
-              WHERE array_to_string(t[i + 1 : i + 5], ' ') <> ''),
-       bsh AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 7 = 0),
-       cand AS (SELECT DISTINCT sh.doc_id, bsh.bid
-                FROM sh JOIN bsh USING (s)
-                WHERE sh.doc_id <> bsh.bid),
-       szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-               FROM sh GROUP BY 1),
-       ov AS (SELECT c.doc_id, c.bid, CAST(count(*) AS BIGINT) AS shared
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_id
-              JOIN bsh b ON b.bid = c.bid AND b.s = a.s
-              GROUP BY 1, 2)
-       SELECT ov.doc_id, ov.bid AS bench_id, ov.shared,
-              sa.sz AS size_a, sb.sz AS size_b,
-              CAST(shared AS DOUBLE) /
-              (sa.sz + sb.sz - shared) AS jaccard
-       FROM ov
-       JOIN szs sa ON sa.doc_id = ov.doc_id
-       JOIN szs sb ON sb.doc_id = ov.bid
-       WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5""",
-)
-def decontaminate_fuzzy_q(spark, sf):
-    """FUZZY test-set decontamination
-    (operators/decontam.py::fuzzy_contamination_pairs): (train doc, bench
-    doc) pairs whose distinct 5-gram shingle sets overlap at Jaccard >=
-    0.5 — the paraphrase/partial-copy leakage the exact hit counter
-    (decontaminate) underweights for long documents, since Jaccard
-    normalizes by both set sizes.  Benchmark = every 7th doc standing in
-    for an eval suite; identity pairs excluded via exclude_same_id=True —
-    an OPT-IN this fixture makes because its benchmark is carved from
-    the corpus (shared id space); independent-namespace callers keep the
-    default, where an id collision is a real pair.  Everything
-    benchmark-sized ships
-    broadcast — candidate postings and whole shingle sets — candidates
-    exist only on shared shingles, and the verify is one row-local
-    array_intersect per candidate: the corpus text never shuffles."""
-    from trafficbigdatasearch_spark.operators import decontam
-
-    docs = load_table(spark, sf, "documents")
-    bench = docs.filter(F.col("doc_id") % 7 == 0)
-    return decontam.fuzzy_contamination_pairs(
-        docs, bench, threshold=0.5, n=5, exclude_same_id=True
-    )
-
-
-@register(
-    "decontaminate_semantic",
-    f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       b AS (SELECT vec_id AS bench_id, v AS bv FROM c WHERE vec_id % 50 = 3)
-       SELECT c.vec_id, bench_id,
-              list_dot_product(c.v, bv) /
-              (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(bv, bv))) AS cosine
-       FROM c CROSS JOIN b
-       WHERE list_dot_product(c.v, bv) /
-             (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(bv, bv))) >= 0.4""",
-)
-def decontaminate_semantic_q(spark, sf):
-    """SEMANTIC decontamination (operators/decontam.py::
-    semantic_contamination_pairs, r10) — the family's third member after
-    exact n-gram hits and shingle-Jaccard: corpus items whose EMBEDDING
-    sits within cosine 0.4 of any benchmark item, the paraphrased/reworded
-    leakage both text-level members structurally miss.  Benchmark = every
-    50th embedding standing in for an eval suite; identity pairs are kept
-    on purpose (a benchmark row physically present in the corpus is the
-    most literal contamination), so the row is non-vacuous at every SF
-    (14/15/81 pairs).  Same scale shape as the whole module: the quantized
-    benchmark broadcasts, each corpus row scores map-side — the corpus
-    never shuffles, one integer dot + one closing IEEE chain per pair."""
-    from trafficbigdatasearch_spark.operators import decontam
-
-    emb = load_table(spark, sf, "embeddings")
-    return decontam.semantic_contamination_pairs(
-        emb,
-        emb.filter(F.col("vec_id") % 50 == 3).select(
-            F.col("vec_id").alias("bench_id"), "embedding"
-        ),
-        threshold=0.4,
-    )
-
-
-@register("stream_semantic_gate", _REGISTRY["decontaminate_semantic"][1])
-def stream_semantic_gate_q(spark, sf):
-    """Semantic decontamination ON A STREAM — the production arrangement
-    of decontaminate_semantic (the stream_lm_gate pattern applied to the
-    embedding member): the quantized benchmark is STATIC and broadcast;
-    each arriving embedding scores against it map-side (one integer dot +
-    one closing IEEE chain per pair, stream-static broadcast join, no
-    state, no watermark — append mode) and contaminated arrivals emit as
-    (vec_id, bench_id, cosine) rows.  The batch operator runs UNCHANGED on
-    the streaming DataFrame — same code path, so one oracle pins the batch
-    row and this streaming twin to the same bits: gate forever, rescore
-    never."""
-    from trafficbigdatasearch_spark.operators import decontam
-
-    emb = load_table(spark, sf, "embeddings")
-    bench = emb.filter(F.col("vec_id") % 50 == 3).select(
-        F.col("vec_id").alias("bench_id"), "embedding"
-    )
-    pairs = decontam.semantic_contamination_pairs(
-        _stream_embeddings_source(spark, sf), bench, threshold=0.4
-    )
-    return _drain_to_memory(pairs, "stream_semantic_gate", "append")
-
-
-@register(
-    "graph_link_pred",
-    """WITH raw AS (SELECT range AS u, (range + 1) % 1500 AS v
-                  FROM range(1500)
-                  UNION ALL
-                  SELECT range, (range * 7 + 3) % 1500 FROM range(1500)),
-       canon AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
-                 FROM raw WHERE u <> v),
-       adj AS (SELECT u AS n, v AS m FROM canon
-               UNION ALL SELECT v AS n, u AS m FROM canon),
-       deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
-       w2 AS (SELECT a.m AS x, b.m AS y
-              FROM adj a JOIN adj b ON a.n = b.n AND a.m < b.m),
-       shared AS (SELECT x AS u, y AS v, CAST(count(*) AS BIGINT) AS shared
-                  FROM w2 GROUP BY 1, 2 HAVING count(*) >= 2),
-       nonadj AS (SELECT s.* FROM shared s
-                  LEFT JOIN canon c ON c.u = s.u AND c.v = s.v
-                  WHERE c.u IS NULL)
-       SELECT na.u, na.v, na.shared,
-              du.d AS deg_u, dv.d AS deg_v,
-              CAST(na.shared AS DOUBLE) /
-              (du.d + dv.d - na.shared) AS score
-       FROM nonadj na
-       JOIN deg du ON du.n = na.u
-       JOIN deg dv ON dv.n = na.v""",
-)
-def graph_link_pred_q(spark, sf):
-    """Neighbor-Jaccard link prediction (operators/graph.py::
-    jaccard_link_prediction, Liben-Nowell & Kleinberg CIKM'03): scores
-    every non-adjacent distance-2 pair with >= 2 common neighbors over
-    the deterministic two-family graph — the "people you may know" /
-    related-entities primitive, all-integer counts + one division so the
-    168 scored pairs hash-compare exactly.  One wedge self-join on the
-    common neighbor (the d(w)^2 fan-out is inherent to distance-2
-    enumeration; the operator's max_degree cap is the documented hub
-    guard), map-side-combined shared counts, broadcast degrees, anti join
-    against existing edges."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    ids = spark.range(1500)
-    edges = ids.select(
-        F.col("id").alias("u"), ((F.col("id") + 1) % 1500).alias("v")
-    ).unionByName(
-        ids.select(
-            F.col("id").alias("u"),
-            ((F.col("id") * 7 + 3) % 1500).alias("v"),
-        )
-    )
-    return G.jaccard_link_prediction(edges, min_shared=2)
-
-
-@register(
-    "a_impute_median",
-    """WITH nulled AS (SELECT event_id, event_type,
-                     CASE WHEN event_id % 13 = 0 THEN NULL
-                          ELSE value END AS v
-              FROM events),
-       med AS (SELECT event_type,
-                      quantile_cont(CAST(round(v * 100) AS BIGINT), 0.5)
-                        AS m_c
-               FROM nulled WHERE v IS NOT NULL GROUP BY 1)
-       SELECT n.event_id, n.event_type,
-              COALESCE(n.v, m_c / CAST(100.0 AS DOUBLE)) AS value_filled,
-              CAST(n.v IS NULL AS BIGINT) AS was_null
-       FROM nulled n JOIN med USING (event_type)""",
-)
-def a_impute_median_q(spark, sf):
-    """Missing-value repair (operators/validate.py::impute_group_median):
-    every 13th event's value is deterministically NULLed (the fixture's
-    stand-in for sensor dropouts), then filled with its event_type's
-    EXACT median — computed on the integer-cent lattice so both engines
-    interpolate between exact integers (the a_exact_percentiles
-    contract; a raw-double median would not hash-match).  All rows
-    returned with a was_null audit flag — repair never drops data and
-    downstream must distinguish measured from imputed.  One grouped
-    percentile broadcast back; the fact table never shuffles."""
-    from trafficbigdatasearch_spark.operators import validate as VA
-
-    ev = load_table(spark, sf, "events").select(
-        "event_id",
-        "event_type",
-        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
-            F.col("value")
-        ).alias("v"),
-    )
-    return VA.impute_group_median(ev, "v", ["event_type"]).select(
-        "event_id",
-        "event_type",
-        F.col("v_filled").alias("value_filled"),
-        "was_null",
-    )
-
-
-@register(
-    "pipeline_mm_dedup",
-    """WITH RECURSIVE fp AS (SELECT doc_id AS id,
-                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT)
-                            AS h
-            FROM documents),
-       prs AS (SELECT a.id AS id_a, b.id AS id_b
-               FROM fp a JOIN fp b ON a.id < b.id
-               WHERE bit_count(xor(a.h, b.h)) <= 3),
-       eds AS (SELECT id_a AS u, id_b AS v FROM prs
-               UNION SELECT id_b, id_a FROM prs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
-                FROM walk GROUP BY id),
-       labeled AS (SELECT d.doc_id,
-                          COALESCE(c.component, d.doc_id) AS component
-                   FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-       SELECT component, CAST(min(doc_id) AS BIGINT) AS keeper_id,
-              CAST(count(*) AS BIGINT) AS n_members
-       FROM labeled GROUP BY component""",
-)
-def pipeline_mm_dedup_q(spark, sf):
-    """MULTIMODAL dedup composed end-to-end: perceptual-hash near-dup
-    pairs (banded-Hamming engine, pigeonhole-lossless at radius 3) ->
-    connected components (transitive closure, not pairwise order-bias)
-    -> min-id keeper per visual cluster, singletons kept as their own
-    component — the image-corpus twin of pipeline_dedup_corpus, proving
-    the mm blocking path feeds the same CC + survivor machinery the text
-    family uses.  Oracle: the all-pairs Hamming filter + a recursive-CTE
-    closure (the pipeline_dedup_corpus verification pattern)."""
-    from trafficbigdatasearch_spark.operators import graph as G
-    from trafficbigdatasearch_spark.operators import multimodal
-
-    docs = load_table(spark, sf, "documents")
-    assets = multimodal.assets_from_documents(docs)
-    pairs = multimodal.phash_pairs(assets).select("id_a", "id_b")
-    comp = G.connected_components(pairs)
-    labeled = docs.select("doc_id").join(
-        comp, docs["doc_id"] == comp["id"], "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-    )
-    return labeled.groupBy("component").agg(
-        F.min("doc_id").cast("bigint").alias("keeper_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-    )
-
-
-# =============================================================================
-# Registry ordering: the driver verifies the FIRST 50 entries in registration
-# order (verified across rounds 1-3: CORRECTNESS_r{N}.json is exactly
-# positions 1-50).  _WINDOW is the explicit first-50 roster.
-#
-# ROTATION POLICY (adopted round 4, per VERDICT r3 #2; stable/rotating
-# split is ~23/27 this round — new-capability pressure was high):
-#   - STABLE slots: one flagship per capability family — the most
-#     substantive, least-redundant representative (preferring compositions
-#     that exercise their siblings' machinery).  These stay put so every
-#     round re-verifies the load-bearing paths.
-#   - ROTATING slots: cycle the long tail so every registered query gets
-#     a driver row at least once and no row's last driver verification ages
-#     more than ~2 rounds.  New queries enter through rotating slots in
-#     their first round, then promote to stable (displacing a sibling) or
-#     rotate out.
-#   - A rotated-out entry must name an in-window SIBLING covering its code
-#     path; everything stays registered and oracle-bearing and is verified
-#     every session by pytest + the dtype-strict tools/driver_sim rehearsal
-#     (94/94 at sf0.01).
-#
-# STALENESS BOUND, REVISED (round 11, per VERDICT r10 #8): the original
-# "~2 rounds" bound was written for a ~100-row registry; at 235 rows with
-# 28 rotating slots the arithmetic is 28 x 2 = 56 < 185 non-stable rows,
-# so it cannot hold and is retired.  The revised contract:
-#   (a) NEVER-CHECKED FIRST is unchanged and absolute — a query's first
-#       driver row converts its whole capability family, so the
-#       never-checked queue always outranks staleness refresh.  With ~28
-#       slots/round the queue drains in ceil(backlog/28) rounds; r11 takes
-#       27 of the 38-row backlog, r12 takes the remaining 11 plus any r11
-#       registrations.
-#   (b) CHANGED-CODE CYCLE-BACKS outrank stale refresh: any row whose code
-#       path changed since its last driver row re-enters the next window.
-#   (c) Stale refresh is BEST-EFFORT with leftover slots, oldest-first.
-#       The staleness guarantee for rotated-out rows is no longer a driver
-#       row every ~2 rounds; it is the continuous gate that has always
-#       been the real backstop: EVERY registered row is oracle-verified at
-#       sf0.001 by each pytest run (tests/test_entry_correctness.py
-#       parameterizes the full registry) and at sf0.01 by each session's
-#       tools/driver_sim sweep (235/235 in r10).  Driver rows re-verify
-#       what those gates already hold green; they never substitute for it.
-#   (d) REGISTRATION PACING: new rows enter the QUEUE (not the window) in
-#       registration order when the queue is longer than one round's
-#       rotating capacity; "new queries enter in their first round"
-#       applies only while the queue fits one window.
-#
-# Round-4 rotation (r3 swaps are in git history at this comment's previous
-# version):
-#   in  (the 8 entries that had never had a driver row in rounds 1-3)
-#       a_grouping_sets, w_quality_deciles, w_scd2_intervals,
-#       a_anomaly_zscore, text_repetition, text_phrase_search,
-#       mm_frame_sample, sample_stratified
-#   in  (this round's new queries)
-#       sim_pq_trained_topk, sim_pq_rerank_topk, stream_attribution,
-#       sample_split_leakage_free, sketch_top_items, j_spatial_grid,
-#       table_diff_orders, a_incremental_merge, graph_bfs_reach,
-#       j_fuzzy_name, f_higher_order
-#   out (-> in-window sibling covering the code path)
-#       a_unpivot_doc_metrics -> a_pivot_event_types (both Expand reshapes)
-#       sample_group_topk     -> sample_mixture + w_quality_deciles carry
-#                                the hash-membership and window machinery
-#       dedup_exact          -> exact-md5 stage inside pipeline_dedup_corpus
-#       dedup_ngram_jaccard  -> shingle machinery shared w/ dedup_minhash_lsh
-#       pipeline_clean_corpus-> literal prefix of pipeline_dedup_corpus
-#       sim_ivf_topk         -> identical oracle to sim_ivf_indexed
-#       q14_promo_revenue    -> TPC-H family held by q3 + q5
-#       sample_split_hash    -> same md5 membership as sample_mixture
-#       text_search_terms    -> postings machinery in text_tfidf_topk +
-#                               text_phrase_indexed
-#       w_lag_gap            -> lag machinery inside w_sessionize
-#       a_approx_sketches    -> sketch family held by sketch_distinct_rollup
-#       sketch_segment_overlap -> sibling sketch_distinct_rollup
-#       sim_pq_codes         -> encode stage inside all three ADC rows
-#   out (second batch, making room for the six newest; each remains green
-#        under pytest + driver_sim and has an in-window sibling)
-#       dedup_minhash_lsh    -> band machinery inside dedup_incremental +
-#                               pipeline_dedup_corpus's LSH stage
-#       mm_features          -> mm_phash_pairs + mm_frame_sample carry the
-#                               Arrow-batched multimodal path
-#       w_trailing_range     -> range-frame machinery beside w_sessionize /
-#                               w_quality_deciles / w_scd2_intervals
-#       stream_sessions      -> identical oracle to w_sessionize (in-window);
-#                               streaming execution held by stream_events_hourly
-#                               + stream_attribution
-#       a_pivot_event_types  -> a_grouping_sets (same Expand reshape family)
-#       sim_kmeans_refine    -> the training chain runs inside in-window
-#                               sim_pq_trained_topk
-#   out (third batch, late-r4: this session's 8 new capability classes
-#        enter in their first round per policy; each slot freed was GREEN
-#        in CORRECTNESS_r03 and keeps an in-window sibling)
-#       j2_interval_join     -> interval machinery held by j_range_keyless +
-#                               j_skew_salted's band residual
-#       j_semi_anti          -> semi/anti joins inside decontaminate (semi)
-#                               + dedup pipelines (anti)
-#       a_rollup_reagg       -> a_grouping_sets (same Expand/rollup family)
-#       dedup_simhash_pairs  -> mm_phash_pairs rides the same shared
-#                               banded-Hamming engine
-#       sim_lsh_buckets      -> LSH banding inside dedup_incremental;
-#                               ANN held by sim_ivf_indexed + PQ rows
-#       sample_mixture       -> md5 membership held by sample_stratified +
-#                               sample_split_leakage_free
-#       q5_local_supplier    -> TPC-H join family held by q3 + q19 (new)
-#       a_funnel_steps       -> event-sequence machinery beside
-#                               stream_attribution + a_cohort_retention
-#
-# SLOT PRIORITY (stated round 5, per VERDICT r4 #2): when queue pressure
-# and the ~2-round staleness bound compete for rotating slots, the order
-# is (1) never-driver-checked queue first — driver-green is the contract's
-# currency and a query's first row converts its whole capability family —
-# then (2) oldest-stale rows, oldest last-green round first.  Stable-slot
-# demotions are allowed to relieve pressure when the demoted row has a
-# strictly-covering in-window sibling.
-#
-# Round-5 rotation (r4 swaps above; full r1-r4 history in git):
-#   stable restructure (23 -> 22; both demotions have strict siblings)
-#       dedup_clusters   -> CC stage runs inside pipeline_dedup_corpus
-#                           (stable) + pipeline_dbscan /
-#                           pipeline_entity_resolution / pipeline_semantic_dedup
-#                           (all in-window this round)
-#       text_tfidf_topk  -> postings machinery held by text_phrase_indexed
-#                           (stable) + text_bm25_indexed (in-window)
-#       a_grouping_sets  promoted rotating -> stable: the Expand-reshape
-#                           family flagship (pivot/unpivot/rollup siblings
-#                           all rotated out in r4 and need a standing rep)
-#   in  (the 21 never-driver-checked queries — the whole ROUND-5 QUEUE)
-#       stream_partial_maintenance, q4_priority_exists, a_exact_percentiles,
-#       f_variant_extract, pipeline_entity_resolution,
-#       pipeline_incremental_refresh, j_interval_overlap, w_pattern_sequence,
-#       pipeline_semantic_dedup, spatial_density, pipeline_dbscan,
-#       sample_importance, graph_pagerank, graph_kcore, graph_label_prop,
-#       graph_sssp, ts_resample_ohlc, ts_gapfill, text_bm25_indexed,
-#       stream_ohlc, a_anomaly_mad
-#   in  (6 oldest-stale §2-parity rows, last green r1/r2)
-#       f_date_arith, u_union_distinct, sort_topk, p_time_range_closed,
-#       s_scan_project, f_lenient_cast
-#   in  (this round's new query, first-round entry per policy)
-#       w_quality_deciles_global
-# ROUND-6 ROTATION QUEUE (queries registered after the round-5 window was
-# frozen — never driver-checked; per the slot-priority rule they enter the
-# r6 window FIRST, then the oldest-stale rows, oldest last-green first):
-#       j_bloom_prefilter, j_bloom_anti, stream_dedup, quality_referential,
-#       s_minmax_skipping, s_orc_roundtrip, table_merge_upsert,
-#       stream_merge_upsert, a_histogram, a_event_transitions,
-#       a_winsorize, quality_profile, a_basket_pairs, a_attribution_touch,
-#       dedup_containment, text_bpe_merges, text_bpe_encode
-#   (each is green under pytest + tools/driver_sim at sf0.01 as of its
-#    registration session)
-#
-# Round-6 rotation (executing the queue above):
-#   SLOT-PRIORITY AMENDMENT (stated this round): rows whose IMPLEMENTATION
-#   changed this session outrank stale rows for the leftover slots — a
-#   driver row must certify the code that will ship, not last round's; a
-#   green row on since-rewritten code is weaker evidence than a stale row
-#   on untouched code.
-#   in  (the whole 17-query ROUND-6 QUEUE — after this round every query
-#        registered BEFORE the r6 window froze has had >= 1 driver row;
-#        the two post-freeze registrations sit in the ROUND-7 QUEUE below)
-#   in  (this round's new queries, first-round entry per policy)
-#       text_bpe_apply, pipeline_bpe
-#   in  (changed-code re-verification per the amendment: the ordering-key
-#        guard amortization rewrote the OHLC/gapfill closes aggregates and
-#        the keep-best argmax projection this session)
-#       ts_resample_ohlc, ts_gapfill, ts_interpolate, stream_ohlc,
-#       dedup_keep_best
-#   in  (oldest-stale, last green r2, registration order)
-#       p_time_range_halfopen, p_segments_case, j1_equi_join_dims,
-#       j3_or_key_union
-#   staleness evidence for everything left outside the window: the FULL
-#   149-query registry was swept green through tools/driver_sim (dtype-
-#   strict oracle compare) at sf0.01 this session — 149/149 — so every
-#   rotated-out row is freshly re-verified against its oracle even though
-#   its last DRIVER row is older.
-#
-# ROUND-7 ROTATION QUEUE (registered after the round-6 window was frozen
-# and rehearsed — never driver-checked; enters the r7 window FIRST per the
-# slot-priority rule, then oldest-stale rows, oldest last-green first):
-#       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
-#   (each green under pytest + tools/driver_sim at sf0.01 as of its
-#    registration session; dedup_jaccard_prefix additionally pinned
-#    row-identical to the unguarded ngram-jaccard operator in
-#    tests/test_dedup_edges.py)
-#
-# ROUND-6 CLOSING STATE (for the r7 rotation): the r6 window (positions
-# 1-50 above) was rehearsed 50/50 green before freezing AND the whole
-# 152-query registry swept green twice this session (dtype-strict
-# driver_sim, sf0.01).  Oldest-stale after r6: the ~21 remaining r2-green
-# rows (p_calendar_eq, a_group_avg, a_pricing_summary, a_rollup, a_cube,
-# set_intersect, set_except, f_string_funcs, w_row_number, ... in
-# registration order) then the r3 batch — r7's stale slots start there
-# after the 3-query queue.  The 5 changed-code slots (OHLC/gapfill/
-# keep-best) and the 4 r2 rows in-window this round free up in r7.
-#   out (-> in-window sibling covering the code path; every exit was GREEN
-#        in CORRECTNESS_r05)
-#       stream_partial_maintenance -> stream_merge_upsert (foreachBatch
-#                               maintenance family) + stable stream_events_hourly
-#       q4_priority_exists   -> q3_shipping_priority (stable TPC-H family)
-#       a_exact_percentiles  -> a_winsorize (same quantile_cont machinery)
-#       f_variant_extract    -> JSON machinery held by json_sink goldens
-#                               (tests/test_jsonl.py) until its next cycle
-#       pipeline_entity_resolution -> pipeline_dedup_corpus (stable CC +
-#                               survivor election)
-#       pipeline_incremental_refresh -> table_merge_upsert +
-#                               stream_merge_upsert (in-window)
-#       j_interval_overlap   -> j_range_keyless (stable band machinery)
-#       w_pattern_sequence   -> w_sessionize (stable lag/lead sequencing)
-#       pipeline_semantic_dedup -> pipeline_dedup_corpus (stable) +
-#                               dedup_containment (in-window)
-#       spatial_density      -> grid machinery beside p_bbox_filter
-#                               (stable); dbscan family cycles back r7
-#       pipeline_dbscan      -> CC held by pipeline_dedup_corpus (stable)
-#       sample_importance    -> md5-membership machinery inside
-#                               decontaminate (stable)
-#       graph_pagerank/kcore/label_prop/sssp -> bounded-fixpoint family
-#                               held by pipeline_dedup_corpus's CC (stable);
-#                               graph suite cycles back r7
-#       text_bm25_indexed    -> text_phrase_indexed (stable postings)
-#       a_anomaly_mad        -> a_winsorize (same grouped-quantile shape)
-#       f_date_arith, u_union_distinct, sort_topk, p_time_range_closed,
-#       s_scan_project, f_lenient_cast -> §2-parity rows re-verified r5,
-#                               within the 2-round bound through r7
-#       w_quality_deciles_global -> histogram-CDF machinery beside
-#                               a_histogram (in-window)
-#
-#   out (-> in-window sibling covering the code path; every exit was GREEN
-#        in CORRECTNESS_r04)
-#       ts_interpolate       -> ts_gapfill (same per-key running-frame
-#                               fill machinery) + ts_resample_ohlc
-#       graph_triangles      -> graph suite held by graph_pagerank /
-#                               graph_kcore / graph_label_prop / graph_sssp
-#       a_corr_stats         -> exact-sum aggregate machinery in
-#                               quality_report (stable) + a_exact_percentiles
-#       text_bm25_topk       -> identical scoring + oracle inside
-#                               text_bm25_indexed
-#       text_vocab_encode    -> tokenize machinery in text_phrase_indexed;
-#                               broadcast-join encode pattern in decontaminate
-#       j_point_in_polygon   -> spatial grid machinery in spatial_density +
-#                               pipeline_dbscan
-#       q19_disjunctive_join -> TPC-H family held by q3 (stable) +
-#                               q4_priority_exists
-#       dedup_keep_best      -> CC + survivor election inside
-#                               pipeline_dedup_corpus (stable) +
-#                               pipeline_entity_resolution
-#       w_quality_deciles    -> w_quality_deciles_global (in-window scale
-#                               variant) + ranking windows in w_pattern_sequence
-#       w_scd2_intervals     -> lead/lag machinery in w_sessionize (stable)
-#                               + w_pattern_sequence
-#       a_anomaly_zscore     -> a_anomaly_mad (same robust-anomaly family)
-#       text_repetition      -> text_lang_id (stable; same pure-expression
-#                               text-metrics family)
-#       text_phrase_search   -> text_phrase_indexed (stable; identical oracle)
-#       mm_frame_sample      -> mm_phash_pairs (stable; Arrow-batched
-#                               multimodal path)
-#       sample_stratified    -> sample_importance (same md5-membership
-#                               machinery)
-#       sim_pq_trained_topk  -> ADC chain held by sim_pq_adc_topk (stable);
-#                               trainer pinned by tests/test_pipeline.py
-#       sim_pq_rerank_topk   -> sim_pq_adc_topk + sim_ivf_indexed (stable)
-#       stream_attribution   -> stream_ohlc + stream_partial_maintenance
-#                               (in-window streaming) + stream_events_hourly
-#                               (stable)
-#       sample_split_leakage_free -> sample_importance (md5 membership);
-#                               cluster-id machinery in dedup pipelines
-#       sketch_top_items     -> sketch_distinct_rollup (stable)
-#       j_spatial_grid       -> grid join machinery in spatial_density +
-#                               pipeline_dbscan
-#       table_diff_orders    -> diff-driven refresh inside
-#                               pipeline_incremental_refresh
-#       a_incremental_merge  -> same mergeable-partial algebra inside
-#                               pipeline_incremental_refresh +
-#                               stream_partial_maintenance
-#       graph_bfs_reach      -> graph_sssp (BFS = unit-weight SSSP, same
-#                               fixpoint loop)
-#       j_fuzzy_name         -> blocked_levenshtein_join is the core of
-#                               pipeline_entity_resolution
-#       f_higher_order       -> array-lambda (transform/aggregate/zip_with)
-#                               machinery inside the stable sim_* quantize
-#                               path + f_variant_extract (functions family)
-# =============================================================================
-
-# ROUND-8 CLOSING STATE (for the r9 rotation): the r8 window (positions
-# 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
-# registry was swept green through tools/driver_sim (dtype-strict,
-# sf0.01) at 181/181 and 183/183 mid-session and 184/184 at close — the
-# final sweep certifying every post-freeze change (two review-fix batches:
-# count_distinct hot-user cap, null-safe group joins in drift +
-# temperature, count-before-collect sidecar fallback, semantic-dedup
-# validate fail-fast + hoisted nprobe, drift single-scan checkpoints) on
-# the code that ships.  pytest at close: 581 passed / 2 skipped / 0
-# failed (plan/skew pins re-run green after the last change).  sf0.1 verification: all 12 r8
-# additions + changed rows hash-green (gapfill/interpolate on the full
-# 1,049,414-row grids under the widened DECIMAL key).  Bench: 0.83x the
-# r5 driver bench on the 58 common queries (mid-session sf0.1 run, 145
-# headline 152.8 s warm + the 39-query blind-spot sweep); the widened
-# ordering key measured flat vs r7.  The recsys hot-user probe recorded
-# the skew bomb (one 20k-item user: 0.48 s -> 23.4 s uncapped, 0.91 s
-# capped, capped == clean) in SCALING.md.
-#   r9 slot guidance, in order:
-#   1. the ROUND-9 QUEUE below (17 never-driver-checked rows: 12 pre-r8
-#      + the 5 r8 post-freeze registrations);
-#   2. cycle-backs named in the r8 exits: s_zorder_skipping,
-#      ts_resample_ohlc, ts_interpolate, text_dup_spans (interval-merge
-#      refactor), s_minmax_skipping (the _read_surviving
-#      count-before-collect rewrite landed after its last driver row);
-#   3. oldest-stale rows (r3/r4-green exits in registration order).
-#
-# ROUND-8 ROTATION QUEUE (registered after the round-7 window was frozen
-# and rehearsed — never driver-checked; enters the r8 window FIRST per the
-# slot-priority rule, then the r8 cycle-back priorities named in the exits
-# below — merge_upsert + BPE families — then oldest-stale rows):
-#       ts_trend_incremental, stream_trend, pipeline_lm_filter,
-#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
-#       dedup_semantic_ivf, q18_large_orders, text_collocations,
-#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
-#       a_impute_median, pipeline_mm_dedup
-#   (each green under pytest + tools/driver_sim at sf0.01 as of its
-#    registration session AND re-green in the closing 176/176 sweep;
-#    ts_trend_incremental/stream_trend share ts_trend_per_key's oracle —
-#    the sliced-merged and streaming arrangements are pinned bit-identical
-#    to the in-window single-pass row, so the r7 window already certifies
-#    the shared moments/finalize code path; stream_lm_gate likewise shares
-#    pipeline_lm_filter's oracle)
-#
-# ROUND-8 rotation (executing the r8 queue + slot-priority policy; the
-# stable 22 stay put):
-#   in  (the 15-query ROUND-8 QUEUE above, never driver-checked)
-#       ts_trend_incremental, stream_trend, pipeline_lm_filter,
-#       text_doc_keywords, rec_negatives, sim_ivf_adc_topk, graph_ppr,
-#       dedup_semantic_ivf, q18_large_orders, text_collocations,
-#       stream_lm_gate, decontaminate_fuzzy, graph_link_pred,
-#       a_impute_median, pipeline_mm_dedup
-#   in  (changed-code re-verification per the r7 amendment: the
-#        _pq_adc_parts refactor rewrote their shared scoring stage; their
-#        last driver row predates it)
-#       sim_pq_rerank_topk, sim_pq_trained_topk
-#   in  (this round's new query, first-round entry per policy)
-#       rec_item_cosine_capped (the hot-user-cap variant, verdict r7 #1 —
-#       cap genuinely fires at sf0.01 so the oracle certifies the drop
-#       semantics, not the identity path)
-#   in  (cycle-backs promised in the r7 exits)
-#       table_merge_upsert, stream_merge_upsert, text_bpe_merges,
-#       text_bpe_encode, text_bpe_apply, pipeline_bpe, s_orc_roundtrip
-#   in  (this round's second new query, first-round entry per policy)
-#       eval_rec_hdcg (the rational-discount DCG twin, verdict r7 #8 —
-#       takes the slot ts_resample_ohlc would have used; see next note)
-#   in  (changed-code re-verification, THIS round's change: the OHLC/
-#        gapfill ordering key widened from the bigint x1e6 pack to
-#        DECIMAL(38,0) x1e10 — verdict r7 #4 — on both engines)
-#       ts_gapfill, stream_ohlc
-#       (ts_resample_ohlc yields its slot to the new eval_rec_hdcg row:
-#        its widened key is the SAME _ord_key expression ts_gapfill's
-#        closes stage runs, its min_by+max_by OHLC shape is what
-#        stream_ohlc runs with the same wide pack, and the sf>=1
-#        boundary is pinned by the new wide-key pytest
-#        (tests/test_timeseries.py) — plus a green driver_sim rehearsal
-#        this session; cycles back r9 with ts_interpolate, which shares
-#        ts_gapfill's widened closes stage with untouched interpolation
-#        arithmetic)
-#   out (-> in-window sibling covering the code path; every exit was
-#        green in the r7 driver window, and this round's full driver_sim
-#        sweep re-verifies all of them on shipping code)
-#       dedup_jaccard_prefix  -> dedup_incremental + pipeline_dedup_corpus
-#                                (stable) hold the shingle/anti machinery;
-#                                prefix-filter pinned tests/test_dedup_edges
-#       text_dup_spans        -> shingle+posexplode machinery inside the
-#                                stable dedup pipelines; span-merge goldens
-#                                in tests/test_dedup_edges.py
-#       a_attribution_linear  -> the DECIMAL(38,0) ordering-key family is
-#                                carried by the in-window widened OHLC trio;
-#                                credit arithmetic pinned tests/test_abtest
-#       text_hybrid_rrf       -> fusion arithmetic pinned tests/test_fusion
-#                                (incl. the new term-validation contract);
-#                                leg machinery held by stable
-#                                text_phrase_indexed + sim_ivf_indexed
-#       text_lm_coverage      -> pipeline_lm_filter + stream_lm_gate
-#                                (in-window) run the same lm scoring path
-#       rec_item_cosine       -> rec_item_cosine_capped (in-window) is a
-#                                strict superset: same pipeline + cap stage
-#       rec_user_topn         -> rec_negatives (in-window) holds the
-#                                interaction-matrix machinery; recommend
-#                                path pinned tests/test_recsys.py
-#       eval_ivf_recall       -> IVF legs held by sim_ivf_adc_topk
-#                                (in-window) + sim_ivf_indexed (stable);
-#                                dedup'd overlap pinned tests/test_evalrank
-#       rec_eval_holdout      -> holdout split + first_hit_rank pinned
-#                                tests/test_evalrank.py; matrix machinery
-#                                in rec_negatives (in-window)
-#       s_zorder_skipping     -> sidecar build + prune machinery pinned
-#                                tests/test_sources.py; cycles back r9
-#       ts_trend_per_key      -> ts_trend_incremental + stream_trend
-#                                (in-window) are pinned bit-identical to it
-#       a_ab_conversion       -> a_grouping_sets (stable agg) +
-#                                tests/test_abtest.py goldens
-#       text_bm25_topk/_indexed -> postings + BM25 scoring pinned
-#                                tests/test_search.py; postings machinery
-#                                in stable text_phrase_indexed
-#       sim_ivf_topk          -> sim_ivf_adc_topk (in-window) shares the
-#                                _IVF_CTES build/probe; sim_ivf_indexed
-#                                (stable) holds the index surface
-#       pipeline_dbscan, spatial_density -> CC fixpoint held by
-#                                pipeline_mm_dedup (in-window) + stable
-#                                pipeline_dedup_corpus; grid machinery
-#                                pinned tests/test_spatial.py
-#       graph_pagerank        -> graph_ppr (in-window): same integer
-#                                power-iteration loop, personalized seeds
-#       graph_kcore, graph_label_prop, graph_sssp -> graph family held by
-#                                graph_ppr + graph_link_pred (in-window);
-#                                fixpoint loop shared; tests/test_graph.py
-#       p_calendar_eq         -> p_bbox_filter (stable predicate family)
-#       a_group_avg, a_pricing_summary -> quality_report (stable exact
-#                                aggregates) + q3_shipping_priority
-#       a_rollup, a_cube      -> a_grouping_sets (stable: the same Expand
-#                                grouping-set machinery, superset shape)
-#       set_intersect, set_except -> set-op rewrite pinned
-#                                tests/test_plans.py + pytest goldens
-#
-# =============================================================================
-# Post-r10-freeze registrations (this session): graph eval metrics
-# (clustering coefficient, modularity), PQ distortion, hopping windows,
-# key-skew diagnostics, and the Gopher gate on a stream.  Each enters the
-# ROUND-11 ROTATION QUEUE below per the slot-priority rule.
-# =============================================================================
-
-
-_LCC_GRAPH_SQL = """n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
-       raw AS (
-         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey * c_custkey) % n.n) + 1
-         FROM customer, n),
-       e AS (
-         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
-         FROM raw WHERE u <> v)"""
-
-
-@register(
-    "graph_clustering_coeff",
-    f"""WITH {_LCC_GRAPH_SQL},
-       adj AS (SELECT a AS nd, b AS m FROM e UNION ALL SELECT b, a FROM e),
-       deg AS (SELECT nd AS id, CAST(count(*) AS BIGINT) AS d
-               FROM adj GROUP BY 1),
-       tri AS (
-         SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         FROM e e1
-         JOIN e e2 ON e2.a = e1.b
-         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-       corners AS (
-         SELECT x AS id FROM tri
-         UNION ALL SELECT y FROM tri
-         UNION ALL SELECT z FROM tri),
-       cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
-               FROM corners GROUP BY id)
-       SELECT c.c_custkey AS id,
-              COALESCE(d.d, 0) AS degree,
-              COALESCE(cnt.n_triangles, 0) AS n_triangles,
-              CAST(2 * COALESCE(cnt.n_triangles, 0) AS BIGINT) AS lcc_num,
-              CAST(COALESCE(d.d, 0) * (COALESCE(d.d, 0) - 1) AS BIGINT)
-                AS lcc_den,
-              CASE WHEN COALESCE(d.d, 0) >= 2
-                   THEN CAST(2 * COALESCE(cnt.n_triangles, 0) AS DOUBLE) /
-                        CAST(COALESCE(d.d, 0) * (COALESCE(d.d, 0) - 1)
-                             AS DOUBLE)
-              END AS lcc
-       FROM customer c
-       LEFT JOIN deg d ON d.id = c.c_custkey
-       LEFT JOIN cnt ON cnt.id = c.c_custkey""",
-)
-def graph_clustering_coeff_q(spark, sf):
-    """Per-node LOCAL CLUSTERING COEFFICIENT (operators/graph.py::
-    local_clustering) — the triangle engine's ratio form, lcc = 2*tri /
-    (d*(d-1)), over an IRREGULAR test graph (the C_N{1,2} ring for
-    guaranteed triangles plus a quadratic chord u -> u² mod N whose
-    in-degree varies 0..4+, so degrees — and the coefficient — actually
-    spread, unlike the vertex-transitive circulant where every node ties).
-    Numerator and denominator ship as exact BIGINTs beside ONE closing
-    IEEE division (NULL below degree 2), the degree-ordered wedge join
-    bounds per-node out-degree by O(sqrt(|E|)) against hub skew, and the
-    degree aggregate the orientation already computes is reused for the
-    denominator — one extra node-partitioned join over triangle_counts,
-    nothing collected."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id")
-    )
-    n = cust.count()
-    edges = cust.select(
-        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") * F.col("id")) % n) + 1)
-    )
-    return G.local_clustering(edges, nodes=cust)
-
-
-@register(
-    "graph_modularity",
-    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
-       raw AS (
-         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 2) % n.n) + 1 FROM customer, n),
-       e AS (
-         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
-         FROM raw WHERE u <> v),
-       asg AS (SELECT c_custkey AS id,
-                      CAST(((c_custkey - 1) * 8) // n.n AS BIGINT)
-                        AS community
-               FROM customer, n),
-       lab AS (SELECT ea.community AS cu, eb.community AS cv
-               FROM e
-               JOIN asg ea ON ea.id = e.a
-               JOIN asg eb ON eb.id = e.b),
-       ein AS (SELECT cu AS community, CAST(count(*) AS BIGINT) AS e_in
-               FROM lab WHERE cu = cv GROUP BY 1),
-       ends AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
-       degc AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_c
-                FROM ends JOIN asg USING (id) GROUP BY 1),
-       nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
-              FROM asg GROUP BY 1),
-       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
-       SELECT nn.community, nn.n_nodes,
-              COALESCE(degc.deg_c, 0) AS deg_c,
-              COALESCE(ein.e_in, 0) AS e_in,
-              mm.m,
-              CAST(4::HUGEINT * mm.m * COALESCE(ein.e_in, 0)
-                   - COALESCE(degc.deg_c, 0)::HUGEINT
-                     * COALESCE(degc.deg_c, 0) AS BIGINT) AS q_num,
-              CAST(4::HUGEINT * mm.m * mm.m AS BIGINT) AS q_den,
-              CAST(4::HUGEINT * mm.m * COALESCE(ein.e_in, 0)
-                   - COALESCE(degc.deg_c, 0)::HUGEINT
-                     * COALESCE(degc.deg_c, 0) AS DOUBLE) /
-                CAST(4::HUGEINT * mm.m * mm.m AS DOUBLE) AS q_term
-       FROM nn
-       LEFT JOIN degc USING (community)
-       LEFT JOIN ein USING (community)
-       CROSS JOIN mm""",
-)
-def graph_modularity_q(spark, sf):
-    """Newman MODULARITY of a community assignment (operators/graph.py::
-    modularity_by_community) — the graph family's missing EVAL member
-    (the measurement you run after every community-detection round, the
-    way eval_cluster_purity scores the IVF cells): per community,
-    Q_c = e_in/m − (deg_c/2m)², shipped as exact integer pieces (n_nodes,
-    e_in, deg_c, m, the cross-multiplied q_num = 4·m·e_in − deg_c²
-    against q_den = 4·m²) plus ONE closing IEEE division per row; the
-    corpus-level Q = Σ q_term fold is left to the consumer per the
-    no-float-SUM rule.  Exercised on the circulant C_N{1,2,3} under 8
-    contiguous blocks — a deliberately GOOD partition (blocks cut only
-    boundary edges), so the terms are non-degenerate at every SF.
-    Internal products run on DECIMAL(38,0) (a 10⁹-edge graph cannot
-    overflow the 4·m·e_in cross term); edges dedup once, two
-    node-partitioned label joins, the global m broadcast from a
-    single-row aggregate — one pass, nothing iterates, nothing
-    collects."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id")
-    )
-    n = cust.count()
-    edges = cust.select(
-        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 2) % n) + 1)
-    )
-    assign = cust.select(
-        "id", F.expr(f"((id - 1) * 8) div {n}").cast("bigint").alias("community")
-    )
-    return G.modularity_by_community(edges, assign)
-
-
-def _pq_distortion_oracle() -> str:
-    ds = ",\n              ".join(f"{_pq_d(j)} AS d{j}" for j in range(_PQ_M))
-    ms = ", ".join(f"min(d{j}) AS m{j}" for j in range(_PQ_M))
-    unp = "\n         UNION ALL ".join(
-        f"SELECT CAST({j} AS INTEGER) AS subspace, m{j} AS md FROM mins"
-        for j in range(_PQ_M)
-    )
-    return f"""WITH c AS (SELECT vec_id, {_QVEC} AS v FROM embeddings),
-       cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-                       AS cell_id, v AS cv
-                FROM c WHERE vec_id % 97 = 0),
-       p AS (SELECT c.vec_id,
-              {ds}
-             FROM c CROSS JOIN cent),
-       mins AS (SELECT vec_id, {ms} FROM p GROUP BY vec_id),
-       l AS ({unp})
-       SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs,
-              CAST(SUM(md) AS BIGINT) AS sse,
-              CAST(CAST(SUM(md) AS BIGINT) AS DOUBLE) / count(*) AS mse
-       FROM l GROUP BY subspace"""
-
-
-@register("eval_pq_distortion", _pq_distortion_oracle())
-def eval_pq_distortion_q(spark, sf):
-    """PQ quantization DISTORTION per subspace (operators/similarity.py::
-    pq_distortion) — the codebook's own quality metric beside the stack's
-    recall rows (eval_ivf_recall / eval_lsh_recall measure WHERE the ANN
-    fabric loses neighbors; this measures how much GEOMETRY the
-    compression threw away and which subspace is responsible — the number
-    you watch when choosing m or deciding to re-train).  Per vector, each
-    of the 8 subvectors scores against its nearest codebook entry — the
-    SAME per-subspace integer-lattice argmin pq_codes encodes, so this is
-    the encode job's distances re-folded, not a new pass — and the
-    squared residuals aggregate to (subspace, n_vecs, sse BIGINT, mse =
-    one closing IEEE division).  One broadcast codebook, one corpus scan,
-    m output rows: at 100 TB the distortion report piggybacks on encoding
-    for free."""
-    emb = load_table(spark, sf, "embeddings")
-    return similarity.pq_distortion(emb, m=_PQ_M, centroid_stride=97)
-
-
-@register(
-    "a_hopping_window",
-    """WITH e AS (SELECT event_type, ts,
-                         CAST(round(value * 100) AS BIGINT) AS c
-                  FROM events WHERE value IS NOT NULL),
-       x AS (SELECT event_type,
-                    make_timestamp(((epoch_us(ts) // 900000000) - r.j)
-                                   * 900000000) AS win_start,
-                    c
-             FROM e CROSS JOIN range(4) r(j))
-       SELECT event_type AS key, win_start,
-              win_start + INTERVAL 1 HOUR AS win_end,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(SUM(c) AS BIGINT) AS sum_cents
-       FROM x GROUP BY 1, 2""",
-)
-def a_hopping_window_q(spark, sf):
-    """HOPPING (sliding) windows (operators/timeseries.py::
-    hopping_window_agg): every event lands in the four overlapping
-    1-hour/15-minute windows via Spark's NATIVE ``F.window(ts, '1 hour',
-    '15 minutes')`` — the same construct Structured Streaming executes, so
-    this batch row pins the exact window assignment a streaming deployment
-    of the tumbling rows (stream_events_hourly) would use with a slide.
-    Counts are BIGINTs, values fold on the exact cents lattice (no float
-    SUM), windows are epoch-aligned start-inclusive/end-exclusive; the
-    oracle reproduces the assignment with integer epoch-microsecond
-    arithmetic.  Scale: the fan-out is row-local BEFORE the exchange and
-    the aggregate map-side combines, so shuffle bytes are |keys| x
-    |windows|, not 4x the input — with the overlap factor (window/slide)
-    as the documented knob to keep coarse at 100 TB."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.hopping_window_agg(
-        load_table(spark, sf, "events"),
-        key_col="event_type", ts_col="ts", value_col="value",
-        window="1 hour", slide="15 minutes",
-    )
-
-
-@register(
-    "quality_key_skew",
-    """WITH sizes AS (SELECT user_id, CAST(count(*) AS BIGINT) AS sz
-                    FROM events GROUP BY 1),
-       hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n
-                FROM sizes GROUP BY 1),
-       cum AS (SELECT sz, CAST(SUM(n) OVER (ORDER BY sz
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-               FROM hist),
-       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                      CAST(SUM(sz) AS BIGINT) AS n_rows,
-                      CAST(max(sz) AS BIGINT) AS max_size
-               FROM sizes)
-       SELECT t.n_keys, t.n_rows, t.max_size,
-              CAST(min(CASE WHEN c.cum * 100 >=
-                     (50 * t.n_keys + 99) - ((50 * t.n_keys + 99) % 100)
-                   THEN c.sz END) AS BIGINT) AS p50_size,
-              CAST(min(CASE WHEN c.cum * 100 >=
-                     (90 * t.n_keys + 99) - ((90 * t.n_keys + 99) % 100)
-                   THEN c.sz END) AS BIGINT) AS p90_size,
-              CAST(min(CASE WHEN c.cum * 100 >=
-                     (99 * t.n_keys + 99) - ((99 * t.n_keys + 99) % 100)
-                   THEN c.sz END) AS BIGINT) AS p99_size,
-              CAST(1000000 * t.max_size // t.n_rows AS BIGINT)
-                AS max_share_ppm
-       FROM cum c CROSS JOIN tot t
-       GROUP BY t.n_keys, t.n_rows, t.max_size""",
-)
-def quality_key_skew_q(spark, sf):
-    """Partition-key SKEW profile (operators/validate.py::
-    key_skew_profile) — the one-row diagnostic behind this repo's own
-    salting / AQE-skew decisions, promoted to an operator: before
-    committing a 100 TB join or aggregate to a key, measure it.  Emits
-    n_keys, n_rows, max group size, EXACT p50/p90/p99 group-size
-    percentiles (smallest size whose cumulative key count reaches
-    ceil(pct·n_keys/100) — pure integer threshold arithmetic, no
-    interpolation, no float rank) and the heaviest key's row share in
-    parts-per-million (integer div).  ONE map-side-combined shuffle (the
-    per-key count); the size HISTOGRAM that follows is |distinct sizes|
-    rows — thousands even at a billion keys — folding through one tiny
-    window and a one-row reduce.  Never sorts rows, never collects keys:
-    O(|keys|) shuffle bytes, safe to run on every candidate key."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    return V.key_skew_profile(load_table(spark, sf, "events"), "user_id")
-
-
-@register("stream_gopher_gate", _REGISTRY["quality_gopher"][1])
-def stream_gopher_gate_q(spark, sf):
-    """The Gopher quality battery ON A STREAM — the production arrangement
-    of quality_gopher (the stream_semantic_gate pattern applied to the
-    text-quality member): the battery is row-local codegen'd expressions
-    end to end (token split, replace-occurrence counts, higher-order
-    filter lambdas — zero shuffles, zero state, zero watermark), so the
-    batch operator runs UNCHANGED on the document stream in append mode
-    and every arriving document emits its per-rule flags immediately.
-    One oracle pins the batch row and this streaming twin to the same
-    bits: gate at ingest forever, rescore never — the shape that matters
-    when the corpus is a firehose and quality filtering must not add a
-    shuffle."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    flags = V.gopher_quality_flags(
-        _stream_documents_source(spark, sf), min_words=30
-    )
-    return _drain_to_memory(flags, "stream_gopher_gate", "append")
-
-
-@register(
-    "ts_seasonality",
-    """WITH e AS (SELECT event_type AS key, CAST(hour(ts) AS INTEGER) AS hod,
-                         CAST(round(value * 100) AS BIGINT) AS c
-                  FROM events WHERE value IS NOT NULL),
-       hodt AS (SELECT key, hod, CAST(count(*) AS BIGINT) AS n,
-                       CAST(SUM(c) AS BIGINT) AS sum_cents
-                FROM e GROUP BY 1, 2),
-       tot AS (SELECT key, CAST(SUM(n) AS BIGINT) AS n_key,
-                      CAST(SUM(sum_cents) AS BIGINT) AS sum_key
-               FROM hodt GROUP BY 1)
-       SELECT h.key, h.hod, h.n, h.sum_cents,
-              CAST(h.sum_cents AS DOUBLE) / h.n AS mean_cents,
-              CAST(h.sum_cents::HUGEINT * t.n_key AS BIGINT) AS ratio_num,
-              CAST(h.n::HUGEINT * t.sum_key AS BIGINT) AS ratio_den,
-              CASE WHEN t.sum_key <> 0
-                   THEN CAST(h.sum_cents::HUGEINT * t.n_key AS DOUBLE) /
-                        CAST(h.n::HUGEINT * t.sum_key AS DOUBLE)
-              END AS seasonal_ratio
-       FROM hodt h JOIN tot t USING (key)""",
-)
-def ts_seasonality_q(spark, sf):
-    """HOUR-OF-DAY seasonal profile per key (operators/timeseries.py::
-    seasonal_profile) — the diurnal-shape report behind capacity planning
-    and seasonal-naive forecasting, and the generalization of the
-    reference's avg-speed-by-time_period query
-    (src/AvgSpeedCal.scala's hourly buckets) to a first-class operator:
-    per (event_type, hour), n / cents-lattice sum / mean, plus
-    seasonal_ratio = hour mean over the key's all-day mean as
-    cross-multiplied exact integers (ratio_num = sum_hod·n_key, ratio_den
-    = n_hod·sum_key on DECIMAL(38,0)) with ONE closing IEEE division
-    (NULL-guarded on a zero key total in both engines).  ONE
-    map-side-combined aggregate to 24 rows per key; the per-key totals
-    REAGGREGATE those partials — the corpus is scanned once, and shuffle
-    bytes are 24x|keys| at any SF."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.seasonal_profile(load_table(spark, sf, "events"))
-
-
-@register("stream_hopping", _REGISTRY["a_hopping_window"][1])
-def stream_hopping_q(spark, sf):
-    """Hopping windows ON A STREAM — the sliding-window twin of
-    stream_events_hourly's tumbling grid, and the streaming arrangement of
-    a_hopping_window: the SAME batch operator (native ``F.window(ts, '1
-    hour', '15 minutes')`` + cents-lattice sums) runs unchanged on the
-    bounded event stream in complete mode, because a complete-mode
-    windowed aggregate over a fully-drained bounded stream is exactly the
-    batch groupBy.  One oracle pins the batch row and this twin to the
-    same bits, certifying the micro-batch planner/state-store/sink path
-    for OVERLAPPING window assignment — at scale the identical plan runs
-    unbounded with a watermark + append sink, where each event still
-    fans out row-locally to its 4 windows before the exchange."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    agg = TS.hopping_window_agg(
-        _stream_events_source(spark, sf),
-        key_col="event_type", ts_col="ts", value_col="value",
-        window="1 hour", slide="15 minutes",
-    )
-    return _drain_to_memory(agg, "stream_hopping")
-
-
-@register(
-    "graph_assortativity",
-    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
-       raw AS (
-         SELECT c_custkey AS u, (c_custkey % n.n) + 1 AS v FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey + 1) % n.n) + 1 FROM customer, n
-         UNION ALL
-         SELECT c_custkey, ((c_custkey * c_custkey) % n.n) + 1
-         FROM customer, n),
-       e AS (
-         SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
-         FROM raw WHERE u <> v),
-       adj AS (SELECT a AS nd, b AS m FROM e UNION ALL SELECT b, a FROM e),
-       deg AS (SELECT nd AS id, CAST(count(*) AS BIGINT) AS d
-               FROM adj GROUP BY 1),
-       p AS (SELECT da.d AS du, db.d AS dv
-             FROM e
-             JOIN deg da ON da.id = e.a
-             JOIN deg db ON db.id = e.b),
-       s AS (SELECT CAST(2 * count(*) AS BIGINT) AS n,
-                    CAST(SUM(du + dv) AS BIGINT) AS sum_x,
-                    CAST(SUM(du * du + dv * dv) AS BIGINT) AS sum_xx,
-                    CAST(SUM(2 * du * dv) AS BIGINT) AS sum_xy
-             FROM p)
-       SELECT n, sum_x, sum_xx, sum_xy,
-              CASE WHEN n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x <> 0
-                   THEN CAST(n::HUGEINT * sum_xy - sum_x::HUGEINT * sum_x
-                             AS DOUBLE) /
-                        CAST(n::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x
-                             AS DOUBLE)
-              END AS assortativity
-       FROM s""",
-)
-def graph_assortativity_q(spark, sf):
-    """DEGREE ASSORTATIVITY (operators/graph.py::degree_assortativity) —
-    Newman's r over the irregular quadratic-chord graph (the
-    clustering-coefficient row's graph: a degree-regular circulant would
-    hit the 0/0 zero-variance case this operator NULL-guards): the Pearson
-    correlation of endpoint degrees across both edge orientations, shipped
-    as exact integer sufficient statistics (n = 2m, Σx, Σx², Σxy — the
-    a_corr_stats mergeable shape specialized to symmetry, folded per canon
-    edge WITHOUT materializing the 2m-row union) and ONE closing IEEE
-    division from DECIMAL(38,0) cross-multiplies.  The third graph-eval
-    member beside lcc (local cohesion) and modularity (partition quality):
-    a one-number structural fingerprint, one pass, one row out."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    cust = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id")
-    )
-    n = cust.count()
-    edges = cust.select(
-        F.col("id").alias("u"), ((F.col("id") % n) + 1).alias("v")
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") + 1) % n) + 1)
-    ).union(
-        cust.select(F.col("id"), ((F.col("id") * F.col("id")) % n) + 1)
-    )
-    return G.degree_assortativity(edges)
-
-
-@register(
-    "eval_rec_coverage",
-    f"""WITH recs AS ({_REGISTRY["rec_user_topn"][1]}),
-       cat AS (SELECT CAST(count(DISTINCT TRY_CAST(
-                      json_extract_string(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS n_catalog
-               FROM events
-               WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                     IS NOT NULL),
-       per AS (SELECT item_id, CAST(count(*) AS BIGINT) AS ns
-               FROM recs GROUP BY 1),
-       st AS (SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
-                     CAST(SUM(ns) AS BIGINT) AS n_slots,
-                     CAST(max(ns) AS BIGINT) AS mx
-              FROM per),
-       us AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-              FROM recs)
-       SELECT n_users, n_slots, n_rec_items, n_catalog,
-              CAST(n_rec_items AS DOUBLE) / n_catalog AS coverage,
-              CAST(1000000 * mx // n_slots AS BIGINT) AS max_item_share_ppm
-       FROM us CROSS JOIN st CROSS JOIN cat""",
-)
-def eval_rec_coverage_q(spark, sf):
-    """Recommendation CATALOG COVERAGE + exposure concentration
-    (operators/evalrank.py::recommendation_coverage) — the recsys family's
-    aggregate eval beside the per-user quality rows (eval_rec_hdcg scores
-    each list; this says whether the recommender serves the catalog or
-    just its popular head): one row of n_users / n_slots / distinct
-    recommended items / catalog size, coverage as ONE closing IEEE
-    division, and the most-exposed item's slot share in ppm (exact integer
-    div).  Runs over the registered rec_user_topn configuration (its
-    oracle embeds verbatim as the recs CTE, so this row also re-certifies
-    that chain end-to-end).  One map-side-combined per-item count folded
-    to a one-row reduce — no user join, no sort, no collect: the
-    popularity-bias smell test you run after every recommendation batch
-    at any scale."""
-    from trafficbigdatasearch_spark.operators import evalrank as EV
-    from trafficbigdatasearch_spark.operators import recsys
-
-    ui = recsys.user_item(load_table(spark, sf, "events"))
-    recs = recsys.recommend_topn(ui, n=5, min_co=2)
-    return EV.recommendation_coverage(recs, ui)
-
-
-@register(
-    "eval_minhash_error",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t,
-                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM toks),
-       sh AS (SELECT DISTINCT doc_id,
-                     array_to_string(t[i + 1 : i + 3], ' ') AS s
-              FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       pairs AS (
-         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-         FROM shared
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
-       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS hv
-             FROM sh),
-       params(h_idx, a, b) AS (VALUES {_MINHASH_VALUES}),
-       sig AS (SELECT doc_id AS id, h_idx,
-                      min((a * hv + b) % 2147483647) AS minhash
-               FROM h CROSS JOIN params GROUP BY doc_id, h_idx),
-       m AS (SELECT p.id_a, p.id_b, p.shared, p.size_a, p.size_b,
-                    CAST(count_if(sa.minhash = sb.minhash) AS BIGINT)
-                      AS n_match
-             FROM pairs p
-             JOIN sig sa ON sa.id = p.id_a
-             JOIN sig sb ON sb.id = p.id_b AND sb.h_idx = sa.h_idx
-             GROUP BY 1, 2, 3, 4, 5)
-       SELECT id_a, id_b, CAST({_MINHASH_K} AS BIGINT) AS k, n_match,
-              CAST(shared AS BIGINT) AS shared,
-              CAST(size_a + size_b - shared AS BIGINT) AS union_size,
-              CAST(n_match AS DOUBLE) / {_MINHASH_K} AS est_jaccard,
-              CAST(shared AS DOUBLE) / (size_a + size_b - shared)
-                AS exact_jaccard,
-              abs(CAST(n_match AS DOUBLE) / {_MINHASH_K} -
-                  CAST(shared AS DOUBLE) / (size_a + size_b - shared))
-                AS abs_err
-       FROM m""",
-)
-def eval_minhash_error_q(spark, sf):
-    """MinHash ESTIMATION ERROR per near-dup pair (operators/evalrank.py::
-    minhash_estimate_error) — the accuracy half of the MinHash eval story,
-    completing the fabric's measurement loop: eval_lsh_recall scores the
-    BAND fabric's candidate generation, this scores the SIGNATURES as a
-    Jaccard estimator (E[est] = J, Var = J(1-J)/k — the k-sizing law made
-    measurable).  For every exact-Jaccard >= 0.2 pair: n_match of the k=8
-    registered signature components, the exact shingle-set legs
-    (shared/union), both closing IEEE divisions and their fixed-order
-    |difference| — integers beside them, hash-exact.  The pair set is the
-    registered inverted-index join (never all-pairs), signatures are the
-    registered k-row-per-doc layout, and the match count is a
-    pair-restricted join folded map-side — the audit runs beside the
-    dedup job at any corpus size."""
-    from trafficbigdatasearch_spark.operators import evalrank as EV
-
-    return EV.minhash_estimate_error(
-        load_table(spark, sf, "documents"),
-        k=_MINHASH_K, n=3, threshold=0.2, max_shingle_freq=None,
-    )
-
-
-@register(
-    "ts_acf",
-    """WITH e AS (SELECT event_type AS key, ts, event_id,
-                         CAST(round(value * 100) AS BIGINT) AS x
-                  FROM events WHERE value IS NOT NULL),
-       p AS (SELECT key, x,
-                    lead(x, 1) OVER (PARTITION BY key
-                                     ORDER BY ts, event_id) AS y
-             FROM e),
-       s AS (SELECT key,
-                    CAST(count(*) AS BIGINT) AS n_pairs,
-                    CAST(SUM(x) AS BIGINT) AS sum_x,
-                    CAST(SUM(y) AS BIGINT) AS sum_y,
-                    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
-                    CAST(SUM(y * y) AS BIGINT) AS sum_yy,
-                    CAST(SUM(x * y) AS BIGINT) AS sum_xy
-             FROM p WHERE y IS NOT NULL GROUP BY key)
-       SELECT key, CAST(1 AS INTEGER) AS lag, n_pairs,
-              sum_x, sum_y, sum_xx, sum_yy, sum_xy,
-              CASE WHEN n_pairs::HUGEINT * sum_xx - sum_x::HUGEINT * sum_x
-                        <> 0
-                    AND n_pairs::HUGEINT * sum_yy - sum_y::HUGEINT * sum_y
-                        <> 0
-                   THEN CAST(n_pairs::HUGEINT * sum_xy
-                             - sum_x::HUGEINT * sum_y AS DOUBLE) /
-                        sqrt(CAST(n_pairs::HUGEINT * sum_xx
-                                  - sum_x::HUGEINT * sum_x AS DOUBLE) *
-                             CAST(n_pairs::HUGEINT * sum_yy
-                                  - sum_y::HUGEINT * sum_y AS DOUBLE))
-              END AS acf
-       FROM s""",
-)
-def ts_acf_q(spark, sf):
-    """Lag-1 AUTOCORRELATION per key (operators/timeseries.py::
-    acf_per_key) — the persistence detector completing the time-series
-    monitoring trio: a_drift_chi2 says the distribution changed, ts_cusum
-    says WHEN the level shifted, the ACF says whether the series is
-    self-correlated at all (the pre-check for forecasting and for
-    ts_interpolate's gap-fill choice).  Each key's series pairs with
-    itself one step ahead via ONE lead window over the deterministic
-    (ts, event_id) order; Pearson r over the pairs ships as exact integer
-    sufficient statistics on the cents lattice with ONE closing IEEE
-    chain from DECIMAL(38,0) cross-multiplies, NULL-guarded on constant
-    series.  Single exchange on the key (the window), map-side-combined
-    aggregate after — cusum_per_key's posture."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.acf_per_key(load_table(spark, sf, "events"), lag=1)
-
-
-@register(
-    "pipeline_curriculum",
-    """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-                  FROM documents),
-       n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
-       h AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM s
-             GROUP BY n_chars),
-       b AS (SELECT n_chars,
-                    CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
-             FROM h),
-       ph AS (SELECT doc_id, s.n_chars,
-                     CAST((10 * cum + nn - 1) // nn AS BIGINT) AS phase,
-                     md5(CAST(doc_id AS VARCHAR)) AS mh
-              FROM s JOIN b USING (n_chars) CROSS JOIN n)
-       SELECT doc_id, n_chars, phase,
-              CAST(row_number() OVER (ORDER BY phase, mh, doc_id) - 1
-                   AS BIGINT) AS position
-       FROM ph""",
-)
-def pipeline_curriculum_q(spark, sf):
-    """CURRICULUM ordering export (operators/sampling.py::
-    curriculum_order) — the data-ORDERING member of the training-data
-    pipeline family (training_mix decides WHAT goes in, pack_sequences
-    how it is laid out in packs; this decides WHEN each document is seen):
-    corpus-wide length deciles as phases, short/easy first, md5-shuffled
-    within each phase, and a deterministic 0-based global ``position``
-    over (phase, md5, id).  The oracle is the naive global row_number; the
-    Spark plan NEVER sorts the corpus into one task — phases ride the
-    exact histogram-CDF broadcast (w_quality_deciles_global's machinery),
-    positions ride pack_sequences' two-level prefix construction keyed on
-    256 md5-prefix buckets per phase (cross-bucket prefix order agrees
-    with the full md5 order by construction; the only single-partition
-    window is the n_phases x 256-row summary).  Every corpus-sized stage
-    is partition-parallel — the export a sequential trainer consumes at
-    100 TB."""
-    from trafficbigdatasearch_spark.operators import sampling
-
-    return sampling.curriculum_order(load_table(spark, sf, "documents"))
-
-
-@register(
-    "j_spatial_knn",
-    """WITH pts AS (SELECT c_custkey AS id,
-                           ((c_custkey * 48271) % 99991) % 1000 AS x,
-                           ((c_custkey * 16807) % 104729) % 1000 AS y
-                    FROM customer),
-       pairs AS (
-         SELECT a.id AS ia, b.id AS ib,
-                (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
-         FROM pts a JOIN pts b
-           ON a.id < b.id
-          AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 225),
-       sym AS (SELECT ia AS id, ib AS neighbor_id, d2 FROM pairs
-               UNION ALL
-               SELECT ib, ia, d2 FROM pairs)
-       SELECT id, neighbor_id, CAST(d2 AS BIGINT) AS dist2,
-              CAST(row_number() OVER (PARTITION BY id
-                     ORDER BY d2, neighbor_id) AS BIGINT) AS rank
-       FROM sym QUALIFY rank <= 3""",
-)
-def j_spatial_knn_q(spark, sf):
-    """Spatial kNN JOIN bounded by a radius (operators/spatial.py::
-    knn_within_radius) — "the 3 nearest neighbors within distance 15" over
-    the deterministic integer point cloud the spatial family shares: the
-    grid-blocked radius join generates candidates (one 9-cell explode +
-    one equi-join on the cell key — never all-pairs), the pair set
-    symmetrizes row-locally, and ONE window per source point ranks by the
-    exact integer squared distance with the (dist2, neighbor_id) tie
-    order.  The radius bound is the honest scale formulation (unbounded
-    exact kNN needs per-point grid-ring fixpoints; production "k nearest
-    stations/accidents" queries carry a relevance horizon anyway —
-    documented in the operator with the isolated-point contract)."""
-    from trafficbigdatasearch_spark.operators import spatial
-
-    pts = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (((F.col("c_custkey") * 48271) % 99991) % 1000).alias("x"),
-        (((F.col("c_custkey") * 16807) % 104729) % 1000).alias("y"),
-    )
-    return spatial.knn_within_radius(pts, "id", "x", "y", radius=15, k=3)
-
-
-@register(
-    "quality_profile_drift",
-    """WITH o AS (SELECT * FROM events WHERE day(ts) <= 15),
-       nw AS (SELECT * FROM events WHERE day(ts) > 15),
-       a AS (SELECT COUNT(*) AS n,
-                    COUNT(value) AS nn1, COUNT(DISTINCT value) AS nd1,
-                    COUNT(props) AS nn2, COUNT(DISTINCT props) AS nd2,
-                    COUNT(event_type) AS nn3,
-                    COUNT(DISTINCT event_type) AS nd3
-             FROM o),
-       b AS (SELECT COUNT(*) AS n,
-                    COUNT(value) AS nn1, COUNT(DISTINCT value) AS nd1,
-                    COUNT(props) AS nn2, COUNT(DISTINCT props) AS nd2,
-                    COUNT(event_type) AS nn3,
-                    COUNT(DISTINCT event_type) AS nd3
-             FROM nw),
-       po AS (
-         SELECT 'value' AS column_name, CAST(n AS BIGINT) AS n_rows_old,
-                CAST(n - nn1 AS BIGINT) AS n_nulls_old,
-                CAST(nd1 AS BIGINT) AS n_distinct_old FROM a
-         UNION ALL
-         SELECT 'props', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
-                CAST(nd2 AS BIGINT) FROM a
-         UNION ALL
-         SELECT 'event_type', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
-                CAST(nd3 AS BIGINT) FROM a),
-       pn AS (
-         SELECT 'value' AS column_name, CAST(n AS BIGINT) AS n_rows_new,
-                CAST(n - nn1 AS BIGINT) AS n_nulls_new,
-                CAST(nd1 AS BIGINT) AS n_distinct_new FROM b
-         UNION ALL
-         SELECT 'props', CAST(n AS BIGINT), CAST(n - nn2 AS BIGINT),
-                CAST(nd2 AS BIGINT) FROM b
-         UNION ALL
-         SELECT 'event_type', CAST(n AS BIGINT), CAST(n - nn3 AS BIGINT),
-                CAST(nd3 AS BIGINT) FROM b)
-       SELECT column_name, n_rows_old, n_nulls_old, n_distinct_old,
-              n_rows_new, n_nulls_new, n_distinct_new,
-              CAST(n_nulls_new::HUGEINT * n_rows_old
-                   - n_nulls_old::HUGEINT * n_rows_new AS BIGINT)
-                AS null_delta_num,
-              CAST(n_rows_new::HUGEINT * n_rows_old AS BIGINT)
-                AS null_delta_den,
-              CASE WHEN n_rows_new::HUGEINT * n_rows_old <> 0
-                   THEN CAST(n_nulls_new::HUGEINT * n_rows_old
-                             - n_nulls_old::HUGEINT * n_rows_new AS DOUBLE) /
-                        CAST(n_rows_new::HUGEINT * n_rows_old AS DOUBLE)
-              END AS null_rate_delta
-       FROM po JOIN pn USING (column_name)""",
-)
-def quality_profile_drift_q(spark, sf):
-    """PROFILE DRIFT between two snapshots (operators/validate.py::
-    profile_drift) — the schema-health monitor completing the drift pair:
-    a_drift_chi2 compares VALUE distributions, this compares the
-    PROFILES (null rates, distinct cardinalities) on the same
-    first-half/second-half snapshot split, per column.  The null-rate
-    delta ships as cross-multiplied exact integers on DECIMAL(38,0)
-    (positive = the feed got nullier, the silently-broken-upstream-join
-    smell) with ONE closing IEEE division; distinct drift ships as raw
-    integers.  Each snapshot is ONE aggregate over one scan (the
-    profile() posture — never a job per column); the join is
-    |cols| x |cols| rows."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    ev = load_table(spark, sf, "events")
-    return V.profile_drift(
-        ev.filter(F.dayofmonth("ts") <= 15),
-        ev.filter(F.dayofmonth("ts") > 15),
-        ["value", "props", "event_type"],
-    )
-
-
-@register(
-    "graph_component_stats",
-    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       labels AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
-                  FROM walk GROUP BY id),
-       sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
-                 FROM labels GROUP BY 1),
-       tot AS (SELECT CAST(SUM(size) AS BIGINT) AS n_clustered FROM sizes)
-       SELECT component, size, n_clustered,
-              CAST(1000000 * size // n_clustered AS BIGINT) AS share_ppm
-       FROM sizes CROSS JOIN tot""",
-)
-def graph_component_stats_q(spark, sf):
-    """Component-SIZE distribution of the dedup graph (operators/graph.py::
-    component_size_stats) — the giant-component / percolation alarm you
-    check BEFORE trusting any cluster survivor: near-dup fabrics fail by
-    one boilerplate band chaining half the corpus into a single cluster,
-    and that failure is visible only in the size distribution, never in
-    per-pair scores.  Runs over the registered LSH fabric's components
-    (dedup_clusters' exact pair set and labeling — the oracle reuses its
-    recursive closure verbatim), emitting per-component size and its share
-    of clustered docs in exact ppm.  ONE map-side-combined count on the
-    label + a broadcast one-row total; the labeling is scanned once."""
-    from trafficbigdatasearch_spark.operators import graph as G
-
-    pairs = dedup.minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), k=_MINHASH_K, bands=4, n=3
-    )
-    labels = G.connected_components(pairs, "id_a", "id_b")
-    return G.component_size_stats(labels)
-
-
-@register(
-    "sample_triplets",
-    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-       idx AS (SELECT doc_id, t,
-                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM toks),
-       sh AS (SELECT DISTINCT doc_id,
-                     array_to_string(t[i + 1 : i + 3], ' ') AS s
-              FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       pairs AS (
-         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-         FROM shared
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
-       sym AS (
-         SELECT id_a AS anchor_id, id_b AS cand_id, shared,
-                size_a + size_b - shared AS pos_union FROM pairs
-         UNION ALL
-         SELECT id_b, id_a, shared, size_a + size_b - shared FROM pairs),
-       best AS (
-         SELECT anchor_id, cand_id AS positive_id,
-                CAST(shared AS BIGINT) AS pos_shared,
-                CAST(pos_union AS BIGINT) AS pos_union
-         FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
-                 ORDER BY CAST(shared AS DOUBLE) / pos_union DESC,
-                          cand_id ASC) AS r
-               FROM sym) t
-         WHERE r = 1),
-       nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-              FROM documents),
-       trip AS (
-         SELECT anchor_id, positive_id, pos_shared, pos_union,
-                CASE WHEN c0 <> anchor_id AND c0 <> positive_id THEN c0
-                     WHEN c1 <> anchor_id AND c1 <> positive_id THEN c1
-                     ELSE c2 END AS negative_id
-         FROM (SELECT b.*,
-                      (anchor_id * 2654435761) % nn.n AS c0,
-                      ((anchor_id * 2654435761) % nn.n + 1) % nn.n AS c1,
-                      ((anchor_id * 2654435761) % nn.n + 2) % nn.n AS c2
-               FROM best b CROSS JOIN nn) x),
-       known AS (SELECT DISTINCT anchor_id, cand_id FROM sym)
-       SELECT t.anchor_id, t.positive_id,
-              CAST(t.negative_id AS BIGINT) AS negative_id,
-              t.pos_shared, t.pos_union,
-              (k.cand_id IS NOT NULL) AS neg_is_known_dup
-       FROM trip t
-       LEFT JOIN known k
-         ON k.anchor_id = t.anchor_id AND k.cand_id = t.negative_id""",
-)
-def sample_triplets_q(spark, sf):
-    """CONTRASTIVE TRIPLET mining (operators/sampling.py::
-    contrastive_triplets) — (anchor, positive, negative) training examples
-    from the corpus's own near-dup structure, the standard self-supervised
-    curation step for embedding/retrieval models: positives are each
-    anchor's highest-Jaccard partner from the registered exact >= 0.2 pair
-    set (deterministic score-desc/id-asc pick), negatives a Knuth-hash
-    pseudo-random document stepping past anchor/positive collisions
-    through a fixed 3-candidate CASE chain, and ``neg_is_known_dup`` flags
-    the classic random-negative false-negative collision via a
-    pair-restricted lookup so the trainer can drop or down-weight those
-    rows.  Pair generation is the inverted-index join (never all-pairs);
-    positive selection is ONE window over the symmetrized pairs; the
-    negative is row-local — the export runs beside the dedup job at any
-    corpus size."""
-    from trafficbigdatasearch_spark.operators import sampling
-
-    return sampling.contrastive_triplets(
-        load_table(spark, sf, "documents"),
-        n=3, threshold=0.2, max_shingle_freq=None,
-    )
-
-
-@register(
-    "mm_phash_incremental",
-    """WITH fp AS (SELECT doc_id AS id,
-                          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) AS h
-            FROM documents),
-       c AS (SELECT * FROM fp WHERE id % 11 <> 5),
-       nw AS (SELECT * FROM fp WHERE id % 11 = 5)
-       SELECT nw.id AS new_id, c.id AS corpus_id,
-              CAST(bit_count(xor(nw.h, c.h)) AS BIGINT) AS hamming
-       FROM nw JOIN c ON bit_count(xor(nw.h, c.h)) <= 3""",
-)
-def mm_phash_incremental_q(spark, sf):
-    """INCREMENTAL multimodal near-dup (operators/dedup.py::
-    hamming_pairs_incremental): a new asset batch (every 11th document's
-    payload) screened against the standing corpus's perceptual hashes —
-    the daily-delivery shape for the bit-fingerprint families, completing
-    the incremental story across all three representations (shingles:
-    dedup_incremental; embeddings: dedup_semantic_incremental; bits:
-    this).  Cross pairs only, COMPLETE by the same pigeonhole bound as
-    the batch engine; join directions follow the 100 TB asymmetry — the
-    corpus band expansion streams (or persists as an index) while the
-    increment's banded rows broadcast onto it, so corpus bytes never
-    shuffle.  Verify is the row-local bit_count on candidates; the
-    oracle is the all-cross-pairs filter the banding provably equals."""
-    from trafficbigdatasearch_spark.operators import multimodal
-
-    docs = load_table(spark, sf, "documents")
-    assets = multimodal.assets_from_documents(docs)
-    fps = multimodal.phash_stub(assets).select(
-        F.col("asset_id").alias("id"), F.col("phash").alias("simhash")
-    )
-    return dedup.hamming_pairs_incremental(
-        fps.filter(F.col("id") % 11 != 5),
-        fps.filter(F.col("id") % 11 == 5),
-        n_bits=16, band_bits=4, max_hamming=3,
-    )
-
-
-@register(
-    "w_streaks",
-    """WITH seq AS (
-         SELECT user_id, event_type, ts, event_id,
-                row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS rn,
-                row_number() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id) AS rt
-         FROM events),
-       isl AS (SELECT user_id, event_type, rn - rt AS island,
-                      CAST(count(*) AS BIGINT) AS len
-               FROM seq GROUP BY 1, 2, 3)
-       SELECT user_id, event_type,
-              CAST(count(*) AS BIGINT) AS n_streaks,
-              CAST(max(len) AS BIGINT) AS max_len
-       FROM isl GROUP BY 1, 2""",
-)
-def w_streaks_q(spark, sf):
-    """STREAK LENGTHS (gaps-and-islands): per (user, event_type), how many
-    maximal runs of consecutive same-type events and the longest run —
-    the classic sessionless behavioral feature (retry storms, binge
-    patterns, sensor flatlines).  The Spark side uses the single-exchange
-    formulation: ONE window partitioning on user_id carries both the lag
-    change detector and the running island id (two specs, same sort),
-    then two map-side-combined aggregates — never the two-partitioning
-    row_number-difference form, whose second exchange on (user, type) the
-    oracle happily pays because DuckDB's sort is free at oracle scale.
-    Deterministic (ts, event_id) order end to end."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.coalesce(
-        F.col("event_type") != F.lag("event_type").over(w), F.lit(True)
-    ).cast("int")
-    seq = ev.select(
-        "user_id", "event_type", "ts", "event_id", chg.alias("_chg")
-    ).select(
-        "user_id",
-        "event_type",
-        F.sum("_chg")
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        .alias("_island"),
-    )
-    isl = seq.groupBy("user_id", "event_type", "_island").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_len")
-    )
-    return isl.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
-        F.max("_len").cast("bigint").alias("max_len"),
-    )
-
-
-@register(
-    "q6_forecast_revenue",
-    """SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-                AS revenue_e4,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
-                / 10000 AS revenue
-       FROM lineitem
-       WHERE l_shipdate >= DATE '1996-01-01'
-         AND l_shipdate < DATE '1997-01-01'
-         AND l_discount BETWEEN 0.05 AND 0.07
-         AND l_quantity < 24""",
-)
-def q6_forecast_revenue_q(spark, sf):
-    """TPC-H Q6 (forecast revenue change): the pure scan-bound query — every
-    predicate pushes to the parquet scan (date range, discount band,
-    quantity cap), the aggregate is one map-side-combined fold, and the
-    revenue product runs EXACTLY on the integer lattice (cents x
-    discount-percent = 1e-4 units summed as BIGINT, one closing division
-    to money) so the double hash-compares.  The canonical measure of raw
-    scan throughput: at 100 TB this is the query whose cost IS the
-    column-pruned, predicate-pushed IO — any plan regression here is a
-    storage/pushdown regression, pinned by the bench row."""
-    li = load_table(spark, sf, "lineitem")
-    pe4 = _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
-    f = li.filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return f.agg(
-        F.sum(pe4).cast("bigint").alias("revenue_e4"),
-        (F.sum(pe4).cast("double") / 10000).alias("revenue"),
-    )
-
-
-@register(
-    "q10_returned_items",
-    """SELECT c.c_custkey, c.c_name, n.n_name,
-              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                AS revenue_cents
-       FROM customer c
-       JOIN orders o ON o.o_custkey = c.c_custkey
-       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       JOIN nation n ON n.n_nationkey = c.c_nationkey
-       WHERE o.o_orderdate >= DATE '1996-10-01'
-         AND o.o_orderdate < DATE '1997-01-01'
-         AND l.l_returnflag = 'R'
-       GROUP BY 1, 2, 3
-       ORDER BY revenue_cents DESC, c.c_custkey ASC
-       LIMIT 20""",
-)
-def q10_returned_items_q(spark, sf):
-    """TPC-H Q10 (returned-item losses): the 4-table join + grouped revenue
-    + top-20 composition — lineitem filters on the return flag at the
-    scan, orders prunes to one quarter, the 25-row nation dim always
-    broadcasts while customer — which GROWS with SF — is deliberately
-    left unhinted (AQE broadcasts it at small SF, hash-joins at scale),
-    revenue folds on exact cents, and the top-20 is a TakeOrderedAndProject with the
-    deterministic (revenue desc, custkey) tie order — no global sort.
-    Together with Q3/Q5/Q14/Q18/Q19 this pins the join-ordering and
-    broadcast-selection behavior Catalyst must keep exhibiting as the
-    fact tables scale."""
-    c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1996-10-01")
-        & (F.col("o_orderdate") < "1997-01-01")
-    )
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = load_table(spark, sf, "nation")
-    # customer GROWS with SF (150k x SF rows) — never hint it broadcast;
-    # AQE picks broadcast at small SF and hash at scale.  nation is a
-    # 25-row constant dim: always broadcast.
-    j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    )
-    return (
-        j.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("bigint")
-             .alias("revenue_cents"))
-        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "sample_poisson_bootstrap",
-    f"""WITH t AS (SELECT doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS v
-                  FROM documents),
-       x AS (SELECT doc_id, v, CAST(r.j AS INTEGER) AS replicate,
-                    ('0x' || substr(md5('boot' || CAST(r.j AS VARCHAR)
-                                        || CAST(doc_id AS VARCHAR)), 1, 7)
-                    )::BIGINT % 10000 AS b
-             FROM t CROSS JOIN range(10) r(j)),
-       c AS (SELECT replicate, v,
-                    CASE WHEN b < 3679 THEN 0
-                         WHEN b < 7358 THEN 1
-                         WHEN b < 9197 THEN 2
-                         WHEN b < 9810 THEN 3
-                         WHEN b < 9963 THEN 4
-                         WHEN b < 9994 THEN 5
-                         ELSE 6 END AS k
-             FROM x)
-       SELECT replicate, CAST(SUM(k) AS BIGINT) AS n_rows_resampled,
-              CAST(SUM(k * v) AS BIGINT) AS value_resampled
-       FROM c GROUP BY 1""",
-)
-def sample_poisson_bootstrap_q(spark, sf):
-    """POISSON BOOTSTRAP of the corpus token count (operators/sampling.py::
-    poisson_bootstrap) — the distributed bootstrap (Chamandy et al. 2012):
-    each document contributes k ~ Poisson(1) copies to each of 10
-    replicates, row-locally and with no global n, so the replicate totals
-    ARE the bootstrap distribution a consumer reads a confidence interval
-    from — the only coordination is a 10-row reduce.  Draws come from the
-    md5-uniform lattice with per-replicate salts through the
-    integer-quantized Poisson(1) CDF (< 1e-4 per-bucket distortion, the
-    importance_sample rate-lattice policy), so membership is exact,
-    retry/rerun-stable, and oracle-reproducible.  The replicate fan-out is
-    a row-local array explode into ONE map-side-combined aggregate — the
-    hopping-window posture: shuffle bytes are replicates x partials, not
-    10x the corpus."""
-    from trafficbigdatasearch_spark.functions import text as T
-    from trafficbigdatasearch_spark.operators import sampling
-
-    docs = load_table(spark, sf, "documents")
-    return sampling.poisson_bootstrap(
-        docs, "doc_id", T.token_count(F.col("text")), n_replicates=10
-    )
-
-
-@register(
-    "quality_dedup_report",
-    f"""WITH b AS (SELECT source AS grp, doc_id,
-                       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                         AS f,
-                       CAST({_TOKCOUNT_SQL} AS BIGINT) AS t
-                FROM documents),
-       p AS (SELECT grp, f, CAST(count(*) AS BIGINT) AS n,
-                    CAST(SUM(t) AS BIGINT) AS sum_t,
-                    arg_min(t, doc_id) AS keeper_t
-             FROM b GROUP BY 1, 2)
-       SELECT grp AS source, CAST(SUM(n) AS BIGINT) AS n_docs,
-              CAST(count(*) AS BIGINT) AS n_unique,
-              CAST(SUM(n) - count(*) AS BIGINT) AS surplus_docs,
-              CAST(SUM(sum_t - keeper_t) AS BIGINT) AS surplus_tokens
-       FROM p GROUP BY 1""",
-)
-def quality_dedup_report_q(spark, sf):
-    """EXACT-DEDUP impact report per source (operators/validate.py::
-    dedup_report) — the per-feed copy-paste audit published with every
-    corpus delivery before the expensive near-dup fabrics run: distinct
-    content fingerprints vs raw docs, and the token mass carried by
-    non-keeper duplicates (keeper = min id per fingerprint group — the
-    dedup_exact survivor convention, its token count via one arg-min, so
-    the report states exactly what the dedup job would delete).  ONE
-    fingerprint pass, one map-side-combined (source, fingerprint)
-    aggregate, totals from a reaggregation of those partials — the corpus
-    scans once at any SF."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    return V.dedup_report(load_table(spark, sf, "documents"))
-
-
-_JACCARD_PAIRS_SQL = """toks AS (SELECT doc_id, {toks} AS t FROM documents),
-       idx AS (SELECT doc_id, t,
-                      unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
-               FROM toks),
-       sh AS (SELECT DISTINCT doc_id,
-                     array_to_string(t[i + 1 : i + 3], ' ') AS s
-              FROM idx),
-       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       shared AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       pairs AS (
-         SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b
-         FROM shared
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared)
-               >= {threshold})"""
-
-
-@register(
-    "text_vocab_curve",
-    f"""WITH toks AS (SELECT doc_id, {_GUARDED_TOKS} AS t FROM documents),
-       cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
-               FROM (SELECT unnest(t) AS term FROM toks)
-               WHERE term <> '' GROUP BY term),
-       ranked AS (SELECT freq,
-                         row_number() OVER (ORDER BY freq DESC, term) AS rnk
-                  FROM cnt),
-       agg AS (SELECT CAST(SUM(freq) AS BIGINT) AS total,
-                      CAST(COALESCE(SUM(CASE WHEN rnk <= 100 THEN freq END),
-                                    0) AS BIGINT) AS c100,
-                      CAST(COALESCE(SUM(CASE WHEN rnk <= 250 THEN freq END),
-                                    0) AS BIGINT) AS c250,
-                      CAST(COALESCE(SUM(CASE WHEN rnk <= 500 THEN freq END),
-                                    0) AS BIGINT) AS c500,
-                      CAST(COALESCE(SUM(CASE WHEN rnk <= 1000 THEN freq END),
-                                    0) AS BIGINT) AS c1000,
-                      CAST(COALESCE(SUM(CASE WHEN rnk <= 2000 THEN freq END),
-                                    0) AS BIGINT) AS c2000
-               FROM ranked)
-       SELECT CAST(100 AS BIGINT) AS v, c100 AS covered_tokens,
-              total AS total_tokens,
-              CAST(c100 AS DOUBLE) / total AS coverage FROM agg
-       UNION ALL SELECT 250, c250, total, CAST(c250 AS DOUBLE) / total FROM agg
-       UNION ALL SELECT 500, c500, total, CAST(c500 AS DOUBLE) / total FROM agg
-       UNION ALL SELECT 1000, c1000, total,
-                 CAST(c1000 AS DOUBLE) / total FROM agg
-       UNION ALL SELECT 2000, c2000, total,
-                 CAST(c2000 AS DOUBLE) / total FROM agg""",
-)
-def text_vocab_curve_q(spark, sf):
-    """VOCABULARY COVERAGE CURVE (operators/vocab.py::coverage_curve) —
-    cumulative token share captured by the top-V vocabulary at V in
-    {{100, 250, 500, 1000, 2000}}: the measured Zipf head behind every
-    build_vocab / BPE-size decision, in the vocabulary's own
-    deterministic (freq DESC, token ASC) order so the curve states
-    exactly what build_vocab(V) captures.  Exact BIGINT covered/total
-    legs + one closing division per row.  The frequency pass is the one
-    every text op already pays; the rank window and checkpoint sums run
-    over the FREQUENCY TABLE only (the vocab.py bounded-window pattern)
-    — 5 rows out at any SF."""
-    from trafficbigdatasearch_spark.operators import vocab
-
-    return vocab.coverage_curve(load_table(spark, sf, "documents"))
-
-
-@register(
-    "quality_syndication",
-    f"""WITH {_JACCARD_PAIRS_SQL.format(toks=_TOKS, threshold=0.2)},
-       src AS (SELECT doc_id, source FROM documents),
-       lab AS (SELECT least(a.source, b.source) AS source_a,
-                      greatest(a.source, b.source) AS source_b
-               FROM pairs
-               JOIN src a ON a.doc_id = pairs.id_a
-               JOIN src b ON b.doc_id = pairs.id_b
-               WHERE a.source <> b.source)
-       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
-       FROM lab GROUP BY 1, 2""",
-)
-def quality_syndication_q(spark, sf):
-    """CROSS-SOURCE syndication matrix (operators/dedup.py::
-    syndication_matrix) — which feeds republish each other: the exact
-    >= 0.2 near-dup pair set restricted to pairs straddling two sources,
-    counted per unordered source pair.  The curation decision it feeds:
-    a heavy cell is one content wire ingested twice — drop a feed at the
-    source instead of paying pair-level dedup forever.  Rides the
-    inverted-index pair generator (never all-pairs); the (id, source)
-    projection joins are broadcast-scale at any corpus size; output is
-    bounded by |sources|²."""
-    from trafficbigdatasearch_spark.operators import dedup as D
-
-    return D.syndication_matrix(
-        load_table(spark, sf, "documents"), threshold=0.2,
-        max_shingle_freq=None,
-    )
-
-
-@register(
-    "eval_jaccard_histogram",
-    f"""WITH {_JACCARD_PAIRS_SQL.format(toks=_TOKS, threshold=0.0)}
-       SELECT CAST((10 * shared) // (size_a + size_b - shared) AS INTEGER)
-                AS bucket,
-              CAST(count(*) AS BIGINT) AS n_pairs
-       FROM pairs GROUP BY 1""",
-)
-def eval_jaccard_histogram_q(spark, sf):
-    """SIMILARITY HISTOGRAM of the near-dup pair set (operators/
-    evalrank.py::jaccard_pair_histogram) — pair counts per exact-Jaccard
-    decile over the FULL candidate relation (floor 0: every
-    shingle-sharing pair): the threshold-TUNING report that turns the
-    dedup cutoff from a guess into a measured choice — on this corpus it
-    exhibits the clean bimodal split (noise mass in decile 0, true
-    near-dups in decile 9) that justifies the registered 0.2+ cutoffs.
-    Buckets are exact integers — (10·shared) div union, bucket 10 =
-    exact duplicates — so no float enters the binning.  Candidate volume
-    at the lower threshold is the documented cost knob: at 100 TB this
-    runs on a hash-sampled doc slice, the histogram SHAPE being the
-    deliverable; 11 rows out."""
-    from trafficbigdatasearch_spark.operators import evalrank as EV
-
-    return EV.jaccard_pair_histogram(
-        load_table(spark, sf, "documents"), threshold=0.0,
-        max_shingle_freq=None,
-    )
-
-
-@register(
-    "ts_peaks",
-    """WITH e AS (SELECT event_type AS key, ts, event_id AS id,
-                         CAST(round(value * 100) AS BIGINT) AS cents
-                  FROM events WHERE value IS NOT NULL),
-       x AS (SELECT key, id, cents,
-                    lag(cents) OVER (PARTITION BY key
-                                     ORDER BY ts, id) AS p,
-                    lead(cents) OVER (PARTITION BY key
-                                      ORDER BY ts, id) AS nx
-             FROM e)
-       SELECT key, id, cents FROM x
-       WHERE p IS NOT NULL AND nx IS NOT NULL
-         AND cents > p AND cents > nx""",
-)
-def ts_peaks_q(spark, sf):
-    """LOCAL PEAK detection per key (operators/timeseries.py::
-    local_peaks): rows strictly greater than BOTH ordered neighbors on
-    the exact cents lattice — strict on both sides (plateaus are not
-    peaks, endpoints excluded), the deterministic contract that makes
-    spike marking retry/engine-stable.  The congestion/load-spike marker
-    beside ts_cusum's level-shift localizer.  ONE exchange on the key
-    (lag and lead share the (ts, id) sort), then a row-local three-way
-    integer comparison — no aggregation, output ∝ peaks."""
-    from trafficbigdatasearch_spark.operators import timeseries as TS
-
-    return TS.local_peaks(load_table(spark, sf, "events"))
-
-
-@register(
-    "mm_scene_changes",
-    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents
-                  WHERE doc_id % 3 = 2 AND length(text) > 0),
-       f AS (SELECT asset_id, text,
-                    CAST(unnest(range(0, ((length(text) - 1) // 200) + 1))
-                         AS BIGINT) AS frame_idx
-             FROM a),
-       fr AS (SELECT asset_id, frame_idx,
-                     substr(text, CAST(frame_idx * 200 + 1 AS INT), 200) AS fr
-              FROM f),
-       h AS (SELECT asset_id, frame_idx,
-                    ('0x' || substr(md5(fr), 1, 4))::BIGINT AS ph
-             FROM fr),
-       x AS (SELECT asset_id, frame_idx, ph,
-                    lag(ph) OVER (PARTITION BY asset_id
-                                  ORDER BY frame_idx) AS prev
-             FROM h)
-       SELECT asset_id, frame_idx,
-              CAST(bit_count(xor(ph, prev)) AS BIGINT) AS hamming,
-              bit_count(xor(ph, prev)) > 4 AS is_boundary
-       FROM x WHERE prev IS NOT NULL""",
-)
-def mm_scene_changes_q(spark, sf):
-    """SCENE-CHANGE detection over the video assets (operators/
-    multimodal.py::scene_changes) — the shot-boundary primitive behind
-    keyframe extraction and per-scene dedup budgets: consecutive frames
-    fingerprinted, transitions marked where the perceptual-hash Hamming
-    distance exceeds the threshold.  Frames follow the module's stub
-    policy (fixed-width payload windows + the md5 pHash stub — no codecs
-    in this container), so the WHOLE chain is oracle-reproducible while a
-    real deployment swaps exactly one stage (decoder-backed frame hashes
-    via the phash_decoded hook) and keeps the framing/lag/boundary logic
-    unchanged.  Row-local frame fan-out; the only exchange is the
-    per-asset lag window, bounded by each asset's own length."""
-    from trafficbigdatasearch_spark.operators import multimodal
-
-    docs = load_table(spark, sf, "documents")
-    assets = multimodal.assets_from_documents(docs).filter(
-        F.col("media_type") == "video"
-    )
-    return multimodal.scene_changes(assets, frame_chars=200, threshold=4)
-
-
-@register(
-    "eval_langid_confusion",
-    f"""WITH p AS ({_REGISTRY["text_lang_id"][1]})
-       SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-       FROM p GROUP BY 1, 2""",
-)
-def eval_langid_confusion_q(spark, sf):
-    """Language-ID CONFUSION MATRIX (the text_lang_id chain's own eval,
-    closing the measurement loop the way eval_ivf_recall does for the ANN
-    stack): predicted vs labeled language counts per cell, over the
-    registered lang-id configuration verbatim (its oracle embeds as the
-    CTE, so this row also re-certifies the prediction chain end to end).
-    The matrix is what a curation run reads before trusting per-language
-    mixture/sampling decisions downstream — off-diagonal mass on a
-    language pair means the stopword tables confuse them and the
-    per-language temperature/quota math inherits that bias.  One
-    map-side-combined count, |langs|² rows out."""
-    from trafficbigdatasearch_spark.functions import text as T
-
-    d = load_table(spark, sf, "documents")
-    pred = T.lang_id_table(d).join(d.select("doc_id", "lang"), "doc_id")
-    return pred.groupBy("lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-
-
-_GOPHER_RULES = [
-    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
-    "ok_alpha_words", "ok_stopwords", "passes",
-]
-
-_GOPHER_RATE_LEGS = "\n       UNION ALL ".join(
-    f"""SELECT '{r}' AS rule, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(count_if({r}) AS BIGINT) AS n_pass,
-              CAST(1000000 * count_if({r}) // count(*) AS BIGINT) AS pass_ppm
-       FROM g"""
-    for r in _GOPHER_RULES
-)
-
-
-@register(
-    "quality_gopher_rates",
-    f"""WITH g AS ({{gopher}})
-       {_GOPHER_RATE_LEGS}""".format(gopher=_REGISTRY["quality_gopher"][1]),
-)
-def quality_gopher_rates_q(spark, sf):
-    """Per-rule PASS RATES of the Gopher battery (operators/validate.py::
-    gopher_rule_rates) — the aggregation quality_gopher's own docstring
-    promises ("measure every rule's kill rate before committing to the
-    filter"), now a first-class measured row instead of a consumer
-    exercise: one row per rule plus the conjunction, with exact-ppm pass
-    rates over the registered battery verbatim (its oracle embeds as the
-    CTE).  The operator works over ANY boolean-flag frame, so custom
-    batteries get the same report.  ONE aggregate pass, one conditional
-    count per rule, unpivoted from the single wide row — never a job per
-    rule."""
-    from trafficbigdatasearch_spark.operators import validate as V
-
-    flags = V.gopher_quality_flags(
-        load_table(spark, sf, "documents"), min_words=30
-    )
-    return V.gopher_rule_rates(flags.drop("doc_id", "n_words"))
-
-
-@register(
-    "eval_split_leakage",
-    f"""WITH RECURSIVE {_lsh_pairs_cte('documents')},
-       eds AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs
-               UNION SELECT id_b, id_a FROM lsh_pairs),
-       nds AS (SELECT DISTINCT u AS id FROM eds),
-       walk(id, lab) AS (
-         SELECT id, id FROM nds
-         UNION
-         SELECT w.id, e.v FROM walk w JOIN eds e ON e.u = w.lab
-       ),
-       comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
-                FROM walk GROUP BY id),
-       labl AS (SELECT d.doc_id,
-                       COALESCE(c.component, d.doc_id) AS component
-                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-       naive AS (SELECT doc_id,
-                        CASE WHEN {_BUCKET_SQL.format(salt='split')} < 9000
-                             THEN 'train' ELSE 'test' END AS split
-                 FROM documents),
-       safe AS (SELECT doc_id,
-                       CASE WHEN ('0x' || substr(md5('split' ||
-                                  CAST(component AS VARCHAR)), 1, 7))::BIGINT
-                                 % {sampling.BUCKETS} < 9000
-                            THEN 'train' ELSE 'test' END AS split
-                FROM labl),
-       m AS (
-         SELECT 'naive_hash' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
-                CAST(count_if(a.split <> b.split) AS BIGINT) AS n_straddling
-         FROM lsh_pairs p
-         JOIN naive a ON a.doc_id = p.id_a
-         JOIN naive b ON b.doc_id = p.id_b
-         UNION ALL
-         SELECT 'leakage_free', CAST(count(*) AS BIGINT),
-                CAST(count_if(a.split <> b.split) AS BIGINT)
-         FROM lsh_pairs p
-         JOIN safe a ON a.doc_id = p.id_a
-         JOIN safe b ON b.doc_id = p.id_b)
-       SELECT method, n_pairs, n_straddling,
-              CAST(1000000 * n_straddling // n_pairs AS BIGINT) AS leak_ppm
-       FROM m""",
-)
-def eval_split_leakage_q(spark, sf):
-    """SPLIT LEAKAGE audit (operators/evalrank.py::split_leakage) — the
-    measurement that JUSTIFIES sample_split_leakage_free: for the
-    registered LSH near-dup pair set, how many pairs straddle the
-    train/test boundary under (a) the naive per-document hash split and
-    (b) the cluster-keyed leakage-free split.  The leakage-free row
-    reading n_straddling = 0 is that operator's guarantee MEASURED in the
-    driver's own artifact (by construction both members of a pair share a
-    component, hence a split); the naive row's nonzero straddle count
-    (E = 2·p·(1−p) ≈ 18% of pairs for a 90/10 split; the small sf0.01
-    pair set realizes 1/30) is the contamination a per-doc split
-    silently ships to eval.  Per
-    method: two thin membership joins on the pair ids + one map-side
-    fold; exact-ppm output, 2 rows."""
-    from trafficbigdatasearch_spark.operators import evalrank as EV
-
-    docs = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
-    naive = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
-    safe = sampling.leakage_free_split(
-        docs, pairs, {"train": 0.9, "test": 0.1}
-    )
-    return EV.split_leakage(
-        pairs,
-        {"naive_hash": naive.select("doc_id", "split"),
-         "leakage_free": safe.select("doc_id", "split")},
-    )
-
-
-# ROUND-9 ROTATION QUEUE (never-driver-checked rows, in registration
-# order — enters the r9 window FIRST per the slot-priority rule):
-#   the 12 pre-r8 rows: a_attribution_touch, a_basket_pairs,
-#       a_event_transitions, a_histogram, a_winsorize, dedup_containment,
-#       j_bloom_anti, j_bloom_prefilter, quality_profile,
-#       quality_referential, s_minmax_skipping, stream_dedup
-#   plus the r8 post-freeze registrations (each green under pytest +
-#   tools/driver_sim at sf0.01 in its registration session):
-#       text_boilerplate_spans, pipeline_boilerplate_strip,
-#       sample_temperature, dedup_semantic_incremental, a_drift_chi2,
-#       sim_dim_stats
-#   then cycle-backs named above (s_zorder_skipping, ts_resample_ohlc,
-#   ts_interpolate; text_dup_spans re-entry — its interval-merge stage
-#   was factored into the shared _merge_doc_intervals this round,
-#   re-verified green via driver_sim post-refactor) and oldest-stale
-#   (the r3/r4-green exits in registration order).
-#
-# ROUND-9 CLOSING STATE (for the r10 rotation): the r9 window (positions
-# 1-50 below) was rehearsed 50/50 green before freezing, and the FULL
-# registry swept green through tools/driver_sim (dtype-strict, sf0.01)
-# on shipping code — 187/187 after the review-fix batches (NULL-excluded
-# drift binning, count_distinct boilerplate denominators, hdcg k<=41
-# bound, backtick term rejection) and AGAIN at 189/189 at close,
-# certifying every post-freeze change, and a THIRD time at 191/191 after
-# the final registrations (the seven r10-queue rows including
-# sample_priority and quality_gopher, CorpusPipeline.materialize in the
-# LM-gate pipelines, sim_token_cosine's guarded re-registration) with the
-# registry-wide plan pins re-run green (34/34).  pytest at close: 607
-# passed / 2 skipped / 0 failed on the final code (incl. the max_trip,
-# priority-sample, and Gopher pins), plus four NEW hypothesis properties
-# cross-checking the r9 operators against independent references
-# (pandas merge_asof, pure-Python brute-force cosine, full-CC identity,
-# the sequential BPE reference).  One post-sweep change:
-# incremental_components was restructured so its zero-corpus-shuffle
-# claim holds past broadcast size (corpus only ever the stream side of
-# explicit broadcasts; no closing distinct) — re-verified green (oracle
-# row, hand cases, random-graph property) with the broadcast threshold
-# forced to 1KB to prove the plan shape.  sf0.1
-# verification: all 7 r9-changed rows green (batched-BPE learn chain,
-# AQE-default collocations, drift/histogram NULL policy, boilerplate
-# strip) plus j_asof_tolerance (20 084 rows), pipeline_training_mix
-# (4 991 packed docs), ts_cusum (100 000 events), and sim_token_cosine
-# (guarded regime, mirrored oracle — the unguarded form measured 107 s at
-# sf0.1, the exact skew the guard exists for; guarded 2.1 s warm).
-# Bench: 148 headline 173.7 s warm / 237.2 s cold at sf0.1 (0.92x the r8
-# record on common queries), 42-query sweep zero errors, and the NEW
-# per-query tolerance-band gate (flag at 2.5x best prior round, bench.py
-# -> BENCH_r{N}) reports ZERO flags.  The three r8 bench movers were
-# bracketed same-session and classified environmental (SCALING.md:
-# untouched anchor queries drift 1.11-1.33x identically; git proves the
-# operators byte-identical to the r7 bench commit).  Measured probes
-# added: batched-BPE rounds (tools/bpe_probe.py) and incremental-CC
-# maintenance (tools/inc_cc_probe.py: increment FLAT at 3.4-3.9 s while
-# full re-clustering grows 18.7->47.5 s across a 16x node decade).
-#   r10 slot guidance, in order:
-#   1. the ROUND-10 QUEUE below (3 never-driver-checked rows);
-#   2. changed-code cycle-backs: decontaminate_fuzzy (the r9 audit's
-#      broadcast fix rewrote its verify join AFTER its last driver row;
-#      re-verified green via driver_sim + the 1KB plan pin this session),
-#      pipeline_lm_filter (materialize() stage added post-window; swept
-#      green); mm_phash_pairs is stable (covers the phash_pairs
-#      decoder-hook default path); eval_rec_hdcg cycles back for its
-#      k-bound guard if a slot frees;
-#   3. oldest-stale rows (last green r2, registration order after the
-#      two taken this round): a_distinct_count, f_json_extract,
-#      f_string_funcs, w_row_number, time_bucket_hourly, text_metrics,
-#      text_pii_scrub, text_fingerprint, text_rolling_fingerprint,
-#      text_top_ngrams, dedup_minhash_signatures, dedup_simhash,
-#      sim_brute_topk, sim_lsh_topk, then the r3-green batch.
-#
-# ROUND-10 ROTATION QUEUE (registered after the round-9 window was frozen
-# and rehearsed — never driver-checked; enters the r10 window FIRST per
-# the slot-priority rule, then oldest-stale rows):
-#       j_asof_tolerance      (merge_asof max-gap contract; tolerance
-#                              genuinely fires at sf0.01: 1390 matched /
-#                              591 nulled)
-#       pipeline_training_mix (quality gate -> LM gate -> temperature
-#                              rebalance -> sequence packing, the full
-#                              training-data export composed in one
-#                              oracle row)
-#       graph_cc_incremental  (incremental CC maintenance: fold new edges
-#                              into a standing labeling via a label-graph
-#                              fixpoint bounded by the new edges — the
-#                              corpus is scanned twice, shuffled never)
-#       sim_token_cosine      (sparse token-count cosine join, integer
-#                              cross-multiplied threshold — the
-#                              AllPairs/DIMSUM primitive; 42 pairs at
-#                              sf0.01 with the closing IEEE-chain cosine
-#                              hash-matching DuckDB)
-#       ts_cusum              (per-key CUSUM mean-shift screen: exact
-#                              integer numerators n*prefix - i*s on the
-#                              cents lattice — the sequential complement
-#                              to a_drift_chi2's snapshot comparison)
-#       sample_priority       (Duffield-Lund-Thorup weighted sampling
-#                              without replacement: md5-uniform / weight
-#                              priorities, TakeOrdered top-k — the
-#                              quality/length-weighted curation draw)
-#       quality_gopher        (the Gopher rule battery as per-doc flags +
-#                              conjunction — integer cross-multiplied
-#                              thresholds, zero shuffles; 215/500 pass at
-#                              sf0.01, every rule exercised)
-#   (each green under pytest + tools/driver_sim at sf0.01 in its
-#    registration session)
-#
-# ROUND-10 rotation (executing the r10 queue + slot-priority policy; the
-# stable 22 stay put):
-#   in  (the whole 7-query ROUND-10 QUEUE above — the last
-#        never-driver-checked r9 registrations; full window rehearsed
-#        50/50 green dtype-strict at sf0.01 BEFORE any r10 registration
-#        landed, then per-query re-rehearsed as the round's five new
-#        registrations entered)
-#   in  (r10 registrations, entering in their first round per policy)
-#       sim_ivf_append        (IVF index maintenance, verdict r9 #6:
-#                              append assigns the batch against the STORED
-#                              centroids and append-writes into the
-#                              cell-partitioned layout; oracle IS the full
-#                              rebuild at fixed centroids; measured probe
-#                              tools/index_append_probe.py — append FLAT
-#                              0.88-1.4 s while rebuild grows 2.8->10.4 s
-#                              across an 80k->320k base decade)
-#       text_bm25_append      (the text twin: postings land in the same
-#                              md5-bucket partitions, stats sidecar gains
-#                              (doc, dl) rows; N/avgdl/df derive at query
-#                              time so append is rebuild-exact — oracle is
-#                              text_bm25_topk's whole-corpus SQL verbatim;
-#                              probe: append FLAT ~2 s vs rebuild
-#                              2.9->5.7 s)
-#       sim_bitext_margin     (margin-based bitext mining, the
-#                              CCMatrix/LASER curation primitive with the
-#                              engine-reproducible k-th-neighbor margin —
-#                              no float SUM; hub suppression pytest-pinned;
-#                              34/38/119 pairs at sf0.001/0.01/0.1)
-#       decontaminate_semantic (the decontamination family's third member:
-#                              embedding-space leakage vs a broadcast
-#                              benchmark, corpus never shuffles; identity
-#                              pairs kept by design — 14/15/81 pairs)
-#       eval_cluster_purity   (per-cluster label purity of the IVF cell
-#                              assignment — the measurement loop for the
-#                              blocking/clustering fabrics; smallest-label
-#                              tie-break, one closing IEEE division)
-#   in  (changed-code cycle-backs promised in the r9 closing state)
-#       decontaminate_fuzzy, pipeline_lm_filter, eval_rec_hdcg
-#   in  (ADVICE-r9 changed-code rows, fixed THIS session: asof_join now
-#        carries the matched right row as ONE struct so tolerance and
-#        values decide off the same row; priority_sample excludes NaN
-#        weights; phash_decoded validates ragged grids — j_asof_tolerance
-#        and sample_priority are already in via the queue, stable j_asof /
-#        mm_phash_pairs cover the other touched paths)
-#   in  (dedup_keep_best — A/B-bracketed this session, verdict r9 #3:
-#        interleaved same-session A/B vs the r4-close commit measured
-#        1.00x, drift ruled host variance; SCALING.md records it)
-#   in  (stream_semantic_gate — the sixth r10 registration: the batch
-#        semantic-decontam operator run UNCHANGED on a bounded embedding
-#        stream, stream-static broadcast, append mode, no state; same
-#        oracle as the batch row pins both twins to the same bits)
-#   in  (oldest-stale, last green r2, 11 of 16)
-#       a_distinct_count, f_json_extract, f_string_funcs, w_row_number,
-#       time_bucket_hourly, text_metrics, text_pii_scrub, text_fingerprint,
-#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures
-#   out (-> new registrations per the slot-priority rule; every yielded
-#        row stays continuously oracle-verified at sf0.001 by pytest's
-#        parameterized registry sweep)
-#       j1_equi_join_dims, j3_or_key_union -> q3_shipping_priority (stable)
-#       sim_lsh_topk, sim_brute_topk -> sim_bitext_margin + sim_ivf_*
-#                              (exact-cosine rerank engine in-window;
-#                              brute is eval_ivf_recall's benched baseline)
-#       dedup_simhash -> mm_phash_pairs (in-window banded-Hamming engine)
-#                              + the benched dedup_simhash_pairs sibling
-#
-#   r11 slot guidance, in order (AMENDED by the r10 continuation session:
-#   the queue grew from 6 to 38 never-driver-checked rows — the 6 original
-#   post-freeze registrations plus the 32 continuation registrations
-#   itemized in the ROUND-11 QUEUE below.  27 queue rows + the
-#   text_bm25_indexed cycle-back OVERFILL the 28 rotating slots by two —
-#   the two newest rows (sample_poisson_bootstrap, quality_dedup_report)
-#   lead the r12 queue instead; items 3-4 also defer to r12):
-#   1. the ROUND-11 QUEUE below (38 never-driver-checked rows, of which
-#      the first 27 fit r11's rotating slots: the 6
-#      post-freeze registrations first — they have waited a full round —
-#      then the 21 continuation registrations in registration order:
-#      graph_clustering_coeff, graph_modularity, eval_pq_distortion,
-#      a_hopping_window, quality_key_skew, stream_gopher_gate,
-#      ts_seasonality, stream_hopping, graph_assortativity,
-#      eval_rec_coverage, eval_minhash_error, ts_acf, pipeline_curriculum,
-#      j_spatial_knn, quality_profile_drift, graph_component_stats,
-#      sample_triplets, mm_phash_incremental, w_streaks,
-#      q6_forecast_revenue, q10_returned_items, then (r12-first)
-#      sample_poisson_bootstrap, quality_dedup_report, text_vocab_curve,
-#      quality_syndication, eval_jaccard_histogram, ts_peaks,
-#      mm_scene_changes, eval_langid_confusion, quality_gopher_rates,
-#      eval_split_leakage, dedup_cross_corpus — every one green under a
-#      same-session tools/driver_sim rehearsal at sf0.01 and continuously
-#      oracle-verified at sf0.001 by the parameterized pytest sweep);
-#   2. changed-code cycle-back: text_bm25_indexed (build_text_index was
-#      refactored into the shared _write_index_parts this round; the path
-#      ran green in-window via text_bm25_append/text_phrase_indexed, but
-#      its own row should refresh);
-#   3. the five rows that yielded to r10 registrations (j1_equi_join_dims,
-#      j3_or_key_union, sim_lsh_topk, sim_brute_topk, dedup_simhash) lead
-#      the stale queue;
-#   4. then oldest-stale r3 rows in registration order (j2_interval_join,
-#      j_semi_anti, a_approx_sketches, a_rollup_reagg, w_lag_gap,
-#      dedup_exact, dedup_ngram_jaccard, dedup_simhash_pairs,
-#      dedup_minhash_lsh, pipeline_clean_corpus, sim_lsh_buckets,
-#      sim_kmeans_refine, mm_features, q14_promo_revenue, q5_local_supplier,
-#      sample_split_hash, sample_group_topk, sample_mixture, a_funnel_steps,
-#      text_search_terms, a_pivot_event_types, a_unpivot_doc_metrics,
-#      w_trailing_range, stream_sessions, sketch_segment_overlap,
-#      sim_pq_codes).
-#
-@register(
-    "dedup_cross_corpus",
-    f"""WITH {_band_cte('documents', 'X')},
-       ca AS (SELECT * FROM bandX WHERE doc_id % 2 = 0),
-       cb AS (SELECT * FROM bandX WHERE doc_id % 2 = 1)
-       SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
-       FROM ca JOIN cb
-         ON ca.band = cb.band AND ca.bucket = cb.bucket""",
-)
-def dedup_cross_corpus_q(spark, sf):
-    """SYMMETRIC cross-corpus near-dup candidates (operators/dedup.py::
-    cross_corpus_pairs) — the corpus-MERGER shape completing the dedup
-    deployment matrix: within-corpus (dedup_minhash_lsh), small-increment
-    vs corpus (dedup_incremental, increment broadcasts), corpus vs small
-    benchmark (decontaminate, benchmark broadcasts), and now LARGE vs
-    LARGE, where no side fits a broadcast and the only scaling plan is
-    both sides banding independently and meeting in ONE equi-join on the
-    (band, bucket) key.  Even/odd doc ids stand in for the two crawls;
-    cross pairs only (each side's internal dedup is its own batch job);
-    the per-side bucket cap bounds any boilerplate band value's fan-out
-    BEFORE the join.  Same candidate semantics as the registered LSH
-    fabric, so the oracle is the band chain restricted to cross pairs."""
-    docs = load_table(spark, sf, "documents")
-    return dedup.cross_corpus_pairs(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        k=_MINHASH_K, bands=4, n=3,
+# The registry facade: _shared owns the dict; the std_* modules register
+# into it ON IMPORT, in the original top-to-bottom order (registration
+# order is load-bearing: the driver verifies the first 50 entries); the
+# _WINDOW reorder below then mutates the dict IN PLACE so every
+# importer observes the driver ordering.  Policy + full rotation
+# ledger: ROTATION.md.
+from ._shared import (  # noqa: F401  (re-exported facade)
+    QueryFn,
+    _REGISTRY,
+    _cents,
+    _dsum,
+    oracle_sql,
+    queries,
+    register,
+)
+from . import std_core  # noqa: F401,E402  isort:skip
+from . import std_textsim  # noqa: F401,E402  isort:skip
+from . import std_tpch_sampling  # noqa: F401,E402  isort:skip
+from . import std_spatial_incr  # noqa: F401,E402  isort:skip
+from . import std_olap_quality  # noqa: F401,E402  isort:skip
+from . import std_retrieval  # noqa: F401,E402  isort:skip
+from . import std_graph_eval  # noqa: F401,E402  isort:skip
+from . import std_r11  # noqa: F401,E402  isort:skip
+from . import _shared  # noqa: F401,E402  isort:skip
+
+#: Era modules in registration order — also the __getattr__ search order.
+_ERA_MODULES = (
+    _shared, std_core, std_textsim, std_tpch_sampling, std_spatial_incr,
+    std_olap_quality, std_retrieval, std_graph_eval, std_r11,
+)
+
+
+def __getattr__(name: str):
+    """Pre-split compatibility (PEP 562): tests and tools that reached
+    registry internals as ``standard.<helper>`` (approx_sketches_raw,
+    _scratch, _SCRATCH_ROOT, _FK_BLOOM_CACHE, ...) resolve against the
+    era module that owns them now.  Dynamic on purpose — _SCRATCH_ROOT is
+    REBOUND by _scratch at runtime, so a static ``from ... import`` would
+    freeze the pre-call value."""
+    for _m in _ERA_MODULES:
+        if hasattr(_m, name):
+            return getattr(_m, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r} "
+        "(searched _shared and the std_* era modules)"
     )
-
-
-# =============================================================================
-# ROUND-10 CONTINUATION CLOSING STATE (the second r10 session, after the
-# round's first definitive close at 203 rows): 34 new registrations landed
-# (203 -> 235 individually-rehearsed oracle rows), every one green under a
-# same-session tools/driver_sim rehearsal at sf0.01 (dtype-strict) in its
-# registration batch; the FULL registry swept 232/232 green mid-session,
-# the three post-sweep rows (quality_gopher_rates, eval_split_leakage,
-# dedup_cross_corpus) rehearsed green individually and under the final
-# suite's parameterized sweep, and the closing full tools/driver_sim
-# sweep on shipping code is 235/235 green (dtype-strict, sf0.01, zero
-# errors).  Suite at close: 727 passed /
-# 2 skipped (from 642 at session start; +85 tests incl. brute-force
-# parity, hypothesis properties, hand-case goldens, and a RocksDB
-# state-store pin for the hopping streaming aggregate).  Bench: the
-# definitive close (BENCH_local.json) ran the full 199-query headline at
-# 222.3 s warm / 290.1 s cold with ZERO band flags and ZERO transient
-# triages; an intermediate contended run (272.6 s) had its six
-# roster-leading warmup ratios all self-triage transient with zero
-# reproduced flags — the r10 self-triage mechanism doing exactly its
-# job both ways.  Scale evidence added this session:
-# tools/curriculum_probe.py (two-level prefix 3.7/7.6/19.3 s vs naive
-# global row_number 3.1/12.6/51.1 s at 0.8M/3.2M/12.8M docs, positions
-# asserted identical), tools/phash_inc_probe.py (increment FLAT
-# 1.68/1.74/3.25 s vs full re-dedup 6.7/10.8/179.6 s across a 100k ->
-# 1.6M decade, cross pairs asserted identical), and a full-registry
-# tools/broadcast_audit.py re-run whose triage corrected two over-broad
-# docstring broadcast claims (split_leakage membership join, syndication
-# source lookup) to the shuffle-on-pair-ids posture the 1KB replan shows
-# — no plan changes needed, the plans were already right.  The five
-# /verify surfaces (facade, driver contract, streaming, bench, oracle
-# rehearsal) were all driven this session.
-# =============================================================================
-# ROUND-11 ROTATION QUEUE (registered after the round-10 window was frozen
-# and rehearsed — never driver-checked; enters the r11 window FIRST per
-# the slot-priority rule):
-#       sample_priority_grouped (per-group DLT weighted sampling: exactly
-#                              k docs per language ~ token-count weights,
-#                              ONE window shuffle on the group key — the
-#                              weighted completion of group_sample;
-#                              100 rows at sf0.01)
-#       text_vocab_oov        (per-language OOV rates against the
-#                              text_vocab_encode vocabulary — integer
-#                              counts + one closing division; the
-#                              vocabulary-coverage report behind
-#                              tokenizer-prep decisions; 5 rows)
-#       eval_lsh_recall       (measured candidate-generation quality: the
-#                              MinHash band fabric's precision/recall vs
-#                              the exact Jaccard >= 0.2 pair set — the
-#                              blocked-fabric twin of eval_ivf_recall;
-#                              3 integer counts + 2 closing divisions)
-#       sample_quota_split    (EXACT largest-remainder stratified split:
-#                              precisely 80/10/10 per language, not in
-#                              expectation — one ranking-window shuffle,
-#                              quota arithmetic a fixed IEEE expression of
-#                              the group size; apportionment tie-breaks
-#                              property-pinned in tests)
-#       eval_score_calibration (length-decile reliability curve against
-#                              the Gopher pass flag — exact histogram-CDF
-#                              quantiles, integer counts, one closing
-#                              division; the oracle embeds the full
-#                              quality_gopher SQL as its outcome leg)
-#       j_asof_nearest        (direction='nearest' completes the pandas
-#                              merge_asof direction matrix: closer side
-#                              wins, equidistant ties backward; both
-#                              carries share ONE hash exchange; the full
-#                              3-direction matrix is property-pinned vs
-#                              pandas; oracle = two DuckDB ASOF joins +
-#                              the closer-wins CASE)
-#   plus the six registered later the same round (the graph-eval /
-#   window / diagnostics batch — each green under pytest + a 6/6
-#   tools/driver_sim rehearsal at sf0.01 in its registration session):
-#       graph_clustering_coeff (per-node lcc = 2*tri/(d*(d-1)) on the
-#                              irregular quadratic-chord graph — exact
-#                              BIGINT num/den + ONE closing division;
-#                              wedge join stays degree-ordered)
-#       graph_modularity      (the graph family's EVAL member: Newman Q
-#                              per community as exact integer pieces
-#                              q_num = 4*m*e_in - deg_c^2 over q_den =
-#                              4*m^2, one closing division per row;
-#                              DECIMAL(38,0) internal products)
-#       eval_pq_distortion    (per-subspace PQ quantization SSE/MSE on
-#                              the integer lattice — the codebook's own
-#                              quality metric beside the recall rows;
-#                              trained-dominates-sampled pinned in
-#                              tests/test_entry_correctness.py)
-#       a_hopping_window      (native F.window(1h, 15min) sliding
-#                              aggregate, cents-lattice sums; oracle =
-#                              integer epoch-us window arithmetic)
-#       quality_key_skew      (the shuffle-key skew diagnostic: exact
-#                              p50/p90/p99 group sizes + max-share ppm
-#                              from ONE map-side-combined count + a
-#                              |distinct sizes| histogram fold)
-#       stream_gopher_gate    (the Gopher battery on a document stream —
-#                              row-local battery unchanged in append
-#                              mode, stateless; same oracle as
-#                              quality_gopher pins both twins)
-#   and the four from the same session's second batch (4/4 driver_sim
-#   rehearsal green at sf0.01):
-#       ts_seasonality        (hour-of-day profile per key: 24 rows/key
-#                              from ONE map-side-combined aggregate;
-#                              seasonal_ratio as cross-multiplied exact
-#                              integers + one closing division; the
-#                              reference's avgspeed-by-hour generalized)
-#       stream_hopping        (a_hopping_window's operator unchanged on
-#                              the bounded event stream, complete mode —
-#                              same oracle pins both twins' OVERLAPPING
-#                              window assignment)
-#       graph_assortativity   (Newman's r as exact sufficient stats
-#                              n/Σx/Σx²/Σxy folded per canon edge, one
-#                              closing division, NULL on degree-regular
-#                              zero variance — the third graph-eval
-#                              member)
-#       eval_rec_coverage     (catalog coverage + max item exposure ppm
-#                              over the registered rec_user_topn chain —
-#                              its oracle embeds verbatim as the recs
-#                              CTE; the popularity-bias smell test)
-#   and the third batch (2/2 driver_sim rehearsal green at sf0.01):
-#       eval_minhash_error    (per-pair |est - exact| Jaccard of the k=8
-#                              signatures over the exact >= 0.2 pair set —
-#                              the k-sizing law E[est]=J, Var=J(1-J)/k
-#                              made measurable; pair-restricted join)
-#       ts_acf                (lag-1 autocorrelation per key: one lead
-#                              window + exact integer sufficient stats,
-#                              closing chain NULL-guarded on constant
-#                              series — completes the drift/CUSUM/ACF
-#                              monitoring trio)
-#       pipeline_curriculum   (the data-ORDERING pipeline member: length-
-#                              decile phases easy-first, md5-shuffled
-#                              within phase, global position WITHOUT a
-#                              global sort — histogram-CDF phases +
-#                              pack_sequences' two-level prefix over 256
-#                              md5-prefix buckets/phase; oracle is the
-#                              naive global row_number)
-#       j_spatial_knn         (radius-bounded exact kNN join: grid-blocked
-#                              candidates, row-local symmetrize, ONE
-#                              ranking window per source point — the
-#                              honest scale form of spatial kNN)
-#       quality_profile_drift (per-column null/distinct drift between two
-#                              snapshots: cross-multiplied exact null-rate
-#                              delta, one aggregate per snapshot — the
-#                              schema half of the drift pair)
-##       graph_component_stats (component-size distribution of the LSH
-#                              dedup graph — the giant-component /
-#                              percolation alarm; oracle reuses
-#                              dedup_clusters' recursive closure)
-#       sample_triplets       (contrastive (anchor, positive, negative)
-#                              mining from the exact >= 0.2 pair set;
-#                              Knuth-hash negatives with a deterministic
-#                              collision-step chain and the
-#                              neg_is_known_dup false-negative flag)
-##       mm_phash_incremental  (new asset batch vs standing corpus pHashes
-#                              — bit-fingerprint incremental dedup, the
-#                              third incremental representation; corpus
-#                              streams, increment broadcasts)
-#       w_streaks             (gaps-and-islands streak lengths per
-#                              (user, type): single-exchange lag+cumsum
-#                              formulation vs the oracle's two-window
-#                              row_number difference)
-##       q6_forecast_revenue   (TPC-H Q6 — the scan-throughput canary:
-#                              every predicate pushed, exact 1e-4-lattice
-#                              revenue product; dates shifted into the
-#                              synthetic corpus's 1996 span)
-#       q10_returned_items    (TPC-H Q10 — 4-table join + grouped cents
-#                              revenue + deterministic top-20; customer
-#                              deliberately UNhinted (grows with SF),
-#                              nation broadcast)
-##       sample_poisson_bootstrap (the distributed bootstrap: k~Poisson(1)
-#                              copies per row per replicate from the
-#                              md5-uniform lattice through an integer-
-#                              quantized CDF — CI on a corpus statistic
-#                              with a 10-row reduce, no global n)
-#       quality_dedup_report  (per-source exact-dedup impact: distinct
-#                              fingerprints vs docs + non-keeper token
-#                              mass via one arg-min — the per-delivery
-#                              copy-paste audit)
-##       text_vocab_curve      (cumulative coverage vs vocab size at 5
-#                              checkpoints — the measured Zipf head
-#                              behind vocab/BPE sizing; rank window over
-#                              the frequency table only)
-#       quality_syndication   (cross-source near-dup matrix: which feeds
-#                              republish each other — the drop-a-feed-at-
-#                              ingest decision)
-#       eval_jaccard_histogram (pair counts per exact-Jaccard decile over
-#                              the full candidate relation — integer
-#                              (10*shared) div union binning; exhibits
-#                              the corpus's bimodal split justifying the
-#                              0.2+ cutoffs)
-#       ts_peaks              (strict local maxima per key on the cents
-#                              lattice — lag/lead share one sort; the
-#                              spike marker beside ts_cusum)
-##       mm_scene_changes      (shot boundaries over video assets: stub
-#                              frame windows + md5 pHash + lag hamming —
-#                              one decoder-hook swap upgrades to real
-#                              pixels, boundary logic unchanged)
-#       eval_langid_confusion (predicted-vs-labeled language matrix over
-#                              the registered lang-id chain — the bias
-#                              audit feeding per-language mixture math)
-##       quality_gopher_rates  (per-rule pass rates of the registered
-#                              battery in exact ppm — the kill-rate
-#                              report the battery's docstring promises;
-#                              works over any boolean-flag frame)
-#       eval_split_leakage    (near-dup pairs straddling train/test under
-#                              naive vs cluster-keyed splits — the
-#                              leakage-free guarantee MEASURED: its row
-#                              reads 0 straddling)
-##       dedup_cross_corpus    (LARGE-vs-LARGE corpus-merger dedup: both
-#                              sides band independently, ONE equi-join on
-#                              (band, bucket), per-side bucket caps —
-#                              completes the dedup deployment matrix's
-#                              fourth quadrant)
-#
-# ROUND-9 rotation (executing the r9 queue + slot-priority policy; the
-# stable 22 stay put):
-#   in  (the whole 18-query ROUND-9 QUEUE above — the last
-#        never-driver-checked rows; the registry reaches 184/184
-#        driver-verified when they land green.  The 6 post-freeze r8
-#        registrations lead the roster because a_drift_chi2 /
-#        sample_temperature / dedup_semantic_incremental / sim_dim_stats
-#        carry post-window code changes, and a_drift_chi2 /
-#        text_boilerplate_spans / pipeline_boilerplate_strip additionally
-#        changed THIS session: NULL-value exclusion in histogram_drift
-#        binning and the count_distinct DF denominator in
-#        boilerplate_spans, both mirrored in their oracles — ADVICE r8)
-#   in  (cycle-backs promised in the r8 closing state)
-#       s_zorder_skipping, ts_resample_ohlc, ts_interpolate,
-#       text_dup_spans
-#   in  (changed-code re-verification per the r6 amendment: learn_merges
-#        was rewritten THIS session to the provably-safe batched merge
-#        loop — text_bpe_merges certifies the rule list, text_bpe_encode
-#        the final reprs, pipeline_bpe the composed chain; text_bpe_apply
-#        stays out with its inference half untouched (apply_merges
-#        unchanged; rules-identity additionally pinned by tests +
-#        tools/bpe_probe.py's assertion).  text_collocations' unigram
-#        joins default to AQE sizing this session — same rows, new plan)
-#       text_bpe_merges, text_bpe_encode, pipeline_bpe, text_collocations
-#   in  (oldest-stale, last green r2, registration order)
-#       p_time_range_halfopen, p_segments_case
-#   out (-> in-window sibling covering the code path; every exit was
-#        green in the r8 driver window)
-#       ts_trend_incremental, stream_trend -> moments/finalize path pinned
-#                                bit-identical to ts_trend_per_key's
-#                                machinery (tests/test_timeseries.py);
-#                                streaming held by stable
-#                                stream_events_hourly + stream_dedup
-#                                (in-window)
-#       pipeline_lm_filter, stream_lm_gate -> lm scoring held by the
-#                                bigram goldens (tests/test_lm.py) and the
-#                                batch==stream gate pin; coverage join
-#                                machinery inside decontaminate (stable)
-#       text_doc_keywords     -> postings/vocabulary machinery in stable
-#                                text_phrase_indexed + text_collocations
-#                                (in-window, same unigram-context shape)
-#       rec_negatives, rec_item_cosine_capped -> interaction-matrix +
-#                                cap machinery pinned tests/test_recsys.py
-#                                + the skew probe; co-table path held by
-#                                stable pipeline rows
-#       sim_ivf_adc_topk, sim_pq_rerank_topk, sim_pq_trained_topk ->
-#                                ADC chain held by stable sim_pq_adc_topk
-#                                + sim_ivf_indexed
-#       graph_ppr, graph_link_pred -> bounded-fixpoint family held by
-#                                stable pipeline_dedup_corpus's CC;
-#                                tests/test_graph.py goldens
-#       dedup_semantic_ivf    -> dedup_semantic_incremental (in-window)
-#                                runs the same IVF-cell blocked GEMM with
-#                                the corpus-owned centroid chain
-#       q18_large_orders      -> TPC-H family held by stable
-#                                q3_shipping_priority
-#       decontaminate_fuzzy   -> decontaminate (stable) + the fuzzy band
-#                                residual machinery in j_range_keyless
-#                                (stable)
-#       a_impute_median       -> grouped-quantile machinery beside
-#                                a_winsorize (in-window)
-#       pipeline_mm_dedup     -> mm_phash_pairs (stable) + the CC keeper
-#                                inside stable pipeline_dedup_corpus
-#       table_merge_upsert, stream_merge_upsert -> merge machinery pinned
-#                                tests/test_streaming.py (upsert/replay/
-#                                time-travel suite); diff path in
-#                                tests/test_diff.py
-#       text_bpe_apply        -> pipeline_bpe (in-window) composes
-#                                apply_merges on the same rules
-#       s_orc_roundtrip       -> ORC read/write pinned tests/test_sources;
-#                                format family held by s_minmax_skipping +
-#                                s_zorder_skipping (in-window)
-#       eval_rec_hdcg         -> metric arithmetic pinned
-#                                tests/test_evalrank.py (incl. the new
-#                                k<=41 bound); join shape in stable
-#                                decontaminate
-#       ts_gapfill, stream_ohlc -> widened DECIMAL(38,0) ordering key held
-#                                by ts_resample_ohlc + ts_interpolate
-#                                (in-window, same _ord_key + closes stage)
-#
-# ROUND-7 rotation (executing the r7 queue + slot-priority policy):
-#   in  (the 3-query ROUND-7 QUEUE, never driver-checked)
-#       dedup_jaccard_prefix, text_dup_spans, a_attribution_linear
-#   in  (this round's new queries, first-round entry per policy)
-#       text_hybrid_rrf, text_lm_coverage, rec_item_cosine, rec_user_topn,
-#       eval_ivf_recall, rec_eval_holdout, s_zorder_skipping,
-#       ts_trend_per_key, a_ab_conversion
-#   in  (changed-code re-verification per the slot-priority amendment:
-#        search.py's bm25_scores factoring rewrote the shared BM25 scoring
-#        stage this session, and the IVF oracle was refactored into the
-#        shared _IVF_CTES block)
-#       text_bm25_topk, text_bm25_indexed, sim_ivf_topk
-#   in  (cycle-backs promised in the r6 closing state)
-#       pipeline_dbscan, spatial_density,
-#       graph_pagerank, graph_kcore, graph_label_prop, graph_sssp
-#   in  (oldest-stale, last green r2, registration order)
-#       p_calendar_eq, a_group_avg, a_pricing_summary, a_rollup, a_cube,
-#       set_intersect, set_except
-#   out (-> in-window sibling covering the code path; every exit was
-#        rehearsed green in the r6 window)
-#       j_bloom_prefilter/j_bloom_anti -> join family held by j_skew_salted
-#                               + j_range_keyless (stable); bitmap pinned by
-#                               tests/test_joins.py + tools/bloom_probe.py
-#       stream_dedup         -> stream_events_hourly (stable streaming)
-#       quality_referential, quality_profile -> quality_report (stable)
-#       s_minmax_skipping    -> s_zorder_skipping (in-window; same sidecar
-#                               build + planning-time pruning machinery)
-#       s_orc_roundtrip      -> format goldens in tests/test_sources.py;
-#                               cycles back r8
-#       table_merge_upsert, stream_merge_upsert -> merge machinery pinned
-#                               by tests/test_diff.py + tests/test_streaming
-#                               _sinks.py; FIRST in line for r8 stale slots
-#       a_histogram          -> histogram-CDF machinery beside
-#                               w_quality_deciles_global family; a_grouping_
-#                               sets (stable agg)
-#       a_event_transitions, a_basket_pairs -> rec_item_cosine (in-window;
-#                               same distinct-collapse + pair self-join)
-#       a_winsorize          -> quality_report (stable exact aggregates)
-#       a_attribution_touch  -> a_attribution_linear (in-window; same
-#                               ordering-key + credit arithmetic family)
-#       dedup_containment    -> dedup_jaccard_prefix (in-window) +
-#                               dedup_incremental (stable)
-#       text_bpe_merges/encode/apply, pipeline_bpe -> BPE goldens in
-#                               tests/test_bpe.py; pack_sequences (stable)
-#                               holds the tokenizer-pipeline tail; FIRST in
-#                               line for r8 stale slots with merge_upsert
-#       ts_resample_ohlc, ts_gapfill, ts_interpolate, stream_ohlc ->
-#                               ts_trend_per_key (in-window, same module) +
-#                               stream_events_hourly (stable windowed agg)
-#       dedup_keep_best      -> pipeline_dedup_corpus (stable CC + survivor)
-#       p_time_range_halfopen, p_segments_case -> p_bbox_filter (stable
-#                               predicate family)
-#       j1_equi_join_dims, j3_or_key_union -> q3_shipping_priority (stable
-#                               TPC-H equi-join + broadcast dims)
-#
-# Round-11 rotation (per VERDICT r10 #1 and the r11 slot guidance above):
-#   in  27 of the 38-row never-checked queue (the 6 post-freeze r10
-#       registrations + the 21 continuation registrations, in the exact
-#       queue order) + the text_bm25_indexed changed-code cycle-back.
-#       The remaining 11 queue rows (sample_poisson_bootstrap,
-#       quality_dedup_report, text_vocab_curve, quality_syndication,
-#       eval_jaccard_histogram, ts_peaks, mm_scene_changes,
-#       eval_langid_confusion, quality_gopher_rates, eval_split_leakage,
-#       dedup_cross_corpus) lead the ROUND-12 QUEUE.
-#   out (all 28 r10 rotating rows went GREEN in CORRECTNESS_r10 and yield
-#        per policy; in-window siblings):
-#       j_asof_tolerance, sample_priority -> j_asof / sample_* queue rows
-#                               (j_asof_nearest, sample_priority_grouped
-#                               exercise the same changed code paths)
-#       pipeline_training_mix, dedup_keep_best -> pipeline_dedup_corpus
-#                               (stable) + pipeline_curriculum (in)
-#       graph_cc_incremental -> dedup_incremental (stable) +
-#                               graph_component_stats (in, CC machinery)
-#       sim_token_cosine, sim_ivf_append -> sim_ivf_indexed / sim_pq_adc_
-#                               topk (stable ANN fabric)
-#       ts_cusum             -> ts_seasonality / ts_acf (in, same module)
-#       quality_gopher       -> quality_report (stable) + stream_gopher_
-#                               gate (in, same gate expressions)
-#       decontaminate_fuzzy, decontaminate_semantic, stream_semantic_gate
-#                            -> decontaminate (stable family flagship)
-#       pipeline_lm_filter   -> text_lang_id + quality_report (stable)
-#       eval_rec_hdcg        -> eval_rec_coverage (in, same rec fabric)
-#       text_bm25_append     -> text_phrase_indexed (stable) +
-#                               text_bm25_indexed (cycle-back, in)
-#       sim_bitext_margin    -> sim_embedding_near_dup (stable exact-cosine
-#                               rerank engine)
-#       eval_cluster_purity  -> eval_pq_distortion (in, same IVF-cell
-#                               measurement loop)
-#       a_distinct_count, f_json_extract, f_string_funcs, w_row_number,
-#       time_bucket_hourly, text_metrics, text_pii_scrub, text_fingerprint,
-#       text_rolling_fingerprint, text_top_ngrams, dedup_minhash_signatures
-#                            -> refreshed green in r10; scalar-function /
-#                               window / fingerprint machinery held by
-#                               stable w_sessionize, text_chunk_docs,
-#                               text_lang_id, sketch_distinct_rollup,
-#                               dedup_incremental (signature stage)
-# =============================================================================
 
 _WINDOW = [
     # --- stable flagship slots (22, unchanged from r10: one flagship per
@@ -11028,9 +129,16 @@ _WINDOW = [
     "text_bm25_indexed",
 ]
 
+
 assert len(_WINDOW) == 50, len(_WINDOW)
+
+
 assert set(_WINDOW) <= set(_REGISTRY), sorted(set(_WINDOW) - set(_REGISTRY))
-_REGISTRY = {
+
+
+_ordered = {
     **{n: _REGISTRY[n] for n in _WINDOW},
     **{n: v for n, v in _REGISTRY.items() if n not in _WINDOW},
 }
+_REGISTRY.clear()
+_REGISTRY.update(_ordered)
