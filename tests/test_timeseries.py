@@ -313,15 +313,14 @@ def test_sssp_bounded_rounds_upper_bound(spark):
     assert three == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
-def test_ohlc_amortized_guard_raises_out_of_range_id(spark):
-    """The ordering-key bounds check is amortized to one boolean per group
-    but still ENFORCED: an id >= _ORD_SCALE must raise instead of silently
-    colliding ordering keys."""
-    import pytest as _pytest
-
+def test_ohlc_struct_key_computes_past_decimal_pack_bound(spark):
+    """The struct ordering key has NO injectivity bound: an id at 1e10 —
+    where the r8 DECIMAL(38,0) pack's guard ABORTED — must now COMPUTE
+    with the tie-break still exact (r11 struct-key contract)."""
     df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000_000), (1, _t(9, 1), 20.0, 1)])
-    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
-        timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+    out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+    assert len(out) == 1
+    assert (out[0]["open"], out[0]["close"]) == (10.0, 20.0)
 
 
 def test_ohlc_wide_key_computes_past_old_bigint_bound(spark):
@@ -346,12 +345,14 @@ def test_ohlc_wide_key_computes_past_old_bigint_bound(spark):
     assert all(row["value"] is not None for row in filled)
 
 
-def test_gapfill_amortized_guard_raises(spark):
-    import pytest as _pytest
-
+def test_gapfill_struct_key_computes_negative_ids(spark):
+    """Negative ids — rejected by the old non-negative pack bound — order
+    correctly under the struct key's plain bigint comparison."""
     df = _ev(spark, [(1, _t(9, 0), 10.0, -5), (1, _t(11, 0), 20.0, 1)])
-    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
-        timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+    filled = timeseries.gapfill_ffill(df, "k", "ts", "v", "id").collect()
+    assert {r["bucket"].hour: r["value"] for r in filled} == {
+        9: 10.0, 10: 10.0, 11: 20.0,
+    }
 
 
 def test_argmax_amortized_guard_raises(spark):
@@ -381,20 +382,20 @@ def test_ohlc_guard_raises_on_null_id(spark):
     import pytest as _pytest
 
     df = _ev(spark, [(1, _t(9, 0), 10.0, None), (1, _t(9, 1), 20.0, 1)])
-    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+    with _pytest.raises(Exception, match="ordering id is NULL"):
         timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
 
 
 def test_ohlc_guard_survives_projection_of_close(spark):
     """The guard is attached to BOTH key-elected columns: selecting only
-    'close' (pruning 'open') must still raise on an out-of-range id."""
+    'close' (pruning 'open') must still raise on a NULL id."""
     import pytest as _pytest
 
-    df = _ev(spark, [(1, _t(9, 0), 10.0, 10_000_000_000), (1, _t(9, 1), 20.0, 1)])
+    df = _ev(spark, [(1, _t(9, 0), 10.0, None), (1, _t(9, 1), 20.0, 1)])
     out = timeseries.resample_ohlc(df, "k", "ts", "v", "id").select(
         "k", "bucket", "close"
     )
-    with _pytest.raises(Exception, match="widen _ORD_SCALE"):
+    with _pytest.raises(Exception, match="ordering id is NULL"):
         out.collect()
 
 

@@ -29,58 +29,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Multiplier folding (epoch-millis, row-id) into ONE DECIMAL(38,0)
-#: ordering key: ``epoch_ms * _ORD_SCALE + id``.  The wide pack (the
-#: a_attribution_touch pattern, queries/standard.py) stays injective for
-#: any id < 1e10 at EVERY scale factor — the old bigint ×1e6 pack
-#: collided (and its guard ABORTED the job) once ids passed 1e6, i.e. at
-#: sf >= 1.  DECIMAL(38,0) arithmetic is exact; DuckDB's twin is
-#: ``epoch_ms(ts)::HUGEINT * 10000000000 + id``.
-_ORD_SCALE = 10_000_000_000
-
-
 def _ord_key(ts_col, id_col):
-    """Deterministic total order for min_by/max_by tie-breaks, expressible
-    identically in DuckDB as ``epoch_ms(ts)::HUGEINT * 10000000000 + id``
-    (the repo's established unix_millis <-> epoch_ms cross-engine
-    pairing, HUGEINT matching the DECIMAL(38,0) pack exactly).
+    """Deterministic total order for min_by/max_by tie-breaks: a NATIVE
+    struct key ``(unix_millis(ts), id)`` — lexicographic field-wise bigint
+    comparison, no arithmetic, no injectivity bound, exact for EVERY
+    bigint id (negative and past-1e10 included).
 
-    The key itself is RAW arithmetic — one exact decimal multiply-add,
-    still evaluated entirely inside the aggregate.  The injectivity bound
-    (0 <= id < _ORD_SCALE) is enforced at runtime but AMORTIZED to the
-    aggregate level: callers fold :func:`_ord_ids_ok` into the same
-    aggregate (one map-side-combined ``min`` of a boolean — no branch or
-    string machinery on the per-row hot path) and wrap one output column
-    with :func:`_ord_guard`, which raises before any key-collision-
-    corrupted result can escape.  Ten-billion ids per ordered scope is
-    past any real event-id space; if a schema ever exceeds it, widen
-    _ORD_SCALE (DECIMAL(38,0) has ~25 spare digits) rather than letting
-    keys collide silently."""
-    return (
-        F.unix_millis(ts_col).cast("decimal(20,0)")
-        * F.lit(_ORD_SCALE).cast("decimal(11,0)")
-        + id_col.cast("decimal(20,0)")
+    History (r11 A/B, SCALING.md): the r8 DECIMAL(38,0) pack
+    ``epoch_ms * 1e10 + id`` measured 1.46× the r4 bigint pack on
+    ts_resample_ohlc at sf0.1 — per-row exact-decimal multiply-adds are
+    the cost.  The struct key removes the arithmetic AND the collision
+    bound, so the old amortized range guard is obsolete; only the NULL-id
+    raise (:func:`_ord_ids_ok`, review r6) survives, because a NULL field
+    inside a non-NULL struct would order silently instead of loudly.
+
+    Oracle pairing: DuckDB's ``arg_min/arg_max(value,
+    epoch_ms(ts)::HUGEINT * 10000000000 + id)`` pack is ORDER-ISOMORPHIC
+    to this struct whenever ``abs(id) < 1e10`` — true at every testdata
+    SF — so existing oracle SQL selects identical winners unchanged (the
+    bound is oracle-side only; the engine key is unbounded)."""
+    return F.struct(
+        F.unix_millis(ts_col).alias("t"), id_col.cast("bigint").alias("i")
     )
 
 
 def _ord_ids_ok(id_col):
-    """Aggregate-level bounds check for :func:`_ord_key`: ``min`` of the
-    per-row boolean is the group's logical AND, combined map-side like any
-    other partial — the whole guard costs two comparisons per row with no
-    branch in the ordering key itself.  A NULL id coalesces to False (a
-    NULL ordering key would be silently SKIPPED by min_by/max_by — the old
-    per-row guard raised on NULL, and so does this one; ``min`` alone
-    would skip the NULL and pass)."""
-    return F.min(
-        F.coalesce((id_col >= 0) & (id_col < F.lit(_ORD_SCALE)), F.lit(False))
-    )
+    """NULL-id check for :func:`_ord_key`, amortized to one map-side
+    ``min`` boolean per group (review r6: a NULL id must RAISE — the
+    struct key would compare it under NULL-ordering rules and silently
+    pick a winner, and the pre-r8 per-row guard raised)."""
+    return F.min(id_col.isNotNull())
 
 
 def _ord_guard(ok_col, out_col):
-    """Attach the amortized bounds check to a real output column so
-    Catalyst cannot prune it: when the group's ids were all in range the
-    value passes through unchanged; otherwise the ``raise_error`` branch
-    fires with the same remediation message the old per-row guard carried.
+    """Attach the NULL-id check to a real output column so Catalyst cannot
+    prune it: when every id in the group was non-NULL the value passes
+    through unchanged; otherwise ``raise_error`` fires.
     (``when(cond, x).otherwise(x)`` with an ``assert_true`` inside the
     condition does NOT work — Catalyst folds identical-branch CASEs and
     prunes the assert; ``raise_error`` in the else-branch is side-effecting
@@ -89,8 +73,8 @@ def _ord_guard(ok_col, out_col):
     return F.when(ok_col, out_col).otherwise(
         F.raise_error(
             F.lit(
-                "timeseries ordering id out of [0, %d) — widen _ORD_SCALE "
-                "(see _ord_key docstring)" % _ORD_SCALE
+                "timeseries ordering id is NULL — ordering keys need "
+                "non-NULL ids (see _ord_key docstring)"
             )
         )
     )

@@ -1778,14 +1778,14 @@ def stream_ohlc_q(spark, sf):
     the continuous-rollup core of a live tick/sensor hypertable — survives
     the streaming aggregate path, not just the batch one.  At scale the
     identical plan runs unbounded with a watermark + append sink.
-    Ordering key = the wide DECIMAL(38,0) pack (timeseries._ord_key's
-    contract, HUGEINT in the oracle) — injective for event_id < 1e10 at
-    every SF; the old bigint ×1e6 pack collided at sf >= 1."""
+    Ordering key = the native struct (unix_millis, id) — timeseries.
+    _ord_key's r11 contract, exact for every bigint id with no arithmetic;
+    the oracle keeps the HUGEINT pack, order-isomorphic for id < 1e10
+    (every testdata SF)."""
     src = _stream_events_source(spark, sf)
-    ord_key = (
-        F.unix_millis(F.col("ts")).cast("decimal(20,0)")
-        * F.lit(10_000_000_000).cast("decimal(11,0)")
-        + F.col("event_id").cast("decimal(20,0)")
+    ord_key = F.struct(
+        F.unix_millis(F.col("ts")).alias("t"),
+        F.col("event_id").cast("bigint").alias("i"),
     )
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
