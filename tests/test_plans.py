@@ -462,3 +462,18 @@ def test_sample_negatives_broadcast_catalog(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert X.has_broadcast_join(out), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ohlc_single_partial_agg_exchange(spark):
+    """The SCALING.md r11 OHLC ruling's premise, pinned: the struct
+    ordering key costs SortAggregate (non-primitive min_by buffer — the
+    accepted exactness price), but the plan must keep the SINGLE tiny
+    exchange of one partial row per (key, bucket) per map partition.  Any
+    reformulation that reintroduces a full-data shuffle (two-level
+    aggregate, boundary-repair join) breaks the premise the ruling
+    accepted SortAggregate under."""
+    df = standard.queries()["ts_resample_ohlc"](spark, SF)
+    assert X.exchange_count(df) == 1, X.formatted_plan(df)
+    plan = X.formatted_plan(df)
+    assert "SortAggregate" in plan  # documented cost, not a surprise
+    assert "CartesianProduct" not in plan
