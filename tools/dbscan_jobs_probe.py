@@ -36,6 +36,8 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.ui.enabled", "false")
         .appName("dbscan-jobs-probe")
         .getOrCreate()
@@ -51,13 +53,18 @@ def main() -> None:
     spark.stop()
 
     jobs = []
-    for fn in os.listdir(log_dir):
-        for line in open(os.path.join(log_dir, fn)):
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):  # v2 logs are directories
+        paths += [os.path.join(root, f) for f in files if "appstatus" not in f]
+    for path in paths:
+        for line in open(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
                 continue
             if ev.get("Event") == "SparkListenerJobStart":
+                infos = ev.get("Stage Infos", [])
+                names = {i.get("Stage Name", "").split(" at ")[-1] for i in infos}
                 jobs.append(
                     {
                         "job": ev["Job ID"],
@@ -65,7 +72,7 @@ def main() -> None:
                         "stages": len(ev.get("Stage IDs", [])),
                         "callsite": ev.get("Properties", {}).get(
                             "callSite.short", ""
-                        ),
+                        ) or ",".join(sorted(names)),
                     }
                 )
             elif ev.get("Event") == "SparkListenerJobEnd":

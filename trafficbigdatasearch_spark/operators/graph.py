@@ -140,6 +140,7 @@ def connected_components(
     id_col: str = "id",
     max_iterations: int = 25,
     cast: str | None = "bigint",
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """Resolve an undirected pair set into components.
 
@@ -159,9 +160,10 @@ def connected_components(
     set, so downstream consumers pay no recomputation.
 
     Raises ``RuntimeError`` if the edge set has not stabilized after
-    ``max_iterations`` full rounds — a loud failure beats silently wrong
-    clusters; the bound is generous (2^25 nodes would converge well inside
-    25 large/small rounds).
+    ``max_iterations`` convergence checks (``rounds_per_check`` large/small
+    contractions each) — a loud failure beats silently wrong clusters; the
+    bound is generous (2^25 nodes would converge well inside 25 contraction
+    rounds, and the default geometry gives 50).
     """
     _id = (lambda c: F.col(c).cast(cast)) if cast else F.col
     raw = pairs.select(
@@ -180,10 +182,23 @@ def connected_components(
     e = _small_star(raw).localCheckpoint(eager=False)
     n_edges = e.count()
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        nxt = e
+        # rounds_per_check large+small contractions per driver sync
+        # (default 2, the r11 dbscan-jobs ruling): the probe measured the
+        # fixpoint's cost as DRIVER ROUND-TRIPS (95 jobs, ~60% of wall in
+        # between-job planning gaps at sf0.1), not executor work, so
+        # checking convergence every second contraction halves the count
+        # jobs for the typical 6-10-round edge set.  Safe by idempotence:
+        # once converged, large/small contractions are identity maps, so
+        # overshooting the fixpoint by up to rounds_per_check-1 rounds
+        # changes nothing; the final star forest (min-id roots) is the
+        # same canonical labeling either way — oracle rows pin it.
+        for _r in range(rounds_per_check):
+            nxt = _small_star(_large_star(nxt))
+        nxt = nxt.localCheckpoint(eager=False)
         # canonical distinct sets on both sides: equal counts + no rows
         # unique to one side <=> identical edge sets.  The previous round's
-        # count is carried over, so each round costs one count job (which
+        # count is carried over, so each check costs one count job (which
         # doubles as the checkpoint materialization), and the anti-join
         # probe only runs when counts match (typically once, at the
         # fixpoint) — the minimal driver sync of a fixpoint loop.
