@@ -72,6 +72,21 @@ def best_prior_map(repo_dir: str) -> dict[str, float]:
     return best
 
 
+#: Rulings that RE-ANCHOR a query's tolerance-band baseline: after an A/B
+#: bracket rules a slowdown code-attributable-and-ACCEPTED (exactness or
+#: scale trade documented in SCALING.md), the superseded formulation's
+#: best-prior would flag the shipping plan every round forever.  The value
+#: is the accepted formulation's measured best (min over same-session
+#: fresh-process runs); best_prior is clamped UP to it.  Every entry must
+#: cite its SCALING.md ruling.
+RULED_FLOORS: dict[str, float] = {
+    # r11 OHLC ruling (SCALING.md): exact-at-any-id ordering key forces
+    # SortAggregate; r4's 0.25 s HashAggregate record is the superseded
+    # bounded-bigint-pack plan.  Struct-key best measured 0.712 s.
+    "ts_resample_ohlc": 0.712,
+}
+
+
 def flag_regressions(
     times: dict[str, float],
     best: dict[str, float],
@@ -83,6 +98,8 @@ def flag_regressions(
     flags: dict[str, dict] = {}
     for q, sec in times.items():
         b = best.get(q)
+        if q in RULED_FLOORS:
+            b = max(b, RULED_FLOORS[q]) if b is not None else RULED_FLOORS[q]
         if b is None or max(sec, b) < 0.2:
             continue
         ratio = sec / b
