@@ -477,3 +477,12 @@ def test_ohlc_single_partial_agg_exchange(spark):
     plan = X.formatted_plan(df)
     assert "SortAggregate" in plan  # documented cost, not a surprise
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bucketed_layout_no_exchange(spark):
+    """The r11 sorted-layout lever, pinned: over the bucketed+sorted events
+    table the OHLC aggregate plans with ZERO exchanges (bucket co-location
+    covers the group clustering) — the property that made it 3.6x the
+    plain-scan plan at sf0.1 (SCALING.md)."""
+    df = standard.queries()["ts_ohlc_bucketed"](spark, SF)
+    assert X.exchange_count(df) == 0, X.formatted_plan(df)

@@ -43,3 +43,50 @@ def text_bpe_merges_batched_q(spark, sf):
     return spark.createDataFrame(
         rules, "rank int, lhs string, rhs string, weight bigint"
     )
+
+
+_OHLC_ORACLE = """SELECT user_id, date_trunc('hour', ts) AS bucket,
+              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
+              CAST(count(*) AS BIGINT) AS volume
+       FROM events GROUP BY user_id, date_trunc('hour', ts)"""
+
+
+@register("ts_ohlc_bucketed", _OHLC_ORACLE)
+def ts_ohlc_bucketed_q(spark, sf):
+    """ts_resample_ohlc over a BUCKETED + PER-BUCKET-SORTED events layout —
+    the SCALING.md r11 ruling's recovery lever as a standing oracle row.
+    The exact-at-any-id struct ordering key costs SortAggregate on a plain
+    scan; writing the hot table once with bucketBy(user_id) +
+    sortBy(user_id, ts) (sources/parquet.write_bucketed) removes the
+    aggregate's exchange ENTIRELY (bucket co-location covers the group
+    clustering) and leaves one Sort over already-sorted runs — measured
+    0.682 s -> 0.187 s warm at sf0.1, FASTER than the superseded bounded
+    bigint-pack HashAggregate plan ever was.  The layout is built once per
+    (process, sf) into the scratch root as an external table and reused
+    (the persisted-index convention of text_bm25_indexed / sim_ivf_indexed);
+    the oracle is ts_resample_ohlc's SQL verbatim over the source table —
+    a hash match proves the layout changes the PLAN, not one bit of the
+    answer."""
+    import os
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
+    from .std_textsim import _scratch
+
+    table = "tbds_ohlc_bkt_" + os.path.basename(_scratch("ohlc_bkt", sf))[
+        -8:
+    ].replace("-", "_")
+    if not spark.catalog.tableExists(table):
+        ev = load_table(spark, sf, "events")
+        write_bucketed(
+            ev, table, ["user_id"], 32,
+            path=os.path.join(_scratch("ohlc_bkt", sf), "tbl"),
+            sort_cols=["user_id", "ts"],
+        )
+    return TS.resample_ohlc(
+        spark.table(table), key_col="user_id", ts_col="ts",
+        value_col="value", id_col="event_id", bucket="hour",
+    )

@@ -1183,8 +1183,9 @@ def graph_pagerank_q(spark, sf):
 def ts_resample_ohlc_q(spark, sf):
     """Time-series RESAMPLE (operators/timeseries.py::resample_ohlc): the
     irregular per-user event stream bucketed to an hourly OHLC grid —
-    open/close are min_by/max_by over ONE bigint (epoch_ms, event_id)
-    ordering key (deterministic tie-break, no window, no sort), high/low/
+    open/close are min_by/max_by over the native (unix_millis, event_id)
+    struct ordering key (deterministic tie-break, exact at any id; the
+    SCALING.md r11 ruling), high/low/
     volume ride the same map-side-combined aggregate.  Values pass through
     with no float arithmetic, so doubles hash-compare exactly.  This is the
     hypertable/continuous-aggregate rollup shape: ONE shuffle total, and at
