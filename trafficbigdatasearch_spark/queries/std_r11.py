@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from trafficbigdatasearch_spark.catalog import load_table
-from ._shared import register
+from ._shared import _cents, register
 from .std_textsim import _bpe_merges_oracle
 
 #: Deep enough that batched acceptance (>1 rule/round) provably occurs on
@@ -89,4 +89,197 @@ def ts_ohlc_bucketed_q(spark, sf):
     return TS.resample_ohlc(
         spark.table(table), key_col="user_id", ts_col="ts",
         value_col="value", id_col="event_id", bucket="hour",
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """WITH co AS (
+         SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+         FROM customer c
+         LEFT JOIN orders o
+           ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+         GROUP BY c.c_custkey)
+       SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM co GROUP BY c_count""",
+)
+def q13_customer_distribution_q(spark, sf):
+    """TPC-H Q13 (customer order distribution), adapted to this schema's
+    columns (the spec filters on o_comment, absent here; the urgent-
+    priority exclusion keeps a real ON-clause predicate so the OUTER join
+    cannot be rewritten inner).  The shape this adds to the canary family:
+    a LEFT OUTER equi join whose preserved side is the DIMENSION, followed
+    by a two-level aggregation (orders per customer, then the histogram of
+    those counts).  Customers with zero surviving orders MUST appear in
+    the c_count=0 bucket — the classic outer-join-then-count trap where an
+    inner join silently drops the most interesting bucket.  Both
+    aggregations are map-side combinable; the second one's input is
+    dim-sized (one row per customer)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS revenue_i
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-07-01'
+           AND l_shipdate < DATE '1996-10-01'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name,
+              CAST(revenue_i AS DOUBLE) / 10000 AS total_revenue
+       FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+       WHERE revenue_i = (SELECT MAX(revenue_i) FROM rev)""",
+)
+def q15_top_supplier_q(spark, sf):
+    """TPC-H Q15 (top supplier): the equality-to-a-global-MAX shape — the
+    spec's revenue view reused three times (aggregate, scalar max,
+    join-back).  The max comparison runs on the EXACT integer revenue
+    (cents x discount-complement, the q3/q14 pattern), so 'equal to max'
+    is bit-deterministic in both engines and ties all surface; the /10000
+    double conversion happens only at output.  Spark shape: one partial-
+    combined aggregate over the pruned quarter scan, a 1-row max frame
+    broadcast back over it (broadcast nested loop on a single row — the
+    scalar-subquery decorrelation), then a broadcast join to the supplier
+    dim.  No global sort, no window over the full aggregate."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-07-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice"))
+            * (100 - _cents(F.col("l_discount")))
+        ).alias("revenue_i")
+    )
+    mx = rev.agg(F.max("revenue_i").alias("_mx"))
+    s = load_table(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_i == mx._mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("revenue_i").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """WITH pa AS (
+         SELECT l_partkey,
+                CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN pa ON pa.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#23'
+         AND CAST(round(l.l_quantity) AS BIGINT) * 5 * pa.cnt < pa.sq""",
+)
+def q17_small_quantity_revenue_q(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): the CORRELATED SCALAR
+    AVG subquery — each lineitem compares its quantity to 20% of its own
+    part's average quantity — decorrelated the way every engine must at
+    scale: the per-part average becomes one map-side-combined aggregate
+    joined back on partkey.  The 0.2 x avg comparison is restated in
+    EXACT integers (qty x 5 x cnt < sum_qty; quantities are integral), so
+    no float average can flip a borderline row between engines.  The
+    brand predicate pushes to the part scan and AQE broadcasts the
+    filtered dim; container/size columns from the spec are absent in this
+    schema, so brand alone plays the selective-dim role."""
+    li = load_table(spark, sf, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qty).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    p = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.l_partkey)
+        .filter(qty * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return j.agg(
+        F.sum(_cents(F.col("l_extendedprice"))).cast("bigint")
+          .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "q21_late_sole_supplier",
+    """WITH lo AS (
+         SELECT l.l_orderkey, l.l_suppkey,
+                MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS any_late
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         GROUP BY l.l_orderkey, l.l_suppkey),
+       po AS (
+         SELECT l_orderkey,
+                CAST(COUNT(*) AS BIGINT) AS n_supps,
+                CAST(SUM(any_late) AS BIGINT) AS n_late
+         FROM lo GROUP BY l_orderkey)
+       SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM lo JOIN po ON po.l_orderkey = lo.l_orderkey
+       JOIN supplier s ON s.s_suppkey = lo.l_suppkey
+       WHERE lo.any_late = 1 AND po.n_supps > 1 AND po.n_late = 1
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name ASC
+       LIMIT 20""",
+)
+def q21_late_sole_supplier_q(spark, sf):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: the spec's
+    EXISTS (another supplier on the order) + NOT EXISTS (another LATE
+    supplier) double correlation, with 'late' = shipped more than 90 days
+    after the order date (receipt/commit dates are absent here).  The
+    decorrelation is the scalable one: per-(order, supplier) late flags
+    (one aggregate), per-order supplier/late counts (a second, dim-sized
+    aggregate), then the EXISTS pair becomes two integer predicates —
+    n_supps > 1 AND n_late = 1 — on one join, instead of two correlated
+    subqueries re-scanning lineitem per row.  Counts are exact integers;
+    top-20 is TakeOrderedAndProject with the (numwait desc, name)
+    tie-break."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
+    )
+    po = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supps"),
+        F.sum("any_late").cast("bigint").alias("n_late"),
+    )
+    s = load_table(spark, sf, "supplier")
+    return (
+        lo.filter(F.col("any_late") == 1)
+        .join(po, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), lo.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
