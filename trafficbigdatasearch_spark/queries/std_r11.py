@@ -285,12 +285,69 @@ def q21_late_sole_supplier_q(spark, sf):
     )
 
 
+def _bpe_fertility_oracle() -> str:
+    from .std_textsim import _bpe_oracle_ctes, _bpe_apply_ctes, _BPE_ROUNDS
+
+    return f"""WITH {_bpe_oracle_ctes()},
+       {_bpe_apply_ctes()},
+       enc AS (SELECT word,
+                      replace(substring(repr, 2, length(repr) - 2), '||', ' ')
+                        AS encoded
+               FROM w{_BPE_ROUNDS})
+       SELECT LEAST(length(word), 8) AS word_len,
+              CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(len(string_split(encoded, ' '))) AS BIGINT) AS n_tokens,
+              CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+              CAST(SUM(len(string_split(encoded, ' '))) AS DOUBLE) / COUNT(*)
+                AS fertility
+       FROM enc GROUP BY 1"""
+
+
+@register("eval_bpe_fertility", _bpe_fertility_oracle())
+def eval_bpe_fertility_q(spark, sf):
+    """Tokenizer FERTILITY eval — the standard tokenizer-quality report
+    (subwords per word, by word length): rules learned on the corpus,
+    applied to the held-out doc_id % 10 = 3 slice (text_bpe_apply's exact
+    train->apply arrangement), then one map-side-combined rollup of
+    (n_words, n_tokens, n_chars) per LEAST(word_len, 8) bucket.  Fertility
+    is the one closing IEEE division (exact bigint sums / count — the
+    registry's average discipline), so the row hash-compares across
+    engines; chars-per-token and compression ratios derive from the exact
+    integer columns downstream.  This is the measurement loop a tokenizer-
+    training pipeline runs per candidate vocabulary: longer words should
+    show sublinear token growth as merges land — a flat fertility curve
+    means the merge budget is mis-spent.  Scale posture: the apply fold is
+    zero-shuffle; the rollup groups into <= 8 buckets."""
+    from trafficbigdatasearch_spark.operators import bpe
+    from .std_textsim import _BPE_ROUNDS
+
+    docs = load_table(spark, sf, "documents")
+    rules, _ = bpe.learn_merges(docs, _BPE_ROUNDS)
+    enc = bpe.apply_merges(docs.filter(F.col("doc_id") % 10 == 3), rules)
+    n_tok = F.size(F.split(F.col("encoded"), " ")).cast("bigint")
+    return (
+        enc.groupBy(
+            F.least(F.length("word"), F.lit(8)).cast("int").alias("word_len")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(n_tok).cast("bigint").alias("n_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "word_len", "n_words", "n_tokens", "n_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words"))
+              .alias("fertility"),
+        )
+    )
+
+
 # =============================================================================
 # ROUND-11 CLOSING STATE: the r11 window (ROTATION.md) was rehearsed 50/50
-# green BEFORE any r11 registration landed; the six r11 registrations above
+# green BEFORE any r11 registration landed; the seven r11 registrations above
 # each rehearsed green at sf0.01 AND sf0.1 in their registration batch; the
 # FULL registry swept 236/236 green mid-session (post-split, post-struct-
-# key, post-CC-batching) and 241/241 at close; pytest closed 735 passed /
+# key, post-CC-batching) and 241/241 post-canaries (242 rows at final close with eval_bpe_fertility, rehearsed green at both SFs); pytest closed 735 passed /
 # 2 env-gated skips / 0 failed on the final code.  Changed-code paths this
 # round (timeseries ordering key, connected_components check geometry,
 # registry split) are itemized with their cycle-back obligations in
