@@ -342,9 +342,78 @@ def eval_bpe_fertility_q(spark, sf):
     )
 
 
+@register(
+    "q7_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   AS DOUBLE) / 10000 AS revenue
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+       JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+       WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         AND l.l_shipdate >= DATE '1996-01-01'
+         AND l.l_shipdate < DATE '1998-01-01'
+       GROUP BY 1, 2, 3""",
+)
+def q7_volume_shipping_q(spark, sf):
+    """TPC-H Q7 (volume shipping): the DISJUNCTIVE CROSS-DIMENSION
+    residual — the nation-pair predicate couples TWO different dimension
+    joins ((supp=A and cust=B) or (supp=B and cust=A)), so no single join
+    can evaluate it; it must survive as a residual ABOVE both dim joins
+    while each dim's membership filter (nation in {A,B}) still pushes
+    INTO its own join to prune early.  Both nation copies broadcast (25
+    rows); supplier broadcasts; customer is left to AQE.  Revenue folds
+    on the exact cents x discount-complement integers with the /10000
+    double conversion at output; the year extraction groups the two-year
+    ship window.  Canary value: Catalyst must keep factoring the
+    disjunction into per-dim IN-filters plus the cross residual — if it
+    ever evaluates the OR only at the top, the early prune disappears and
+    both fact joins run unfiltered."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    pair = ["NATION_3", "NATION_7"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+    )
+
+
 # =============================================================================
 # ROUND-11 CLOSING STATE: the r11 window (ROTATION.md) was rehearsed 50/50
-# green BEFORE any r11 registration landed; the seven r11 registrations above
+# green BEFORE any r11 registration landed; the eight r11 registrations above
 # each rehearsed green at sf0.01 AND sf0.1 in their registration batch; the
 # FULL registry swept 236/236 green mid-session (post-split, post-struct-
 # key, post-CC-batching) and 241/241 post-canaries (242 rows at final close with eval_bpe_fertility, rehearsed green at both SFs); pytest closed 735 passed /
