@@ -140,7 +140,7 @@ def connected_components(
     id_col: str = "id",
     max_iterations: int = 25,
     cast: str | None = "bigint",
-    rounds_per_check: int = 2,
+    rounds_per_check: int = 1,
 ) -> DataFrame:
     """Resolve an undirected pair set into components.
 
@@ -161,9 +161,10 @@ def connected_components(
 
     Raises ``RuntimeError`` if the edge set has not stabilized after
     ``max_iterations`` convergence checks (``rounds_per_check`` large/small
-    contractions each) — a loud failure beats silently wrong clusters; the
-    bound is generous (2^25 nodes would converge well inside 25 contraction
-    rounds, and the default geometry gives 50).
+    contractions each; default 1 — see the in-loop comment for why batching
+    checks measured a loss) — a loud failure beats silently wrong clusters;
+    the bound is generous (2^25 nodes would converge well inside 25
+    contraction rounds).
     """
     _id = (lambda c: F.col(c).cast(cast)) if cast else F.col
     raw = pairs.select(
@@ -183,16 +184,21 @@ def connected_components(
     n_edges = e.count()
     for _ in range(max_iterations):
         nxt = e
-        # rounds_per_check large+small contractions per driver sync
-        # (default 2, the r11 dbscan-jobs ruling): the probe measured the
-        # fixpoint's cost as DRIVER ROUND-TRIPS (95 jobs, ~60% of wall in
-        # between-job planning gaps at sf0.1), not executor work, so
-        # checking convergence every second contraction halves the count
-        # jobs for the typical 6-10-round edge set.  Safe by idempotence:
-        # once converged, large/small contractions are identity maps, so
-        # overshooting the fixpoint by up to rounds_per_check-1 rounds
-        # changes nothing; the final star forest (min-id roots) is the
-        # same canonical labeling either way — oracle rows pin it.
+        # rounds_per_check contractions per driver sync.  Default 1 —
+        # batching checks was TRIED for the dbscan-jobs ruling (verdict
+        # r10 #5 option (b)) and MEASURED A LOSS, twice: a blind double
+        # round cost 1.5x on fast-converging banded-LSH edge sets
+        # (pipeline_mm_dedup 4.3->6.9 s), and even first-check-after-one-
+        # round adaptive geometry stayed 1.55x (interleaved same-process
+        # A/B, min 3.04 s vs 4.72 s) because typical dedup fixpoints
+        # converge at check 2: the overshoot contraction is several
+        # SHUFFLES while the saved sync is one count that rides the
+        # checkpoint materialization almost free — at 100 TB the ratio
+        # only worsens.  SCALING.md records the refutation; the parameter
+        # stays for callers that KNOW their fixpoint is deep.  Safe by
+        # idempotence either way: contractions past the fixpoint are
+        # identity maps, so any geometry yields the same star forest —
+        # oracle rows pin it.
         for _r in range(rounds_per_check):
             nxt = _small_star(_large_star(nxt))
         nxt = nxt.localCheckpoint(eager=False)
