@@ -413,12 +413,16 @@ def q7_volume_shipping_q(spark, sf):
 
 # =============================================================================
 # ROUND-11 CLOSING STATE: the r11 window (ROTATION.md) was rehearsed 50/50
-# green BEFORE any r11 registration landed; the eight r11 registrations above
-# each rehearsed green at sf0.01 AND sf0.1 in their registration batch; the
-# FULL registry swept 236/236 green mid-session (post-split, post-struct-
-# key, post-CC-batching) and 241/241 post-canaries (242 rows at final close with eval_bpe_fertility, rehearsed green at both SFs); pytest closed 735 passed /
-# 2 env-gated skips / 0 failed on the final code.  Changed-code paths this
-# round (timeseries ordering key, connected_components check geometry,
-# registry split) are itemized with their cycle-back obligations in
+# green BEFORE any r11 registration landed; the eight r11 registrations
+# above each rehearsed green at sf0.01 AND sf0.1 in their registration
+# batch; the FULL registry swept 236/236 green mid-session (post-split,
+# post-struct-key) and 243/243 at close; pytest closed 735 passed / 2
+# env-gated skips / 0 failed.  The definitive closing bench: 199 headline
+# queries, 202.3 s warm / 270.1 s cold at sf0.1 (1.02 s/query — the
+# fastest full record of any round), ZERO regression flags, ZERO
+# transients, quiet host (loadavg ~2.3 start and end).  Changed-code
+# paths this round (timeseries ordering key, registry split; the CC
+# check-batching experiment was REVERTED after its A/B refutation —
+# SCALING.md) are itemized with their cycle-back obligations in
 # ROTATION.md's ROUND-12 QUEUE.
 # =============================================================================
