@@ -226,6 +226,15 @@ HEADLINE = [
     "quality_gopher_rates",
     "eval_split_leakage",
     "dedup_cross_corpus",
+    # r11 registrations (headline from r12 on)
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_late_sole_supplier",
+    "eval_bpe_fertility",
+    "text_bpe_merges_batched",
+    "ts_ohlc_bucketed",
 ]
 
 

@@ -486,3 +486,38 @@ def test_ohlc_bucketed_layout_no_exchange(spark):
     plain-scan plan at sf0.1 (SCALING.md)."""
     df = standard.queries()["ts_ohlc_bucketed"](spark, SF)
     assert X.exchange_count(df) == 0, X.formatted_plan(df)
+
+
+def test_q7_factored_disjunction_pushes_nation_filters(spark):
+    """TPC-H Q7's canary purpose, pinned (verdict r11 #3): Catalyst must
+    factor the nation-pair disjunction ((supp=A and cust=B) or
+    (supp=B and cust=A)) into per-dimension IN-filters that reach BOTH
+    nation scans, while the cross residual survives above the joins.  If
+    the OR is ever evaluated only at the top, the early prune disappears
+    and both fact joins run unfiltered."""
+    df = standard.queries()["q7_volume_shipping"](spark, SF)
+    pushed = X.pushed_filters(df)
+    nation_in = [f for f in pushed if "n_name" in f and "In(" in f]
+    assert len(nation_in) >= 2, pushed
+    # the fact scan is still pruned by the ship-window predicate
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_q13_outer_join_survives_to_physical_plan(spark):
+    """TPC-H Q13's canary purpose, pinned: the LEFT join with an ON-clause
+    filter must reach the physical plan as an outer join — an inner
+    rewrite silently drops the c_count=0 bucket (customers with zero
+    surviving orders), the most interesting histogram bar."""
+    df = standard.queries()["q13_customer_distribution"](spark, SF)
+    plan = X.formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+
+
+def test_q21_topk_is_take_ordered(spark):
+    """TPC-H Q21's canary purpose, pinned: the top-20 must plan as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    tops), never a global sort of the full supplier frame."""
+    df = standard.queries()["q21_late_sole_supplier"](spark, SF)
+    plan = X.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan

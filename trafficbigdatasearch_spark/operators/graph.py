@@ -166,6 +166,14 @@ def connected_components(
     the bound is generous (2^25 nodes would converge well inside 25
     contraction rounds).
     """
+    if rounds_per_check < 1:
+        # 0 contractions would make nxt == e at the first check and the
+        # loop would "converge" immediately, returning the raw small-star
+        # edge set as if it were the fixpoint — silently wrong components.
+        # Loud failure per module convention (advice r11).
+        raise ValueError(
+            f"rounds_per_check must be >= 1, got {rounds_per_check}"
+        )
     _id = (lambda c: F.col(c).cast(cast)) if cast else F.col
     raw = pairs.select(
         _id(id_a).alias("u"),

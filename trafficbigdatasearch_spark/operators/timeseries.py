@@ -45,9 +45,15 @@ def _ord_key(ts_col, id_col):
 
     Oracle pairing: DuckDB's ``arg_min/arg_max(value,
     epoch_ms(ts)::HUGEINT * 10000000000 + id)`` pack is ORDER-ISOMORPHIC
-    to this struct whenever ``abs(id) < 1e10`` — true at every testdata
+    to this struct whenever ``0 <= id < 1e10`` — true at every testdata
     SF — so existing oracle SQL selects identical winners unchanged (the
-    bound is oracle-side only; the engine key is unbounded)."""
+    bound is oracle-side only; the engine key is unbounded).  NOT merely
+    ``abs(id) < 1e10``: a negative id borrows from the pack's timestamp
+    digits — (t=0, id=9e9) packs to 9e9 but (t=1, id=-9e9) packs to 1e9,
+    inverting the struct's order (advice r11).  A negative-id dataset
+    needs an oracle-side struct-equivalent key (e.g. DuckDB
+    ``arg_min(value, ROW(epoch_ms(ts), id))``) before being
+    driver-verified; the engine side needs no change."""
     return F.struct(
         F.unix_millis(ts_col).alias("t"), id_col.cast("bigint").alias("i")
     )

@@ -90,43 +90,47 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 11 (28): the ROUND-11 QUEUE head, exactly
-    # as the r10 close and VERDICT r10 #1 ordered it.  First the 6
-    # post-freeze r10 registrations (they have waited a full round) -------
-    "j_asof_nearest",
-    "eval_lsh_recall",
-    "eval_score_calibration",
-    "sample_priority_grouped",
-    "sample_quota_split",
-    "text_vocab_oov",
-    # --- then the 21 continuation registrations in registration order ----
-    "graph_clustering_coeff",
-    "graph_modularity",
-    "eval_pq_distortion",
-    "a_hopping_window",
-    "quality_key_skew",
-    "stream_gopher_gate",
-    "ts_seasonality",
-    "stream_hopping",
-    "graph_assortativity",
-    "eval_rec_coverage",
-    "eval_minhash_error",
-    "ts_acf",
-    "pipeline_curriculum",
-    "j_spatial_knn",
-    "quality_profile_drift",
-    "graph_component_stats",
-    "sample_triplets",
-    "mm_phash_incremental",
-    "w_streaks",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    # --- changed-code cycle-back promised in the r10 closing state:
-    # build_text_index was refactored into the shared _write_index_parts
-    # in r10 AFTER text_bm25_indexed's last driver row (the path ran green
-    # in-window via text_bm25_append/text_phrase_indexed, but its own row
-    # refreshes here) ------------------------------------------------------
-    "text_bm25_indexed",
+    # --- rotating slots, round 12 (28): the ROUND-12 QUEUE head, exactly
+    # as the r11 close and VERDICT r11 #1 ordered it.  First the 11-row
+    # never-checked remainder of the r10 backlog (they have waited two
+    # full rounds) ---------------------------------------------------------
+    "sample_poisson_bootstrap",
+    "quality_dedup_report",
+    "text_vocab_curve",
+    "quality_syndication",
+    "eval_jaccard_histogram",
+    "ts_peaks",
+    "mm_scene_changes",
+    "eval_langid_confusion",
+    "quality_gopher_rates",
+    "eval_split_leakage",
+    "dedup_cross_corpus",
+    # --- the 8 r11 registrations (never-checked; rehearsed green at both
+    # sf0.01 and sf0.1 the session they landed), registration order -------
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_late_sole_supplier",
+    "eval_bpe_fertility",
+    "text_bpe_merges_batched",
+    "ts_ohlc_bucketed",
+    # --- changed-code cycle-backs: the struct ordering key replaced the
+    # DECIMAL(38,0) pack in operators/timeseries.py `_ord_key` and
+    # stream_ohlc's inline key in r11 (SCALING.md r11 A/B ruling) ----------
+    "ts_resample_ohlc",
+    "ts_gapfill",
+    "ts_interpolate",
+    "stream_ohlc",
+    # --- changed-code cycle-backs, CC family: graph.py:183-203 changed
+    # twice in r11 (rounds_per_check parameter added; the =2 default was
+    # measured a 1.5x loss and reverted, commit 56de50a).  The family's
+    # out-of-window members re-verify on the shipped code ------------------
+    "pipeline_dbscan",
+    "dedup_keep_best",
+    "pipeline_entity_resolution",
+    "pipeline_semantic_dedup",
+    "dedup_clusters",
 ]
 
 
