@@ -521,3 +521,13 @@ def test_q21_topk_is_take_ordered(spark):
     plan = X.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_gapfill_bucketed_layout_no_exchange(spark):
+    """VERDICT r11 #7's generalization, pinned: gapfill over the shared
+    bucketed+sorted events table plans with ZERO exchanges — the closes
+    aggregate, the spine aggregate, AND the forward-fill window all hash
+    on user_id, so bucket co-location covers every clustering in the plan
+    (measured 2.07x at sf0.1, SCALING.md r12)."""
+    df = standard.queries()["ts_gapfill_bucketed"](spark, SF)
+    assert X.exchange_count(df) == 0, X.formatted_plan(df)

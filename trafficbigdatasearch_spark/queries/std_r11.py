@@ -54,6 +54,32 @@ _OHLC_ORACLE = """SELECT user_id, date_trunc('hour', ts) AS bucket,
        FROM events GROUP BY user_id, date_trunc('hour', ts)"""
 
 
+def _bucketed_events(spark, sf) -> str:
+    """Ensure the shared bucketed+sorted events scratch table for this
+    (process, sf) and return its catalog name: bucketBy(user_id, 32) +
+    sortBy(user_id, ts), built once into the scratch root as an external
+    table and reused by every key-clustered-aggregate row that rides the
+    layout lever (ts_ohlc_bucketed here, ts_gapfill_bucketed in std_r12 —
+    the hot-table economics REQUIRE sharing: one write amortized across
+    every query on the table is the 100 TB story)."""
+    import os
+
+    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
+    from .std_textsim import _scratch
+
+    table = "tbds_ohlc_bkt_" + os.path.basename(_scratch("ohlc_bkt", sf))[
+        -8:
+    ].replace("-", "_")
+    if not spark.catalog.tableExists(table):
+        ev = load_table(spark, sf, "events")
+        write_bucketed(
+            ev, table, ["user_id"], 32,
+            path=os.path.join(_scratch("ohlc_bkt", sf), "tbl"),
+            sort_cols=["user_id", "ts"],
+        )
+    return table
+
+
 @register("ts_ohlc_bucketed", _OHLC_ORACLE)
 def ts_ohlc_bucketed_q(spark, sf):
     """ts_resample_ohlc over a BUCKETED + PER-BUCKET-SORTED events layout —
@@ -70,22 +96,9 @@ def ts_ohlc_bucketed_q(spark, sf):
     the oracle is ts_resample_ohlc's SQL verbatim over the source table —
     a hash match proves the layout changes the PLAN, not one bit of the
     answer."""
-    import os
-
     from trafficbigdatasearch_spark.operators import timeseries as TS
-    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
-    from .std_textsim import _scratch
 
-    table = "tbds_ohlc_bkt_" + os.path.basename(_scratch("ohlc_bkt", sf))[
-        -8:
-    ].replace("-", "_")
-    if not spark.catalog.tableExists(table):
-        ev = load_table(spark, sf, "events")
-        write_bucketed(
-            ev, table, ["user_id"], 32,
-            path=os.path.join(_scratch("ohlc_bkt", sf), "tbl"),
-            sort_cols=["user_id", "ts"],
-        )
+    table = _bucketed_events(spark, sf)
     return TS.resample_ohlc(
         spark.table(table), key_col="user_id", ts_col="ts",
         value_col="value", id_col="event_id", bucket="hour",
