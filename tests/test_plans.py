@@ -531,3 +531,44 @@ def test_gapfill_bucketed_layout_no_exchange(spark):
     (measured 2.07x at sf0.1, SCALING.md r12)."""
     df = standard.queries()["ts_gapfill_bucketed"](spark, SF)
     assert X.exchange_count(df) == 0, X.formatted_plan(df)
+
+
+def test_tpch_completion_canary_plan_shapes(spark):
+    """The r12 TPC-H completion rows' stated plan purposes, pinned in one
+    sweep (each docstring's claim -> one mechanical assertion):
+    q2 deterministic top-100 via TakeOrderedAndProject; q8's 8-way chain
+    collapses to ONE exchange (every dim broadcast, conditional-share agg
+    map-side combined); q9's LIKE-filtered 5-way join likewise; q11/q22's
+    scalar thresholds ride broadcast nested-loop joins (1-row side), never
+    a shuffled cartesian; q12's cross-table late predicate stays a hash
+    join residual (no NLJ); q16/q22's NOT-IN decorrelates to a broadcast
+    LeftAnti; q20's nested aggregate + semi reduction stays within its
+    four keyed exchanges."""
+    qs = standard.queries()
+    plan = lambda n: qs[n](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+    p2 = plan("q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in p2, p2
+
+    df8 = qs["q8_market_share"](spark, SF)
+    assert X.has_broadcast_join(df8)
+    assert X.exchange_count(df8) <= 1, X.formatted_plan(df8)
+
+    df9 = qs["q9_product_profit"](spark, SF)
+    assert X.exchange_count(df9) <= 1, X.formatted_plan(df9)
+    assert any("p_name" in f for f in X.pushed_filters(df9))  # LIKE prefilters part
+
+    for name in ("q11_important_stock", "q22_global_sales_opportunity"):
+        p = plan(name)
+        assert "BroadcastNestedLoopJoin" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+    df12 = qs["q12_shipmode_priority"](spark, SF)
+    assert not X.has_nested_loop_join(df12)
+    assert X.exchange_count(df12) <= 1, X.formatted_plan(df12)
+
+    assert "LeftAnti" in plan("q16_supplier_part_counts")
+    assert "LeftAnti" in plan("q22_global_sales_opportunity")
+
+    df20 = qs["q20_dominant_supplier"](spark, SF)
+    assert X.exchange_count(df20) <= 4, X.formatted_plan(df20)
