@@ -572,3 +572,13 @@ def test_tpch_completion_canary_plan_shapes(spark):
 
     df20 = qs["q20_dominant_supplier"](spark, SF)
     assert X.exchange_count(df20) <= 4, X.formatted_plan(df20)
+
+
+def test_ohlc_bucketed_append_still_zero_exchange(spark):
+    """The layout's maintenance story, pinned: after a bucketed APPEND
+    (history + increment as two bucketed writes into the same table) the
+    OHLC aggregate still plans with ZERO exchanges — bucket co-location
+    survives appends; only the per-file sorted-run property weakens (the
+    local sort merges two runs instead of riding one)."""
+    df = standard.queries()["ts_ohlc_bucketed_append"](spark, SF)
+    assert X.exchange_count(df) == 0, X.formatted_plan(df)

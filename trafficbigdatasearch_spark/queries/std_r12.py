@@ -538,3 +538,55 @@ def q22_global_sales_opportunity_q(spark, sf):
             (F.sum(cents).cast("double") / 100).alias("totacctbal"),
         )
     )
+
+
+_OHLC_ORACLE_R12 = """SELECT user_id, date_trunc('hour', ts) AS bucket,
+              arg_min(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              arg_max(value, epoch_ms(ts)::HUGEINT * 10000000000 + event_id) AS close,
+              CAST(count(*) AS BIGINT) AS volume
+       FROM events GROUP BY user_id, date_trunc('hour', ts)"""
+
+
+@register("ts_ohlc_bucketed_append", _OHLC_ORACLE_R12)
+def ts_ohlc_bucketed_append_q(spark, sf):
+    """The bucketed layout's MAINTENANCE story: the hot events table is
+    built from history (ts < 2024-01-21) and new arrivals append as a
+    second bucketed write — `bucketBy` appends add files PER BUCKET, so
+    bucket co-location (and therefore the zero-exchange aggregate plan)
+    survives; only the per-file sorted-run property weakens (two sorted
+    runs per bucket instead of one — the local sort merges them, still no
+    exchange).  At 100 TB this is the difference between a daily
+    full-table rewrite and appending the day's partition.  The oracle is
+    the plain OHLC SQL over the FULL source table: a hash match proves
+    history + appended increment == the unsplit corpus, exactly — the
+    append path loses no rows, duplicates none, and elects the same
+    open/close winners.  Uses its own scratch table (not
+    _bucketed_events' — that one must stay a pristine single-write
+    layout for the ts_ohlc_bucketed / ts_gapfill_bucketed measurements)."""
+    import os
+
+    from trafficbigdatasearch_spark.operators import timeseries as TS
+    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
+    from .std_textsim import _scratch
+
+    table = "tbds_ohlc_bkta_" + os.path.basename(_scratch("ohlc_bkta", sf))[
+        -8:
+    ].replace("-", "_")
+    if not spark.catalog.tableExists(table):
+        ev = load_table(spark, sf, "events")
+        path = os.path.join(_scratch("ohlc_bkta", sf), "tbl")
+        cutoff = "2024-01-21"
+        write_bucketed(
+            ev.filter(F.col("ts") < cutoff), table, ["user_id"], 32,
+            path=path, sort_cols=["user_id", "ts"],
+        )
+        write_bucketed(
+            ev.filter(F.col("ts") >= cutoff), table, ["user_id"], 32,
+            path=path, sort_cols=["user_id", "ts"], mode="append",
+        )
+    return TS.resample_ohlc(
+        spark.table(table), key_col="user_id", ts_col="ts",
+        value_col="value", id_col="event_id", bucket="hour",
+    )
