@@ -659,3 +659,42 @@ def test_local_peaks_hand_case(spark):
     # idx 1 (3 > 1, 3 > 2) and idx 4 (5 > 2, 5 > 4); idx 6 is an endpoint;
     # the 2,2 plateau is not a peak
     assert got == [1, 4]
+
+
+def test_negative_id_oracle_recipe_row_key(spark):
+    """The _ord_key docstring's negative-id oracle recipe (advice r11),
+    mechanically proven: on a corpus where the HUGEINT pack INVERTS the
+    struct order — (t=0ms, id=9e9) packs above (t=1ms, id=-9e9) though
+    the struct orders it below — DuckDB's ordered aggregate
+    first/last(v ORDER BY epoch_ms(ts), id) (lexicographic, exactly the
+    struct's field-wise comparison) elects the same open/close winners
+    as the engine's struct key, and the legacy pack provably does NOT."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        # one bucket; adversarial pair from the advice: the pack compares
+        # 0*1e10+9e9 = 9e9 vs 1*1e10-9e9 = 1e9 and flips the order
+        (1, dt.datetime(2024, 1, 1, 9, 0, 0, 0), 111.0, 9_000_000_000),
+        (1, dt.datetime(2024, 1, 1, 9, 0, 0, 1000), 222.0, -9_000_000_000),
+        (1, dt.datetime(2024, 1, 1, 9, 30, 0), 333.0, -7),
+    ]
+    df = _ev(spark, rows)
+    got = timeseries.resample_ohlc(df, "k", "ts", "v", "id").collect()
+    assert len(got) == 1
+    r = got[0]
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v", "id"])
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    row_key = con.execute(
+        """SELECT first(v ORDER BY epoch_ms(ts), id) AS open,
+                  last(v ORDER BY epoch_ms(ts), id) AS close
+           FROM ev GROUP BY k, date_trunc('hour', ts)"""
+    ).fetchone()
+    legacy_pack = con.execute(
+        """SELECT arg_min(v, epoch_ms(ts)::HUGEINT * 10000000000 + id) AS open
+           FROM ev GROUP BY k, date_trunc('hour', ts)"""
+    ).fetchone()
+    assert (r["open"], r["close"]) == row_key == (111.0, 333.0)
+    assert legacy_pack[0] != r["open"]  # the pack really does invert here

@@ -51,9 +51,12 @@ def _ord_key(ts_col, id_col):
     ``abs(id) < 1e10``: a negative id borrows from the pack's timestamp
     digits — (t=0, id=9e9) packs to 9e9 but (t=1, id=-9e9) packs to 1e9,
     inverting the struct's order (advice r11).  A negative-id dataset
-    needs an oracle-side struct-equivalent key (e.g. DuckDB
-    ``arg_min(value, ROW(epoch_ms(ts), id))``) before being
-    driver-verified; the engine side needs no change."""
+    needs an oracle-side struct-equivalent key — DuckDB's ordered
+    aggregate ``first/last(value ORDER BY epoch_ms(ts), id)``, which is
+    exactly the struct's lexicographic comparison (arg_min rejects STRUCT
+    keys) — before being driver-verified; the engine side needs no
+    change.  The recipe is mechanically proven on the adversarial pair in
+    tests/test_timeseries.py::test_negative_id_oracle_recipe_row_key."""
     return F.struct(
         F.unix_millis(ts_col).alias("t"), id_col.cast("bigint").alias("i")
     )
