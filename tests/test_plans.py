@@ -582,3 +582,16 @@ def test_ohlc_bucketed_append_still_zero_exchange(spark):
     local sort merges two runs instead of riding one)."""
     df = standard.queries()["ts_ohlc_bucketed_append"](spark, SF)
     assert X.exchange_count(df) == 0, X.formatted_plan(df)
+
+
+def test_user_baseline_bucketed_join_no_shuffle(spark):
+    """The co-located join row's contract, pinned: with events and the
+    derived user_stats table bucketed the same 32 ways on user_id, the
+    enrichment join AND the final per-user count plan with ZERO shuffle
+    exchanges.  (At fixture scale AQE may choose a broadcast for the
+    small stats side instead of the aligned SMJ — equally shuffle-free;
+    the pin is on shuffles, not the join strategy, because bucket
+    alignment is what guarantees zero shuffles at EVERY stats-side
+    size.)"""
+    df = standard.queries()["j_user_baseline_bucketed"](spark, SF)
+    assert X.exchange_count(df) == 0, X.formatted_plan(df)

@@ -590,3 +590,64 @@ def ts_ohlc_bucketed_append_q(spark, sf):
         spark.table(table), key_col="user_id", ts_col="ts",
         value_col="value", id_col="event_id", bucket="hour",
     )
+
+
+@register(
+    "j_user_baseline_bucketed",
+    """WITH us AS (
+         SELECT user_id,
+                SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+                COUNT(*) AS n
+         FROM events GROUP BY user_id)
+       SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_above
+       FROM events e JOIN us USING (user_id)
+       WHERE CAST(round(e.value * 100) AS BIGINT) * n > sum_cents
+       GROUP BY e.user_id""",
+)
+def j_user_baseline_bucketed_q(spark, sf):
+    """CO-LOCATED fact ⋈ derived-dim join over the shared bucketed layout —
+    the layout lever extended from aggregates to JOINS as a standing
+    registry row (the synthetic twin lives in
+    tests/test_plans.py::test_bucketed_join_shuffle_free; this row drives
+    it through the driver's cross-engine gate on real data).  user_stats
+    (per-user exact-cents sum + count) is built FROM the bucketed events
+    table with a zero-exchange aggregate and written bucketed the same
+    32 ways; the row then joins raw events against it and counts each
+    user's above-own-mean events.  Both sides arrive bucket-aligned, so
+    the join AND the final per-user count plan with ZERO exchanges
+    (pinned) — at 100 TB this is the difference between re-shuffling the
+    fact table per enrichment join and reading both sides pre-partitioned.
+    Above-mean is the exact integer test cents*n > sum_cents — no
+    division, no epsilon, so membership hash-matches DuckDB bit-for-bit."""
+    import os
+
+    from trafficbigdatasearch_spark.sources.parquet import write_bucketed
+    from .std_textsim import _scratch
+    from .std_r11 import _bucketed_events
+
+    ev_table = _bucketed_events(spark, sf)
+    us_table = "tbds_user_stats_" + os.path.basename(
+        _scratch("user_stats", sf)
+    )[-8:].replace("-", "_")
+    if not spark.catalog.tableExists(us_table):
+        us = (
+            spark.table(ev_table)
+            .groupBy("user_id")
+            .agg(
+                F.sum(_cents(F.col("value"))).alias("sum_cents"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        write_bucketed(
+            us, us_table, ["user_id"], 32,
+            path=os.path.join(_scratch("user_stats", sf), "tbl"),
+            sort_cols=["user_id"],
+        )
+    ev = spark.table(ev_table)
+    us = spark.table(us_table)
+    return (
+        ev.join(us, "user_id")
+        .filter(_cents(F.col("value")) * F.col("n") > F.col("sum_cents"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_above"))
+    )
