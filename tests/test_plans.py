@@ -595,3 +595,17 @@ def test_user_baseline_bucketed_join_no_shuffle(spark):
     size.)"""
     df = standard.queries()["j_user_baseline_bucketed"](spark, SF)
     assert X.exchange_count(df) == 0, X.formatted_plan(df)
+
+
+def test_bucket_pruned_lookup_selects_few_buckets(spark):
+    """The layout trilogy's scan leg, pinned: the literal-key drilldown
+    over the bucketed events table prunes the file set to the buckets the
+    keys hash to — SelectedBucketsCount at most 2 of 32 — before any
+    filter executes."""
+    import re
+
+    df = standard.queries()["s_bucket_pruned_lookup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 32", plan)
+    assert m, plan
+    assert int(m.group(1)) <= 2, plan

@@ -651,3 +651,41 @@ def j_user_baseline_bucketed_q(spark, sf):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_above"))
     )
+
+
+@register(
+    "s_bucket_pruned_lookup",
+    """SELECT user_id, date_trunc('hour', ts) AS bucket,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                AS sum_value,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events WHERE user_id IN (7, 13)
+       GROUP BY user_id, date_trunc('hour', ts)""",
+)
+def s_bucket_pruned_lookup_q(spark, sf):
+    """BUCKET-PRUNED point lookup — the third leg of the layout trilogy
+    (zero-exchange aggregate: ts_ohlc_bucketed; shuffle-free join:
+    j_user_baseline_bucketed; and here the SCAN itself shrinks): a
+    per-user drilldown over the shared bucketed events table reads ONLY
+    the buckets the literal keys hash to — the physical scan reports
+    ``SelectedBucketsCount: ≤2 out of 32`` (pinned) — so a hot-key query
+    over a 100 TB fact table touches 1/32nd of the files BEFORE any
+    filter runs, on top of the usual parquet pushdown.  Partition
+    pruning's hash-bucketed sibling: same catalog metadata, no directory
+    explosion for high-cardinality keys.  Exact-cents hourly rollup so
+    values hash-match the plain-scan oracle bit-for-bit."""
+    from .std_r11 import _bucketed_events
+
+    ev = spark.table(_bucketed_events(spark, sf))
+    return (
+        ev.filter(F.col("user_id").isin(7, 13))
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            (F.sum(_cents(F.col("value"))).cast("double") / 100).alias(
+                "sum_value"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
