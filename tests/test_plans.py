@@ -609,3 +609,53 @@ def test_bucket_pruned_lookup_selects_few_buckets(spark):
     m = re.search(r"SelectedBucketsCount: (\d+) out of 32", plan)
     assert m, plan
     assert int(m.group(1)) <= 2, plan
+
+
+def test_aqe_skew_join_activates_at_runtime(spark):
+    """The session's skew posture is LIVE, not just configured: on a
+    deliberately skewed join (one hot key holding ~10% of a 200k-row fact
+    side) with test-scaled thresholds, AQE's final adaptive plan splits
+    the hot partition — SortMergeJoin(skew=true) over an AQEShuffleRead
+    marked skewed.  This is the runtime complement to j_skew_salted's
+    explicit salting: at 100 TB either lever caps the straggler, and this
+    pin proves the automatic one engages.  Thresholds are restored after
+    the assertion."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_payload_payload_"), F.col("id")).alias(
+                "pl"
+            ),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.col("id").alias("r")
+        )
+        j = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
