@@ -1482,7 +1482,15 @@ def eval_split_leakage_q(spark, sf):
     from trafficbigdatasearch_spark.operators import evalrank as EV
 
     docs = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, k=_MINHASH_K, bands=4, n=3)
+    # THREE consumers read the pair set (the CC fixpoint inside
+    # leakage_free_split + one membership join per audited method), so the
+    # shingle->minhash->band pipeline is checkpointed once instead of
+    # evaluated three times — the SURVEY §4 multi-consumer convention;
+    # measured 5.68 -> 3.69 s (1.54x) at sf0.1 (SCALING.md r12).  Lazy:
+    # the first consumer's action materializes it.
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=_MINHASH_K, bands=4, n=3
+    ).localCheckpoint(eager=False)
     naive = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
     safe = sampling.leakage_free_split(
         docs, pairs, {"train": 0.9, "test": 0.1}
