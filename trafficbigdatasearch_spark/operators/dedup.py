@@ -471,12 +471,22 @@ def duplicated_spans(
     whitespace token stream :func:`strip_duplicated_spans` explodes
     (word_shingles lowercases internally, so shingling and stripping see
     identical tokens)."""
+    # TWO consumers read the exploded shingle frame (the frequency
+    # aggregate and the hot-window join-back), and Catalyst does not plan
+    # a ReusedExchange across them (different partitionings reach the
+    # two sinks), so without a checkpoint the tokenize+shingle+posexplode
+    # re-evaluates per consumer.  One lazy localCheckpoint materializes
+    # it once — measured 4.31 -> 2.61 s (1.65x) at sf0.1 (SCALING.md
+    # r12); at 100 TB the materialization is the same footprint the
+    # consumers' shuffles already pay, bought once instead of recomputing
+    # the CPU-heavy tokenization twice (production exact-substring dedup
+    # materializes this table for the same reason).
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
             "start", "shingle"
         ),
-    )
+    ).localCheckpoint(eager=False)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count_distinct("_id").alias("_d"))
@@ -559,13 +569,15 @@ def boilerplate_spans(
         raise ValueError(
             f"min_df_pct must be in (0, 100], got {min_df_pct}"
         )
+    # same two-consumer shingle shape as duplicated_spans, same ruling:
+    # checkpoint once instead of re-exploding per consumer (SCALING.md r12)
     sh = docs.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
             "start", "shingle"
         ),
-    )
+    ).localCheckpoint(eager=False)
     # count_distinct, not count(*): shingle document frequency counts
     # DISTINCT doc_ids, so the denominator must too — duplicate doc_id
     # rows would inflate _n_docs and under-flag boilerplate (ADVICE r8)
