@@ -235,6 +235,20 @@ HEADLINE = [
     "eval_bpe_fertility",
     "text_bpe_merges_batched",
     "ts_ohlc_bucketed",
+    # r12 registrations (headline from r13 on): the TPC-H completion
+    # canaries + the bucketed-layout trilogy
+    "ts_gapfill_bucketed",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_part_counts",
+    "q20_dominant_supplier",
+    "q22_global_sales_opportunity",
+    "ts_ohlc_bucketed_append",
+    "j_user_baseline_bucketed",
+    "s_bucket_pruned_lookup",
 ]
 
 

@@ -132,3 +132,47 @@ def test_bucket_pruning_on_key_equality(spark, bucketed_tables):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
+
+
+def test_ohlc_append_torn_build_rebuilds(spark):
+    """The two-write (history overwrite + increment append) build of
+    ts_ohlc_bucketed_append is guarded by a marker recorded only AFTER
+    the append: a table that exists WITHOUT the marker is a torn build
+    (interrupted between the writes) and must be rebuilt, not served
+    history-only (ADVICE r12).  Simulate the torn state exactly — table
+    holding only the history half, no marker — and assert the next call
+    returns full-range results."""
+    import os
+    import shutil
+
+    from trafficbigdatasearch_spark.queries import standard
+    from trafficbigdatasearch_spark.queries.std_textsim import _scratch
+
+    q = standard.queries()["ts_ohlc_bucketed_append"]
+    full = q(spark, SF)
+    cutoff = "2024-01-21"
+    n_full = full.count()
+    n_post = full.filter(F.col("bucket") >= cutoff).count()
+    assert n_post > 0, "fixture has no post-cutoff hours; cutoff pin broken"
+
+    # Reconstruct the torn state the same way the builder names things.
+    scratch = _scratch("ohlc_bkta", SF)
+    table = "tbds_ohlc_bkta_" + os.path.basename(scratch)[-8:].replace("-", "_")
+    marker = os.path.join(scratch, "_APPEND_COMPLETE")
+    path = os.path.join(scratch, "tbl")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
+    if os.path.exists(marker):
+        os.remove(marker)
+    ev = load_table(spark, SF, "events")
+    write_bucketed(
+        ev.filter(F.col("ts") < cutoff), table, ["user_id"], 32,
+        path=path, sort_cols=["user_id", "ts"],
+    )
+    # crash here: table exists, marker absent, increment missing
+    assert spark.catalog.tableExists(table) and not os.path.exists(marker)
+
+    again = q(spark, SF)
+    assert again.count() == n_full
+    assert again.filter(F.col("bucket") >= cutoff).count() == n_post
+    assert os.path.exists(marker)

@@ -76,24 +76,38 @@ def main() -> None:
             bpe.pair_counts, bpe.apply_merge = orig_pc, orig_am
         trajectory.append(merged)
         rounds = len(trajectory) - 1
-        # per-WINDOW-rules curve: rounds consumed by each 128-rule slab
+        # per-WINDOW-rules curve: rules/round inside each 128-rule slab.
+        # A single round can accept MORE than one full window; integer
+        # round attribution would charge the extra windows 0 (clamped to
+        # 1) rounds and distort the trajectory (ADVICE r12).  Instead,
+        # place each window boundary at a FRACTIONAL round index by
+        # linear interpolation within the round that crossed it, and
+        # divide the window's 128 rules by the fractional rounds between
+        # its two boundaries.
+        def _cross(target: int) -> float:
+            """Fractional round index at which cumulative rules reached
+            ``target`` (trajectory[i] = cumulative rules after round i)."""
+            for i in range(1, len(trajectory)):
+                if trajectory[i] >= target:
+                    gained = trajectory[i] - trajectory[i - 1]
+                    frac = (
+                        (target - trajectory[i - 1]) / gained
+                        if gained else 1.0
+                    )
+                    return (i - 1) + frac
+            return float(len(trajectory) - 1)
+
         curve = []
+        total = trajectory[-1]
+        prev_cross = 0.0
         target = WINDOW
-        start_round = 0
-        for i in range(1, len(trajectory)):
-            while trajectory[i] >= target or (
-                i == len(trajectory) - 1 and trajectory[i] > target - WINDOW
-            ):
-                seg_rounds = i - start_round
-                got = min(target, trajectory[i]) - (target - WINDOW)
-                curve.append(
-                    round((WINDOW if trajectory[i] >= target else got)
-                          / max(seg_rounds, 1), 2)
-                )
-                start_round = i
-                if trajectory[i] < target:
-                    break
-                target += WINDOW
+        while target <= total:
+            at = _cross(target)
+            curve.append(round(WINDOW / max(at - prev_cross, 1e-9), 2))
+            prev_cross, target = at, target + WINDOW
+        leftover = total - (target - WINDOW)
+        if leftover > 0 and rounds > prev_cross:
+            curve.append(round(leftover / (rounds - prev_cross), 2))
         tail_rate = curve[-1] if curve else 0.0
         overall = round(len(rules) / max(rounds, 1), 2)
         sec_per_round = dt / max(rounds, 1)

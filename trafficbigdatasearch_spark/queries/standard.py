@@ -91,47 +91,48 @@ _WINDOW = [
     "pack_sequences",
     "sketch_distinct_rollup",
     "quality_report",
-    # --- rotating slots, round 12 (28): the ROUND-12 QUEUE head, exactly
-    # as the r11 close and VERDICT r11 #1 ordered it.  First the 11-row
-    # never-checked remainder of the r10 backlog (they have waited two
-    # full rounds) ---------------------------------------------------------
-    "sample_poisson_bootstrap",
-    "quality_dedup_report",
-    "text_vocab_curve",
-    "quality_syndication",
-    "eval_jaccard_histogram",
-    "ts_peaks",
-    "mm_scene_changes",
-    "eval_langid_confusion",
-    "quality_gopher_rates",
-    "eval_split_leakage",
-    "dedup_cross_corpus",
-    # --- the 8 r11 registrations (never-checked; rehearsed green at both
-    # sf0.01 and sf0.1 the session they landed), registration order -------
-    "q7_volume_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_late_sole_supplier",
-    "eval_bpe_fertility",
-    "text_bpe_merges_batched",
-    "ts_ohlc_bucketed",
-    # --- changed-code cycle-backs: the struct ordering key replaced the
-    # DECIMAL(38,0) pack in operators/timeseries.py `_ord_key` and
-    # stream_ohlc's inline key in r11 (SCALING.md r11 A/B ruling) ----------
-    "ts_resample_ohlc",
-    "ts_gapfill",
-    "ts_interpolate",
-    "stream_ohlc",
-    # --- changed-code cycle-backs, CC family: graph.py:183-203 changed
-    # twice in r11 (rounds_per_check parameter added; the =2 default was
-    # measured a 1.5x loss and reverted, commit 56de50a).  The family's
-    # out-of-window members re-verify on the shipped code ------------------
-    "pipeline_dbscan",
-    "dedup_keep_best",
-    "pipeline_entity_resolution",
-    "pipeline_semantic_dedup",
-    "dedup_clusters",
+    # --- rotating slots, round 13 (28): the ROUND-13 QUEUE head, exactly
+    # as the r12 close and VERDICT r12 #1/#4 ordered it.  First the 12
+    # never-checked r12 registrations (post-freeze rows wait one round,
+    # then head the queue; all rehearsed green at sf0.01 AND sf0.1 the
+    # session they landed) -------------------------------------------------
+    "ts_gapfill_bucketed",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_part_counts",
+    "q20_dominant_supplier",
+    "q22_global_sales_opportunity",
+    "ts_ohlc_bucketed_append",
+    "j_user_baseline_bucketed",
+    "s_bucket_pruned_lookup",
+    # --- changed-code cycle-backs from r12: the span-finder shingle frame
+    # (operators/dedup.py duplicated_spans/boilerplate_spans) and
+    # decontaminate's fuzzy path (operators/decontam.py) gained lazy
+    # localCheckpoints on twice-consumed frames (SCALING.md r12
+    # multi-consumer ruling, 1.65x/1.72x) — re-verify on the shipped code --
+    "text_dup_spans",
+    "text_boilerplate_spans",
+    "pipeline_boilerplate_strip",
+    "decontaminate_fuzzy",
+    # --- stale refresh, twice-slipped (VERDICT r12 #4: the first 3
+    # post-queue slots reserved explicitly) --------------------------------
+    "j1_equi_join_dims",
+    "dedup_simhash",
+    "u_union_distinct",
+    # --- stale refresh continuation, oldest-first up the ledger (last
+    # green r2, then r3, registration order within a round) ----------------
+    "j3_or_key_union",
+    "sim_brute_topk",
+    "sim_lsh_topk",
+    "j2_interval_join",
+    "j_semi_anti",
+    "a_approx_sketches",
+    "a_rollup_reagg",
+    "w_lag_gap",
+    "dedup_exact",
 ]
 
 

@@ -523,6 +523,7 @@ def q22_global_sales_opportunity_q(spark, sf):
         load_table(spark, sf, "orders")
         .filter(F.col("o_orderdate") >= "2000-01-01")
         .select("o_custkey")
+        .distinct()
     )
     rich = (
         c.crossJoin(F.broadcast(pos))
@@ -571,12 +572,23 @@ def ts_ohlc_bucketed_append_q(spark, sf):
     from trafficbigdatasearch_spark.sources.parquet import write_bucketed
     from .std_textsim import _scratch
 
-    table = "tbds_ohlc_bkta_" + os.path.basename(_scratch("ohlc_bkta", sf))[
-        -8:
-    ].replace("-", "_")
-    if not spark.catalog.tableExists(table):
+    scratch = _scratch("ohlc_bkta", sf)
+    table = "tbds_ohlc_bkta_" + os.path.basename(scratch)[-8:].replace(
+        "-", "_"
+    )
+    # The build is TWO writes (history overwrite, then increment append);
+    # an interruption between them would leave a catalog-visible table
+    # holding history only.  A marker file recorded only AFTER the append
+    # gates reuse: table-exists-without-marker means a torn build, so
+    # rebuild instead of silently serving partial data (ADVICE r12).
+    marker = os.path.join(scratch, "_APPEND_COMPLETE")
+    if not spark.catalog.tableExists(table) or not os.path.exists(marker):
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        path = os.path.join(scratch, "tbl")
+        shutil.rmtree(path, ignore_errors=True)  # torn-build leftovers
         ev = load_table(spark, sf, "events")
-        path = os.path.join(_scratch("ohlc_bkta", sf), "tbl")
         cutoff = "2024-01-21"
         write_bucketed(
             ev.filter(F.col("ts") < cutoff), table, ["user_id"], 32,
@@ -586,6 +598,8 @@ def ts_ohlc_bucketed_append_q(spark, sf):
             ev.filter(F.col("ts") >= cutoff), table, ["user_id"], 32,
             path=path, sort_cols=["user_id", "ts"], mode="append",
         )
+        with open(marker, "w") as fh:
+            fh.write("history+append committed\n")
     return TS.resample_ohlc(
         spark.table(table), key_col="user_id", ts_col="ts",
         value_col="value", id_col="event_id", bucket="hour",
