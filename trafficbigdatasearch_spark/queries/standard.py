@@ -42,12 +42,14 @@ from . import std_retrieval  # noqa: F401,E402  isort:skip
 from . import std_graph_eval  # noqa: F401,E402  isort:skip
 from . import std_r11  # noqa: F401,E402  isort:skip
 from . import std_r12  # noqa: F401,E402  isort:skip
+from . import std_r13  # noqa: F401,E402  isort:skip
 from . import _shared  # noqa: F401,E402  isort:skip
 
 #: Era modules in registration order — also the __getattr__ search order.
 _ERA_MODULES = (
     _shared, std_core, std_textsim, std_tpch_sampling, std_spatial_incr,
     std_olap_quality, std_retrieval, std_graph_eval, std_r11, std_r12,
+    std_r13,
 )
 
 
