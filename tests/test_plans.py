@@ -479,6 +479,18 @@ def test_ohlc_single_partial_agg_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ohlc_negative_ids_same_one_exchange_shape(spark):
+    """The r13 negative-id row (mixed-sign event ids, the ordering-key
+    divergence pin) must ride the SAME one-pass map-side-combinable
+    aggregate as ts_resample_ohlc: the sign flip is a row-local
+    projection, so it may not add an exchange or fall out of the
+    single-partial-agg shape."""
+    df = standard.queries()["ts_ohlc_negative_ids"](spark, SF)
+    assert X.exchange_count(df) == 1, X.formatted_plan(df)
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
 def test_ohlc_bucketed_layout_no_exchange(spark):
     """The r11 sorted-layout lever, pinned: over the bucketed+sorted events
     table the OHLC aggregate plans with ZERO exchanges (bucket co-location
