@@ -879,9 +879,13 @@ def stream_merge_upsert_q(spark, sf):
     if not os.path.exists(pointer):
         os.makedirs(snap_dir, exist_ok=True)
         snap.write.mode("overwrite").parquet(os.path.join(snap_dir, "vseed"))
+        _orders_changeset(snap).write.mode("overwrite").parquet(changes_dir)
+        # pointer LAST: it is the build-complete marker (the torn-build
+        # guard convention of ts_ohlc_bucketed_append) — written between
+        # the two writes it would leave a pointer pointing at a build
+        # whose changes dir never landed
         with open(pointer, "w") as f:
             f.write("vseed")
-        _orders_changeset(snap).write.mode("overwrite").parquet(changes_dir)
     schema = spark.read.parquet(changes_dir).schema
     stream = spark.readStream.schema(schema).parquet(changes_dir)
     q = (
