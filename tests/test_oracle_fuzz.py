@@ -1,0 +1,373 @@
+"""Randomized cross-engine differential fuzz (depth round r13).
+
+The driver's correctness gate compares each registered query against a
+DuckDB oracle at ONE fixed parameterization.  This suite generalizes that
+gate: hypothesis draws random datasets AND random operator parameters, and
+every example is compared Spark-vs-DuckDB under the driver's own
+dtype-strict canonicalization (``tools/driver_sim._canon`` / ``_cell_repr``
+imported directly, so the compare is literally the rehearsal harness's).
+
+Targets are the divergence classes the ledger documents (SCALING.md,
+VERDICT r11/r12) — the places where two engines can legitimately disagree
+and where our contracts pin one exact behavior:
+
+- ordered-aggregate tie-breaks with duplicate timestamps AND negative ids
+  (the ``_ord_key`` struct vs the DuckDB ``first/last(v ORDER BY
+  epoch_ms(ts), id)`` recipe — the r11-advice class);
+- as-of join tolerance semantics (nearest-candidate-then-null, NOT
+  nearest-in-tolerance — the pandas ``merge_asof`` contract);
+- interval-containment endpoint semantics (closed left/right/both/neither
+  on touching and degenerate intervals);
+- the 2-decimal money contract (HALF_UP vs half-even rounding agrees on
+  round(x*100) exactly because x is 2-decimal; fuzzed across boundary
+  magnitudes);
+- gap-fill spine + forward-fill alignment at random sparsity and bucket
+  widths.
+
+Each example runs real Spark jobs, so example counts are small; datasets
+are tiny (tens of rows) because the classes under test are value-level,
+not volume-level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tools.driver_sim import _canon, _cell_repr
+
+from trafficbigdatasearch_spark.operators import joins as J
+from trafficbigdatasearch_spark.operators import timeseries as TS
+from trafficbigdatasearch_spark.queries._shared import _dsum
+
+FUZZ = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _duck(frames: dict[str, pd.DataFrame]):
+    import duckdb
+
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    return con
+
+
+def _assert_match(sdf: pd.DataFrame, ddf: pd.DataFrame, ctx: str) -> None:
+    """The driver's compare: column-name set, row count, then cell-by-cell
+    dtype-strict repr equality over the canonical (sorted) form."""
+    assert sorted(c.lower() for c in sdf.columns) == sorted(
+        c.lower() for c in ddf.columns
+    ), f"{ctx}: schema {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    assert len(sdf) == len(ddf), f"{ctx}: rows {len(sdf)} vs {len(ddf)}"
+    s, d = _canon(sdf), _canon(ddf)
+    for i in range(len(s)):
+        for j in range(len(s.columns)):
+            a, b = s.iat[i, j], d.iat[i, j]
+            assert _cell_repr(a) == _cell_repr(b), (
+                f"{ctx}: col={s.columns[j]} row={i} "
+                f"spark={_cell_repr(a)!r} vs oracle={_cell_repr(b)!r}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# 1. Ordered aggregates: duplicate timestamps + negative ids
+# ---------------------------------------------------------------------------
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_ohlc_random_ties_and_negative_ids_match_duckdb(spark, seed):
+    """resample_ohlc's struct ordering key vs the negative-id-safe DuckDB
+    recipe ``first/last(v ORDER BY epoch_ms(ts), id)`` under adversarial
+    draws: many rows collapsed onto FEW distinct timestamps (forced ties,
+    so the id leg of the key decides winners) and ids sign-flipped at
+    random (the exact class where the HUGEINT pack inverts order —
+    operators/timeseries.py:32 docstring)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 80))
+    # few distinct instants -> guaranteed (key, ts) collisions
+    instants = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 8, size=n) * 17, unit="m"
+    )
+    ids = rng.permutation(np.arange(1, n + 1))
+    flip = rng.random(n) < 0.5
+    ids = np.where(flip, -ids, ids).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, size=n).astype(np.int64),
+            "ts": instants,
+            "id": ids,
+            "v": np.round(rng.uniform(-50, 50, size=n), 2),
+        }
+    )
+    sdf = TS.resample_ohlc(
+        spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket="hour"
+    ).toPandas()
+    con = _duck({"t": pdf})
+    ddf = con.execute(
+        """
+        SELECT k, date_trunc('hour', ts) AS bucket,
+               first(v ORDER BY epoch_ms(ts), id) AS open,
+               max(v) AS high, min(v) AS low,
+               last(v ORDER BY epoch_ms(ts), id) AS close,
+               count(*) AS volume
+        FROM t GROUP BY k, date_trunc('hour', ts)
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"ohlc seed={seed}")
+
+
+# ---------------------------------------------------------------------------
+# 2. As-of join: tolerance is nearest-candidate-then-null
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    direction=st.sampled_from(["backward", "forward"]),
+    with_tol=st.booleans(),
+)
+@FUZZ
+def test_asof_tolerance_matches_duckdb_lateral(spark, seed, direction, with_tol):
+    """asof_join vs a DuckDB LATERAL oracle that mirrors the contract
+    EXACTLY: elect the nearest candidate IGNORING tolerance, then null the
+    value when the elected row's gap exceeds it (joins.py:84 — a farther
+    in-tolerance row is never \"better\").  A naive oracle that filters by
+    tolerance INSIDE the candidate election would diverge on draws where
+    the nearest row is out of tolerance but an older one is in — the fuzz
+    generates dense right sides so those draws occur."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(15, 40)), int(rng.integers(15, 40))
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, size=nl).astype(np.int64),
+            "lt": rng.integers(0, 200, size=nl).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, size=nr).astype(np.int64),
+            "rt": rng.integers(0, 200, size=nr).astype(np.int64),
+            "rv": np.round(rng.uniform(0, 10, size=nr), 2),
+        }
+    )
+    tol = int(rng.integers(1, 40)) if with_tol else None
+    sdf = J.asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_ts="lt",
+        right_ts="rt",
+        direction=direction,
+        right_cols=["rv"],
+        tolerance=tol,
+    ).toPandas()
+    cmp_op, order, gap = (
+        ("<=", "DESC", "l.lt - r1.rt")
+        if direction == "backward"
+        else (">=", "ASC", "r1.rt - l.lt")
+    )
+    tol_case = (
+        f"CASE WHEN ({gap}) <= {tol} THEN r1.rv END"
+        if tol is not None
+        else "r1.rv"
+    )
+    con = _duck({"l": left, "r": right})
+    ddf = con.execute(
+        f"""
+        SELECT l.k, l.lt, {tol_case} AS rv
+        FROM l LEFT JOIN LATERAL (
+          SELECT rt, rv FROM r
+          WHERE r.k = l.k AND r.rt {cmp_op} l.lt
+          ORDER BY r.rt {order}, rv DESC LIMIT 1
+        ) r1 ON TRUE
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"asof seed={seed} dir={direction} tol={tol}")
+
+
+# ---------------------------------------------------------------------------
+# 3. Interval containment: endpoint semantics on touching intervals
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    closed=st.sampled_from(["both", "left", "right", "neither"]),
+)
+@FUZZ
+def test_interval_join_endpoints_match_duckdb(spark, seed, closed):
+    """interval_join's four ``closed`` modes vs literal DuckDB range
+    predicates, on draws engineered to land points EXACTLY on interval
+    endpoints (times and bounds share one small integer lattice) and to
+    include degenerate lo == hi intervals — the rows where the four modes
+    actually differ."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(20, 50)), int(rng.integers(8, 20))
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 2, size=nl).astype(np.int64),
+            "t": rng.integers(0, 15, size=nl).astype(np.int64),
+        }
+    )
+    lo = rng.integers(0, 15, size=nr).astype(np.int64)
+    width = rng.integers(0, 5, size=nr).astype(np.int64)  # 0 => degenerate
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 2, size=nr).astype(np.int64),
+            "lo": lo,
+            "hi": lo + width,
+            "tag": np.arange(nr, dtype=np.int64),
+        }
+    )
+    ops = {
+        "both": (">=", "<="),
+        "left": (">=", "<"),
+        "right": (">", "<="),
+        "neither": (">", "<"),
+    }[closed]
+    sdf = (
+        J.interval_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right.rename(columns={"k": "rk"})),
+            on=None,
+            left_ts="t",
+            right_lo="lo",
+            right_hi="hi",
+            closed=closed,
+        )
+        .filter("k = rk")
+        .select("k", "t", "lo", "hi", "tag")
+        .toPandas()
+    )
+    con = _duck({"l": left, "r": right})
+    ddf = con.execute(
+        f"""
+        SELECT l.k, l.t, r.lo, r.hi, r.tag
+        FROM l JOIN r ON l.k = r.k
+         AND l.t {ops[0]} r.lo AND l.t {ops[1]} r.hi
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"interval seed={seed} closed={closed}")
+
+
+# ---------------------------------------------------------------------------
+# 4. The 2-decimal money contract across rounding-boundary magnitudes
+# ---------------------------------------------------------------------------
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_money_sum_two_decimal_contract_matches_duckdb(spark, seed):
+    """_dsum (Spark HALF_UP round(x*100)) vs the oracle recipe (DuckDB
+    half-even round) agree for EVERY 2-decimal money value — the contract
+    _shared.py:74 states.  The engines' rounding modes differ only on
+    exact .5 inputs, which a 2-decimal x can never hand to round(x*100)
+    (the float product lands near-integer, never near-half).  The fuzz
+    draws cent values across magnitudes up to 10^7 including the .x5 /
+    .x0 boundary cents where the float product error is largest."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 150))
+    mag = 10.0 ** rng.integers(0, 7, size=n)
+    cents = rng.integers(0, 100, size=n)
+    # force a healthy share of boundary cents (x.x5, x.x0)
+    boundary = rng.random(n) < 0.5
+    cents[boundary] = rng.choice(
+        [5, 10, 15, 25, 50, 75, 95], size=int(boundary.sum())
+    )
+    vals = np.round(np.floor(rng.uniform(0, 1, size=n) * mag) + cents / 100.0, 2)
+    sign = np.where(rng.random(n) < 0.3, -1.0, 1.0)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, size=n).astype(np.int64),
+            "x": vals * sign,
+        }
+    )
+    from pyspark.sql import functions as F
+
+    sdf = (
+        spark.createDataFrame(pdf)
+        .groupBy("g")
+        .agg(_dsum(F.col("x")).alias("total"))
+        .toPandas()
+    )
+    con = _duck({"t": pdf})
+    ddf = con.execute(
+        """
+        SELECT g, CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS total
+        FROM t GROUP BY g
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"money seed={seed}")
+
+
+# ---------------------------------------------------------------------------
+# 5. Gap-fill: spine + forward-fill at random sparsity and bucket width
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    bucket=st.sampled_from(["hour", "day"]),
+)
+@FUZZ
+def test_gapfill_random_sparsity_matches_duckdb(spark, seed, bucket):
+    """gapfill_ffill vs the parameterized DuckDB spine oracle (the
+    ts_gapfill oracle generalized over the bucket unit and rewritten onto
+    the negative-id-safe ordered-aggregate recipe).  Random sparsity makes
+    interior gaps of random widths; sign-flipped ids force the close
+    election through the struct key's negative-id branch."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    step = {"hour": 47, "day": 1440 + 313}[bucket]  # minutes; irregular
+    instants = pd.Timestamp("2024-05-01") + pd.to_timedelta(
+        np.sort(rng.choice(np.arange(0, 40) * step, size=n)), unit="m"
+    )
+    ids = rng.permutation(np.arange(1, n + 1))
+    ids = np.where(rng.random(n) < 0.4, -ids, ids).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, size=n).astype(np.int64),
+            "ts": instants,
+            "id": ids,
+            "v": np.round(rng.uniform(0, 100, size=n), 2),
+        }
+    )
+    sdf = TS.gapfill_ffill(
+        spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket=bucket
+    ).toPandas()
+    con = _duck({"t": pdf})
+    ddf = con.execute(
+        f"""
+        WITH closes AS (
+          SELECT k, date_trunc('{bucket}', ts) AS bucket,
+                 last(v ORDER BY epoch_ms(ts), id) AS _close
+          FROM t GROUP BY k, date_trunc('{bucket}', ts)),
+        spine AS (
+          SELECT k, unnest(generate_series(min(bucket), max(bucket),
+                                           INTERVAL 1 {bucket})) AS bucket
+          FROM closes GROUP BY k)
+        SELECT s.k, s.bucket,
+               last_value(c._close IGNORE NULLS) OVER (
+                 PARTITION BY s.k ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               CAST(CASE WHEN c._close IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_observed
+        FROM spine s LEFT JOIN closes c
+          ON c.k = s.k AND c.bucket = s.bucket
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"gapfill seed={seed} bucket={bucket}")
