@@ -24,6 +24,13 @@ and where our contracts pin one exact behavior:
 - gap-fill spine + forward-fill alignment at random sparsity and bucket
   widths.
 
+A second section fuzzes the BLOCKING/REWRITE INVARIANCES the scale paths
+rest on: for every parameter draw, the blocked operator must be
+row-identical to its brute twin — bucketed interval join at any bucket
+width, salted equi join at any salt count under forced skew, the OR-key
+union-of-joins vs the literal OR predicate (NULL first keys included),
+and the 3x3 grid-blocked radius self-join vs brute-force distance.
+
 Each example runs real Spark jobs, so example counts are small; datasets
 are tiny (tens of rows) because the classes under test are value-level,
 not volume-level.
@@ -33,9 +40,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
 
 from tools.driver_sim import _canon, _cell_repr
 
@@ -293,7 +301,7 @@ def test_money_sum_two_decimal_contract_matches_duckdb(spark, seed):
             "x": vals * sign,
         }
     )
-    from pyspark.sql import functions as F
+
 
     sdf = (
         spark.createDataFrame(pdf)
@@ -371,3 +379,164 @@ def test_gapfill_random_sparsity_matches_duckdb(spark, seed, bucket):
     ).df()
     con.close()
     _assert_match(sdf, ddf, f"gapfill seed={seed} bucket={bucket}")
+
+
+# ---------------------------------------------------------------------------
+# 6. Blocking / rewrite invariances: the scale-path operator must be
+#    row-identical to its brute twin for EVERY parameter draw
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    width=st.integers(min_value=1, max_value=40),
+)
+@FUZZ
+def test_bucketed_interval_join_lossless_for_any_width(spark, seed, width):
+    """bucketed_interval_join's time-bucket blocking is semantics-free: for
+    ANY bucket width it must return exactly interval_join(closed='both')
+    (joins.py:50 — the width only tunes the candidate volume).  Random
+    widths from degenerate (1 unit: every interval explodes into many
+    buckets) to oversized (wider than the whole time axis: one bucket,
+    near-cross-join candidates) hit both ends of the explode."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(20, 50)), int(rng.integers(8, 20))
+    left = pd.DataFrame(
+        {"t": rng.integers(0, 100, size=nl).astype(np.int64),
+         "lid": np.arange(nl, dtype=np.int64)}
+    )
+    lo = rng.integers(0, 100, size=nr).astype(np.int64)
+    right = pd.DataFrame(
+        {"lo": lo, "hi": lo + rng.integers(0, 30, size=nr).astype(np.int64),
+         "rid": np.arange(nr, dtype=np.int64)}
+    )
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    cols = ["lid", "rid", "t", "lo", "hi"]
+    got = sorted(
+        map(tuple, J.bucketed_interval_join(l, r, "t", "lo", "hi", width)
+            .select(*cols).collect())
+    )
+    want = sorted(
+        map(tuple, J.interval_join(l, r, None, "t", "lo", "hi", closed="both")
+            .select(*cols).collect())
+    )
+    assert got == want, f"width={width} seed={seed}: {len(got)} vs {len(want)}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_salts=st.integers(min_value=1, max_value=13),
+    how=st.sampled_from(["inner", "left"]),
+)
+@FUZZ
+def test_salted_join_identical_to_plain_for_any_salt_count(
+    spark, seed, n_salts, how
+):
+    """salted_equi_join must be row-identical (multiset) to the plain equi
+    join for ANY salt count and join type it supports (joins.py:226) —
+    the salt only re-partitions.  Draws force heavy skew (80 % of large
+    rows on one key) and unmatched keys on both sides so 'left' exercises
+    null-extension under replication."""
+    rng = np.random.default_rng(seed)
+    nb, ns = int(rng.integers(40, 100)), int(rng.integers(5, 15))
+    hot = rng.random(nb) < 0.8
+    big = pd.DataFrame(
+        {"k": np.where(hot, 0, rng.integers(0, 10, size=nb)).astype(np.int64),
+         "payload": rng.integers(0, 1000, size=nb).astype(np.int64)}
+    )
+    small = pd.DataFrame(
+        {"k": rng.choice(np.arange(-4, 12), size=ns, replace=False).astype(np.int64),
+         "dim": rng.integers(0, 100, size=ns).astype(np.int64)}
+    )
+    b, s = spark.createDataFrame(big), spark.createDataFrame(small)
+    got = sorted(
+        map(tuple, J.salted_equi_join(b, s, ["k"], n_salts=n_salts, how=how)
+            .select("k", "payload", "dim").collect())
+    )
+    want = sorted(
+        map(tuple, b.join(s, ["k"], how).select("k", "payload", "dim").collect())
+    )
+    assert got == want, f"n_salts={n_salts} how={how} seed={seed}"
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_or_key_union_join_matches_duckdb_or_predicate(spark, seed):
+    """union_of_joins_on_either_key vs DuckDB's literal OR-predicate join
+    (joins.py:540 — J3's fixed form).  Draws include NULL first keys (the
+    coalesce subtlety: ~NULL would silently drop a second-key match),
+    rows matching BOTH keys (must appear once), and keys matching
+    neither."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(20, 50)), int(rng.integers(10, 30))
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 12, size=nl).astype(np.int64),
+         "lid": np.arange(nl, dtype=np.int64)}
+    )
+    a = rng.integers(0, 12, size=nr).astype(np.float64)
+    a[rng.random(nr) < 0.3] = np.nan  # NULL first keys
+    right = pd.DataFrame(
+        {"a": a, "b": rng.integers(0, 12, size=nr).astype(np.int64),
+         "rid": np.arange(nr, dtype=np.int64)}
+    )
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right).withColumn(
+        "a", F.col("a").cast("bigint")
+    )
+    sdf = (
+        J.union_of_joins_on_either_key(l, r, "k", ("a", "b"))
+        .select("lid", "rid")
+        .toPandas()
+    )
+    con = _duck({"l": left, "r": right})
+    ddf = con.execute(
+        """
+        SELECT l.lid, r.rid
+        FROM l JOIN r ON l.k = CAST(r.a AS BIGINT) OR l.k = r.b
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"or-key seed={seed}")
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    radius=st.integers(min_value=1, max_value=25),
+)
+@FUZZ
+def test_radius_pairs_grid_blocking_lossless_vs_duckdb_bruteforce(
+    spark, seed, radius
+):
+    """radius_pairs' 3x3 grid-cell blocking vs the DuckDB brute-force
+    distance self-join, for random radii and clustered point clouds
+    (spatial.py:56 — the explode+equi-join must find EVERY within-radius
+    pair, including pairs straddling cell boundaries, which the draws
+    force by clustering points around lattice multiples of the radius)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    # cluster around cell-boundary lattice points so cross-cell pairs abound
+    centers = rng.integers(0, 5, size=(n, 2)) * radius
+    pts = centers + rng.integers(-2, 3, size=(n, 2))
+    pts = np.clip(pts, 0, None)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64),
+         "x": pts[:, 0].astype(np.int64),
+         "y": pts[:, 1].astype(np.int64)}
+    )
+    from trafficbigdatasearch_spark.operators import spatial as SP
+
+    sdf = SP.radius_pairs(
+        spark.createDataFrame(pdf), "id", "x", "y", radius
+    ).toPandas()
+    con = _duck({"p": pdf})
+    ddf = con.execute(
+        f"""
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {radius * radius}
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"radius seed={seed} r={radius}")
