@@ -84,6 +84,17 @@ def _assert_match(sdf: pd.DataFrame, ddf: pd.DataFrame, ctx: str) -> None:
             )
 
 
+
+
+def _rows(df):
+    """Collected rows as a None-safe sorted list of tuples (NULL cells sort
+    last within their column, so multisets compare deterministically)."""
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, 0 if v is None else v) for v in t),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. Ordered aggregates: duplicate timestamps + negative ids
 # ---------------------------------------------------------------------------
@@ -540,3 +551,97 @@ def test_radius_pairs_grid_blocking_lossless_vs_duckdb_bruteforce(
     ).df()
     con.close()
     _assert_match(sdf, ddf, f"radius seed={seed} r={radius}")
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_bits=st.sampled_from([64, 256, 1024, 4096]),
+    n_hashes=st.integers(min_value=1, max_value=5),
+)
+@FUZZ
+def test_bloom_joins_exact_for_any_bitmap_size(spark, seed, n_bits, n_hashes):
+    """bloom_semi_join / bloom_anti_join must be row-identical to the plain
+    left_semi / left_anti join for ANY bitmap geometry (joins.py:474,507) —
+    undersized bitmaps only raise the false-positive rate, never change
+    the answer.  Draws use tiny bitmaps (64 bits against ~30 keys: most
+    probes collide) so the exact-join cleanup actually carries the result,
+    and NULL keys on the large side to pin the anti join's NULL lane
+    (hashable, must SURVIVE left_anti)."""
+    rng = np.random.default_rng(seed)
+    nb, nk = int(rng.integers(40, 100)), int(rng.integers(10, 30))
+    kvals = rng.integers(0, 50, size=nb).astype(np.float64)
+    kvals[rng.random(nb) < 0.15] = np.nan  # NULL keys in the large side
+    big = pd.DataFrame(
+        {"k": kvals, "payload": np.arange(nb, dtype=np.int64)}
+    )
+    keys = pd.DataFrame({"k": rng.integers(0, 50, size=nk).astype(np.float64)})
+    b = spark.createDataFrame(big).withColumn("k", F.col("k").cast("bigint"))
+    kd = spark.createDataFrame(keys).withColumn("k", F.col("k").cast("bigint"))
+    got_semi = _rows(J.bloom_semi_join(b, kd, "k", n_bits=n_bits,
+                                       n_hashes=n_hashes))
+    want_semi = _rows(b.join(kd.select("k").distinct(), "k", "left_semi"))
+    assert got_semi == want_semi, f"semi {seed}/{n_bits}/{n_hashes}"
+    got_anti = _rows(J.bloom_anti_join(b, kd, "k", n_bits=n_bits,
+                                       n_hashes=n_hashes))
+    want_anti = _rows(b.join(kd.select("k").distinct(), "k", "left_anti"))
+    assert got_anti == want_anti, f"anti {seed}/{n_bits}/{n_hashes}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    k=st.sampled_from([8, 16]),
+    bands=st.sampled_from([2, 4]),
+)
+@settings(
+    max_examples=4,  # each example runs two full shingle+minhash pipelines
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_dedup_index_path_invariant(spark, seed, k, bands):
+    """incremental_dedup's persisted-index arrangement must give verdicts
+    identical to the re-shingling path for ANY (k, bands) — the index is
+    a cache, not a semantics knob (dedup.py:819).  And every 'exact'
+    verdict must coincide with literal text membership in the corpus (the
+    fingerprint is content-determined).  Draws plant exact duplicates and
+    one-word-perturbed near duplicates in random proportions."""
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf",
+             "hotel", "india", "jazz"]
+    def _doc():
+        return " ".join(rng.choice(vocab, size=int(rng.integers(6, 14))))
+    nc = int(rng.integers(8, 20))
+    corpus_texts = [_doc() for _ in range(nc)]
+    new_texts = []
+    for _ in range(int(rng.integers(5, 12))):
+        u = rng.random()
+        if u < 0.3:  # exact dup of a corpus doc
+            new_texts.append(corpus_texts[int(rng.integers(0, nc))])
+        elif u < 0.6:  # near dup: perturb one word
+            w = corpus_texts[int(rng.integers(0, nc))].split()
+            w[int(rng.integers(0, len(w)))] = "zulu"
+            new_texts.append(" ".join(w))
+        else:
+            new_texts.append(_doc())
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(nc, dtype=np.int64),
+                      "text": corpus_texts})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(new_texts), dtype=np.int64),
+                      "text": new_texts})
+    )
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    plain = sorted(map(tuple, D.incremental_dedup(
+        new, corpus, k=k, bands=bands).collect()))
+    idx = D.minhash_band_buckets(corpus, "doc_id", "text", k, bands, 3)
+    via_index = sorted(map(tuple, D.incremental_dedup(
+        new, corpus, k=k, bands=bands, corpus_index=idx).collect()))
+    assert plain == via_index, f"index path diverged seed={seed}"
+    corpus_set = set(corpus_texts)
+    verdicts = dict(plain)
+    for i, t in enumerate(new_texts):
+        if t in corpus_set:
+            assert verdicts[i] == "exact", f"doc {i} seed={seed}: {verdicts[i]}"
+        else:
+            assert verdicts[i] != "exact", f"doc {i} seed={seed} false exact"
