@@ -645,3 +645,99 @@ def test_incremental_dedup_index_path_invariant(spark, seed, k, bands):
             assert verdicts[i] == "exact", f"doc {i} seed={seed}: {verdicts[i]}"
         else:
             assert verdicts[i] != "exact", f"doc {i} seed={seed} false exact"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    band_bits=st.sampled_from([2, 4, 8]),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+@FUZZ
+def test_hamming_banding_complete_vs_duckdb_bruteforce(
+    spark, seed, band_bits, max_hamming
+):
+    """hamming_pairs' band blocking vs the DuckDB all-pairs
+    bit_count(xor) filter (dedup.py:1010): complete by pigeonhole for
+    max_hamming < n_bands, so for EVERY (band_bits, max_hamming) draw the
+    banded result must EQUAL brute force.  Draws build clusters of
+    near-identical 16-bit fingerprints (random base, few bits flipped) so
+    in-threshold pairs abound at every distance 0..3.  The bucket-size
+    guard is disabled — it is a documented recall knob, not part of the
+    exactness contract."""
+    n_bits = 16
+    assume_bands = n_bits // band_bits
+    if max_hamming >= assume_bands:
+        return  # operator raises by contract; covered in unit tests
+    rng = np.random.default_rng(seed)
+    n_clusters = int(rng.integers(3, 7))
+    rows = []
+    i = 0
+    for _ in range(n_clusters):
+        base = int(rng.integers(0, 1 << n_bits))
+        for _ in range(int(rng.integers(2, 6))):
+            h = base
+            for _ in range(int(rng.integers(0, 4))):
+                h ^= 1 << int(rng.integers(0, n_bits))
+            rows.append((i, h))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["id", "simhash"]).astype(np.int64)
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    sdf = D.hamming_pairs(
+        spark.createDataFrame(pdf), n_bits=n_bits, band_bits=band_bits,
+        max_hamming=max_hamming, max_bucket_size=None,
+    ).toPandas()
+    con = _duck({"f": pdf})
+    ddf = con.execute(
+        f"""
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM f a JOIN f b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"hamming seed={seed} bb={band_bits} d={max_hamming}")
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    width=st.integers(min_value=1, max_value=40),
+)
+@FUZZ
+def test_interval_overlap_join_exactly_once_for_any_width(spark, seed, width):
+    """interval_overlap_join's claim-one-bucket dedup vs the literal DuckDB
+    overlap predicate (joins.py:274): for ANY bucket width each
+    overlapping pair must appear EXACTLY once — the claim expression, not
+    a distinct, carries the guarantee, so a width that splits an
+    intersection across many buckets is the adversarial case.  Draws
+    include degenerate (point) intervals and touching endpoints."""
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(10, 30)), int(rng.integers(10, 30))
+    llo = rng.integers(0, 80, size=nl).astype(np.int64)
+    left = pd.DataFrame(
+        {"llo": llo, "lhi": llo + rng.integers(0, 25, size=nl).astype(np.int64),
+         "lid": np.arange(nl, dtype=np.int64)}
+    )
+    rlo = rng.integers(0, 80, size=nr).astype(np.int64)
+    right = pd.DataFrame(
+        {"rlo": rlo, "rhi": rlo + rng.integers(0, 25, size=nr).astype(np.int64),
+         "rid": np.arange(nr, dtype=np.int64)}
+    )
+    sdf = (
+        J.interval_overlap_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "llo", "lhi", "rlo", "rhi", bucket_width=width,
+        )
+        .select("lid", "rid")
+        .toPandas()
+    )
+    con = _duck({"l": left, "r": right})
+    ddf = con.execute(
+        """
+        SELECT l.lid, r.rid
+        FROM l JOIN r ON l.llo <= r.rhi AND r.rlo <= l.lhi
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"overlap seed={seed} width={width}")
