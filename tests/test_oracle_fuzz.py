@@ -741,3 +741,150 @@ def test_interval_overlap_join_exactly_once_for_any_width(spark, seed, width):
     ).df()
     con.close()
     _assert_match(sdf, ddf, f"overlap seed={seed} width={width}")
+
+
+# ---------------------------------------------------------------------------
+# 7. Incremental / cross-corpus / full-probe paths must agree with their
+#    batch and brute twins
+# ---------------------------------------------------------------------------
+
+
+def _rand_texts(rng, n, vocab, lo=5, hi=12):
+    return [
+        " ".join(rng.choice(vocab, size=int(rng.integers(lo, hi))))
+        for _ in range(n)
+    ]
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    k=st.sampled_from([8, 16]),
+    bands=st.sampled_from([2, 4]),
+)
+@settings(
+    max_examples=4,  # two full shingle+minhash pipelines per example
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cross_corpus_pairs_equal_union_lsh_cross_subset(spark, seed, k, bands):
+    """cross_corpus_pairs(A, B) must equal minhash_lsh_pairs(A ∪ B)
+    restricted to cross pairs, for any (k, bands) with the skew caps
+    disabled (dedup.py:1249 — both sides band with the SAME signature
+    scheme, so meeting in the (band, bucket) join is exactly sharing a
+    bucket in the union).  Ids are disjoint ranges so the restriction is
+    a literal id-range split."""
+    rng = np.random.default_rng(seed)
+    vocab = ["red", "blue", "green", "gold", "iron", "wood", "salt",
+             "moon", "star", "rain"]
+    na, nb_ = int(rng.integers(6, 14)), int(rng.integers(6, 14))
+    ta = _rand_texts(rng, na, vocab)
+    tb = _rand_texts(rng, nb_, vocab)
+    # plant shared/near docs across corpora so cross pairs exist
+    for _ in range(int(rng.integers(1, 4))):
+        tb[int(rng.integers(0, nb_))] = ta[int(rng.integers(0, na))]
+    A = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": np.arange(na, dtype=np.int64), "text": ta}))
+    B = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": np.arange(nb_, dtype=np.int64) + 1000, "text": tb}))
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    got = sorted(
+        map(tuple, D.cross_corpus_pairs(A, B, k=k, bands=bands,
+                                        max_bucket_size=None).collect())
+    )
+    union_pairs = D.minhash_lsh_pairs(
+        A.unionByName(B), k=k, bands=bands, max_bucket_size=None
+    ).collect()
+    want = sorted(
+        (a, b) for a, b in map(tuple, union_pairs) if a < 1000 <= b
+    )
+    assert got == want, f"seed={seed} k={k} bands={bands}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    band_bits=st.sampled_from([2, 4]),
+    max_hamming=st.integers(min_value=0, max_value=3),
+)
+@FUZZ
+def test_incremental_hamming_equal_batch_cross_subset(
+    spark, seed, band_bits, max_hamming
+):
+    """hamming_pairs_incremental(corpus, new) must equal
+    hamming_pairs(corpus ∪ new) restricted to cross pairs
+    (dedup.py:1116) — the broadcast-the-increment plan is a join
+    DIRECTION choice, never a semantics choice."""
+    rng = np.random.default_rng(seed)
+    n_bits = 16
+
+    def _fps(n, base_ids):
+        out = []
+        for j in range(n):
+            h = int(rng.integers(0, 1 << n_bits))
+            if j % 3 == 0 and out:
+                h = out[-1][1] ^ (1 << int(rng.integers(0, n_bits)))
+            out.append((base_ids + j, h))
+        return out
+
+    nc, nn = int(rng.integers(8, 20)), int(rng.integers(4, 10))
+    corpus_rows = _fps(nc, 0)
+    new_rows = _fps(nn, 1000)
+    # plant near-dups across the split
+    for _ in range(int(rng.integers(1, 4))):
+        ci = int(rng.integers(0, nc))
+        ni = int(rng.integers(0, nn))
+        new_rows[ni] = (
+            new_rows[ni][0],
+            corpus_rows[ci][1] ^ (1 << int(rng.integers(0, n_bits))),
+        )
+    cdf = spark.createDataFrame(
+        pd.DataFrame(corpus_rows, columns=["id", "simhash"]).astype(np.int64))
+    ndf = spark.createDataFrame(
+        pd.DataFrame(new_rows, columns=["id", "simhash"]).astype(np.int64))
+    from trafficbigdatasearch_spark.operators import dedup as D
+
+    got = sorted(
+        (int(r["corpus_id"]), int(r["new_id"]), int(r["hamming"]))
+        for r in D.hamming_pairs_incremental(
+            cdf, ndf, n_bits=n_bits, band_bits=band_bits,
+            max_hamming=max_hamming).collect()
+    )
+    full = D.hamming_pairs(
+        cdf.unionByName(ndf), n_bits=n_bits, band_bits=band_bits,
+        max_hamming=max_hamming, max_bucket_size=None).collect()
+    want = sorted(
+        (int(r["id_a"]), int(r["id_b"]), int(r["hamming"]))
+        for r in full if r["id_a"] < 1000 <= r["id_b"]
+    )
+    assert got == want, f"seed={seed} bb={band_bits} d={max_hamming}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    stride=st.sampled_from([3, 7, 11]),
+)
+@FUZZ
+def test_ivf_full_probe_equals_brute_force(spark, seed, stride):
+    """ivf_topk with nprobe >= n_cells must return EXACTLY
+    brute_force_topk (similarity.py:146): probing every cell scans the
+    whole corpus, and both paths share the quantized scorer and the
+    (score DESC, neighbor_id ASC) tie-break — IVF's recall loss is
+    entirely the probe subset, never the rerank.  Random corpora, random
+    deterministic-sample centroid strides."""
+    rng = np.random.default_rng(seed)
+    n, dim = int(rng.integers(20, 50)), 8
+    vecs = np.round(rng.normal(0, 1, size=(n, dim)), 3)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [[float(x) for x in row] for row in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.limit(5)
+    from trafficbigdatasearch_spark.operators import similarity as S
+
+    got = sorted(map(tuple, S.ivf_topk(
+        corpus, queries, k=4, nprobe=10_000, centroid_stride=stride
+    ).collect()))
+    want = sorted(map(tuple, S.brute_force_topk(
+        corpus, queries, k=4).collect()))
+    assert got == want, f"seed={seed} stride={stride}"
