@@ -888,3 +888,51 @@ def test_ivf_full_probe_equals_brute_force(spark, seed, stride):
     want = sorted(map(tuple, S.brute_force_topk(
         corpus, queries, k=4).collect()))
     assert got == want, f"seed={seed} stride={stride}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    stride=st.sampled_from([5, 9]),
+    nprobe=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=4,  # each example writes two partitioned indexes
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivf_append_equals_rebuild_for_any_split(
+    spark, tmp_path_factory, seed, stride, nprobe
+):
+    """build_ivf_index + ivf_index_append must answer ivf_topk_indexed
+    IDENTICALLY to a full rebuild over corpus ∪ batch at the same fixed
+    centroids, for ANY split point, stride, and nprobe
+    (similarity.py:339 — assignment is per-vector independent, so the
+    append path differs only in file layout).  The fuzz generalizes the
+    sim_ivf_append oracle row from one fixed split to random ones."""
+    rng = np.random.default_rng(seed)
+    n, dim = int(rng.integers(24, 48)), 8
+    vecs = np.round(rng.normal(0, 1, size=(n, dim)), 3)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [[float(x) for x in row] for row in vecs]}
+    )
+    cut = int(rng.integers(8, n - 8))
+    union = spark.createDataFrame(pdf)
+    head = spark.createDataFrame(pdf.iloc[:cut])
+    tail = spark.createDataFrame(pdf.iloc[cut:])
+    cents = union.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    queries = union.limit(4)
+    from trafficbigdatasearch_spark.operators import similarity as S
+
+    base = tmp_path_factory.mktemp(f"ivf{seed}_{stride}_{nprobe}")
+    p1, p2 = str(base / "appended"), str(base / "rebuilt")
+    S.build_ivf_index(head, p1, centroids=cents)
+    S.ivf_index_append(spark, p1, tail)
+    S.build_ivf_index(union, p2, centroids=cents)
+    got = sorted(map(tuple, S.ivf_topk_indexed(
+        spark, p1, queries, k=4, nprobe=nprobe).collect()))
+    want = sorted(map(tuple, S.ivf_topk_indexed(
+        spark, p2, queries, k=4, nprobe=nprobe).collect()))
+    assert got == want, f"seed={seed} cut={cut} stride={stride} np={nprobe}"
