@@ -38,6 +38,8 @@ not volume-level.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -51,8 +53,19 @@ from trafficbigdatasearch_spark.operators import joins as J
 from trafficbigdatasearch_spark.operators import timeseries as TS
 from trafficbigdatasearch_spark.queries._shared import _dsum
 
+#: Example budget per property; raise for soak runs, e.g.
+#: ``SPARK_GRAFT_FUZZ_EXAMPLES=50 pytest tests/test_oracle_fuzz.py``.
+_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8"))
+
 FUZZ = settings(
-    max_examples=8,
+    max_examples=_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: For properties whose single example runs multiple full pipelines.
+FUZZ_HEAVY = settings(
+    max_examples=max(2, _EXAMPLES // 2),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -592,11 +605,7 @@ def test_bloom_joins_exact_for_any_bitmap_size(spark, seed, n_bits, n_hashes):
     k=st.sampled_from([8, 16]),
     bands=st.sampled_from([2, 4]),
 )
-@settings(
-    max_examples=4,  # each example runs two full shingle+minhash pipelines
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@FUZZ_HEAVY
 def test_incremental_dedup_index_path_invariant(spark, seed, k, bands):
     """incremental_dedup's persisted-index arrangement must give verdicts
     identical to the re-shingling path for ANY (k, bands) — the index is
@@ -761,11 +770,7 @@ def _rand_texts(rng, n, vocab, lo=5, hi=12):
     k=st.sampled_from([8, 16]),
     bands=st.sampled_from([2, 4]),
 )
-@settings(
-    max_examples=4,  # two full shingle+minhash pipelines per example
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@FUZZ_HEAVY
 def test_cross_corpus_pairs_equal_union_lsh_cross_subset(spark, seed, k, bands):
     """cross_corpus_pairs(A, B) must equal minhash_lsh_pairs(A ∪ B)
     restricted to cross pairs, for any (k, bands) with the skew caps
@@ -895,11 +900,7 @@ def test_ivf_full_probe_equals_brute_force(spark, seed, stride):
     stride=st.sampled_from([5, 9]),
     nprobe=st.integers(min_value=1, max_value=4),
 )
-@settings(
-    max_examples=4,  # each example writes two partitioned indexes
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+@FUZZ_HEAVY
 def test_ivf_append_equals_rebuild_for_any_split(
     spark, tmp_path_factory, seed, stride, nprobe
 ):
