@@ -937,3 +937,40 @@ def test_ivf_append_equals_rebuild_for_any_split(
     want = sorted(map(tuple, S.ivf_topk_indexed(
         spark, p2, queries, k=4, nprobe=nprobe).collect()))
     assert got == want, f"seed={seed} cut={cut} stride={stride} np={nprobe}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    budget=st.integers(min_value=1, max_value=60),
+    bucket_size=st.sampled_from([1, 3, 7, 64]),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@FUZZ
+def test_pack_sequences_matches_sequential_tape_any_partitioning(
+    spark, seed, budget, bucket_size, nparts
+):
+    """pack_sequences' two-level distributed prefix sum vs a sequential
+    pure-python tape, for ANY (budget, bucket_size, input partitioning)
+    draw (packing.py:33) — the bucket summary cumsum plus per-bucket
+    window must reproduce the exact global tape, including sparse
+    non-contiguous ids (bucket occupancy gaps) and documents larger than
+    the whole budget."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(10, 40))
+    ids = np.sort(rng.choice(np.arange(0, 500), size=n, replace=False))
+    toks = rng.integers(1, 2 * budget + 2, size=n)
+    pdf = pd.DataFrame(
+        {"doc_id": ids.astype(np.int64), "n_tok": toks.astype(np.int64)}
+    )
+    from trafficbigdatasearch_spark.operators import packing as P
+
+    got = sorted(map(tuple, P.pack_sequences(
+        spark.createDataFrame(pdf).repartition(nparts),
+        budget=budget, token_col="n_tok", bucket_size=bucket_size,
+    ).collect()))
+    tape = 0
+    want = []
+    for i, t in zip(ids.tolist(), toks.tolist()):
+        want.append((i, t, tape // budget, tape % budget))
+        tape += t
+    assert got == sorted(want), f"seed={seed} b={budget} bs={bucket_size} p={nparts}"
