@@ -840,7 +840,9 @@ def incremental_dedup(
     increment's fingerprints/buckets, so no corpus shuffle ever happens —
     and with ``corpus_index`` pointing at a persisted
     :func:`minhash_band_buckets` table (bucketed on band+bucket) the near
-    probe is a scan of the index, not a re-shingling of the corpus.
+    probe is a scan of the index, not a re-shingling of the corpus
+    (fuzz-pinned verdict-identical to the re-shingling path,
+    tests/test_oracle_fuzz.py).
     """
     new_fp = new_docs.select(
         F.col(id_col).alias("_nid"), T.fingerprint(F.col(text_col)).alias("_f")
@@ -1020,7 +1022,8 @@ def hamming_pairs(
     and media perceptual hashes (operators/multimodal.py::phash_pairs).
     Complete for ``max_hamming < n_bands`` by the pigeonhole bound, so the
     result EQUALS the all-pairs bit_count(xor) filter — which is what the
-    oracles compare against."""
+    oracles compare against; fuzz-pinned across (band_bits, max_hamming)
+    draws in tests/test_oracle_fuzz.py."""
     if n_bits % band_bits != 0:
         raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
     n_bands = n_bits // band_bits
@@ -1139,7 +1142,8 @@ def hamming_pairs_incremental(
     scanned once and never shuffled, and with the corpus band expansion
     persisted (a (band, val, id, hash) table) the probe is an index scan,
     not a recompute.  Verify is the row-local bit_count on candidate
-    pairs only.
+    pairs only.  Fuzz-pinned equal to the batch operator's cross subset
+    (tests/test_oracle_fuzz.py).
     """
     n_bands = n_bits // band_bits
     if n_bits % band_bits != 0:
@@ -1275,7 +1279,9 @@ def cross_corpus_pairs(
     banding exchange — the hamming_pairs guard applied per corpus), so a
     boilerplate band value cannot explode the cross product; candidates
     lost to the cap are the usual noise-bucket recall trade, documented at
-    the cap row in SCALING.md.
+    the cap row in SCALING.md.  With caps disabled the result is
+    fuzz-pinned equal to the union corpus LSH's cross subset
+    (tests/test_oracle_fuzz.py).
     """
     ba = minhash_band_buckets(corpus_a, id_col, text_col, k, bands, n).select(
         F.col("id").alias("id_a"), "band", "bucket"

@@ -63,7 +63,9 @@ def bucketed_interval_join(
     joins at scale (same idea as Databricks' range-join bin hints).
 
     ``bucket_width`` is in the units of the timestamp columns; intervals are
-    assumed closed.  Choose width ~ median interval length.
+    assumed closed.  Choose width ~ median interval length.  Fuzz-pinned
+    row-identical to :func:`interval_join` for any width
+    (tests/test_oracle_fuzz.py).
     """
     lw = left.withColumn("_bucket", (F.col(left_ts) / bucket_width).cast("bigint"))
     rw = right.withColumn(
@@ -253,7 +255,9 @@ def salted_equi_join(
     the tool when a single key exceeds what one task can hold even after AQE
     splitting, or when the join feeds a same-keyed aggregation that must not
     re-coalesce the hot key.  Supported ``how``: inner / left (shapes where
-    per-row multiplicity survives salting unchanged).
+    per-row multiplicity survives salting unchanged).  Fuzz-pinned
+    row-identical to the plain join for any salt count under forced skew
+    (tests/test_oracle_fuzz.py).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
@@ -298,7 +302,8 @@ def interval_overlap_join(
     buckets are discarded by a one-expression filter: exactly-once output
     with no distinct/dedup exchange.  One shuffle on the bucket key;
     fan-out per row = interval_len / bucket_width (pick width ~ median
-    interval length).
+    interval length).  The exactly-once claim is fuzz-pinned against the
+    literal overlap predicate for any width (tests/test_oracle_fuzz.py).
     """
     lw = left.withColumn(
         "_bucket",
@@ -494,7 +499,8 @@ def bloom_semi_join(
     arrangement (build the bitmap once per key-set version, probe
     forever), which removes the two-job build constant from every call;
     the bitmap MUST have been built over this ``keys`` set or a superset
-    (a stale subset loses the no-false-negative guarantee).
+    (a stale subset loses the no-false-negative guarantee).  Exactness is
+    fuzz-pinned for any bitmap geometry (tests/test_oracle_fuzz.py).
     """
     kdf = keys.select(key).distinct()
     if words is None:
@@ -526,7 +532,9 @@ def bloom_anti_join(
     row-identical to ``large.join(keys, key, "left_anti")``.  ``words``:
     prebuilt bitmap, same contract as :func:`bloom_semi_join` — and the
     same superset requirement: a bitmap MISSING a current key would route
-    its rows around the anti join and wrongly keep them.
+    its rows around the anti join and wrongly keep them.  Exactness
+    (including the NULL lane) is fuzz-pinned for any bitmap geometry
+    (tests/test_oracle_fuzz.py).
     """
     kdf = keys.select(key).distinct()
     if words is None:
@@ -548,6 +556,8 @@ def union_of_joins_on_either_key(
     src/OverSpeedCount.scala:122): ``l.k = r.a OR l.k = r.b`` planned as two
     hash joins + distinct union instead of the nested loop Spark would pick
     for a disjunctive condition.  The dedup removes rows matching both keys.
+    Fuzz-pinned against the literal OR predicate, NULL first keys included
+    (tests/test_oracle_fuzz.py).
     """
     k1, k2 = right_keys
     c1 = left[left_key] == right[k1]

@@ -50,7 +50,8 @@ def pack_sequences(
     ``token_col`` uses a precomputed token count; default is the
     whitespace count (:func:`functions.text.token_count`).  Output is
     invariant to ``bucket_size`` (pinned in tests) — it only tunes shuffle
-    granularity.
+    granularity — and fuzz-pinned against a sequential tape reference for
+    any (budget, bucket_size, partitioning) (tests/test_oracle_fuzz.py).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

@@ -178,7 +178,9 @@ def ivf_topk(
     At scale: assignment is one broadcast pass over the corpus (persist it
     with :func:`build_ivf_index` for repeated querying); the probe join
     shuffles only candidate cells, ~``nprobe/n_cells`` of the corpus per
-    query batch.
+    query batch.  Fuzz-pinned: at ``nprobe >= n_cells`` the result
+    EQUALS :func:`brute_force_topk` (tests/test_oracle_fuzz.py) — the
+    recall loss lives entirely in the probe subset, never the rerank.
     """
     if centroids is None:
         cent = corpus.filter((F.col(id_col) % centroid_stride) == 0)
@@ -362,7 +364,9 @@ def ivf_index_append(
     Centroid drift is the documented operational limit, not a correctness
     one: appends never move centroids, so after heavy distribution shift
     recall decays and the answer is a periodic re-train (kmeans_refine) +
-    rebuild — same posture as FAISS IVF add() vs re-train.
+    rebuild — same posture as FAISS IVF add() vs re-train.  The
+    append-equals-rebuild contract is fuzz-pinned across random splits,
+    strides, and nprobe (tests/test_oracle_fuzz.py).
     """
     cq = spark.read.parquet(f"{path}/centroids")
     c = _with_quantized(new_corpus, vec_col, "cv", "cn").select(

@@ -67,7 +67,9 @@ def radius_pairs(
     Coordinates must be non-negative integers (cast them; integer dist2
     keeps the operator exactly reproducible in any engine — no floating
     point).  One explode (9×, left side only), one equi-join shuffle on the
-    cell key, residual distance filter on candidates only.
+    cell key, residual distance filter on candidates only.  Completeness
+    is fuzz-pinned vs brute-force distance for random radii with clusters
+    astride cell boundaries (tests/test_oracle_fuzz.py).
     """
     p = points.select(
         F.col(id_col).cast("bigint").alias("_id"),

@@ -122,7 +122,9 @@ def resample_ohlc(
     tie-break via the composite ordering key — no nondeterministic
     ``first()``), high/low = max/min, volume = row count.  One aggregate,
     fully map-side combinable; values pass through untouched (no float
-    arithmetic), so results hash-compare exactly against any engine.
+    arithmetic), so results hash-compare exactly against any engine —
+    fuzz-pinned vs the DuckDB ordered-aggregate recipe under forced ties
+    and negative ids (tests/test_oracle_fuzz.py).
     """
     ord_key = _ord_key(F.col(ts_col), F.col(id_col))
     return (
