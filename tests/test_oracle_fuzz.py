@@ -974,3 +974,42 @@ def test_pack_sequences_matches_sequential_tape_any_partitioning(
         want.append((i, t, tape // budget, tape % budget))
         tape += t
     assert got == sorted(want), f"seed={seed} b={budget} bs={bucket_size} p={nparts}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    radius=st.sampled_from([5, 9, 14]),
+    min_pts=st.integers(min_value=1, max_value=5),
+)
+@FUZZ_HEAVY
+def test_dbscan_random_parameters_match_reference(spark, seed, radius, min_pts):
+    """Distributed DBSCAN (radius_pairs grid join + core test + CC over
+    core-core edges + min-id border adoption, spatial.py:101) vs the
+    pure-python reference, for random (radius, min_pts) — generalizing
+    the fixed-parameter test to the whole parameter box.  Clustered
+    clouds keep all three roles (core/border/noise) populated at every
+    draw."""
+    from tests.test_spatial import _dbscan_reference, _points
+    from trafficbigdatasearch_spark.operators import spatial as SP
+
+    rng = np.random.default_rng(seed)
+    n_clusters = int(rng.integers(2, 5))
+    pts = []
+    for _ in range(n_clusters):
+        cx, cy = int(rng.integers(10, 110)), int(rng.integers(10, 110))
+        for _ in range(int(rng.integers(3, 14))):
+            pts.append(
+                (max(0, cx + int(rng.integers(-6, 7))),
+                 max(0, cy + int(rng.integers(-6, 7))))
+            )
+    for _ in range(int(rng.integers(2, 6))):  # stragglers -> noise
+        pts.append((int(rng.integers(0, 120)), int(rng.integers(0, 120))))
+    got = {
+        r.id: (r.cluster, r.role)
+        for r in SP.dbscan(
+            _points(spark, pts), "id", "x", "y", radius, min_pts
+        ).collect()
+    }
+    assert got == _dbscan_reference(pts, radius, min_pts), (
+        f"seed={seed} r={radius} min_pts={min_pts} n={len(pts)}"
+    )
