@@ -1013,3 +1013,74 @@ def test_dbscan_random_parameters_match_reference(spark, seed, radius, min_pts):
     assert got == _dbscan_reference(pts, radius, min_pts), (
         f"seed={seed} r={radius} min_pts={min_pts} n={len(pts)}"
     )
+
+
+def _convex_hull_ccw(pts):
+    """Monotone chain, strict turns (collinear hull points dropped), CCW."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return []
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(reversed(pts))
+    hull = lower[:-1] + upper[:-1]
+    return hull if len(hull) >= 3 else []
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_polygon_join_random_zones_match_reference(spark, seed):
+    """point_in_convex_polygon_join vs the pure-python half-plane test for
+    random convex zones (hulls of random integer clouds) and random
+    points, including points exactly ON edges and vertices (spatial.py:
+    232 — boundary inclusive, all-integer, so there is exactly one right
+    answer to match)."""
+    rng = np.random.default_rng(seed)
+    polys = []
+    pid = 0
+    while len(polys) < int(rng.integers(2, 5)):
+        cloud = [
+            (int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for _ in range(int(rng.integers(4, 10)))
+        ]
+        hull = _convex_hull_ccw(cloud)
+        if hull:
+            polys.append((pid, hull))
+            pid += 1
+    n = int(rng.integers(30, 70))
+    pts = [(int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(n)]
+    # force boundary hits: some points copied from polygon vertices
+    for _ in range(5):
+        p = polys[int(rng.integers(0, len(polys)))][1]
+        pts.append(p[int(rng.integers(0, len(p)))])
+    pdf = pd.DataFrame(
+        {"id": np.arange(len(pts), dtype=np.int64),
+         "x": np.array([p[0] for p in pts], dtype=np.int64),
+         "y": np.array([p[1] for p in pts], dtype=np.int64)}
+    )
+    from trafficbigdatasearch_spark.operators import spatial as SP
+
+    got = sorted(
+        map(tuple, SP.point_in_convex_polygon_join(
+            spark.createDataFrame(pdf), polys).collect())
+    )
+    want = []
+    for i, (x, y) in enumerate(pts):
+        for zid, verts in polys:
+            inside = all(
+                (bx - ax) * (y - ay) - (by - ay) * (x - ax) >= 0
+                for (ax, ay), (bx, by) in zip(verts, verts[1:] + verts[:1])
+            )
+            if inside:
+                want.append((i, zid))
+    assert got == sorted(want), f"seed={seed}"
