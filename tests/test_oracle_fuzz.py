@@ -1084,3 +1084,39 @@ def test_polygon_join_random_zones_match_reference(spark, seed):
             if inside:
                 want.append((i, zid))
     assert got == sorted(want), f"seed={seed}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    radius=st.sampled_from([4, 8, 15]),
+    k=st.integers(min_value=1, max_value=6),
+)
+@FUZZ
+def test_knn_within_radius_matches_bruteforce(spark, seed, radius, k):
+    """knn_within_radius vs a pure-python bounded kNN for random
+    (radius, k): the grid join + symmetrize + one ranking window must
+    reproduce the exact (dist2, neighbor_id) tie order, under-k points
+    return what exists, isolated points return nothing (spatial.py:294)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 50))
+    centers = rng.integers(0, 4, size=(n, 2)) * radius
+    pts = np.clip(centers + rng.integers(-3, 4, size=(n, 2)), 0, None)
+    pdf = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64),
+         "x": pts[:, 0].astype(np.int64), "y": pts[:, 1].astype(np.int64)}
+    )
+    from trafficbigdatasearch_spark.operators import spatial as SP
+
+    got = sorted(map(tuple, SP.knn_within_radius(
+        spark.createDataFrame(pdf), "id", "x", "y", radius, k=k).collect()))
+    want = []
+    r2 = radius * radius
+    for i in range(n):
+        cand = sorted(
+            (int((pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2), j)
+            for j in range(n) if j != i
+            if (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= r2
+        )
+        for rank, (d2, j) in enumerate(cand[:k], start=1):
+            want.append((i, j, d2, rank))
+    assert got == sorted(want), f"seed={seed} r={radius} k={k}"
