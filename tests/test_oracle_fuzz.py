@@ -1120,3 +1120,78 @@ def test_knn_within_radius_matches_bruteforce(spark, seed, radius, k):
         for rank, (d2, j) in enumerate(cand[:k], start=1):
             want.append((i, j, d2, rank))
     assert got == sorted(want), f"seed={seed} r={radius} k={k}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    bucket=st.sampled_from(["hour", "day"]),
+)
+@FUZZ
+def test_gapfill_interpolate_random_sparsity_matches_duckdb(spark, seed, bucket):
+    """gapfill_interpolate vs the parameterized DuckDB spine+bracketing
+    oracle (ts_interpolate's SQL generalized over the bucket unit and
+    rewritten onto the negative-id-safe ordered-aggregate recipe).  The
+    interpolation is a fixed IEEE op sequence over epoch-millis bigints
+    (timeseries.py:225), so random gaps of random widths must match
+    bit-for-bit, trailing buckets carry the last value."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 60))
+    step = {"hour": 53, "day": 1440 + 401}[bucket]
+    instants = pd.Timestamp("2024-07-01") + pd.to_timedelta(
+        np.sort(rng.choice(np.arange(0, 35) * step, size=n)), unit="m"
+    )
+    ids = rng.permutation(np.arange(1, n + 1))
+    ids = np.where(rng.random(n) < 0.4, -ids, ids).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, size=n).astype(np.int64),
+            "ts": instants,
+            "id": ids,
+            "v": np.round(rng.uniform(-20, 120, size=n), 2),
+        }
+    )
+    sdf = TS.gapfill_interpolate(
+        spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket=bucket
+    ).toPandas()
+    con = _duck({"t": pdf})
+    ddf = con.execute(
+        f"""
+        WITH closes AS (
+          SELECT k, date_trunc('{bucket}', ts) AS bucket,
+                 last(v ORDER BY epoch_ms(ts), id) AS _close
+          FROM t GROUP BY k, date_trunc('{bucket}', ts)),
+        spine AS (
+          SELECT k, unnest(generate_series(min(bucket), max(bucket),
+                                           INTERVAL 1 {bucket})) AS bucket
+          FROM closes GROUP BY k),
+        j AS (SELECT s.k, s.bucket, c._close
+              FROM spine s LEFT JOIN closes c
+                ON c.k = s.k AND c.bucket = s.bucket),
+        w AS (SELECT k, bucket, _close,
+                last_value(_close IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+                last_value(CASE WHEN _close IS NOT NULL
+                                THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+                first_value(_close IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+                first_value(CASE WHEN _close IS NOT NULL
+                                 THEN epoch_ms(bucket) END IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+              FROM j)
+        SELECT k, bucket,
+               CASE WHEN _close IS NOT NULL THEN _close
+                    WHEN t1 IS NULL THEN v0
+                    ELSE v0 + (v1 - v0) *
+                         ((epoch_ms(bucket) - t0) / (t1 - t0)) END AS value,
+               CAST(CASE WHEN _close IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                 AS is_observed
+        FROM w
+        """
+    ).df()
+    con.close()
+    _assert_match(sdf, ddf, f"interp seed={seed} bucket={bucket}")
