@@ -80,3 +80,20 @@ def test_chunking_rejects_bad_params(docs):
         chunking.chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunking.chunk_documents(docs, chunk_tokens=32, overlap=32)
+
+
+def test_tab_newline_only_docs_produce_zero_chunks(docs):
+    """Regression (r13 fuzz finding): Spark's trim strips only ASCII
+    spaces, so tab/newline-only text used to emit a phantom empty token
+    and a (chunk_id=0, chunk_text='', n_tokens=1) row."""
+    from pyspark.sql import Row
+
+    spark = docs.sparkSession
+    weird = spark.createDataFrame(
+        [Row(doc_id=1, text="\t \n"), Row(doc_id=2, text="\n\n"),
+         Row(doc_id=3, text="\t a \n b\t"), Row(doc_id=4, text=" x ")]
+    )
+    out = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in chunking.chunk_documents(
+               weird, chunk_tokens=8, overlap=2).collect()}
+    assert out == {(3, 0): ("a b", 2), (4, 0): ("x", 1)}

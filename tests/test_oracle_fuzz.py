@@ -1195,3 +1195,50 @@ def test_gapfill_interpolate_random_sparsity_matches_duckdb(spark, seed, bucket)
     ).df()
     con.close()
     _assert_match(sdf, ddf, f"interp seed={seed} bucket={bucket}")
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    chunk_tokens=st.integers(min_value=1, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+@FUZZ
+def test_chunking_matches_reference_for_any_geometry(
+    spark, seed, chunk_tokens, overlap_frac
+):
+    """chunk_documents vs a pure-python slicer for ANY valid
+    (chunk_tokens, overlap) geometry (chunking.py:27): starts at
+    0, stride, 2*stride while start < n_tokens, final chunk short,
+    tokenless documents produce zero rows.  Draws include chunk_tokens=1
+    (stride 1, maximal fan-out), overlap=0 (partition), overlap =
+    chunk_tokens-1 (maximal overlap), and empty/whitespace-only docs."""
+    overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+    rng = np.random.default_rng(seed)
+    vocab = ["ax", "bo", "cu", "de", "el", "fi"]
+    texts = []
+    for _ in range(int(rng.integers(4, 10))):
+        u = rng.random()
+        if u < 0.15:
+            texts.append(rng.choice(["", "   ", "\t \n"]))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=int(rng.integers(1, 30)))))
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    from trafficbigdatasearch_spark.operators import chunking as C
+
+    got = sorted(map(tuple, C.chunk_documents(
+        spark.createDataFrame(pdf), chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()))
+    stride = chunk_tokens - overlap
+    want = []
+    for i, text in enumerate(texts):
+        toks = text.split()
+        cid = 0
+        s = 0
+        while s < len(toks):
+            sl = toks[s:s + chunk_tokens]
+            want.append((i, cid, " ".join(sl), len(sl)))
+            cid += 1
+            s += stride
+    assert got == sorted(want), f"seed={seed} ct={chunk_tokens} ov={overlap}"

@@ -27,8 +27,16 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization -> array<string> (empty text -> empty array)."""
-    t = F.trim(text)
+    """Whitespace tokenization -> array<string> (empty or whitespace-only
+    text -> empty array).
+
+    The ends are stripped with a ``\\s`` regexp, NOT ``F.trim`` — Spark's
+    trim removes only ASCII spaces, so a tab/newline-padded document would
+    pass the emptiness check and ``split`` would emit a phantom empty
+    token at position 0 (``tokens("\\t \\n") == [""]``), inflating token
+    counts and producing empty chunks.  Found by the chunking-geometry
+    fuzz (tests/test_oracle_fuzz.py) in r13."""
+    t = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
