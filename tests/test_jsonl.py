@@ -62,6 +62,44 @@ def test_corrupt_lines_quarantined(spark, tmp_path):
     assert bad == sorted(["{this is not json", '["wrong", "shape"]'])
 
 
+def test_tab_indented_lines_stay_reader_consistent(spark, tmp_path):
+    """Regression (r13 fuzz-class finding): trim strips only ASCII spaces,
+    so a TAB-indented valid line used to land in BOTH clean_rows and the
+    quarantine, and a tab-only line (which the reader skips) used to be
+    quarantined."""
+    p = tmp_path / "tabbed.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}),
+        "\t" + json.dumps({"doc_id": 2, "text": "tab indented", "lang": "en"}),
+        "   " + json.dumps({"doc_id": 3, "text": "space indented", "lang": "en"}),
+        "\t",
+        "not json",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean = jsonl.clean_rows(jsonl.read_jsonl(spark, str(p), DOC_SCHEMA))
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 3]
+    bad = [r.line for r in jsonl.quarantine_lines(spark, str(p), DOC_SCHEMA).collect()]
+    assert bad == ["not json"]
+
+
+def test_partial_type_mismatch_goes_to_quarantine_only(spark, tmp_path):
+    """Regression (r13 fuzz finding): a line with ONE bad field and one
+    good field parses with the good field kept AND the corrupt record
+    set — on the any-field-non-null predicate alone it used to land in
+    BOTH clean_rows and the quarantine."""
+    p = tmp_path / "partial.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}),
+        json.dumps({"doc_id": "not-a-long", "text": "half good", "lang": "en"}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean = jsonl.clean_rows(jsonl.read_jsonl(spark, str(p), DOC_SCHEMA))
+    assert clean.count() == 1          # count() path: no corrupt-only query
+    assert [r.doc_id for r in clean.collect()] == [1]
+    bad = [r.line for r in jsonl.quarantine_lines(spark, str(p), DOC_SCHEMA).collect()]
+    assert bad == [lines[1]]
+
+
 def test_type_mismatch_quarantined(spark, tmp_path):
     """Reader consistency: a syntactically valid line whose field fails type
     coercion parses all-null (so clean_rows drops it) AND must land in the

@@ -1242,3 +1242,61 @@ def test_chunking_matches_reference_for_any_geometry(
             cid += 1
             s += stride
     assert got == sorted(want), f"seed={seed} ct={chunk_tokens} ov={overlap}"
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_jsonl_clean_quarantine_partition_any_indentation(
+    spark, tmp_path_factory, seed
+):
+    """clean_rows + quarantine_lines must PARTITION a JSONL file for any
+    mix of line classes and leading/trailing whitespace (tabs and
+    newpage included): valid content objects -> clean only (whatever
+    their indentation), malformed / wrong-shape / type-mismatch lines ->
+    quarantine only, whitespace-only and contentless {} lines -> neither
+    (sources/jsonl.py:76 — the reader-consistency contract the r13 trim
+    finding violated)."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rng = np.random.default_rng(seed)
+    pads = ["", "\t", "   ", "\t ", " \t\t"]
+
+    def pad():
+        return pads[int(rng.integers(0, len(pads)))]
+
+    lines, want_clean, want_quar = [], [], []
+    for i in range(int(rng.integers(10, 25))):
+        u = rng.random()
+        if u < 0.4:
+            ln = pad() + _json.dumps({"a": i, "b": f"doc{i}"}) + pad()
+            want_clean.append(i)
+        elif u < 0.55:
+            ln = pad() + "not json " + str(i)
+            want_quar.append(ln)
+        elif u < 0.65:
+            ln = pad() + _json.dumps(["wrong", i])
+            want_quar.append(ln)
+        elif u < 0.75:
+            ln = pad() + _json.dumps({"a": f"notlong{i}", "b": "x"})
+            want_quar.append(ln)  # type mismatch: a is string, schema wants long
+        elif u < 0.9:
+            ln = pads[int(rng.integers(1, len(pads)))]  # whitespace-only
+        else:
+            ln = pad() + "{}" + pad()  # contentless
+        lines.append(ln)
+    base = tmp_path_factory.mktemp(f"jl{seed}")
+    p = str(base / "f.jsonl")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = StructType(
+        [StructField("a", LongType(), True), StructField("b", StringType(), True)]
+    )
+    from trafficbigdatasearch_spark.sources import jsonl as JL
+
+    clean = JL.clean_rows(JL.read_jsonl(spark, p, schema))
+    got_clean = sorted(r.a for r in clean.collect())
+    got_quar = sorted(r.line for r in JL.quarantine_lines(spark, p, schema).collect())
+    assert got_clean == sorted(want_clean), f"seed={seed} clean"
+    assert got_quar == sorted(want_quar), f"seed={seed} quarantine"

@@ -55,13 +55,18 @@ def read_jsonl(
 def clean_rows(df: DataFrame) -> DataFrame:
     """Parsed rows only, corrupt column dropped, from a PERMISSIVE read.
 
-    Filters on "any data field non-null" rather than on the corrupt column:
-    Catalyst's column pruning turns a corrupt-column filter under a
-    ``count()`` into a corrupt-only file query, which Spark rejects
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).  Malformed lines
-    parse with ALL data fields null, so the predicates agree — except that a
-    contentless-but-valid line (``{}``) is also dropped here, which is the
-    behavior a corpus pipeline wants anyway."""
+    Keep = (any data field non-null) AND (corrupt column null).  The
+    data-field leg keeps the filter from ever being a corrupt-ONLY file
+    query — Catalyst's column pruning turns a pure corrupt-column filter
+    under a ``count()`` into one, which Spark rejects
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and drops
+    contentless-but-valid ``{}`` lines, which a corpus pipeline wants
+    anyway.  The corrupt-column leg is REQUIRED for partition with the
+    quarantine stream (r13 fuzz finding): a PARTIALLY type-mismatched
+    line (one field fails coercion, another parses) keeps its good
+    fields AND gets the corrupt record set, so on the data-field
+    predicate alone it would land in BOTH streams — clean would silently
+    carry a half-null row from a corrupt line."""
     if CORRUPT_COL not in df.columns:
         return df
     data_cols = [c for c in df.columns if c != CORRUPT_COL]
@@ -69,7 +74,7 @@ def clean_rows(df: DataFrame) -> DataFrame:
     for c in data_cols:
         cond = F.col(c).isNotNull()
         keep = cond if keep is None else (keep | cond)
-    return df.filter(keep).drop(CORRUPT_COL)
+    return df.filter(keep & F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def quarantine_lines(
@@ -104,7 +109,12 @@ def quarantine_lines(
         full,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    v = F.trim(F.col("value"))
+    # \s-regexp end-strip, NOT F.trim: trim removes only ASCII spaces, so a
+    # TAB-indented valid line would fail the startswith("{") check and land
+    # in BOTH streams, and a tab-only line (which the reader skips) would
+    # be quarantined — both reader-consistency violations (r13 fuzz-class
+    # finding, same root as functions/text.py::tokens).
+    v = F.regexp_replace(F.col("value"), r"^\s+|\s+$", "")
     bad = parsed.isNull() | parsed[CORRUPT_COL].isNotNull() | ~v.startswith("{")
     return txt.filter(bad & (v != "")).select(F.col("value").alias("line"))
 
