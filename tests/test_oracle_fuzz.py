@@ -1300,3 +1300,88 @@ def test_jsonl_clean_quarantine_partition_any_indentation(
     got_quar = sorted(r.line for r in JL.quarantine_lines(spark, p, schema).collect())
     assert got_clean == sorted(want_clean), f"seed={seed} clean"
     assert got_quar == sorted(want_quar), f"seed={seed} quarantine"
+
+
+# ---------------------------------------------------------------------------
+# 8. Sketch exact phase: partition-independent AND exact for any split,
+#    while cardinality stays below retention
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_slices=st.integers(min_value=1, max_value=7),
+)
+@FUZZ
+def test_hll_merge_exact_below_retention_for_any_split(spark, seed, n_slices):
+    """merged_distinct over ANY partition split of the data equals the
+    exact python distinct count while cardinality sits in HLL's exact
+    phase (sketches.py:34 — the oracle rows' determinism rests on this
+    claim; the fixed test pins one split, the fuzz pins random ones).
+    Slices are random, uneven, possibly empty."""
+    from trafficbigdatasearch_spark.operators import sketches as SK
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 200))
+    vals = rng.integers(0, 400, size=n).astype(np.int64)
+    slice_of = rng.integers(0, n_slices, size=n)
+    partials = []
+    for sidx in range(n_slices):
+        sl = vals[slice_of == sidx]
+        pdf = pd.DataFrame({"g": np.zeros(len(sl), dtype=np.int64), "v": sl})
+        if len(pdf) == 0:
+            pdf = pd.DataFrame({"g": pd.Series([], dtype=np.int64),
+                                "v": pd.Series([], dtype=np.int64)})
+        partials.append(
+            SK.distinct_sketch_rollup(spark.createDataFrame(
+                pdf, schema="g bigint, v bigint"), ["g"], "v")
+        )
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.unionByName(p)
+    got = allp.agg(SK.merged_distinct(allp).alias("d")).collect()[0]["d"]
+    assert got == len(set(vals.tolist())), f"seed={seed} slices={n_slices}"
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_slices=st.integers(min_value=1, max_value=5),
+)
+@FUZZ
+def test_top_items_merge_exact_below_tracking_for_any_split(
+    spark, seed, n_slices
+):
+    """merged_top_items over ANY split equals the exact python counter
+    while distinct items stay below max_items_tracked (sketches.py:121 —
+    counts ADD across partials in the exact phase).  k is held >= the
+    distinct-item count so the result set is deterministic per the
+    operator's documented tie contract."""
+    from collections import Counter
+
+    from trafficbigdatasearch_spark.operators import sketches as SK
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 150))
+    items = [f"it{int(x)}" for x in rng.zipf(1.7, size=n) % 12]
+    slice_of = rng.integers(0, n_slices, size=n)
+    partials = []
+    for sidx in range(n_slices):
+        sl = [it for it, s in zip(items, slice_of) if s == sidx]
+        pdf = pd.DataFrame({"g": np.zeros(len(sl), dtype=np.int64),
+                            "v": pd.Series(sl, dtype=str)})
+        if len(pdf) == 0:
+            pdf = pd.DataFrame({"g": pd.Series([], dtype=np.int64),
+                                "v": pd.Series([], dtype=str)})
+        partials.append(
+            SK.top_items_rollup(spark.createDataFrame(
+                pdf, schema="g bigint, v string"), ["g"], "v")
+        )
+    allp = partials[0]
+    for p in partials[1:]:
+        allp = allp.unionByName(p)
+    exact = Counter(items)
+    got = {
+        r["item"]: r["n"]
+        for r in SK.merged_top_items(allp, k=len(exact) + 5).collect()
+    }
+    assert got == dict(exact), f"seed={seed} slices={n_slices}"
