@@ -42,7 +42,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -78,6 +78,17 @@ def _duck(frames: dict[str, pd.DataFrame]):
     for name, pdf in frames.items():
         con.register(name, pdf)
     return con
+
+
+def _oracle_df(frames: dict[str, pd.DataFrame], sql: str) -> pd.DataFrame:
+    """Run one oracle query and ALWAYS close the native connection — a
+    failing hypothesis example must not leak a duckdb handle per shrink
+    iteration (review r13)."""
+    con = _duck(frames)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
 
 
 def _assert_match(sdf: pd.DataFrame, ddf: pd.DataFrame, ctx: str) -> None:
@@ -142,8 +153,8 @@ def test_ohlc_random_ties_and_negative_ids_match_duckdb(spark, seed):
     sdf = TS.resample_ohlc(
         spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket="hour"
     ).toPandas()
-    con = _duck({"t": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"t": pdf},
         """
         SELECT k, date_trunc('hour', ts) AS bucket,
                first(v ORDER BY epoch_ms(ts), id) AS open,
@@ -152,8 +163,7 @@ def test_ohlc_random_ties_and_negative_ids_match_duckdb(spark, seed):
                count(*) AS volume
         FROM t GROUP BY k, date_trunc('hour', ts)
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"ohlc seed={seed}")
 
 
@@ -212,8 +222,8 @@ def test_asof_tolerance_matches_duckdb_lateral(spark, seed, direction, with_tol)
         if tol is not None
         else "r1.rv"
     )
-    con = _duck({"l": left, "r": right})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"l": left, "r": right},
         f"""
         SELECT l.k, l.lt, {tol_case} AS rv
         FROM l LEFT JOIN LATERAL (
@@ -222,8 +232,7 @@ def test_asof_tolerance_matches_duckdb_lateral(spark, seed, direction, with_tol)
           ORDER BY r.rt {order}, rv DESC LIMIT 1
         ) r1 ON TRUE
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"asof seed={seed} dir={direction} tol={tol}")
 
 
@@ -281,15 +290,14 @@ def test_interval_join_endpoints_match_duckdb(spark, seed, closed):
         .select("k", "t", "lo", "hi", "tag")
         .toPandas()
     )
-    con = _duck({"l": left, "r": right})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"l": left, "r": right},
         f"""
         SELECT l.k, l.t, r.lo, r.hi, r.tag
         FROM l JOIN r ON l.k = r.k
          AND l.t {ops[0]} r.lo AND l.t {ops[1]} r.hi
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"interval seed={seed} closed={closed}")
 
 
@@ -310,7 +318,7 @@ def test_money_sum_two_decimal_contract_matches_duckdb(spark, seed):
     .x0 boundary cents where the float product error is largest."""
     rng = np.random.default_rng(seed)
     n = int(rng.integers(50, 150))
-    mag = 10.0 ** rng.integers(0, 7, size=n)
+    mag = 10.0 ** rng.integers(0, 8, size=n)
     cents = rng.integers(0, 100, size=n)
     # force a healthy share of boundary cents (x.x5, x.x0)
     boundary = rng.random(n) < 0.5
@@ -333,15 +341,14 @@ def test_money_sum_two_decimal_contract_matches_duckdb(spark, seed):
         .agg(_dsum(F.col("x")).alias("total"))
         .toPandas()
     )
-    con = _duck({"t": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"t": pdf},
         """
         SELECT g, CAST(SUM(CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 100
                  AS total
         FROM t GROUP BY g
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"money seed={seed}")
 
 
@@ -380,8 +387,8 @@ def test_gapfill_random_sparsity_matches_duckdb(spark, seed, bucket):
     sdf = TS.gapfill_ffill(
         spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket=bucket
     ).toPandas()
-    con = _duck({"t": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"t": pdf},
         f"""
         WITH closes AS (
           SELECT k, date_trunc('{bucket}', ts) AS bucket,
@@ -400,9 +407,15 @@ def test_gapfill_random_sparsity_matches_duckdb(spark, seed, bucket):
         FROM spine s LEFT JOIN closes c
           ON c.k = s.k AND c.bucket = s.bucket
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"gapfill seed={seed} bucket={bucket}")
+
+
+def _rand_texts(rng, n, vocab, lo=5, hi=12):
+    return [
+        " ".join(rng.choice(vocab, size=int(rng.integers(lo, hi))))
+        for _ in range(n)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -512,14 +525,13 @@ def test_or_key_union_join_matches_duckdb_or_predicate(spark, seed):
         .select("lid", "rid")
         .toPandas()
     )
-    con = _duck({"l": left, "r": right})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"l": left, "r": right},
         """
         SELECT l.lid, r.rid
         FROM l JOIN r ON l.k = CAST(r.a AS BIGINT) OR l.k = r.b
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"or-key seed={seed}")
 
 
@@ -552,8 +564,8 @@ def test_radius_pairs_grid_blocking_lossless_vs_duckdb_bruteforce(
     sdf = SP.radius_pairs(
         spark.createDataFrame(pdf), "id", "x", "y", radius
     ).toPandas()
-    con = _duck({"p": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"p": pdf},
         f"""
         SELECT a.id AS id_a, b.id AS id_b,
                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
@@ -561,8 +573,7 @@ def test_radius_pairs_grid_blocking_lossless_vs_duckdb_bruteforce(
         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
               <= {radius * radius}
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"radius seed={seed} r={radius}")
 
 
@@ -616,10 +627,8 @@ def test_incremental_dedup_index_path_invariant(spark, seed, k, bands):
     rng = np.random.default_rng(seed)
     vocab = ["alpha", "bravo", "carol", "delta", "echo", "fox", "golf",
              "hotel", "india", "jazz"]
-    def _doc():
-        return " ".join(rng.choice(vocab, size=int(rng.integers(6, 14))))
     nc = int(rng.integers(8, 20))
-    corpus_texts = [_doc() for _ in range(nc)]
+    corpus_texts = _rand_texts(rng, nc, vocab, lo=6, hi=14)
     new_texts = []
     for _ in range(int(rng.integers(5, 12))):
         u = rng.random()
@@ -630,7 +639,7 @@ def test_incremental_dedup_index_path_invariant(spark, seed, k, bands):
             w[int(rng.integers(0, len(w)))] = "zulu"
             new_texts.append(" ".join(w))
         else:
-            new_texts.append(_doc())
+            new_texts.append(_rand_texts(rng, 1, vocab, lo=6, hi=14)[0])
     corpus = spark.createDataFrame(
         pd.DataFrame({"doc_id": np.arange(nc, dtype=np.int64),
                       "text": corpus_texts})
@@ -674,9 +683,8 @@ def test_hamming_banding_complete_vs_duckdb_bruteforce(
     guard is disabled — it is a documented recall knob, not part of the
     exactness contract."""
     n_bits = 16
-    assume_bands = n_bits // band_bits
-    if max_hamming >= assume_bands:
-        return  # operator raises by contract; covered in unit tests
+    n_bands = n_bits // band_bits
+    assume(max_hamming < n_bands)  # operator raises by contract otherwise
     rng = np.random.default_rng(seed)
     n_clusters = int(rng.integers(3, 7))
     rows = []
@@ -696,16 +704,15 @@ def test_hamming_banding_complete_vs_duckdb_bruteforce(
         spark.createDataFrame(pdf), n_bits=n_bits, band_bits=band_bits,
         max_hamming=max_hamming, max_bucket_size=None,
     ).toPandas()
-    con = _duck({"f": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"f": pdf},
         f"""
         SELECT a.id AS id_a, b.id AS id_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
         FROM f a JOIN f b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"hamming seed={seed} bb={band_bits} d={max_hamming}")
 
 
@@ -741,14 +748,13 @@ def test_interval_overlap_join_exactly_once_for_any_width(spark, seed, width):
         .select("lid", "rid")
         .toPandas()
     )
-    con = _duck({"l": left, "r": right})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"l": left, "r": right},
         """
         SELECT l.lid, r.rid
         FROM l JOIN r ON l.llo <= r.rhi AND r.rlo <= l.lhi
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"overlap seed={seed} width={width}")
 
 
@@ -756,13 +762,6 @@ def test_interval_overlap_join_exactly_once_for_any_width(spark, seed, width):
 # 7. Incremental / cross-corpus / full-probe paths must agree with their
 #    batch and brute twins
 # ---------------------------------------------------------------------------
-
-
-def _rand_texts(rng, n, vocab, lo=5, hi=12):
-    return [
-        " ".join(rng.choice(vocab, size=int(rng.integers(lo, hi))))
-        for _ in range(n)
-    ]
 
 
 @given(
@@ -884,7 +883,7 @@ def test_ivf_full_probe_equals_brute_force(spark, seed, stride):
          "embedding": [[float(x) for x in row] for row in vecs]}
     )
     corpus = spark.createDataFrame(pdf)
-    queries = corpus.limit(5)
+    queries = corpus.filter(F.col("vec_id") < 5)  # deterministic, not limit()
     from trafficbigdatasearch_spark.operators import similarity as S
 
     got = sorted(map(tuple, S.ivf_topk(
@@ -924,7 +923,7 @@ def test_ivf_append_equals_rebuild_for_any_split(
     cents = union.filter((F.col("vec_id") % stride) == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    queries = union.limit(4)
+    queries = union.filter(F.col("vec_id") < 4)  # deterministic, not limit()
     from trafficbigdatasearch_spark.operators import similarity as S
 
     base = tmp_path_factory.mktemp(f"ivf{seed}_{stride}_{nprobe}")
@@ -1048,7 +1047,8 @@ def test_polygon_join_random_zones_match_reference(spark, seed):
     rng = np.random.default_rng(seed)
     polys = []
     pid = 0
-    while len(polys) < int(rng.integers(2, 5)):
+    n_polys = int(rng.integers(2, 5))
+    while len(polys) < n_polys:
         cloud = [
             (int(rng.integers(0, 60)), int(rng.integers(0, 60)))
             for _ in range(int(rng.integers(4, 10)))
@@ -1153,8 +1153,8 @@ def test_gapfill_interpolate_random_sparsity_matches_duckdb(spark, seed, bucket)
     sdf = TS.gapfill_interpolate(
         spark.createDataFrame(pdf), "k", "ts", "v", "id", bucket=bucket
     ).toPandas()
-    con = _duck({"t": pdf})
-    ddf = con.execute(
+    ddf = _oracle_df(
+        {"t": pdf},
         f"""
         WITH closes AS (
           SELECT k, date_trunc('{bucket}', ts) AS bucket,
@@ -1192,8 +1192,7 @@ def test_gapfill_interpolate_random_sparsity_matches_duckdb(spark, seed, bucket)
                  AS is_observed
         FROM w
         """
-    ).df()
-    con.close()
+    )
     _assert_match(sdf, ddf, f"interp seed={seed} bucket={bucket}")
 
 
