@@ -1384,3 +1384,30 @@ def test_top_items_merge_exact_below_tracking_for_any_split(
         for r in SK.merged_top_items(allp, k=len(exact) + 5).collect()
     }
     assert got == dict(exact), f"seed={seed} slices={n_slices}"
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@FUZZ
+def test_theta_segment_overlap_exact_below_k(spark, seed):
+    """segment_overlap's Theta set algebra equals exact python set algebra
+    for random predicates while cardinalities sit below Theta's sub-k
+    retention (sketches.py:63) — |A|, |B|, |A ∩ B|, |A \\ B| in one scan
+    must be the true set sizes, including empty and disjoint segments."""
+    from trafficbigdatasearch_spark.operators import sketches as SK
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 200))
+    pdf = pd.DataFrame(
+        {"v": rng.integers(0, 300, size=n).astype(np.int64),
+         "x": rng.integers(0, 100, size=n).astype(np.int64)}
+    )
+    ta, tb = int(rng.integers(0, 110)), int(rng.integers(0, 110))
+    got = SK.segment_overlap(
+        spark.createDataFrame(pdf), F.col("x") < ta, F.col("x") >= tb, "v"
+    ).collect()[0]
+    A = set(pdf.v[pdf.x < ta].tolist())
+    B = set(pdf.v[pdf.x >= tb].tolist())
+    want = (len(A), len(B), len(A & B), len(A - B))
+    assert (got.n_a, got.n_b, got.n_intersect, got.n_a_only) == want, (
+        f"seed={seed} ta={ta} tb={tb}: {tuple(got)} vs {want}"
+    )
