@@ -119,8 +119,10 @@ def lang_id_table(docs, id_col: str = "doc_id", text_col: str = "text", langs=No
     """
     from pyspark.sql import functions as _F
 
+    from trafficbigdatasearch_spark import partitioning as _P
+
     langs = langs or list(STOPWORDS)
-    ex = docs.repartition(_F.col(id_col)).select(
+    ex = _P.spread(docs, id_col).select(
         _F.col(id_col),
         _F.explode_outer(tokens(_F.lower(_F.col(text_col)))).alias("_tok"),
     )

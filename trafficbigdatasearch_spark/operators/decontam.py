@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
 from trafficbigdatasearch_spark.functions import text as T
 
 
@@ -54,7 +55,10 @@ def contamination_scores(
     at corpus scale the result is a small exception list, not a full-corpus
     annotation."""
     bench = F.broadcast(benchmark_shingles(benchmark, text_col, n))
-    corp = corpus.select(
+    # conditional spread before the shingle explode: identity at scale
+    # (the corpus is never reshuffled — the scan supplies the width), but
+    # a low-split local source otherwise tokenizes on one core
+    corp = P.ensure_compute_width(corpus.select(id_col, text_col), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(T.word_shingles(F.col(text_col), n))).alias("s"),
     )
@@ -115,7 +119,14 @@ def fuzzy_contamination_pairs(
     id space, as in the registry fixture) so a document is not flagged
     as contaminating itself."""
     def _sets(df, idc):
-        return df.select(
+        # tokenize+shingle at the session's compute width: the projection
+        # is narrow (id, text) but hash-CPU-heavy, and a low-split local
+        # source otherwise serializes it (and every stage downstream of
+        # the csets checkpoint, which inherits the partitioning) onto one
+        # core.  Conditional spread: identity when the scan is already
+        # wide, so at scale the corpus text is NOT reshuffled (measured
+        # 4.69 -> 2.77 s min-of-3 interleaved at sf0.1; partitioning.py).
+        return P.ensure_compute_width(df.select(idc, text_col), idc).select(
             F.col(idc).alias("_id"),
             F.array_distinct(
                 F.filter(

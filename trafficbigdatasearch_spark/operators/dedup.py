@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
 from trafficbigdatasearch_spark.functions import text as T
 
 #: Mersenne prime 2^31-1; with 28-bit shingle hashes and a,b < 2^31 the
@@ -82,8 +83,14 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     """Repartition by id before CPU-heavy per-document work.  The input is a
     narrow (id, text) projection, so the exchange is cheap; without it a
     low-split source (one parquet row group locally; a coalesced scan on a
-    cluster) serializes the expensive shingle/hash stage onto few cores."""
-    return docs.repartition(F.col(id_col))
+    cluster) serializes the expensive shingle/hash stage onto few cores.
+
+    The partition count is EXPLICIT (the session's shuffle width): with a
+    bare ``repartition(col)`` AQE re-coalesces the exchange by BYTES, and a
+    ~1 MB (id, text) frame collapses back to one partition — the r13 stage
+    ledger measured every signature stage of the dedup family running n=1
+    for exactly this reason (see partitioning.spread)."""
+    return P.spread(docs, id_col)
 
 
 def _shingle_exploded(
@@ -141,8 +148,9 @@ def ngram_jaccard_pairs(
     """
     ex = _shingle_exploded(docs, id_col, text_col, n)
     # THE shared exchange: sizes, the guard window and the posting agg all
-    # hang off this one shuffle of the exploded rows
-    exsh = ex.repartition(F.col("shingle"))
+    # hang off this one shuffle of the exploded rows (explicit width — the
+    # downstream window/agg stages are hash-CPU-bound, see _spread)
+    exsh = P.spread(ex, "shingle")
     # true distinct-shingle count per doc — one row per (doc, shingle)
     sizes = exsh.groupBy("_id").agg(F.count("*").alias("sz"))
     df_w = F.count("*").over(Window.partitionBy("shingle"))
@@ -256,7 +264,7 @@ def token_cosine_pairs(
     norms = tf.groupBy("_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nrm")
     )
-    tfsh = tf.repartition(F.col("term"))
+    tfsh = P.spread(tf, "term")
     guard = F.count("*").over(Window.partitionBy("term"))
     hot_ok = (F.col("_df") > 1) if max_term_df is None else (
         (F.col("_df") > 1) & (F.col("_df") <= max_term_df)
@@ -341,7 +349,7 @@ def _rarity_prefix_rows(ex, threshold: float):
     # 5.21 s, both-checkpointed 5.31 s, doc_sets-only 7.50 s — parity at
     # toy scale, and at deployment scale one explode + an executor-local
     # sequential write beats four source scans + four tokenize passes.
-    exsh = ex.repartition(F.col("shingle")).localCheckpoint(eager=False)
+    exsh = P.spread(ex, "shingle").localCheckpoint(eager=False)
     doc_sets = (
         exsh.groupBy("_id")
         .agg(F.sort_array(F.collect_set("shingle")).alias("_sh"))
@@ -413,13 +421,22 @@ def ngram_jaccard_pairs_prefix(
     # bounded by doc size, the same bound the posting lists already carry;
     # doc_sets is the ONE per-doc aggregation of the plan (the prefix
     # cut's sizes derive from it).
+    # the verify stages are pinned at the session width: the candidate
+    # frame is ~1 MB of (id_a, id_b) rows, so AQE's byte model coalesces
+    # the join reads to ONE partition and the array_intersect verify — the
+    # plan's hottest CPU — runs on one core (measured 4.0 s single-task at
+    # sf0.1).  Explicit spreads on each join key keep the same two
+    # exchanges the joins already pay, minus the coalesce.
     out = (
-        cand.join(
+        P.spread(cand, "id_a").join(
             doc_sets.select(
                 F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
             ),
             "id_a",
         )
+    )
+    out = (
+        P.spread(out, "id_b")
         .join(
             doc_sets.select(
                 F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
@@ -481,7 +498,13 @@ def duplicated_spans(
     # consumers' shuffles already pay, bought once instead of recomputing
     # the CPU-heavy tokenization twice (production exact-substring dedup
     # materializes this table for the same reason).
-    sh = docs.select(
+    # conditional spread before the explode: the checkpoint INHERITS the
+    # input partitioning, so a 1-split local scan would serialize the
+    # tokenize AND every consumer of the checkpoint onto one core
+    # (identity at scale — partitioning.py)
+    sh = P.ensure_compute_width(
+        docs.select(id_col, text_col), id_col
+    ).select(
         F.col(id_col).alias("_id"),
         F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
             "start", "shingle"
@@ -570,8 +593,11 @@ def boilerplate_spans(
             f"min_df_pct must be in (0, 100], got {min_df_pct}"
         )
     # same two-consumer shingle shape as duplicated_spans, same ruling:
-    # checkpoint once instead of re-exploding per consumer (SCALING.md r12)
-    sh = docs.select(
+    # checkpoint once instead of re-exploding per consumer (SCALING.md r12);
+    # same conditional spread so the checkpoint is not single-partition
+    sh = P.ensure_compute_width(
+        docs.select(group_col, id_col, text_col), id_col
+    ).select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         F.posexplode(T.word_shingles(F.col(text_col), k)).alias(
@@ -617,7 +643,9 @@ def strip_duplicated_spans(
     output — a doc whose whole token stream is covered by spans (100 %
     boilerplate) comes back with empty text rather than silently vanishing
     from the corpus."""
-    toks = docs.select(
+    toks = P.ensure_compute_width(
+        docs.select(id_col, text_col), id_col
+    ).select(
         F.col(id_col),
         F.posexplode(
             T.tokens(F.lower(F.trim(F.col(text_col))))
@@ -915,7 +943,7 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         guard = guard & (F.col("_n") <= max_bucket_size)
     posting = (
-        banded.repartition(F.col("band"), F.col("bucket"))
+        P.spread(banded, "band", "bucket")
         .withColumn("_n", F.count("*").over(Window.partitionBy("band", "bucket")))
         .filter(guard)
         .groupBy("band", "bucket")
@@ -1062,7 +1090,7 @@ def hamming_pairs(
     if max_bucket_size is not None:
         guard = guard & (F.col("_n") <= max_bucket_size)
     posting = (
-        banded.repartition(F.col("band"), F.col("val"))
+        P.spread(banded, "band", "val")
         .withColumn("_n", F.count("*").over(Window.partitionBy("band", "val")))
         .filter(guard)
         .groupBy("band", "val")
