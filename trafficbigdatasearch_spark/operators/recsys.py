@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
+
 
 def user_item(
     events: DataFrame,
@@ -46,6 +48,11 @@ def user_item(
         # try_cast, not cast: a malformed props value must drop the row
         # (NULL filter below), not fail the job under Spark 4's ANSI default
         item_expr = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    # conditional spread before the per-row JSON parse: the parse otherwise
+    # fuses into the scan stage, and a low-split local source runs it on
+    # one core (identity at scale — partitioning.py); the distinct's
+    # exchange comes AFTER the parse, too late to help
+    events = P.ensure_compute_width(events, user_col)
     return (
         events.select(
             F.col(user_col).alias("user_id"), item_expr.alias("item_id")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
 from trafficbigdatasearch_spark.functions import vectors as V
 
 
@@ -38,8 +39,24 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
 
 
 def _with_quantized(
-    df: DataFrame, vec_col: str, out: str, norm_out: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    out: str,
+    norm_out: str | None = None,
+    spread_on: str | None = None,
 ) -> DataFrame:
+    """``spread_on``: corpus-side opt-in — conditionally repartition on the
+    named id column to the session's compute width BEFORE the quantize
+    projection (partitioning.ensure_compute_width: identity when the scan
+    is already wide).  The GEMM/argmin/fold stages downstream are CPU-bound
+    per row, and a single-row-group local source otherwise runs them (and
+    every checkpoint built from them) on one core.  ONLY for operators
+    whose math is partitioning-invariant (integer lattice + deterministic
+    tie-breaks) — kmeans_refine's float avg() accumulation is order-
+    sensitive and must keep its input partitioning untouched (verified:
+    spreading it CHANGES centroids)."""
+    if spread_on is not None:
+        df = P.ensure_compute_width(df, spread_on)
     df = df.withColumn(out, V.quantize(F.col(vec_col)))
     if norm_out is not None:
         # norm computed once per VECTOR here, not once per compared pair in
@@ -66,7 +83,7 @@ def brute_force_topk(
     q = _with_quantized(queries, vec_col, "qv", "qn").select(
         F.col(query_id_col).alias("query_id"), "qv", "qn"
     )
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
     scored = (
@@ -93,7 +110,7 @@ def bucket_assignments(
     """(id, bucket) per vector — the LSH partitioning fabric.  Deterministic
     (md5-derived hyperplanes over quantized components).  ``dims`` must match
     the embedding length (enforced at evaluation)."""
-    return _with_quantized(corpus, vec_col, "qv").select(
+    return _with_quantized(corpus, vec_col, "qv", norm_out=None, spread_on=id_col).select(
         F.col(id_col).alias("id"),
         V.simhash_bucket(F.col("qv"), n_planes, dims).alias("bucket"),
     )
@@ -123,7 +140,7 @@ def lsh_bucketed_topk(
         "qn",
         V.simhash_bucket(F.col("qv"), n_planes, dims).alias("bucket"),
     )
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "cv",
         "cn",
@@ -198,7 +215,7 @@ def ivf_topk(
         cq = _with_quantized(centroids, centroid_vec_col, "mv", "mn").select(
             F.col(centroid_id_col).alias("cell_id"), "mv", "mn"
         )
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
     # nearest centroid per corpus vector: broadcast + map-side min_by argmin
@@ -571,7 +588,7 @@ def pq_train_codebook(
     codebook is the same tie-break as the ``min_by`` struct — parity
     pinned in tests.
     """
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("vid"), "cv", "cn"
     )
     u = (
@@ -1087,7 +1104,7 @@ def ivf_adc_topk(
     cq = _with_quantized(cent, vec_col, "mv", "mn").select(
         F.col(id_col).alias("ccell"), "mv", "mn"
     )
-    c = _with_quantized(corpus, vec_col, "cv", "cn").select(
+    c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
     sim = c.crossJoin(F.broadcast(cq)).select(
@@ -1179,7 +1196,7 @@ def _assign_to_centroids(
     ``n=1`` stays a pure min_by AGGREGATE (map-side combinable, no
     window); ``n>1`` ranks with a per-vector window — still partitioned
     on the vector id, no global exchange."""
-    c = _with_quantized(df, vec_col, "cv", "cn").select(
+    c = _with_quantized(df, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("_nid"), "cv", "cn"
     )
     sim = c.crossJoin(F.broadcast(cq)).select(
@@ -1273,7 +1290,7 @@ def semantic_incremental_dedup(
         F.col(id_col).alias("cell_id"), "mv", "mn"
     )
     corp = (
-        _with_quantized(corpus, vec_col, "qa", "na")
+        _with_quantized(corpus, vec_col, "qa", "na", spread_on=id_col)
         .select(F.col(id_col).alias("_cid"), "qa", "na")
         .join(
             _assign_to_centroids(corpus, cq, id_col, vec_col)
@@ -1282,7 +1299,7 @@ def semantic_incremental_dedup(
         )
     )
     newq = (
-        _with_quantized(new, vec_col, "qb", "nb")
+        _with_quantized(new, vec_col, "qb", "nb", spread_on=id_col)
         .select(F.col(id_col).alias("_nid"), "qb", "nb")
         .join(
             _assign_to_centroids(new, cq, id_col, vec_col, n=nprobe)
@@ -1494,7 +1511,7 @@ def pq_distortion(
         (F.col(id_col) % centroid_stride) == 0
     )
     cq = _pq_codebook(cent, id_col, vec_col)
-    c = _with_quantized(corpus, vec_col, "v").select(F.col(id_col), "v")
+    c = _with_quantized(corpus, vec_col, "v", norm_out=None, spread_on=id_col).select(F.col(id_col), "v")
     dim_expr = F.size(F.col("v"))
     paired = c.join(F.broadcast(cq), how="cross")
     d_cols = []
