@@ -75,8 +75,12 @@ def test_no_cartesian_product_or_per_row_python_anywhere(spark):
 def test_ivf_broadcasts_centroids_and_probes(spark):
     df = standard.queries()["sim_ivf_topk"](spark, SF)
     assert X.has_broadcast_join(df)
-    # assignment argmin is an aggregate, not a per-vector window shuffle
-    assert X.exchange_count(df) <= 3, X.formatted_plan(df)
+    # assignment argmin is an aggregate, not a per-vector window shuffle;
+    # budget raised 3 -> 4 in r13 for the conditional compute-width spread
+    # on the corpus leg (partitioning.ensure_compute_width — present only
+    # when the source scan is narrower than the session width, i.e. at
+    # local fixture scale; identity on a wide scan)
+    assert X.exchange_count(df) <= 4, X.formatted_plan(df)
 
 
 def test_bucketed_join_shuffle_free(spark, tmp_path):

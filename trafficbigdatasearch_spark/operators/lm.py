@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
 from trafficbigdatasearch_spark.functions import text as T
 
 
@@ -64,6 +65,9 @@ def doc_bigrams(
 ) -> DataFrame:
     """One row per bigram OCCURRENCE: (id_col, w1, w2).  The shared
     explode both training and scoring consume."""
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     return docs.select(
         F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
 from trafficbigdatasearch_spark.functions import text as T
 
 
@@ -76,6 +77,9 @@ def tfidf_topk(
     rank)."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     term_arr = F.array(*[F.lit(t) for t in terms])
     toks = T.tokens(F.lower(F.col(text_col)))
     matching = F.filter(toks, lambda t: F.array_contains(term_arr, t))
@@ -127,6 +131,9 @@ def phrase_search(
     """
     if len(phrase) < 2:
         raise ValueError("phrase must have at least 2 tokens")
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     toks = T.tokens(F.lower(F.col(text_col)))
     postings = (
         docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
@@ -192,6 +199,9 @@ def _write_index_parts(
 ) -> None:
     """One posexplode pass -> bucket-partitioned postings + (doc, dl)
     stats sidecar; shared by the build (overwrite) and append paths."""
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     toks = T.tokens(F.lower(F.col(text_col)))
     base = docs.select(
         F.col(id_col),
@@ -310,6 +320,9 @@ def bm25_scores(
     doesn't pay a second tokenize+shuffle."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     term_arr = F.array(*[F.lit(t) for t in terms])
     toks = T.tokens(F.lower(F.col(text_col)))
     base = docs.select(
@@ -478,6 +491,9 @@ def doc_keywords(
         raise ValueError(f"k must be positive, got {k}")
     if hint not in ("broadcast", "auto"):
         raise ValueError(f"hint must be 'broadcast' or 'auto', got {hint!r}")
+    # conditional spread before the tokenize explode: identity at scale,
+    # parallelizes the CPU-heavy token pass on low-split local sources
+    docs = P.ensure_compute_width(docs, id_col)
     toks = F.filter(
         T.tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
     )

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
+
 def _ord_key(ts_col, id_col):
     """Deterministic total order for min_by/max_by tie-breaks: a NATIVE
     struct key ``(unix_millis(ts), id)`` — lexicographic field-wise bigint
@@ -182,6 +184,10 @@ def gapfill_ffill(
     guaranteed filled (the spine starts at an observed bucket, so the
     running ``last`` never returns null).
     """
+    # conditional spread on the window key before the per-key sort/
+    # window stages: identity at scale, parallelizes a low-split
+    # local source up to key cardinality (partitioning.py)
+    df = P.ensure_compute_width(df, key_col)
     interval = _bucket_interval(bucket)
 
     closes = (
@@ -251,6 +257,10 @@ def gapfill_interpolate(
 
     Output: (key, bucket, value, is_observed).
     """
+    # conditional spread on the window key before the per-key sort/
+    # window stages: identity at scale, parallelizes a low-split
+    # local source up to key cardinality (partitioning.py)
+    df = P.ensure_compute_width(df, key_col)
     interval = _bucket_interval(bucket)
     closes = (
         df.groupBy(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
+
 
 def not_null(col: str) -> Column:
     """Observed value: number of NULL rows (expect 0)."""
@@ -475,6 +477,10 @@ def gopher_quality_flags(
     ok_sym = F.lit(10) * (n_hash + n_ellipsis) <= n_words
     ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
     ok_stop = n_stop >= 2
+    # conditional spread: the rule battery is row-local regex/filter
+    # CPU fused into the scan; a low-split local source runs it on one
+    # core (identity at scale — partitioning.py)
+    docs = P.ensure_compute_width(docs, id_col)
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

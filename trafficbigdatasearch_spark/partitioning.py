@@ -58,6 +58,10 @@ def ensure_compute_width(df: DataFrame, *key_cols: str) -> DataFrame:
     the session width (single-row-group local files; a coalesced upstream).
     Identity when the input is already wide — at 100 TB the scan supplies
     the parallelism and the payload is not reshuffled."""
+    if df.isStreaming:
+        # no static partition count to probe (.rdd is illegal on a stream);
+        # micro-batch parallelism is the source's / state shuffle's concern
+        return df
     n = compute_width(df)
     if df.rdd.getNumPartitions() >= n:
         return df
