@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trafficbigdatasearch_spark import partitioning as P
+
 #: Buckets for rate quantization: rates are exact multiples of 1/10000, so
 #: oracle SQL reproduces membership with integer comparisons only.
 BUCKETS = 10_000
@@ -712,6 +714,9 @@ def poisson_bootstrap(
             ).otherwise(expr)
         return expr.cast("bigint")
 
+    # conditional spread before the per-row md5 priority/CDF math:
+    # identity at scale, parallelizes a low-split local source
+    df = P.ensure_compute_width(df, key_col)
     arr = F.array(
         *[
             F.struct(
