@@ -552,7 +552,12 @@ def stream_dedup_q(spark, sf):
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value")
     )
-    return _drain_to_memory(deduped, "stream_dedup", output_mode="append")
+    # dropDuplicatesWithinWatermark emits first-seen rows eagerly; the
+    # trailing no-data micro-batch would only evict state — skip it
+    # (result-identical; oracle-pinned; see _drain_to_memory's contract)
+    return _drain_to_memory(
+        deduped, "stream_dedup", output_mode="append", no_data_batch=False
+    )
 
 
 # =============================================================================

@@ -1347,25 +1347,49 @@ def _stream_events_source(spark, sf):
     return src
 
 
-def _drain_to_memory(agg, name_prefix: str, output_mode: str = "complete"):
+def _drain_to_memory(
+    agg,
+    name_prefix: str,
+    output_mode: str = "complete",
+    no_data_batch: bool = True,
+):
     """Run a bounded stream to completion (availableNow) into a memory sink
     and return the sink table.  Memory-sink verification shape ONLY — result
     sets here are small aggregates; the production path is watermark +
-    append to a real sink (pinned in tests/test_streaming.py)."""
+    append to a real sink (pinned in tests/test_streaming.py).
+
+    ``no_data_batch=False`` skips the trailing zero-input micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``).  Only valid for
+    operators that emit EAGERLY — inner stream-stream joins and
+    dropDuplicates*, where the no-data batch exists purely to evict state
+    the bounded drain is about to discard anyway (r14 probe: the eviction
+    batch re-reads and re-commits every state store instance for zero
+    output — 2.4 s of stream_attribution's 5.8 s at sf0.1).  NEVER pass
+    False for watermark-finalized append aggregates: their results are
+    EMITTED by that batch.  Scale-valid: on a continuous production stream
+    eviction rides later data batches; nothing here is local tuning."""
     import uuid
 
+    spark = agg.sparkSession
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key)
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(f"{name_prefix}: stream did not drain in 300s")
-    return agg.sparkSession.table(name)
+    try:
+        if not no_data_batch:
+            spark.conf.set(conf_key, "false")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"{name_prefix}: stream did not drain in 300s")
+    finally:
+        spark.conf.set(conf_key, prev)
+    return spark.table(name)
 
 
 #: Per-(sf dir) cache of a built on-disk IVF index, so repeated driver /

@@ -900,7 +900,12 @@ def stream_attribution_q(spark, sf):
         F.unix_millis("purchase_ts").alias("purchase_ms"),
         _cents(F.col("purchase_value")).alias("purchase_cents"),
     )
-    return _drain_to_memory(out, "stream_attribution", output_mode="append")
+    # inner joins emit each match as soon as both sides arrive, so the
+    # trailing no-data micro-batch would only evict state — skip it
+    # (result-identical; hash-pinned by the oracle; r14 A/B 5.63 -> 3.22 s)
+    return _drain_to_memory(
+        out, "stream_attribution", output_mode="append", no_data_batch=False
+    )
 
 
 _FP_SQL = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
