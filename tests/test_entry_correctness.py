@@ -465,6 +465,45 @@ def test_pq_gemm_kernel_bit_identical_to_expr(spark):
     assert ea == eb and ea
 
 
+def test_assign_gemm_kernel_bit_identical_to_expr(spark):
+    """The Arrow GEMM coarse-assignment kernel (r14,
+    similarity._argmax_cell_gemm) must reproduce the crossJoin + min_by
+    expression fold byte-for-byte across every wired seam: the int64
+    lattice dot is exact and the cosine is the identical
+    cast->sqrt->multiply->divide IEEE sequence, with first-occurrence
+    argmax over the cell-ascending centroid matrix matching the
+    min_by(struct(-csim, cell)) tie-break."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for kw in (dict(k=5, nprobe=2), dict(k=3, nprobe=1)):
+        a = rows(similarity.ivf_topk(emb, q, **kw))
+        b = rows(similarity.ivf_topk(emb, q, kernel="gemm", **kw))
+        assert a == b and a
+    a = rows(similarity.ivf_adc_topk(emb, q, k=5, nprobe=2, m=8))
+    b = rows(similarity.ivf_adc_topk(emb, q, k=5, nprobe=2, m=8, kernel="gemm"))
+    assert a == b and a
+    a = rows(similarity.ivf_cell_assignments(emb))
+    b = rows(similarity.ivf_cell_assignments(emb, kernel="gemm"))
+    assert a == b and a
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    a = rows(similarity.semantic_incremental_dedup(corpus, new, threshold=0.4))
+    b = rows(
+        similarity.semantic_incremental_dedup(
+            corpus, new, threshold=0.4, kernel="gemm"
+        )
+    )
+    assert a == b
+
+
 def test_attribution_linear_exact_shares(spark):
     """Remainder arithmetic pinned on a hand-checkable case: 3 touches
     share 1e6 as 333334+333333+333333; a single touch takes the full 1e6;

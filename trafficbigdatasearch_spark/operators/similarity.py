@@ -65,6 +65,67 @@ def _with_quantized(
     return df
 
 
+def _argmax_cell_gemm(
+    c: DataFrame, cq: DataFrame, id_name: str, cell_name: str
+) -> DataFrame:
+    """Arrow GEMM coarse-assignment kernel: nearest (max-cosine) centroid
+    per corpus vector, ties to the smaller cell id — the vectorized twin of
+    the ``crossJoin(broadcast(cq)) + min_by`` expression fold shared by the
+    IVF family.  The centroid table (tiny by construction — it is broadcast
+    everywhere else) is collected ONCE (one small eager job, the
+    ``_pq_codes_gemm`` trade), then the corpus streams through
+    ``mapInPandas`` with one int64 matrix product per batch — map-only, no
+    shuffle, ~50x the interpreted fold's throughput (r14 stage ledger: the
+    expr assignment burned 118 s of task time on a 10 k x 103 corpus at the
+    5x fixture; the kernel does the same lattice math in under a second).
+
+    BIT-IDENTICAL to the expression path: the lattice dot product is exact
+    in int64 (and below 2^53), and the cosine is the same
+    cast -> sqrt -> multiply -> divide sequence of correctly-rounded IEEE
+    ops as ``vectors.cosine_from_parts``; ``argmax`` takes the first
+    occurrence among ties over the cell-ascending centroid matrix — the
+    same tie-break as ``min_by(struct(-csim, cell))``.  Zero norms raise
+    (loud failure per module convention) instead of reproducing the
+    expression path's accidental NULL-ordering assignment.
+
+    Expects ``c`` = (id_name, cv, cn) and ``cq`` = (cell_name, mv, mn),
+    both already quantized; returns (id_name, cell_name)."""
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = cq.orderBy(cell_name).collect()
+    schema = f"{id_name} bigint, {cell_name} bigint"
+    if not cb_rows:
+        # no centroids -> no assignments (the expression path's empty agg)
+        return c.sparkSession.createDataFrame([], schema)
+    C = np.stack([np.asarray(r["mv"], dtype=np.int64) for r in cb_rows])
+    ids = np.asarray([r[cell_name] for r in cb_rows], dtype=np.int64)
+    mn = np.sqrt(np.asarray([r["mn"] for r in cb_rows], dtype=np.int64)
+                 .astype(np.float64))
+    if (mn == 0).any():
+        raise ValueError("_argmax_cell_gemm: zero-norm centroid")
+    bc = c.sparkSession.sparkContext.broadcast((C, ids, mn))
+
+    def assign(batches):
+        Cb, cell_ids, mnf = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            U = np.stack(pdf["cv"].to_numpy()).astype(np.int64)
+            un = np.sqrt(pdf["cn"].to_numpy().astype(np.float64))
+            if (un == 0).any():
+                raise ValueError("_argmax_cell_gemm: zero-norm vector")
+            S = (U @ Cb.T).astype(np.float64) / (un[:, None] * mnf[None, :])
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].to_numpy(),
+                    cell_name: cell_ids[S.argmax(axis=1)],
+                }
+            )
+
+    return c.select(id_name, "cv", "cn").mapInPandas(assign, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -173,6 +234,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     centroid_id_col: str = "cell_id",
     centroid_vec_col: str = "centroid",
+    kernel: str = "expr",
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into inverted
     lists by nearest centroid; each query probes only its ``nprobe`` nearest
@@ -221,18 +283,24 @@ def ivf_topk(
     # nearest centroid per corpus vector: broadcast + map-side min_by argmin
     # (ties broken toward the smaller cell_id via the struct's lexicographic
     # order), then re-attach the vector — no per-vector window shuffle.
-    sim = c.crossJoin(F.broadcast(cq)).select(
-        "neighbor_id",
-        "cell_id",
-        V.cosine_from_parts(
-            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
-        ).alias("csim"),
-    )
-    assign = sim.groupBy("neighbor_id").agg(
-        F.min_by(
-            F.col("cell_id"), F.struct((-F.col("csim")).alias("d"), F.col("cell_id"))
-        ).alias("cell_id")
-    )
+    # kernel="gemm" swaps the interpreted fold for the bit-identical Arrow
+    # numpy kernel (_argmax_cell_gemm — one small eager centroid collect).
+    if kernel == "gemm":
+        assign = _argmax_cell_gemm(c, cq, "neighbor_id", "cell_id")
+    else:
+        sim = c.crossJoin(F.broadcast(cq)).select(
+            "neighbor_id",
+            "cell_id",
+            V.cosine_from_parts(
+                V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+            ).alias("csim"),
+        )
+        assign = sim.groupBy("neighbor_id").agg(
+            F.min_by(
+                F.col("cell_id"),
+                F.struct((-F.col("csim")).alias("d"), F.col("cell_id")),
+            ).alias("cell_id")
+        )
     return _ivf_probe_rerank(
         c.join(assign, "neighbor_id"), cq, queries, k, nprobe, vec_col, query_id_col
     )
@@ -1107,18 +1175,24 @@ def ivf_adc_topk(
     c = _with_quantized(corpus, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("neighbor_id"), "cv", "cn"
     )
-    sim = c.crossJoin(F.broadcast(cq)).select(
-        "neighbor_id",
-        "ccell",
-        V.cosine_from_parts(
-            V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
-        ).alias("csim"),
-    )
-    assign = sim.groupBy("neighbor_id").agg(
-        F.min_by(
-            F.col("ccell"), F.struct((-F.col("csim")).alias("d"), F.col("ccell"))
-        ).alias("ccell")
-    )
+    # kernel="gemm": the corpus-sided coarse assignment is the query's
+    # hottest stage (r14 ledger: 118 s task time at the 5x fixture) — swap
+    # the interpreted fold for the bit-identical Arrow numpy kernel.
+    if kernel == "gemm":
+        assign = _argmax_cell_gemm(c, cq, "neighbor_id", "ccell")
+    else:
+        sim = c.crossJoin(F.broadcast(cq)).select(
+            "neighbor_id",
+            "ccell",
+            V.cosine_from_parts(
+                V.dot(F.col("cv"), F.col("mv")), F.col("cn"), F.col("mn")
+            ).alias("csim"),
+        )
+        assign = sim.groupBy("neighbor_id").agg(
+            F.min_by(
+                F.col("ccell"), F.struct((-F.col("csim")).alias("d"), F.col("ccell"))
+            ).alias("ccell")
+        )
     q = _with_quantized(queries, vec_col, "qv", "qn").select(
         F.col(query_id_col).alias("query_id"), "qv", "qn"
     )
@@ -1168,6 +1242,7 @@ def ivf_cell_assignments(
     centroid_stride: int = 97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "expr",
 ) -> DataFrame:
     """(id_col, cell_id): each vector's nearest coarse centroid under the
     same deterministic stride-sample quantizer as :func:`ivf_topk` /
@@ -1181,11 +1256,16 @@ def ivf_cell_assignments(
     cq = _with_quantized(cent, vec_col, "mv", "mn").select(
         F.col(id_col).alias("cell_id"), "mv", "mn"
     )
-    return _assign_to_centroids(corpus, cq, id_col, vec_col)
+    return _assign_to_centroids(corpus, cq, id_col, vec_col, kernel=kernel)
 
 
 def _assign_to_centroids(
-    df: DataFrame, cq: DataFrame, id_col: str, vec_col: str, n: int = 1
+    df: DataFrame,
+    cq: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int = 1,
+    kernel: str = "expr",
 ) -> DataFrame:
     """(id_col, cell_id): each vector's ``n`` nearest coarse centroids
     against an EXPLICIT quantized centroid table ``cq`` (cell_id, mv, mn)
@@ -1199,6 +1279,12 @@ def _assign_to_centroids(
     c = _with_quantized(df, vec_col, "cv", "cn", spread_on=id_col).select(
         F.col(id_col).alias("_nid"), "cv", "cn"
     )
+    if n == 1 and kernel == "gemm":
+        # bit-identical Arrow numpy kernel for the n=1 argmax (the n>1
+        # window path stays expr — its per-vector rank needs every csim)
+        return _argmax_cell_gemm(c, cq, "_nid", "cell_id").select(
+            F.col("_nid").alias(id_col), "cell_id"
+        )
     sim = c.crossJoin(F.broadcast(cq)).select(
         "_nid",
         "cell_id",
@@ -1236,6 +1322,7 @@ def semantic_incremental_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     validate: bool = True,
+    kernel: str = "expr",
 ) -> DataFrame:
     """INCREMENTAL semantic dedup — the ingestion-flow arrangement: keep
     only the NEW batch's vectors with no cosine near-duplicate (>=
@@ -1293,7 +1380,7 @@ def semantic_incremental_dedup(
         _with_quantized(corpus, vec_col, "qa", "na", spread_on=id_col)
         .select(F.col(id_col).alias("_cid"), "qa", "na")
         .join(
-            _assign_to_centroids(corpus, cq, id_col, vec_col)
+            _assign_to_centroids(corpus, cq, id_col, vec_col, kernel=kernel)
             .withColumnRenamed(id_col, "_cid"),
             "_cid",
         )
@@ -1302,7 +1389,7 @@ def semantic_incremental_dedup(
         _with_quantized(new, vec_col, "qb", "nb", spread_on=id_col)
         .select(F.col(id_col).alias("_nid"), "qb", "nb")
         .join(
-            _assign_to_centroids(new, cq, id_col, vec_col, n=nprobe)
+            _assign_to_centroids(new, cq, id_col, vec_col, n=nprobe, kernel=kernel)
             .withColumnRenamed(id_col, "_nid"),
             "_nid",
         )

@@ -979,9 +979,14 @@ def sim_ivf_adc_topk_q(spark, sf):
     PQ codes/ADC CTEs).  nprobe buys candidate coverage, m buys ranking
     fidelity — the two independent recall knobs of a deployed ANN tier."""
     emb = load_table(spark, sf, "embeddings")
+    # kernel="gemm": the coarse assignment + PQ encode legs run through the
+    # bit-identical Arrow numpy kernels (similarity._argmax_cell_gemm /
+    # _pq_codes_gemm) — r14 interleaved A/B 4.03 -> 2.66 s at sf0.1 and
+    # 7.37 -> 2.86 s at the 5x fixture; parity pinned in tests and by this
+    # row's oracle hash
     return similarity.ivf_adc_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2, m=8,
-        centroid_stride=97,
+        centroid_stride=97, kernel="gemm",
     ).withColumnRenamed("rank", "rnk")
 
 
