@@ -478,7 +478,24 @@ def main() -> None:
             **worst5,
             "_truncated": {"n_total": len(regression_flags)},
         }
-    for name in sorted(times, key=times.get, reverse=True):
+    # The driver's machine-readable record keeps only ~2000 chars of stdout
+    # tail.  The old fitting loop added query entries only AFTER the full
+    # sweep map, so a grown sweep could fit ZERO of them (r12: empty
+    # "queries" dict -> no per-query round-over-round in PERF_r13).  Order
+    # of precedence now: the 10 slowest headline queries are ALWAYS on the
+    # line; the sweep map is truncated (slowest kept, count recorded) until
+    # the line fits; any remaining room goes to more query entries.
+    by_cost = sorted(times, key=times.get, reverse=True)
+    compact["queries"] = {n: times[n] for n in by_cost[:10]}
+    sweep_by_cost = sorted(sweep, key=sweep.get, reverse=True)
+    keep = len(sweep_by_cost)
+    while len(json.dumps(compact)) > 1800 and keep > 0:
+        keep -= 1
+        compact["sweep_queries"] = {
+            **{n: sweep[n] for n in sweep_by_cost[:keep]},
+            "_truncated": {"n_total": len(sweep)},
+        }
+    for name in by_cost[10:]:
         trial = dict(compact["queries"], **{name: times[name]})
         if len(json.dumps(dict(compact, queries=trial))) > 1800:
             break

@@ -18,7 +18,26 @@ def narrow(spark):
     )
 
 
-def test_spread_pins_session_width(spark, narrow):
+@pytest.fixture()
+def aqe_coalesce_pinned(spark):
+    """Pin the AQE coalescing posture the bare-repartition assertion depends
+    on (ADVICE r13: the coalesce precondition must be explicit, not
+    inherited from version defaults)."""
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in prev.items():
+        spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_spread_pins_session_width(spark, narrow, aqe_coalesce_pinned):
     """spread() yields exactly the configured shuffle width, and AQE does
     not coalesce it back (the whole point: a bare repartition(col) on the
     same frame IS coalesced below the width at these byte sizes)."""
@@ -27,6 +46,48 @@ def test_spread_pins_session_width(spark, narrow):
     assert spread_parts == width
     bare_parts = narrow.repartition(F.col("id")).rdd.getNumPartitions()
     assert bare_parts < width  # AQE's byte model collapses the bare form
+
+
+def test_spread_honors_deployment_cap(spark, narrow):
+    """spark.tbds.spread.maxPartitions bounds the explicit exchange width —
+    the at-scale guard (VERDICT r13 #6) for clusters whose global shuffle
+    width far exceeds a spread frame's useful parallelism."""
+    spark.conf.set(P.SPREAD_CAP_CONF, "4")
+    try:
+        assert P.spread(narrow, "id").rdd.getNumPartitions() == 4
+    finally:
+        spark.conf.unset(P.SPREAD_CAP_CONF)
+
+
+def test_compute_width_non_numeric_conf_falls_back(spark):
+    """'auto' (vendor AQE auto-tuning, not settable through vanilla Spark's
+    validated conf) must not crash plan construction — compute_width falls
+    back to the cluster default parallelism.  Exercised through a stub
+    session because apache Spark rejects the value at set() time."""
+
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _Session:
+        conf = _Conf()
+        sparkContext = spark.sparkContext
+
+    class _DF:
+        sparkSession = _Session()
+
+    assert P.compute_width(_DF()) == spark.sparkContext.defaultParallelism
+
+
+def test_ensure_compute_width_passthrough_on_exchange_bearing_plan(spark, narrow):
+    """A plan with an upstream aggregate/join is passed through UNPROBED:
+    under AQE the .rdd probe would finalize and eagerly execute its shuffle
+    stages as real jobs, recomputed at action time (ADVICE r13), and such
+    an exchange already starts at the session width pre-AQE."""
+    agg = narrow.groupBy("id").count()
+    assert P.ensure_compute_width(agg, "id") is agg
+    joined = narrow.join(narrow.select("id"), "id")
+    assert P.ensure_compute_width(joined, "id") is joined
 
 
 def test_ensure_compute_width_widens_narrow_input(spark, narrow):
