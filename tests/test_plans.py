@@ -83,6 +83,29 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     assert X.exchange_count(df) <= 4, X.formatted_plan(df)
 
 
+def test_ivf_exchange_budget_restored_on_wide_input(spark):
+    """The at-scale contract behind the r13 budget bump (verdict r13 #7):
+    when the corpus is already AT the session width, ensure_compute_width
+    is an identity and the original 3-exchange budget holds."""
+    from pyspark.sql import functions as F
+
+    from trafficbigdatasearch_spark.operators import similarity
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 2000, 1, width + 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: (F.col("id") % (d + 3)).cast("float") / 7.0,
+        ).alias("embedding"),
+    )
+    df = similarity.ivf_topk(
+        wide, wide.filter(F.col("vec_id") < 5), k=3, nprobe=2,
+        centroid_stride=97,
+    )
+    assert X.exchange_count(df) <= 3, X.formatted_plan(df)
+
+
 def test_bucketed_join_shuffle_free(spark, tmp_path):
     """Two tables bucketed on the join key must join with zero shuffle
     exchanges — the co-located-join layout for repeatedly-joined facts."""

@@ -7,10 +7,11 @@ between "these two look alike" and "keep one representative per group".
 
 Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) — the shuffle-native
-formulation.  Each half-round is one symmetrize + one per-node min aggregate
-+ one join, all hash-partitioned on the node id; no step ever materializes a
-whole component on one executor (posting lists, adjacency collects and
-driver-side union-find are all avoided).  Converges in O(log² n) rounds
+formulation.  Each half-round is one symmetrize + ONE per-node min window
+over the node-id hash partitioning (r14: the window replaces the original
+aggregate + join pair, halving the exchanges per star); no step ever
+materializes a whole component on one executor (posting lists, adjacency
+collects and driver-side union-find are all avoided).  Converges in O(log² n) rounds
 independent of graph diameter — naive min-label propagation needs
 O(diameter) rounds, which on the pathological chain graph is O(n).
 
@@ -25,7 +26,7 @@ computation; every per-round job is fully distributed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,18 +97,26 @@ def _large_star(e: DataFrame) -> DataFrame:
 
     Output edges are canonical (larger, smaller); strictly-larger neighbors
     move toward the local minimum, which is what collapses long paths in
-    O(log) rounds."""
+    O(log) rounds.
+
+    The per-node minimum is a PARTITION WINDOW over the symmetrized edge
+    list, not an aggregate re-joined onto it: both need every row of a node
+    on one partition, but the window does it with ONE hash exchange (plus a
+    partition-local sort) where agg + join paid TWO — per fixpoint round,
+    on every round (r14 interleaved A/B: the CC family measured 0.80-0.88x
+    at sf0.1 AND at the 5x fixture, identical edge sets per round).  Skew
+    posture is unchanged: the old join keyed on u already put each node's
+    whole row set on one partition."""
     sym = _symmetrize(e)
-    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
-    m = F.least(F.col("_mn"), F.col("u"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     # no distinct here: duplicate edges don't change _small_star's per-node
     # mins, and its terminal distinct restores set semantics — one fewer
-    # exchange per round.  The v > u filter sits BEFORE the join (it only
-    # references probe-side columns), halving the join input.
+    # exchange per round.  The v > u filter must come AFTER the window (the
+    # minimum ranges over the FULL neighborhood).
     return (
-        sym.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
-        .select(F.col("v").alias("u"), m.alias("v"))
+        sym.select("u", "v", m.alias("_m"))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
 
@@ -117,19 +126,25 @@ def _small_star(e: DataFrame) -> DataFrame:
 
     Input/output edges are canonical (larger, smaller): per node u the
     smaller neighborhood is exactly its outgoing edge list, so no
-    symmetrization is needed — one aggregate + one join."""
+    symmetrization is needed.  Same one-exchange window form as
+    :func:`_large_star`; the rewired edge (v, m) and the self edge (u, m)
+    fan out of each row in one generator and the terminal distinct (which
+    small-star needs anyway, with map-side partial dedup) collapses the
+    per-row self-edge copies."""
     d = e.select(
         F.greatest(F.col("u"), F.col("v")).alias("u"),
         F.least(F.col("u"), F.col("v")).alias("v"),
     )
-    mins = d.groupBy("u").agg(F.min("v").alias("_m"))
-    rewired = d.join(mins, "u").select(F.col("v").alias("u"), F.col("_m").alias("v"))
-    self_edges = mins.select("u", F.col("_m").alias("v"))
-    return (
-        rewired.union(self_edges)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    dm = d.withColumn("_m", F.min("v").over(Window.partitionBy("u")))
+    both = dm.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("_m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("_m").alias("b")),
+            )
+        ).alias("s")
+    ).select(F.col("s.a").alias("u"), F.col("s.b").alias("v"))
+    return both.filter(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(

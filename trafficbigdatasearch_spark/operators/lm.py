@@ -47,11 +47,10 @@ from trafficbigdatasearch_spark.functions import text as T
 
 def _bigrams(text: Column) -> Column:
     """array<struct<w1,w2>> of adjacent token pairs (lowercased whitespace
-    tokens, '' dropped — the tokenizer contract of functions/text.tokens
-    plus the empty-token guard the vocab/BPE family uses).  Docs with < 2
-    tokens yield an empty array (greatest() keeps the slice length legal
-    under ANSI)."""
-    toks = F.filter(T.tokens(F.lower(text)), lambda t: t != F.lit(""))
+    tokens; functions/text.tokens filters empties itself since the r13
+    rewrite, so no outer guard — advice r13).  Docs with < 2 tokens yield
+    an empty array (greatest() keeps the slice length legal under ANSI)."""
+    toks = T.tokens(F.lower(text))
     n = F.size(toks)
     return F.zip_with(
         F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),

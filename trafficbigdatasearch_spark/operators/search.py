@@ -494,9 +494,9 @@ def doc_keywords(
     # conditional spread before the tokenize explode: identity at scale,
     # parallelizes the CPU-heavy token pass on low-split local sources
     docs = P.ensure_compute_width(docs, id_col)
-    toks = F.filter(
-        T.tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
-    )
+    # tokens() filters empties itself since the r13 rewrite — no outer
+    # empty-token pass needed (advice r13)
+    toks = T.tokens(F.lower(F.col(text_col)))
     postings = docs.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

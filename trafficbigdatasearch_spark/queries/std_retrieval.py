@@ -1325,9 +1325,8 @@ def stream_lm_gate_q(spark, sf):
 
     src = _stream_documents_source(spark, sf)
     gated = src.filter(T.token_count(F.col("text")) >= 5)
-    toks = F.filter(
-        T.tokens(F.lower(F.col("text"))), lambda t: t != F.lit("")
-    )
+    # tokens() filters empties itself since the r13 rewrite (advice r13)
+    toks = T.tokens(F.lower(F.col("text")))
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
